@@ -1,0 +1,115 @@
+"""Text-analysis columns for large-scale training-data pipelines.
+
+Extension surface beyond the reference (SURVEY §7.1 M5): language-ID
+heuristics, quality scoring, token counting, document fingerprinting.
+Everything is a native Catalyst expression (split / filter / aggregate
+higher-order functions) — no Python in the hot path, so these run
+JVM-side over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny multilingual marker profiles for the language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+STOPWORDS_EN = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty/blank text → empty array (not [''])."""
+    t = F.trim(_col(text))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND punctuation
+    boundaries (a cheap BPE proxy: contiguous letter runs, digit runs,
+    and single punctuation marks each count as one token)."""
+    t = _col(text)
+    pieces = F.split(F.trim(t), r"\s+|(?<=\W)|(?=\W)")
+    nonempty = F.filter(pieces, lambda x: F.length(x) > 0)
+    return F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(nonempty)).cast("long")
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not [A-Za-z0-9 or whitespace]."""
+    t = _col(text)
+    total = F.length(t)
+    alnum = F.length(F.regexp_replace(t, r"[^A-Za-z0-9\s]", ""))
+    return F.when(total > 0, (total - alnum) / total).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords (quality-scoring signal)."""
+    sw = stopwords or STOPWORDS_EN
+    toks = tokens(text)
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw_arr, F.lower(x))))
+    n = F.size(toks)
+    return F.when(n > 0, n_sw / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(text: Column | str) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_marker_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-word hit counts (n-gram-heuristic language ID).
+
+    Returns {lang: count-of-marker-tokens}. Argmax over these is the
+    predicted language; on marker-free text every score is 0 → 'unk'.
+    """
+    toks = tokens(text)
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        out[lang] = F.size(F.filter(toks, lambda x: F.array_contains(arr, F.lower(x)))).cast(
+            "long"
+        )
+    return out
+
+
+def positional_fingerprint(text: Column | str) -> Column:
+    """Deterministic order-sensitive document fingerprint.
+
+    Position-weighted token hash: sum_i(i * (codepoint(first char)*131
+    + len(token)) mod 2^31-1) mod 2^31-1. Order-sensitive (the position
+    multiplies the token value, so swapped tokens change the sum) and
+    expressible in both Spark and ANSI SQL, so it is oracle-checkable —
+    use xxhash64 for production-strength fingerprints.
+    """
+    toks = tokens(text)
+    idx = F.sequence(F.lit(1), F.size(toks))
+    vals = F.transform(
+        idx,
+        lambda i: (
+            i.cast("long")
+            * (
+                F.ascii(F.substring(F.element_at(toks, i), 1, 1)).cast("long") * 131
+                + F.length(F.element_at(toks, i))
+            )
+        )
+        % 2147483647,
+    )
+    total = F.aggregate(vals, F.lit(0).cast("long"), lambda acc, x: acc + x) % 2147483647
+    return F.when(F.size(toks) > 0, total).otherwise(F.lit(0)).cast("long")

@@ -4,7 +4,9 @@ Each entry is a callable ``(spark, sf_dir) -> DataFrame`` demonstrating
 one operator family from SURVEY.md §2 on the star-schema testdata, with
 a matching ANSI-SQL oracle in ``ORACLES`` that DuckDB runs over the same
 parquet. Column names are aliased identically on both sides (the driver
-compare sorts columns by name before hashing).
+compare sorts columns by name before hashing); computed doubles are
+rounded identically on both sides (2dp money, 6dp ratios) so the value
+hash is stable across engines.
 
 Reference citations in docstrings point into /root/reference/ so parity
 can be checked; the implementations are Spark-first, not translations.
@@ -14,11 +16,46 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from .catalog import load_table
+from .functions.scalar import coalesce_nonempty, map_multikey_coalesce, truncate_str
+from .functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    lang_marker_scores,
+    mean_token_len,
+    positional_fingerprint,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from .functions.vectors import l2_norm
+from .operators.dedup import normalized_text
+from .operators.merge import merge_parts, merge_snapshot
+from .operators.similarity import brute_force_topk
+from .operators.topk import top_k_per_group
+
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+# Snapshot cutoffs for the incremental-merge family (orders span
+# 1995-01-01 .. 2001-08-01): target = old snapshot, source = new.
+MERGE_SOURCE_FROM = "1997-01-01"
+MERGE_TARGET_UNTIL = "2000-01-01"
+
+
+def _orders_snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load_table(spark, sf_dir, "orders").select(*ORDER_COLS)
+    source = o.filter(F.col("o_orderdate") >= MERGE_SOURCE_FROM)
+    target = o.filter(F.col("o_orderdate") < MERGE_TARGET_UNTIL)
+    return source, target
+
+_MERGE_CTE = f"""
+        WITH source AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '{MERGE_SOURCE_FROM} 00:00:00'),
+             target AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '{MERGE_TARGET_UNTIL} 00:00:00')
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -30,7 +67,7 @@ def q_category_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: grouped summary with counts, sums and a guarded ratio.
 
     Restates the reference's per-(subject_type, collection_type) category
-    summary (bangumi_data_ingestion.py:487-499 accumulate :200-202,
+    summary (bangumi_data_ingestion.py:487-499, accumulate :200-202,
     ratio-with-zero-guard :495) on the star schema: group `lineitem` by
     (l_returnflag, l_linestatus). Map-side partial aggregation + AQE
     handle this at 100 TB — one shuffle on the (tiny-cardinality) group
@@ -81,6 +118,413 @@ def q_global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot aggregation (generalizes the reference's per-category matrix
+    summary, bangumi_data_ingestion.py:487-499): line-status columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")
+    )
+
+
+def q_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping indicators — the §2.5 extension (subtotals +
+    grand total the reference computes manually at :538-543)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P. Projection / filter / scalar family (reference P1-P10)
+# ---------------------------------------------------------------------------
+
+
+def q_project_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + string truncation + literal stamping (reference
+    extract_common_fields :309-323, summary[:500] :322, user_id literal
+    :410-413)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        truncate_str("p_name", 12).alias("name_short"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.lit("catalog").alias("source_tag"),
+        F.length("p_name").cast("long").alias("name_len"),
+    ).orderBy("p_partkey")
+
+
+def q_coalesce_display(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-string-skipping coalesce (reference `name_cn or name`
+    :438 — Python `or` treats "" as missing, unlike SQL COALESCE) plus a
+    broadcast dim join."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            coalesce_nonempty(F.lit(""), F.col("c_name")).alias("display_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_filter_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/empty-partition filter (reference NA split :223-227 and
+    skip-empty-category :376-377)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0) & (F.col("n_chars") > 0))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp handling (reference pd.to_datetime coerce + tz-strip
+    :397-403): truncation, formatting, round-trip reparse."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+        F.try_to_timestamp(F.date_format("ts", "yyyy-MM-dd HH:mm:ss")).alias("reparsed"),
+    ).orderBy("event_id")
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parse (reference implicit resp.json() J6; to_json J5):
+    extract typed value from a JSON-string column."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    ).orderBy("event_id")
+
+
+def q_map_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map lookup with multi-key fallback (reference infobox 导演 or 監督
+    :446-450, map built by parse_infobox :263-295)."""
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        map_multikey_coalesce(m, "missing", "k").alias("k_str"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# J/T. Semi-structured + top-k family (reference J1-J6, T1)
+# ---------------------------------------------------------------------------
+
+
+def q_token_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N positional pivot (reference extract_top_tags :297-307 —
+    first 5 tags → 10 null-padded columns; here: first 3 tokens)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.select(
+        "doc_id",
+        F.try_element_at(toks, F.lit(1)).alias("tok_1"),
+        F.try_element_at(toks, F.lit(2)).alias("tok_2"),
+        F.try_element_at(toks, F.lit(3)).alias("tok_3"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_order_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k + array_join (reference top-5 tags :297-307 and
+    ", "-joined all_tags :457-459): top-5 parts per order by price."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = F.struct((-F.col("l_extendedprice")).alias("np"), F.col("l_partkey").alias("pk"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list(pair)).alias("__arr"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+        .select(
+            "l_orderkey",
+            F.array_join(
+                F.transform(F.slice("__arr", 1, 5), lambda x: x.getField("pk").cast("string")),
+                ",",
+            ).alias("top_parts"),
+            "n_items",
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (SURVEY §2.6 T1 as row_number)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        top_k_per_group(
+            p,
+            ["p_brand"],
+            [F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
+            3,
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("p_brand", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M. Merge / set-op family (reference incremental load M1-M9)
+# ---------------------------------------------------------------------------
+
+
+def q_merge_inserts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — left anti join: rows only in the new snapshot
+    (data_loading_to_mysql_database.py:236-240)."""
+    source, target = _orders_snapshots(spark, sf_dir)
+    return merge_parts(source, target, "o_orderkey")["inserts"].orderBy("o_orderkey")
+
+
+def q_merge_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 — reversed anti join: rows that vanished from the source
+    (data_loading_to_mysql_database.py:243)."""
+    source, target = _orders_snapshots(spark, sf_dir)
+    return merge_parts(source, target, "o_orderkey")["deletes"].orderBy("o_orderkey")
+
+
+def q_merge_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 — left semi join: common keys, all rewritten from source
+    (data_loading_to_mysql_database.py:246-262; no value-level diff)."""
+    source, target = _orders_snapshots(spark, sf_dir)
+    return merge_parts(source, target, "o_orderkey")["updates"].orderBy("o_orderkey")
+
+
+def q_merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M6 composed — full-sync merge (delete-when-absent), the exact
+    reference semantics of implement_incremental_load :185-277."""
+    source, target = _orders_snapshots(spark, sf_dir)
+    return merge_snapshot(source, target, "o_orderkey", delete_absent=True).orderBy("o_orderkey")
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert variant (keep-when-absent) — same machinery, absent target
+    rows survive (the Notion-side sync intent, notion_data_ingestion.py
+    :135-203 readback + insert/update)."""
+    source, target = _orders_snapshots(spark, sf_dir)
+    return merge_snapshot(source, target, "o_orderkey", delete_absent=False).orderBy("o_orderkey")
+
+
+def q_dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — dedup by key, last-write-wins (reference Notion readback
+    keyed dict, later pages win: notion_data_ingestion.py:178-181)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+        .orderBy("user_id")
+    )
+
+
+def q_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — unionByName of disjoint slices then re-aggregate (reference
+    pd.concat of merge pieces :265)."""
+    o = load_table(spark, sf_dir, "orders")
+    lo = o.filter(F.col("o_totalprice") < 100000).select("o_orderstatus", "o_totalprice")
+    hi = o.filter(F.col("o_totalprice") >= 150000).select("o_orderstatus", "o_totalprice")
+    return (
+        lo.unionByName(hi)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — tiny-dim cross join (reference subject_type × collection_type
+    enumeration :337-338)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    seg = load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return r.crossJoin(F.broadcast(seg)).orderBy("r_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# X. Extensions: text analysis / dedup / similarity / sessionization (M5)
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats over documents (training-data
+    pipeline extension; SURVEY §7.1 M5)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_total"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("long").alias("n_chars_nows"),
+        F.round(mean_token_len("text"), 6).alias("mean_tok_len"),
+    ).orderBy("doc_id")
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: punctuation ratio, stopword ratio, flag."""
+    d = load_table(spark, sf_dir, "documents")
+    sw = F.round(stopword_ratio("text"), 6)
+    mtl = F.round(mean_token_len("text"), 6)
+    return d.select(
+        "doc_id",
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        sw.alias("stopword_ratio"),
+        mtl.alias("mean_tok_len"),
+        F.when((sw >= 0.01) & (sw <= 0.6) & (mtl >= 2.0) & (mtl <= 12.0), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("quality_flag"),
+    ).orderBy("doc_id")
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with argmax CASE."""
+    d = load_table(spark, sf_dir, "documents")
+    s = lang_marker_scores("text")
+    en, es, fr, de = s["en"], s["es"], s["fr"], s["de"]
+    predicted = (
+        F.when((en > 0) & (en >= es) & (en >= fr) & (en >= de), F.lit("en"))
+        .when((es > 0) & (es >= fr) & (es >= de), F.lit("es"))
+        .when((fr > 0) & (fr >= de), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("unk"))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        en.alias("score_en"),
+        es.alias("score_es"),
+        fr.alias("score_fr"),
+        de.alias("score_de"),
+        predicted.alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive positional rolling-hash fingerprint per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", positional_fingerprint("text").alias("fingerprint")).orderBy("doc_id")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on normalized text (hash-groupBy tier)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(normalized_text("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
+def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words dedup: order-insensitive token-set fingerprint
+    (catches word-shuffled near-dups that exact dedup misses)."""
+    d = load_table(spark, sf_dir, "documents")
+    bow = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(normalized_text("text"), " "))), " ")
+    )
+    return (
+        d.select(bow.alias("bow_hash"), "doc_id")
+        .groupBy("bow_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .orderBy("keeper_id")
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector math over array<float>: L2 norm + dimensionality."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.round(l2_norm("embedding"), 6).alias("l2_norm"),
+        F.size("embedding").cast("long").alias("dim"),
+    ).orderBy("vec_id")
+
+
+def q_similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for 3 query vectors (ANN baseline;
+    broadcast query side, corpus never shuffles)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(e, query, k=10).orderBy("query_id", "rank")
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via lag + cumulative flag (30-min inactivity gap)
+    — the batch analogue of session windows (SURVEY §2.7 extension)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.unix_micros("ts") - F.unix_micros(prev)) > 1800 * 1_000_000),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        e.withColumn("__new", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("__new").cast("long").alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the Structured
+    Streaming windowed agg; SURVEY §2.7)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -88,7 +532,49 @@ def q_global_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "category_summary": q_category_summary,
     "global_summary": q_global_summary,
+    "pivot_status": q_pivot_status,
+    "rollup_summary": q_rollup_summary,
+    "project_truncate": q_project_truncate,
+    "coalesce_display": q_coalesce_display,
+    "filter_nonempty": q_filter_nonempty,
+    "timestamp_parse": q_timestamp_parse,
+    "json_extract": q_json_extract,
+    "map_multikey": q_map_multikey,
+    "token_pivot": q_token_pivot,
+    "order_top_parts": q_order_top_parts,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "merge_inserts": q_merge_inserts,
+    "merge_deletes": q_merge_deletes,
+    "merge_updates": q_merge_updates,
+    "merge_full_sync": q_merge_full_sync,
+    "merge_upsert": q_merge_upsert,
+    "dedup_latest_by_key": q_dedup_latest_by_key,
+    "union_all_counts": q_union_all_counts,
+    "cross_join_dims": q_cross_join_dims,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_bow": q_dedup_bow,
+    "embedding_norms": q_embedding_norms,
+    "similarity_bruteforce": q_similarity_bruteforce,
+    "events_sessionize": q_events_sessionize,
+    "event_window_agg": q_event_window_agg,
 }
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_NTOK = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END"
+
+
+def _marker_count(lang: str) -> str:
+    arr = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return (
+        f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+        f"len(list_filter({_TOKS}, x -> list_contains([{arr}], lower(x)))) END"
+    )
+
 
 ORACLES: dict[str, str] = {
     "category_summary": """
@@ -112,5 +598,249 @@ ORACLES: dict[str, str] = {
                count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
                count(DISTINCT o_custkey) AS n_customers
         FROM orders
+    """,
+    "pivot_status": """
+        SELECT l_returnflag,
+               round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS qty_f,
+               round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS qty_o
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "rollup_summary": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty,
+               cast(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               cast(grouping(l_linestatus) AS BIGINT) AS g_status
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+    "project_truncate": """
+        SELECT p_partkey,
+               substring(p_name, 1, 12) AS name_short,
+               upper(p_brand) AS brand_uc,
+               'catalog' AS source_tag,
+               length(p_name) AS name_len
+        FROM part ORDER BY p_partkey
+    """,
+    "coalesce_display": """
+        SELECT c_custkey,
+               coalesce(nullif('', ''), nullif(c_name, '')) AS display_name,
+               n_name AS nation_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY c_custkey
+    """,
+    "filter_nonempty": """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE text IS NOT NULL AND length(trim(text)) > 0 AND n_chars > 0
+        ORDER BY doc_id
+    """,
+    "timestamp_parse": """
+        SELECT event_id,
+               cast(date_trunc('day', ts) AS TIMESTAMP) AS day_ts,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+               cast(hour(ts) AS BIGINT) AS hour_of_day,
+               strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS reparsed
+        FROM events ORDER BY event_id
+    """,
+    "json_extract": """
+        SELECT event_id,
+               cast(props->>'$.k' AS BIGINT) AS k_val,
+               props->>'$.missing' AS missing_val
+        FROM events ORDER BY event_id
+    """,
+    "map_multikey": """
+        SELECT event_id,
+               coalesce(nullif(props->>'$.missing', ''), nullif(props->>'$.k', '')) AS k_str
+        FROM events ORDER BY event_id
+    """,
+    "token_pivot": f"""
+        SELECT doc_id,
+               ({_TOKS})[1] AS tok_1,
+               ({_TOKS})[2] AS tok_2,
+               ({_TOKS})[3] AS tok_3,
+               cast({_NTOK} AS BIGINT) AS n_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "order_top_parts": """
+        SELECT l_orderkey,
+               array_to_string(
+                 list_transform(
+                   (list(l_partkey ORDER BY l_extendedprice DESC, l_partkey ASC))[1:5],
+                   x -> cast(x AS VARCHAR)), ',') AS top_parts,
+               count(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+    "top_parts_per_brand": """
+        SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rn
+        FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+          FROM part)
+        WHERE rn <= 3 ORDER BY p_brand, rn
+    """,
+    "merge_inserts": _MERGE_CTE + """
+        SELECT s.* FROM source s
+        WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    "merge_deletes": _MERGE_CTE + """
+        SELECT t.* FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    "merge_updates": _MERGE_CTE + """
+        SELECT s.* FROM source s
+        WHERE EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = s.o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    "merge_full_sync": _MERGE_CTE + """
+        SELECT * FROM source ORDER BY o_orderkey
+    """,
+    "merge_upsert": _MERGE_CTE + """
+        SELECT * FROM source
+        UNION ALL
+        SELECT t.* FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    "dedup_latest_by_key": """
+        SELECT user_id, event_id, event_type, round(value, 2) AS value
+        FROM (
+          SELECT user_id, event_id, event_type, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+        WHERE rn = 1 ORDER BY user_id
+    """,
+    "union_all_counts": """
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM (
+          SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice < 100000
+          UNION ALL
+          SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice >= 150000)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "cross_join_dims": """
+        SELECT r_name, c_mktsegment
+        FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+        ORDER BY r_name, c_mktsegment
+    """,
+    "text_token_stats": f"""
+        SELECT doc_id,
+               cast({_NTOK} AS BIGINT) AS n_tokens,
+               cast(length(text) AS BIGINT) AS n_chars_total,
+               cast(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars_nows,
+               round(CASE WHEN {_NTOK} > 0
+                     THEN cast(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / {_NTOK}
+                     ELSE 0.0 END, 6) AS mean_tok_len
+        FROM documents ORDER BY doc_id
+    """,
+    "text_quality": f"""
+        SELECT doc_id,
+               round(CASE WHEN length(text) > 0
+                     THEN cast(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE 0.0 END, 6) AS punct_ratio,
+               round(CASE WHEN {_NTOK} > 0
+                     THEN cast(len(list_filter({_TOKS}, x -> list_contains([{_SW}], lower(x)))) AS DOUBLE) / {_NTOK}
+                     ELSE 0.0 END, 6) AS stopword_ratio,
+               round(CASE WHEN {_NTOK} > 0
+                     THEN cast(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / {_NTOK}
+                     ELSE 0.0 END, 6) AS mean_tok_len,
+               cast(CASE WHEN round(CASE WHEN {_NTOK} > 0
+                          THEN cast(len(list_filter({_TOKS}, x -> list_contains([{_SW}], lower(x)))) AS DOUBLE) / {_NTOK}
+                          ELSE 0.0 END, 6) BETWEEN 0.01 AND 0.6
+                     AND round(CASE WHEN {_NTOK} > 0
+                          THEN cast(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / {_NTOK}
+                          ELSE 0.0 END, 6) BETWEEN 2.0 AND 12.0
+                     THEN 1 ELSE 0 END AS BIGINT) AS quality_flag
+        FROM documents ORDER BY doc_id
+    """,
+    "text_lang_id": f"""
+        SELECT doc_id,
+               lang AS declared_lang,
+               cast({_marker_count('en')} AS BIGINT) AS score_en,
+               cast({_marker_count('es')} AS BIGINT) AS score_es,
+               cast({_marker_count('fr')} AS BIGINT) AS score_fr,
+               cast({_marker_count('de')} AS BIGINT) AS score_de,
+               CASE WHEN {_marker_count('en')} > 0 AND {_marker_count('en')} >= {_marker_count('es')}
+                         AND {_marker_count('en')} >= {_marker_count('fr')} AND {_marker_count('en')} >= {_marker_count('de')} THEN 'en'
+                    WHEN {_marker_count('es')} > 0 AND {_marker_count('es')} >= {_marker_count('fr')}
+                         AND {_marker_count('es')} >= {_marker_count('de')} THEN 'es'
+                    WHEN {_marker_count('fr')} > 0 AND {_marker_count('fr')} >= {_marker_count('de')} THEN 'fr'
+                    WHEN {_marker_count('de')} > 0 THEN 'de'
+                    ELSE 'unk' END AS predicted_lang
+        FROM documents ORDER BY doc_id
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               cast(coalesce(list_sum(list_transform(range(1, {_NTOK} + 1),
+                    i -> (i * (ascii(substring(({_TOKS})[i], 1, 1)) * 131
+                          + length(({_TOKS})[i]))) % 2147483647)), 0)
+                    % 2147483647 AS BIGINT) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+    "dedup_exact": """
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS text_hash,
+               min(doc_id) AS keeper_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1 ORDER BY keeper_id
+    """,
+    "dedup_bow": """
+        SELECT md5(array_to_string(list_sort(list_distinct(
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))), ' ')) AS bow_hash,
+               min(doc_id) AS keeper_id,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY 1 ORDER BY keeper_id
+    """,
+    "embedding_norms": """
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(embedding,
+                     x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))), 6) AS l2_norm,
+               cast(len(embedding) AS BIGINT) AS dim
+        FROM embeddings ORDER BY vec_id
+    """,
+    "similarity_bruteforce": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        scored AS (
+          SELECT q.query_id, e.vec_id,
+                 round(CASE WHEN sqrt(list_sum(list_transform(e.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(q.qe, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))) > 0
+                       THEN list_sum(list_transform(range(1, len(e.embedding) + 1),
+                              i -> cast(e.embedding[i] AS DOUBLE) * cast(q.qe[i] AS DOUBLE)))
+                            / (sqrt(list_sum(list_transform(e.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))
+                               * sqrt(list_sum(list_transform(q.qe, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))))
+                       ELSE 0.0 END, 6) AS cosine_sim
+          FROM embeddings e CROSS JOIN q),
+        ranked AS (
+          SELECT query_id, vec_id, cosine_sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, vec_id, cosine_sim, cast(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+    "events_sessionize": """
+        SELECT user_id, count(*) AS n_events,
+               cast(sum(is_new) AS BIGINT) AS n_sessions
+        FROM (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "event_window_agg": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2 ORDER BY window_start, event_type
     """,
 }

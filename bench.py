@@ -1,0 +1,78 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count()-style action that forces full
+evaluation without collecting rows to the driver (df.write to noop
+would skip result materialization costs; collect() would add driver
+transfer — count of the materialized result is the stable middle).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bangumi_notion_data_integration_project_spark.queries import QUERIES  # noqa: E402
+from bangumi_notion_data_integration_project_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward the heavy ones.
+BENCH_QUERIES = [
+    "category_summary",
+    "global_summary",
+    "rollup_summary",
+    "order_top_parts",
+    "top_parts_per_brand",
+    "merge_full_sync",
+    "merge_upsert",
+    "dedup_latest_by_key",
+    "text_token_stats",
+    "text_quality",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_bow",
+    "similarity_bruteforce",
+    "events_sessionize",
+    "event_window_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    # Warm the JVM + parquet footers with one tiny action so the first
+    # measured query doesn't pay session-startup costs.
+    QUERIES["global_summary"](spark, sf_dir).count()
+
+    total = 0.0
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

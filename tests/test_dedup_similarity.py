@@ -1,0 +1,90 @@
+"""Tests for the M5 extension operators: dedup tiers + ANN search."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bangumi_notion_data_integration_project_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash64,
+    word_shingles,
+)
+from bangumi_notion_data_integration_project_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+DOC = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy cat again and again today"
+OTHER = "completely different words in this sentence about spark engines"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, DOC.upper()), (3, NEAR), (4, OTHER)], "doc_id: long, text: string"
+    )
+
+
+def test_exact_dedup_normalizes_case_and_ws(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4]  # doc 2 is a case-variant of doc 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], ["t"])
+    sh = df.select(word_shingles("t", 3).alias("s")).first()["s"]
+    assert sorted(sh) == ["a b c", "b c d"]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    # 2-row bands: P(band hit) ≈ j² per band; 16 bands makes a j≈0.7
+    # near-dup collide with p > 0.999
+    cands = minhash_lsh_candidates(
+        _docs(spark), "text", "doc_id", shingle_n=2, num_hashes=32, bands=16
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs  # one-word-changed near dup shares most bands
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_ngram_jaccard_scores(spark):
+    out = ngram_jaccard_pairs(_docs(spark), "text", "doc_id", shingle_n=2, threshold=0.5)
+    scores = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert scores[(1, 2)] == 1.0
+    assert 0.5 <= scores[(1, 3)] < 1.0
+
+
+def test_simhash_near_dup_hamming(spark):
+    df = _docs(spark).select("doc_id", simhash64("text").alias("sig"))
+    sigs = {r["doc_id"]: r["sig"] for r in df.collect()}
+    assert sigs[1] == sigs[2]
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sigs[1], sigs[3]) < hamming(sigs[1], sigs[4])
+
+
+def test_brute_force_topk_self_is_rank1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, query, k=5).collect()
+    assert len(out) == 5
+    assert out[0]["vec_id"] == 0 and out[0]["cosine_sim"] == 1.0
+    sims = [r["cosine_sim"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_contains_self(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, query, k=5).collect()
+    assert out and out[0]["vec_id"] == 0  # query's own bucket contains itself

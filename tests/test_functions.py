@@ -1,0 +1,117 @@
+"""Unit tests for column-level functions on tiny literal DataFrames
+(SURVEY §5.2 — per-operator-family unit tests, P/J groups)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bangumi_notion_data_integration_project_spark.functions.scalar import (
+    coalesce_nonempty,
+    map_multikey_coalesce,
+    parse_timestamp_naive,
+    truncate_str,
+)
+from bangumi_notion_data_integration_project_spark.functions.semistructured import (
+    array_join_nonnull,
+    positional_pivot,
+    tags_to_names,
+)
+from bangumi_notion_data_integration_project_spark.functions.text import (
+    positional_fingerprint,
+    punct_ratio,
+    stopword_ratio,
+    token_count,
+)
+from bangumi_notion_data_integration_project_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+
+
+def test_coalesce_nonempty_skips_empty_string(spark):
+    # reference parity: Python `name_cn or name` treats "" as missing
+    # (bangumi_data_ingestion.py:438)
+    df = spark.createDataFrame(
+        [("", "fallback"), (None, "fb2"), ("keep", "no")], ["a", "b"]
+    )
+    out = [r[0] for r in df.select(coalesce_nonempty("a", "b")).collect()]
+    assert out == ["fallback", "fb2", "keep"]
+
+
+def test_map_multikey_coalesce(spark):
+    df = spark.createDataFrame([({"導": "x"},), ({"导": "y", "導": "z"},), ({},)], ["m"])
+    out = [r[0] for r in df.select(map_multikey_coalesce("m", "导", "導")).collect()]
+    assert out == ["x", "y", None]
+
+
+def test_truncate_str(spark):
+    df = spark.createDataFrame([("abcdefgh",)], ["s"])
+    assert df.select(truncate_str("s", 3)).first()[0] == "abc"
+
+
+def test_parse_timestamp_naive_coerce(spark):
+    # errors="coerce" parity: unparseable → NULL, not error
+    df = spark.createDataFrame([("2023-04-01 12:30:00",), ("garbage",)], ["s"])
+    out = [r[0] for r in df.select(parse_timestamp_naive("s")).collect()]
+    assert out[0] is not None and out[1] is None
+
+
+def test_tags_to_names_and_join(spark):
+    df = spark.createDataFrame(
+        [([("action", 10), ("drama", 5)],)],
+        "tags: array<struct<name: string, count: long>>",
+    )
+    names = df.select(tags_to_names("tags").alias("n"))
+    assert names.first()[0] == ["action", "drama"]
+    assert names.select(array_join_nonnull("n")).first()[0] == "action, drama"
+
+
+def test_array_join_nonnull_empty_is_null(spark):
+    df = spark.createDataFrame([([],)], "a: array<string>")
+    assert df.select(array_join_nonnull("a")).first()[0] is None
+
+
+def test_positional_pivot_null_pads(spark):
+    # 5-slot tag pivot parity (extract_top_tags :297-307): short arrays
+    # null-pad instead of erroring
+    df = spark.createDataFrame(
+        [([("t1", 3)],)], "tags: array<struct<name: string, count: long>>"
+    )
+    cols = positional_pivot("tags", 2, ["name", "count"], "tag")
+    row = df.select(*cols).first()
+    assert row["tag_1_name"] == "t1" and row["tag_1_count"] == 3
+    assert row["tag_2_name"] is None and row["tag_2_count"] is None
+
+
+def test_token_count_empty_and_multispace(spark):
+    df = spark.createDataFrame([("a  b   c",), ("",), ("   ",), (None,)], ["t"])
+    out = [r[0] for r in df.select(token_count("t")).collect()]
+    assert out == [3, 0, 0, None]
+
+
+def test_stopword_and_punct_ratio(spark):
+    df = spark.createDataFrame([("the cat, the hat!",)], ["t"])
+    row = df.select(
+        stopword_ratio("t").alias("sw"), punct_ratio("t").alias("p")
+    ).first()
+    assert abs(row["sw"] - 0.5) < 1e-9  # 2 of 4 tokens are stopwords
+    assert row["p"] > 0
+
+
+def test_positional_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("a b",), ("b a",), ("",)], ["t"])
+    out = [r[0] for r in df.select(positional_fingerprint("t")).collect()]
+    assert out[0] != out[1]  # order matters
+    assert out[2] == 0
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([3.0, 4.0], [3.0, 4.0])], ["a", "b"])
+    rows = df.select(
+        dot_product("a", "b").alias("d"),
+        l2_norm("a").alias("n"),
+        cosine_similarity("a", "b").alias("c"),
+    ).collect()
+    assert rows[0]["d"] == 0.0 and abs(rows[0]["c"]) < 1e-12
+    assert rows[1]["n"] == 5.0 and abs(rows[1]["c"] - 1.0) < 1e-12
