@@ -1,0 +1,51 @@
+"""Multimodal plumbing tests: binary columns, metadata schema, Arrow
+batch shape through mapInPandas — with the decode step stubbed."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from bangumi_notion_data_integration_project_spark.operators.multimodal import (
+    attach_media_meta,
+    extract_features,
+)
+
+
+def _media(spark):
+    rows = [
+        (1, bytearray(b"\x89PNG fake image bytes")),
+        (2, bytearray(b"RIFF fake wav bytes")),
+        (3, bytearray(b"")),
+    ]
+    return attach_media_meta(
+        spark.createDataFrame(rows, "media_id: long, payload: binary"), kind="image"
+    )
+
+
+def test_media_schema(spark):
+    df = _media(spark)
+    dt = dict(df.dtypes)
+    assert dt["payload"] == "binary"
+    assert dt["meta"].startswith("struct<width:int,height:int,sample_rate:int")
+
+
+def test_extract_features_fake_decode(spark):
+    out = extract_features(_media(spark), n_features=4).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == 21 and by_id[1]["decode_ok"]
+    assert not by_id[3]["decode_ok"]  # empty payload
+    assert len(by_id[1]["features"]) == 4
+    # deterministic: features derive from the payload digest
+    digest = hashlib.sha256(b"\x89PNG fake image bytes").digest()
+    assert by_id[1]["features"][0] == digest[0] / 255.0
+    assert by_id[1]["checksum"] == hashlib.sha256(b"\x89PNG fake image bytes").hexdigest()
+
+
+def test_extract_features_raise_stub(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError)):
+        extract_features(_media(spark), decode_stub="raise").collect()
