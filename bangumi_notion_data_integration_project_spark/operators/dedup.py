@@ -59,19 +59,30 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+def shingle_hashes(shingles: Column) -> Column:
+    """xxhash64 each shingle into the 31-bit permutation domain.
+
+    Materialize this ONCE (e.g. ``withColumn``) before fanning out into
+    per-permutation minima — inlining it into minhash_signature would
+    re-hash every shingle num_hashes times (Catalyst does not CSE the
+    subtree across the signature's array elements)."""
+    return F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 32, seed: int = 42) -> Column:
     """num_hashes-wide MinHash signature via (a*x+b) mod p permutations
-    of xxhash64(shingle). Pure column expressions → JVM-side."""
+    over pre-hashed shingles (see shingle_hashes). Pure column
+    expressions → JVM-side; each permutation is one multiply+mod pass
+    over a small int array."""
     import random
 
     rng = random.Random(seed)
-    base = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
     mins = []
     for _ in range(num_hashes):
         a = rng.randrange(1, _MERSENNE_P)
         b = rng.randrange(0, _MERSENNE_P)
         mins.append(
-            F.array_min(F.transform(base, lambda h: (h * a + b) % _MERSENNE_P))
+            F.array_min(F.transform(hashes, lambda h: (h * a + b) % _MERSENNE_P))
         )
     return F.array(*mins)
 
@@ -94,9 +105,12 @@ def minhash_lsh_candidates(
     bands are deduped.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(word_shingles(text_col, shingle_n), num_hashes)
     banded = (
-        df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+        df.select(
+            F.col(id_col).alias("__id"),
+            shingle_hashes(word_shingles(text_col, shingle_n)).alias("__hashes"),
+        )
+        .select("__id", minhash_signature(F.col("__hashes"), num_hashes).alias("__sig"))
         .select(
             "__id",
             F.posexplode(

@@ -508,6 +508,145 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join star aggregation (the join shapes the reference's
+    merge uses, M1-M3, composed at analytical scale): fact ⋈ fact ⋈
+    broadcast dims. Catalyst broadcasts customer/nation/region; the only
+    big exchange is lineitem⋈orders on orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_filtered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-pushdown aggregate (q6 shape): date + range filters
+    reach the parquet scan (verify: PushedFilters in .explain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with grouping indicators (full §2.5 grouping-sets extension)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+def q_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram Jaccard on a bounded document sample —
+    the verification half of near-dedup (the LSH half generates
+    candidates at scale; this is the exact math, oracle-checked)."""
+    from .operators.dedup import word_shingles
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", word_shingles("text", 3).alias("sh"))
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on real data: text bytes stand in for an
+    opaque media payload; Arrow-batched mapInPandas featurization
+    (operators/multimodal.py). Checksums are oracle-checked."""
+    from .operators.multimodal import attach_media_meta, extract_features
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = extract_features(attach_media_meta(d, kind="doc"), n_features=4)
+    return feats.select("media_id", "kind", "n_bytes", "checksum", "decode_ok").orderBy(
+        "media_id"
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs over all documents
+    (rows-only check: the banded-LSH bucket join is not expressible in
+    ANSI SQL with matching hash functions)."""
+    from .operators.dedup import minhash_lsh_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, "text", "doc_id", shingle_n=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (rows-only: xxhash64 has no DuckDB
+    equivalent)."""
+    from .operators.dedup import simhash64
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64("text").alias("simhash")).orderBy("doc_id")
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k neighbors via random-hyperplane LSH buckets
+    (rows-only: recall < 1 by design)."""
+    from .operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, query, k=10, n_planes=6).orderBy("query_id", "rank")
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the Structured
     Streaming windowed agg; SURVEY §2.7)."""
@@ -561,6 +700,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_bruteforce": q_similarity_bruteforce,
     "events_sessionize": q_events_sessionize,
     "event_window_agg": q_event_window_agg,
+    "revenue_by_nation": q_revenue_by_nation,
+    "filtered_revenue": q_filtered_revenue,
+    "orders_cube": q_orders_cube,
+    "jaccard_top_pairs": q_jaccard_top_pairs,
+    "multimodal_features": q_multimodal_features,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_docs": q_simhash_docs,
+    "ann_lsh_topk": q_ann_lsh_topk,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -842,5 +989,60 @@ ORACLES: dict[str, str] = {
                round(sum(value), 2) AS sum_value
         FROM events
         GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    "revenue_by_nation": """
+        SELECT n_name, r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY n_name, r_name ORDER BY n_name
+    """,
+    "filtered_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "orders_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price,
+               cast(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               cast(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+    "jaccard_top_pairs": """
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 0) + 1),
+                   i -> concat(
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i], ' ',
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i+1], ' ',
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i+2]))) AS s
+          FROM documents WHERE doc_id < 100)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CASE WHEN (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0
+                     THEN cast(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                     ELSE 0.0 END, 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+    """,
+    "multimodal_features": """
+        SELECT doc_id AS media_id,
+               'doc' AS kind,
+               cast(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               lower(sha256(text)) AS checksum,
+               octet_length(encode(text)) > 0 AS decode_ok
+        FROM documents ORDER BY media_id
     """,
 }

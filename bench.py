@@ -39,6 +39,12 @@ BENCH_QUERIES = [
     "similarity_bruteforce",
     "events_sessionize",
     "event_window_agg",
+    "revenue_by_nation",
+    "filtered_revenue",
+    "orders_cube",
+    "jaccard_top_pairs",
+    "multimodal_features",
+    "ann_lsh_topk",
 ]
 
 
