@@ -39,14 +39,17 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("long")
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
 def bpe_ish_token_count(text: Column | str) -> Column:
-    """Sub-word-ish token count: splits on whitespace AND punctuation
-    boundaries (a cheap BPE proxy: contiguous letter runs, digit runs,
-    and single punctuation marks each count as one token)."""
-    t = _col(text)
-    pieces = F.split(F.trim(t), r"\s+|(?<=\W)|(?=\W)")
-    nonempty = F.filter(pieces, lambda x: F.length(x) > 0)
-    return F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(nonempty)).cast("long")
+    """Sub-word-ish token count: contiguous letter runs, digit runs, and
+    single punctuation marks each count as one token (a cheap BPE
+    proxy). The alternation pattern is RE2-safe, so the same regex runs
+    in DuckDB for the oracle."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(BPE_ISH_PATTERN), F.lit(0))).cast(
+        "long"
+    )
 
 
 def punct_ratio(text: Column | str) -> Column:

@@ -647,6 +647,128 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, query, k=10, n_planes=6).orderBy("query_id", "rank")
 
 
+def q_orders_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event picks the customer's
+    latest order at-or-before the event time. Right side deduped to one
+    row per (key, ts) so the pick is deterministic; DuckDB's native
+    ASOF JOIN is the oracle."""
+    from .operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    o_uniq = (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderdate",
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    out = asof_join(e, o_uniq, "user_id", "ts", "o_orderdate", suffix="_prev")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey_prev").alias("prev_orderkey"),
+        F.col("o_totalprice_prev").alias("prev_price"),
+    ).orderBy("event_id")
+
+
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows beyond top-k: cumulative sum, sequence number,
+    lag-based gap (SURVEY §2.6 extension — the reference has no window
+    functions; Spark gives the full family)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(cum), 2).alias("cum_spend"),
+        F.row_number().over(w).cast("long").alias("order_seq"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("days_since_prev"),
+    ).orderBy("o_custkey", "order_seq")
+
+
+def q_latest_event_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max aggregation (max_by): latest event per type without a
+    window pass — single partial+final agg, no row_number shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.max_by("event_id", "ts").alias("last_event_id"),
+            F.max("ts").alias("last_ts"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: top-20 most similar
+    pairs in a bounded sample (the embedding analogue of
+    jaccard_top_pairs)."""
+    from .functions.vectors import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity("emb_a", "emb_b"), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting (BPE proxy) next to whitespace
+    tokens — the two standard length signals for training-data costing."""
+    from .functions.text import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        token_count("text").alias("n_ws_tokens"),
+    ).orderBy("doc_id")
+
+
+def q_sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog sketch vs exact distinct (rows-only: approx values
+    are engine-specific by design; the error column shows the sketch is
+    within tolerance)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        )
+        .withColumn(
+            "rel_err_pct",
+            F.round(
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                * 100.0,
+                2,
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the Structured
     Streaming windowed agg; SURVEY §2.7)."""
@@ -708,6 +830,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_docs": q_simhash_docs,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "orders_asof_join": q_orders_asof_join,
+    "running_revenue": q_running_revenue,
+    "latest_event_per_type": q_latest_event_per_type,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "sketch_distinct_counts": q_sketch_distinct_counts,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -1044,5 +1172,60 @@ ORACLES: dict[str, str] = {
                lower(sha256(text)) AS checksum,
                octet_length(encode(text)) > 0 AS decode_ok
         FROM documents ORDER BY media_id
+    """,
+    "orders_asof_join": """
+        WITH r AS (
+          SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+          FROM (
+            SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders)
+          WHERE rn = 1)
+        SELECT e.event_id, e.user_id,
+               r.o_orderkey AS prev_orderkey,
+               r.o_totalprice AS prev_price
+        FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        ORDER BY event_id
+    """,
+    "running_revenue": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS order_seq,
+               cast(date_diff('day',
+                    lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS BIGINT) AS days_since_prev
+        FROM orders ORDER BY o_custkey, order_seq
+    """,
+    "latest_event_per_type": """
+        SELECT event_type,
+               arg_max(event_id, ts) AS last_event_id,
+               max(ts) AS last_ts,
+               count(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "embedding_dup_pairs": """
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(CASE WHEN sqrt(list_sum(list_transform(a.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))) > 0
+                     THEN list_sum(list_transform(range(1, len(a.embedding) + 1),
+                            i -> cast(a.embedding[i] AS DOUBLE) * cast(b.embedding[i] AS DOUBLE)))
+                          / (sqrt(list_sum(list_transform(a.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE))))
+                             * sqrt(list_sum(list_transform(b.embedding, x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))))
+                     ELSE 0.0 END, 6) AS cosine_sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ORDER BY cosine_sim DESC, id_a, id_b LIMIT 20
+    """,
+    "text_bpe_tokens": f"""
+        SELECT doc_id,
+               cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+               cast({_NTOK} AS BIGINT) AS n_ws_tokens
+        FROM documents ORDER BY doc_id
     """,
 }
