@@ -1,0 +1,109 @@
+"""Physical-plan audits: the scale properties SURVEY §4 promises.
+
+These tests read ``explain("formatted")`` output and assert the plan
+shape that makes the engine viable at 100 TB — column pruning into the
+parquet scan, predicate pushdown, broadcast joins for dims, and zero
+row-at-a-time Python in any dataflow. A green correctness suite with a
+bad plan is not done; this file is the regression gate for the plans.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from bangumi_notion_data_integration_project_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def _read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+
+def test_category_summary_prunes_columns(spark):
+    """Flagship agg reads 5 of lineitem's 16 columns — nothing more."""
+    schemas = _read_schemas(_plan(spark, "category_summary"))
+    assert schemas, "no parquet scan found"
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+        "l_linestatus",
+    }
+
+
+def test_merge_pushes_date_predicates_to_scan(spark):
+    """Snapshot-diff date cutoffs must reach the parquet reader, not
+    filter post-scan (at 100 TB the difference is the whole job)."""
+    plan = _plan(spark, "merge_upsert")
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_multijoin_broadcasts_dimensions(spark):
+    """Star-schema join: every dim side must broadcast; a sort-merge
+    join against `nation` (25 rows) would shuffle the fact table."""
+    plan = _plan(spark, "revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filtered_revenue_pushes_filters(spark):
+    plan = _plan(spark, "filtered_revenue")
+    assert "PushedFilters: [" in plan
+    # the shipdate range predicate reaches the scan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_rowwise_python_in_any_plan(spark, name):
+    """Row-at-a-time Python UDFs (BatchEvalPython) are banned from every
+    dataflow. Arrow-batched plans (ArrowEvalPython / MapInPandas) are
+    allowed only for the multimodal decode stage, which is Python by
+    nature (binary payload featurization)."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
+    if "multimodal" not in name:
+        assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} drops to Python; expected pure JVM expression code"
+        )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "category_summary",
+        "global_summary",
+        "pivot_status",
+        "latest_event_per_type",
+        "dedup_exact",
+    ],
+)
+def test_aggregates_have_partial_final_split(spark, name):
+    """Aggregations must run map-side partial then final (two HashAggregate
+    levels around the exchange) so the shuffle carries combined state,
+    not raw rows."""
+    plan = _plan(spark, name)
+    assert len(re.findall(r"HashAggregate", plan)) >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_whole_stage_codegen_covers_flagship(spark):
+    """Codegen spans appear only in the AQE final plan, so execute
+    first, then read the executed plan."""
+    df = QUERIES["category_summary"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen spans render as `*(n)` prefixes in the executed plan
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
+    assert re.search(r"\*\(1\) ColumnarToRow", plan), "scan not vectorized"
