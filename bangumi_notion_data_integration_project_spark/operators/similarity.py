@@ -77,6 +77,78 @@ def lsh_bucket_key(vec_col: str, planes: list[list[float]]):
     return key
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer routes vectors
+    into cells; each query scans only its ``n_probe`` nearest cells.
+
+    Centroids are a deterministic sample of the corpus (every
+    ``id % step == 0`` row, first ``n_cells``), collected once at plan
+    build and folded into the plan as literals — so cell assignment is
+    a pure projection (no shuffle, no Python), exactly like the LSH
+    hyperplanes. At 100 TB the assignment pass is embarrassingly
+    parallel; the only exchange is the final per-query top-k window.
+    Recall < 1.0 by design → rows-only correctness check; pair with
+    ``brute_force_topk`` to measure recall.
+    """
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .filter(F.pmod(F.col(id_col), F.lit(7)) == 0)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[float(x) for x in row[vec_col]] for row in sample]
+
+    def _sims(col_name: str):
+        return F.array(
+            *[
+                cosine_similarity(col_name, F.array(*[F.lit(x) for x in c]))
+                for c in centroids
+            ]
+        )
+
+    # corpus: one cell per vector (argmax similarity, first wins on tie)
+    ck = corpus.withColumn("__sims", _sims(vec_col)).withColumn(
+        "__cell", F.array_position(F.col("__sims"), F.array_max("__sims")).cast("int")
+    ).drop("__sims")
+
+    # query: its n_probe best cells
+    qs = query.withColumn("__sims", _sims(vec_col)).select(
+        query_id_col,
+        F.col(vec_col).alias("__qvec"),
+        F.posexplode("__sims").alias("__pos", "__csim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.col("__csim").desc(), F.col("__pos"))
+    qk = (
+        qs.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= n_probe)
+        .select(query_id_col, "__qvec", (F.col("__pos") + 1).cast("int").alias("__cell"))
+    )
+
+    joined = ck.join(F.broadcast(qk), "__cell")
+    scored = joined.select(
+        query_id_col,
+        id_col,
+        F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     query: DataFrame,

@@ -769,6 +769,120 @@ def q_sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_purchases_after_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/rangejoin.py): purchases by the
+    same user within 1 hour after a click (attribution window). The
+    naive inequality join is a nested loop; binning time into 1-hour
+    buckets makes it an equi-join + exact filter."""
+    from .operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("win_start"),
+        (F.col("ts").cast("timestamp_ntz") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("pts"),
+    )
+    out = range_join(purchases, clicks, "user_id", "pts", "win_start", "win_end", bucket_seconds=3600)
+    return out.select("click_id", "purchase_id", "user_id").orderBy("click_id", "purchase_id")
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (operators/skew.py): events (5 hot event_type keys —
+    exactly the skew shape that stalls a shuffle) joined to a per-type
+    aggregate. The salt only reroutes; results match the plain SQL join,
+    which is the oracle."""
+    from .operators.skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = e.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    joined = salted_join(e, dim, "event_type", n_salts=8, tiebreaker="event_id")
+    return (
+        joined.filter(F.col("value") > F.col("type_avg"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("type_avg", 6).alias("type_avg"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation (continuous interpolation) — the
+    distribution profile a data-quality pass computes per group. Spark's
+    `percentile` matches DuckDB's `quantile_cont` bit-for-bit after
+    rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(pct.getItem(0), 2).alias("p25"),
+            F.round(pct.getItem(1), 2).alias("p50"),
+            F.round(pct.getItem(2), 2).alias("p75"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_name_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-duplicate pairs over a bounded sample of part
+    names — the string-metric tier of the dedup ladder (exact → BoW →
+    MinHash → edit distance verify)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    a = p.select(F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+        .orderBy("edit_dist", "id_a", "id_b")
+        .limit(20)
+    )
+
+
+def q_summary_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the explicit form of the rollup/cube family
+    (SURVEY §2.5 notes the reference's summary could extend this way):
+    per-cell, per-returnflag, and grand-total rows in one shuffle."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors: coarse-quantizer cells from a
+    deterministic centroid sample, queries probe their 4 best cells
+    (rows-only: recall < 1 by design; tests/test_dedup_similarity.py
+    measures recall against brute force)."""
+    from .operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    query = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, query, k=10, n_cells=16, n_probe=4).orderBy("query_id", "rank")
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the Structured
     Streaming windowed agg; SURVEY §2.7)."""
@@ -836,6 +950,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "text_bpe_tokens": q_text_bpe_tokens,
     "sketch_distinct_counts": q_sketch_distinct_counts,
+    "purchases_after_click": q_purchases_after_click,
+    "salted_skew_join": q_salted_skew_join,
+    "price_percentiles": q_price_percentiles,
+    "name_edit_distance": q_name_edit_distance,
+    "summary_grouping_sets": q_summary_grouping_sets,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -1227,5 +1347,46 @@ ORACLES: dict[str, str] = {
                cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
                cast({_NTOK} AS BIGINT) AS n_ws_tokens
         FROM documents ORDER BY doc_id
+    """,
+    "purchases_after_click": """
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id, p.user_id
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 1 HOUR
+        ORDER BY click_id, purchase_id
+    """,
+    "salted_skew_join": """
+        WITH dim AS (SELECT event_type, avg(value) AS type_avg FROM events GROUP BY event_type)
+        SELECT e.event_id, e.event_type,
+               round(e.value, 2) AS value,
+               round(d.type_avg, 6) AS type_avg
+        FROM events e JOIN dim d USING (event_type)
+        WHERE e.value > d.type_avg
+        ORDER BY e.event_id
+    """,
+    "price_percentiles": """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+               round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+               round(quantile_cont(o_totalprice, 0.75), 2) AS p75
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "name_edit_distance": """
+        WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey <= 200)
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               cast(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+        FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+        ORDER BY edit_dist, id_a, id_b LIMIT 20
+    """,
+    "summary_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY l_returnflag, l_linestatus
     """,
 }

@@ -88,3 +88,29 @@ def test_lsh_topk_contains_self(spark, sf_dir):
     )
     out = lsh_topk(emb, query, k=5).collect()
     assert out and out[0]["vec_id"] == 0  # query's own bucket contains itself
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    from bangumi_notion_data_integration_project_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = brute_force_topk(emb, query, k=10).collect()
+    approx = ivf_topk(emb, query, k=10, n_cells=16, n_probe=4).collect()
+
+    def by_q(rows):
+        out: dict[int, set[int]] = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    ex, ap = by_q(exact), by_q(approx)
+    # the query's own vector always lands in its probed cell
+    for q, ids in ap.items():
+        assert q in ids
+    # aggregate recall@10 over the probed cells should be substantial
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    total = sum(len(ex[q]) for q in ex)
+    assert hits / total >= 0.5, f"IVF recall too low: {hits}/{total}"
