@@ -69,11 +69,18 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
 
 
-def minhash_signature(hashes: Column, num_hashes: int = 32, seed: int = 42) -> Column:
+def minhash_signature(hashes_col: str, num_hashes: int = 32, seed: int = 42) -> Column:
     """num_hashes-wide MinHash signature via (a*x+b) mod p permutations
-    over pre-hashed shingles (see shingle_hashes). Pure column
-    expressions → JVM-side; each permutation is one multiply+mod pass
-    over a small int array."""
+    over a pre-hashed shingle column (see shingle_hashes).
+
+    Built as num_hashes separate SQL-parsed expressions over the named
+    hash column, NOT one nested lambda: a single expression that
+    captures ``hashes_col`` exactly once invites CollapseProject to
+    inline the (expensive) shingle-hash subtree into the lambda body,
+    where it is re-evaluated once per permutation per row (measured
+    ~20x regression). The multi-reference form pins ``hashes_col`` as a
+    materialized projection; per-expression ``F.expr`` keeps the
+    driver-side build to one parse call each."""
     import random
 
     rng = random.Random(seed)
@@ -82,9 +89,9 @@ def minhash_signature(hashes: Column, num_hashes: int = 32, seed: int = 42) -> C
         a = rng.randrange(1, _MERSENNE_P)
         b = rng.randrange(0, _MERSENNE_P)
         mins.append(
-            F.array_min(F.transform(hashes, lambda h: (h * a + b) % _MERSENNE_P))
+            f"array_min(transform({hashes_col}, h -> (h * {a}L + {b}L) % {_MERSENNE_P}))"
         )
-    return F.array(*mins)
+    return F.array(*[F.expr(m) for m in mins])
 
 
 def minhash_lsh_candidates(
@@ -105,19 +112,38 @@ def minhash_lsh_candidates(
     bands are deduped.
     """
     rows_per_band = num_hashes // bands
+    # Shingle hashing without building shingle strings: hash each token
+    # once, then hash each n-consecutive-token-hash window (xxhash64 is
+    # variadic). Equivalent de-dup behavior to hashing "w1 w2 w3"
+    # strings, minus the per-shingle concat allocation. __th is
+    # deliberately referenced twice (size + element_at) so
+    # CollapseProject cannot inline the token-hash pass into the
+    # shingle lambda.
+    window_args = ", ".join(f"element_at(__th, i + {j})" for j in range(shingle_n))
+    shingle_hash_expr = (
+        f"if(size(__th) < {shingle_n}, array(), "
+        f"array_distinct(transform(sequence(1, size(__th) - {shingle_n - 1}), "
+        f"i -> abs(xxhash64({window_args})) % {_MERSENNE_P})))"
+    )
     banded = (
         df.select(
             F.col(id_col).alias("__id"),
-            shingle_hashes(word_shingles(text_col, shingle_n)).alias("__hashes"),
+            F.expr(
+                f"transform(split(lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))), ' '), "
+                "t -> xxhash64(t))"
+            ).alias("__th"),
         )
-        .select("__id", minhash_signature(F.col("__hashes"), num_hashes).alias("__sig"))
+        .select("__id", F.expr(shingle_hash_expr).alias("__hashes"))
+        .select("__id", minhash_signature("__hashes", num_hashes).alias("__sig"))
         .select(
             "__id",
+            # per-band expressions reference __sig multiple times on
+            # purpose — see minhash_signature's CollapseProject note
             F.posexplode(
                 F.array(
                     *[
-                        F.xxhash64(
-                            F.slice(F.col("__sig"), i * rows_per_band + 1, rows_per_band)
+                        F.expr(
+                            f"xxhash64(slice(__sig, {i * rows_per_band + 1}, {rows_per_band}))"
                         )
                         for i in range(bands)
                     ]
@@ -125,18 +151,24 @@ def minhash_lsh_candidates(
             ).alias("__band", "__bucket"),
         )
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.__band") == F.col("b.__band"))
-            & (F.col("a.__bucket") == F.col("b.__bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
+    # Pair generation: ONE aggregation per (band, bucket) then in-bucket
+    # combinations — the signature pipeline runs once (a self-join would
+    # evaluate it for both sides) and the only exchanges are the bucket
+    # groupBy and the final distinct.
+    buckets = (
+        banded.groupBy("__band", "__bucket")
+        .agg(F.sort_array(F.collect_list("__id")).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def ngram_jaccard_pairs(
@@ -173,24 +205,24 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text: Column | str, token_hash_bits: int = 64) -> Column:
+def simhash64(text_col: str, token_hash_bits: int = 64) -> Column:
     """64-bit SimHash over whitespace tokens.
 
     Per-bit majority vote of token hashes: bit_i(sig) = 1 iff more
-    token hashes have bit_i set than not. Expressed as 64 aggregate
-    expressions over the token-hash array — wide but branch-free and
-    fully JVM-side.
+    token hashes have bit_i set than not. One SQL aggregate carries a
+    64-slot bit-count accumulator over the token-hash array and packs
+    the majority bits in its finish lambda — a single pass per row and
+    a single parse on the driver (the naive form is 64 parallel filter
+    expressions, each re-evaluating the token hashes).
     """
-    col = normalized_text(text)
-    hashes = F.transform(F.split(col, " "), lambda t: F.xxhash64(t))
-    n = F.size(hashes)
-    bits = []
-    for i in range(token_hash_bits):
-        ones = F.size(
-            F.filter(hashes, lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1)
-        )
-        bits.append(F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0)))
-    sig = bits[0]
-    for i in range(1, token_hash_bits):
-        sig = sig + F.shiftleft(bits[i].cast("long"), i)
-    return sig
+    bits = token_hash_bits
+    norm = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
+    hashes = f"transform(split({norm}, ' '), t -> xxhash64(t))"
+    n_tokens = f"size(split({norm}, ' '))"
+    return F.expr(
+        f"aggregate({hashes}, array_repeat(0L, {bits}), "
+        f"(acc, x) -> zip_with(acc, transform(sequence(0, {bits - 1}), "
+        f"i -> shiftright(x, i) & 1), (a, b) -> a + b), "
+        f"acc -> aggregate(sequence(0, {bits - 1}), 0L, "
+        f"(s, i) -> s + if(element_at(acc, i + 1) * 2 > {n_tokens}, shiftleft(1L, i), 0L)))"
+    )
