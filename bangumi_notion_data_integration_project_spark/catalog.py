@@ -50,6 +50,48 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Silver-table layout: hive-style partition directories on the
+    natural reporting key (SURVEY §4 physical-layout decision — the
+    reference scans per (subject_type, collection_type) cell, so those
+    are the partition columns). Readers filtering on the key scan only
+    matching directories (PartitionFilters, zero data read elsewhere).
+
+    Partition columns must be low-cardinality: at 100 TB a high-card
+    key (user_id) would create millions of small files — use bucketing
+    for those instead."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    *,
+    bucket_by: str,
+    n_buckets: int,
+    sort_by: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed managed table: pre-shuffles rows into ``n_buckets`` hash
+    buckets on the join/agg key so repeated joins and aggregations on
+    that key skip their exchange entirely (the scan reports the hash
+    partitioning to the planner). This is the co-located-join layout
+    for fact-fact joins at 100 TB — pay the shuffle once at write time.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table_name)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for name in TABLES:

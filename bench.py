@@ -53,9 +53,12 @@ def main() -> None:
     spark = get_spark("bench")
     timings: dict[str, float] = {}
 
-    # Warm the JVM + parquet footers with one tiny action so the first
-    # measured query doesn't pay session-startup costs.
+    # Warm the JVM + parquet footers + Python/Arrow workers with tiny
+    # actions so the first measured query doesn't pay one-time
+    # process-startup costs (daemon fork, Arrow init) that a long-lived
+    # cluster pays once, not per-query.
     QUERIES["global_summary"](spark, sf_dir).count()
+    spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
     total = 0.0
     for name in BENCH_QUERIES:

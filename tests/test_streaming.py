@@ -83,6 +83,48 @@ def test_sessionized_counts_runs(spark, tmp_path):
     assert by_user == {1: 1, 2: 1}
 
 
+def test_stateful_running_totals_survives_restart(spark, tmp_path):
+    """applyInPandasWithState: per-key lifetime totals accumulate across
+    micro-batches AND across a query restart (state restored from the
+    checkpoint's state store)."""
+    from bangumi_notion_data_integration_project_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(name):
+        emitted = []
+
+        def sink(batch, _bid):
+            emitted.extend(batch.collect())
+
+        q = (
+            running_totals(read_event_stream(spark, inp, SCHEMA))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # update mode re-emits per batch; last emission per key wins
+        return {r["user_id"]: r for r in emitted}
+
+    _write_batch(spark, inp, ROWS1)
+    first = run_once("state_run1")
+    assert first[1]["n_events"] == 2 and first[1]["total_value"] == 3.0
+    assert first[2]["n_events"] == 1 and first[2]["max_value"] == 3.0
+
+    # second run, same checkpoint → state carries over, totals are lifetime
+    _write_batch(spark, inp, ROWS2)
+    second = run_once("state_run2")
+    assert second[1]["n_events"] == 3 and second[1]["total_value"] == 12.0
+    assert second[1]["max_value"] == 9.0
+    assert second[2]["n_events"] == 2 and second[2]["total_value"] == 7.0
+
+
 def test_streaming_upsert_two_batches(spark, tmp_path):
     inp = str(tmp_path / "in")
     target = str(tmp_path / "target")
