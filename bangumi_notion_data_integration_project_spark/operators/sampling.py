@@ -1,0 +1,91 @@
+"""Deterministic sampling & split operators for training-data pipelines.
+
+Random sampling (``df.sample``) is non-reproducible across runs and
+engines; every operator here derives its randomness from a hash of the
+row key, so the same row lands in the same split on any engine, any
+cluster size, any day — the property a 100 TB training pipeline needs
+for stable train/eval membership and resumable jobs.
+
+The hash is md5's leading 4 hex chars compared lexicographically
+against a threshold: uniform over 65536 slots, engine-portable (md5 hex
+is identical in Spark and DuckDB/ANSI), and cheap. All operators are
+narrow (no shuffle) except group quotas, which shuffle once on the
+group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_slot(key: Column | str, salt: str = "") -> Column:
+    """Lexicographic 4-hex-digit slot in '0000'..'ffff' (uniform)."""
+    col = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 4)
+
+
+def slot_threshold(fraction: float) -> str:
+    """Hex threshold such that slot < threshold selects ~fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return format(int(round(fraction * 65536)), "04x")
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float, *, salt: str = "") -> DataFrame:
+    """Keep ~fraction of rows, chosen by key hash (deterministic,
+    re-runnable, engine-portable). Salt decorrelates independent
+    samples over the same keys."""
+    return df.filter(_hash_slot(key, salt) < slot_threshold(fraction))
+
+
+def train_test_split(
+    df: DataFrame, key: str, *, test_fraction: float = 0.1, salt: str = ""
+) -> DataFrame:
+    """Stamp a deterministic 'split' column ('test' / 'train') keyed by
+    row hash: membership is stable under re-runs and appends."""
+    return df.withColumn(
+        "split",
+        F.when(
+            _hash_slot(key, salt) < slot_threshold(test_fraction), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def group_quota(
+    df: DataFrame, group_col: str, key: str, *, k: int
+) -> DataFrame:
+    """At most k rows per group, picked in hash order (a deterministic
+    'random' k — class balancing / per-source caps). One shuffle on the
+    group key."""
+    w = Window.partitionBy(group_col).orderBy(_hash_slot(key), F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def pack_into_bins(
+    df: DataFrame,
+    *,
+    size_col: str,
+    order_col: str,
+    capacity: int,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Token-budget sequence packing: assign each row a bin id so
+    consecutive rows (in ``order_col`` order) accumulate ~``capacity``
+    units per bin — the standard cumulative-sum approximation of
+    training-sequence packing (bin = floor(exclusive-cumsum/capacity)).
+
+    With ``partition_col`` the cumsum runs per partition (shard), which
+    is the scale path: one window shuffle on the shard key instead of a
+    single global ordering.
+    """
+    base = (
+        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
+    )
+    w = base.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    prior = F.coalesce(F.sum(size_col).over(w), F.lit(0))
+    return df.withColumn("bin_id", F.floor(prior / capacity).cast("long"))

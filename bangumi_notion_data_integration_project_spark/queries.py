@@ -883,6 +883,127 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, query, k=10, n_cells=16, n_probe=4).orderBy("query_id", "rank")
 
 
+def q_docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (operators/sampling.py): ~25% of
+    documents by key hash — identical membership on any engine/cluster,
+    which is what makes train/eval splits reproducible at 100 TB."""
+    from .operators.sampling import hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 0.25).select("doc_id", "lang", "source").orderBy(
+        "doc_id"
+    )
+
+
+def q_docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test stamping + per-split counts."""
+    from .operators.sampling import train_test_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        train_test_split(d, "doc_id", test_fraction=0.1)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_docs_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps in hash order (class balancing): at
+    most 30 docs per source, deterministically chosen."""
+    from .operators.sampling import group_quota
+
+    d = load_table(spark, sf_dir, "documents")
+    return group_quota(d, "source", "doc_id", k=30).select(
+        "doc_id", "source"
+    ).orderBy("source", "doc_id")
+
+
+def q_docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents stream into ~4000-token
+    bins per language (exclusive-cumsum binning — the standard packing
+    approximation for LLM training batches)."""
+    from .functions.text import token_count
+    from .operators.sampling import pack_into_bins
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    packed = pack_into_bins(
+        d, size_col="n_tokens", order_col="doc_id", capacity=4000, partition_col="lang"
+    )
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+def q_docs_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile binning (curriculum buckets): ntile(10) over a
+    composite quality score, with per-decile stats."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+        ).alias("n_punct"),
+        F.length("text").alias("n_chars_m"),
+    )
+    score = (1.0 - F.col("n_punct") / F.greatest(F.col("n_chars_m"), F.lit(1))).alias(
+        "quality"
+    )
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
+    return (
+        d.select("doc_id", F.round(score, 6).alias("quality"))
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.min("quality"), 6).alias("min_quality"),
+            F.round(F.max("quality"), 6).alias("max_quality"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality reconciliation report (the reference's §4.4 rulebook:
+    completeness / uniqueness / accuracy as run-time checks, restated as
+    one aggregation over the fact table)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_if(F.col("o_orderkey").isNull()).cast("long").alias("null_keys"),
+        (F.count("*") - F.countDistinct("o_orderkey")).cast("long").alias("dup_keys"),
+        F.count_if(F.col("o_totalprice") <= 0).cast("long").alias("nonpositive_price"),
+        F.count_if(F.col("o_orderdate").isNull()).cast("long").alias("null_dates"),
+        F.round(
+            F.count_if(F.col("o_orderkey").isNotNull()) * 100.0 / F.count("*"), 6
+        ).alias("key_completeness_pct"),
+    )
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: explode tokens, count, top-50 (the wordcount
+    shape every data-pipeline engine is benchmarked on, with a
+    deterministic tiebreak)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(50)
+    )
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the Structured
     Streaming windowed agg; SURVEY §2.7)."""
@@ -956,6 +1077,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "name_edit_distance": q_name_edit_distance,
     "summary_grouping_sets": q_summary_grouping_sets,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "docs_hash_sample": q_docs_hash_sample,
+    "docs_train_test_split": q_docs_train_test_split,
+    "docs_group_quota": q_docs_group_quota,
+    "docs_pack_bins": q_docs_pack_bins,
+    "docs_quality_bins": q_docs_quality_bins,
+    "dq_report": q_dq_report,
+    "vocab_topk": q_vocab_topk,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -1388,5 +1516,66 @@ ORACLES: dict[str, str] = {
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "docs_hash_sample": """
+        SELECT doc_id, lang, source FROM documents
+        WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '4000'
+        ORDER BY doc_id
+    """,
+    "docs_train_test_split": """
+        SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '199a'
+                    THEN 'test' ELSE 'train' END AS split,
+               count(*) AS n_docs,
+               sum(n_chars::BIGINT) AS total_chars
+        FROM documents GROUP BY split ORDER BY split
+    """,
+    "docs_group_quota": """
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY substr(md5(doc_id::VARCHAR), 1, 4), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 30 ORDER BY source, doc_id
+    """,
+    "docs_pack_bins": f"""
+        WITH sized AS (
+          SELECT doc_id, lang, cast({_NTOK} AS BIGINT) AS n_tokens FROM documents),
+        binned AS (
+          SELECT lang, n_tokens,
+                 cast(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4000) AS BIGINT) AS bin_id
+          FROM sized)
+        SELECT lang, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+        FROM binned GROUP BY lang, bin_id ORDER BY lang, bin_id
+    """,
+    "docs_quality_bins": """
+        WITH scored AS (
+          SELECT doc_id,
+                 round(1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+                       / greatest(length(text), 1), 6) AS quality
+          FROM documents),
+        ranked AS (
+          SELECT doc_id, quality,
+                 cast(ntile(10) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS decile
+          FROM scored)
+        SELECT decile, count(*) AS n_docs,
+               round(min(quality), 6) AS min_quality,
+               round(max(quality), 6) AS max_quality
+        FROM ranked GROUP BY decile ORDER BY decile
+    """,
+    "dq_report": """
+        SELECT count(*) AS n_rows,
+               count_if(o_orderkey IS NULL) AS null_keys,
+               count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+               count_if(o_totalprice <= 0) AS nonpositive_price,
+               count_if(o_orderdate IS NULL) AS null_dates,
+               round(count_if(o_orderkey IS NOT NULL) * 100.0 / count(*), 6) AS key_completeness_pct
+        FROM orders
+    """,
+    "vocab_topk": """
+        SELECT token, count(*) AS n_occurrences
+        FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+              FROM documents WHERE length(trim(text)) > 0)
+        GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 50
     """,
 }

@@ -1,0 +1,94 @@
+"""Deterministic sampling / split / packing operator tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bangumi_notion_data_integration_project_spark.operators.sampling import (
+    group_quota,
+    hash_sample,
+    pack_into_bins,
+    slot_threshold,
+    train_test_split,
+)
+
+
+def _ids(spark, n=2000):
+    return spark.range(n).withColumnRenamed("id", "key")
+
+
+def test_slot_threshold_bounds():
+    assert slot_threshold(0.0) == "0000"
+    assert slot_threshold(1.0) == "10000"  # every 4-hex slot sorts below
+    assert slot_threshold(0.25) == "4000"
+
+
+def test_hash_sample_is_deterministic_and_close_to_fraction(spark):
+    df = _ids(spark)
+    a = {r["key"] for r in hash_sample(df, "key", 0.25).collect()}
+    b = {r["key"] for r in hash_sample(df, "key", 0.25).collect()}
+    assert a == b  # re-run → identical membership
+    assert 0.20 <= len(a) / 2000 <= 0.30  # uniform-ish
+
+    salted = {r["key"] for r in hash_sample(df, "key", 0.25, salt="v2").collect()}
+    assert salted != a  # salt decorrelates
+
+
+def test_hash_sample_nested_fractions(spark):
+    # a 10% sample is a subset of the 25% sample (same salt: prefix property)
+    df = _ids(spark)
+    small = {r["key"] for r in hash_sample(df, "key", 0.10).collect()}
+    big = {r["key"] for r in hash_sample(df, "key", 0.25).collect()}
+    assert small <= big
+
+
+def test_train_test_split_partitions_everything(spark):
+    df = _ids(spark)
+    out = train_test_split(df, "key", test_fraction=0.2)
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert counts["test"] + counts["train"] == 2000
+    assert 0.15 <= counts["test"] / 2000 <= 0.25
+
+
+def test_group_quota_caps_each_group(spark):
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(100)], "key: long, grp: string"
+    )
+    out = group_quota(df, "grp", "key", k=10)
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 10 for v in counts.values())
+    # deterministic pick
+    again = group_quota(df, "grp", "key", k=10)
+    assert {tuple(r) for r in out.collect()} == {tuple(r) for r in again.collect()}
+
+
+def test_pack_into_bins_respects_capacity(spark):
+    df = spark.createDataFrame(
+        [(i, 30) for i in range(10)], "key: long, sz: long"
+    )
+    out = pack_into_bins(df, size_col="sz", order_col="key", capacity=100).collect()
+    bins = {}
+    for r in sorted(out, key=lambda r: r["key"]):
+        bins.setdefault(r["bin_id"], []).append(r["sz"])
+    # exclusive-cumsum binning: priors 0,30,..,270 → floor(prior/100)
+    # gives 4 rows in bin 0 (prior<100), then 3 and 3
+    assert [len(v) for k, v in sorted(bins.items())] == [4, 3, 3]
+
+
+def test_pack_into_bins_partitioned(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", 50) for i in range(10)],
+        "key: long, shard: string, sz: long",
+    )
+    out = pack_into_bins(
+        df, size_col="sz", order_col="key", capacity=100, partition_col="shard"
+    )
+    per_shard = (
+        out.groupBy("shard", "bin_id").agg(F.count("*").alias("n")).collect()
+    )
+    # each shard restarts bin numbering: 5 rows of 50 → bins of 2,2,1
+    got = sorted((r["shard"], r["bin_id"], r["n"]) for r in per_shard)
+    assert got == [
+        ("a", 0, 2), ("a", 1, 2), ("a", 2, 1),
+        ("b", 0, 2), ("b", 1, 2), ("b", 2, 1),
+    ]
