@@ -1,0 +1,89 @@
+"""Connected components over a pair list — transitive dedup clusters.
+
+LSH/SimHash emit near-duplicate *pairs*; keeping one document per
+*cluster* needs the transitive closure (a~b, b~c → {a,b,c} is one
+group). This is the standard large-scale formulation: iterative
+min-label propagation over the edge list until fixpoint — each round
+every node adopts the smallest label among itself and its neighbors.
+Rounds = graph diameter (near-dup clusters are shallow, so typically
+2-4), each round is one join + one aggregation on the edge list.
+
+Scale notes: the edge list never leaves the cluster, labels are 8-byte
+ids, and every iteration re-uses the same (node → label) partitioning.
+``localCheckpoint`` truncates the growing lineage each round — without
+it, plan depth doubles per iteration and the driver re-optimizes an
+exponentially larger tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Return (node, component) where component is the smallest node id
+    reachable from ``node``. Nodes appear iff they occur in an edge.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = sym.select("u").distinct().withColumn("label", F.col("u"))
+
+    for _ in range(max_iterations):
+        # each node's candidate: min over its own label and neighbors' labels
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            updated.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    *,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster assignment for every row: near-dup groups collapse to
+    their minimum id; singletons keep their own id. The downstream
+    "keep one per cluster" is then ``filter(id == cluster_id)``."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    return (
+        all_ids.join(comp, all_ids[id_col] == comp["node"], "left")
+        .select(
+            all_ids[id_col],
+            F.coalesce(comp["component"], all_ids[id_col]).alias("cluster_id"),
+        )
+    )

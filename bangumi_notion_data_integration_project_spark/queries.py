@@ -1004,6 +1004,38 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters (operators/components.py): iterative
+    min-label propagation over a two-relation edge set (same
+    source+n_chars OR same lang+n_chars), so a~b~c chains collapse to
+    one cluster even when a and c share nothing directly. Oracle is a
+    DuckDB recursive CTE computing the same closure."""
+    from .operators.components import dedup_clusters
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    e1 = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.n_chars") == F.col("b.n_chars"))
+        & lt,
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    e2 = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.n_chars") == F.col("b.n_chars"))
+        & lt,
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    edges = e1.unionByName(e2).distinct()
+    return dedup_clusters(edges, d.select("doc_id"), id_col="doc_id").orderBy("doc_id")
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the Structured
     Streaming windowed agg; SURVEY §2.7)."""
@@ -1084,6 +1116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_quality_bins": q_docs_quality_bins,
     "dq_report": q_dq_report,
     "vocab_topk": q_vocab_topk,
+    "dedup_components": q_dedup_components,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -1577,5 +1610,21 @@ ORACLES: dict[str, str] = {
         FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
               FROM documents WHERE length(trim(text)) > 0)
         GROUP BY token ORDER BY n_occurrences DESC, token LIMIT 50
+    """,
+    "dedup_components": """
+        WITH RECURSIVE
+        d AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 200),
+        e1 AS (SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+                 ON a.source = b.source AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+        e2 AS (SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+                 ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+        sym AS (SELECT u, v FROM e1 UNION SELECT u, v FROM e2
+                UNION SELECT v, u FROM e1 UNION SELECT v, u FROM e2),
+        reach AS (SELECT u, v FROM sym
+                  UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+        FROM d LEFT JOIN reach r ON r.u = d.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id
     """,
 }

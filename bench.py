@@ -45,6 +45,18 @@ BENCH_QUERIES = [
     "jaccard_top_pairs",
     "multimodal_features",
     "ann_lsh_topk",
+    "orders_asof_join",
+    "purchases_after_click",
+    "salted_skew_join",
+    "price_percentiles",
+    "summary_grouping_sets",
+    "running_revenue",
+    "docs_hash_sample",
+    "docs_pack_bins",
+    "docs_quality_bins",
+    "vocab_topk",
+    "dq_report",
+    "dedup_components",
 ]
 
 

@@ -98,6 +98,22 @@ def test_aggregates_have_partial_final_split(spark, name):
     assert len(re.findall(r"HashAggregate", plan)) >= 2 or "ObjectHashAggregate" in plan
 
 
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The bucketed range join must plan as a hash/sort-merge equi-join
+    on (key, bin) — a BroadcastNestedLoopJoin here means the inequality
+    condition leaked into the join and the operator is O(n*m)."""
+    plan = _plan(spark, "purchases_after_click")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_no_skewed_single_partition(spark):
+    """Salted join: the shuffle key must include the salt (hash of both
+    key and salt columns in the exchange)."""
+    plan = _plan(spark, "salted_skew_join")
+    assert re.search(r"hashpartitioning\([^)]*__salt", plan) or "__salt" in plan
+
+
 def test_whole_stage_codegen_covers_flagship(spark):
     """Codegen spans appear only in the AQE final plan, so execute
     first, then read the executed plan."""
