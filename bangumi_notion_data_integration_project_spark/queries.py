@@ -1036,6 +1036,63 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(edges, d.select("doc_id"), id_col="doc_id").orderBy("doc_id")
 
 
+def q_orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (no per-row re-execution), the optimizer feature
+    that makes subquery-style analytics viable at scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey,
+               round(o.o_totalprice, 2) AS totalprice
+        FROM orders_sq o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM orders_sq o2
+            WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey
+        """
+    )
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join in SQL-subquery form (the declarative face
+    of merge M2's left_anti)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_ne")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ne")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer_ne c
+        WHERE NOT EXISTS (SELECT 1 FROM orders_ne o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the inverse of the reference's tag pivot J2):
+    wide metric columns to (metric, value) rows, then per-flag stats."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    melted = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    )
+    return (
+        melted.groupBy("l_returnflag", "metric")
+        .agg(
+            F.count("*").cast("long").alias("n_values"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the Structured
     Streaming windowed agg; SURVEY §2.7)."""
@@ -1117,6 +1174,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_report": q_dq_report,
     "vocab_topk": q_vocab_topk,
     "dedup_components": q_dedup_components,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "customers_without_orders": q_customers_without_orders,
+    "lineitem_unpivot": q_lineitem_unpivot,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -1626,5 +1686,35 @@ ORACLES: dict[str, str] = {
                least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
         FROM d LEFT JOIN reach r ON r.u = d.doc_id
         GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+    "orders_above_cust_avg": """
+        SELECT o.o_orderkey, o.o_custkey,
+               round(o.o_totalprice, 2) AS totalprice
+        FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey
+    """,
+    "customers_without_orders": """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        ORDER BY c.c_custkey
+    """,
+    "lineitem_unpivot": """
+        WITH melted AS (
+          SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT l_returnflag, 'l_discount', l_discount FROM lineitem)
+        SELECT l_returnflag, metric,
+               count(*) AS n_values,
+               round(avg(value), 6) AS avg_value
+        FROM melted GROUP BY l_returnflag, metric
+        ORDER BY l_returnflag, metric
     """,
 }
