@@ -1093,6 +1093,75 @@ def q_lineitem_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-chain rollup over supplier → nation → region (completes
+    star-schema table coverage; both joins broadcast)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 2).alias("avg_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b[0-9]{2,4}-[0-9]{3,4}-[0-9]{3,4}\b"
+
+
+def q_docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (the cleaning step every crawl corpus goes
+    through): count and strip email/phone patterns; RE2-safe regexes so
+    DuckDB applies the identical rules."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: train docs sharing any 5-gram with
+    the (hash-designated) test split are flagged. The n-gram inventory
+    explodes narrow (doc_id, gram-hash) rows; the overlap is a semi-join
+    on the gram — the standard contamination sweep shape at corpus
+    scale."""
+    from .operators.dedup import word_shingles
+    from .operators.sampling import _hash_slot, slot_threshold
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles("text", 5).alias("grams")
+    )
+    test_mark = _hash_slot("doc_id") < slot_threshold(0.1)
+    test_grams = (
+        d.filter(test_mark)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = d.filter(~test_mark).select("doc_id", F.explode("grams").alias("gram"))
+    return (
+        train.join(test_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the Structured
     Streaming windowed agg; SURVEY §2.7)."""
@@ -1177,6 +1246,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "customers_without_orders": q_customers_without_orders,
     "lineitem_unpivot": q_lineitem_unpivot,
+    "suppliers_per_region": q_suppliers_per_region,
+    "docs_pii_scrub": q_docs_pii_scrub,
+    "decontaminate_overlap": q_decontaminate_overlap,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -1703,6 +1775,39 @@ ORACLES: dict[str, str] = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         ORDER BY c.c_custkey
+    """,
+    "suppliers_per_region": """
+        SELECT r.r_name, n.n_name,
+               count(*) AS n_suppliers,
+               round(avg(s.s_acctbal), 2) AS avg_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name ORDER BY r.r_name, n.n_name
+    """,
+    "docs_pii_scrub": f"""
+        SELECT doc_id,
+               cast(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+               cast(len(regexp_extract_all(text, '{PII_PHONE.replace(chr(92) + 'b', chr(92) + chr(92) + 'b')}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_PHONE.replace(chr(92) + 'b', chr(92) + chr(92) + 'b')}', '<PHONE>', 'g')) AS scrubbed_md5
+        FROM documents ORDER BY doc_id
+    """,
+    "decontaminate_overlap": """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t,
+                 substr(md5(doc_id::VARCHAR), 1, 4) < '199a' AS is_test
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, is_test,
+                 array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+          FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)),
+        test_grams AS (SELECT DISTINCT gram FROM grams WHERE is_test)
+        SELECT DISTINCT g.doc_id
+        FROM grams g
+        WHERE NOT g.is_test AND g.gram IN (SELECT gram FROM test_grams)
+        ORDER BY g.doc_id
     """,
     "lineitem_unpivot": """
         WITH melted AS (
