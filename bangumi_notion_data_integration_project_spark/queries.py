@@ -1162,6 +1162,21 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (operators/skyline.py): parts Pareto-optimal for
+    (min retail price, max size). Oracle is the NOT-EXISTS dominance
+    definition, so the window-based algorithm is checked against the
+    declarative spec."""
+    from .operators.skyline import skyline_2d
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    return skyline_2d(p, minimize="p_retailprice", maximize="p_size").select(
+        "p_partkey", F.round("p_retailprice", 2).alias("p_retailprice"), "p_size"
+    ).orderBy("p_partkey")
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the Structured
     Streaming windowed agg; SURVEY §2.7)."""
@@ -1249,6 +1264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suppliers_per_region": q_suppliers_per_region,
     "docs_pii_scrub": q_docs_pii_scrub,
     "decontaminate_overlap": q_decontaminate_overlap,
+    "parts_skyline": q_parts_skyline,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -1808,6 +1824,15 @@ ORACLES: dict[str, str] = {
         FROM grams g
         WHERE NOT g.is_test AND g.gram IN (SELECT gram FROM test_grams)
         ORDER BY g.doc_id
+    """,
+    "parts_skyline": """
+        SELECT p_partkey, round(p_retailprice, 2) AS p_retailprice, p_size
+        FROM part a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM part b
+            WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+              AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        ORDER BY p_partkey
     """,
     "lineitem_unpivot": """
         WITH melted AS (
