@@ -35,6 +35,7 @@ def connected_components(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint(eager=False)  # scanned every round; cut lineage once
     )
     labels = sym.select("u").distinct().withColumn("label", F.col("u"))
 
@@ -45,23 +46,21 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        updated = (
-            labels.join(neighbor_min, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
+        # fold the convergence flag into the same pass: a node changed
+        # iff a neighbor offered a strictly smaller label — avoids a
+        # second full recompute of the update plan just to count deltas
+        updated = labels.join(neighbor_min, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "label"
+            ),
+            (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label"))
+            .cast("long")
+            .alias("__changed"),
         )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = updated.localCheckpoint(eager=True)
+        chk = updated.localCheckpoint(eager=True)
+        changed = chk.agg(F.sum("__changed")).first()[0] or 0  # reads cached blocks
+        labels = chk.drop("__changed")
         if changed == 0:
             break
 

@@ -19,7 +19,30 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import dot_product, l2_norm
+
+
+def _paired_cosine(query_id_col: str, id_col: str) -> "F.Column":
+    """Cosine from per-row precomputed norms (``__cnorm``/``__qnorm``)
+    and the pair dot product. Factoring the norms out of the pair loop
+    is algebraically (and bitwise) identical to computing the full
+    cosine per pair, but evaluates each 64-element norm aggregate once
+    per ROW instead of once per PAIR — ~3× fewer interpreted
+    higher-order-function evaluations, the hot cost of this operator."""
+    denom = F.col("__cnorm") * F.col("__qnorm")
+    cos = F.when(denom > 0, dot_product("__vec", "__qvec") / denom).otherwise(F.lit(0.0))
+    return F.round(cos, 6).alias("cosine_sim")
+
+
+def _topk_by_sim(scored: DataFrame, query_id_col: str, id_col: str, k: int) -> DataFrame:
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def brute_force_topk(
@@ -35,25 +58,23 @@ def brute_force_topk(
 
     `query` has (query_id, embedding). The query side is broadcast —
     the corpus never shuffles; the only exchange is the final top-k
-    window on query_id (tiny).
+    window on query_id (tiny). Norms are precomputed per row, not per
+    pair (see ``_paired_cosine``).
     """
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(vec_col).alias("__cnorm"),
+    )
     q = query.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(vec_col).alias("__qnorm"),
     )
-    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(F.broadcast(q))
-    scored = joined.select(
-        query_id_col,
-        id_col,
-        F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine_sim"),
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col, id_col, _paired_cosine(query_id_col, id_col)
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
-    )
+    return _topk_by_sim(scored, query_id_col, id_col, k)
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -149,18 +170,11 @@ def ivf_topk(
         .select(query_id_col, "__qvec", (F.col("__pos") + 1).cast("int").alias("__cell"))
     )
 
-    joined = ck.join(F.broadcast(qk), "__cell")
-    scored = joined.select(
-        query_id_col,
-        id_col,
-        F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine_sim"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
-    )
+    joined = ck.withColumn("__vec", F.col(vec_col)).withColumn(
+        "__cnorm", l2_norm(vec_col)
+    ).join(F.broadcast(qk.withColumn("__qnorm", l2_norm("__qvec"))), "__cell")
+    scored = joined.select(query_id_col, id_col, _paired_cosine(query_id_col, id_col))
+    return _topk_by_sim(scored, query_id_col, id_col, k)
 
 
 def lsh_topk(
@@ -182,21 +196,18 @@ def lsh_topk(
     8-bit bucket key, and each query probes exactly one bucket.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
-    ck = corpus.withColumn("__bucket", lsh_bucket_key(vec_col, planes))
-    qk = query.withColumn("__bucket", lsh_bucket_key(vec_col, planes)).select(
-        query_id_col, F.col(vec_col).alias("__qvec"), "__bucket"
+    ck = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(vec_col).alias("__cnorm"),
+        lsh_bucket_key(vec_col, planes).alias("__bucket"),
+    )
+    qk = query.select(
+        query_id_col,
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(vec_col).alias("__qnorm"),
+        lsh_bucket_key(vec_col, planes).alias("__bucket"),
     )
     joined = ck.join(F.broadcast(qk), "__bucket")
-    scored = joined.select(
-        query_id_col,
-        id_col,
-        F.round(cosine_similarity(vec_col, "__qvec"), 6).alias("cosine_sim"),
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cosine_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine_sim", F.col("rank").cast("long").alias("rank"))
-    )
+    scored = joined.select(query_id_col, id_col, _paired_cosine(query_id_col, id_col))
+    return _topk_by_sim(scored, query_id_col, id_col, k)
