@@ -123,3 +123,32 @@ def test_whole_stage_codegen_covers_flagship(spark):
     # codegen spans render as `*(n)` prefixes in the executed plan
     assert re.search(r"\*\(\d+\) HashAggregate", plan)
     assert re.search(r"\*\(1\) ColumnarToRow", plan), "scan not vectorized"
+
+
+def test_skyline_windows_are_partitioned(spark):
+    """The skyline prefix-max must run per range-partition (window keyed
+    on __pid), never as one global unpartitioned window over the
+    distinct-minimize rows — that single task is the 100 TB bottleneck
+    the two-level formulation exists to avoid. The only unpartitioned
+    window allowed is the per-partition offset table (one row per
+    partition)."""
+    plan = _plan(spark, "parts_skyline")
+    assert "__pid" in plan
+    assert "BroadcastExchange" in plan  # tiny offset table broadcast back
+
+
+def test_similarity_corpus_never_shuffles(spark):
+    """Brute-force ANN: the query side (3 vectors) broadcasts; the
+    corpus must stream through map-side without a shuffle until the
+    final top-k window on query_id. A SortMergeJoin/CartesianProduct
+    here means the corpus was exchanged pairwise — quadratic I/O at
+    scale."""
+    plan = _plan(spark, "similarity_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # corpus scan reads only the id + vector columns
+    schemas = _read_schemas(plan)
+    assert schemas and all(
+        {c.split(":")[0] for c in s.split(",")} <= {"vec_id", "embedding"} for s in schemas
+    )
