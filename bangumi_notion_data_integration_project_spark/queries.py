@@ -1177,6 +1177,69 @@ def q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def q_docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (text-analysis extension).
+
+    Document frequency is a full-corpus aggregate; term frequency is
+    per-doc. The output filter (doc_id < 50) lands only on the TF
+    branch — Catalyst cannot push it through the DF aggregate, so the
+    corpus statistics stay global, which is the semantic point. Scale
+    shape: explode → two hash aggs (partial+final) → broadcast the
+    tiny per-term DF table back. Ranking uses the ROUNDED score so the
+    order is reproducible across engines (raw doubles can differ in
+    the last ulp between libm implementations)."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    n_docs = d.select(F.countDistinct("doc_id").alias("n")).select("n")
+    scored = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("doc_id", "rank")
+    )
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity date, weekly
+    activity offsets (the analytics shape behind every retention
+    dashboard). One distinct on (user, day), one min-agg for cohorts,
+    one self-join sharing the user_id partitioning — at scale the join
+    co-locates on the same exchange and the output is tiny."""
+    e = load_table(spark, sf_dir, "events")
+    act = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    coh = act.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        act.join(coh, "user_id")
+        .select(
+            "cohort_date",
+            F.floor(F.datediff("d", "cohort_date") / 7).cast("long").alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_date", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .orderBy("cohort_date", "week_offset")
+    )
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the Structured
     Streaming windowed agg; SURVEY §2.7)."""
@@ -1265,6 +1328,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_scrub": q_docs_pii_scrub,
     "decontaminate_overlap": q_decontaminate_overlap,
     "parts_skyline": q_parts_skyline,
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "events_retention": q_events_retention,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -1833,6 +1898,36 @@ ORACLES: dict[str, str] = {
             WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
               AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
         ORDER BY p_partkey
+    """,
+    "docs_tfidf_topk": """
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+          FROM documents WHERE length(trim(text)) > 0),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term),
+        n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+          FROM tf JOIN df USING (term) CROSS JOIN n
+          WHERE tf.doc_id < 50),
+        ranked AS (
+          SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored)
+        SELECT doc_id, term, tfidf, cast(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+    "events_retention": """
+        WITH act AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS d FROM events),
+        coh AS (SELECT user_id, min(d) AS cohort_date FROM act GROUP BY user_id),
+        uw AS (SELECT DISTINCT act.user_id, coh.cohort_date,
+                      cast(floor(date_diff('day', coh.cohort_date, act.d) / 7.0) AS BIGINT)
+                        AS week_offset
+               FROM act JOIN coh ON act.user_id = coh.user_id)
+        SELECT cohort_date, week_offset, count(*) AS n_active
+        FROM uw GROUP BY cohort_date, week_offset ORDER BY cohort_date, week_offset
     """,
     "lineitem_unpivot": """
         WITH melted AS (

@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "vocab_topk",
     "dq_report",
     "dedup_components",
+    "docs_tfidf_topk",
+    "events_retention",
 ]
 
 
