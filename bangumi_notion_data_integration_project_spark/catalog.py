@@ -96,3 +96,50 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def zorder_key(x: str, y: str, bits: int = 16) -> "DataFrame":
+    """Morton (Z-order) key: bit-interleave two non-negative integer
+    columns so that sorting by the key clusters rows that are close in
+    BOTH dimensions — the multi-dimensional locality layout behind
+    Delta/Iceberg OPTIMIZE ZORDER. A range/sort by one column clusters
+    only that column; the Z-curve gives every conjunctive range filter
+    (x BETWEEN … AND y BETWEEN …) a compact file-level min/max span,
+    so data skipping prunes on both predicates.
+
+    Pure int64 expression (shift/mask/sum over a literal sequence) —
+    stays inside whole-stage codegen, no Python. Columns must fit in
+    ``bits`` bits (truncate or bucketize wider domains first).
+    """
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, i) -> acc"
+        f" + shiftleft(shiftright(cast({x} as bigint), i) & 1, 2 * i)"
+        f" + shiftleft(shiftright(cast({y} as bigint), i) & 1, 2 * i + 1))"
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    x: str,
+    y: str,
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered along the Z-curve of (x, y): range-
+    partition on the Morton key (balanced files via sampled boundaries)
+    and sort within partitions, so parquet row-group min/max stats on
+    BOTH columns are tight and readers skip aggressively on either
+    predicate. The key is dropped before writing — it is a layout
+    artifact, not data."""
+    keyed = df.withColumn("__z", zorder_key(x, y, bits))
+    keyed = (
+        keyed.repartitionByRange(n_files, "__z")
+        if n_files
+        else keyed.repartitionByRange("__z")
+    )
+    keyed.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

@@ -58,3 +58,63 @@ def merge_snapshot(
     if not delete_absent:
         pieces.append(parts["deletes"])  # survivors: in target, not in source
     return reduce(lambda a, b: a.unionByName(b), pieces)
+
+
+def merge_scd2(
+    history: DataFrame,
+    source: DataFrame,
+    key: str,
+    attrs: list[str],
+    effective,
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge: version rows instead of
+    overwriting them (the warehouse-grade extension of the reference's
+    rewrite-everything update, data_loading_to_mysql_database.py:
+    253-262 — which keeps no history at all).
+
+    ``history`` carries ``key``, ``attrs``, ``from_col`` and ``to_col``
+    (NULL ``to_col`` = the current version). For each incoming row:
+
+    - attrs unchanged → current version stays open;
+    - attrs changed   → current version closes at ``effective``, a new
+                        open version is appended;
+    - new key         → first open version appended;
+    - key absent from source → current version stays open (SCD2 keeps
+      dimension members; use ``merge_snapshot`` for delete semantics).
+
+    Scale shape: every join below keys on ``key``, so Catalyst shares
+    one exchange across the change-detection inner join and the
+    semi/anti splits; closed history is unioned back untouched (never
+    shuffled). Comparison is null-safe (``eqNullSafe``).
+    """
+    cur = history.filter(F.col(to_col).isNull())
+    closed = history.filter(F.col(to_col).isNotNull())
+    src = source.select(key, *attrs)
+
+    any_diff = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"c.{a}").eqNullSafe(F.col(f"s.{a}")) for a in attrs],
+    )
+    changed_keys = (
+        cur.alias("c")
+        .join(src.alias("s"), F.col(f"c.{key}") == F.col(f"s.{key}"))
+        .filter(any_diff)
+        .select(F.col(f"c.{key}").alias(key))
+    )
+
+    from_type = history.schema[from_col].dataType
+    to_type = history.schema[to_col].dataType
+    closed_now = cur.join(changed_keys, key, "left_semi").withColumn(
+        to_col, F.lit(effective).cast(to_type)
+    )
+    open_kept = cur.join(changed_keys, key, "left_anti")
+    incoming = src.join(cur, key, "left_anti").unionByName(
+        src.join(changed_keys, key, "left_semi")
+    )
+    opened = incoming.withColumn(from_col, F.lit(effective).cast(from_type)).withColumn(
+        to_col, F.lit(None).cast(to_type)
+    ).select(*history.columns)
+    return closed.unionByName(closed_now).unionByName(open_kept).unionByName(opened)

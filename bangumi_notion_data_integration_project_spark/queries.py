@@ -34,7 +34,7 @@ from .functions.text import (
 )
 from .functions.vectors import l2_norm
 from .operators.dedup import normalized_text
-from .operators.merge import merge_parts, merge_snapshot
+from .operators.merge import merge_parts, merge_scd2, merge_snapshot
 from .operators.similarity import brute_force_topk
 from .operators.topk import top_k_per_group
 
@@ -1177,6 +1177,62 @@ def q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order locality audit (catalog.zorder_key): Morton-interleave
+    (user_id, minute-of-month) and report per-curve-bucket occupancy.
+    Tight, monotone z_min/z_max spans per bucket are what make file-
+    level data skipping work on BOTH filter dimensions after
+    ``write_zordered``. Pure int64 bit math — identical in any engine,
+    hence SQL-oracle-checkable."""
+    from .catalog import zorder_key
+
+    e = load_table(spark, sf_dir, "events")
+    base_us = 1704067200000000  # 2024-01-01 00:00:00 UTC
+    dims = e.select(
+        F.col("user_id").alias("x"),
+        F.expr(f"floor((unix_micros(ts) - {base_us}) / 60000000)").alias("y"),
+    )
+    keyed = dims.select(zorder_key("x", "y").alias("z"))
+    return (
+        keyed.groupBy(F.shiftright("z", 24).alias("z_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+def q_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge (operators/merge.merge_scd2): the old snapshot
+    is the open history; the new snapshot arrives with order statuses
+    progressed O→F, so overlapping keys with status 'O' close at the
+    effective date and reopen with the new value; fresh keys append.
+    History preserved — the reference's update path (:253-262) keeps
+    none."""
+    source, target = _orders_snapshots(spark, sf_dir)
+    attrs = ["o_orderstatus", "o_totalprice"]
+    history = target.select("o_orderkey", *attrs).withColumns(
+        {
+            "valid_from": F.lit("1994-01-01").cast("date"),
+            "valid_to": F.lit(None).cast("date"),
+        }
+    )
+    src = source.select("o_orderkey", *attrs).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderstatus") == "O", F.lit("F")).otherwise(F.col("o_orderstatus")),
+    )
+    out = merge_scd2(history, src, "o_orderkey", attrs, "2000-01-01")
+    return out.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "valid_from",
+        "valid_to",
+    ).orderBy("o_orderkey", "valid_from")
+
+
 def q_docs_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per document (text-analysis extension).
 
@@ -1328,6 +1384,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_scrub": q_docs_pii_scrub,
     "decontaminate_overlap": q_decontaminate_overlap,
     "parts_skyline": q_parts_skyline,
+    "events_zorder_stats": q_events_zorder_stats,
+    "orders_scd2": q_orders_scd2,
     "docs_tfidf_topk": q_docs_tfidf_topk,
     "events_retention": q_events_retention,
 }
@@ -1898,6 +1956,49 @@ ORACLES: dict[str, str] = {
             WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
               AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
         ORDER BY p_partkey
+    """,
+    "events_zorder_stats": """
+        WITH b AS (
+          SELECT user_id AS x,
+                 cast(floor((epoch(ts) - 1704067200) / 60) AS BIGINT) AS y
+          FROM events),
+        zz AS (
+          SELECT cast(list_sum(list_transform(range(0, 16),
+                   i -> (((x >> i) & 1) << (2 * i)) + (((y >> i) & 1) << (2 * i + 1))))
+                 AS BIGINT) AS z
+          FROM b)
+        SELECT z >> 24 AS z_bucket, count(*) AS n_events,
+               min(z) AS z_min, max(z) AS z_max
+        FROM zz GROUP BY z_bucket ORDER BY z_bucket
+    """,
+    "orders_scd2": """
+        WITH source AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+             target AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+        cur AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                       DATE '1994-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+                FROM target),
+        s AS (SELECT o_orderkey,
+                     CASE WHEN o_orderstatus = 'O' THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+                     o_totalprice
+              FROM source),
+        changed AS (SELECT c.o_orderkey FROM cur c JOIN s ON c.o_orderkey = s.o_orderkey
+                    WHERE c.o_orderstatus IS DISTINCT FROM s.o_orderstatus
+                       OR c.o_totalprice IS DISTINCT FROM s.o_totalprice),
+        closed_now AS (SELECT o_orderkey, o_orderstatus, o_totalprice, valid_from,
+                              DATE '2000-01-01' AS valid_to
+                       FROM cur WHERE o_orderkey IN (SELECT o_orderkey FROM changed)),
+        open_kept AS (SELECT * FROM cur
+                      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changed)),
+        opened AS (SELECT s.o_orderkey, s.o_orderstatus, s.o_totalprice,
+                          DATE '2000-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+                   FROM s
+                   WHERE s.o_orderkey IN (SELECT o_orderkey FROM changed)
+                      OR s.o_orderkey NOT IN (SELECT o_orderkey FROM cur))
+        SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS o_totalprice,
+               valid_from, valid_to
+        FROM (SELECT * FROM closed_now UNION ALL SELECT * FROM open_kept
+              UNION ALL SELECT * FROM opened)
+        ORDER BY o_orderkey, valid_from
     """,
     "docs_tfidf_topk": """
         WITH terms AS (

@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "dedup_components",
     "docs_tfidf_topk",
     "events_retention",
+    "orders_scd2",
+    "events_zorder_stats",
 ]
 
 

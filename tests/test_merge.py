@@ -56,3 +56,46 @@ def test_initial_load_empty_target(spark):
     target = _df(spark, []).limit(0)
     out = merge_snapshot(source, target, "k", delete_absent=True)
     assert [(r["k"], r["v"]) for r in out.collect()] == [(1, "a")]
+
+
+def test_scd2_all_four_transitions(spark):
+    from bangumi_notion_data_integration_project_spark.operators.merge import merge_scd2
+
+    history = spark.createDataFrame(
+        [
+            (1, "a", "2020-01-01", None),        # unchanged in source
+            (2, "b", "2020-01-01", None),        # changed in source
+            (3, "c", "2019-01-01", "2020-01-01"),  # already-closed version
+            (3, "d", "2020-01-01", None),        # absent from source → stays open
+        ],
+        "k: long, attr: string, valid_from: string, valid_to: string",
+    ).selectExpr("k", "attr", "cast(valid_from as date) valid_from", "cast(valid_to as date) valid_to")
+    source = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "new")], "k: long, attr: string"
+    )
+    out = merge_scd2(history, source, "k", ["attr"], "2021-06-01")
+    rows = {
+        (r.k, r.attr, str(r.valid_from), str(r.valid_to) if r.valid_to else None)
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "a", "2020-01-01", None),              # untouched
+        (2, "b", "2020-01-01", "2021-06-01"),      # closed
+        (2, "B", "2021-06-01", None),              # reopened with new value
+        (3, "c", "2019-01-01", "2020-01-01"),      # closed history preserved
+        (3, "d", "2020-01-01", None),              # absent key survives open
+        (4, "new", "2021-06-01", None),            # brand-new key
+    }
+
+
+def test_scd2_idempotent_on_unchanged_source(spark):
+    from bangumi_notion_data_integration_project_spark.operators.merge import merge_scd2
+
+    history = spark.createDataFrame(
+        [(1, "a", "2020-01-01", None)],
+        "k: long, attr: string, valid_from: string, valid_to: string",
+    ).selectExpr("k", "attr", "cast(valid_from as date) valid_from", "cast(valid_to as date) valid_to")
+    source = spark.createDataFrame([(1, "a")], "k: long, attr: string")
+    once = merge_scd2(history, source, "k", ["attr"], "2021-06-01")
+    twice = merge_scd2(once, source, "k", ["attr"], "2022-06-01")
+    assert twice.count() == 1  # re-applying the same snapshot is a no-op
