@@ -50,13 +50,25 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-gram word shingles as strings ("w1 w2 w3")."""
+    """Distinct n-gram word shingles as strings ("w1 w2 w3").
+
+    The tokenization is bound to a lambda variable (via a one-element
+    array transform) so the regex split runs ONCE per row. Referencing
+    the split expression directly inside the per-gram lambda would
+    inline it at every element_at — Catalyst does not CSE into
+    higher-order lambdas, and the per-doc cost goes quadratic in
+    token count."""
     toks = F.split(normalized_text(text), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
-    )
-    return F.array_distinct(grams)
+
+    def grams_of(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+        return F.array_distinct(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])
+            )
+        )
+
+    return F.element_at(F.transform(F.array(toks), grams_of), 1)
 
 
 def shingle_hashes(shingles: Column) -> Column:

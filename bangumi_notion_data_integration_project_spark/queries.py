@@ -511,24 +511,33 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join star aggregation (the join shapes the reference's
     merge uses, M1-M3, composed at analytical scale): fact ⋈ fact ⋈
-    broadcast dims. Catalyst broadcasts customer/nation/region; the only
-    big exchange is lineitem⋈orders on orderkey."""
+    broadcast dims. Catalyst broadcasts customer/nation/region.
+
+    Lineitem is pre-aggregated to per-order partials BEFORE the join —
+    an eager-aggregation rewrite Catalyst doesn't do itself: the
+    orderkey exchange then carries one (key, sum, count) row per order
+    instead of every line item (4× fewer rows, 2 narrow columns instead
+    of the full row). Same result (sum of per-order sums; count via
+    sum of per-order counts); at 100 TB the shuffle-byte saving is the
+    whole game."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev"),
+        F.count("*").alias("__nl"),
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
-            F.count("*").cast("long").alias("n_lines"),
+            F.round(F.sum("__rev"), 2).alias("revenue"),
+            F.sum("__nl").cast("long").alias("n_lines"),
         )
         .orderBy("n_name")
     )
@@ -1177,6 +1186,42 @@ def q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def q_dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: 3-gram shingles → exact-Jaccard pairs
+    (≥ 0.6) → transitive closure (operators/components.py) → keeper =
+    min doc_id per cluster. This is the full training-data dedup recipe
+    in one plan; at scale the pairwise stage is replaced by MinHash-LSH
+    candidates (minhash_lsh_pairs) feeding the same closure + keeper
+    tail. Bounded sample keeps the O(n²) oracle tractable."""
+    from .operators.components import dedup_clusters
+    from .operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sh = d.select("doc_id", word_shingles("text", 3).alias("sh"))
+    # the filtered sample collapses to one scan partition; spread the
+    # streamed side so the pairwise stage uses every core
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")).repartition(16)
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    # size-ratio prune inside the join condition: jaccard(A,B) is at
+    # most min(|A|,|B|)/max(|A|,|B|), so mismatched sizes can't pass
+    # the threshold — the expensive array_intersect never runs for them
+    sa, sb = F.size("sh_a"), F.size("sh_b")
+    ratio_ok = F.least(sa, sb) >= 0.6 * F.greatest(sa, sb)
+    pairs = (
+        a.join(b, (F.col("id_a") < F.col("id_b")) & ratio_ok)
+        .filter(F.when(union > 0, inter / union).otherwise(F.lit(0.0)) >= 0.6)
+        .select("id_a", "id_b")
+    )
+    clustered = dedup_clusters(pairs, d.select("doc_id"), id_col="doc_id")
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
 def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order locality audit (catalog.zorder_key): Morton-interleave
     (user_id, minute-of-month) and report per-curve-bucket occupancy.
@@ -1384,6 +1429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_scrub": q_docs_pii_scrub,
     "decontaminate_overlap": q_decontaminate_overlap,
     "parts_skyline": q_parts_skyline,
+    "dedup_near_pipeline": q_dedup_near_pipeline,
     "events_zorder_stats": q_events_zorder_stats,
     "orders_scd2": q_orders_scd2,
     "docs_tfidf_topk": q_docs_tfidf_topk,
@@ -1956,6 +2002,33 @@ ORACLES: dict[str, str] = {
             WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
               AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
         ORDER BY p_partkey
+    """,
+    "dedup_near_pipeline": """
+        WITH RECURSIVE
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 0) + 1),
+                   i -> concat(
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i], ' ',
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i+1], ' ',
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i+2]))) AS s
+          FROM documents WHERE doc_id < 300),
+        pairs AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0
+            AND cast(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+        sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        reach AS (SELECT u, v FROM sym
+                  UNION SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u)
+        SELECT d.doc_id,
+               least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id,
+               d.doc_id = least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS is_keeper
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+        LEFT JOIN reach r ON r.u = d.doc_id
+        GROUP BY d.doc_id ORDER BY d.doc_id
     """,
     "events_zorder_stats": """
         WITH b AS (

@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "events_retention",
     "orders_scd2",
     "events_zorder_stats",
+    "dedup_near_pipeline",
 ]
 
 
