@@ -147,3 +147,52 @@ def test_streaming_upsert_two_batches(spark, tmp_path):
     assert set(final) == {1, 2, 3, 4}
     assert final[2]["value"] == 9.0  # batch-2 version won the upsert
     assert os.path.exists(target)
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Append-mode windowed agg with a 30-min watermark: batch 1 takes
+    event time to 02:00 (watermark → 01:30), so batch 2's stale 00:10
+    event arrives after its 00:00-01:00 window finalized — it must not
+    create or amend output; the on-time 02:10 event must still count."""
+    inp = str(tmp_path / "late_in")
+    chk = str(tmp_path / "late_chk")
+    outp = str(tmp_path / "late_out")
+    _write_batch(spark, inp, [
+        (1, "2024-01-01 00:05:00", 1, "click", 1.0),
+        (2, "2024-01-01 02:00:00", 1, "click", 1.0),
+    ])
+
+    def run_pass():
+        # file sink: the append-mode + checkpoint combination memory
+        # sinks don't support
+        q = (
+            windowed_counts(
+                read_event_stream(spark, inp, SCHEMA),
+                window="1 hour",
+                watermark="30 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    _write_batch(spark, inp, [
+        (3, "2024-01-01 00:10:00", 1, "click", 1.0),   # LATE: < watermark
+        (4, "2024-01-01 02:10:00", 1, "click", 1.0),   # on time
+        (5, "2024-01-01 04:00:00", 1, "click", 1.0),   # advances watermark, closes 02:00 window
+    ])
+    run_pass()
+
+    counts = {
+        str(r["window_start"]): r["n_events"]
+        for r in spark.read.parquet(outp).collect()
+    }
+    # 00:00 window finalized with only the on-time event; late row dropped
+    assert counts.get("2024-01-01 00:00:00") == 1
+    # 02:00 window closed by the 04:00 event: both on-time rows counted
+    assert counts.get("2024-01-01 02:00:00") == 2
