@@ -101,3 +101,84 @@ def extract_features(
             yield out
 
     return media.mapInPandas(featurize, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "media_id bigint, kind string, payload binary, "
+    "meta struct<width: int, height: int, sample_rate: int, n_frames: int, codec: string>"
+)
+
+FRAMES_SCHEMA = "media_id bigint, frame_idx int, frame binary, n_bytes bigint"
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    width: int,
+    height: int,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Resize operator: same row count, payload rewritten, meta updated
+    with the target dimensions. The fake decoder emits a deterministic
+    payload derived from (input digest, dims) so plumbing tests can
+    assert stability; the real implementation decodes → resamples →
+    re-encodes inside the same Arrow batch loop (PIL/`cv2` plug in at
+    the marked line). 1-in-1-out keeps the operator narrow: no shuffle,
+    scales linearly with input splits."""
+    if decode_stub not in ("fake", "raise"):
+        raise ValueError("decode_stub must be 'fake' or 'raise'")
+
+    def do_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real resize requires PIL/cv2 (absent in this container)"
+                )
+            # real impl: Image.open(BytesIO(p)).resize((width, height)).save(...)
+            payloads = [
+                hashlib.sha256((p or b"") + f"{width}x{height}".encode()).digest()
+                for p in pdf["payload"]
+            ]
+            out = pdf.copy()
+            out["payload"] = payloads
+            out["meta"] = [
+                {**(m if isinstance(m, dict) else {}), "width": width, "height": height}
+                for m in pdf["meta"]
+            ]
+            yield out
+
+    return media.mapInPandas(do_resize, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    *,
+    n_frames: int = 4,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Frame-sampling operator: one video row fans out to ``n_frames``
+    frame rows (1-in-N-out inside the Arrow batch — mapInPandas is the
+    natural shape for row-expanding media ops; no shuffle, the fan-out
+    happens executor-local). Real impl: ffmpeg keyframe extraction at
+    the marked line; the fake emits deterministic per-index digests."""
+    if decode_stub not in ("fake", "raise"):
+        raise ValueError("decode_stub must be 'fake' or 'raise'")
+
+    def do_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real frame sampling requires ffmpeg (absent in this container)"
+                )
+            rows = {"media_id": [], "frame_idx": [], "frame": [], "n_bytes": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for i in range(n_frames):
+                    # real impl: ffmpeg -ss <t_i> -frames:v 1
+                    frame = hashlib.sha256((p or b"") + str(i).encode()).digest()
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(frame)
+                    rows["n_bytes"].append(len(frame))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(do_sample, schema=FRAMES_SCHEMA)

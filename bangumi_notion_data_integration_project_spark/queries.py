@@ -1186,6 +1186,34 @@ def q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (operators/multimodal.sample_frames):
+    1-row-in → n-frames-out inside an Arrow batch, no shuffle. The
+    deterministic fake decoder makes even the Python fan-out oracle-
+    checkable: each frame is sha256(payload ‖ frame_idx), which the
+    oracle recomputes in SQL."""
+    from .operators.multimodal import attach_media_meta, sample_frames
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_media_meta(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        ),
+        kind="video",
+    ).select("media_id", "kind", "payload", "meta")
+    return (
+        sample_frames(media, n_frames=4)
+        .select(
+            "media_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.lower(F.hex("frame")).alias("frame_checksum"),
+            "n_bytes",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 def q_dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: 3-gram shingles → exact-Jaccard pairs
     (≥ 0.6) → transitive closure (operators/components.py) → keeper =
@@ -1429,6 +1457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_scrub": q_docs_pii_scrub,
     "decontaminate_overlap": q_decontaminate_overlap,
     "parts_skyline": q_parts_skyline,
+    "video_frame_sample": q_video_frame_sample,
     "dedup_near_pipeline": q_dedup_near_pipeline,
     "events_zorder_stats": q_events_zorder_stats,
     "orders_scd2": q_orders_scd2,
@@ -2002,6 +2031,14 @@ ORACLES: dict[str, str] = {
             WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
               AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
         ORDER BY p_partkey
+    """,
+    "video_frame_sample": """
+        SELECT d.doc_id AS media_id, i.i AS frame_idx,
+               lower(sha256(d.text || cast(i.i AS VARCHAR))) AS frame_checksum,
+               cast(32 AS BIGINT) AS n_bytes
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200) d
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+        ORDER BY media_id, frame_idx
     """,
     "dedup_near_pipeline": """
         WITH RECURSIVE

@@ -49,3 +49,63 @@ def test_extract_features_raise_stub(spark):
 
     with pytest.raises((PythonException, Py4JJavaError)):
         extract_features(_media(spark), decode_stub="raise").collect()
+
+
+def test_resize_rewrites_payload_and_meta(spark):
+    from bangumi_notion_data_integration_project_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        attach_media_meta,
+        resize_images,
+    )
+
+    media = attach_media_meta(
+        spark.createDataFrame(
+            [(1, bytearray(b"imgbytes-a")), (2, bytearray(b"imgbytes-b"))],
+            "media_id: long, payload: binary",
+        ).select("media_id", "payload"),
+        kind="image",
+    ).select("media_id", "kind", "payload", "meta")
+    out = resize_images(media, width=64, height=32).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.meta.width == 64 and r.meta.height == 32
+        assert len(r.payload) == 32  # sha256 digest stand-in
+    # deterministic across runs
+    again = resize_images(media, width=64, height=32).collect()
+    assert {bytes(r.payload) for r in out} == {bytes(r.payload) for r in again}
+
+
+def test_sample_frames_fans_out_rows(spark):
+    from bangumi_notion_data_integration_project_spark.operators.multimodal import (
+        attach_media_meta,
+        sample_frames,
+    )
+
+    media = attach_media_meta(
+        spark.createDataFrame(
+            [(1, bytearray(b"videobytes"))], "media_id: long, payload: binary"
+        ).select("media_id", "payload"),
+        kind="video",
+    ).select("media_id", "kind", "payload", "meta")
+    out = sample_frames(media, n_frames=4).collect()
+    assert len(out) == 4
+    assert sorted(r.frame_idx for r in out) == [0, 1, 2, 3]
+    assert len({bytes(r.frame) for r in out}) == 4  # distinct per index
+
+
+def test_media_stub_raises_where_real_codec_plugs_in(spark):
+    import pytest as _pytest
+
+    from bangumi_notion_data_integration_project_spark.operators.multimodal import (
+        attach_media_meta,
+        resize_images,
+    )
+
+    media = attach_media_meta(
+        spark.createDataFrame(
+            [(1, bytearray(b"x"))], "media_id: long, payload: binary"
+        ).select("media_id", "payload"),
+        kind="image",
+    ).select("media_id", "kind", "payload", "meta")
+    with _pytest.raises(Exception):  # PythonException wrapping NotImplementedError
+        resize_images(media, decode_stub="raise", width=8, height=8).collect()
