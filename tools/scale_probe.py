@@ -1,0 +1,110 @@
+"""Empirical scaling probe: do the headline plans scale linearly?
+
+Builds a 10× copy of the heavy tables (union of 10 shifted-key copies
+of sf0.1, written to a temp dir under the repo), times a set of
+shuffle-heavy queries at 1× and 10×, and writes SCALING.md with the
+wall-clock ratios. A plan whose ratio is ≈10 (or below, thanks to
+fixed overhead amortizing) scales linearly in data volume; a ratio
+well above 10 means something super-linear crept in (pairwise blowup,
+driver collect, unpartitioned window) and must be fixed.
+
+Run: python tools/scale_probe.py      (takes ~2-4 min)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bangumi_notion_data_integration_project_spark.catalog import TABLES, load_table  # noqa: E402
+from bangumi_notion_data_integration_project_spark.queries import QUERIES  # noqa: E402
+from bangumi_notion_data_integration_project_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULT = 10
+# shuffle/agg/join/window-heavy queries whose input is the scaled tables
+PROBED = [
+    "category_summary",
+    "revenue_by_nation",
+    "merge_full_sync",
+    "order_top_parts",
+    "dedup_latest_by_key",
+    "events_sessionize",
+    "running_revenue",
+    "dedup_exact",
+    "vocab_topk",
+]
+SCALED_TABLES = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def build_scaled(spark, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLES:
+        t = f"{name}.parquet"
+        src = load_table(spark, BASE, name)
+        if name in SCALED_TABLES:
+            key = SCALED_TABLES[name]
+            offset = (src.agg(F.max(key)).first()[0] or 0) + 1
+            copies = [
+                src.withColumn(key, F.col(key) + F.lit(i * offset)) for i in range(MULT)
+            ]
+            scaled = copies[0]
+            for c in copies[1:]:
+                scaled = scaled.unionByName(c)
+            scaled.write.mode("overwrite").parquet(os.path.join(out_dir, t))
+        else:
+            src.write.mode("overwrite").parquet(os.path.join(out_dir, t))
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in PROBED:
+        QUERIES[name](spark, sf_dir).count()  # warm codegen for this plan
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        out[name] = time.perf_counter() - t0
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale_probe")
+    scaled_dir = os.path.join(os.path.dirname(__file__), "..", "spark-warehouse", "_scaled10x")
+    build_scaled(spark, scaled_dir)
+    try:
+        t1 = time_queries(spark, BASE)
+        t10 = time_queries(spark, scaled_dir)
+        lines = [
+            "# SCALING — 1× vs 10× wall-clock (auto-generated)",
+            "",
+            f"`python tools/scale_probe.py`: heavy tables duplicated {MULT}× with",
+            "shifted keys; each query timed warm (second run) at both scales.",
+            "Ratio ≈ 10 → linear in data volume; < 10 → fixed overhead still",
+            "amortizing; >> 10 → super-linear, fix the plan.",
+            "",
+            "| query | 1× sec | 10× sec | ratio |",
+            "|---|---|---|---|",
+        ]
+        for name in PROBED:
+            r = t10[name] / t1[name] if t1[name] > 0 else float("inf")
+            lines.append(f"| {name} | {t1[name]:.2f} | {t10[name]:.2f} | {r:.1f}× |")
+        with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        print("\n".join(lines))
+    finally:
+        shutil.rmtree(scaled_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
