@@ -1,0 +1,136 @@
+"""Randomized property tests: operators vs pure-Python reference
+implementations on seeded random inputs (deterministic, no network,
+no hypothesis shrink loop — each property runs a handful of seeds to
+keep Spark job count bounded)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bangumi_notion_data_integration_project_spark.operators.merge import merge_snapshot
+from bangumi_notion_data_integration_project_spark.operators.skyline import skyline_2d
+
+SEEDS = [7, 42, 1234]
+
+
+def _random_points(seed: int, n: int = 60):
+    rng = random.Random(seed)
+    return [
+        (i, float(rng.randint(0, 20)), rng.randint(0, 20)) for i in range(n)
+    ]
+
+
+def _brute_skyline(pts):
+    out = set()
+    for i, p, s in pts:
+        dominated = any(
+            (q <= p and t >= s and (q < p or t > s)) for _, q, t in pts
+        )
+        if not dominated:
+            out.add(i)
+    return out
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_skyline_matches_bruteforce_dominance(spark, seed):
+    pts = _random_points(seed)
+    df = spark.createDataFrame(pts, "id: long, price: double, size: long")
+    got = {r.id for r in skyline_2d(df, minimize="price", maximize="size").collect()}
+    assert got == _brute_skyline(pts)
+
+
+def _random_snapshot(rng, keys):
+    return [(k, rng.randint(0, 5)) for k in keys]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_merge_snapshot_idempotent_and_source_wins(spark, seed):
+    rng = random.Random(seed)
+    src_keys = rng.sample(range(30), 12)
+    tgt_keys = rng.sample(range(30), 12)
+    src = spark.createDataFrame(_random_snapshot(rng, src_keys), "k: long, v: long")
+    tgt = spark.createDataFrame(_random_snapshot(rng, tgt_keys), "k: long, v: long")
+
+    once = merge_snapshot(src, tgt, "k")
+    # full-sync semantics: result is exactly the source snapshot
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, src.collect()))
+    # idempotent: merging the same source into the result changes nothing
+    twice = merge_snapshot(src, once, "k")
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+    # upsert keeps target-only keys, source wins on common keys
+    upsert = merge_snapshot(src, tgt, "k", delete_absent=False)
+    got = dict(map(tuple, upsert.collect()))
+    src_d = dict(map(tuple, src.collect()))
+    tgt_d = dict(map(tuple, tgt.collect()))
+    assert got == {**tgt_d, **src_d}
+
+
+def _py_morton(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_zorder_key_bijective_on_random_sample(spark, seed):
+    from bangumi_notion_data_integration_project_spark.catalog import zorder_key
+
+    rng = random.Random(seed)
+    pts = list({(rng.randint(0, 65535), rng.randint(0, 65535)) for _ in range(200)})
+    df = spark.createDataFrame(pts, "x: long, y: long")
+    rows = df.withColumn("z", zorder_key("x", "y")).collect()
+    # matches the reference interleave and is injective over the sample
+    assert all(r.z == _py_morton(r.x, r.y) for r in rows)
+    assert len({r.z for r in rows}) == len(pts)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_asof_join_matches_bisect_reference(spark, seed):
+    import bisect
+
+    from bangumi_notion_data_integration_project_spark.operators.asof import asof_join
+
+    rng = random.Random(seed)
+    left = [(k, rng.randint(0, 100)) for k in range(5) for _ in range(8)]
+    # unique right timestamps per key so "latest at or before" is unambiguous
+    right = [
+        (k, t, rng.randint(0, 999))
+        for k in range(5)
+        for t in rng.sample(range(101), 6)
+    ]
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid: long, k: long, t: long"
+    )
+    rdf = spark.createDataFrame(right, "k: long, t: long, payload: long")
+
+    got = {
+        r.lid: r.payload_r
+        for r in asof_join(
+            ldf, rdf, "k", "t", "t", right_value_cols=["payload"], suffix="_r"
+        ).collect()
+    }
+
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, t, p in right:
+        by_key.setdefault(k, []).append((t, p))
+    for k in by_key:
+        by_key[k].sort()
+    expected = {}
+    for lid, (k, t) in enumerate(left):
+        rows = by_key.get(k, [])
+        idx = bisect.bisect_right([x[0] for x in rows], t)
+        expected[lid] = rows[idx - 1][1] if idx else None
+    assert set(got) == set(expected)
+    mismatches = {
+        lid: (got[lid], expected[lid])
+        for lid in expected
+        if got[lid] != expected[lid]
+    }
+    assert not mismatches, mismatches
