@@ -1186,6 +1186,39 @@ def q_parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("p_partkey")
 
 
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance: a pre-aggregated base (old
+    shipdates) is combined with an aggregated delta (new shipdates) by
+    summing the partials — never re-scanning the base fact rows. This
+    is the algebraic property that makes incremental view maintenance
+    work at 100 TB: sums/counts are commutative monoids, so
+    agg(base ∪ delta) = combine(agg(base), agg(delta)). The oracle is
+    the from-scratch aggregate over all rows — equality IS the
+    correctness of the maintenance rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = "1997-01-01"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_rev"),
+            F.count("*").alias("n_lines"),
+        )
+
+    base = partial(li.filter(F.col("l_shipdate") < cut))
+    delta = partial(li.filter(F.col("l_shipdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("sum_qty"), 2).alias("sum_qty"),
+            F.round(F.sum("sum_rev"), 2).alias("sum_rev"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing (operators/multimodal.sample_frames):
     1-row-in → n-frames-out inside an Arrow batch, no shuffle. The
@@ -1457,6 +1490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_scrub": q_docs_pii_scrub,
     "decontaminate_overlap": q_decontaminate_overlap,
     "parts_skyline": q_parts_skyline,
+    "incremental_agg_merge": q_incremental_agg_merge,
     "video_frame_sample": q_video_frame_sample,
     "dedup_near_pipeline": q_dedup_near_pipeline,
     "events_zorder_stats": q_events_zorder_stats,
@@ -2031,6 +2065,15 @@ ORACLES: dict[str, str] = {
             WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
               AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
         ORDER BY p_partkey
+    """,
+    "incremental_agg_merge": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_rev,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """,
     "video_frame_sample": """
         SELECT d.doc_id AS media_id, i.i AS frame_idx,
