@@ -724,18 +724,26 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: top-20 most similar
     pairs in a bounded sample (the embedding analogue of
     jaccard_top_pairs)."""
-    from .functions.vectors import cosine_similarity
+    from .functions.vectors import dot_product
 
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    # norms precomputed per ROW, not per pair (same factoring as
+    # operators/similarity.py — identical values, ~3× fewer HOF evals)
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        l2_norm("embedding").alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        l2_norm("embedding").alias("norm_b"),
+    )
+    denom = F.col("norm_a") * F.col("norm_b")
+    cos = F.when(denom > 0, dot_product("emb_a", "emb_b") / denom).otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_similarity("emb_a", "emb_b"), 6).alias("cosine_sim"),
-        )
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
         .orderBy(F.col("cosine_sim").desc(), "id_a", "id_b")
         .limit(20)
     )
