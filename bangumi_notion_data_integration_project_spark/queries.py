@@ -1255,6 +1255,30 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (operators/multimodal.resize_images): 1-in-1-out
+    Arrow-batched payload rewrite with meta update. The deterministic
+    fake decoder derives the resized payload from sha256(payload ‖
+    "WxH"), so the oracle recomputes the checksum in SQL."""
+    from .operators.multimodal import attach_media_meta, resize_images
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_media_meta(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        ),
+        kind="image",
+    ).select("media_id", "kind", "payload", "meta")
+    out = resize_images(media, width=64, height=32)
+    return out.select(
+        "media_id",
+        F.lower(F.hex("payload")).alias("payload_checksum"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+    ).orderBy("media_id")
+
+
 def q_dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup: 3-gram shingles → exact-Jaccard pairs
     (≥ 0.6) → transitive closure (operators/components.py) → keeper =
@@ -1500,6 +1524,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_skyline": q_parts_skyline,
     "incremental_agg_merge": q_incremental_agg_merge,
     "video_frame_sample": q_video_frame_sample,
+    "image_resize": q_image_resize,
     "dedup_near_pipeline": q_dedup_near_pipeline,
     "events_zorder_stats": q_events_zorder_stats,
     "orders_scd2": q_orders_scd2,
@@ -2090,6 +2115,12 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200) d
         CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
         ORDER BY media_id, frame_idx
+    """,
+    "image_resize": """
+        SELECT doc_id AS media_id,
+               lower(sha256(text || '64x32')) AS payload_checksum,
+               cast(64 AS BIGINT) AS width, cast(32 AS BIGINT) AS height
+        FROM documents WHERE doc_id < 200 ORDER BY media_id
     """,
     "dedup_near_pipeline": """
         WITH RECURSIVE
