@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "orders_scd2",
     "events_zorder_stats",
     "dedup_near_pipeline",
+    "parts_skyline",
+    "incremental_agg_merge",
+    "video_frame_sample",
+    "text_lang_id",
+    "simhash_docs",
 ]
 
 
