@@ -406,6 +406,27 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate word
+    bigrams per document (1 − distinct/total). High values flag the
+    boilerplate/looping text a training-data pipeline filters out."""
+    from .operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    total_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+    distinct_bi = F.size(word_shingles("text", 2))
+    dup_frac = F.when(
+        total_bi > 0, 1.0 - distinct_bi / total_bi
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        total_bi.cast("long").alias("n_bigrams"),
+        distinct_bi.cast("long").alias("n_distinct_bigrams"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+    ).orderBy("doc_id")
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic with argmax CASE."""
     d = load_table(spark, sf_dir, "documents")
@@ -1480,6 +1501,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
+    "docs_repetition": q_docs_repetition,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_bow": q_dedup_bow,
@@ -2115,6 +2137,25 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200) d
         CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
         ORDER BY media_id, frame_idx
+    """,
+    "docs_repetition": """
+        WITH b AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 1, 0) + 1),
+                   i -> concat(
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i], ' ',
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i+1]))) AS bi
+          FROM documents)
+        SELECT doc_id,
+               cast(greatest(ntok - 1, 0) AS BIGINT) AS n_bigrams,
+               cast(len(bi) AS BIGINT) AS n_distinct_bigrams,
+               round(CASE WHEN ntok - 1 > 0
+                     THEN 1.0 - len(bi) / cast(ntok - 1 AS DOUBLE)
+                     ELSE 0.0 END, 6) AS dup_bigram_frac
+        FROM b ORDER BY doc_id
     """,
     "image_resize": """
         SELECT doc_id AS media_id,
