@@ -406,6 +406,52 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (profiling primitive): one
+    narrow scan, one hash agg — the cheapest possible shape for a
+    distribution sketch at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    lo, hi, nb = 0.0, 600000.0, 24
+    width = (hi - lo) / nb
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - lo) / width), F.lit(nb - 1)
+    ).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (low entropy =
+    repetitive/degenerate text, a standard pretraining quality gate).
+    Explode to (doc, char) pairs, two hash aggs — both partial+final;
+    the explode is the only row-expanding step and stays executor-local
+    until the agg shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    chars = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).filter(F.length("ch") > 0)
+    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    ent = (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))), 6
+            ).alias("char_entropy"),
+            F.max("n").cast("long").alias("n_chars"),
+        )
+    )
+    return ent.orderBy("doc_id")
+
+
 def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: fraction of duplicate word
     bigrams per document (1 − distinct/total). High values flag the
@@ -1502,6 +1548,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "docs_repetition": q_docs_repetition,
+    "orders_price_histogram": q_orders_price_histogram,
+    "docs_char_entropy": q_docs_char_entropy,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_bow": q_dedup_bow,
@@ -2137,6 +2185,27 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200) d
         CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
         ORDER BY media_id, frame_idx
+    """,
+    "orders_price_histogram": """
+        SELECT cast(least(floor((o_totalprice - 0.0) / 25000.0), 23) AS BIGINT) AS bucket,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+    "docs_char_entropy": """
+        WITH chars AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch
+          FROM documents WHERE doc_id < 1000),
+        f AS (SELECT doc_id, ch, count(*) AS c
+              FROM chars WHERE length(ch) > 0 GROUP BY doc_id, ch),
+        t AS (SELECT doc_id, sum(c) AS n FROM f GROUP BY doc_id)
+        SELECT f.doc_id,
+               round(-sum((c / cast(n AS DOUBLE)) * ln(c / cast(n AS DOUBLE))), 6)
+                 AS char_entropy,
+               cast(max(n) AS BIGINT) AS n_chars
+        FROM f JOIN t ON f.doc_id = t.doc_id
+        GROUP BY f.doc_id ORDER BY f.doc_id
     """,
     "docs_repetition": """
         WITH b AS (
