@@ -452,6 +452,46 @@ def q_docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent.orderBy("doc_id")
 
 
+def q_docs_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4/Gopher-style keep/drop gate: every per-document
+    quality signal (token count, punctuation ratio, stopword ratio,
+    mean token length, duplicate-bigram fraction) evaluated in ONE
+    narrow scan + projection — no joins, no shuffles except the final
+    presentation sort. Thresholds apply to the ROUNDED signals so the
+    decision is bit-reproducible across engines."""
+    from .operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = token_count("text")
+    pr = F.round(punct_ratio("text"), 6)
+    sw = F.round(stopword_ratio("text"), 6)
+    mtl = F.round(mean_token_len("text"), 6)
+    toks = tokens("text")
+    total_bi = F.greatest(F.size(toks) - 1, F.lit(0))
+    dup = F.round(
+        F.when(
+            total_bi > 0, 1.0 - F.size(word_shingles("text", 2)) / total_bi
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    keep = (
+        nt.between(10, 1000)
+        & sw.between(0.01, 0.6)
+        & mtl.between(2.0, 12.0)
+        & (pr <= 0.3)
+        & (dup <= 0.3)
+    )
+    return d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        pr.alias("punct_ratio"),
+        sw.alias("stopword_ratio"),
+        mtl.alias("mean_tok_len"),
+        dup.alias("dup_bigram_frac"),
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
 def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signal: fraction of duplicate word
     bigrams per document (1 − distinct/total). High values flag the
@@ -1547,6 +1587,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
+    "docs_filter_pipeline": q_docs_filter_pipeline,
     "docs_repetition": q_docs_repetition,
     "orders_price_histogram": q_orders_price_histogram,
     "docs_char_entropy": q_docs_char_entropy,
@@ -1605,6 +1646,29 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 _NTOK = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END"
+_NS = "string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')"
+_NBI = f"greatest({_NTOK} - 1, 0)"
+_DBI = (
+    f"len(list_distinct(list_transform(range(1, greatest(len({_NS}) - 1, 0) + 1), "
+    f"i -> concat({_NS}[i], ' ', {_NS}[i+1]))))"
+)
+_DUPF = (
+    f"round(CASE WHEN {_NBI} > 0 THEN 1.0 - {_DBI} / cast({_NBI} AS DOUBLE) "
+    f"ELSE 0.0 END, 6)"
+)
+_PUNCT = (
+    "round(CASE WHEN length(text) > 0 THEN cast(length(text) - "
+    "length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) "
+    "ELSE 0.0 END, 6)"
+)
+_SWR = (
+    f"round(CASE WHEN {_NTOK} > 0 THEN cast(len(list_filter({_TOKS}, "
+    f"x -> list_contains([{_SW}], lower(x)))) AS DOUBLE) / {_NTOK} ELSE 0.0 END, 6)"
+)
+_MTL = (
+    f"round(CASE WHEN {_NTOK} > 0 THEN cast(length(regexp_replace(text, '\\s', '', 'g')) "
+    f"AS DOUBLE) / {_NTOK} ELSE 0.0 END, 6)"
+)
 
 
 def _marker_count(lang: str) -> str:
@@ -2185,6 +2249,20 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200) d
         CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
         ORDER BY media_id, frame_idx
+    """,
+    "docs_filter_pipeline": f"""
+        SELECT doc_id,
+               {_NTOK} AS n_tokens,
+               {_PUNCT} AS punct_ratio,
+               {_SWR} AS stopword_ratio,
+               {_MTL} AS mean_tok_len,
+               {_DUPF} AS dup_bigram_frac,
+               ({_NTOK} BETWEEN 10 AND 1000
+                AND {_SWR} BETWEEN 0.01 AND 0.6
+                AND {_MTL} BETWEEN 2.0 AND 12.0
+                AND {_PUNCT} <= 0.3
+                AND {_DUPF} <= 0.3) AS keep
+        FROM documents ORDER BY doc_id
     """,
     "orders_price_histogram": """
         SELECT cast(least(floor((o_totalprice - 0.0) / 25000.0), 23) AS BIGINT) AS bucket,

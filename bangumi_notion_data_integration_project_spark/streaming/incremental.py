@@ -124,3 +124,16 @@ def start_streaming_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dedup(
+    events: DataFrame, *, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same key arriving
+    within the watermark horizon (``dropDuplicatesWithinWatermark``),
+    so state is bounded — per-key entries expire once the watermark
+    passes them, unlike plain ``dropDuplicates`` whose state grows
+    forever. This is the streaming tier of the dedup stack (batch
+    tiers: exact hash-groupBy, MinHash-LSH, SimHash)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "video_frame_sample",
     "text_lang_id",
     "simhash_docs",
+    "docs_filter_pipeline",
 ]
 
 

@@ -196,3 +196,40 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     assert counts.get("2024-01-01 00:00:00") == 1
     # 02:00 window closed by the 04:00 event: both on-time rows counted
     assert counts.get("2024-01-01 02:00:00") == 2
+
+
+def test_stream_dedup_drops_repeats_within_watermark(spark, tmp_path):
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        stream_dedup,
+    )
+
+    inp = str(tmp_path / "dd_in")
+    chk = str(tmp_path / "dd_chk")
+    outp = str(tmp_path / "dd_out")
+    _write_batch(spark, inp, [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        (1, "2024-01-01 00:01:00", 1, "click", 1.0),   # dup in same batch
+        (2, "2024-01-01 00:02:00", 1, "view", 1.0),
+    ])
+
+    def run_pass():
+        q = (
+            stream_dedup(read_event_stream(spark, inp, SCHEMA), watermark="2 hours")
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    _write_batch(spark, inp, [
+        (1, "2024-01-01 00:30:00", 1, "click", 1.0),   # dup across batches, in horizon
+        (3, "2024-01-01 00:40:00", 2, "view", 1.0),    # new key
+    ])
+    run_pass()
+
+    ids = sorted(r.event_id for r in spark.read.parquet(outp).collect())
+    assert ids == [1, 2, 3]  # each key exactly once
