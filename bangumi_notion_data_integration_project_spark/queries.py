@@ -1541,6 +1541,31 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1 h window, 15 min slide): the batch
+    form of ``F.window(ts, win, slide)`` — every event contributes to
+    window/slide = 4 overlapping windows. Spark expands the windows
+    JVM-side before the hash agg; the oracle expands them with an
+    explicit 4-slot unnest, proving the window algebra."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation (batch form of the Structured
     Streaming windowed agg; SURVEY §2.7)."""
@@ -1641,6 +1666,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_scd2": q_orders_scd2,
     "docs_tfidf_topk": q_docs_tfidf_topk,
     "events_retention": q_events_retention,
+    "event_sliding_window": q_event_sliding_window,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -2399,6 +2425,19 @@ ORACLES: dict[str, str] = {
           FROM scored)
         SELECT doc_id, term, tfidf, cast(rank AS BIGINT) AS rank
         FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+    "event_sliding_window": """
+        WITH expanded AS (
+          SELECT time_bucket(INTERVAL '15 minutes', ts) - i.i * INTERVAL '15 minutes'
+                   AS window_start,
+                 event_type, value
+          FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i)
+        SELECT window_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM expanded
+        GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
     """,
     "events_retention": """
         WITH act AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS d FROM events),
