@@ -146,6 +146,12 @@ def minhash_lsh_candidates(
             ).alias("__th"),
         )
         .select("__id", F.expr(shingle_hash_expr).alias("__hashes"))
+        # docs shorter than shingle_n tokens have no shingles: every
+        # signature slot would be array_min([]) = NULL, all such docs
+        # would share one band bucket, and that single unbounded bucket
+        # yields |bucket|^2 spurious pairs — drop them before banding
+        # (they cannot be meaningful near-dup candidates anyway)
+        .filter(F.size("__hashes") > 0)
         .select("__id", minhash_signature("__hashes", num_hashes).alias("__sig"))
         .select(
             "__id",

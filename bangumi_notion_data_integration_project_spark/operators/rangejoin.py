@@ -35,7 +35,18 @@ def range_join(
     ``[start, end]`` interval contains the point, matching on ``key``.
     Timestamps are compared at second precision for binning; the final
     filter uses the original values, so results are exact.
+
+    Only ``how='inner'`` is supported: the containment filter runs
+    AFTER the join, evaluates NULL for unmatched outer rows, and would
+    silently turn any outer join back into an inner one.
     """
+    if how != "inner":
+        raise ValueError(
+            "range_join supports how='inner' only: the post-join "
+            "containment filter drops the NULL rows an outer join "
+            "would produce"
+        )
+
     def _epoch(c: str):
         # cast("timestamp") first: unix_timestamp rejects TIMESTAMP_NTZ,
         # and the session timezone is pinned to UTC so the cast is exact

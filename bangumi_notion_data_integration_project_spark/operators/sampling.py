@@ -73,19 +73,43 @@ def pack_into_bins(
     order_col: str,
     capacity: int,
     partition_col: str | None = None,
+    shard_col: Column | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """Token-budget sequence packing: assign each row a bin id so
     consecutive rows (in ``order_col`` order) accumulate ~``capacity``
     units per bin — the standard cumulative-sum approximation of
     training-sequence packing (bin = floor(exclusive-cumsum/capacity)).
 
-    With ``partition_col`` the cumsum runs per partition (shard), which
-    is the scale path: one window shuffle on the shard key instead of a
-    single global ordering.
+    Bin ids are **per (partition_col, shard)** by contract: packing
+    only needs *some* grouping of rows into capacity-bounded bins, not
+    one global ordered stream, so the cumsum window is partitioned by
+    every grouping key the caller provides. ``shard_col`` (e.g. a hash
+    bucket of the row key) is the scale lever — without it, a corpus
+    with 4 languages packs in 4 tasks; with 64 shards per language it
+    packs in 256. The output carries a ``shard`` column (0 when no
+    ``shard_col`` was given — only added when sharding is requested)
+    so downstream consumers can address bins as
+    (partition, shard, bin_id).
+
+    A fully global cumsum (no partition, no shard) funnels every row
+    through one task and is refused unless ``allow_global=True``.
     """
-    base = (
-        Window.partitionBy(partition_col) if partition_col else Window.partitionBy()
-    )
+    keys: list[Column] = []
+    if partition_col is not None:
+        keys.append(F.col(partition_col))
+    if shard_col is not None:
+        keys.append(shard_col)
+    if not keys and not allow_global:
+        raise ValueError(
+            "pack_into_bins without partition_col/shard_col runs the whole "
+            "cumsum in ONE task; pass shard_col=<hash bucket> or opt in "
+            "explicitly with allow_global=True for small data"
+        )
+    base = Window.partitionBy(*keys) if keys else Window.partitionBy()
     w = base.orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
     prior = F.coalesce(F.sum(size_col).over(w), F.lit(0))
-    return df.withColumn("bin_id", F.floor(prior / capacity).cast("long"))
+    out = df
+    if shard_col is not None:
+        out = out.withColumn("shard", shard_col.cast("long"))
+    return out.withColumn("bin_id", F.floor(prior / capacity).cast("long"))

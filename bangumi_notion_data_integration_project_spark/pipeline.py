@@ -29,6 +29,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .atomic import promote_dir, recover_dir, staging_path
 from .operators.merge import merge_parts, merge_snapshot
 from .sinks.files import write_csv, write_excel
 from .sinks.rest import write_rest
@@ -141,7 +142,9 @@ def incremental_load(
     when the target is absent (M7), else anti/semi/union diff with
     NA-key passthrough, delete-when-absent semantics."""
     target_path = os.path.join(warehouse_dir, "fact_view_logs_incremental")
-    if not os.path.exists(target_path):
+    if not recover_dir(target_path):
+        if os.path.exists(target_path):  # incomplete, unrecoverable write
+            shutil.rmtree(target_path)
         source.write.parquet(target_path)
         n = spark.read.parquet(target_path).count()
         return {"initial_load": n, "inserts": n, "deletes": 0, "updates": 0}
@@ -154,12 +157,12 @@ def incremental_load(
         "updates": parts["updates"].count(),
     }
     merged = merge_snapshot(source, target, key)
-    # the merge reads the target it replaces → stage then swap, never
+    # the merge reads the target it replaces → stage then promote
+    # (rename-rename-delete, crash-recoverable: see atomic.py), never
     # overwrite a path that is an input of the running plan
-    staging = target_path + "__staging"
+    staging = staging_path(target_path)
     merged.write.mode("overwrite").parquet(staging)
-    shutil.rmtree(target_path)
-    os.replace(staging, target_path)
+    promote_dir(staging, target_path)
     counts["final_rows"] = spark.read.parquet(target_path).count()
     return counts
 

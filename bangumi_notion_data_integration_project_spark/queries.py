@@ -170,14 +170,21 @@ def q_project_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_coalesce_display(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empty-string-skipping coalesce (reference `name_cn or name`
     :438 — Python `or` treats "" as missing, unlike SQL COALESCE) plus a
-    broadcast dim join."""
+    broadcast dim join. The first branch is a data column degraded to
+    '' on a deterministic third of rows (name_cn-style sparse alias),
+    so the oracle genuinely distinguishes coalesce_nonempty from plain
+    COALESCE: rows where the alias is '' must fall through to c_name.
+    """
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
+    alias_name = F.when(
+        F.col("c_custkey") % 3 == 0, F.lit("")
+    ).otherwise(F.col("c_mktsegment"))
     return (
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(
             "c_custkey",
-            coalesce_nonempty(F.lit(""), F.col("c_name")).alias("display_name"),
+            coalesce_nonempty(alias_name, F.col("c_name")).alias("display_name"),
             F.col("n_name").alias("nation_name"),
         )
         .orderBy("c_custkey")
@@ -430,26 +437,36 @@ def q_orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_docs_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy per document (low entropy =
     repetitive/degenerate text, a standard pretraining quality gate).
-    Explode to (doc, char) pairs, two hash aggs — both partial+final;
-    the explode is the only row-expanding step and stays executor-local
-    until the agg shuffle."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    chars = d.select(
-        "doc_id", F.explode(F.split("text", "")).alias("ch")
-    ).filter(F.length("ch") > 0)
-    freq = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
-    tot = freq.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    ent = (
-        freq.join(tot, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                -F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))), 6
-            ).alias("char_entropy"),
-            F.max("n").cast("long").alias("n_chars"),
-        )
+
+    Entirely per-row, zero shuffle before the presentation sort: the
+    distinct-character alphabet comes from ``array_distinct`` over the
+    char split, and each character's count is ``length(text) -
+    length(replace(text, ch))`` — a JVM-side string scan per distinct
+    character (alphabet is small, ~O(100), so O(alphabet x len) per
+    row). No explode (the old shape shipped one shuffle row per
+    character of corpus), no joins, no row cap — the same pattern as
+    simhash64 (operators/dedup.py): one narrow projection that scales
+    linearly in corpus bytes."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
     )
-    return ent.orderBy("doc_id")
+    n = F.length("text").cast("double")
+    alphabet = F.array_distinct(
+        F.filter(F.split("text", ""), lambda x: F.length(x) > 0)
+    )
+    terms = F.transform(
+        alphabet,
+        lambda ch: (
+            (F.length("text") - F.length(F.replace(F.col("text"), ch))) / n
+        )
+        * F.log((F.length("text") - F.length(F.replace(F.col("text"), ch))) / n),
+    )
+    ent = -F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    return d.select(
+        "doc_id",
+        F.round(ent, 6).alias("char_entropy"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
 
 
 def q_docs_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,8 +1065,11 @@ def q_docs_group_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing: documents stream into ~4000-token
-    bins per language (exclusive-cumsum binning — the standard packing
-    approximation for LLM training batches)."""
+    bins per (language, shard) — exclusive-cumsum binning, the standard
+    packing approximation for LLM training batches. The shard key
+    (doc_id mod 8, deterministic and engine-portable) keeps the cumsum
+    window partitioned ~8× wider than the language cardinality, so no
+    task ever owns a whole language's corpus."""
     from .functions.text import token_count
     from .operators.sampling import pack_into_bins
 
@@ -1057,36 +1077,55 @@ def q_docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", token_count("text").alias("n_tokens")
     )
     packed = pack_into_bins(
-        d, size_col="n_tokens", order_col="doc_id", capacity=4000, partition_col="lang"
+        d,
+        size_col="n_tokens",
+        order_col="doc_id",
+        capacity=4000,
+        partition_col="lang",
+        shard_col=F.pmod(F.col("doc_id"), F.lit(8)),
     )
     return (
-        packed.groupBy("lang", "bin_id")
+        packed.groupBy("lang", "shard", "bin_id")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.sum("n_tokens").alias("bin_tokens"),
         )
-        .orderBy("lang", "bin_id")
+        .orderBy("lang", "shard", "bin_id")
     )
 
 
 def q_docs_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-decile binning (curriculum buckets): ntile(10) over a
-    composite quality score, with per-decile stats."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        (
-            F.length("text")
-            - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
-        ).alias("n_punct"),
-        F.length("text").alias("n_chars_m"),
+    """Quality-decile binning (curriculum buckets) WITHOUT a global
+    window: exact decile cut points come from one `percentile`
+    aggregate over the rounded score (bounded state: the score has at
+    most 1e6 distinct rounded values, so the partial+final agg scales),
+    the 9 cut points are broadcast as plan literals, and each row's
+    decile is a branch-free count of boundaries — no single-partition
+    WindowExec anywhere, unlike ntile(10).
+
+    Decile 1 = highest quality (quality above the 90th-percentile cut).
+    Value-ties share a decile, so deciles are value-based rather than
+    exactly-equal-population — the semantics that survive 100 TB.
+
+    Quality = lexical diversity (distinct-token ratio), a real
+    pretraining curriculum signal with continuous spread.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
     )
-    score = (1.0 - F.col("n_punct") / F.greatest(F.col("n_chars_m"), F.lit(1))).alias(
-        "quality"
+    toks = tokens("text")
+    score = F.size(F.array_distinct(toks)) / F.size(toks)
+    scored = d.select("doc_id", F.round(score, 6).alias("quality"))
+    pcts = [i / 10.0 for i in range(1, 10)]
+    cuts_row = scored.agg(
+        F.percentile("quality", F.lit(pcts)).alias("cuts")
+    ).first()
+    cuts = [round(c, 6) for c in cuts_row["cuts"]]
+    n_at_or_below = sum(
+        (F.col("quality") <= F.lit(c)).cast("int") for c in cuts
     )
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id"))
     return (
-        d.select("doc_id", F.round(score, 6).alias("quality"))
-        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+        scored.withColumn("decile", (1 + n_at_or_below).cast("long"))
         .groupBy("decile")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -1400,7 +1439,8 @@ def q_dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", word_shingles("text", 3).alias("sh"))
     # the filtered sample collapses to one scan partition; spread the
     # streamed side so the pairwise stage uses every core
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")).repartition(16)
+    fanout = spark.sparkContext.defaultParallelism
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")).repartition(fanout)
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -1753,7 +1793,9 @@ ORACLES: dict[str, str] = {
     """,
     "coalesce_display": """
         SELECT c_custkey,
-               coalesce(nullif('', ''), nullif(c_name, '')) AS display_name,
+               coalesce(
+                 nullif(CASE WHEN c_custkey % 3 = 0 THEN '' ELSE c_mktsegment END, ''),
+                 nullif(c_name, '')) AS display_name,
                n_name AS nation_name
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         ORDER BY c_custkey
@@ -2145,29 +2187,35 @@ ORACLES: dict[str, str] = {
     """,
     "docs_pack_bins": f"""
         WITH sized AS (
-          SELECT doc_id, lang, cast({_NTOK} AS BIGINT) AS n_tokens FROM documents),
+          SELECT doc_id, lang, doc_id % 8 AS shard,
+                 cast({_NTOK} AS BIGINT) AS n_tokens FROM documents),
         binned AS (
-          SELECT lang, n_tokens,
-                 cast(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          SELECT lang, shard, n_tokens,
+                 cast(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4000) AS BIGINT) AS bin_id
           FROM sized)
-        SELECT lang, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
-        FROM binned GROUP BY lang, bin_id ORDER BY lang, bin_id
+        SELECT lang, shard, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+        FROM binned GROUP BY lang, shard, bin_id ORDER BY lang, shard, bin_id
     """,
-    "docs_quality_bins": """
+    "docs_quality_bins": f"""
         WITH scored AS (
           SELECT doc_id,
-                 round(1.0 - (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
-                       / greatest(length(text), 1), 6) AS quality
-          FROM documents),
-        ranked AS (
+                 round(cast(len(list_distinct({_TOKS})) AS DOUBLE)
+                       / len({_TOKS}), 6) AS quality
+          FROM documents WHERE length(trim(text)) > 0),
+        cuts AS (
+          SELECT list_transform(
+                   quantile_cont(quality, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                   c -> round(c, 6)) AS cs
+          FROM scored),
+        binned AS (
           SELECT doc_id, quality,
-                 cast(ntile(10) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS decile
-          FROM scored)
+                 cast(1 + len(list_filter(cs, c -> quality <= c)) AS BIGINT) AS decile
+          FROM scored, cuts)
         SELECT decile, count(*) AS n_docs,
                round(min(quality), 6) AS min_quality,
                round(max(quality), 6) AS max_quality
-        FROM ranked GROUP BY decile ORDER BY decile
+        FROM binned GROUP BY decile ORDER BY decile
     """,
     "dq_report": """
         SELECT count(*) AS n_rows,
@@ -2298,18 +2346,17 @@ ORACLES: dict[str, str] = {
         FROM orders GROUP BY bucket ORDER BY bucket
     """,
     "docs_char_entropy": """
-        WITH chars AS (
-          SELECT doc_id, unnest(string_split(text, '')) AS ch
-          FROM documents WHERE doc_id < 1000),
-        f AS (SELECT doc_id, ch, count(*) AS c
-              FROM chars WHERE length(ch) > 0 GROUP BY doc_id, ch),
-        t AS (SELECT doc_id, sum(c) AS n FROM f GROUP BY doc_id)
-        SELECT f.doc_id,
-               round(-sum((c / cast(n AS DOUBLE)) * ln(c / cast(n AS DOUBLE))), 6)
-                 AS char_entropy,
-               cast(max(n) AS BIGINT) AS n_chars
-        FROM f JOIN t ON f.doc_id = t.doc_id
-        GROUP BY f.doc_id ORDER BY f.doc_id
+        SELECT doc_id,
+               round(-list_sum(list_transform(
+                 list_distinct(list_filter(string_split(text, ''), x -> x != '')),
+                 ch -> ((length(text) - length(replace(text, ch, '')))
+                          / cast(length(text) AS DOUBLE))
+                       * ln((length(text) - length(replace(text, ch, '')))
+                          / cast(length(text) AS DOUBLE)))), 6) AS char_entropy,
+               cast(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        WHERE text IS NOT NULL AND length(text) > 0
+        ORDER BY doc_id
     """,
     "docs_repetition": """
         WITH b AS (

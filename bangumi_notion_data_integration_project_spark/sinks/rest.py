@@ -81,12 +81,16 @@ class HttpPostTransport:
     def post_row(self, partition_id: int, payload: dict) -> None:
         import requests
 
-        last = None
+        last: object = None
         for attempt in range(MAX_RETRIES):
             try:
                 resp = requests.post(self.url, json=payload, headers=self.headers, timeout=30)
                 if resp.status_code == 429:
-                    time.sleep(10.0)
+                    # record the cause so an all-429 run doesn't raise
+                    # "...: None"; rate-limit sleeps escalate with the
+                    # attempt number instead of a flat 10 s forever
+                    last = "rate-limited (HTTP 429)"
+                    time.sleep(10.0 * (attempt + 1))
                     continue
                 resp.raise_for_status()
                 return
@@ -117,15 +121,20 @@ def write_rest(
         nonlocal_ok = 0
         nonlocal_err = 0
         for row in rows:
-            d = row.asDict()
-            payload = {"properties": {}}
-            if key_col is not None:
-                payload["__key"] = d.get(key_col)
-            for col, ptype in cols:
-                formatted = format_property(d.get(col), ptype)
-                if formatted is not None:
-                    payload["properties"][col] = formatted
+            # formatting failures (non-numeric string in a 'number'
+            # column, unsupported property type) count as row errors,
+            # matching the reference's tolerate-and-continue semantics
+            # (notion_data_ingestion.py:247-291, 388-401) — one bad row
+            # must not kill the whole partition task
             try:
+                d = row.asDict()
+                payload = {"properties": {}}
+                if key_col is not None:
+                    payload["__key"] = d.get(key_col)
+                for col, ptype in cols:
+                    formatted = format_property(d.get(col), ptype)
+                    if formatted is not None:
+                        payload["properties"][col] = formatted
                 transport.post_row(pid, payload)
                 nonlocal_ok += 1
             except Exception:  # noqa: BLE001

@@ -53,6 +53,16 @@ class ReplayTransport:
         with open(path, encoding="utf-8") as f:
             return json.load(f)
 
+    def fetch_cursor_page(self, cell_id: str, cursor: str, limit: int) -> dict:
+        """Cursor-follow page (reference Notion readback pagination,
+        notion_data_ingestion.py:150-200): fixture files are keyed by
+        the cursor value, the first page uses cursor='start'."""
+        path = os.path.join(self.fixture_dir, f"{cell_id}_cursor_{cursor}.json")
+        if not os.path.exists(path):
+            return {"results": [], "has_more": False, "next_cursor": None}
+        with open(path, encoding="utf-8") as f:
+            return json.load(f)
+
     def probe_total(self, cell_id: str) -> int:
         return int(self.fetch_page(cell_id, 0, 1).get("total", 0))
 
@@ -72,14 +82,18 @@ class HttpTransport:
     def _get(self, params: dict) -> dict:
         import requests  # local import: executors without the lib fail loudly here only
 
-        last_err: Exception | None = None
+        last_err: object = None
         for attempt in range(MAX_RETRIES):
             try:
                 resp = requests.get(
                     self.base_url, params=params, headers=self.headers, timeout=30
                 )
                 if resp.status_code == 429:
-                    time.sleep(RATE_LIMIT_SLEEP)
+                    # keep the cause (an all-429 run must not raise
+                    # "...: None") and escalate the penalty sleep per
+                    # attempt instead of a flat 10 s
+                    last_err = "rate-limited (HTTP 429)"
+                    time.sleep(RATE_LIMIT_SLEEP * (attempt + 1))
                     continue
                 resp.raise_for_status()
                 return resp.json()
@@ -91,6 +105,12 @@ class HttpTransport:
     def fetch_page(self, cell_id: str, page_index: int, limit: int) -> dict:
         return self._get(self.params_for_cell(cell_id, page_index * limit, limit))
 
+    def fetch_cursor_page(self, cell_id: str, cursor: str, limit: int) -> dict:
+        params = self.params_for_cell(cell_id, 0, limit)
+        if cursor != "start":
+            params = {**params, "start_cursor": cursor}
+        return self._get(params)
+
     def probe_total(self, cell_id: str) -> int:
         return int(self.fetch_page(cell_id, 0, 1).get("total", 0))
 
@@ -101,25 +121,76 @@ class CellPartition(InputPartition):
     total: int
 
 
+LIVE_HTTP_ENV = "REST_SOURCE_ALLOW_LIVE"
+
+
 class PaginatedRestReader(DataSourceReader):
+    """Reader for both pagination styles:
+
+    - ``pagination=offset`` (default) — the Bangumi collection scan
+      (S1/S2/S3): probe totals at planning time, prune empty cells,
+      advance ``offset += limit`` until the page is empty or the total
+      is reached (bangumi_data_ingestion.py:155-258).
+    - ``pagination=cursor`` — the Notion readback scan (S5): follow
+      ``next_cursor`` while ``has_more`` (notion_data_ingestion.py:
+      150-200). No total probe exists in this protocol, so every cell
+      gets a partition and pruning happens at read time.
+
+    ``mode=replay`` (default) reads fixture files and is the only mode
+    tests use. ``mode=live`` wires :class:`HttpTransport` from reader
+    options but is refused unless the ``REST_SOURCE_ALLOW_LIVE=1``
+    environment variable opts in — a production switch that cannot be
+    flipped accidentally from test code.
+    """
+
     def __init__(self, options: dict):
         self.options = options
         self.cell_ids = json.loads(options.get("cells", "[]"))
         self.page_limit = int(options.get("page_limit", PAGE_LIMIT))
         self.fixture_dir = options.get("fixture_dir", "")
-        if options.get("mode", "replay") != "replay":
-            raise NotImplementedError(
-                "live HTTP mode is wired via HttpTransport but intentionally not "
-                "reachable from the DataSource (tests must never hit the network); "
-                "use replay mode"
-            )
+        self.pagination = options.get("pagination", "offset")
+        if self.pagination not in ("offset", "cursor"):
+            raise ValueError(f"unknown pagination style: {self.pagination}")
+        self.mode = options.get("mode", "replay")
+        if self.mode == "live":
+            if os.environ.get(LIVE_HTTP_ENV) != "1":
+                raise PermissionError(
+                    f"mode=live requires the {LIVE_HTTP_ENV}=1 environment "
+                    "variable (tests must never hit the network)"
+                )
+            if not options.get("base_url"):
+                raise ValueError("mode=live requires a base_url option")
+        elif self.mode != "replay":
+            raise ValueError(f"unknown mode: {self.mode}")
 
-    def _transport(self) -> ReplayTransport:
+    def _transport(self):
+        if self.mode == "live":
+            static = json.loads(self.options.get("static_params", "{}"))
+            cell_param = self.options.get("cell_param", "cell")
+            offset_param = self.options.get("offset_param", "offset")
+            limit_param = self.options.get("limit_param", "limit")
+
+            def params_for_cell(cell_id: str, offset: int, limit: int) -> dict:
+                return {
+                    **static,
+                    cell_param: cell_id,
+                    offset_param: offset,
+                    limit_param: limit,
+                }
+
+            return HttpTransport(
+                self.options["base_url"],
+                params_for_cell,
+                headers=json.loads(self.options.get("headers", "{}")),
+            )
         return ReplayTransport(self.fixture_dir)
 
     def partitions(self):
         # Planning-time probe-and-prune (reference get_all_category_totals
         # :328-359 + skip-empty :352-355): one partition per non-empty cell.
+        # The cursor protocol has no count probe → no planning-time prune.
+        if self.pagination == "cursor":
+            return [CellPartition(cell_id=c, total=-1) for c in self.cell_ids]
         t = self._transport()
         parts = []
         for cell_id in self.cell_ids:
@@ -129,9 +200,12 @@ class PaginatedRestReader(DataSourceReader):
         return parts
 
     def read(self, partition: CellPartition):
+        t = self._transport()
+        if self.pagination == "cursor":
+            yield from self._read_cursor(t, partition)
+            return
         # Executor-side page loop (reference fetch_single_category
         # :155-258): advance offset until page empty or total reached.
-        t = self._transport()
         offset = 0
         page_index = 0
         while True:
@@ -145,13 +219,38 @@ class PaginatedRestReader(DataSourceReader):
             if offset >= payload.get("total", 0):
                 break
 
+    def _read_cursor(self, t, partition: CellPartition):
+        # Cursor-follow loop (reference get_existing_records pagination,
+        # notion_data_ingestion.py:150-200): start cursor, then follow
+        # next_cursor while has_more — with a visited-cursor guard so a
+        # cyclic fixture/API response terminates instead of spinning.
+        cursor = "start"
+        seen: set[str] = set()
+        offset = 0
+        while cursor and cursor not in seen:
+            seen.add(cursor)
+            payload = t.fetch_cursor_page(partition.cell_id, cursor, self.page_limit)
+            results = payload.get("results") or []
+            if results:
+                yield (
+                    partition.cell_id,
+                    offset,
+                    json.dumps(payload, ensure_ascii=False),
+                )
+                offset += len(results)
+            if not payload.get("has_more"):
+                break
+            cursor = payload.get("next_cursor")
+
 
 class PaginatedRestDataSource(DataSource):
     """``spark.read.format("paginated_rest")`` source.
 
     Options: cells (JSON list of cell ids), fixture_dir, page_limit,
-    mode=replay. Register with
-    ``spark.dataSource.register(PaginatedRestDataSource)``.
+    pagination=offset|cursor, mode=replay|live (live additionally needs
+    base_url / static_params / cell_param / offset_param / limit_param /
+    headers and the ``REST_SOURCE_ALLOW_LIVE=1`` env opt-in). Register
+    with ``spark.dataSource.register(PaginatedRestDataSource)``.
     """
 
     @classmethod

@@ -21,11 +21,11 @@ sink-agnostic on purpose.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..atomic import promote_dir, recover_dir, staging_path
 from ..operators.merge import merge_snapshot
 
 
@@ -107,16 +107,17 @@ def start_streaming_upsert(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+        # recover_dir restores a complete .tmp/.old sibling if a prior
+        # run crashed mid-promotion — without it, a missing _SUCCESS
+        # would silently re-initialize and drop all accumulated state
+        if recover_dir(target_dir):
             target = spark.read.parquet(target_dir)
             merged = merge_snapshot(batch, target, key, delete_absent=False)
         else:
             merged = batch
-        tmp = target_dir.rstrip("/") + ".tmp"
+        tmp = staging_path(target_dir)
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(target_dir):
-            shutil.rmtree(target_dir)
-        os.replace(tmp, target_dir)
+        promote_dir(tmp, target_dir)
 
     return (
         stream.writeStream.foreachBatch(upsert)

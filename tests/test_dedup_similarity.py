@@ -51,6 +51,29 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert not any(4 in p for p in pairs)  # unrelated doc never pairs
 
 
+def test_minhash_lsh_short_docs_never_bucket_together(spark):
+    """Docs with fewer than shingle_n tokens have no shingles; before
+    the size(__hashes)>0 guard their all-NULL signatures hashed to ONE
+    shared band bucket → |bucket|² spurious pairs. They must produce no
+    candidates at all (and not pair with each other)."""
+    df = spark.createDataFrame(
+        [
+            (1, "one"),
+            (2, "two"),
+            (3, ""),
+            (4, "totally unrelated short"),
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    cands = minhash_lsh_candidates(
+        df, "text", "doc_id", shingle_n=4, num_hashes=32, bands=16
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert pairs == {(10, 11)}  # real dup found; no short-doc pairs
+
+
 def test_ngram_jaccard_scores(spark):
     out = ngram_jaccard_pairs(_docs(spark), "text", "doc_id", shingle_n=2, threshold=0.5)
     scores = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}

@@ -88,3 +88,27 @@ def test_write_rest_counters_and_failures(spark, tmp_path):
     payloads = {json.loads(ln)["__key"]: json.loads(ln) for ln in lines}
     assert set(payloads) == {1, 3}
     assert payloads[3]["properties"]["score"] == {"number": 1.5}
+
+
+def test_write_rest_tolerates_format_errors(spark, tmp_path):
+    """A malformed value (non-numeric string in a 'number' column, or an
+    unsupported property type) counts as a row error and must NOT kill
+    the partition task — reference format_property logs and continues
+    (notion_data_ingestion.py:247-291)."""
+    df = spark.createDataFrame(
+        [(1, "7.5"), (2, "not-a-number"), (3, "2")],
+        "subject_id: long, score_str: string",
+    )
+    transport = FileTransport(str(tmp_path))
+    counts = write_rest(
+        df,
+        transport,
+        {"subject_id": "title", "score_str": "number"},
+        key_col="subject_id",
+    )
+    assert counts == {"success": 2, "errors": 1}
+
+    bad_type = write_rest(
+        df.limit(1), transport, {"score_str": "multi_select"}, key_col="subject_id"
+    )
+    assert bad_type == {"success": 0, "errors": 1}

@@ -177,3 +177,119 @@ def test_replay_transport_missing_file_is_empty(tmp_path):
     t = ReplayTransport(str(tmp_path))
     assert t.probe_total("nope") == 0
     assert t.fetch_page("nope", 0, 100)["data"] == []
+
+
+# --- S5: cursor-follow pagination (reference notion_data_ingestion.py:150-200)
+
+
+@pytest.fixture(scope="module")
+def cursor_fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cursor_pages")
+
+    def page(results, has_more, next_cursor):
+        return {"results": results, "has_more": has_more, "next_cursor": next_cursor}
+
+    # cell "db1": 3-page chain start → c2 → c3
+    (d / "db1_cursor_start.json").write_text(
+        json.dumps(page([{"subject_id": 1}, {"subject_id": 2}], True, "c2")),
+        encoding="utf-8",
+    )
+    (d / "db1_cursor_c2.json").write_text(
+        json.dumps(page([{"subject_id": 3}], True, "c3")), encoding="utf-8"
+    )
+    (d / "db1_cursor_c3.json").write_text(
+        json.dumps(page([{"subject_id": 4}], False, None)), encoding="utf-8"
+    )
+    # cell "db2": empty from the first page
+    (d / "db2_cursor_start.json").write_text(
+        json.dumps(page([], False, None)), encoding="utf-8"
+    )
+    # cell "db3": malicious/cyclic chain start → loop → loop (must terminate)
+    (d / "db3_cursor_start.json").write_text(
+        json.dumps(page([{"subject_id": 9}], True, "loop")), encoding="utf-8"
+    )
+    (d / "db3_cursor_loop.json").write_text(
+        json.dumps(page([{"subject_id": 10}], True, "loop")), encoding="utf-8"
+    )
+    return str(d)
+
+
+def _read_cursor_pages(spark, cursor_fixture_dir, cells):
+    spark.dataSource.register(PaginatedRestDataSource)
+    return (
+        spark.read.format("paginated_rest")
+        .option("cells", json.dumps(cells))
+        .option("fixture_dir", cursor_fixture_dir)
+        .option("pagination", "cursor")
+        .load()
+    )
+
+
+def test_cursor_pagination_follows_next_cursor(spark, cursor_fixture_dir):
+    rows = _read_cursor_pages(spark, cursor_fixture_dir, ["db1", "db2"]).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell_id"], []).append(r)
+    assert len(by_cell["db1"]) == 3  # followed the full 3-page chain
+    assert sorted(r["offset"] for r in by_cell["db1"]) == [0, 2, 3]
+    ids = [
+        item["subject_id"]
+        for r in sorted(by_cell["db1"], key=lambda r: r["offset"])
+        for item in json.loads(r["page"])["results"]
+    ]
+    assert ids == [1, 2, 3, 4]
+    assert "db2" not in by_cell  # empty first page yields no rows
+
+
+def test_cursor_pagination_terminates_on_cycle(spark, cursor_fixture_dir):
+    rows = _read_cursor_pages(spark, cursor_fixture_dir, ["db3"]).collect()
+    # start page + one visit of the cyclic cursor, then the guard stops
+    assert len(rows) == 2
+
+
+# --- live-HTTP opt-in (never touches the network in tests)
+
+
+def test_live_mode_requires_env_opt_in(monkeypatch):
+    from bangumi_notion_data_integration_project_spark.sources.rest import (
+        LIVE_HTTP_ENV,
+        PaginatedRestReader,
+    )
+
+    monkeypatch.delenv(LIVE_HTTP_ENV, raising=False)
+    with pytest.raises(PermissionError, match=LIVE_HTTP_ENV):
+        PaginatedRestReader({"mode": "live", "base_url": "http://example.invalid"})
+
+
+def test_live_mode_constructs_http_transport(monkeypatch):
+    from bangumi_notion_data_integration_project_spark.sources.rest import (
+        LIVE_HTTP_ENV,
+        HttpTransport,
+        PaginatedRestReader,
+    )
+
+    monkeypatch.setenv(LIVE_HTTP_ENV, "1")
+    reader = PaginatedRestReader(
+        {
+            "mode": "live",
+            "base_url": "http://example.invalid/v0/collections",
+            "static_params": json.dumps({"user": "u1"}),
+            "cell_param": "subject_type",
+        }
+    )
+    t = reader._transport()
+    assert isinstance(t, HttpTransport)
+    # param plumbing: static + cell + offset/limit names
+    params = t.params_for_cell("2_1", 100, 50)
+    assert params == {"user": "u1", "subject_type": "2_1", "offset": 100, "limit": 50}
+
+
+def test_live_mode_without_base_url_rejected(monkeypatch):
+    from bangumi_notion_data_integration_project_spark.sources.rest import (
+        LIVE_HTTP_ENV,
+        PaginatedRestReader,
+    )
+
+    monkeypatch.setenv(LIVE_HTTP_ENV, "1")
+    with pytest.raises(ValueError, match="base_url"):
+        PaginatedRestReader({"mode": "live"})
