@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "parts_skyline",
     "incremental_agg_merge",
     "video_frame_sample",
+    "image_resize",
     "text_lang_id",
     "simhash_docs",
     "docs_filter_pipeline",
