@@ -11,9 +11,9 @@ reference's list→JSON pre-pass (prepare_dataframe_for_mysql,
 data_loading_to_mysql_database.py:73-96) — relational sinks can't hold
 native arrays/maps.
 
-Not exercised against a live database in this environment (none is
-provisioned); the prepare step is unit-tested and the writer config is
-a thin, standard pass-through.
+Exercised end-to-end against embedded Derby (bundled in Spark's jars)
+in tests/test_jdbc_roundtrip.py: overwrite/append modes, batch
+chunking, complex-column stringification, and partitioned readback.
 """
 
 from __future__ import annotations
