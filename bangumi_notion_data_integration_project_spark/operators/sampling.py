@@ -29,7 +29,10 @@ def slot_threshold(fraction: float) -> str:
     """Hex threshold such that slot < threshold selects ~fraction."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return format(int(round(fraction * 65536)), "04x")
+    n = int(round(fraction * 65536))
+    # 65536 would format as 5-char '10000', which sorts BELOW '0…'-'f…'
+    # lexicographically; 'g' sorts above every 4-char hex slot
+    return "g" if n >= 65536 else format(n, "04x")
 
 
 def hash_sample(df: DataFrame, key: str, fraction: float, *, salt: str = "") -> DataFrame:
@@ -113,3 +116,39 @@ def pack_into_bins(
     if shard_col is not None:
         out = out.withColumn("shard", shard_col.cast("long"))
     return out.withColumn("bin_id", F.floor(prior / capacity).cast("long"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    key: str,
+    *,
+    target_per_group: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic stratified (per-group-rate) sampling: each group is
+    hash-sampled at its own rate ``min(1, target/count)`` so the output
+    is approximately balanced across groups — the data-mixing primitive
+    (equalize sources / languages before training).
+
+    Two narrow passes at scale: one partial+final count per group (tiny
+    result, collected — group cardinality is assumed bounded, e.g.
+    languages or sources, NOT user ids), thresholds embedded as a plan
+    literal map, then a shuffle-free filter. Unlike ``group_quota`` (one
+    full shuffle on the group key + window), rows never move.
+
+    Threshold is ``floor(rate * 65536)`` over the md5 slot — floor, not
+    round, so any engine recomputes the identical membership.
+    """
+    counts = df.groupBy(group_col).count().collect()
+    pairs: list[Column] = []
+    for r in counts:
+        rate = min(1.0, target_per_group / r["count"]) if r["count"] else 0.0
+        pairs.append(F.lit(r[group_col]))
+        # 'g' sorts above every hex slot — keep-all without a 5-char
+        # threshold breaking the 4-char lexicographic compare
+        pairs.append(F.lit("g" if rate >= 1.0 else format(int(rate * 65536), "04x")))
+    thresholds = F.create_map(*pairs)
+    return df.filter(
+        _hash_slot(key, salt) < thresholds[F.col(group_col).cast("string")]
+    )

@@ -1674,6 +1674,146 @@ def q_event_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 highest-revenue orders still unshipped at a cutoff date —
+    the TPC-H Q3 shape (3-way join, pushed date filters, grouped revenue,
+    bounded top-k). The customer side is broadcast (small dim after the
+    segment filter); both date predicates reach the parquet scans."""
+    cutoff = F.to_timestamp(F.lit("1998-06-01"))
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority fulfilment check — the TPC-H Q4 shape: EXISTS
+    (late lineitem) as a left-semi join with the extra non-equi
+    predicate folded into the join condition, then a tiny grouped
+    count. Semi join shuffles once on the order key; no correlated
+    per-row subquery survives to the physical plan."""
+    lo = F.to_timestamp(F.lit("1998-01-01"))
+    hi = F.to_timestamp(F.lit("1998-04-01"))
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+#: vocabulary size for the unigram LM quality score (top-K by frequency)
+UNIGRAM_VOCAB_K = 200
+
+
+def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score (the CCNet/Gopher-style
+    'LM perplexity' gate, reduced to its scalable core): per document,
+    the mean log-probability of its tokens under the corpus unigram
+    distribution, with out-of-vocabulary tokens floored at ln(0.5/N).
+
+    Scale shape: ONE explode+groupBy pass builds the top-K vocabulary
+    (output bounded at K rows — the only shuffle); the (token → logprob)
+    table is embedded as a plan-literal map, so scoring is a per-row
+    higher-order aggregate over the token array — zero additional
+    shuffle, no join against a token-exploded fact table (which would
+    move one row per corpus token)."""
+    import math
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = tokens("text")
+    total = d.agg(F.sum(F.size(toks))).first()[0]
+    vocab = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .count()
+        .orderBy(F.col("count").desc(), "token")
+        .limit(UNIGRAM_VOCAB_K)
+        .collect()
+    )
+    pairs: list = []
+    for r in vocab:
+        pairs.append(F.lit(r["token"]))
+        pairs.append(F.lit(math.log(r["count"] / total)))
+    lp_map = F.create_map(*pairs)
+    oov = math.log(0.5 / total)
+    score_sum = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc + F.coalesce(lp_map[t], F.lit(oov)),
+    )
+    n_tok = F.size(toks)
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(score_sum / n_tok, 6).alias("avg_logprob"),
+    ).orderBy("doc_id")
+
+
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus sample (operators/sampling.py
+    stratified_sample): every language hash-sampled at its own rate
+    min(1, 50/count) — the deterministic data-mixing primitive. Rows
+    never shuffle; per-group thresholds ride in a plan-literal map."""
+    from .operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(d, "lang", "doc_id", target_per_group=50)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+def q_docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting table: per language, the resampling
+    weight that moves the corpus to a uniform language mixture
+    (target share / actual share). Tiny grouped count + single-row
+    broadcast cross join — no window, no second pass over rows."""
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    totals = per_lang.agg(
+        F.sum("n_docs").alias("__total"),
+        F.count("*").cast("double").alias("__n_langs"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__total"), 6).alias("actual_frac"),
+            F.round(
+                (F.col("__total") / F.col("__n_langs")) / F.col("n_docs"), 6
+            ).alias("mix_weight"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1718,6 +1858,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- new this round: ANN recall harness (hash-checked ANN tier)
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
+    # -- new this round: TPC-H q3/q4 shapes + LM quality + data mixing
+    "orders_top_unshipped": q_orders_top_unshipped,
+    "order_priority_counts": q_order_priority_counts,
+    "docs_unigram_logprob": q_docs_unigram_logprob,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_mixture_weights": q_docs_mixture_weights,
     # -- changed this round (need fresh driver rows)
     "ann_lsh_topk": q_ann_lsh_topk,
     "docs_char_entropy": q_docs_char_entropy,
@@ -2394,6 +2540,70 @@ ORACLES: dict[str, str] = {
                      ORDER BY substr(md5(doc_id::VARCHAR), 1, 4), doc_id) AS rn
           FROM documents)
         WHERE rn <= 30 ORDER BY source, doc_id
+    """,
+    "orders_top_unshipped": """
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "order_priority_counts": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate < TIMESTAMP '1998-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "docs_unigram_logprob": f"""
+        WITH d AS (SELECT doc_id, trim(text) AS t FROM documents
+                   WHERE length(trim(text)) > 0),
+        tok AS (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS token
+                FROM d),
+        tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
+        vocab AS (SELECT token, count(*) AS c FROM tok
+                  GROUP BY token ORDER BY c DESC, token
+                  LIMIT {UNIGRAM_VOCAB_K}),
+        scored AS (
+          SELECT tok.doc_id,
+                 count(*) AS n_tokens,
+                 avg(coalesce(ln(v.c / tot.n), ln(0.5 / tot.n))) AS alp
+          FROM tok CROSS JOIN tot LEFT JOIN vocab v ON tok.token = v.token
+          GROUP BY tok.doc_id)
+        SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+               round(alp, 6) AS avg_logprob
+        FROM scored ORDER BY doc_id
+    """,
+    "docs_stratified_sample": """
+        WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        thr AS (SELECT lang,
+                       CASE WHEN c <= 50 THEN 'g'
+                            ELSE printf('%04x',
+                                 CAST(floor((50.0 / c) * 65536) AS INT)) END AS th
+                FROM cnt)
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN thr ON d.lang = thr.lang
+        WHERE substr(md5(d.doc_id::VARCHAR), 1, 4) < thr.th
+        ORDER BY d.doc_id
+    """,
+    "docs_mixture_weights": """
+        WITH per AS (SELECT lang, count(*) AS n_docs FROM documents
+                     GROUP BY lang),
+        tot AS (SELECT sum(n_docs)::DOUBLE AS total,
+                       count(*)::DOUBLE AS n_langs FROM per)
+        SELECT lang, n_docs,
+               round(n_docs / tot.total, 6) AS actual_frac,
+               round((tot.total / tot.n_langs) / n_docs, 6) AS mix_weight
+        FROM per CROSS JOIN tot ORDER BY lang
     """,
     "docs_pack_bins": f"""
         WITH sized AS (

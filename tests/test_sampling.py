@@ -19,7 +19,8 @@ def _ids(spark, n=2000):
 
 def test_slot_threshold_bounds():
     assert slot_threshold(0.0) == "0000"
-    assert slot_threshold(1.0) == "10000"  # every 4-hex slot sorts below
+    # 'g' sorts above every 4-hex slot; '10000' would sort BELOW 'ffff'
+    assert slot_threshold(1.0) == "g"
     assert slot_threshold(0.25) == "4000"
 
 
@@ -132,3 +133,37 @@ def test_pack_into_bins_sharded_window_has_multiple_partitions(spark):
         (0, 0, 0), (0, 0, 4), (1, 0, 1), (1, 0, 5),
         (2, 0, 2), (2, 0, 6), (3, 0, 3), (3, 0, 7),
     ]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from bangumi_notion_data_integration_project_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(20)]
+    df = spark.createDataFrame(rows, "key: long, grp: string")
+    out = stratified_sample(df, "grp", "key", target_per_group=50)
+    by_grp = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # small group is under target → kept whole ('g' sentinel path)
+    assert by_grp.get("small") == 20
+    # big group sampled at ~50/400 = 12.5% → roughly 50, definitely < 400
+    assert 20 <= by_grp.get("big", 0) <= 90
+    # deterministic: same membership on re-run
+    again = stratified_sample(df, "grp", "key", target_per_group=50)
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+
+
+def test_stratified_sample_no_shuffle_of_rows(spark):
+    """Rows must not move: the filter rides on a plan-literal map, so
+    the physical plan has no Exchange between scan and filter."""
+    from bangumi_notion_data_integration_project_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g" + str(i % 3)) for i in range(90)], "key: long, grp: string"
+    )
+    out = stratified_sample(df, "grp", "key", target_per_group=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
