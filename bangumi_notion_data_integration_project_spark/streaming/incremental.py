@@ -127,6 +127,67 @@ def start_streaming_upsert(
     )
 
 
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    *,
+    key: str = "user_id",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to the click by
+    the same user within ``max_delay`` before them — the streaming form
+    of the batch attribution range join (queries.q_purchases_after_click).
+
+    Both sides carry watermarks and the join condition bounds the time
+    range in BOTH directions, so Spark can expire buffered state for
+    rows past the watermark — the requirement that makes a stream-stream
+    join runnable indefinitely (unbounded conditions buffer forever).
+    Inputs must carry (``key``, ``ts``, and an id column); sides are
+    renamed internally so the output schema is unambiguous:
+    (click_id, purchase_id, key, click_ts, purchase_ts).
+    """
+    c = (
+        clicks.select(
+            F.col("event_id").alias("click_id"),
+            F.col(key).alias("__ck"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col(key).alias("__pk"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("__ck") == F.col("__pk"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.expr(f"click_ts + INTERVAL {max_delay}"))
+    )
+    return (
+        c.join(p, cond)
+        .select(
+            "click_id",
+            "purchase_id",
+            F.col("__ck").alias(key),
+            "click_ts",
+            "purchase_ts",
+        )
+    )
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, key: str) -> DataFrame:
+    """Stream-static join: per-micro-batch broadcast hash join against a
+    slowly-changing dimension — no streaming state at all (the static
+    side is re-resolved each batch, so a dim refresh is picked up on the
+    next trigger)."""
+    return stream.join(F.broadcast(dim), key, "left")
+
+
 def stream_dedup(
     events: DataFrame, *, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:

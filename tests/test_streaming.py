@@ -233,3 +233,79 @@ def test_stream_dedup_drops_repeats_within_watermark(spark, tmp_path):
 
     ids = sorted(r.event_id for r in spark.read.parquet(outp).collect())
     assert ids == [1, 2, 3]  # each key exactly once
+
+
+def test_attribution_join_stream_stream(spark, tmp_path):
+    """Stream-stream interval join matches hand-computed attribution:
+    purchase joins every click by the same user within the hour before."""
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        attribution_join,
+    )
+
+    clicks_dir, purch_dir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    _write_batch(spark, clicks_dir, [
+        (10, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (11, "2024-01-01 00:30:00", 1, "click", 0.0),
+        (12, "2024-01-01 00:00:00", 2, "click", 0.0),
+    ])
+    _write_batch(spark, purch_dir, [
+        (20, "2024-01-01 00:45:00", 1, "purchase", 5.0),  # hits clicks 10+11
+        (21, "2024-01-01 02:00:00", 1, "purchase", 5.0),  # too late for both
+        (22, "2024-01-01 00:10:00", 2, "purchase", 5.0),  # hits click 12
+    ])
+    out = attribution_join(
+        read_event_stream(spark, clicks_dir, SCHEMA),
+        read_event_stream(spark, purch_dir, SCHEMA),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    )
+    assert got == [(10, 20), (11, 20), (12, 22)]
+
+
+def test_attribution_join_has_state_bounds(spark, tmp_path):
+    """Both sides watermarked and the interval bounded in both
+    directions — the analyzed plan must carry event-time watermarks so
+    join state can expire."""
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        attribution_join,
+    )
+
+    d = str(tmp_path / "ev")
+    _write_batch(spark, d, ROWS1)
+    s = read_event_stream(spark, d, SCHEMA)
+    out = attribution_join(s, s)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
+
+
+def test_enrich_with_dim_broadcasts(spark, tmp_path):
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        enrich_with_dim,
+    )
+
+    d = str(tmp_path / "ev2")
+    _write_batch(spark, d, ROWS1)
+    dim = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "user_id long, segment string"
+    )
+    out = enrich_with_dim(read_event_stream(spark, d, SCHEMA), dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["event_id"]: r["segment"] for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert rows == {1: "alpha", 2: "alpha", 3: "beta"}
