@@ -107,6 +107,59 @@ def lsh_bucket_key(vec_col: str, planes: list[list[float]]):
     return F.expr(" + ".join(bits))
 
 
+def srp_near_dup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via signed-random-projection
+    buckets — the scale path for embedding dedup.
+
+    All-pairs cosine is O(N²) and dead at 100 TB. Here the corpus is
+    hashed once into 2^n_planes sign-bit buckets (narrow projection, the
+    hyperplanes are plan literals), the self-join runs on the bucket key
+    — so candidate pairs only materialize inside a bucket — and the
+    cosine threshold is applied to candidates only. Vectors with cosine
+    ≥ threshold tend to agree on most sign bits, so high-similarity
+    pairs land in the same bucket with high probability; union several
+    seeds to raise recall. Output: (id_a, id_b, cosine_sim) with
+    id_a < id_b, rounded to 6dp BEFORE thresholding so the cut is
+    engine-stable.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    h = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(vec_col).alias("__n"),
+        lsh_bucket_key(vec_col, planes).alias("__bucket"),
+    )
+    a = h.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__vec").alias("__va"),
+        F.col("__n").alias("__na"),
+        "__bucket",
+    )
+    b = h.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__vec").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "__bucket",
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(denom > 0, dot_product("__va", "__vb") / denom).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     query: DataFrame,

@@ -1814,6 +1814,200 @@ def q_docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: cross-nation shipping volume — revenue between
+    every (supplier nation, customer nation) pair by ship year.
+    Reference parity: the grouped-summary family (SURVEY §2 A1) at its
+    widest join fan-in. Plan shape: nation is broadcast on both legs
+    (25 rows at any SF); supplier/customer/orders join by key — AQE
+    broadcasts them at small SF, shuffles on keys at 100 TB, which is
+    the correct strategy at each scale. The lineitem date filter is
+    pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_n = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    cust_n = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey", F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust_n, o.o_custkey == cust_n.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        # decimal sum: order-independent, so the 2dp result is identical
+        # regardless of partition/merge order (double sums can flip a
+        # cent at group counts this size)
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape: per-nation, per-year profit on one product family
+    (p_name contains 'widget'), profit = discounted revenue minus a
+    retail-price cost proxy (the testdata has no partsupp/supplycost).
+    The part filter prunes before the join; nation broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.1) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(profit), 2).alias("profit"), F.count("*").alias("n_lines"))
+        .orderBy("nation", "l_year")
+    )
+
+
+def q_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape: customers who returned the most revenue in a
+    half-year window — returnflag filter pushed to the lineitem scan,
+    orderdate filter pushed to the orders scan, top-20 by rounded
+    revenue with a key tiebreak so the limit edge is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape: monthly share of revenue from PROMO-type parts
+    across 1997 — conditional aggregation over a part-dimension join
+    (guarded-ratio family, SURVEY §2 A2)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.month("l_shipdate").cast("long").alias("l_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_month")
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: orders whose total quantity exceeds 250, with
+    their customer — a grouped HAVING feeding a key join. The heavy
+    aggregation (lineitem → per-order quantity) happens FIRST so only
+    qualifying orders (a few hundred per million) reach the joins."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_price"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_price").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_brand_disc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape: revenue under an OR-of-ANDs predicate over part
+    brand/size and lineitem quantity — the disjunctive-pushdown
+    stress: each conjunct constrains both sides of the join, and the
+    common bounds (p_size >= 1, l_quantity >= 1) still prune scans."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 20) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#25") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup at scale (operators/similarity.py
+    srp_near_dup): signed-random-projection buckets make the self-join
+    meet only within a bucket — no O(N²) pair materialization — then
+    the cosine threshold keeps pairs ≥ 0.4. Deterministic plan-literal
+    hyperplanes; the DuckDB oracle recomputes the same buckets, so this
+    scale path is hash-checked, not rows-only."""
+    from .operators.similarity import srp_near_dup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return srp_near_dup(e, threshold=0.4, n_planes=6).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1864,6 +2058,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_unigram_logprob": q_docs_unigram_logprob,
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_mixture_weights": q_docs_mixture_weights,
+    # -- new this round: TPC-H q7/q9/q10/q14/q18/q19 shapes + bucketed
+    #    embedding-cosine near-dup (hash-checked scale path)
+    "volume_shipping": q_volume_shipping,
+    "product_profit": q_product_profit,
+    "returned_top_customers": q_returned_top_customers,
+    "promo_revenue": q_promo_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "brand_disc_revenue": q_brand_disc_revenue,
+    "embedding_near_dup": q_embedding_near_dup,
     # -- changed this round (need fresh driver rows)
     "ann_lsh_topk": q_ann_lsh_topk,
     "docs_char_entropy": q_docs_char_entropy,
@@ -2307,6 +2510,96 @@ ORACLES: dict[str, str] = {
                      x -> cast(x AS DOUBLE) * cast(x AS DOUBLE)))), 6) AS l2_norm,
                cast(len(embedding) AS BIGINT) AS dim
         FROM embeddings ORDER BY vec_id
+    """,
+    "volume_shipping": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               cast(year(l_shipdate) AS BIGINT) AS l_year,
+               cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "product_profit": """
+        SELECT n_name AS nation, cast(year(l_shipdate) AS BIGINT) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.1 * p_retailprice * l_quantity), 2) AS profit,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2 ORDER BY nation, l_year
+    """,
+    "returned_top_customers": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "promo_revenue": """
+        SELECT cast(month(l_shipdate) AS BIGINT) AS l_month,
+               round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1 ORDER BY l_month
+    """,
+    "large_volume_customers": """
+        WITH big AS (
+          SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+          FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 250)
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS o_price, sum_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_price DESC, o_orderkey LIMIT 100
+    """,
+    "brand_disc_revenue": """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "embedding_near_dup": f"""
+        WITH planes(w, p) AS (VALUES {_lsh_plane_values()}),
+        bkt AS (
+          SELECT e.vec_id,
+                 cast(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                        j -> cast(e.embedding[j] AS DOUBLE) * pl.p[j])) >= 0
+                      THEN pl.w ELSE 0 END) AS BIGINT) AS bucket
+          FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+        cand AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine_sim
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id)
+        SELECT id_a, id_b, cosine_sim FROM cand
+        WHERE cosine_sim >= 0.4 ORDER BY id_a, id_b
     """,
     "ann_lsh_topk": f"""
         WITH {_LSH_CTES}

@@ -69,6 +69,10 @@ BENCH_QUERIES = [
     "text_lang_id",
     "simhash_docs",
     "docs_filter_pipeline",
+    "volume_shipping",
+    "promo_revenue",
+    "large_volume_customers",
+    "embedding_near_dup",
 ]
 
 

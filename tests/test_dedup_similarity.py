@@ -137,3 +137,51 @@ def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
     hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
     total = sum(len(ex[q]) for q in ex)
     assert hits / total >= 0.5, f"IVF recall too low: {hits}/{total}"
+
+
+def test_srp_near_dup_identical_vectors_pair(spark):
+    from bangumi_notion_data_integration_project_spark.operators.similarity import (
+        srp_near_dup,
+    )
+
+    base = [float(i % 7) - 3.0 for i in range(64)]
+    other = [float((i * 13) % 11) - 5.0 for i in range(64)]
+    df = spark.createDataFrame(
+        [(0, base), (1, list(base)), (2, other)],
+        "vec_id: long, embedding: array<double>",
+    )
+    out = srp_near_dup(df, threshold=0.99).collect()
+    # identical vectors share every sign bit -> same bucket, cosine 1.0
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+    assert out[0]["cosine_sim"] == 1.0
+
+
+def test_srp_near_dup_is_subset_of_all_pairs(spark, sf_dir):
+    from bangumi_notion_data_integration_project_spark.operators.similarity import (
+        srp_near_dup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 60
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in srp_near_dup(emb, threshold=0.3).collect()
+    }
+    # every reported pair must be a genuine >= threshold pair (no false
+    # positives: the bucket only constrains candidates, cosine decides)
+    all_pairs = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in emb.alias("a")
+        .crossJoin(emb.alias("b"))
+        .selectExpr(
+            "a.vec_id as id_a",
+            "b.vec_id as id_b",
+            "round(aggregate(zip_with(a.embedding, b.embedding, (x, y) -> cast(x as double) * y), cast(0.0 as double), (acc, v) -> acc + v) / (sqrt(aggregate(a.embedding, cast(0.0 as double), (acc, v) -> acc + v * v)) * sqrt(aggregate(b.embedding, cast(0.0 as double), (acc, v) -> acc + v * v))), 6) as cos",
+        )
+        .filter("id_a < id_b")
+        .collect()
+    }
+    for id_a, id_b, cos in got:
+        assert all_pairs[(id_a, id_b)] >= 0.3
+        assert abs(all_pairs[(id_a, id_b)] - cos) < 1e-6
