@@ -31,9 +31,19 @@ def connected_components(
     """Return (node, component) where component is the smallest node id
     reachable from ``node``. Nodes appear iff they occur in an edge.
     """
+    # one scan of the (possibly expensive) edge plan: emit both
+    # directions with a 2-element explode instead of a union of two
+    # selects, which would evaluate the upstream candidate join twice
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
         .distinct()
         .localCheckpoint(eager=False)  # scanned every round; cut lineage once
     )

@@ -17,7 +17,8 @@ is NOT a single global window (which would funnel every distinct
 distributed prefix sum: range-partition by ``minimize``, take a
 partition-local running max with a window keyed on the partition id,
 then combine with a per-partition offset table that has exactly one
-row per partition (tiny — its own window is safely single-task).
+row per partition (tiny — its prefix max is a broadcast triangular
+self-join, so no global-window operator appears anywhere).
 Papers on Spark skyline integration motivate the operator; this is the
 standard sort-based 2-D algorithm expressed as DataFrame ops, not a
 port of any reference code.
@@ -57,22 +58,32 @@ def skyline_2d(
     best = best.withColumn("__local_prior", F.max("__best").over(w_local))
 
     # One row per partition → running max over *earlier* partitions.
-    w_part = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # The offsets table is bounded by the partition count, so the
+    # prefix max is a broadcast triangular self-join (pid2 < pid), not
+    # a global window: P² pairs is trivial even at thousands of
+    # partitions, every task stays parallel, and no operator funnels
+    # unbounded data through one task.
+    pmax = best.groupBy("__pid").agg(F.max("__best").alias("__pmax"))
+    earlier = pmax.select(
+        F.col("__pid").alias("__pid2"), F.col("__pmax").alias("__pmax2")
+    )
     offsets = (
-        best.groupBy("__pid")
-        .agg(F.max("__best").alias("__pmax"))
-        .withColumn("__carry", F.max("__pmax").over(w_part))
-        .select("__pid", "__carry")
+        pmax.join(F.broadcast(earlier), F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.max("__pmax2").alias("__carry"))
     )
 
     prior = F.greatest(F.col("__local_prior"), F.col("__carry"))
     frontier = (
         best.join(F.broadcast(offsets), "__pid")
         .filter(prior.isNull() | (F.col("__best") > prior))
-        .select(minimize, "__best")
+        # fresh names so the semi join below is between distinct
+        # attributes (same-name columns from a self-derived frame make
+        # Spark warn about trivially-true predicates)
+        .select(F.col(minimize).alias("__sky_min"), F.col("__best").alias("__sky_max"))
     )
     return df.join(
         frontier,
-        (df[minimize] == frontier[minimize]) & (df[maximize] == frontier["__best"]),
+        (df[minimize] == frontier["__sky_min"]) & (df[maximize] == frontier["__sky_max"]),
         "left_semi",
     )

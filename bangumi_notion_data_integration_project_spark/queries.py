@@ -1995,6 +1995,94 @@ def q_brand_disc_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape: the supplier(s) whose quarterly revenue equals
+    the maximum — grouped revenue, a broadcast single-row max, and an
+    equality join back. Revenue is an exact decimal sum, so the
+    equality (and therefore membership in the answer) cannot flip with
+    partition merge order, which a rounded double sum could."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).alias("__rev")
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("__rev"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape: average yearly revenue lost to small-quantity
+    orders for one brand — a per-part average feeding a correlated
+    threshold (l_quantity < 0.2 × avg per part). Quantities are
+    integer-valued doubles, so their sums/averages are exact and the
+    threshold is engine-deterministic without rounding tricks. The
+    per-part aggregate is tiny (one row per part) and broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13").select(
+        "p_partkey"
+    )
+    li_b = li.join(p, li.l_partkey == p.p_partkey).select(
+        "p_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = li_b.groupBy("p_partkey").agg(F.avg("l_quantity").alias("__avg_qty"))
+    return (
+        li_b.join(F.broadcast(avg_q.withColumnRenamed("p_partkey", "__pk")),
+                  F.col("p_partkey") == F.col("__pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) / 7.0, 2
+            )
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape: customers with above-average positive balance
+    and no orders on file, summarized per market segment. The threshold
+    compare is cross-multiplied (acctbal × n > total) in exact decimal —
+    no division, no rounding, so membership is engine-stable. The
+    order-existence check is an anti join on custkey against orders in
+    a recent window (the date filter is pushed to the orders scan)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", F.col("c_acctbal").cast("decimal(18,2)").alias("__bal")
+    )
+    pos = c.filter(F.col("__bal") > 0).agg(
+        F.sum("__bal").alias("__total"), F.count("*").alias("__n")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01"
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("__bal") * F.col("__n") > F.col("__total"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("__bal"), 2).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup at scale (operators/similarity.py
     srp_near_dup): signed-random-projection buckets make the self-join
@@ -2066,6 +2154,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue": q_promo_revenue,
     "large_volume_customers": q_large_volume_customers,
     "brand_disc_revenue": q_brand_disc_revenue,
+    "top_revenue_suppliers": q_top_revenue_suppliers,
+    "small_qty_revenue": q_small_qty_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
     "embedding_near_dup": q_embedding_near_dup,
     # -- changed this round (need fresh driver rows)
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -2583,6 +2674,49 @@ ORACLES: dict[str, str] = {
         WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
            OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "top_revenue_suppliers": """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS r
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY 1)
+        SELECT s_suppkey, s_name,
+               cast(round(r, 2) AS DOUBLE) AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE r = (SELECT max(r) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "small_qty_revenue": """
+        WITH li_b AS (
+          SELECT p_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#13'),
+        avg_q AS (
+          SELECT p_partkey AS pk, avg(l_quantity) AS avg_qty
+          FROM li_b GROUP BY 1)
+        SELECT cast(round(sum(cast(l_extendedprice AS DECIMAL(18,4))) / 7.0, 2) AS DOUBLE) AS avg_yearly,
+               count(*) AS n_lines
+        FROM li_b JOIN avg_q ON p_partkey = pk
+        WHERE l_quantity < 0.2 * avg_qty
+    """,
+    "idle_rich_customers": """
+        WITH c AS (
+          SELECT c_custkey, c_mktsegment,
+                 cast(c_acctbal AS DECIMAL(18,2)) AS bal
+          FROM customer),
+        pos AS (
+          SELECT sum(bal) AS total, count(*) AS n FROM c WHERE bal > 0)
+        SELECT c_mktsegment, count(*) AS n_customers,
+               cast(round(sum(bal), 2) AS DOUBLE) AS total_bal
+        FROM c CROSS JOIN pos
+        WHERE bal * n > total
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY 1 ORDER BY c_mktsegment
     """,
     "embedding_near_dup": f"""
         WITH planes(w, p) AS (VALUES {_lsh_plane_values()}),
