@@ -2083,6 +2083,298 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _supply_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-part catalog derived from lineitem (the schema has no
+    partsupp table): one row per observed (part, supplier) with the
+    minimum observed unit price as the supply cost. min() over doubles
+    is merge-order-independent, so the catalog is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.round(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+        ).alias("ps_unit_cost")
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape: the minimum-cost supplier for each large part
+    within one region — a per-part correlated min computed as a grouped
+    aggregate joined back on equality (no correlated subquery executes
+    per row; the min table is one row per part and joins by key).
+    Region restriction applies to BOTH the candidate suppliers and the
+    min (as in q2's correlated subquery). The rounded unit cost makes
+    the equality engine-stable."""
+    cat = _supply_catalog(spark, sf_dir)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    cat_r = cat.join(s, cat.ps_suppkey == s.s_suppkey)
+    mn = cat_r.groupBy(F.col("ps_partkey").alias("__pk")).agg(
+        F.min("ps_unit_cost").alias("__min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").isin(15, 25, 35, 45)
+    ).select("p_partkey", "p_name")
+    return (
+        cat_r.join(
+            mn,
+            (cat_r.ps_partkey == mn.__pk)
+            & (cat_r.ps_unit_cost == mn.__min_cost),
+        )
+        .join(p, cat_r.ps_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "nation",
+            F.round("s_acctbal", 2).cast("double").alias("s_acctbal"),
+            F.col("ps_unit_cost").alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape: NATION_3's share of PROMO-part revenue delivered
+    to AMERICA-region customers, by order year. The share is a
+    conditional-sum ratio inside one grouped aggregate — no second
+    pass, no window; both sums are exact decimals so the 6dp ratio is
+    engine-stable. Dims broadcast; the fact join shuffles by key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey, "left_semi")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol)
+                    .otherwise(F.lit(0.0))
+                    .cast("decimal(18,4)")
+                )
+                / F.sum(vol.cast("decimal(18,4)")),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share"),
+            F.round(F.sum(vol.cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape: parts whose shipped value from NATION_3
+    suppliers exceeds 0.1% of that nation's total shipped value. The
+    global threshold is a one-row broadcast; membership uses the
+    cross-multiplied exact-decimal compare (value * 1000 > total) so
+    no division or rounding can flip a row near the cut."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    value = F.col("l_extendedprice").cast("decimal(18,4)")
+    per_part = (
+        li.join(s, li.l_suppkey == s.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("__value"))
+    )
+    total = per_part.agg(F.sum("__value").alias("__total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("__value") * 1000 > F.col("__total"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("__value"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape adapted to the schema (no shipmode/receiptdate):
+    order-priority mix by shipping-latency bucket. One fact-fact key
+    join plus conditional counts — the q12 CASE aggregation — grouped
+    by floor(days-late / 30). datediff on midnight timestamps is exact
+    integer days in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o_full = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o_full, li.l_orderkey == o_full.o_orderkey)
+        .withColumn(
+            "latency_bucket",
+            F.floor(F.datediff("l_shipdate", "o_orderdate") / 30).cast("long"),
+        )
+        .groupBy("latency_bucket")
+        .agg(
+            F.count_if(high).cast("long").alias("high_prio_lines"),
+            F.count_if(~high).cast("long").alias("low_prio_lines"),
+        )
+        .orderBy("latency_bucket")
+    )
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape: the distribution of per-customer order counts
+    including zero-order customers — a left outer join, a per-customer
+    count, then a count-of-counts. Two key shuffles, both on uniform
+    keys; the second aggregate's input is one row per customer so it is
+    strictly smaller. The priority filter stands in for q13's comment
+    anti-pattern filter and lands in the join condition so zero-order
+    customers survive the outer join."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape: distinct-supplier counts per (brand, type,
+    size) for mid-size non-PROMO parts, excluding blacklisted suppliers
+    (negative balance, standing in for q16's complaint filter) via an
+    anti join. The catalog is the derived lineitem supplier-part pairs;
+    count(DISTINCT) shuffles once on the grouping key."""
+    cat = _supply_catalog(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(9, 14, 19, 23, 36, 45, 49, 3)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        cat.join(F.broadcast(bad), cat.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, cat.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape: suppliers who shipped more than 30% of the 1996
+    volume of any red part — a per-(part, supplier) aggregate compared
+    against a per-part total (grouped agg joined back by part key, the
+    same correlated-threshold-as-join pattern as q2/q17), then a
+    distinct supplier list. Cross-multiplied integer-free compare:
+    10 × supplier-qty > 3 × part-total in exact decimal."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    li_red = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "p_partkey", "l_suppkey", F.col("l_quantity").cast("decimal(18,2)").alias("__qty")
+    )
+    per_supp = li_red.groupBy("p_partkey", "l_suppkey").agg(
+        F.sum("__qty").alias("__supp_qty")
+    )
+    per_part = li_red.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.sum("__qty").alias("__part_qty")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(per_part, per_supp.p_partkey == F.col("__pk"))
+        .filter(F.col("__supp_qty") * 10 > F.col("__part_qty") * 3)
+        .select("l_suppkey")
+        .distinct()
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape reformulated as one aggregation instead of
+    EXISTS/NOT-EXISTS self-joins: for finished multi-supplier orders
+    where exactly one supplier shipped late (> 60 days after the order
+    date), that supplier takes the blame. Per-order supplier/late
+    stats come from a single groupBy over lineitem — the self-join-free
+    plan is what survives 100 TB, where q21's textbook four-way
+    lineitem self-join would shuffle the fact table three times."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("__n_late"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("__late_supp"),
+    )
+    blamed = per_order.filter(
+        (F.col("__n_supp") > 1) & (F.col("__n_late") == 1)
+    ).select(F.col("__late_supp").alias("s_suppkey_blamed"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.groupBy("s_suppkey_blamed")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .join(s, F.col("s_suppkey_blamed") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup at scale (operators/similarity.py
     srp_near_dup): signed-random-projection buckets make the self-join
@@ -2158,6 +2450,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_qty_revenue": q_small_qty_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "embedding_near_dup": q_embedding_near_dup,
+    # -- new this round: remaining TPC-H shapes (q2/q8/q11/q12/q13/q16/
+    #    q20/q21, adapted where the schema lacks partsupp/shipmode)
+    "min_cost_supplier": q_min_cost_supplier,
+    "market_share": q_market_share,
+    "important_parts": q_important_parts,
+    "late_shipment_priority": q_late_shipment_priority,
+    "customer_order_distribution": q_customer_order_distribution,
+    "supplier_part_variety": q_supplier_part_variety,
+    "excess_share_suppliers": q_excess_share_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
     # -- changed this round (need fresh driver rows)
     "ann_lsh_topk": q_ann_lsh_topk,
     "docs_char_entropy": q_docs_char_entropy,
@@ -2717,6 +3019,138 @@ ORACLES: dict[str, str] = {
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         GROUP BY 1 ORDER BY c_mktsegment
+    """,
+    "min_cost_supplier": """
+        WITH cat AS (
+          SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                 round(min(l_extendedprice / l_quantity), 4) AS ps_unit_cost
+          FROM lineitem GROUP BY 1, 2),
+        s AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+          FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'),
+        cat_r AS (
+          SELECT * FROM cat JOIN s ON ps_suppkey = s_suppkey),
+        mn AS (
+          SELECT ps_partkey AS pk, min(ps_unit_cost) AS min_cost
+          FROM cat_r GROUP BY 1)
+        SELECT p_partkey, p_name, s_name, nation,
+               cast(round(s_acctbal, 2) AS DOUBLE) AS s_acctbal,
+               ps_unit_cost AS unit_cost
+        FROM cat_r
+        JOIN mn ON ps_partkey = pk AND ps_unit_cost = min_cost
+        JOIN part ON ps_partkey = p_partkey
+        WHERE p_type = 'LARGE' AND p_size IN (15, 25, 35, 45)
+        ORDER BY s_acctbal DESC, p_partkey, s_name
+    """,
+    "market_share": """
+        SELECT cast(year(o_orderdate) AS BIGINT) AS o_year,
+               cast(round(
+                 sum(cast(CASE WHEN n_name = 'NATION_3'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,4)))
+                 / sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 6) AS DOUBLE) AS mkt_share,
+               cast(round(sum(cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_volume
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND o_custkey IN (
+            SELECT c_custkey FROM customer
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA')
+        GROUP BY 1 ORDER BY o_year
+    """,
+    "important_parts": """
+        WITH per_part AS (
+          SELECT l_partkey, sum(cast(l_extendedprice AS DECIMAL(18,4))) AS value
+          FROM lineitem
+          WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3')
+          GROUP BY 1)
+        SELECT l_partkey AS p_partkey,
+               cast(round(value, 2) AS DOUBLE) AS part_value
+        FROM per_part
+        WHERE value * 1000 > (SELECT sum(value) FROM per_part)
+        ORDER BY part_value DESC, p_partkey
+    """,
+    "late_shipment_priority": """
+        SELECT cast(floor(date_diff('day', o_orderdate, l_shipdate) / 30.0) AS BIGINT) AS latency_bucket,
+               count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_prio_lines,
+               count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_prio_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY 1 ORDER BY latency_bucket
+    """,
+    "customer_order_distribution": """
+        WITH per_cust AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT JOIN orders ON c_custkey = o_custkey
+                          AND o_orderpriority <> '5-LOW'
+          GROUP BY 1)
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust GROUP BY 1
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "supplier_part_variety": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+              FROM lineitem) cat
+        JOIN part ON ps_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+          AND p_size IN (9, 14, 19, 23, 36, 45, 49, 3)
+          AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "excess_share_suppliers": """
+        WITH li_red AS (
+          SELECT p_partkey, l_suppkey, cast(l_quantity AS DECIMAL(18,2)) AS qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+        per_supp AS (
+          SELECT p_partkey, l_suppkey, sum(qty) AS supp_qty
+          FROM li_red GROUP BY 1, 2),
+        per_part AS (
+          SELECT p_partkey AS pk, sum(qty) AS part_qty
+          FROM li_red GROUP BY 1)
+        SELECT DISTINCT s_suppkey, s_name
+        FROM per_supp
+        JOIN per_part ON p_partkey = pk
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE supp_qty * 10 > part_qty * 3
+        ORDER BY s_suppkey
+    """,
+    "waiting_suppliers": """
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                                     THEN l_suppkey END) AS n_late,
+                 max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                          THEN l_suppkey END) AS late_supp
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY 1)
+        SELECT s_name, count(*) AS numwait
+        FROM per_order JOIN supplier ON late_supp = s_suppkey
+        WHERE n_supp > 1 AND n_late = 1
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
     """,
     "embedding_near_dup": f"""
         WITH planes(w, p) AS (VALUES {_lsh_plane_values()}),
