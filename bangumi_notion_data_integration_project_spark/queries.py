@@ -530,6 +530,70 @@ def q_docs_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span fraction — the scalable
+    approximation of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    carve each document into NON-overlapping 20-token windows, count
+    corpus-wide occurrences of each window, and report per document
+    the fraction of its windows that occur more than once anywhere.
+
+    Scale shape: the exploded span table has tokens/20 rows — 5% of
+    token volume, linear in corpus size — and both shuffles key on the
+    span text (span-count aggregate, then a co-partitioned join back).
+    No pairwise comparisons anywhere. A production run would group on
+    xxhash64(span) to keep shuffle rows narrow; the span string is kept
+    here so the DuckDB oracle compares byte-identical keys."""
+    W = 20
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens("text")
+    n_spans = F.floor(F.size(toks) / W).cast("int")
+    idx = F.when(n_spans > 0, F.sequence(F.lit(0), n_spans - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i * W + 1, W), " "))
+        ).alias("span"),
+    )
+    counts = spans.groupBy("span").agg(F.count("*").alias("__cnt"))
+    return (
+        spans.join(counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_spans"),
+            F.count_if(F.col("__cnt") > 1).cast("long").alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length distribution in power-of-two buckets —
+    the corpus-profiling readout that precedes any length-based filter
+    or packing decision. One narrow scan, one small-key aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    n = token_count("text")
+    # floor(log2(n)) via bit length — exact integer math, immune to the
+    # cross-engine float drift of log2() at exact powers of two
+    bucket = F.when(n == 0, F.lit(-1)).otherwise(
+        F.length(F.bin(n)) - 1
+    ).cast("long")
+    return (
+        d.groupBy(F.col("lang"), bucket.alias("log2_tokens"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(n).cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "log2_tokens")
+    )
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic with argmax CASE."""
     d = load_table(spark, sf_dir, "documents")
@@ -1477,32 +1541,56 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dedup: 3-gram shingles → exact-Jaccard pairs
-    (≥ 0.6) → transitive closure (operators/components.py) → keeper =
-    min doc_id per cluster. This is the full training-data dedup recipe
-    in one plan; at scale the pairwise stage is replaced by MinHash-LSH
-    candidates (minhash_lsh_pairs) feeding the same closure + keeper
-    tail. Bounded sample keeps the O(n²) oracle tractable."""
+    """End-to-end near-dedup over the WHOLE corpus (no sample cap):
+    3-gram shingles → inverted shingle index (explode + equi-join — the
+    candidate generator; replaces the quadratic all-pairs comparison) →
+    exact Jaccard from per-pair co-occurrence counts → transitive
+    closure (operators/components.py) → keeper = min doc_id per
+    cluster. Shingles with document frequency above DF_CAP are dropped
+    from the index before pairing (boilerplate guard: one hot shingle
+    contributes df² candidate rows, so at 100 TB a stopword 3-gram
+    would dominate the shuffle; dropping it only loses pairs whose
+    entire overlap is that boilerplate). Every stage is a
+    key-partitioned equi-join or aggregate — nothing is O(n²) in
+    documents, and the same plan is the production path (MinHash-LSH,
+    minhash_lsh_pairs, trades exactness for a constant-factor cheaper
+    index when corpora get huge)."""
     from .operators.components import dedup_clusters
     from .operators.dedup import word_shingles
 
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    sh = d.select("doc_id", word_shingles("text", 3).alias("sh"))
-    # the filtered sample collapses to one scan partition; spread the
-    # streamed side so the pairwise stage uses every core
-    fanout = spark.sparkContext.defaultParallelism
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")).repartition(fanout)
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    # size-ratio prune inside the join condition: jaccard(A,B) is at
-    # most min(|A|,|B|)/max(|A|,|B|), so mismatched sizes can't pass
-    # the threshold — the expensive array_intersect never runs for them
-    sa, sb = F.size("sh_a"), F.size("sh_b")
-    ratio_ok = F.least(sa, sb) >= 0.6 * F.greatest(sa, sb)
+    DF_CAP = 1000  # never binds at test SFs; bounds hot-key fanout at scale
+    d = load_table(spark, sf_dir, "documents")
+    # the exploded index feeds four consumers (df-filter, both join
+    # sides, sizes); checkpoint it so the shingle regex+transform runs
+    # once per document, not once per consumer subtree
+    sh = d.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+    ).localCheckpoint(eager=False)
+    ok = sh.groupBy("s").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") <= DF_CAP
+    )
+    idx = sh.join(ok.select("s"), "s", "left_semi").localCheckpoint(eager=False)
+    inter = (
+        idx.select(F.col("doc_id").alias("id_a"), "s")
+        .join(idx.select(F.col("doc_id").alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("__n"))
     pairs = (
-        a.join(b, (F.col("id_a") < F.col("id_b")) & ratio_ok)
-        .filter(F.when(union > 0, inter / union).otherwise(F.lit(0.0)) >= 0.6)
+        inter.join(
+            sizes.select(F.col("doc_id").alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .filter(
+            F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+            >= 0.6
+        )
         .select("id_a", "id_b")
     )
     clustered = dedup_clusters(pairs, d.select("doc_id"), id_col="doc_id")
@@ -2460,6 +2548,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_part_variety": q_supplier_part_variety,
     "excess_share_suppliers": q_excess_share_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
+    # -- new this round: exact-substring-dedup approximation + corpus
+    #    length profile
+    "docs_dup_spans": q_docs_dup_spans,
+    "docs_length_histogram": q_docs_length_histogram,
     # -- changed this round (need fresh driver rows)
     "ann_lsh_topk": q_ann_lsh_topk,
     "docs_char_entropy": q_docs_char_entropy,
@@ -3134,6 +3226,34 @@ ORACLES: dict[str, str] = {
         WHERE supp_qty * 10 > part_qty * 3
         ORDER BY s_suppkey
     """,
+    "docs_dup_spans": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents),
+        spans AS (
+          SELECT doc_id,
+                 array_to_string(t[u.n * 20 + 1 : u.n * 20 + 20], ' ') AS span
+          FROM toks, unnest(range(0, len(t) // 20)) AS u(n)),
+        cnt AS (SELECT span, count(*) AS c FROM spans GROUP BY 1)
+        SELECT doc_id, count(*) AS n_spans,
+               count(*) FILTER (c > 1) AS n_dup_spans,
+               round(cast(count(*) FILTER (c > 1) AS DOUBLE) / count(*), 6) AS dup_span_frac
+        FROM spans JOIN cnt USING (span)
+        GROUP BY 1 ORDER BY doc_id
+    """,
+    "docs_length_histogram": """
+        WITH n AS (
+          SELECT lang,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok
+          FROM documents)
+        SELECT lang,
+               CASE WHEN ntok = 0 THEN cast(-1 AS BIGINT)
+                    ELSE cast(length(printf('%b', ntok)) - 1 AS BIGINT) END AS log2_tokens,
+               count(*) AS n_docs,
+               cast(sum(ntok) AS BIGINT) AS total_tokens
+        FROM n GROUP BY 1, 2 ORDER BY lang, log2_tokens
+    """,
     "waiting_suppliers": """
         WITH per_order AS (
           SELECT l_orderkey,
@@ -3667,27 +3787,34 @@ ORACLES: dict[str, str] = {
     "dedup_near_pipeline": """
         WITH RECURSIVE
         sh AS (
-          SELECT doc_id,
+          SELECT doc_id, unnest(
                  list_distinct(list_transform(
                    range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) - 2, 0) + 1),
                    i -> concat(
                      string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i], ' ',
                      string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i+1], ' ',
-                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i+2]))) AS s
-          FROM documents WHERE doc_id < 300),
+                     string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')[i+2])))) AS s
+          FROM documents),
+        ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+        idx AS (SELECT doc_id, s FROM sh WHERE s IN (SELECT s FROM ok)),
+        inter AS (
+          SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS c
+          FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
         pairs AS (
-          SELECT a.doc_id AS u, b.doc_id AS v
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) > 0
-            AND cast(len(list_intersect(a.s, b.s)) AS DOUBLE)
-                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6),
+          SELECT u, v
+          FROM inter
+          JOIN sizes sa ON u = sa.doc_id
+          JOIN sizes sb ON v = sb.doc_id
+          WHERE cast(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6),
         sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
         reach AS (SELECT u, v FROM sym
                   UNION SELECT r.u, s2.v FROM reach r JOIN sym s2 ON r.v = s2.u)
         SELECT d.doc_id,
                least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id,
                d.doc_id = least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS is_keeper
-        FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+        FROM (SELECT doc_id FROM documents) d
         LEFT JOIN reach r ON r.u = d.doc_id
         GROUP BY d.doc_id ORDER BY d.doc_id
     """,

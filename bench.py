@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     "promo_revenue",
     "large_volume_customers",
     "embedding_near_dup",
+    "docs_dup_spans",
+    "market_share",
+    "min_cost_supplier",
+    "customer_order_distribution",
+    "waiting_suppliers",
 ]
 
 
