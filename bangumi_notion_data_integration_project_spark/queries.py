@@ -2517,6 +2517,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_tfidf_topk": q_docs_tfidf_topk,
     "events_retention": q_events_retention,
     "event_sliding_window": q_event_sliding_window,
+    # -- changed this round (need fresh driver rows)
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "docs_char_entropy": q_docs_char_entropy,
+    "coalesce_display": q_coalesce_display,
     # -- new this round: ANN recall harness (hash-checked ANN tier)
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -2552,10 +2556,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    length profile
     "docs_dup_spans": q_docs_dup_spans,
     "docs_length_histogram": q_docs_length_histogram,
-    # -- changed this round (need fresh driver rows)
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "docs_char_entropy": q_docs_char_entropy,
-    "coalesce_display": q_coalesce_display,
     # -- high-value round-1-green fill for the checked window
     "category_summary": q_category_summary,
     "revenue_by_nation": q_revenue_by_nation,
