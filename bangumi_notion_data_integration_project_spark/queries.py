@@ -573,6 +573,27 @@ def q_docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking (operators/chunking.py): 128-token windows
+    with 16-token overlap, one output row per chunk. Map-only — no
+    shuffle before the presentation sort; chunk text is reported as an
+    md5 so the compared rows stay narrow while still pinning the exact
+    chunk content."""
+    from .operators.chunking import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        chunk_documents(d, chunk_size=128, overlap=16)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.md5("chunk_text").alias("chunk_hash"),
+            "n_chunk_tokens",
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 def q_docs_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-length distribution in power-of-two buckets —
     the corpus-profiling readout that precedes any length-based filter
@@ -2556,6 +2577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    length profile
     "docs_dup_spans": q_docs_dup_spans,
     "docs_length_histogram": q_docs_length_histogram,
+    "docs_chunks": q_docs_chunks,
     # -- high-value round-1-green fill for the checked window
     "category_summary": q_category_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3240,6 +3262,22 @@ ORACLES: dict[str, str] = {
                round(cast(count(*) FILTER (c > 1) AS DOUBLE) / count(*), 6) AS dup_span_frac
         FROM spans JOIN cnt USING (span)
         GROUP BY 1 ORDER BY doc_id
+    """,
+    "docs_chunks": """
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0),
+        nc AS (
+          SELECT doc_id, t,
+                 1 + (greatest(len(t) - 128, 0) + 112 - 1) // 112 AS n_chunks
+          FROM toks),
+        ch AS (
+          SELECT doc_id, u.i AS chunk_id,
+                 array_to_string(t[u.i * 112 + 1 : u.i * 112 + 128], ' ') AS chunk_text
+          FROM nc, unnest(range(0, n_chunks)) AS u(i))
+        SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_hash,
+               len(string_split(chunk_text, ' ')) AS n_chunk_tokens
+        FROM ch ORDER BY doc_id, chunk_id
     """,
     "docs_length_histogram": """
         WITH n AS (
