@@ -153,3 +153,46 @@ def test_similarity_corpus_never_shuffles(spark):
     assert schemas and all(
         {c.split(":")[0] for c in s.split(",")} <= {"vec_id", "embedding"} for s in schemas
     )
+
+
+def test_near_dedup_pipeline_has_no_pairwise_join(spark):
+    """The inverted-index near-dedup must pair documents ONLY through
+    shingle equi-joins — a CartesianProduct or BroadcastNestedLoopJoin
+    anywhere means the all-pairs formulation snuck back in and the plan
+    is O(n²) at corpus scale."""
+    plan = _plan(spark, "dedup_near_pipeline")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_spans_is_equi_join_only(spark):
+    """Duplicated-span detection joins on the span text (equi); the
+    span count aggregate must be partial+final so the corpus-wide
+    count never funnels to one task."""
+    plan = _plan(spark, "docs_dup_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_chunking_is_map_only(spark):
+    """Overlap chunking must be a generate/project pipeline with no
+    exchange before the presentation sort — a shuffle in a chunker
+    would move the whole corpus for no reason."""
+    plan = _plan(spark, "docs_chunks")
+    assert "Generate" in plan  # posexplode
+    # the only exchange allowed is the final orderBy's range partition
+    import re as _re
+
+    exchanges = _re.findall(r"Exchange (\w+)", plan)
+    assert all("range" in e.lower() for e in exchanges), exchanges
+
+
+def test_waiting_suppliers_single_lineitem_pass(spark):
+    """q21 reformulation: lineitem must be scanned once (the textbook
+    EXISTS/NOT-EXISTS shape scans it three times)."""
+    plan = _plan(spark, "waiting_suppliers")
+    assert plan.count("Location: InMemoryFileIndex") <= 3  # lineitem+orders+supplier
+    schemas = _read_schemas(plan)
+    li_scans = [s for s in schemas if "l_orderkey" in s]
+    assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"

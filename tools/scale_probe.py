@@ -39,6 +39,10 @@ PROBED = [
     "running_revenue",
     "dedup_exact",
     "vocab_topk",
+    "docs_dup_spans",
+    "market_share",
+    "customer_order_distribution",
+    "waiting_suppliers",
 ]
 SCALED_TABLES = {
     "lineitem": "l_orderkey",
