@@ -61,7 +61,12 @@ def word_shingles(text: Column | str, n: int = 3) -> Column:
     toks = F.split(normalized_text(text), " ")
 
     def grams_of(t: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+        # guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]), so a
+        # document shorter than n tokens must yield an empty index list
+        # (element_at(t, 0) raises), not a two-element one
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
         return F.array_distinct(
             F.transform(
                 idx, lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])

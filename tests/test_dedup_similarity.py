@@ -185,3 +185,19 @@ def test_srp_near_dup_is_subset_of_all_pairs(spark, sf_dir):
     for id_a, id_b, cos in got:
         assert all_pairs[(id_a, id_b)] >= 0.3
         assert abs(all_pairs[(id_a, id_b)] - cos) < 1e-6
+
+
+def test_word_shingles_short_docs_empty(spark):
+    """Docs shorter than the shingle width yield [] (the oracle's
+    range(1,1) semantics), not an element_at(0) crash."""
+    from bangumi_notion_data_integration_project_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "solo"), (3, ""), (4, "a b c")],
+        "id long, text string",
+    )
+    rows = {r.id: r.sh for r in df.select("id", word_shingles("text", 3).alias("sh")).collect()}
+    assert rows[1] == []
+    assert rows[2] == []
+    assert rows[3] == []
+    assert rows[4] == ["a b c"]
