@@ -45,7 +45,9 @@ def chunk_documents(
     stride = chunk_size - overlap
 
     toks = tokens(text_col)
-    n = F.size(toks)
+    # NULL text → size() is NULL → treat as empty (no chunks), matching
+    # the blank-text path
+    n = F.coalesce(F.size(toks), F.lit(0))
     # 1 + ceil((n - chunk_size) / stride) chunks, in pure int math:
     # ceil(a/s) == floor((a + s - 1) / s) for a >= 0
     extra = F.greatest(n - chunk_size, F.lit(0))

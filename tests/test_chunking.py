@@ -63,3 +63,9 @@ def test_every_token_covered(spark):
 def test_overlap_must_be_smaller():
     with pytest.raises(ValueError):
         chunk_documents(None, chunk_size=8, overlap=8)
+
+
+def test_null_text_no_chunks(spark):
+    df = spark.createDataFrame([(1, None), (2, "a b")], "doc_id long, text string")
+    rows = chunk_documents(df, chunk_size=4, overlap=1).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 2
