@@ -945,6 +945,30 @@ def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "order_seq")
 
 
+def q_customer_balance_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family analytic windows (percent_rank, cume_dist, dense
+    rank) — partitioned by market segment so every window task holds
+    one segment's customers, never the global table. Ties share ranks
+    deterministically; the ORDER BY includes the key so row output is
+    total-ordered."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).cast("double").alias("acctbal"),
+            F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+            F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        )
+        .filter(F.col("bal_dense_rank") <= 10)
+        .orderBy("c_mktsegment", "bal_dense_rank", "c_custkey")
+    )
+
+
 def q_latest_event_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """arg-max aggregation (max_by): latest event per type without a
     window pass — single partial+final agg, no row_number shuffle."""
@@ -2610,6 +2634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_length_histogram": q_docs_length_histogram,
     "docs_chunks": q_docs_chunks,
     "minhash_lsh_verified": q_minhash_lsh_verified,
+    "customer_balance_ranks": q_customer_balance_ranks,
     # -- high-value round-1-green fill for the checked window
     "category_summary": q_category_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3310,6 +3335,20 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_hash,
                len(string_split(chunk_text, ' ')) AS n_chunk_tokens
         FROM ch ORDER BY doc_id, chunk_id
+    """,
+    "customer_balance_ranks": """
+        WITH ranked AS (
+          SELECT c_mktsegment, c_custkey,
+                 cast(round(c_acctbal, 2) AS DOUBLE) AS acctbal,
+                 cast(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+                 round(percent_rank() OVER w, 6) AS bal_pct_rank,
+                 round(cume_dist() OVER w, 6) AS bal_cume_dist
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment
+                       ORDER BY c_acctbal DESC, c_custkey))
+        SELECT * FROM ranked
+        WHERE bal_dense_rank <= 10
+        ORDER BY c_mktsegment, bal_dense_rank, c_custkey
     """,
     "minhash_lsh_verified": """
         WITH sh AS (
