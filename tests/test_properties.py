@@ -134,3 +134,35 @@ def test_asof_join_matches_bisect_reference(spark, seed):
         if got[lid] != expected[lid]
     }
     assert not mismatches, mismatches
+
+
+def _py_chunks(toks, w, s):
+    if not toks:
+        return []
+    n = len(toks)
+    n_chunks = 1 + max(0, -(-(n - w) // s)) if n > w else 1
+    return [toks[i * s : i * s + w] for i in range(n_chunks)]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_chunking_matches_python_reference(spark, seed):
+    from bangumi_notion_data_integration_project_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    rng = random.Random(seed)
+    docs = []
+    for i in range(12):
+        n = rng.choice([0, 1, 3, 15, 16, 17, 31, 64, 200])
+        docs.append((i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    w, s = 16, 12  # chunk 16, overlap 4
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in chunk_documents(df, chunk_size=w, overlap=w - s).collect()
+    }
+    want = {}
+    for i, text in docs:
+        for ci, ch in enumerate(_py_chunks(text.split() if text else [], w, s)):
+            want[(i, ci)] = " ".join(ch)
+    assert got == want
