@@ -717,6 +717,32 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH mode (same operator Structured
+    Streaming uses, so the batch result is the replay-equivalence
+    baseline for streaming/incremental.sessionized_counts). Session =
+    events whose half-open [ts, ts+gap) intervals chain; the oracle is
+    the classic lag+cumsum islands formulation with the matching
+    ``>= gap`` break rule — two independent formulations, two engines,
+    one hash."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-join star aggregation (the join shapes the reference's
     merge uses, M1-M3, composed at analytical scale): fact ⋈ fact ⋈
@@ -2635,6 +2661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_chunks": q_docs_chunks,
     "minhash_lsh_verified": q_minhash_lsh_verified,
     "customer_balance_ranks": q_customer_balance_ranks,
+    "events_session_window": q_events_session_window,
     # -- high-value round-1-green fill for the checked window
     "category_summary": q_category_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3335,6 +3362,26 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, chunk_id, md5(chunk_text) AS chunk_hash,
                len(string_split(chunk_text, ' ')) AS n_chunk_tokens
         FROM ch ORDER BY doc_id, chunk_id
+    """,
+    "events_session_window": """
+        WITH o AS (
+          SELECT user_id, ts, value, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        g AS (
+          SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+        SELECT user_id,
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts)) + 1800000000 AS session_end_us,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM g GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us
     """,
     "customer_balance_ranks": """
         WITH ranked AS (
