@@ -2291,12 +2291,13 @@ def _supply_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q2 shape: the minimum-cost supplier for each large part
-    within one region — a per-part correlated min computed as a grouped
-    aggregate joined back on equality (no correlated subquery executes
-    per row; the min table is one row per part and joins by key).
-    Region restriction applies to BOTH the candidate suppliers and the
-    min (as in q2's correlated subquery). The rounded unit cost makes
-    the equality engine-stable."""
+    within one region. The per-part correlated min is a window MIN over
+    a partition-keyed window (one lineitem scan, one shuffle on the
+    part key) rather than a grouped-aggregate-joined-back — same
+    result, but the derived catalog is computed once instead of on both
+    sides of a self-join. Region restriction applies to BOTH the
+    candidate suppliers and the min (as in q2's correlated subquery).
+    The rounded unit cost makes the equality engine-stable."""
     cat = _supply_catalog(spark, sf_dir)
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -2309,18 +2310,13 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
     )
     cat_r = cat.join(s, cat.ps_suppkey == s.s_suppkey)
-    mn = cat_r.groupBy(F.col("ps_partkey").alias("__pk")).agg(
-        F.min("ps_unit_cost").alias("__min_cost")
-    )
+    w_part = Window.partitionBy("ps_partkey")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "LARGE") & F.col("p_size").isin(15, 25, 35, 45)
     ).select("p_partkey", "p_name")
     return (
-        cat_r.join(
-            mn,
-            (cat_r.ps_partkey == mn.__pk)
-            & (cat_r.ps_unit_cost == mn.__min_cost),
-        )
+        cat_r.withColumn("__min_cost", F.min("ps_unit_cost").over(w_part))
+        .filter(F.col("ps_unit_cost") == F.col("__min_cost"))
         .join(p, cat_r.ps_partkey == p.p_partkey)
         .select(
             "p_partkey",
