@@ -2542,10 +2542,17 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = li.join(o, li.l_orderkey == o.o_orderkey)
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-    per_order = j.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("__n_supp"),
-        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("__n_late"),
-        F.max(F.when(late, F.col("l_suppkey"))).alias("__late_supp"),
+    # two plain aggregations instead of two COUNT(DISTINCT)s: the
+    # distinct-agg plan Expands every joined row 2× before the shuffle;
+    # pre-deduping to one row per (order, supplier) keeps the exchange
+    # at catalog cardinality and needs no Expand at all
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("__late")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("__n_supp"),
+        F.sum("__late").alias("__n_late"),
+        F.max(F.when(F.col("__late") == 1, F.col("l_suppkey"))).alias("__late_supp"),
     )
     blamed = per_order.filter(
         (F.col("__n_supp") > 1) & (F.col("__n_late") == 1)
