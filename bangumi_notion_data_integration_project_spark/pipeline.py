@@ -120,14 +120,26 @@ def load_warehouse(tables: dict[str, DataFrame], warehouse_dir: str) -> dict[str
     """Stage 3a: column-pruned analytics + raw tables to the warehouse
     (parquet stands in for the JDBC target; the sink choice is a
     one-line swap to ``sinks.jdbc.write_jdbc``)."""
+    from pyspark.sql import Observation
+
     analytics = tables["analytics"]
     keep_dropping = [c for c in WAREHOUSE_DROPPED_COLS if c in analytics.columns]
     slim = analytics.drop(*keep_dropping)
+    # single-pass metrics (SURVEY §2.5 A5): df.observe piggybacks the
+    # counts on the write action itself — the reference's len(df)
+    # bookkeeping without a second scan of the table
+    obs = Observation("warehouse_metrics")
+    metric_cols = [F.count(F.lit(1)).alias("n_rows")]
+    if "subject_id" in slim.columns:
+        metric_cols.append(
+            F.count_if(F.col("subject_id").isNull()).alias("null_keys")
+        )
+    slim = slim.observe(obs, *metric_cols)
     slim.write.mode("overwrite").parquet(os.path.join(warehouse_dir, "fact_view_logs"))
     tables["raw"].write.mode("overwrite").parquet(
         os.path.join(warehouse_dir, "fact_view_logs_raw")
     )
-    return {"analytics_cols_dropped": len(keep_dropping)}
+    return {"analytics_cols_dropped": len(keep_dropping), **obs.get}
 
 
 def incremental_load(

@@ -92,7 +92,9 @@ def test_export_writes_bom_csvs(tables, tmp_path):
 
 def test_load_warehouse_prunes_columns(spark, tables, tmp_path):
     wh = str(tmp_path / "wh")
-    pipeline.load_warehouse(tables, wh)
+    stats = pipeline.load_warehouse(tables, wh)
+    # observe() metrics ride the write action: row count with no extra scan
+    assert stats["n_rows"] == 5
     loaded = spark.read.parquet(os.path.join(wh, "fact_view_logs"))
     assert "tag_1_name" not in loaded.columns
     assert "all_tags" in loaded.columns and "name_cn" in loaded.columns
