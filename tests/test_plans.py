@@ -196,3 +196,19 @@ def test_waiting_suppliers_single_lineitem_pass(spark):
     schemas = _read_schemas(plan)
     li_scans = [s for s in schemas if "l_orderkey" in s]
     assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
+
+
+def test_waiting_suppliers_no_expand(spark):
+    """The q21 shape must keep its two-level plain aggregation — a
+    COUNT(DISTINCT) rewrite would Expand every joined row before the
+    shuffle (2× exchange volume on the biggest join in the query)."""
+    plan = _plan(spark, "waiting_suppliers")
+    assert "Expand" not in plan
+
+
+def test_min_cost_supplier_single_catalog_pass(spark):
+    """q2 shape: the derived supplier-part catalog must be computed
+    once (window min), not once per side of a min-equality self-join."""
+    schemas = _read_schemas(_plan(spark, "min_cost_supplier"))
+    li_scans = [s for s in schemas if "l_partkey" in s and "l_quantity" in s]
+    assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
