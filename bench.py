@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "min_cost_supplier",
     "customer_order_distribution",
     "waiting_suppliers",
+    "events_session_window",
+    "docs_chunks",
+    "minhash_lsh_verified",
 ]
 
 
