@@ -86,6 +86,19 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE_P)
 
 
+def minhash_permutations(num_hashes: int = 32, seed: int = 42) -> list[tuple[int, int]]:
+    """The (a, b) constants of the (a*x+b) mod p permutation family —
+    one deterministic stream shared by the HOF signature expression and
+    the aggregate-form signature so both produce identical values."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature(hashes_col: str, num_hashes: int = 32, seed: int = 42) -> Column:
     """num_hashes-wide MinHash signature via (a*x+b) mod p permutations
     over a pre-hashed shingle column (see shingle_hashes).
@@ -97,14 +110,15 @@ def minhash_signature(hashes_col: str, num_hashes: int = 32, seed: int = 42) -> 
     where it is re-evaluated once per permutation per row (measured
     ~20x regression). The multi-reference form pins ``hashes_col`` as a
     materialized projection; per-expression ``F.expr`` keeps the
-    driver-side build to one parse call each."""
-    import random
+    driver-side build to one parse call each.
 
-    rng = random.Random(seed)
+    NOTE: higher-order functions never enter whole-stage codegen, so
+    this per-row form runs interpreted. For bulk signature computation
+    use the explode + MIN-aggregate form in ``minhash_lsh_candidates``
+    (identical values, ~10x faster); this expression form remains for
+    single-pass per-row contexts."""
     mins = []
-    for _ in range(num_hashes):
-        a = rng.randrange(1, _MERSENNE_P)
-        b = rng.randrange(0, _MERSENNE_P)
+    for a, b in minhash_permutations(num_hashes, seed):
         mins.append(
             f"array_min(transform({hashes_col}, h -> (h * {a}L + {b}L) % {_MERSENNE_P}))"
         )
@@ -132,32 +146,58 @@ def minhash_lsh_candidates(
     # Shingle hashing without building shingle strings: hash each token
     # once, then hash each n-consecutive-token-hash window (xxhash64 is
     # variadic). Equivalent de-dup behavior to hashing "w1 w2 w3"
-    # strings, minus the per-shingle concat allocation. __th is
-    # deliberately referenced twice (size + element_at) so
-    # CollapseProject cannot inline the token-hash pass into the
-    # shingle lambda.
+    # strings, minus the per-shingle concat allocation. The token-hash
+    # array is bound as a LAMBDA VARIABLE (one-element array transform,
+    # same trick as word_shingles): binding it as a named projection
+    # column instead invites CollapseProject to inline the token-hash
+    # transform into every element_at of the gram lambda — the token
+    # pass then reruns ~3× per gram (measured 4-5× slowdown).
     window_args = ", ".join(f"element_at(__th, i + {j})" for j in range(shingle_n))
+    tok_hash_expr = (
+        f"transform(split(lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))), ' '), "
+        "t -> xxhash64(t))"
+    )
     shingle_hash_expr = (
+        f"transform(array({tok_hash_expr}), __th -> "
         f"if(size(__th) < {shingle_n}, array(), "
         f"array_distinct(transform(sequence(1, size(__th) - {shingle_n - 1}), "
-        f"i -> abs(xxhash64({window_args})) % {_MERSENNE_P})))"
+        f"i -> abs(xxhash64({window_args})) % {_MERSENNE_P}))))[0]"
     )
-    banded = (
+    hashed = (
         df.select(
             F.col(id_col).alias("__id"),
-            F.expr(
-                f"transform(split(lower(trim(regexp_replace({text_col}, '\\\\s+', ' '))), ' '), "
-                "t -> xxhash64(t))"
-            ).alias("__th"),
+            F.expr(shingle_hash_expr).alias("__hashes"),
         )
-        .select("__id", F.expr(shingle_hash_expr).alias("__hashes"))
         # docs shorter than shingle_n tokens have no shingles: every
         # signature slot would be array_min([]) = NULL, all such docs
         # would share one band bucket, and that single unbounded bucket
         # yields |bucket|^2 spurious pairs — drop them before banding
         # (they cannot be meaningful near-dup candidates anyway)
         .filter(F.size("__hashes") > 0)
-        .select("__id", minhash_signature("__hashes", num_hashes).alias("__sig"))
+    )
+    # Signature via explode + 32 MIN aggregates, not the per-row HOF
+    # expression: higher-order functions are excluded from whole-stage
+    # codegen, so 32 × transform() per row runs interpreted (~10x
+    # slower measured). Exploding the distinct shingle hashes and
+    # taking partial+final MINs keeps the whole stage in generated
+    # code; map-side combine collapses to one row per document before
+    # the exchange. Values are identical — same permutation constants
+    # over the same hash set.
+    perms = minhash_permutations(num_hashes)
+    exploded = hashed.select("__id", F.explode("__hashes").alias("__h"))
+    sig_mins = exploded.groupBy("__id").agg(
+        *[
+            F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(
+                f"__m{i}"
+            )
+            for i, (a, b) in enumerate(perms)
+        ]
+    )
+    banded = (
+        sig_mins.select(
+            "__id",
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
+        )
         .select(
             "__id",
             # per-band expressions reference __sig multiple times on
