@@ -28,7 +28,32 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# fact-sized tables worth spreading; dims stay as-is (they broadcast,
+# and a pre-broadcast exchange would only add a stage)
+SPREAD_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
+
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Unlock scan-side parallelism for single-file test fixtures.
+
+    The driver testdata ships ONE parquet file with ONE row group per
+    table, so the scan (and everything Catalyst collapses into it —
+    projections, explodes, per-row hashing) runs as a SINGLE task no
+    matter how many cores the session has. Parquet can only split at
+    row-group boundaries, so no ``maxPartitionBytes`` setting helps. On
+    a real corpus the file count provides the parallelism and this
+    function is a structural no-op (the condition is false — no
+    exchange appears in the plan); on the fixtures it pays one tiny
+    round-robin shuffle of the raw scan output to put all cores to
+    work."""
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool = True
+) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
@@ -42,8 +67,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if spread and name in SPREAD_TABLES:
+        return _spread(spark, df)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -268,6 +268,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def simhash64_docs(
+    df: DataFrame, text_col: str, id_col: str, token_hash_bits: int = 64
+) -> DataFrame:
+    """Bulk SimHash: (id, simhash) for every row of ``df``.
+
+    Same per-bit majority vote as :func:`simhash64`, but computed as
+    explode + 64 per-bit SUM aggregates instead of a per-row
+    higher-order fold — HOFs never enter whole-stage codegen, so the
+    fold form runs interpreted (~30× slower on a corpus); the explode
+    form keeps token hashing, bit extraction, and the partial/final
+    sums all in generated code, and the map-side combine collapses to
+    one row per document before the exchange."""
+    bits = token_hash_bits
+    norm = f"lower(trim(regexp_replace({text_col}, '\\\\s+', ' ')))"
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(f"size(split({norm}, ' '))").alias("__n"),
+        F.explode_outer(F.expr(f"split({norm}, ' ')")).alias("__t"),
+    )
+    # hash once per exploded token: aggregate expressions do not share
+    # subexpressions, so putting xxhash64 inside each of the 64 bit
+    # sums would hash every token 64×
+    hashed = toks.select("__id", "__n", F.xxhash64("__t").alias("__h"))
+    counted = hashed.groupBy("__id").agg(
+        F.max("__n").alias("__nt"),
+        *[
+            F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+            for i in range(bits)
+        ],
+    )
+    sig = None
+    for i in range(bits):
+        bit = F.when(
+            F.col(f"__b{i}") * 2 > F.col("__nt"),
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return counted.select(F.col("__id").alias(id_col), sig.alias("simhash"))
+
+
 def simhash64(text_col: str, token_hash_bits: int = 64) -> Column:
     """64-bit SimHash over whitespace tokens.
 

@@ -581,7 +581,12 @@ def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk content."""
     from .operators.chunking import chunk_documents
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread=False: this query showcases the operator's true map-only
+    # shape (no exchange before the presentation sort) — see the plan
+    # test; the single-file fixture keeps it one task locally
+    d = load_table(spark, sf_dir, "documents", spread=False).select(
+        "doc_id", "text"
+    )
     return (
         chunk_documents(d, chunk_size=128, overlap=16)
         .select(
@@ -639,9 +644,29 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive positional rolling-hash fingerprint per document."""
+    """Order-sensitive positional rolling-hash fingerprint per document
+    — same arithmetic as functions.text.positional_fingerprint, but
+    computed as posexplode + SUM aggregate instead of a per-row
+    higher-order fold: HOF lambdas never enter whole-stage codegen
+    (the fold runs interpreted, measured ~30× slower at corpus scale),
+    while explode + partial/final SUM is fully generated code. The sum
+    is order-independent, so the shuffle cannot change the value."""
+    P = 2147483647
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", positional_fingerprint("text").alias("fingerprint")).orderBy("doc_id")
+    toks = d.select(
+        "doc_id", F.posexplode_outer(tokens("text")).alias("__pos", "__tok")
+    )
+    term = (
+        (F.col("__pos") + 1).cast("long")
+        * (F.ascii(F.substring("__tok", 1, 1)).cast("long") * 131 + F.length("__tok"))
+    ) % P
+    return (
+        toks.groupBy("doc_id")
+        .agg(
+            (F.coalesce(F.sum(term), F.lit(0)) % P).cast("long").alias("fingerprint")
+        )
+        .orderBy("doc_id")
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,11 +928,13 @@ def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (rows-only: xxhash64 has no DuckDB
-    equivalent)."""
-    from .operators.dedup import simhash64
+    equivalent). Uses the bulk explode+aggregate form — see
+    operators/dedup.simhash64_docs for why the per-row fold is the
+    wrong shape for corpus-scale scoring."""
+    from .operators.dedup import simhash64_docs
 
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash64("text").alias("simhash")).orderBy("doc_id")
+    return simhash64_docs(d, "text", "doc_id").orderBy("doc_id")
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

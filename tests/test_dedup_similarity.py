@@ -201,3 +201,29 @@ def test_word_shingles_short_docs_empty(spark):
     assert rows[2] == []
     assert rows[3] == []
     assert rows[4] == ["a b c"]
+
+
+def test_simhash_bulk_matches_expression_form(spark):
+    """simhash64_docs (explode+agg codegen path) must produce bit-for-
+    bit the same signatures as the simhash64 per-row expression."""
+    from bangumi_notion_data_integration_project_spark.operators.dedup import (
+        simhash64,
+        simhash64_docs,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content here"),
+        (4, "solo"),
+        (5, ""),
+        (6, "a a a a a a"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    expr_form = {
+        r.doc_id: r.s for r in df.select("doc_id", simhash64("text").alias("s")).collect()
+    }
+    bulk_form = {
+        r.doc_id: r.simhash for r in simhash64_docs(df, "text", "doc_id").collect()
+    }
+    assert expr_form == bulk_form
