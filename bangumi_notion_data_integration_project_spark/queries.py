@@ -759,8 +759,11 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.unix_micros("w.start").alias("session_start_us"),
-            F.unix_micros("w.end").alias("session_end_us"),
+            # session_window preserves the input's TIMESTAMP_NTZ type and
+            # unix_micros only coerces plain TIMESTAMP; the session tz is
+            # UTC-pinned (session.py) so the cast is numerically a no-op.
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
             "n_events",
             "total_value",
         )
