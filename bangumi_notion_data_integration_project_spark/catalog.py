@@ -45,7 +45,16 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     function is a structural no-op (the condition is false — no
     exchange appears in the plan); on the fixtures it pays one tiny
     round-robin shuffle of the raw scan output to put all cores to
-    work."""
+    work.
+
+    The accurate split probe (``df.rdd.getNumPartitions()``) forces a
+    DataFrame→RDD plan conversion on the driver, so it is gated behind a
+    cheap file-count listing: a multi-file table (the real-corpus case)
+    short-circuits without ever touching the RDD API — a big file still
+    splits at row-group boundaries, so few-files ≠ few-splits there and
+    the RDD probe settles it only for genuinely tiny listings."""
+    if len(df.inputFiles()) >= spark.sparkContext.defaultParallelism:
+        return df
     if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         return df.repartition(spark.sparkContext.defaultParallelism)
     return df
@@ -65,8 +74,16 @@ def load_table(
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Fixture generations vary: tz-naive parquet timestamp[us]
+            # loads as TIMESTAMP_NTZ, which unix_micros/to_utc_timestamp
+            # reject outright. Normalize to plain TIMESTAMP once here so
+            # every downstream consumer sees one type; the session is
+            # UTC-pinned (session.py) so the cast is numerically a no-op.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if spread and name in SPREAD_TABLES:

@@ -288,20 +288,38 @@ def simhash64_docs(
         F.explode_outer(F.expr(f"split({norm}, ' ')")).alias("__t"),
     )
     # hash once per exploded token: aggregate expressions do not share
-    # subexpressions, so putting xxhash64 inside each of the 64 bit
-    # sums would hash every token 64×
+    # subexpressions, so putting xxhash64 inside each bit sum would
+    # hash every token once per aggregate
     hashed = toks.select("__id", "__n", F.xxhash64("__t").alias("__h"))
+    # Two bit-counters packed per SUM (32 aggregates, not 64): bit i and
+    # bit i+32 of each token hash ride in the low/high 32-bit lanes of
+    # one int64 accumulator — each lane's count is bounded by the doc's
+    # token count, so lanes can't carry into each other below 2^31
+    # tokens per document (a 16-bit/4-lane packing would overflow at a
+    # realistic 65k-token document, so stop at 2 lanes). Halves the
+    # per-row aggregate-update work; values are bit-identical.
+    half = bits // 2
     counted = hashed.groupBy("__id").agg(
         F.max("__n").alias("__nt"),
         *[
-            F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
-            for i in range(bits)
+            F.sum(
+                F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))
+                + F.shiftleft(
+                    F.shiftright(F.col("__h"), i + half).bitwiseAND(F.lit(1)), 32
+                )
+            ).alias(f"__p{i}")
+            for i in range(half)
         ],
     )
+    lane_mask = F.lit((1 << 32) - 1).cast("long")
     sig = None
     for i in range(bits):
+        packed = F.col(f"__p{i % half}")
+        count = (
+            packed.bitwiseAND(lane_mask) if i < half else F.shiftright(packed, 32)
+        )
         bit = F.when(
-            F.col(f"__b{i}") * 2 > F.col("__nt"),
+            count * 2 > F.col("__nt"),
             F.shiftleft(F.lit(1).cast("long"), i),
         ).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else sig + bit

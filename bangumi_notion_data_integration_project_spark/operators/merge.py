@@ -60,6 +60,88 @@ def merge_snapshot(
     return reduce(lambda a, b: a.unionByName(b), pieces)
 
 
+def merge_scoped(
+    source: DataFrame,
+    target: DataFrame,
+    key: str,
+    partition_col: str,
+    *,
+    delete_absent: bool = True,
+) -> DataFrame:
+    """Post-merge state when the merge is SCOPED to the partitions the
+    source actually touches: affected partitions get full
+    ``merge_snapshot`` semantics; untouched partitions pass through
+    byte-identical. This is the logical core of
+    :func:`merge_into_partitioned` (the partition-scoped MERGE INTO),
+    split out so it is oracle-checkable as a pure query.
+
+    The affected-partition filter is a semi-join on ``partition_col``
+    (never a collected literal list), so on a hive-partitioned target
+    the parquet scan prunes via Dynamic Partition Pruning and the
+    untouched branch's anti-join prunes the same way — at 100 TB the
+    job reads only the partitions the delta names.
+
+    Constraint (same as Delta/Iceberg dynamic overwrite): ``key`` must
+    not migrate between partitions — a key whose partition value
+    changes would leave its old row live in an untouched partition.
+    """
+    touched = source.select(partition_col).distinct()
+    affected = target.join(touched, partition_col, "left_semi")
+    untouched = target.join(touched, partition_col, "left_anti")
+    merged = merge_snapshot(source, affected, key, delete_absent=delete_absent)
+    return merged.unionByName(untouched)
+
+
+def merge_into_partitioned(
+    spark,
+    source: DataFrame,
+    target_path: str,
+    key: str,
+    partition_col: str,
+    *,
+    delete_absent: bool = True,
+) -> None:
+    """Partition-scoped MERGE INTO for a hive-partitioned parquet
+    target — the plain-parquet, Spark-first equivalent of Delta
+    ``MERGE INTO`` (SURVEY §2.6 M6 at warehouse scale; the reference
+    rewrites its whole table on every sync,
+    data_loading_to_mysql_database.py:268 ``if_exists='replace'``).
+
+    Write path: ``partitionOverwriteMode=dynamic`` replaces ONLY the
+    partitions present in the merged output; every other partition's
+    files are never read and never rewritten. Combined with the
+    DPP-pruned read in :func:`merge_scoped`, a delta touching 3 of
+    10 000 date partitions does 3 partitions of I/O, not a 100 TB
+    rewrite.
+
+    Caveats:
+    - ``key`` must not migrate across partitions (see merge_scoped).
+    - Every touched partition keeps ≥1 row by construction (source
+      rows always survive ``merge_snapshot``), so dynamic overwrite
+      replaces exactly the touched partitions — the stale-files case
+      (a partition losing ALL rows) cannot arise from this merge; a
+      full partition truncate is a layout operation (drop the
+      directory), out of scope here.
+    """
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    target = spark.read.parquet(target_path)
+    # The WRITTEN frame must contain ONLY the touched partitions:
+    # dynamic overwrite replaces every partition present in the output,
+    # so unioning the untouched passthrough back in (merge_scoped's
+    # full logical state) would rewrite the whole table — exactly the
+    # I/O this operator exists to avoid.
+    touched = source.select(partition_col).distinct()
+    affected = target.join(touched, partition_col, "left_semi")
+    merged = merge_snapshot(
+        source, affected, key, delete_absent=delete_absent
+    ).localCheckpoint(eager=True)  # sever self-referential read→overwrite lineage
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def merge_scd2(
     history: DataFrame,
     source: DataFrame,

@@ -340,6 +340,25 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_snapshot(source, target, "o_orderkey", delete_absent=False).orderBy("o_orderkey")
 
 
+def q_merge_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE (operators/merge.merge_scoped — the
+    logical core of merge_into_partitioned's dynamic-partition-
+    overwrite write path, the plain-parquet equivalent of Delta
+    MERGE INTO). The source delta names only the URGENT and MEDIUM
+    priority partitions, so full-sync delete semantics apply INSIDE
+    those partitions while every other partition rides through
+    untouched; on a hive-partitioned 100 TB target the paired write
+    path replaces just the touched directories (tests/test_merge.py
+    asserts untouched files keep their mtimes)."""
+    from .operators.merge import merge_scoped
+
+    source, target = _orders_snapshots(spark, sf_dir)
+    src = source.filter(F.col("o_orderpriority").isin("1-URGENT", "3-MEDIUM"))
+    return merge_scoped(
+        src, target, "o_orderkey", "o_orderpriority", delete_absent=True
+    ).orderBy("o_orderkey")
+
+
 def q_dedup_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 — dedup by key, last-write-wins (reference Notion readback
     keyed dict, later pages win: notion_data_ingestion.py:178-181)."""
@@ -727,8 +746,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
+    # Defensive cast: catalog.load_table normalizes ts to TIMESTAMP, but
+    # unix_micros hard-rejects TIMESTAMP_NTZ, so keep the call sites safe
+    # against un-normalized inputs too (UTC session ⇒ numeric no-op).
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.unix_micros(prev.cast("timestamp"))
     new_sess = F.when(
-        prev.isNull() | ((F.unix_micros("ts") - F.unix_micros(prev)) > 1800 * 1_000_000),
+        prev.isNull() | ((ts_us - prev_us) > 1800 * 1_000_000),
         F.lit(1),
     ).otherwise(F.lit(0))
     return (
@@ -759,8 +783,9 @@ def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            # session_window preserves the input's TIMESTAMP_NTZ type and
-            # unix_micros only coerces plain TIMESTAMP; the session tz is
+            # Defensive cast: catalog normalizes ts on load, and both the
+            # NTZ-parquet path (cast) and the nanosAsLong path (already
+            # TIMESTAMP) yield plain TIMESTAMP; the session tz is
             # UTC-pinned (session.py) so the cast is numerically a no-op.
             F.unix_micros(F.col("w.start").cast("timestamp")).alias("session_start_us"),
             F.unix_micros(F.col("w.end").cast("timestamp")).alias("session_end_us"),
@@ -1746,7 +1771,9 @@ def q_events_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_us = 1704067200000000  # 2024-01-01 00:00:00 UTC
     dims = e.select(
         F.col("user_id").alias("x"),
-        F.expr(f"floor((unix_micros(ts) - {base_us}) / 60000000)").alias("y"),
+        F.expr(
+            f"floor((unix_micros(cast(ts as timestamp)) - {base_us}) / 60000000)"
+        ).alias("y"),
     )
     keyed = dims.select(zorder_key("x", "y").alias("z"))
     return (
@@ -2616,72 +2643,16 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks a
-# bounded prefix of this dict (round 1 recorded exactly the first 50
-# entries), so the front of the registry carries (a) the queries that
-# had no driver-issued row in round 1, (b) queries whose plans changed
-# this round, and (c) the new ANN recall harness — everything already
-# green AND unchanged in CORRECTNESS_r01.json sits behind them.
+# bounded prefix of this dict (~50 entries), so the round-3 front
+# carries (a) the 12 queries that have never had a driver-issued row
+# (registry positions 51-62 last round), (b) the 5 queries fixed this
+# round (two TIMESTAMP_NTZ crashes, three oracle HUGEINT/DECIMAL output
+# types) plus rows-only-in-r1 ann_lsh_topk, then (c) the stalest green
+# entries — last checked in round 1 — so every driver row gets
+# refreshed on a two-round cadence. Round-2-green entries sit at the
+# back; they hold the freshest rows.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- round-1 driver-unchecked (registry positions 51-79 last round)
-    "salted_skew_join": q_salted_skew_join,
-    "price_percentiles": q_price_percentiles,
-    "name_edit_distance": q_name_edit_distance,
-    "summary_grouping_sets": q_summary_grouping_sets,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "docs_hash_sample": q_docs_hash_sample,
-    "docs_train_test_split": q_docs_train_test_split,
-    "docs_group_quota": q_docs_group_quota,
-    "docs_pack_bins": q_docs_pack_bins,
-    "docs_quality_bins": q_docs_quality_bins,
-    "dq_report": q_dq_report,
-    "vocab_topk": q_vocab_topk,
-    "dedup_components": q_dedup_components,
-    "orders_above_cust_avg": q_orders_above_cust_avg,
-    "customers_without_orders": q_customers_without_orders,
-    "lineitem_unpivot": q_lineitem_unpivot,
-    "suppliers_per_region": q_suppliers_per_region,
-    "docs_pii_scrub": q_docs_pii_scrub,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "parts_skyline": q_parts_skyline,
-    "incremental_agg_merge": q_incremental_agg_merge,
-    "video_frame_sample": q_video_frame_sample,
-    "image_resize": q_image_resize,
-    "dedup_near_pipeline": q_dedup_near_pipeline,
-    "events_zorder_stats": q_events_zorder_stats,
-    "orders_scd2": q_orders_scd2,
-    "docs_tfidf_topk": q_docs_tfidf_topk,
-    "events_retention": q_events_retention,
-    "event_sliding_window": q_event_sliding_window,
-    # -- changed this round (need fresh driver rows); the hash-checked
-    #    LSH-verified query outranks rows-only ann_lsh_topk for a slot
-    #    inside the driver's checked window
-    "minhash_lsh_verified": q_minhash_lsh_verified,
-    "docs_char_entropy": q_docs_char_entropy,
-    "coalesce_display": q_coalesce_display,
-    # -- new this round: ANN recall harness (hash-checked ANN tier)
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "ann_ivf_recall": q_ann_ivf_recall,
-    # -- new this round: TPC-H q3/q4 shapes + LM quality + data mixing
-    "orders_top_unshipped": q_orders_top_unshipped,
-    "order_priority_counts": q_order_priority_counts,
-    "docs_unigram_logprob": q_docs_unigram_logprob,
-    "docs_stratified_sample": q_docs_stratified_sample,
-    "docs_mixture_weights": q_docs_mixture_weights,
-    # -- new this round: TPC-H q7/q9/q10/q14/q18/q19 shapes + bucketed
-    #    embedding-cosine near-dup (hash-checked scale path)
-    "volume_shipping": q_volume_shipping,
-    "product_profit": q_product_profit,
-    "returned_top_customers": q_returned_top_customers,
-    "promo_revenue": q_promo_revenue,
-    "large_volume_customers": q_large_volume_customers,
-    "brand_disc_revenue": q_brand_disc_revenue,
-    "top_revenue_suppliers": q_top_revenue_suppliers,
-    "small_qty_revenue": q_small_qty_revenue,
-    "idle_rich_customers": q_idle_rich_customers,
-    "embedding_near_dup": q_embedding_near_dup,
-    # -- new this round: remaining TPC-H shapes (q2/q8/q11/q12/q13/q16/
-    #    q20/q21, adapted where the schema lacks partsupp/shipmode)
-    "min_cost_supplier": q_min_cost_supplier,
+    # -- never driver-checked (r2 positions 51-62)
     "market_share": q_market_share,
     "important_parts": q_important_parts,
     "late_shipment_priority": q_late_shipment_priority,
@@ -2689,15 +2660,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_part_variety": q_supplier_part_variety,
     "excess_share_suppliers": q_excess_share_suppliers,
     "waiting_suppliers": q_waiting_suppliers,
-    # -- new this round: exact-substring-dedup approximation + corpus
-    #    length profile
     "docs_dup_spans": q_docs_dup_spans,
     "docs_length_histogram": q_docs_length_histogram,
     "docs_chunks": q_docs_chunks,
     "customer_balance_ranks": q_customer_balance_ranks,
     "events_session_window": q_events_session_window,
+    # -- fixed this round: NTZ normalization (events_*) + oracle output
+    #    casts (docs_*/dq_report); ann_lsh_topk upgrades rows-only→hash
+    "events_zorder_stats": q_events_zorder_stats,
+    "events_sessionize": q_events_sessionize,
+    "docs_train_test_split": q_docs_train_test_split,
+    "docs_pack_bins": q_docs_pack_bins,
+    "dq_report": q_dq_report,
     "ann_lsh_topk": q_ann_lsh_topk,
-    # -- high-value round-1-green fill for the checked window
+    # -- new this round: partition-scoped MERGE INTO (the Delta-style
+    #    merge target, expressed as DPP-pruned read + dynamic overwrite)
+    "merge_partition_scoped": q_merge_partition_scoped,
+    # -- stalest green rows (r1 only) — rotate in for a refresh
     "category_summary": q_category_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "orders_asof_join": q_orders_asof_join,
@@ -2711,10 +2690,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_filter_pipeline": q_docs_filter_pipeline,
     "jaccard_top_pairs": q_jaccard_top_pairs,
     "multimodal_features": q_multimodal_features,
-    "events_sessionize": q_events_sessionize,
     "event_window_agg": q_event_window_agg,
     "embedding_dup_pairs": q_embedding_dup_pairs,
-    # -- round-1-green, unchanged
     "global_summary": q_global_summary,
     "pivot_status": q_pivot_status,
     "rollup_summary": q_rollup_summary,
@@ -2732,6 +2709,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "union_all_counts": q_union_all_counts,
     "cross_join_dims": q_cross_join_dims,
+    # --------- driver checked-window boundary (~position 50) ---------
+    # -- remaining round-1-green, unchanged
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
@@ -2746,6 +2725,53 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "purchases_after_click": q_purchases_after_click,
     "filtered_revenue": q_filtered_revenue,
+    # -- round-2-green (freshest driver rows, unchanged this round)
+    "salted_skew_join": q_salted_skew_join,
+    "price_percentiles": q_price_percentiles,
+    "name_edit_distance": q_name_edit_distance,
+    "summary_grouping_sets": q_summary_grouping_sets,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "docs_hash_sample": q_docs_hash_sample,
+    "docs_group_quota": q_docs_group_quota,
+    "docs_quality_bins": q_docs_quality_bins,
+    "vocab_topk": q_vocab_topk,
+    "dedup_components": q_dedup_components,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "customers_without_orders": q_customers_without_orders,
+    "lineitem_unpivot": q_lineitem_unpivot,
+    "suppliers_per_region": q_suppliers_per_region,
+    "docs_pii_scrub": q_docs_pii_scrub,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "parts_skyline": q_parts_skyline,
+    "incremental_agg_merge": q_incremental_agg_merge,
+    "video_frame_sample": q_video_frame_sample,
+    "image_resize": q_image_resize,
+    "dedup_near_pipeline": q_dedup_near_pipeline,
+    "orders_scd2": q_orders_scd2,
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "events_retention": q_events_retention,
+    "event_sliding_window": q_event_sliding_window,
+    "minhash_lsh_verified": q_minhash_lsh_verified,
+    "docs_char_entropy": q_docs_char_entropy,
+    "coalesce_display": q_coalesce_display,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "orders_top_unshipped": q_orders_top_unshipped,
+    "order_priority_counts": q_order_priority_counts,
+    "docs_unigram_logprob": q_docs_unigram_logprob,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_mixture_weights": q_docs_mixture_weights,
+    "volume_shipping": q_volume_shipping,
+    "product_profit": q_product_profit,
+    "returned_top_customers": q_returned_top_customers,
+    "promo_revenue": q_promo_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "brand_disc_revenue": q_brand_disc_revenue,
+    "top_revenue_suppliers": q_top_revenue_suppliers,
+    "small_qty_revenue": q_small_qty_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
+    "embedding_near_dup": q_embedding_near_dup,
+    "min_cost_supplier": q_min_cost_supplier,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -3035,6 +3061,12 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT t.* FROM target t
         WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    "merge_partition_scoped": _MERGE_CTE + """
+        SELECT * FROM source WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        UNION ALL
+        SELECT * FROM target WHERE o_orderpriority NOT IN ('1-URGENT', '3-MEDIUM')
         ORDER BY o_orderkey
     """,
     "dedup_latest_by_key": """
@@ -3725,7 +3757,7 @@ ORACLES: dict[str, str] = {
         SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '199a'
                     THEN 'test' ELSE 'train' END AS split,
                count(*) AS n_docs,
-               sum(n_chars::BIGINT) AS total_chars
+               cast(sum(n_chars::BIGINT) AS BIGINT) AS total_chars
         FROM documents GROUP BY split ORDER BY split
     """,
     "docs_group_quota": """
@@ -3809,7 +3841,8 @@ ORACLES: dict[str, str] = {
                  cast(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4000) AS BIGINT) AS bin_id
           FROM sized)
-        SELECT lang, shard, bin_id, count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+        SELECT lang, shard, bin_id, count(*) AS n_docs,
+               cast(sum(n_tokens) AS BIGINT) AS bin_tokens
         FROM binned GROUP BY lang, shard, bin_id ORDER BY lang, shard, bin_id
     """,
     "docs_quality_bins": f"""
@@ -3834,11 +3867,12 @@ ORACLES: dict[str, str] = {
     """,
     "dq_report": """
         SELECT count(*) AS n_rows,
-               count_if(o_orderkey IS NULL) AS null_keys,
-               count(*) - count(DISTINCT o_orderkey) AS dup_keys,
-               count_if(o_totalprice <= 0) AS nonpositive_price,
-               count_if(o_orderdate IS NULL) AS null_dates,
-               round(count_if(o_orderkey IS NOT NULL) * 100.0 / count(*), 6) AS key_completeness_pct
+               cast(count_if(o_orderkey IS NULL) AS BIGINT) AS null_keys,
+               cast(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+               cast(count_if(o_totalprice <= 0) AS BIGINT) AS nonpositive_price,
+               cast(count_if(o_orderdate IS NULL) AS BIGINT) AS null_dates,
+               cast(round(count_if(o_orderkey IS NOT NULL) * 100.0 / count(*), 6)
+                    AS DOUBLE) AS key_completeness_pct
         FROM orders
     """,
     "vocab_topk": """

@@ -58,6 +58,84 @@ def test_initial_load_empty_target(spark):
     assert [(r["k"], r["v"]) for r in out.collect()] == [(1, "a")]
 
 
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k: long, v: string, p: string")
+
+
+def test_merge_scoped_untouched_partitions_pass_through(spark):
+    from bangumi_notion_data_integration_project_spark.operators.merge import merge_scoped
+
+    target = _pdf(
+        spark,
+        [(1, "old", "p1"), (2, "keep", "p1"), (3, "zombie", "p2"), (4, "safe", "p3")],
+    )
+    # touches only p1: updates k=1, inserts k=5, implicitly deletes k=2
+    source = _pdf(spark, [(1, "new", "p1"), (5, "ins", "p1")])
+    out = merge_scoped(source, target, "k", "p", delete_absent=True)
+    got = sorted((r.k, r.v, r.p) for r in out.collect())
+    # p2/p3 rows survive untouched even though delete_absent=True —
+    # the delete scope is the touched partitions only
+    assert got == [
+        (1, "new", "p1"),
+        (3, "zombie", "p2"),
+        (4, "safe", "p3"),
+        (5, "ins", "p1"),
+    ]
+
+
+def test_merge_into_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    import os
+
+    from bangumi_notion_data_integration_project_spark.operators.merge import (
+        merge_into_partitioned,
+    )
+
+    path = str(tmp_path / "tgt")
+    _pdf(
+        spark,
+        [(1, "old", "p1"), (2, "gone", "p1"), (3, "keep", "p2"), (4, "keep", "p3")],
+    ).write.partitionBy("p").parquet(path)
+
+    def files_of(part: str) -> dict[str, float]:
+        d = os.path.join(path, f"p={part}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_p2, before_p3 = files_of("p2"), files_of("p3")
+    source = _pdf(spark, [(1, "new", "p1"), (5, "ins", "p1"), (6, "brand", "p4")])
+    merge_into_partitioned(spark, source, path, "k", "p", delete_absent=True)
+
+    got = sorted((r.k, r.v, r.p) for r in spark.read.parquet(path).collect())
+    assert got == [
+        (1, "new", "p1"),  # updated
+        (3, "keep", "p2"),  # untouched partition
+        (4, "keep", "p3"),  # untouched partition
+        (5, "ins", "p1"),  # inserted
+        (6, "brand", "p4"),  # new partition materialized
+    ]
+    # dynamic overwrite must not have rewritten untouched partitions:
+    # identical file names AND mtimes (a rewrite changes both)
+    assert files_of("p2") == before_p2
+    assert files_of("p3") == before_p3
+
+
+def test_merge_into_partitioned_idempotent(spark, tmp_path):
+    from bangumi_notion_data_integration_project_spark.operators.merge import (
+        merge_into_partitioned,
+    )
+
+    path = str(tmp_path / "tgt")
+    _pdf(spark, [(1, "a", "p1"), (2, "b", "p2")]).write.partitionBy("p").parquet(path)
+    source = _pdf(spark, [(1, "x", "p1")])
+    merge_into_partitioned(spark, source, path, "k", "p")
+    merge_into_partitioned(spark, source, path, "k", "p")
+    got = sorted((r.k, r.v, r.p) for r in spark.read.parquet(path).collect())
+    assert got == [(1, "x", "p1"), (2, "b", "p2")]
+
+
 def test_scd2_all_four_transitions(spark):
     from bangumi_notion_data_integration_project_spark.operators.merge import merge_scd2
 

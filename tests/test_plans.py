@@ -206,6 +206,44 @@ def test_waiting_suppliers_no_expand(spark):
     assert "Expand" not in plan
 
 
+def test_events_ts_normalized_to_plain_timestamp(spark):
+    """catalog.load_table must hand every consumer a plain TIMESTAMP
+    ``ts`` regardless of how the fixture generation encoded it —
+    tz-naive parquet timestamp[us] loads as TIMESTAMP_NTZ (which
+    ``unix_micros``/``to_utc_timestamp`` hard-reject, the round-2 bench
+    crash), older fixtures as TIMESTAMP(NANOS)→bigint. The UTC-pinned
+    session makes the normalizing cast numerically a no-op on both
+    paths."""
+    import glob
+    import os
+
+    from bangumi_notion_data_integration_project_spark.catalog import load_table
+
+    for sf_dir in sorted(glob.glob("/root/testdata/sf*")):
+        if not os.path.exists(os.path.join(sf_dir, "events.parquet")):
+            continue
+        df = load_table(spark, sf_dir, "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (
+            f"{sf_dir}: ts is {dict(df.dtypes)['ts']}, expected plain timestamp"
+        )
+
+
+def test_all_queries_analyze_without_exception(spark):
+    """NTZ-landmine sweep (round-2 regression): every registered query
+    must survive Catalyst ANALYSIS on the shipped fixtures. Plan build
+    is cheap (no execution), so one test covers the whole registry and
+    lists every analysis-time failure at once — the two round-2 crashes
+    (`events_sessionize`, `events_zorder_stats`) were exactly this
+    class: a type-rejecting function call only visible at analysis."""
+    failures = []
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, SF_DIR).schema  # noqa: B018 — forces analysis
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {str(e)[:200]}")
+    assert not failures, "analysis-time failures:\n" + "\n".join(failures)
+
+
 def test_min_cost_supplier_single_catalog_pass(spark):
     """q2 shape: the derived supplier-part catalog must be computed
     once (window min), not once per side of a min-equality self-join."""
