@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "events_session_window",
     "docs_chunks",
     "minhash_lsh_verified",
+    "merge_partition_scoped",
 ]
 
 

@@ -33,11 +33,17 @@ PROBED = [
     "category_summary",
     "revenue_by_nation",
     "merge_full_sync",
+    "merge_partition_scoped",
     "order_top_parts",
     "dedup_latest_by_key",
     "events_sessionize",
+    "events_zorder_stats",
     "running_revenue",
     "dedup_exact",
+    "dedup_near_pipeline",
+    "simhash_docs",
+    "minhash_lsh_verified",
+    "embedding_near_dup",
     "vocab_topk",
     "docs_dup_spans",
     "market_share",
@@ -75,9 +81,16 @@ def build_scaled(spark, out_dir: str) -> None:
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     out = {}
     for name in PROBED:
-        QUERIES[name](spark, sf_dir).count()  # warm codegen for this plan
+        # noop sink, NOT count(): under count() Catalyst prunes every
+        # projected column, so signature/fingerprint queries measure
+        # near-zero work (the bench learned this in round 2 — same
+        # honesty rule here)
+        def run():
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+        run()  # warm codegen for this plan
         t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
+        run()
         out[name] = time.perf_counter() - t0
     return out
 
@@ -103,6 +116,18 @@ def main() -> None:
         for name in PROBED:
             r = t10[name] / t1[name] if t1[name] > 0 else float("inf")
             lines.append(f"| {name} | {t1[name]:.2f} | {t10[name]:.2f} | {r:.1f}× |")
+        lines += [
+            "",
+            "Interpretation note: the 10× corpus shifts KEYS but repeats",
+            "BODIES, so every document text occurs 10× — true duplicate",
+            "pairs grow ~quadratically per group (10 copies → 45 pairs).",
+            "Dedup/near-dup queries (`dedup_near_pipeline`,",
+            "`embedding_near_dup`, `minhash_lsh_verified`) therefore do",
+            "legitimately super-linear OUTPUT work on this synthetic blowup;",
+            "their ratios measure result-size growth, not a plan defect —",
+            "on a real corpus the duplicate fraction stays roughly constant",
+            "and these plans scale with it.",
+        ]
         with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"), "w") as f:
             f.write("\n".join(lines) + "\n")
         print("\n".join(lines))
