@@ -26,7 +26,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..atomic import promote_dir, recover_dir, staging_path
-from ..operators.merge import merge_snapshot
+from ..operators.merge import merge_into_partitioned, merge_snapshot
+
+
+def _dedup_last_wins(batch: DataFrame, key: str, dedup_order: str) -> DataFrame:
+    """Within-batch last-write-wins on ``key`` (reference Notion
+    readback :178-181 — later pages win)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(dedup_order).desc())
+    return (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def read_event_stream(spark: SparkSession, input_dir: str, schema: str) -> DataFrame:
@@ -99,14 +112,7 @@ def start_streaming_upsert(
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if dedup_order is not None:
-            from pyspark.sql import Window
-
-            w = Window.partitionBy(key).orderBy(F.col(dedup_order).desc())
-            batch = (
-                batch.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
+            batch = _dedup_last_wins(batch, key, dedup_order)
         # recover_dir restores a complete .tmp/.old sibling if a prior
         # run crashed mid-promotion — without it, a missing _SUCCESS
         # would silently re-initialize and drop all accumulated state
@@ -118,6 +124,54 @@ def start_streaming_upsert(
         tmp = staging_path(target_dir)
         merged.write.mode("overwrite").parquet(tmp)
         promote_dir(tmp, target_dir)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_streaming_partitioned_upsert(
+    stream: DataFrame,
+    target_dir: str,
+    key: str,
+    partition_col: str,
+    checkpoint_dir: str,
+    *,
+    dedup_order: str | None = None,
+):
+    """writeStream.foreachBatch: partition-scoped merge of each
+    micro-batch into a hive-partitioned parquet target
+    (operators/merge.merge_into_partitioned).
+
+    This is the SCALE path next to :func:`start_streaming_upsert`'s
+    whole-target swap-rewrite: each batch reads and rewrites ONLY the
+    partitions it touches, so per-batch I/O is O(touched partitions)
+    — with a date/category partition key, a micro-batch against a
+    100 TB accumulated target does a few directories of work, which is
+    what makes a parquet-target streaming upsert viable at all.
+
+    Exactly-once story: dynamic partition overwrite is not atomic
+    across partitions, but the merge is IDEMPOTENT (re-applying a
+    batch converges to the same state), so Structured Streaming's
+    checkpoint replay after a mid-write crash restores consistency —
+    the foreachBatch contract (at-least-once per batch) composes with
+    idempotent merge to effective exactly-once. ``key`` must not
+    migrate between partitions (merge_into_partitioned contract).
+    """
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if dedup_order is not None:
+            batch = _dedup_last_wins(batch, key, dedup_order)
+        if not os.path.exists(target_dir):
+            batch.write.partitionBy(partition_col).parquet(target_dir)
+        else:
+            merge_into_partitioned(
+                spark, batch, target_dir, key, partition_col, delete_absent=False
+            )
 
     return (
         stream.writeStream.foreachBatch(upsert)

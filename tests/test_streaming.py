@@ -149,6 +149,65 @@ def test_streaming_upsert_two_batches(spark, tmp_path):
     assert os.path.exists(target)
 
 
+def test_streaming_partitioned_upsert_touches_only_batch_partitions(spark, tmp_path):
+    """Partition-scoped foreachBatch merge: batch 2 names only the
+    'click' partition, so the 'view' partition's files must survive
+    byte-untouched (same names + mtimes) while click rows upsert."""
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_partitioned_upsert,
+    )
+
+    inp = str(tmp_path / "in")
+    target = str(tmp_path / "target")
+    # ONE checkpoint across both runs: the second start resumes the
+    # file-source offset log, so only the new file forms batch 2 —
+    # a fresh checkpoint would re-read batch 1's view rows and touch
+    # the view partition, defeating the point of the test
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(spark, inp, ROWS1)
+    q = start_streaming_partitioned_upsert(
+        read_event_stream(spark, inp, SCHEMA),
+        target,
+        "event_id",
+        "event_type",
+        ckpt,
+        dedup_order="ts",
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 3
+
+    view_dir = os.path.join(target, "event_type=view")
+    before = {
+        f: os.path.getmtime(os.path.join(view_dir, f))
+        for f in os.listdir(view_dir)
+        if f.endswith(".parquet")
+    }
+    # batch 2 restricted to clicks: event 2 updated, event 5 inserted
+    _write_batch(spark, inp, [(2, "2024-01-01 02:00:00", 1, "click", 9.0),
+                              (5, "2024-01-01 02:30:00", 3, "click", 5.0)])
+    q = start_streaming_partitioned_upsert(
+        read_event_stream(spark, inp, SCHEMA),
+        target,
+        "event_id",
+        "event_type",
+        ckpt,
+        dedup_order="ts",
+    )
+    q.awaitTermination(120)
+
+    final = {r["event_id"]: r for r in spark.read.parquet(target).collect()}
+    assert set(final) == {1, 2, 3, 5}
+    assert final[2]["value"] == 9.0  # upserted inside the click partition
+    assert final[3]["value"] == 3.0  # view row untouched
+    after = {
+        f: os.path.getmtime(os.path.join(view_dir, f))
+        for f in os.listdir(view_dir)
+        if f.endswith(".parquet")
+    }
+    assert after == before  # untouched partition never rewritten
+
+
 def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     """Append-mode windowed agg with a 30-min watermark: batch 1 takes
     event time to 02:00 (watermark → 01:30), so batch 2's stale 00:10
