@@ -1308,6 +1308,28 @@ def q_docs_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-epoch shuffle: a reproducible global
+    permutation of the corpus ordered by a seeded key hash — the
+    shuffle a training-data writer pays once per epoch to break
+    source/temporal locality before sequential reads. ONE
+    range-partitioned sort (orderBy samples range boundaries, no
+    single-task global sort); at 100 TB the same plan writes per-file
+    deterministic order via repartitionByRange + sortWithinPartitions.
+    md5 keys here so the permutation is engine-portable and
+    oracle-checkable (production would use xxhash64 — same plan, no
+    string allocation)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    ).orderBy("shuffle_key", "doc_id")
+
+
 def q_docs_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/test stamping + per-split counts."""
     from .operators.sampling import train_test_split
@@ -2675,7 +2697,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     # -- new this round: partition-scoped MERGE INTO (the Delta-style
     #    merge target, expressed as DPP-pruned read + dynamic overwrite)
+    #    + deterministic training-epoch shuffle
     "merge_partition_scoped": q_merge_partition_scoped,
+    "docs_epoch_shuffle": q_docs_epoch_shuffle,
     # -- stalest green rows (r1 only) — rotate in for a refresh
     "category_summary": q_category_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3752,6 +3776,11 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, lang, source FROM documents
         WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '4000'
         ORDER BY doc_id
+    """,
+    "docs_epoch_shuffle": """
+        SELECT doc_id, lang, source,
+               md5('epoch1:' || doc_id::VARCHAR) AS shuffle_key
+        FROM documents ORDER BY shuffle_key, doc_id
     """,
     "docs_train_test_split": """
         SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < '199a'
