@@ -167,36 +167,50 @@ def merge_scd2(
     - key absent from source → current version stays open (SCD2 keeps
       dimension members; use ``merge_snapshot`` for delete semantics).
 
-    Scale shape: every join below keys on ``key``, so Catalyst shares
-    one exchange across the change-detection inner join and the
-    semi/anti splits; closed history is unioned back untouched (never
-    shuffled). Comparison is null-safe (``eqNullSafe``).
+    Scale shape: ONE full-outer join of the open history against the
+    source, then a per-row CASE emits 1-2 output versions through an
+    ``explode`` — no semi/anti re-derivation, so each input is scanned
+    once (the earlier branch-per-transition formulation re-scanned the
+    open history four times and shuffled it three; on a 100 TB target
+    the scan count IS the job cost). Closed history unions back
+    untouched, never shuffled. Comparison is null-safe (``eqNullSafe``).
     """
     cur = history.filter(F.col(to_col).isNull())
     closed = history.filter(F.col(to_col).isNotNull())
-    src = source.select(key, *attrs)
+    # existence markers survive the full outer join where key columns
+    # from a missing side are NULL; key itself is non-null by contract
+    # but markers keep the branch logic independent of that
+    c = cur.withColumn("__c", F.lit(True)).alias("c")
+    s = source.select(key, *attrs).withColumn("__s", F.lit(True)).alias("s")
+    j = c.join(s, F.col(f"c.{key}") == F.col(f"s.{key}"), "full_outer")
 
+    from_type = history.schema[from_col].dataType
+    to_type = history.schema[to_col].dataType
+    eff_from = F.lit(effective).cast(from_type)
+    eff_to = F.lit(effective).cast(to_type)
+    null_to = F.lit(None).cast(to_type)
+
+    def _row(key_c, attr_side, from_c, to_c):
+        return F.struct(
+            key_c.alias(key),
+            *[F.col(f"{attr_side}.{a}").alias(a) for a in attrs],
+            from_c.alias(from_col),
+            to_c.alias(to_col),
+        )
+
+    c_key, s_key = F.col(f"c.{key}"), F.col(f"s.{key}")
+    c_open = _row(c_key, "c", F.col(f"c.{from_col}"), F.col(f"c.{to_col}"))
+    c_closed = _row(c_key, "c", F.col(f"c.{from_col}"), eff_to)
+    s_opened = _row(s_key, "s", eff_from, null_to)
     any_diff = reduce(
         lambda a, b: a | b,
         [~F.col(f"c.{a}").eqNullSafe(F.col(f"s.{a}")) for a in attrs],
     )
-    changed_keys = (
-        cur.alias("c")
-        .join(src.alias("s"), F.col(f"c.{key}") == F.col(f"s.{key}"))
-        .filter(any_diff)
-        .select(F.col(f"c.{key}").alias(key))
+    versions = (
+        F.when(F.col("s.__s").isNull(), F.array(c_open))  # absent → stays open
+        .when(F.col("c.__c").isNull(), F.array(s_opened))  # new key
+        .when(any_diff, F.array(c_closed, s_opened))  # changed → close + reopen
+        .otherwise(F.array(c_open))  # unchanged
     )
-
-    from_type = history.schema[from_col].dataType
-    to_type = history.schema[to_col].dataType
-    closed_now = cur.join(changed_keys, key, "left_semi").withColumn(
-        to_col, F.lit(effective).cast(to_type)
-    )
-    open_kept = cur.join(changed_keys, key, "left_anti")
-    incoming = src.join(cur, key, "left_anti").unionByName(
-        src.join(changed_keys, key, "left_semi")
-    )
-    opened = incoming.withColumn(from_col, F.lit(effective).cast(from_type)).withColumn(
-        to_col, F.lit(None).cast(to_type)
-    ).select(*history.columns)
-    return closed.unionByName(closed_now).unionByName(open_kept).unionByName(opened)
+    out = j.select(F.explode(versions).alias("r")).select("r.*")
+    return closed.select(*history.columns).unionByName(out.select(*history.columns))
