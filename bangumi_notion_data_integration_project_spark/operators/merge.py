@@ -52,12 +52,24 @@ def merge_snapshot(
                           from source are dropped; :243).
     delete_absent=False → upsert-only (absent target rows survive).
     NA-key rows from the source pass through untouched (:223-227).
+
+    Plan note: inserts ∪ updates (M1 ∪ M3) PARTITIONS the source's
+    non-null-key rows — every source row lands in exactly one of the
+    anti/semi sides — so the net state simplifies algebraically:
+    full sync ≡ source, upsert ≡ source ∪ (target ∖ source-keys).
+    Catalyst cannot prove set identities across a union of joins, so
+    the collapse happens here: the full-sync path is join-free (zero
+    shuffles — the output streams straight off the source scan) and
+    the upsert path is ONE anti join instead of three sharing an
+    exchange. The M1-M3 decomposition itself stays available (and
+    individually oracle-checked) via :func:`merge_parts`.
     """
-    parts = merge_parts(source, target, key)
-    pieces = [parts["inserts"], parts["updates"], parts["source_na"]]
-    if not delete_absent:
-        pieces.append(parts["deletes"])  # survivors: in target, not in source
-    return reduce(lambda a, b: a.unionByName(b), pieces)
+    if delete_absent:
+        return source
+    survivors = target.filter(F.col(key).isNotNull()).join(
+        source.filter(F.col(key).isNotNull()), key, "left_anti"
+    )
+    return source.unionByName(survivors)
 
 
 def merge_scoped(
