@@ -8,14 +8,16 @@ data_loading_to_mysql_database.py:185-277):
   NA-key rows bypass the merge, appended as-is  (:223-227, :265)
   final    = inserts ∪ updates [∪ survivors if keep_absent] ∪ NA rows
 
-Physical notes for 100 TB: the three joins below share one shuffle on
-`key` (Catalyst reuses the exchange); with `delete_absent=True` the
-plan collapses to `source ∪ NA-rows` — Catalyst sees that via the
-union of anti+semi = source. AQE picks broadcast when one snapshot is
-small, skew-join when the key is hot. For a mutable target table the
-same API would route to Delta `MERGE INTO`; on plain parquet this
-full-rewrite is the correct equivalent (the reference also rewrites
-the whole target: `if_exists='replace'`, :268).
+Physical notes for 100 TB: ``merge_snapshot`` applies the anti∪semi =
+source identity itself (Catalyst cannot prove it across a union of
+joins), so full sync is join-free and upsert is one anti join; the
+M1-M3 decomposition stays available via ``merge_parts``. AQE picks
+broadcast when one snapshot is small, skew-join when the key is hot.
+For a mutable target the partition-scoped path
+(``merge_into_partitioned``) replaces only the hive partitions the
+delta touches — the plain-parquet equivalent of Delta ``MERGE INTO``;
+the whole-target rewrite remains as the exact equivalent of the
+reference's `if_exists='replace'` (:268).
 """
 
 from __future__ import annotations

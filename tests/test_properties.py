@@ -166,3 +166,78 @@ def test_chunking_matches_python_reference(spark, seed):
         for ci, ch in enumerate(_py_chunks(text.split() if text else [], w, s)):
             want[(i, ci)] = " ".join(ch)
     assert got == want
+
+
+def _py_scd2(history, source, effective):
+    """Pure-Python SCD2 reference: history rows (k, attr, vf, vt) with
+    vt None = open; source rows (k, attr). Returns the merged multiset."""
+    out = [r for r in history if r[3] is not None]  # closed passthrough
+    cur = {r[0]: r for r in history if r[3] is None}
+    src = dict(source)
+    for k, r in cur.items():
+        if k not in src or src[k] == r[1]:
+            out.append(r)  # absent or unchanged → stays open
+        else:
+            out.append((k, r[1], r[2], effective))  # close old version
+            out.append((k, src[k], effective, None))  # reopen with new value
+    for k, a in src.items():
+        if k not in cur:
+            out.append((k, a, effective, None))  # brand-new key
+    return out
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_scd2_matches_python_reference(spark, seed):
+    from bangumi_notion_data_integration_project_spark.operators.merge import merge_scd2
+
+    rng = random.Random(seed)
+    hist = []
+    for k in rng.sample(range(25), 15):
+        t = 0
+        for _ in range(rng.randint(0, 2)):  # closed back-versions
+            hist.append((k, rng.randint(0, 3), t, t + 1))
+            t += 1
+        if rng.random() < 0.85:  # some keys carry ONLY closed history
+            hist.append((k, rng.randint(0, 3), t, None))
+    source = [(k, rng.randint(0, 3)) for k in rng.sample(range(30), 12)]
+    effective = 100
+
+    h = spark.createDataFrame(
+        hist, "k: long, attr: long, valid_from: long, valid_to: long"
+    )
+    s = spark.createDataFrame(source, "k: long, attr: long")
+    got = sorted(
+        [
+            (r.k, r.attr, r.valid_from, r.valid_to)
+            for r in merge_scd2(h, s, "k", ["attr"], effective).collect()
+        ],
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+    want = sorted(_py_scd2(hist, source, effective),
+                  key=lambda t: tuple((x is None, x) for x in t))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_merge_scoped_matches_python_reference(spark, seed):
+    from bangumi_notion_data_integration_project_spark.operators.merge import merge_scoped
+
+    rng = random.Random(seed)
+    parts = ["p1", "p2", "p3", "p4"]
+    tgt = [(k, rng.randint(0, 5), rng.choice(parts)) for k in rng.sample(range(40), 20)]
+    touched = set(rng.sample(parts, 2))
+    # keys stay in their target partition (the operator's contract)
+    part_of = {k: p for k, _, p in tgt}
+    src = [
+        (k, rng.randint(0, 5), part_of.get(k, rng.choice(sorted(touched))))
+        for k in rng.sample(range(40), 15)
+        if part_of.get(k, rng.choice(sorted(touched))) in touched
+    ]
+    if not src:  # guarantee at least one touched row
+        src = [(99, 1, sorted(touched)[0])]
+    sdf = spark.createDataFrame(src, "k: long, v: long, p: string")
+    tdf = spark.createDataFrame(tgt, "k: long, v: long, p: string")
+    got = sorted((r.k, r.v, r.p) for r in merge_scoped(sdf, tdf, "k", "p").collect())
+    actually_touched = {p for _, _, p in src}
+    want = sorted(src + [(k, v, p) for k, v, p in tgt if p not in actually_touched])
+    assert got == want
