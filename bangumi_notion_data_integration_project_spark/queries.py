@@ -967,7 +967,9 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k neighbors via random-hyperplane LSH buckets
-    (rows-only: recall < 1 by design)."""
+    with 1-bit multiprobe (recall < 1 by design; hash-checked — the
+    oracle reproduces buckets and probe fan-out from the same literal
+    hyperplanes)."""
     from .operators.similarity import lsh_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1265,11 +1267,14 @@ def _ann_recall_frame(approx: DataFrame, exact: DataFrame) -> DataFrame:
 
 
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of hyperplane-LSH ANN vs exact brute force, fully
-    deterministic (seeded plan-literal hyperplanes) — the harness that
-    turns the ANN tier from rows-only into a hash-checked result. The
-    DuckDB oracle recomputes the same buckets from the same literal
-    hyperplanes."""
+    """Recall@10 of hyperplane-LSH ANN (1-bit multiprobe) vs exact
+    brute force, fully deterministic (seeded plan-literal hyperplanes)
+    — the harness that turns the ANN tier from rows-only into a
+    hash-checked result. The DuckDB oracle recomputes the same buckets
+    AND the same probe fan-out from the same literal hyperplanes.
+    Numbers here are a worst case: the synthetic vectors are
+    near-uniform, so true top-10 neighbors disagree on several sign
+    bits; clustered real embeddings score far higher."""
     from .operators.similarity import brute_force_topk, lsh_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -2878,9 +2883,13 @@ def _lsh_plane_values(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
 
 
 # shared CTE block: bucket every embedding with the literal hyperplanes,
-# score candidates sharing the query's bucket, rank by (cosine, vec_id)
+# score candidates in the query's bucket OR any 1-bit-flip neighbor
+# bucket (the Spark side's multiprobe fan-out, reproduced relationally
+# via a flips values-join), rank by (cosine, vec_id)
+_LSH_FLIPS = ", ".join(f"({f})" for f in [0] + [1 << i for i in range(6)])
 _LSH_CTES = f"""
         planes(w, p) AS (VALUES {_lsh_plane_values()}),
+        flips(f) AS (VALUES {_LSH_FLIPS}),
         bkt AS (
           SELECT e.vec_id,
                  cast(sum(CASE WHEN list_sum(list_transform(range(1, 65),
@@ -2892,7 +2901,8 @@ _LSH_CTES = f"""
               WHERE b.vec_id IN (0, 1, 2)),
         lsh_scored AS (
           SELECT q.query_id, e.vec_id, {_duck_cosine('e.embedding', 'q.qe')} AS cosine_sim
-          FROM q JOIN bkt b ON q.bucket = b.bucket
+          FROM q CROSS JOIN flips
+               JOIN bkt b ON xor(q.bucket, flips.f) = b.bucket
                JOIN embeddings e ON e.vec_id = b.vec_id),
         lsh_ranked AS (
           SELECT query_id, vec_id, cosine_sim,
