@@ -41,6 +41,7 @@ def attach_media_meta(
     *,
     payload_col: str = "payload",
     kind: str = "image",
+    sample_rate: int | None = None,
 ) -> DataFrame:
     """Stamp typed metadata next to an opaque binary column."""
     return df.withColumn("kind", F.lit(kind)).withColumn(
@@ -48,7 +49,7 @@ def attach_media_meta(
         F.struct(
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(sample_rate).cast("int").alias("sample_rate"),
             F.lit(None).cast("int").alias("n_frames"),
             F.lit("unknown").alias("codec"),
         ),
@@ -182,3 +183,67 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(do_sample, schema=FRAMES_SCHEMA)
+
+
+SEGMENTS_SCHEMA = (
+    "media_id bigint, segment_idx int, start_ms bigint, segment binary, n_bytes bigint"
+)
+
+
+def segment_audio(
+    media: DataFrame,
+    *,
+    window_ms: int = 25,
+    hop_ms: int = 10,
+    decode_stub: str = "fake",
+) -> DataFrame:
+    """Audio windowing operator (the MFCC/fbank front-end shape): one
+    audio row fans out to overlapping fixed-length windows
+    (``window_ms`` long every ``hop_ms``). Unlike the constant-count
+    video sampler, the fan-out is DATA-DEPENDENT: the number of
+    windows derives from the clip duration, which derives from the
+    payload size and ``meta.sample_rate`` (16-bit mono PCM assumed:
+    ``n_samples = n_bytes // 2``). 1-in-N-out inside the Arrow batch —
+    executor-local, no shuffle, linear in input splits.
+
+    Real impl: soundfile/librosa frame slicing at the marked line; the
+    fake emits deterministic per-window digests so the data-dependent
+    fan-out itself is oracle-checkable in SQL.
+    """
+    if decode_stub not in ("fake", "raise"):
+        raise ValueError("decode_stub must be 'fake' or 'raise'")
+
+    def do_segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise":
+                raise NotImplementedError(
+                    "real audio decode requires soundfile/librosa (absent in "
+                    "this container)"
+                )
+            rows = {
+                "media_id": [],
+                "segment_idx": [],
+                "start_ms": [],
+                "segment": [],
+                "n_bytes": [],
+            }
+            for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                nb = len(p or b"")
+                sr = (m or {}).get("sample_rate") or 0
+                if nb == 0 or sr <= 0:
+                    continue  # nothing decodable → no windows
+                duration_ms = ((nb // 2) * 1000) // sr
+                n_seg = 1 if duration_ms <= window_ms else 1 + (
+                    (duration_ms - window_ms) // hop_ms
+                )
+                for i in range(n_seg):
+                    # real impl: samples[i*hop*sr//1000 : (i*hop+window)*sr//1000]
+                    seg = hashlib.sha256((p or b"") + b"seg" + str(i).encode()).digest()
+                    rows["media_id"].append(mid)
+                    rows["segment_idx"].append(i)
+                    rows["start_ms"].append(i * hop_ms)
+                    rows["segment"].append(seg)
+                    rows["n_bytes"].append(len(seg))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(do_segment, schema=SEGMENTS_SCHEMA)

@@ -1724,6 +1724,36 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowing plumbing (operators/multimodal.segment_audio):
+    data-dependent 1-in-N-out fan-out — window count derives from clip
+    duration (payload bytes ÷ 16-bit samples ÷ meta.sample_rate), so
+    the oracle re-derives the fan-out arithmetic in SQL, not just the
+    checksums. 25 ms windows every 10 ms at 8 kHz over text-bytes
+    stand-in payloads."""
+    from .operators.multimodal import attach_media_meta, segment_audio
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = attach_media_meta(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "UTF-8").alias("payload"),
+        ),
+        kind="audio",
+        sample_rate=1000,
+    ).select("media_id", "kind", "payload", "meta")
+    return (
+        segment_audio(media, window_ms=25, hop_ms=10)
+        .select(
+            "media_id",
+            F.col("segment_idx").cast("long").alias("segment_idx"),
+            "start_ms",
+            F.lower(F.hex("segment")).alias("segment_checksum"),
+        )
+        .orderBy("media_id", "segment_idx")
+    )
+
+
 def q_dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup over the WHOLE corpus (no sample cap):
     3-gram shingles → inverted shingle index (explode + equi-join — the
@@ -2705,6 +2735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    + deterministic training-epoch shuffle
     "merge_partition_scoped": q_merge_partition_scoped,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
+    "audio_segments": q_audio_segments,
     # -- stalest green rows (r1 only) — rotate in for a refresh
     "category_summary": q_category_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -4011,6 +4042,25 @@ ORACLES: dict[str, str] = {
         FROM (SELECT doc_id, text FROM documents WHERE doc_id < 200) d
         CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
         ORDER BY media_id, frame_idx
+    """,
+    "audio_segments": """
+        WITH d AS (
+          SELECT doc_id, text,
+                 ((octet_length(encode(text)) // 2) * 1000) // 1000 AS dur_ms,
+                 octet_length(encode(text)) AS nb
+          FROM documents WHERE doc_id < 200),
+        seg AS (
+          SELECT doc_id, text,
+                 CASE WHEN nb = 0 THEN 0
+                      WHEN dur_ms <= 25 THEN 1
+                      ELSE 1 + (dur_ms - 25) // 10 END AS n_seg
+          FROM d)
+        SELECT doc_id AS media_id,
+               cast(i.i AS BIGINT) AS segment_idx,
+               cast(i.i * 10 AS BIGINT) AS start_ms,
+               lower(sha256(text || 'seg' || cast(i.i AS VARCHAR))) AS segment_checksum
+        FROM seg CROSS JOIN LATERAL (SELECT unnest(range(0, n_seg)) AS i) i
+        ORDER BY media_id, segment_idx
     """,
     "docs_filter_pipeline": f"""
         SELECT doc_id,

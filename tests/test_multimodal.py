@@ -109,3 +109,33 @@ def test_media_stub_raises_where_real_codec_plugs_in(spark):
     ).select("media_id", "kind", "payload", "meta")
     with _pytest.raises(Exception):  # PythonException wrapping NotImplementedError
         resize_images(media, decode_stub="raise", width=8, height=8).collect()
+
+
+def test_segment_audio_data_dependent_fanout(spark):
+    from bangumi_notion_data_integration_project_spark.operators.multimodal import (
+        segment_audio,
+    )
+
+    # 8 kHz, 16-bit mono: duration_ms = (nb // 2) * 1000 // 8000
+    rows = [
+        (1, bytearray(b"x" * 800)),   # 400 samples → 50 ms → 1 + (50-25)//10 = 3
+        (2, bytearray(b"x" * 100)),   # 50 samples → 6 ms ≤ window → 1 window
+        (3, bytearray(b"")),          # empty → no windows
+    ]
+    media = attach_media_meta(
+        spark.createDataFrame(rows, "media_id: long, payload: binary"),
+        kind="audio",
+        sample_rate=8000,
+    )
+    out = segment_audio(media, window_ms=25, hop_ms=10).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 3
+    assert [r["start_ms"] for r in sorted(by_id[1], key=lambda r: r["segment_idx"])] == [0, 10, 20]
+    assert len(by_id[2]) == 1
+    assert 3 not in by_id
+    # deterministic per-window digest
+    want = hashlib.sha256(b"x" * 800 + b"seg0").digest()
+    got = sorted(by_id[1], key=lambda r: r["segment_idx"])[0]["segment"]
+    assert bytes(got) == want

@@ -74,7 +74,12 @@ def test_no_rowwise_python_in_any_plan(spark, name):
     nature (binary payload featurization)."""
     plan = _plan(spark, name)
     assert "BatchEvalPython" not in plan, f"{name} uses row-at-a-time Python"
-    media_queries = ("multimodal_features", "video_frame_sample", "image_resize")
+    media_queries = (
+        "multimodal_features",
+        "video_frame_sample",
+        "image_resize",
+        "audio_segments",
+    )
     if name not in media_queries:
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
             f"{name} drops to Python; expected pure JVM expression code"
