@@ -121,3 +121,36 @@ def test_zordered_write_skips_on_both_dimensions(spark, tmp_path):
     # predicate x <= 15: skippable files have min_x > 15; same for y
     assert sum(1 for s in stats if s[0] > 15) >= 2, f"x skipping too weak: {stats}"
     assert sum(1 for s in stats if s[2] > 15) >= 2, f"y skipping too weak: {stats}"
+
+
+def test_sql_api_parity_on_registered_views(spark):
+    """catalog.register_views exposes every table to the pure-SQL
+    surface; a spark.sql query over the views must match the DataFrame
+    formulation row-for-row (same engine, two front-ends — this guards
+    the view registration itself: names, schemas, ts normalization)."""
+    from bangumi_notion_data_integration_project_spark.catalog import register_views
+    from bangumi_notion_data_integration_project_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    register_views(spark, sf_dir)
+
+    sql_rows = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               cast(count(*) AS bigint) AS fetched_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    ).collect()
+    df_rows = (
+        QUERIES["category_summary"](spark, sf_dir)
+        .select("l_returnflag", "l_linestatus", "fetched_items", "sum_qty")
+        .collect()
+    )
+    assert [tuple(r) for r in sql_rows] == [tuple(r) for r in df_rows]
+
+    # events view must carry the normalized plain-TIMESTAMP ts (the SQL
+    # surface hits the same NTZ landmine otherwise)
+    [(t,)] = spark.sql("SELECT max(unix_micros(ts)) FROM events LIMIT 1").collect()
+    assert t is not None
