@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "docs_chunks",
     "minhash_lsh_verified",
     "merge_partition_scoped",
+    "audio_segments",
 ]
 
 
