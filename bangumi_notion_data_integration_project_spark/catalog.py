@@ -32,6 +32,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and a pre-broadcast exchange would only add a stage)
 SPREAD_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
+# memo for _spread's planned-partition probe: (sorted input files,
+# parallelism) → bool. Keyed on the file listing, not the table name,
+# so a rewritten/grown table re-probes.
+_SPREAD_DECISIONS: dict[tuple[str, int], bool] = {}
+
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Unlock scan-side parallelism for single-file test fixtures.
@@ -47,15 +52,24 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     round-robin shuffle of the raw scan output to put all cores to
     work.
 
-    The accurate split probe (``df.rdd.getNumPartitions()``) forces a
-    DataFrame→RDD plan conversion on the driver, so it is gated behind a
-    cheap file-count listing: a multi-file table (the real-corpus case)
-    short-circuits without ever touching the RDD API — a big file still
-    splits at row-group boundaries, so few-files ≠ few-splits there and
-    the RDD probe settles it only for genuinely tiny listings."""
-    if len(df.inputFiles()) >= spark.sparkContext.defaultParallelism:
-        return df
-    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+    The split probe (``df.rdd.getNumPartitions()``) forces a
+    DataFrame→RDD plan conversion on the driver, so its DECISION is
+    memoized per (plan fingerprint, parallelism): repeated
+    ``load_table`` calls in the same session (every registry query
+    re-loads its tables) pay the conversion once. A file-count
+    shortcut would NOT be a safe substitute — Spark bin-packs many
+    small files into few input partitions and splits one big file into
+    many, so the file count bounds nothing in either direction; only
+    the planned partition count answers the question."""
+    cache_key = (
+        "\n".join(sorted(df.inputFiles())),
+        spark.sparkContext.defaultParallelism,
+    )
+    decision = _SPREAD_DECISIONS.get(cache_key)
+    if decision is None:
+        decision = df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+        _SPREAD_DECISIONS[cache_key] = decision
+    if decision:
         return df.repartition(spark.sparkContext.defaultParallelism)
     return df
 

@@ -281,16 +281,21 @@ def simhash64_docs(
     sums all in generated code, and the map-side combine collapses to
     one row per document before the exchange."""
     bits = token_hash_bits
-    # One regex pass: split directly on \s+ (identical token stream to
-    # the collapse-whitespace-then-split form — split never yields an
-    # empty array, empty text gives [""]). The token COUNT is recovered
-    # as count(*) per doc after the explode instead of a size(split())
-    # projection, which would re-run the whole normalize+split a second
-    # time per row — measured ~40% of this operator's cost. Null text
-    # is out of contract (documents.text is non-null in the model).
+    # Split directly on \s+ after an ANCHORED edge-whitespace strip —
+    # trim() alone removes only ASCII spaces, so "hello\n" would keep
+    # the newline and split to ["hello", ""], diverging from the
+    # collapse-then-split expression form (simhash64). The anchored
+    # regex is one cheap pass vs collapsing every interior run; token
+    # streams are identical (empty text still gives [""]). The token
+    # COUNT is recovered as count(*) per doc after the explode instead
+    # of a size(split()) projection, which would re-run the whole
+    # normalize+split a second time per row — measured ~40% of this
+    # operator's cost. Null text is out of contract (documents.text is
+    # non-null in the model).
+    strip = f"regexp_replace({text_col}, '(^\\\\s+)|(\\\\s+$)', '')"
     toks = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.expr(f"split(lower(trim({text_col})), '\\\\s+')")).alias("__t"),
+        F.explode(F.expr(f"split(lower({strip}), '\\\\s+')")).alias("__t"),
     )
     # hash once per exploded token: aggregate expressions do not share
     # subexpressions, so putting xxhash64 inside each bit sum would

@@ -98,10 +98,19 @@ def merge_scoped(
     Constraint (same as Delta/Iceberg dynamic overwrite): ``key`` must
     not migrate between partitions — a key whose partition value
     changes would leave its old row live in an untouched partition.
+
+    The partition match is NULL-SAFE: a NULL partition value is one
+    partition like any other (hive's __HIVE_DEFAULT_PARTITION__), so a
+    source row with NULL ``partition_col`` touches the target's NULL
+    partition — a plain equi-semi-join would never match it, leaving
+    the target's NULL-partition rows out of both branches and losing
+    them at the write.
     """
     touched = source.select(partition_col).distinct()
-    affected = target.join(touched, partition_col, "left_semi")
-    untouched = target.join(touched, partition_col, "left_anti")
+    cond = F.col(f"t.{partition_col}").eqNullSafe(F.col(f"p.{partition_col}"))
+    t, p = target.alias("t"), touched.alias("p")
+    affected = t.join(p, cond, "left_semi")
+    untouched = t.join(p, cond, "left_anti")
     merged = merge_snapshot(source, affected, key, delete_absent=delete_absent)
     return merged.unionByName(untouched)
 
@@ -144,8 +153,24 @@ def merge_into_partitioned(
     # so unioning the untouched passthrough back in (merge_scoped's
     # full logical state) would rewrite the whole table — exactly the
     # I/O this operator exists to avoid.
+    # NULL partition values (__HIVE_DEFAULT_PARTITION__): a plain
+    # equi-semi-join never matches NULL, so the target's NULL-partition
+    # rows would fall out of `affected` while the source's NULL rows
+    # still land in the written output — dynamic overwrite would then
+    # replace that directory with the batch alone, silently dropping
+    # target rows. The null-safe condition fixes that but defeats DPP
+    # (the pruning rule wants EqualTo), so probe the DELTA (the small
+    # side — one tiny job) and only pay the null-safe plan when a NULL
+    # partition row is actually present.
     touched = source.select(partition_col).distinct()
-    affected = target.join(touched, partition_col, "left_semi")
+    source_has_null_part = (
+        source.filter(F.col(partition_col).isNull()).limit(1).count() > 0
+    )
+    if source_has_null_part:
+        cond = F.col(f"t.{partition_col}").eqNullSafe(F.col(f"p.{partition_col}"))
+        affected = target.alias("t").join(touched.alias("p"), cond, "left_semi")
+    else:
+        affected = target.join(touched, partition_col, "left_semi")
     merged = merge_snapshot(
         source, affected, key, delete_absent=delete_absent
     ).localCheckpoint(eager=True)  # sever self-referential read→overwrite lineage

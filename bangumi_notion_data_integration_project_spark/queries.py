@@ -1729,8 +1729,9 @@ def q_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-dependent 1-in-N-out fan-out — window count derives from clip
     duration (payload bytes ÷ 16-bit samples ÷ meta.sample_rate), so
     the oracle re-derives the fan-out arithmetic in SQL, not just the
-    checksums. 25 ms windows every 10 ms at 8 kHz over text-bytes
-    stand-in payloads."""
+    checksums. 25 ms windows every 10 ms at a 1 kHz stand-in rate —
+    low so the text-bytes payloads span several windows and the
+    data-dependent fan-out actually varies per row."""
     from .operators.multimodal import attach_media_meta, segment_audio
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -3129,9 +3130,16 @@ ORACLES: dict[str, str] = {
         ORDER BY o_orderkey
     """,
     "merge_partition_scoped": _MERGE_CTE + """
-        SELECT * FROM source WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        , src AS (SELECT * FROM source
+                  WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM'))
+        SELECT * FROM src
         UNION ALL
-        SELECT * FROM target WHERE o_orderpriority NOT IN ('1-URGENT', '3-MEDIUM')
+        -- untouched = partitions NOT PRESENT in the delta (derived, not
+        -- the filter constant: mirrors merge_scoped's touched-set
+        -- semantics even if a fixture's source lacks one priority)
+        SELECT t.* FROM target t
+        WHERE NOT EXISTS (SELECT 1 FROM src s
+                          WHERE s.o_orderpriority = t.o_orderpriority)
         ORDER BY o_orderkey
     """,
     "dedup_latest_by_key": """

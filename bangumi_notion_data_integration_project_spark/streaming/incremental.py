@@ -158,20 +158,29 @@ def start_streaming_partitioned_upsert(
     batch converges to the same state), so Structured Streaming's
     checkpoint replay after a mid-write crash restores consistency —
     the foreachBatch contract (at-least-once per batch) composes with
-    idempotent merge to effective exactly-once. ``key`` must not
-    migrate between partitions (merge_into_partitioned contract).
+    idempotent merge to effective exactly-once. The INITIAL load has
+    no prior state to merge into, so idempotent replay cannot repair a
+    partial first write; it goes through the same staging+promote
+    machinery as :func:`start_streaming_upsert` (and ``recover_dir``
+    heals a crash between stage and promote on restart). ``key`` must
+    not migrate between partitions (merge_into_partitioned contract).
+    Like the sibling, the recovery helpers are local-filesystem
+    primitives — a demonstration state store; object-store targets
+    want a transactional table format underneath the same merge call.
     """
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if dedup_order is not None:
             batch = _dedup_last_wins(batch, key, dedup_order)
-        if not os.path.exists(target_dir):
-            batch.write.partitionBy(partition_col).parquet(target_dir)
-        else:
+        if recover_dir(target_dir):
             merge_into_partitioned(
                 spark, batch, target_dir, key, partition_col, delete_absent=False
             )
+        else:
+            tmp = staging_path(target_dir)
+            batch.write.partitionBy(partition_col).parquet(tmp)
+            promote_dir(tmp, target_dir)
 
     return (
         stream.writeStream.foreachBatch(upsert)

@@ -218,6 +218,12 @@ def test_simhash_bulk_matches_expression_form(spark):
         (4, "solo"),
         (5, ""),
         (6, "a a a a a a"),
+        # edge whitespace: trim() strips only spaces, so these diverge
+        # if the bulk form splits without a full \s strip (regression:
+        # "hello\n" must not grow a trailing empty token)
+        (7, "hello\n"),
+        (8, "\ta b\tc "),
+        (9, "  x  y\r\n"),
     ]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     expr_form = {

@@ -122,6 +122,28 @@ def test_merge_into_partitioned_rewrites_only_touched_partitions(spark, tmp_path
     assert files_of("p3") == before_p3
 
 
+def test_merge_into_partitioned_null_partition_keeps_target_rows(spark, tmp_path):
+    """A source row in the NULL partition (__HIVE_DEFAULT_PARTITION__)
+    must MERGE with the target's NULL-partition rows, not replace the
+    directory wholesale — a plain equi-semi-join never matches NULL, so
+    without the null-safe branch k=7 would silently vanish."""
+    from bangumi_notion_data_integration_project_spark.operators.merge import (
+        merge_into_partitioned,
+    )
+
+    path = str(tmp_path / "tgt")
+    _pdf(spark, [(7, "keep", None), (1, "old", "p1")]).write.partitionBy("p").parquet(
+        path
+    )
+    source = _pdf(spark, [(8, "ins", None)])
+    merge_into_partitioned(spark, source, path, "k", "p", delete_absent=False)
+    got = sorted(
+        ((r.k, r.v, r.p) for r in spark.read.parquet(path).collect()),
+        key=lambda t: t[0],
+    )
+    assert got == [(1, "old", "p1"), (7, "keep", None), (8, "ins", None)]
+
+
 def test_merge_into_partitioned_idempotent(spark, tmp_path):
     from bangumi_notion_data_integration_project_spark.operators.merge import (
         merge_into_partitioned,

@@ -42,10 +42,6 @@ SAFE = {
     "TIMESTAMP WITH TIME ZONE",
     "BLOB",
 }
-# list/struct payloads: judge element type, not the wrapper
-_WRAP = re.compile(r"^(?:[A-Z_ ]+)?\[|STRUCT\(|MAP\(")
-
-
 def col_ok(duck_type: str) -> bool:
     t = duck_type.strip().upper()
     if t in SAFE:

@@ -41,18 +41,18 @@ def run(label: str, cmd: list[str]) -> subprocess.CompletedProcess:
 
 
 def analysis_sweep() -> None:
-    code = (
-        "import sys; sys.path.insert(0, '.');"
-        "from bangumi_notion_data_integration_project_spark.session import get_spark;"
-        "from bangumi_notion_data_integration_project_spark.queries import QUERIES;"
-        "spark = get_spark('preflight');"
-        "bad = [];\n"
-        "for name, fn in QUERIES.items():\n"
-        "    try: fn(spark, '/root/testdata/sf0.001').schema\n"
-        "    except Exception as e: bad.append(f'{name}: {e}')\n"
-        "print('\\n'.join(bad)); raise SystemExit(1 if bad else 0)"
+    # the sweep lives in ONE place (the plan test); invoke it rather
+    # than maintaining a stringified copy that would drift
+    run(
+        "analysis sweep (all plans build)",
+        [
+            sys.executable,
+            "-m",
+            "pytest",
+            "tests/test_plans.py::test_all_queries_analyze_without_exception",
+            "-q",
+        ],
     )
-    run("analysis sweep (all plans build)", [sys.executable, "-c", code])
 
 
 def main() -> int:
@@ -72,8 +72,11 @@ def main() -> int:
     if "passed" not in summary:
         print("FAIL: mirror did not report a pass summary")
         return 1
-    if round_n:
-        lines = [
+    if round_n and quick:
+        print("NOTE: --round ignored with --quick (the driver mirrors at "
+              "sf0.01; an sf0.001 log would not be comparable)")
+    elif round_n:
+        lines = [f"# sf_dir: {sf}"] + [
             ln
             for ln in proc.stdout.replace("\r", "\n").splitlines()
             if ln.startswith(("ok ", "okro", "FAIL")) or "passed" in ln
