@@ -2094,6 +2094,42 @@ def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling table (the standard
+    multilingual recipe: sample language l with probability
+    p_l ∝ (n_l/N)^α, α = 0.7): upweights low-resource languages
+    without the uniform mixture's extreme oversampling. Outputs, per
+    language, the raw share, the temperature share, and the expected
+    per-document sampling multiplier (temp share ÷ raw share). Same
+    plan shape as docs_mixture_weights: tiny grouped count + one-row
+    broadcast cross join — the full corpus is scanned once and only
+    counts move."""
+    ALPHA = 0.7
+    d = load_table(spark, sf_dir, "documents")
+    per_lang = d.groupBy("lang").agg(F.count("*").cast("long").alias("n_docs"))
+    powed = per_lang.withColumn(
+        "__p", F.pow(F.col("n_docs").cast("double"), F.lit(ALPHA))
+    )
+    totals = powed.agg(
+        F.sum("n_docs").alias("__total"), F.sum("__p").alias("__ptotal")
+    )
+    return (
+        powed.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__total"), 6).alias("raw_frac"),
+            F.round(F.col("__p") / F.col("__ptotal"), 6).alias("temp_frac"),
+            F.round(
+                (F.col("__p") / F.col("__ptotal"))
+                / (F.col("n_docs") / F.col("__total")),
+                6,
+            ).alias("sample_multiplier"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_docs_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mixture reweighting table: per language, the resampling
     weight that moves the corpus to a uniform language mixture
@@ -2737,6 +2773,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_partition_scoped": q_merge_partition_scoped,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "audio_segments": q_audio_segments,
+    "docs_temperature_mix": q_docs_temperature_mix,
     # -- stalest green rows (r1 only) — rotate in for a refresh
     "category_summary": q_category_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -3899,6 +3936,19 @@ ORACLES: dict[str, str] = {
         FROM documents d JOIN thr ON d.lang = thr.lang
         WHERE substr(md5(d.doc_id::VARCHAR), 1, 4) < thr.th
         ORDER BY d.doc_id
+    """,
+    "docs_temperature_mix": """
+        WITH per AS (SELECT lang, count(*) AS n_docs FROM documents
+                     GROUP BY lang),
+        tot AS (SELECT cast(sum(n_docs) AS DOUBLE) AS total,
+                       sum(pow(cast(n_docs AS DOUBLE), 0.7)) AS ptotal FROM per)
+        SELECT lang, n_docs,
+               cast(round(n_docs / tot.total, 6) AS DOUBLE) AS raw_frac,
+               cast(round(pow(cast(n_docs AS DOUBLE), 0.7) / tot.ptotal, 6)
+                    AS DOUBLE) AS temp_frac,
+               cast(round((pow(cast(n_docs AS DOUBLE), 0.7) / tot.ptotal)
+                          / (n_docs / tot.total), 6) AS DOUBLE) AS sample_multiplier
+        FROM per CROSS JOIN tot ORDER BY lang
     """,
     "docs_mixture_weights": """
         WITH per AS (SELECT lang, count(*) AS n_docs FROM documents
