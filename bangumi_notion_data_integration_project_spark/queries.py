@@ -2737,85 +2737,50 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks a
-# bounded prefix of this dict (~50 entries), so the round-3 front
-# carries (a) the 12 queries that have never had a driver-issued row
-# (registry positions 51-62 last round), (b) the 5 queries fixed this
-# round (two TIMESTAMP_NTZ crashes, three oracle HUGEINT/DECIMAL output
-# types) plus rows-only-in-r1 ann_lsh_topk, then (c) the stalest green
-# entries — last checked in round 1 — so every driver row gets
-# refreshed on a two-round cadence. Round-2-green entries sit at the
-# back; they hold the freshest rows.
+# strict 50-entry prefix of this dict (CORRECTNESS_r03.json == first 50
+# entries exactly), so the round-4 front carries, in order: (a) every
+# query whose implementation changed in round 3 but fell outside the r3
+# window (the merge/SCD2 rewrite, simhash/multimodal/similarity touches,
+# plus the 4 entries the mis-placed r3 boundary pushed out), (b) the
+# queries touched again in round 4 (components convergence flag, vector
+# dot-product rework, pack/bin guard), (c) the stalest green rows —
+# r1-only, then the older half of the r2-green set. Everything behind
+# the boundary holds an r2 or r3 driver row for unchanged code.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- never driver-checked (r2 positions 51-62)
-    "market_share": q_market_share,
-    "important_parts": q_important_parts,
-    "late_shipment_priority": q_late_shipment_priority,
-    "customer_order_distribution": q_customer_order_distribution,
-    "supplier_part_variety": q_supplier_part_variety,
-    "excess_share_suppliers": q_excess_share_suppliers,
-    "waiting_suppliers": q_waiting_suppliers,
-    "docs_dup_spans": q_docs_dup_spans,
-    "docs_length_histogram": q_docs_length_histogram,
-    "docs_chunks": q_docs_chunks,
-    "customer_balance_ranks": q_customer_balance_ranks,
-    "events_session_window": q_events_session_window,
-    # -- fixed this round: NTZ normalization (events_*) + oracle output
-    #    casts (docs_*/dq_report); ann_lsh_topk upgrades rows-only→hash
-    "events_zorder_stats": q_events_zorder_stats,
-    "events_sessionize": q_events_sessionize,
-    "docs_train_test_split": q_docs_train_test_split,
-    "docs_pack_bins": q_docs_pack_bins,
-    "dq_report": q_dq_report,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    # -- new this round: partition-scoped MERGE INTO (the Delta-style
-    #    merge target, expressed as DPP-pruned read + dynamic overwrite)
-    #    + deterministic training-epoch shuffle
-    "merge_partition_scoped": q_merge_partition_scoped,
-    "docs_epoch_shuffle": q_docs_epoch_shuffle,
-    "audio_segments": q_audio_segments,
-    "docs_temperature_mix": q_docs_temperature_mix,
-    # -- stalest green rows (r1 only) — rotate in for a refresh
-    "category_summary": q_category_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "orders_asof_join": q_orders_asof_join,
-    "merge_full_sync": q_merge_full_sync,
-    "merge_upsert": q_merge_upsert,
-    "dedup_exact": q_dedup_exact,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_docs": q_simhash_docs,
-    "sketch_distinct_counts": q_sketch_distinct_counts,
-    "similarity_bruteforce": q_similarity_bruteforce,
-    "docs_filter_pipeline": q_docs_filter_pipeline,
-    "jaccard_top_pairs": q_jaccard_top_pairs,
-    "multimodal_features": q_multimodal_features,
-    "event_window_agg": q_event_window_agg,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "global_summary": q_global_summary,
-    "pivot_status": q_pivot_status,
-    "rollup_summary": q_rollup_summary,
-    "project_truncate": q_project_truncate,
-    "filter_nonempty": q_filter_nonempty,
-    "timestamp_parse": q_timestamp_parse,
-    "json_extract": q_json_extract,
-    "map_multikey": q_map_multikey,
-    "token_pivot": q_token_pivot,
-    "order_top_parts": q_order_top_parts,
-    "top_parts_per_brand": q_top_parts_per_brand,
-    "merge_inserts": q_merge_inserts,
-    "merge_deletes": q_merge_deletes,
+    # -- (a) changed in r3, not driver-checked since: merge rewrite
+    #    (45f1041/da99b9d/39df0eb), dedup/simhash lane packing,
+    #    similarity multi-probe (78effca), multimodal decode plumbing
+    "orders_scd2": q_orders_scd2,
     "merge_updates": q_merge_updates,
+    "dedup_near_pipeline": q_dedup_near_pipeline,
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "event_sliding_window": q_event_sliding_window,
+    "minhash_lsh_verified": q_minhash_lsh_verified,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "embedding_near_dup": q_embedding_near_dup,
+    "image_resize": q_image_resize,
+    "video_frame_sample": q_video_frame_sample,
+    "dedup_bow": q_dedup_bow,
+    # -- r3 rotation intent that the misplaced boundary defeated
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "union_all_counts": q_union_all_counts,
     "cross_join_dims": q_cross_join_dims,
-    # --------- driver checked-window boundary (~position 50) ---------
-    # -- remaining round-1-green, unchanged
+    # -- (b) changed in r4: components convergence flag, dot-product
+    #    rework (similarity family), pack_into_bins shard guard
+    "dedup_components": q_dedup_components,
+    "docs_pack_bins": q_docs_pack_bins,
+    "similarity_bruteforce": q_similarity_bruteforce,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    # -- (c) stalest green: r1-only driver rows, unchanged code
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "docs_repetition": q_docs_repetition,
     "orders_price_histogram": q_orders_price_histogram,
     "doc_fingerprint": q_doc_fingerprint,
-    "dedup_bow": q_dedup_bow,
     "embedding_norms": q_embedding_norms,
     "orders_cube": q_orders_cube,
     "running_revenue": q_running_revenue,
@@ -2823,17 +2788,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "purchases_after_click": q_purchases_after_click,
     "filtered_revenue": q_filtered_revenue,
-    # -- round-2-green (freshest driver rows, unchanged this round)
+    # -- (c) r2-green refresh (older half of the r2 set)
     "salted_skew_join": q_salted_skew_join,
     "price_percentiles": q_price_percentiles,
     "name_edit_distance": q_name_edit_distance,
     "summary_grouping_sets": q_summary_grouping_sets,
-    "ann_ivf_topk": q_ann_ivf_topk,
     "docs_hash_sample": q_docs_hash_sample,
     "docs_group_quota": q_docs_group_quota,
     "docs_quality_bins": q_docs_quality_bins,
     "vocab_topk": q_vocab_topk,
-    "dedup_components": q_dedup_components,
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "customers_without_orders": q_customers_without_orders,
     "lineitem_unpivot": q_lineitem_unpivot,
@@ -2842,18 +2805,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_overlap": q_decontaminate_overlap,
     "parts_skyline": q_parts_skyline,
     "incremental_agg_merge": q_incremental_agg_merge,
-    "video_frame_sample": q_video_frame_sample,
-    "image_resize": q_image_resize,
-    "dedup_near_pipeline": q_dedup_near_pipeline,
-    "orders_scd2": q_orders_scd2,
-    "docs_tfidf_topk": q_docs_tfidf_topk,
+    # --------- driver checked-window boundary (position 50) ---------
+    # -- r2-green remainder, unchanged
     "events_retention": q_events_retention,
-    "event_sliding_window": q_event_sliding_window,
-    "minhash_lsh_verified": q_minhash_lsh_verified,
     "docs_char_entropy": q_docs_char_entropy,
     "coalesce_display": q_coalesce_display,
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "ann_ivf_recall": q_ann_ivf_recall,
     "orders_top_unshipped": q_orders_top_unshipped,
     "order_priority_counts": q_order_priority_counts,
     "docs_unigram_logprob": q_docs_unigram_logprob,
@@ -2868,8 +2824,54 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_revenue_suppliers": q_top_revenue_suppliers,
     "small_qty_revenue": q_small_qty_revenue,
     "idle_rich_customers": q_idle_rich_customers,
-    "embedding_near_dup": q_embedding_near_dup,
     "min_cost_supplier": q_min_cost_supplier,
+    # -- r3-green (freshest driver rows, first 50 of the r3 registry)
+    "market_share": q_market_share,
+    "important_parts": q_important_parts,
+    "late_shipment_priority": q_late_shipment_priority,
+    "customer_order_distribution": q_customer_order_distribution,
+    "supplier_part_variety": q_supplier_part_variety,
+    "excess_share_suppliers": q_excess_share_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
+    "docs_dup_spans": q_docs_dup_spans,
+    "docs_length_histogram": q_docs_length_histogram,
+    "docs_chunks": q_docs_chunks,
+    "customer_balance_ranks": q_customer_balance_ranks,
+    "events_session_window": q_events_session_window,
+    "events_zorder_stats": q_events_zorder_stats,
+    "events_sessionize": q_events_sessionize,
+    "docs_train_test_split": q_docs_train_test_split,
+    "dq_report": q_dq_report,
+    "merge_partition_scoped": q_merge_partition_scoped,
+    "docs_epoch_shuffle": q_docs_epoch_shuffle,
+    "audio_segments": q_audio_segments,
+    "docs_temperature_mix": q_docs_temperature_mix,
+    "category_summary": q_category_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "orders_asof_join": q_orders_asof_join,
+    "merge_full_sync": q_merge_full_sync,
+    "merge_upsert": q_merge_upsert,
+    "dedup_exact": q_dedup_exact,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_docs": q_simhash_docs,
+    "sketch_distinct_counts": q_sketch_distinct_counts,
+    "docs_filter_pipeline": q_docs_filter_pipeline,
+    "jaccard_top_pairs": q_jaccard_top_pairs,
+    "multimodal_features": q_multimodal_features,
+    "event_window_agg": q_event_window_agg,
+    "global_summary": q_global_summary,
+    "pivot_status": q_pivot_status,
+    "rollup_summary": q_rollup_summary,
+    "project_truncate": q_project_truncate,
+    "filter_nonempty": q_filter_nonempty,
+    "timestamp_parse": q_timestamp_parse,
+    "json_extract": q_json_extract,
+    "map_multikey": q_map_multikey,
+    "token_pivot": q_token_pivot,
+    "order_top_parts": q_order_top_parts,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "merge_inserts": q_merge_inserts,
+    "merge_deletes": q_merge_deletes,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
