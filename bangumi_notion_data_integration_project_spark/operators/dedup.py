@@ -268,6 +268,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def inverted_index_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs from an inverted shingle index — the
+    whole-corpus candidate generator behind ``dedup_near_pipeline``.
+
+    Shingles with document frequency above ``df_cap`` are dropped from
+    the index before pairing (boilerplate guard): one hot shingle
+    contributes df² candidate rows, so at 100 TB a stopword 3-gram would
+    dominate the shuffle. Dropping it only loses pairs whose ENTIRE
+    overlap is that boilerplate — Jaccard denominators still use the
+    true (uncapped) shingle-set sizes, so surviving pairs score exactly
+    as they would without the cap; only the intersection counts of
+    capped shingles are forfeited. ``tests/test_dedup_similarity.py``
+    exercises the cap binding: a corpus-wide boilerplate sentence stops
+    pairing boilerplate-only docs while distinctive near-dups survive.
+
+    Returns (id_a, id_b) with exact Jaccard ≥ ``threshold``, id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__did"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("s"),
+    ).localCheckpoint(eager=False)  # feeds df-filter, both join sides, sizes
+    ok = sh.groupBy("s").agg(F.count("*").alias("__df")).filter(
+        F.col("__df") <= df_cap
+    )
+    idx = sh.join(ok.select("s"), "s", "left_semi").localCheckpoint(eager=False)
+    inter = (
+        idx.select(F.col("__did").alias("id_a"), "s")
+        .join(idx.select(F.col("__did").alias("id_b"), "s"), "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    sizes = sh.groupBy("__did").agg(F.count("*").alias("__n"))
+    return (
+        inter.join(
+            sizes.select(F.col("__did").alias("id_a"), F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("__did").alias("id_b"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .filter(
+            F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def simhash64_docs(
     df: DataFrame, text_col: str, id_col: str, token_hash_bits: int = 64
 ) -> DataFrame:

@@ -1771,43 +1771,12 @@ def q_dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_lsh_pairs, trades exactness for a constant-factor cheaper
     index when corpora get huge)."""
     from .operators.components import dedup_clusters
-    from .operators.dedup import word_shingles
+    from .operators.dedup import inverted_index_pairs
 
-    DF_CAP = 1000  # never binds at test SFs; bounds hot-key fanout at scale
+    # df_cap=1000 never binds at test SFs; bounds hot-key fanout at
+    # scale (see inverted_index_pairs + its cap-binding unit test)
     d = load_table(spark, sf_dir, "documents")
-    # the exploded index feeds four consumers (df-filter, both join
-    # sides, sizes); checkpoint it so the shingle regex+transform runs
-    # once per document, not once per consumer subtree
-    sh = d.select(
-        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
-    ).localCheckpoint(eager=False)
-    ok = sh.groupBy("s").agg(F.count("*").alias("__df")).filter(
-        F.col("__df") <= DF_CAP
-    )
-    idx = sh.join(ok.select("s"), "s", "left_semi").localCheckpoint(eager=False)
-    inter = (
-        idx.select(F.col("doc_id").alias("id_a"), "s")
-        .join(idx.select(F.col("doc_id").alias("id_b"), "s"), "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__inter"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("__n"))
-    pairs = (
-        inter.join(
-            sizes.select(F.col("doc_id").alias("id_a"), F.col("__n").alias("__na")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("id_b"), F.col("__n").alias("__nb")),
-            "id_b",
-        )
-        .filter(
-            F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
-            >= 0.6
-        )
-        .select("id_a", "id_b")
-    )
+    pairs = inverted_index_pairs(d, "text", "doc_id", shingle_n=3, threshold=0.6, df_cap=1000)
     clustered = dedup_clusters(pairs, d.select("doc_id"), id_col="doc_id")
     return clustered.select(
         "doc_id",

@@ -2,7 +2,10 @@
 
 from __future__ import annotations
 
+import pytest
+
 from bangumi_notion_data_integration_project_spark.operators.components import (
+    ConvergenceError,
     connected_components,
     dedup_clusters,
 )
@@ -36,3 +39,56 @@ def test_dedup_clusters_keep_one_per_cluster(spark):
         r["doc_id"] for r in clustered.filter("doc_id = cluster_id").collect()
     )
     assert keepers == [1, 3, 4, 7]
+
+
+def _chain(spark, n):
+    """Path graph 0-1-...-n: label 0 travels one hop per round, so the
+    fixpoint needs exactly ``n`` (diameter) iterations."""
+    return spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a: long, id_b: long"
+    )
+
+
+def test_nonconverged_raises_loudly(spark):
+    # diameter 8 > budget 3: silent partial labels would select wrong
+    # keepers downstream — the default must be a hard error
+    with pytest.raises(ConvergenceError, match="did not converge within 3"):
+        connected_components(_chain(spark, 8), max_iterations=3).collect()
+
+
+def test_nonconverged_flag_mode_marks_rows(spark):
+    got = connected_components(
+        _chain(spark, 8), max_iterations=3, on_nonconverged="flag"
+    )
+    rows = got.collect()
+    assert "converged" in got.columns
+    assert rows and all(r["converged"] is False for r in rows)
+    # partial labels are still the 3-round propagation state, not garbage
+    labels = {r["node"]: r["component"] for r in rows}
+    assert labels[0] == 0 and labels[8] == 5  # label 8-3 hops away
+
+
+def test_exact_budget_converges_without_error(spark):
+    # diameter 4 chain with budget 5: converges (needs one extra round
+    # to observe changed == 0) and must NOT raise or grow a flag column
+    got = connected_components(_chain(spark, 4), max_iterations=5)
+    assert got.columns == ["node", "component"]
+    assert {r["component"] for r in got.collect()} == {0}
+
+
+def test_dedup_clusters_propagates_nonconvergence(spark):
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id: long")
+    with pytest.raises(ConvergenceError):
+        dedup_clusters(
+            _chain(spark, 9), docs, id_col="doc_id", max_iterations=2
+        ).collect()
+    flagged = dedup_clusters(
+        _chain(spark, 9),
+        docs,
+        id_col="doc_id",
+        max_iterations=2,
+        on_nonconverged="flag",
+    )
+    by_id = {r["doc_id"]: r for r in flagged.collect()}
+    assert by_id[5]["converged"] is False  # chain member: unproven
+    assert by_id[11]["converged"] is True  # singleton outside any pair

@@ -6,6 +6,7 @@ from pyspark.sql import functions as F
 
 from bangumi_notion_data_integration_project_spark.operators.dedup import (
     exact_dedup,
+    inverted_index_pairs,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash64,
@@ -233,3 +234,69 @@ def test_simhash_bulk_matches_expression_form(spark):
         r.doc_id: r.simhash for r in simhash64_docs(df, "text", "doc_id").collect()
     }
     assert expr_form == bulk_form
+
+
+# ---------------------------------------------------------------------------
+# Scale guard rails — these paths exist for 100 TB; the tests below make
+# each one BIND at fixture scale with an asserted outcome.
+# ---------------------------------------------------------------------------
+
+BOILER = "subscribe to our newsletter for daily updates"  # 7 tokens, 5 shingles
+DISTINCT_A = "graft engine rewrites logical plans before catalyst optimizes them"
+DISTINCT_B = "graft engine rewrites logical plans before catalyst optimizes code"
+
+
+def test_inverted_index_df_cap_drops_only_boilerplate_pairs(spark):
+    # six docs that are NOTHING BUT the site-wide boilerplate sentence,
+    # plus two genuinely near-duplicate docs (8 tokens, 6 shingles,
+    # 5 shared → Jaccard 5/7 ≈ 0.71)
+    rows = [(i, BOILER) for i in range(1, 7)]
+    rows += [(10, DISTINCT_A), (11, DISTINCT_B)]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def pairs(df_cap):
+        got = inverted_index_pairs(
+            docs, "text", "doc_id", shingle_n=3, threshold=0.6, df_cap=df_cap
+        ).collect()
+        return {(r["id_a"], r["id_b"]) for r in got}
+
+    boiler_pairs = {(a, b) for a in range(1, 7) for b in range(a + 1, 7)}
+    uncapped = pairs(df_cap=100)
+    assert uncapped == boiler_pairs | {(10, 11)}
+
+    # every boilerplate shingle has df=6 > cap=3; the distinctive
+    # shingles have df=2 ≤ 3. The cap must drop EXACTLY the pairs whose
+    # entire overlap is boilerplate and keep the real near-dup.
+    capped = pairs(df_cap=3)
+    assert capped == {(10, 11)}
+    assert uncapped - capped == boiler_pairs
+
+
+def test_multiprobe_lsh_raises_recall_over_single_probe(spark, sf_dir):
+    # the 1-bit-flip probe fan-out is the scale lever that buys back
+    # single-bucket recall loss at zero corpus-side cost; prove it pays
+    # on the fixture corpus (seeded hyperplanes → fully deterministic:
+    # 23/80 multiprobe vs 10/80 single-probe at this SF)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    query = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def by_q(rows):
+        out: dict[int, set[int]] = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    ex = by_q(brute_force_topk(emb, query, k=10).collect())
+    total = sum(len(v) for v in ex.values())
+
+    def recall(multiprobe):
+        ap = by_q(
+            lsh_topk(emb, query, k=10, n_planes=6, multiprobe=multiprobe).collect()
+        )
+        return sum(len(ex[q] & ap.get(q, set())) for q in ex) / total
+
+    single, multi = recall(False), recall(True)
+    assert multi > single, (single, multi)
+    assert multi >= 1.5 * single, f"multiprobe gain collapsed: {single} -> {multi}"
