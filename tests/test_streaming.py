@@ -37,7 +37,7 @@ ROWS2 = [
 
 def _rows(spark, rows):
     return spark.createDataFrame(
-        [(i, ts, u, et, v) for (i, ts, u, et, v) in rows], SCHEMA
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
     ).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
@@ -368,3 +368,133 @@ def test_enrich_with_dim_broadcasts(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["event_id"]: r["segment"] for r in spark.sql("SELECT * FROM enriched").collect()}
     assert rows == {1: "alpha", 2: "alpha", 3: "beta"}
+
+
+# ---------------------------------------------------------------------------
+# Batch <-> streaming differential property: a 3-micro-batch streamed
+# upsert must land the SAME final table as one batch merge of the whole
+# delta — the strongest check available for code the SQL oracle can't
+# see. Randomized over seeds; ts is globally increasing so batch order
+# and last-write-wins order agree, making the batch twin well-defined.
+# ---------------------------------------------------------------------------
+
+import random
+
+import pytest
+
+from bangumi_notion_data_integration_project_spark.operators.merge import (
+    merge_scoped,
+    merge_snapshot,
+)
+from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+    _dedup_last_wins,
+    start_streaming_partitioned_upsert,
+)
+
+_TYPES = ["click", "view", "buy"]
+
+
+def _random_rows(rng, n, key_space, start_minute=0):
+    # event_type is a pure function of event_id so keys never migrate
+    # between partitions (merge_into_partitioned contract)
+    rows = []
+    for i in range(n):
+        k = rng.randrange(key_space)
+        m = start_minute + i
+        rows.append(
+            (
+                k,
+                f"2024-01-01 {m // 60:02d}:{m % 60:02d}:00",
+                rng.randrange(5),
+                _TYPES[k % 3],
+                float(rng.randrange(100)),
+            )
+        )
+    return rows
+
+
+def _stream_3_batches(spark, inp):
+    """File stream over ``inp`` forced to one file per micro-batch."""
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inp)
+    )
+
+
+def _final_vs_expected(spark, target, expected):
+    cols = sorted(expected.columns)
+    got = {tuple(r[c] for c in cols) for r in spark.read.parquet(target).collect()}
+    want = {tuple(r[c] for c in cols) for r in expected.collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_streaming_upsert_equals_batch_merge_snapshot(spark, tmp_path, seed):
+    rng = random.Random(seed)
+    inp = str(tmp_path / "in")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    # initial target state: unique keys (pre-deduped snapshot)
+    base = _rows(spark, _random_rows(rng, 15, 10)).dropDuplicates(["event_id"])
+    base.write.parquet(target)  # writes _SUCCESS -> recover_dir sees it
+
+    # one delta split into 3 micro-batch files; each sequential Spark
+    # write lands a later mtime, and the file source processes files
+    # oldest-first, so batch order follows ts order deterministically
+    delta_rows = _random_rows(rng, 30, 14, start_minute=120)
+    for chunk in (delta_rows[:10], delta_rows[10:20], delta_rows[20:]):
+        _write_batch(spark, inp, chunk)
+
+    q = start_streaming_upsert(
+        _stream_3_batches(spark, inp), target, "event_id", ckpt, dedup_order="ts"
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+
+    delta = _rows(spark, delta_rows)
+    expected = merge_snapshot(
+        _dedup_last_wins(delta, "event_id", "ts"),
+        base,
+        "event_id",
+        delete_absent=False,
+    )
+    _final_vs_expected(spark, target, expected)
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_streaming_partitioned_upsert_equals_batch_merge_scoped(
+    spark, tmp_path, seed
+):
+    rng = random.Random(seed)
+    inp = str(tmp_path / "in")
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = _rows(spark, _random_rows(rng, 15, 10)).dropDuplicates(["event_id"])
+    base.write.partitionBy("event_type").parquet(target)
+
+    delta_rows = _random_rows(rng, 30, 14, start_minute=120)
+    for chunk in (delta_rows[:10], delta_rows[10:20], delta_rows[20:]):
+        _write_batch(spark, inp, chunk)
+
+    q = start_streaming_partitioned_upsert(
+        _stream_3_batches(spark, inp),
+        target,
+        "event_id",
+        "event_type",
+        ckpt,
+        dedup_order="ts",
+    )
+    q.awaitTermination(180)
+
+    delta = _rows(spark, delta_rows)
+    expected = merge_scoped(
+        _dedup_last_wins(delta, "event_id", "ts"),
+        base,
+        "event_id",
+        "event_type",
+        delete_absent=False,
+    )
+    _final_vs_expected(spark, target, expected)
