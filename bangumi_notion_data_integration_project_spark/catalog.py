@@ -32,10 +32,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # and a pre-broadcast exchange would only add a stage)
 SPREAD_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
 
-# memo for _spread's planned-partition probe: (sorted input files,
-# parallelism) → bool. Keyed on the file listing, not the table name,
-# so a rewritten/grown table re-probes.
+# memo for _spread's planned-partition probe: (sorted input files with
+# sizes, parallelism) → bool. Keyed on the file listing + per-file
+# byte sizes, not the table name, so a rewritten or grown table
+# re-probes even when a rewrite keeps identical file names (e.g. a
+# fixture regenerated in place by a non-Spark writer). Entries are
+# O(tables × sessions) — effectively bounded.
 _SPREAD_DECISIONS: dict[tuple[str, int], bool] = {}
+
+
+def _file_size(path: str) -> int:
+    p = path[7:] if path.startswith("file://") else path
+    try:
+        return os.path.getsize(p)
+    except OSError:
+        return -1  # remote/unstat-able: fall back to name-only keying
 
 
 def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -62,7 +73,7 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     many, so the file count bounds nothing in either direction; only
     the planned partition count answers the question."""
     cache_key = (
-        "\n".join(sorted(df.inputFiles())),
+        "\n".join(f"{f}:{_file_size(f)}" for f in sorted(df.inputFiles())),
         spark.sparkContext.defaultParallelism,
     )
     decision = _SPREAD_DECISIONS.get(cache_key)
