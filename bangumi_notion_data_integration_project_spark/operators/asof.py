@@ -8,8 +8,11 @@ seen right row forward with a window ``last(..., ignorenulls=True)``.
 
 Scale shape: ONE shuffle on the join key (the window partition), no
 range explosion, no per-key driver loops — this is the standard
-scalable restatement of an as-of join on Spark. Skewed keys fall back
-to AQE skew handling like any window.
+scalable restatement of an as-of join on Spark. Skew caveat (measured,
+SCALING.md window probe): AQE's skew machinery splits skewed
+sort-merge-JOIN partitions only — a hot window key runs as one task
+regardless, so a heavily skewed key needs structural mitigation
+(salt + per-salt window + merge, or pre-aggregation), not a config.
 
 DuckDB's native ``ASOF JOIN`` provides the oracle for correctness.
 """

@@ -36,7 +36,7 @@ from .functions.vectors import l2_norm
 from .operators.dedup import normalized_text
 from .operators.merge import merge_parts, merge_scd2, merge_snapshot
 from .operators.similarity import brute_force_topk
-from .operators.topk import top_k_per_group
+from .operators.topk import top_k_per_group, top_k_per_group_salted
 
 ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]
 
@@ -288,6 +288,36 @@ def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["p_brand"],
             [F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
             3,
+        )
+        .select(
+            "p_brand",
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+        .orderBy("p_brand", "rn")
+    )
+
+
+def q_top_parts_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase window top-k (operators/topk.py
+    top_k_per_group_salted): the skew-structural form of
+    top_parts_per_brand. The salt only routes rows — phase 1 ranks
+    within (group, salt), phase 2 re-ranks the bounded survivors — so
+    the result is IDENTICAL to the plain window and the oracle is the
+    unsalted SQL. This is the 100 TB mitigation for a hot window key:
+    AQE cannot split a skewed WINDOW partition (measured in
+    SCALING.md's window probe), so parallelism must come from the
+    key structure itself."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        top_k_per_group_salted(
+            p,
+            ["p_brand"],
+            [F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
+            3,
+            n_salts=8,
+            tiebreaker="p_partkey",
         )
         .select(
             "p_brand",
@@ -2773,9 +2803,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pii_scrub": q_docs_pii_scrub,
     "decontaminate_overlap": q_decontaminate_overlap,
     "parts_skyline": q_parts_skyline,
-    "incremental_agg_merge": q_incremental_agg_merge,
+    # -- new in r4: salted two-phase window top-k
+    "top_parts_salted": q_top_parts_salted,
     # --------- driver checked-window boundary (position 50) ---------
     # -- r2-green remainder, unchanged
+    "incremental_agg_merge": q_incremental_agg_merge,
     "events_retention": q_events_retention,
     "docs_char_entropy": q_docs_char_entropy,
     "coalesce_display": q_coalesce_display,
@@ -3104,6 +3136,16 @@ ORACLES: dict[str, str] = {
         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
     """,
     "top_parts_per_brand": """
+        SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rn
+        FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+          FROM part)
+        WHERE rn <= 3 ORDER BY p_brand, rn
+    """,
+    # the salt is routing-only, so the salted form shares the plain oracle
+    "top_parts_salted": """
         SELECT p_brand, p_partkey, round(p_retailprice, 2) AS price, rn
         FROM (
           SELECT p_brand, p_partkey, p_retailprice,

@@ -66,3 +66,37 @@ def test_salted_join_left_keeps_unmatched(spark):
     out = salted_join(big, small, "k", n_salts=3, tiebreaker="rid", how="left")
     got = {r["rid"]: r["w"] for r in out.collect()}
     assert got == {1: 10, 2: None}
+
+
+def test_salted_topk_matches_plain_on_hot_key(spark):
+    from bangumi_notion_data_integration_project_spark.operators.topk import (
+        top_k_per_group,
+        top_k_per_group_salted,
+    )
+
+    # group 'hot' holds 90% of rows — the shape where one window task
+    # would serialize; the salted form must return the IDENTICAL top-k
+    rows = [(i, "hot" if i % 10 else "cold", float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id: long, grp: string, score: double")
+    order = [F.col("score").desc(), F.col("id").asc()]
+    plain = top_k_per_group(df, ["grp"], order, 5).select("grp", "id", "score", "rn")
+    salted = top_k_per_group_salted(
+        df, ["grp"], order, 5, n_salts=8, tiebreaker="id"
+    ).select("grp", "id", "score", "rn")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_topk_phase1_partitions_by_salt(spark):
+    from bangumi_notion_data_integration_project_spark.operators.topk import (
+        top_k_per_group_salted,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id: long, grp: string, score: double")
+    out = top_k_per_group_salted(
+        df, ["grp"], [F.col("score").desc(), F.col("id")], 3, n_salts=4, tiebreaker="id"
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # phase 1 must window over (grp, __salt) — that is where the hot
+    # key's parallelism comes from; phase 2 re-windows over grp alone
+    assert "__salt" in plan
+    assert plan.count("Window") >= 2

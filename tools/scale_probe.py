@@ -128,8 +128,19 @@ def main() -> None:
             "on a real corpus the duplicate fraction stays roughly constant",
             "and these plans scale with it.",
         ]
-        with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md"), "w") as f:
-            f.write("\n".join(lines) + "\n")
+        md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
+        # preserve hand-written / sibling-tool sections ("## ..." blocks:
+        # the dot-product bench, the window-family skew probe) across
+        # regenerations of the main table
+        extra = ""
+        if os.path.exists(md_path):
+            with open(md_path) as f:
+                prev = f.read()
+            idx = prev.find("\n## ")
+            if idx >= 0:
+                extra = prev[idx:]
+        with open(md_path, "w") as f:
+            f.write("\n".join(lines) + "\n" + extra)
         print("\n".join(lines))
     finally:
         shutil.rmtree(scaled_dir, ignore_errors=True)
