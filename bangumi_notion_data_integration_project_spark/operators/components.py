@@ -114,6 +114,160 @@ def connected_components(
     return out
 
 
+def connected_components_star(
+    edges: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", 2014) — same output contract as
+    :func:`connected_components`, different convergence behavior.
+
+    Min-label propagation moves a label ONE hop per round, so rounds =
+    component diameter; a templated-boilerplate chain of depth 500
+    needs 500 shuffles. The star rounds rewire the graph itself —
+    large-star hangs every larger neighbor directly under the local
+    minimum, small-star flattens the remainder — so components collapse
+    toward a star around their global minimum in O(log²) rounds in the
+    worst case (2 rounds for shallow near-dup clusters). Each round is
+    two groupBy+join passes on the edge list; edges only ever connect a
+    node to a smaller node, so the set shrinks monotonically toward
+    (member → component-min) and termination is detected by edge-set
+    fixpoint (count + order-independent hash in ONE aggregate).
+
+    Same ``on_nonconverged`` contract as :func:`connected_components`:
+    ``"raise"`` (default) or ``"flag"`` (warn + ``converged`` column).
+    """
+    if on_nonconverged not in ("raise", "flag"):
+        raise ValueError(f"on_nonconverged must be 'raise' or 'flag', got {on_nonconverged!r}")
+
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    all_nodes = sym.select("u").distinct().localCheckpoint(eager=True)
+
+    def _sig(e: DataFrame) -> tuple[int, int]:
+        """Order-independent edge-set fingerprint, one aggregate pass."""
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                # decimal sum: order-independent and overflow-free under
+                # ANSI (an int64 SUM of xxhash64 values overflows)
+                F.sum(
+                    F.xxhash64(F.least("u", "v"), F.greatest("u", "v")).cast(
+                        "decimal(38,0)"
+                    )
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    e = sym.localCheckpoint(eager=True)
+    prev = _sig(e)
+    converged = False
+    for _ in range(max_iterations):
+        # large-star: hang every neighbor v > u under m(u) = min(Γ(u) ∪ {u})
+        mins = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            e.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # every edge is re-emitted from its smaller endpoint's
+        # neighborhood (v ∈ Γ⁺(u)), so no node is orphaned: a node with
+        # only-larger neighbors emits its own edges, a node with a
+        # smaller neighbor is re-attached by that neighbor's emission
+        e1 = (
+            large.select(
+                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            )
+            .distinct()
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                        F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                    )
+                ).alias("__e")
+            )
+            .select("__e.u", "__e.v")
+        )
+        # small-star: flatten the ≤-neighborhood onto its minimum
+        smaller = e1.filter(F.col("v") < F.col("u"))
+        minsS = smaller.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            smaller.join(minsS, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("u").alias("p"), F.col("m").alias("q")),
+                        F.struct(F.col("v").alias("p"), F.col("m").alias("q")),
+                    )
+                ).alias("__e")
+            )
+            .select("__e.p", "__e.q")
+            .filter(F.col("p") != F.col("q"))
+            .select(
+                F.least("p", "q").alias("a"), F.greatest("p", "q").alias("b")
+            )
+            .distinct()
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                        F.struct(F.col("b").alias("u"), F.col("a").alias("v")),
+                    )
+                ).alias("__e")
+            )
+            .select("__e.u", "__e.v")
+        )
+        e = small.localCheckpoint(eager=True)
+        sig = _sig(e)
+        if sig == prev:
+            converged = True
+            break
+        prev = sig
+
+    # at fixpoint every component is a star on its minimum: a node's
+    # component is its smallest neighbor (or itself for singletons-in-
+    # edge-list, which cannot occur after symmetrization, and centers)
+    labels = (
+        all_nodes.join(
+            e.groupBy("u").agg(F.min("v").alias("__mn")), "u", "left"
+        )
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.coalesce("__mn", F.col("u"))).alias("component"),
+        )
+    )
+    if not converged:
+        msg = (
+            f"connected_components_star did not reach an edge-set fixpoint "
+            f"within {max_iterations} iterations"
+        )
+        if on_nonconverged == "raise":
+            raise ConvergenceError(msg)
+        logger.warning("%s — returning partial labels flagged converged=False", msg)
+        return labels.withColumn("converged", F.lit(False))
+    return labels
+
+
 def dedup_clusters(
     pairs: DataFrame,
     all_ids: DataFrame,
@@ -123,11 +277,21 @@ def dedup_clusters(
     dst: str = "id_b",
     max_iterations: int = 20,
     on_nonconverged: str = "raise",
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Cluster assignment for every row: near-dup groups collapse to
     their minimum id; singletons keep their own id. The downstream
-    "keep one per cluster" is then ``filter(id == cluster_id)``."""
-    comp = connected_components(
+    "keep one per cluster" is then ``filter(id == cluster_id)``.
+
+    ``algorithm``: ``"minlabel"`` (default — 1 join/round, rounds =
+    cluster diameter; near-dup clusters are shallow so this wins) or
+    ``"star"`` (:func:`connected_components_star` — ~2× work/round but
+    O(log²) rounds; pick it when clusters can chain deep, e.g.
+    templated boilerplate series)."""
+    if algorithm not in ("minlabel", "star"):
+        raise ValueError(f"algorithm must be 'minlabel' or 'star', got {algorithm!r}")
+    impl = connected_components if algorithm == "minlabel" else connected_components_star
+    comp = impl(
         pairs,
         src=src,
         dst=dst,

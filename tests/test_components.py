@@ -92,3 +92,62 @@ def test_dedup_clusters_propagates_nonconvergence(spark):
     by_id = {r["doc_id"]: r for r in flagged.collect()}
     assert by_id[5]["converged"] is False  # chain member: unproven
     assert by_id[11]["converged"] is True  # singleton outside any pair
+
+
+# ---------------------------------------------------------------------------
+# Large-star/small-star variant: same contract, O(log^2) rounds
+# ---------------------------------------------------------------------------
+
+
+def _star(spark, edges, **kw):
+    from bangumi_notion_data_integration_project_spark.operators.components import (
+        connected_components_star,
+    )
+
+    return connected_components_star(edges, **kw)
+
+
+def test_star_matches_minlabel_on_random_graphs(spark):
+    import random
+
+    for seed in (3, 17, 41):
+        rng = random.Random(seed)
+        n = 40
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(35)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        want = {
+            r["node"]: r["component"] for r in connected_components(df).collect()
+        }
+        got = {r["node"]: r["component"] for r in _star(spark, df).collect()}
+        assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_star_converges_where_minlabel_budget_fails(spark):
+    # diameter-63 chain: min-label needs 63 rounds and RAISES at 15;
+    # the star rounds rewire the graph and converge well inside 15
+    chain = _chain(spark, 63)
+    with pytest.raises(ConvergenceError):
+        connected_components(chain, max_iterations=15).collect()
+    got = _star(spark, chain, max_iterations=15)
+    assert {r["component"] for r in got.collect()} == {0}
+
+
+def test_star_nonconverged_is_loud(spark):
+    with pytest.raises(ConvergenceError, match="fixpoint"):
+        _star(spark, _chain(spark, 40), max_iterations=1).collect()
+    flagged = _star(
+        spark, _chain(spark, 40), max_iterations=1, on_nonconverged="flag"
+    )
+    assert "converged" in flagged.columns
+
+
+def test_dedup_clusters_star_algorithm_matches_minlabel(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id: long")
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (3, 6)], "id_a: long, id_b: long")
+    a = dedup_clusters(pairs, docs, id_col="doc_id")
+    b = dedup_clusters(pairs, docs, id_col="doc_id", algorithm="star")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
