@@ -1,0 +1,107 @@
+"""Deterministic Lloyd k-means over embedding columns — the semantic
+clustering primitive of the training-data pipeline (source balancing,
+embedding-space curation, semantic dedup beyond pairwise cosine).
+
+Iterative ML on Spark is usually rows-only for a SQL oracle; this
+implementation is built so the WHOLE iteration is reproducible in ANSI
+SQL and therefore hash-checkable:
+
+- init centroids are a deterministic corpus sample (``id % 7 == 0``,
+  first ``k`` by id — the same rule as ``ivf_topk``), not random;
+- every Lloyd update rounds centroid components to 6 dp before the
+  next assignment, so cross-engine float drift cannot compound;
+- assignment ties break on the lowest cell index.
+
+Scale shape: assignment is corpus ⨯ broadcast(k centroids) — the
+corpus never shuffles; the update is one partial+final aggregate per
+(cell, idx) whose result (k·dim doubles) is collected and re-broadcast
+as plan literals, exactly like the IVF centroid fold. Iterations are
+driver-driven but each costs ONE pass over the corpus; k·dim stays
+tiny (the collected state is kilobytes at production k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _assign(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Nearest centroid by squared L2 (rounded 6 dp; ties → lowest
+    cell). Window argmin keeps the formulation identical to the ANSI
+    oracle; swap for ``min_by`` at production scale (same result, one
+    aggregate instead of a per-id window)."""
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("cvec"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col("cell"), d2.alias("dist2")
+    )
+    w = Window.partitionBy(id_col).orderBy("dist2", "cell")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def kmeans_lite(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 1,
+) -> DataFrame:
+    """Run ``iterations`` Lloyd updates from the deterministic init and
+    return the final assignment (id, cluster, dist2 — squared L2 to the
+    final centroid, 6 dp). Fully reproducible across engines; the
+    DuckDB oracle re-derives init, update, and assignment relationally.
+    """
+    spark = corpus.sparkSession
+    init_rows = (
+        corpus.select(id_col, vec_col)
+        .filter(F.pmod(F.col(id_col), F.lit(7)) == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cents_data = [
+        (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(init_rows)
+    ]
+    cents = spark.createDataFrame(cents_data, "cell int, cvec array<double>")
+
+    for _ in range(iterations):
+        assigned = _assign(corpus, cents, id_col, vec_col)
+        members = assigned.join(corpus.select(id_col, vec_col), id_col)
+        upd = (
+            members.select("cell", F.posexplode(vec_col).alias("idx", "x"))
+            .groupBy("cell", "idx")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cx"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("idx", "cx"))).alias("s"))
+            .select("cell", F.col("s.cx").alias("cvec"))
+            .collect()
+        )
+        new_map = {r["cell"]: list(r["cvec"]) for r in upd}
+        # empty cells keep their previous centroid (no members → no mean)
+        cents_data = [
+            (cell, new_map.get(cell, vec)) for cell, vec in cents_data
+        ]
+        cents = spark.createDataFrame(cents_data, "cell int, cvec array<double>")
+
+    final = _assign(corpus, cents, id_col, vec_col)
+    return final.select(
+        F.col(id_col),
+        F.col("cell").cast("long").alias("cluster"),
+        "dist2",
+    )

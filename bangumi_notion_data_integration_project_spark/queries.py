@@ -2731,6 +2731,22 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_near_dup(e, threshold=0.4, n_planes=6).orderBy("id_a", "id_b")
 
 
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embedding corpus
+    (operators/clustering.py kmeans_lite): semantic clustering for
+    source balancing / embedding-space curation. Iterative ML is
+    normally rows-only for a SQL oracle; the deterministic init
+    (vec_id % 7 sample, the IVF rule), 6-dp centroid rounding between
+    iterations, and lowest-cell tie-breaks make the full iteration
+    reproducible in ANSI SQL — so this entry is HASH-checked. Corpus
+    never shuffles: assignment is a broadcast cross join, the update
+    one partial+final aggregate folded back as literals."""
+    from .operators.clustering import kmeans_lite
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lite(e, k=8, iterations=1).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2802,11 +2818,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suppliers_per_region": q_suppliers_per_region,
     "docs_pii_scrub": q_docs_pii_scrub,
     "decontaminate_overlap": q_decontaminate_overlap,
-    "parts_skyline": q_parts_skyline,
-    # -- new in r4: salted two-phase window top-k
+    # -- new in r4: salted two-phase window top-k + hash-checked k-means
     "top_parts_salted": q_top_parts_salted,
+    "embedding_kmeans": q_embedding_kmeans,
     # --------- driver checked-window boundary (position 50) ---------
     # -- r2-green remainder, unchanged
+    "parts_skyline": q_parts_skyline,
     "incremental_agg_merge": q_incremental_agg_merge,
     "events_retention": q_events_retention,
     "docs_char_entropy": q_docs_char_entropy,
@@ -3657,6 +3674,48 @@ ORACLES: dict[str, str] = {
           JOIN embeddings eb ON eb.vec_id = b.vec_id)
         SELECT id_a, id_b, cosine_sim FROM cand
         WHERE cosine_sim >= 0.4 ORDER BY id_a, id_b
+    """,
+    # k-means: the oracle re-derives the deterministic init (vec_id % 7
+    # sample, first 8), ONE Lloyd update with 6-dp centroid rounding,
+    # and the final squared-L2 assignment — iteration-for-iteration the
+    # same arithmetic as operators/clustering.kmeans_lite
+    "embedding_kmeans": """
+        WITH c0 AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                 list_transform(embedding, x -> cast(x AS DOUBLE)) AS cvec
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 8)),
+        d1 AS (
+          SELECT e.vec_id, c.cell,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> (cast(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                      * (cast(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS dist2
+          FROM embeddings e CROSS JOIN c0 c),
+        a1 AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+            FROM d1) WHERE rn = 1),
+        upd AS (
+          SELECT a1.cell, i.idx,
+                 round(avg(cast(e.embedding[i.idx] AS DOUBLE)), 6) AS cx
+          FROM a1 JOIN embeddings e USING (vec_id)
+          CROSS JOIN (SELECT unnest(range(1, 65)) AS idx) i
+          GROUP BY a1.cell, i.idx),
+        c1 AS (SELECT cell, list(cx ORDER BY idx) AS cvec FROM upd GROUP BY cell),
+        cf AS (
+          SELECT c0.cell, coalesce(c1.cvec, c0.cvec) AS cvec
+          FROM c0 LEFT JOIN c1 USING (cell)),
+        d2 AS (
+          SELECT e.vec_id, c.cell,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> (cast(e.embedding[i] AS DOUBLE) - c.cvec[i])
+                      * (cast(e.embedding[i] AS DOUBLE) - c.cvec[i]))), 6) AS dist2
+          FROM embeddings e CROSS JOIN cf c)
+        SELECT vec_id, cast(cell AS BIGINT) AS cluster, dist2 FROM (
+          SELECT vec_id, cell, dist2,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rn
+          FROM d2) WHERE rn = 1 ORDER BY vec_id
     """,
     "ann_lsh_topk": f"""
         WITH {_LSH_CTES}

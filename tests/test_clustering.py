@@ -1,0 +1,54 @@
+"""Deterministic k-means (operators/clustering.py) tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bangumi_notion_data_integration_project_spark.operators.clustering import kmeans_lite
+
+
+def test_kmeans_assigns_every_vector_once(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = kmeans_lite(emb, k=8, iterations=1)
+    n = emb.count()
+    rows = out.collect()
+    assert len(rows) == n
+    assert len({r["vec_id"] for r in rows}) == n
+    assert {r["cluster"] for r in rows} <= set(range(8))
+    assert all(r["dist2"] >= 0 for r in rows)
+
+
+def test_kmeans_is_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, kmeans_lite(emb, k=4, iterations=1).collect()))
+    b = sorted(map(tuple, kmeans_lite(emb, k=4, iterations=1).collect()))
+    assert a == b
+
+
+def test_kmeans_lloyd_update_does_not_increase_cost(spark, sf_dir):
+    # Lloyd's algorithm is monotone in total within-cluster squared
+    # distance; 6-dp centroid rounding perturbs by <= ~1e-6 per term
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def cost(iters):
+        out = kmeans_lite(emb, k=8, iterations=iters)
+        return out.agg(F.sum("dist2")).first()[0]
+
+    c1, c2 = cost(1), cost(2)
+    assert c2 <= c1 + 1e-3, (c1, c2)
+
+
+def test_kmeans_separated_clusters_recovered(spark):
+    # two tight blobs far apart; k=2 must split them exactly.
+    # ids chosen so the %7 init picks one seed from EACH blob (0, 70)
+    blob_a = [(i, [0.0 + 0.01 * i] * 8) for i in range(0, 5)]
+    blob_b = [(70 + i, [100.0 + 0.01 * i] * 8) for i in range(0, 5)]
+    df = spark.createDataFrame(blob_a + blob_b, "vec_id: long, embedding: array<double>")
+    out = kmeans_lite(df, k=2, iterations=1).collect()
+    by_cluster: dict[int, set[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], set()).add(r["vec_id"])
+    assert sorted(map(sorted, by_cluster.values())) == [
+        [0, 1, 2, 3, 4],
+        [70, 71, 72, 73, 74],
+    ]
