@@ -126,7 +126,10 @@ def main() -> None:
             "legitimately super-linear OUTPUT work on this synthetic blowup;",
             "their ratios measure result-size growth, not a plan defect —",
             "on a real corpus the duplicate fraction stays roughly constant",
-            "and these plans scale with it.",
+            "and these plans scale with it. `dedup_near_pipeline`'s",
+            "wall-clock is driver-synced (iterative component rounds with",
+            "eager checkpoints), so its absolute numbers vary ~2×",
+            "run-to-run.",
         ]
         md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
         # preserve hand-written / sibling-tool sections ("## ..." blocks:
