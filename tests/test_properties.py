@@ -241,3 +241,106 @@ def test_merge_scoped_matches_python_reference(spark, seed):
     actually_touched = {p for _, _, p in src}
     want = sorted(src + [(k, v, p) for k, v, p in tgt if p not in actually_touched])
     assert got == want
+
+
+# --- inverted-index near-dup pairs vs brute-force Jaccard ------------------
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.strip().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _brute_jaccard_pairs(docs, threshold, n=3):
+    out = set()
+    for i, (ida, ta) in enumerate(docs):
+        sa = _py_shingles(ta, n)
+        for idb, tb in docs[i + 1 :]:
+            sb = _py_shingles(tb, n)
+            if not sa and not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union and inter / union >= threshold:
+                out.add((min(ida, idb), max(ida, idb)))
+    return out
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_inverted_index_pairs_matches_bruteforce(spark, seed):
+    from bangumi_notion_data_integration_project_spark.operators.dedup import (
+        inverted_index_pairs,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab → real collisions
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 10))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id: long, text: string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in inverted_index_pairs(
+            df, "text", "doc_id", shingle_n=3, threshold=0.5, df_cap=10**6
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(docs, 0.5)
+
+
+# --- deterministic k-means vs pure-Python Lloyd ----------------------------
+
+
+def _py_kmeans(vectors, k, iterations):
+    ids = sorted(vectors)
+    seeds = [i for i in ids if i % 7 == 0][:k]
+    cents = [list(map(float, vectors[s])) for s in seeds]
+
+    def assign(cs):
+        out = {}
+        for vid in ids:
+            best = None
+            for cell, c in enumerate(cs):
+                d = round(sum((float(x) - y) * (float(x) - y) for x, y in zip(vectors[vid], c)), 6)
+                if best is None or (d, cell) < best[:2]:
+                    best = (d, cell)
+            out[vid] = (best[1], best[0])
+        return out
+
+    for _ in range(iterations):
+        a = assign(cents)
+        sums: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for vid, (cell, _d) in a.items():
+            counts[cell] = counts.get(cell, 0) + 1
+            s = sums.setdefault(cell, [0.0] * len(vectors[vid]))
+            for j, x in enumerate(vectors[vid]):
+                s[j] += float(x)
+        cents = [
+            [round(s / counts[cell], 6) for s in sums[cell]]
+            if cell in counts
+            else cents[cell]
+            for cell in range(len(cents))
+        ]
+    return {vid: (cell, d) for vid, (cell, d) in assign(cents).items()}
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_kmeans_matches_python_lloyd(spark, seed):
+    from bangumi_notion_data_integration_project_spark.operators.clustering import (
+        kmeans_lite,
+    )
+
+    rng = random.Random(seed)
+    vectors = {
+        i: [round(rng.uniform(-2, 2), 3) for _ in range(6)] for i in range(35)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vectors.items()], "vec_id: long, embedding: array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist2"])
+        for r in kmeans_lite(df, k=3, iterations=2).collect()
+    }
+    want = _py_kmeans(vectors, 3, 2)
+    assert got == want
