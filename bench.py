@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "minhash_lsh_verified",
     "merge_partition_scoped",
     "audio_segments",
+    "embedding_kmeans",
 ]
 
 
