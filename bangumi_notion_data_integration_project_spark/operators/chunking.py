@@ -17,7 +17,7 @@ way operators/dedup.py and operators/similarity.py do.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens

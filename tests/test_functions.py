@@ -115,3 +115,26 @@ def test_vector_math(spark):
     ).collect()
     assert rows[0]["d"] == 0.0 and abs(rows[0]["c"]) < 1e-12
     assert rows[1]["n"] == 5.0 and abs(rows[1]["c"] - 1.0) < 1e-12
+
+
+def test_dot_product_arrow_matches_hof(spark):
+    import random
+
+    from bangumi_notion_data_integration_project_spark.functions.vectors import (
+        dot_product,
+        dot_product_arrow,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], [rng.uniform(-1, 1) for _ in range(64)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id: long, a: array<double>, b: array<double>")
+    got = df.select(
+        "id",
+        dot_product("a", "b").alias("hof"),
+        dot_product_arrow("a", "b").alias("arrow"),
+    ).collect()
+    for r in got:
+        assert abs(r["hof"] - r["arrow"]) < 1e-9, r
