@@ -152,3 +152,41 @@ def stratified_sample(
     return df.filter(
         _hash_slot(key, salt) < thresholds[F.col(group_col).cast("string")]
     )
+
+
+def hash_uniform(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform in (0, 1) derived from the row key.
+
+    Uses the decimal digits of the md5 hex digest (zero-padded to six so
+    digit-poor digests never shift): engine-portable — DuckDB re-derives
+    the identical value with ``substr(regexp_replace(md5(k),'[a-f]','',
+    'g') || '000000', 1, 6)`` — and strictly inside (0, 1) thanks to the
+    +0.5 offset, so ``ln`` below is always finite.
+    """
+    col = F.col(key) if isinstance(key, str) else key
+    digits = F.regexp_replace(F.md5(F.concat(col.cast("string"), F.lit(salt))), "[a-f]", "")
+    six = F.substring(F.concat(digits, F.lit("000000")), 1, 6).cast("long")
+    return (six.cast("double") + F.lit(0.5)) / F.lit(1_000_000.0)
+
+
+def weighted_sample_keys(
+    df: DataFrame, key: str, weight: str, *, salt: str = ""
+) -> DataFrame:
+    """Attach the A-ES weighted-sampling key ``-ln(u)/w`` as ``aes_key``.
+
+    Efraimidis-Spirakis: taking the k rows with the SMALLEST key is an
+    exact weighted sample without replacement with inclusion ∝ weight.
+    Because u is the deterministic ``hash_uniform``, membership is
+    reproducible across runs and engines. Downstream top-k via
+    ``orderBy(aes_key).limit(k)`` compiles to TakeOrderedAndProject —
+    per-partition heaps, no global sort, no shuffle of non-winners —
+    which is what makes this the 100 TB way to draw a weighted sample
+    (vs. a full sort or rejection sampling).
+
+    Rows with NULL or non-positive weight are dropped (they have zero
+    inclusion probability).
+    """
+    w = F.col(weight).cast("double")
+    return df.filter(w > 0).withColumn(
+        "aes_key", -F.log(hash_uniform(key, salt)) / w
+    )

@@ -2748,6 +2748,263 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L. Round-4 additions: interval analytics, funnels, time-series resample,
+#    weighted sampling, reconciliation, graph ranking, market basket
+# ---------------------------------------------------------------------------
+
+
+def q_events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per event type via the +1/-1 boundary sweep:
+    each event holds a 15-minute interval; the answer is the max of the
+    running sum over interval boundaries. The sweep is O(n log n) with
+    ONE sort-per-key shuffle — the scale-safe alternative to the O(n²)
+    interval self-join a range join would do. Ties at the same instant
+    net out identically on both engines because the default RANGE window
+    frame sums the whole peer group.
+
+    Skew note: event_type is low-cardinality, so at 100 TB the window
+    key becomes (event_type, day) — a local sweep per day plus a
+    per-type prefix-sum of tiny daily net deltas to offset each day's
+    running count (intervals are bounded at 15 min, so only the
+    day-boundary carry matters). Same two-phase shape as
+    top_k_per_group_salted; the per-type form here is exact and right
+    for the test cardinalities."""
+    e = load_table(spark, sf_dir, "events")
+    starts = e.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = e.select(
+        "event_type",
+        F.expr("ts + INTERVAL 15 MINUTES").alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.union(ends)
+    w = Window.partitionBy("event_type").orderBy("t")  # default RANGE frame
+    return (
+        pts.withColumn("cur", F.sum("delta").over(w))
+        .groupBy("event_type")
+        .agg(F.max("cur").cast("long").alias("max_concurrent"))
+        .orderBy("event_type")
+    )
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase: per-user strictly
+    increasing timestamps across steps, counted with three chained
+    conditional-min windows over the SAME partition spec (Catalyst
+    reuses one sort/exchange for all three), then a single global
+    aggregate. No self-joins, no per-user collect_list."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "s1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "c1",
+        F.min(
+            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("s1")), F.col("ts"))
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "p1",
+        F.min(
+            F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("c1")), F.col("ts"))
+        ).over(w),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("s1").alias("s1"), F.max("c1").alias("c1"), F.max("p1").alias("p1")
+    )
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("s1").cast("long").alias("n_signup"),
+        F.count("c1").cast("long").alias("n_click_after_signup"),
+        F.count("p1").cast("long").alias("n_purchase_after_click"),
+    )
+
+
+def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample + gap fill: a calendar spine (sequence/explode of
+    the 1-row global min/max aggregate — broadcast, never shuffled)
+    cross-joined with the distinct type dimension, left-joined to the
+    daily aggregate, missing days filled by last-observation-carried-
+    forward (running last_value IGNORE NULLS window). The spine is
+    |days|×|types| rows — tiny versus the event table at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 6).alias("v"))
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .withColumn("is_gap", F.col("v").isNull().cast("int"))
+        .withColumn(
+            "value_filled",
+            F.round(F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(0.0)), 6),
+        )
+        .select("event_type", "day", "value_filled", "is_gap")
+        .orderBy("event_type", "day")
+    )
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: per-type daily event counts
+    z-scored against the preceding 7 days (ROWS BETWEEN 7 PRECEDING AND
+    1 PRECEDING — the current day never contaminates its own baseline).
+    One groupBy + one windowed pass; the window key is (type), bounded
+    frame, so state is O(7) per key at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    mean = F.avg("n_events").over(w)
+    std = F.stddev_samp("n_events").over(w)
+    cnt = F.count("n_events").over(w)
+    return (
+        daily.withColumn("trail_mean", mean)
+        .withColumn("trail_std", std)
+        .withColumn("trail_n", cnt)
+        .filter((F.col("trail_n") >= 3) & (F.col("trail_std") > 0))
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round("trail_mean", 6).alias("trail_mean"),
+            F.round((F.col("n_events") - F.col("trail_mean")) / F.col("trail_std"), 6).alias(
+                "zscore"
+            ),
+            (F.abs((F.col("n_events") - F.col("trail_mean")) / F.col("trail_std")) > 2)
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis-Spirakis A-ES,
+    operators/sampling.py): 20 docs with inclusion probability ∝
+    n_chars, via the smallest deterministic -ln(u)/w keys. orderBy+limit
+    compiles to TakeOrderedAndProject (per-partition heaps, no global
+    sort); ordering on the ROUNDED key keeps the boundary row identical
+    across engines despite last-ulp libm differences."""
+    from .operators.sampling import weighted_sample_keys
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = weighted_sample_keys(d, "doc_id", "n_chars").withColumn(
+        "aes_key", F.round("aes_key", 8)
+    )
+    return (
+        keyed.select("doc_id", "lang", "n_chars", "aes_key")
+        .orderBy("aes_key", "doc_id")
+        .limit(20)
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed checksum reconciliation (operators/reconcile.py): diff
+    the orders snapshot against a deterministically perturbed copy
+    (every 97th key deleted, every 101st price bumped) with per-bucket
+    (count, md5-digit checksum SUM) — two scans, a 64-row join, zero
+    row-level shuffles. The 100 TB way to verify a sync before paying
+    for a row-level merge; mismatched buckets localize the follow-up."""
+    from .operators.reconcile import snapshot_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    left = o.select("o_orderkey", cents.alias("cents"))
+    right = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 101 == 0, cents + 1000).otherwise(cents).alias("cents"),
+        )
+    )
+    return snapshot_diff(left, right, "o_orderkey", ["cents"], n_buckets=64).orderBy("bucket")
+
+
+def q_parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (operators/graph.py): parts
+    are linked when they appear in the same order (lineitem self-join on
+    the order key — co-located equi-join with per-order bounded fanout,
+    ≤ items²), 3 power iterations, damping 0.85. Each iteration is one
+    rank⋈edges join + one groupBy — hash shuffles on the node key, no
+    collect. Ordering on the ROUNDED rank keeps the top-25 boundary
+    stable across engines' FP summation orders."""
+    from .operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.select(F.col("node").alias("l_partkey"), F.round("rank", 9).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "l_partkey")
+        .limit(25)
+    )
+
+
+def q_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association strength: support and lift for part
+    pairs co-occurring in ≥ 3 orders. The pair space is generated by the
+    same bounded per-order self-join as the co-purchase graph (never
+    all-parts²); N enters as a broadcast 1-row aggregate so lift is
+    computed JVM-side with no driver scalar."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pair_counts = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    item_counts = li.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_item"))
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").cast("double").alias("n_orders")
+    )
+    return (
+        # plain equi-joins: the item-count side is per-part and can be
+        # huge at scale — let AQE broadcast it only when it is small
+        pair_counts.join(
+            item_counts.withColumnRenamed("l_partkey", "part_a").withColumnRenamed("n_item", "n_a"),
+            "part_a",
+        )
+        .join(
+            item_counts.withColumnRenamed("l_partkey", "part_b").withColumnRenamed("n_item", "n_b"),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -2789,6 +3046,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    # -- new in r4 (continuation): interval sweep, funnel, resample,
+    #    anomaly, weighted sample, reconciliation, graph rank, basket —
+    #    no driver row yet, so they outrank stale-green refreshes
+    "events_max_concurrency": q_events_max_concurrency,
+    "events_funnel": q_events_funnel,
+    "events_gap_fill": q_events_gap_fill,
+    "events_anomaly": q_events_anomaly,
+    "docs_weighted_sample": q_docs_weighted_sample,
+    "snapshot_diff_orders": q_snapshot_diff,
+    "parts_pagerank": q_parts_pagerank,
+    "part_pairs_lift": q_part_pairs_lift,
     # -- (c) stalest green: r1-only driver rows, unchanged code
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -2810,6 +3078,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "summary_grouping_sets": q_summary_grouping_sets,
     "docs_hash_sample": q_docs_hash_sample,
     "docs_group_quota": q_docs_group_quota,
+    # -- new in r4: salted two-phase window top-k + hash-checked k-means
+    "top_parts_salted": q_top_parts_salted,
+    "embedding_kmeans": q_embedding_kmeans,
+    # --------- driver checked-window boundary (position 50) ---------
+    # -- r2-green refresh candidates displaced by the r4 additions
+    #    (unchanged code, green r2 rows — lowest refresh priority)
     "docs_quality_bins": q_docs_quality_bins,
     "vocab_topk": q_vocab_topk,
     "orders_above_cust_avg": q_orders_above_cust_avg,
@@ -2818,10 +3092,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "suppliers_per_region": q_suppliers_per_region,
     "docs_pii_scrub": q_docs_pii_scrub,
     "decontaminate_overlap": q_decontaminate_overlap,
-    # -- new in r4: salted two-phase window top-k + hash-checked k-means
-    "top_parts_salted": q_top_parts_salted,
-    "embedding_kmeans": q_embedding_kmeans,
-    # --------- driver checked-window boundary (position 50) ---------
     # -- r2-green remainder, unchanged
     "parts_skyline": q_parts_skyline,
     "incremental_agg_merge": q_incremental_agg_merge,
@@ -4383,5 +4653,194 @@ ORACLES: dict[str, str] = {
                round(avg(value), 6) AS avg_value
         FROM melted GROUP BY l_returnflag, metric
         ORDER BY l_returnflag, metric
+    """,
+    "events_max_concurrency": """
+        WITH pts AS (
+          SELECT event_type, ts AS t, 1 AS delta FROM events
+          UNION ALL
+          SELECT event_type, ts + INTERVAL 15 MINUTE, -1 FROM events
+        ), running AS (
+          SELECT event_type,
+                 sum(delta) OVER (PARTITION BY event_type ORDER BY t) AS cur
+          FROM pts
+        )
+        SELECT event_type, CAST(max(cur) AS BIGINT) AS max_concurrent
+        FROM running GROUP BY event_type ORDER BY event_type
+    """,
+    "events_funnel": """
+        WITH w1 AS (
+          SELECT user_id, event_type, ts,
+                 min(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS s1
+          FROM events
+        ), w2 AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND ts > s1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS c1
+          FROM w1
+        ), w3 AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS p1
+          FROM w2
+        ), per_user AS (
+          SELECT user_id, max(s1) AS s1, max(c1) AS c1, max(p1) AS p1
+          FROM w3 GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               count(s1) AS n_signup,
+               count(c1) AS n_click_after_signup,
+               count(p1) AS n_purchase_after_click
+        FROM per_user
+    """,
+    "events_gap_fill": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, round(sum(value), 6) AS v
+          FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), bounds AS (
+          SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+        ), spine AS (
+          SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds
+        ), grid AS (
+          SELECT t.event_type, s.day
+          FROM (SELECT DISTINCT event_type FROM events) t CROSS JOIN spine s
+        )
+        SELECT g.event_type, g.day,
+               round(coalesce(
+                 last_value(d.v IGNORE NULLS)
+                   OVER (PARTITION BY g.event_type ORDER BY g.day), 0.0), 6)
+                 AS value_filled,
+               CAST(d.v IS NULL AS INT) AS is_gap
+        FROM grid g LEFT JOIN daily d
+          ON g.event_type = d.event_type AND g.day = d.day
+        ORDER BY g.event_type, g.day
+    """,
+    "events_anomaly": """
+        WITH daily AS (
+          SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+          FROM events GROUP BY event_type, CAST(ts AS DATE)
+        ), trail AS (
+          SELECT event_type, day, n_events,
+                 avg(n_events) OVER w AS trail_mean,
+                 stddev_samp(n_events) OVER w AS trail_std,
+                 count(n_events) OVER w AS trail_n
+          FROM daily
+          WINDOW w AS (PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, day, n_events,
+               round(trail_mean, 6) AS trail_mean,
+               round((n_events - trail_mean) / trail_std, 6) AS zscore,
+               CAST(abs((n_events - trail_mean) / trail_std) > 2 AS INT) AS is_anomaly
+        FROM trail
+        WHERE trail_n >= 3 AND trail_std > 0
+        ORDER BY event_type, day
+    """,
+    "docs_weighted_sample": """
+        WITH keyed AS (
+          SELECT doc_id, lang, n_chars,
+                 round(
+                   -ln((CAST(substr(regexp_replace(md5(doc_id::VARCHAR),
+                                                   '[a-f]', '', 'g') || '000000',
+                             1, 6) AS BIGINT) + 0.5) / 1000000.0)
+                   / n_chars, 8) AS aes_key
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, lang, n_chars, aes_key
+        FROM keyed ORDER BY aes_key, doc_id LIMIT 20
+    """,
+    "snapshot_diff_orders": """
+        WITH lft AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+          FROM orders
+        ), rgt AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 101 = 0
+                      THEN CAST(round(o_totalprice * 100) AS BIGINT) + 1000
+                      ELSE CAST(round(o_totalprice * 100) AS BIGINT) END AS cents
+          FROM orders WHERE o_orderkey % 97 <> 0
+        ), lsum AS (
+          SELECT o_orderkey % 64 AS bucket, count(*) AS left_rows,
+                 sum(CAST(substr(regexp_replace(
+                       md5(o_orderkey::VARCHAR || ':' || cents::VARCHAR),
+                       '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT)) AS left_sum
+          FROM lft GROUP BY o_orderkey % 64
+        ), rsum AS (
+          SELECT o_orderkey % 64 AS bucket, count(*) AS right_rows,
+                 sum(CAST(substr(regexp_replace(
+                       md5(o_orderkey::VARCHAR || ':' || cents::VARCHAR),
+                       '[a-f]', '', 'g') || '000000', 1, 6) AS BIGINT)) AS right_sum
+          FROM rgt GROUP BY o_orderkey % 64
+        )
+        SELECT bucket,
+               coalesce(left_rows, 0) AS left_rows,
+               coalesce(right_rows, 0) AS right_rows,
+               CAST(coalesce(left_sum, 0) AS BIGINT) AS left_sum,
+               CAST(coalesce(right_sum, 0) AS BIGINT) AS right_sum,
+               CASE WHEN coalesce(left_rows, 0) = coalesce(right_rows, 0)
+                     AND coalesce(left_sum, 0) = coalesce(right_sum, 0)
+                    THEN 'ok' ELSE 'diff' END AS status
+        FROM lsum l FULL OUTER JOIN rsum r USING (bucket)
+        ORDER BY bucket
+    """,
+    "parts_pagerank": """
+        WITH edges AS (
+          SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey <> b.l_partkey
+        ), deg AS (
+          SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src
+        ), nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), nn AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+        ), r0 AS (
+          SELECT node, 1.0 / nn.n AS rank FROM nodes, nn
+        ), c1 AS (
+          SELECT e.dst AS node, sum(r.rank / d.outdeg) AS incoming
+          FROM r0 r JOIN edges e ON r.node = e.src JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ), r1 AS (
+          SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(c.incoming, 0.0) AS rank
+          FROM nodes nd CROSS JOIN nn LEFT JOIN c1 c ON nd.node = c.node
+        ), c2 AS (
+          SELECT e.dst AS node, sum(r.rank / d.outdeg) AS incoming
+          FROM r1 r JOIN edges e ON r.node = e.src JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ), r2 AS (
+          SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(c.incoming, 0.0) AS rank
+          FROM nodes nd CROSS JOIN nn LEFT JOIN c2 c ON nd.node = c.node
+        ), c3 AS (
+          SELECT e.dst AS node, sum(r.rank / d.outdeg) AS incoming
+          FROM r2 r JOIN edges e ON r.node = e.src JOIN deg d ON e.src = d.src
+          GROUP BY e.dst
+        ), r3 AS (
+          SELECT nd.node, 0.15 / nn.n + 0.85 * coalesce(c.incoming, 0.0) AS rank
+          FROM nodes nd CROSS JOIN nn LEFT JOIN c3 c ON nd.node = c.node
+        )
+        SELECT node AS l_partkey, round(rank, 9) AS pagerank
+        FROM r3 ORDER BY round(rank, 9) DESC, node LIMIT 25
+    """,
+    "part_pairs_lift": """
+        WITH li AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pair_counts AS (
+          SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+          FROM li a JOIN li b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 3
+        ), item_counts AS (
+          SELECT l_partkey, count(*) AS n_item FROM li GROUP BY l_partkey
+        ), nn AS (
+          SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM li
+        )
+        SELECT p.part_a, p.part_b, p.n_ab,
+               round(p.n_ab * nn.n_orders / (ia.n_item * ib.n_item), 6) AS lift
+        FROM pair_counts p
+        JOIN item_counts ia ON p.part_a = ia.l_partkey
+        JOIN item_counts ib ON p.part_b = ib.l_partkey
+        CROSS JOIN nn
+        ORDER BY round(p.n_ab * nn.n_orders / (ia.n_item * ib.n_item), 6) DESC,
+                 p.part_a, p.part_b
+        LIMIT 30
     """,
 }

@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "merge_partition_scoped",
     "audio_segments",
     "embedding_kmeans",
+    "parts_pagerank",
+    "events_max_concurrency",
+    "snapshot_diff_orders",
 ]
 
 
