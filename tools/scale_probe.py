@@ -49,6 +49,10 @@ PROBED = [
     "market_share",
     "customer_order_distribution",
     "waiting_suppliers",
+    "events_max_concurrency",
+    "parts_pagerank",
+    "part_pairs_lift",
+    "snapshot_diff_orders",
 ]
 SCALED_TABLES = {
     "lineitem": "l_orderkey",
