@@ -3012,6 +3012,52 @@ def q_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token-pair counts, the inner loop of BPE /
+    WordPiece tokenizer training (pick the most frequent pair, merge,
+    repeat). Pair generation is a narrow per-document array transform
+    (no self-join); the only shuffle is the final pair-count groupBy
+    with map-side partial aggregation. Top-30 via TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bigrams = F.expr(
+        "transform(slice(__t, 1, size(__t) - 1), (x, i) -> concat(x, ' ', __t[i + 1]))"
+    )
+    return (
+        d.select(t.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(30)
+    )
+
+
+def q_embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 quantization audit: absmax scale and the mean
+    squared error a symmetric-int8 round-trip would introduce — the
+    check run before shipping a quantized ANN index. Map-only array
+    expressions, zero shuffle; floor(x/s + 0.5) is used instead of
+    round() so both engines break .5 ties identically. Zero vectors
+    (scale 0) are excluded on both sides."""
+    e = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    scaled = e.select(
+        "vec_id", "embedding", (absmax / F.lit(127.0)).alias("scale")
+    ).filter(F.col("scale") > 0)
+    err = F.expr(
+        "aggregate(transform(embedding, x -> "
+        "  pow(x - floor(x / scale + 0.5) * scale, 2)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    ) / F.size("embedding")
+    return scaled.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.round(err, 10).alias("quant_mse"),
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3065,6 +3111,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff_orders": q_snapshot_diff,
     "parts_pagerank": q_parts_pagerank,
     "part_pairs_lift": q_part_pairs_lift,
+    "docs_bigram_counts": q_docs_bigram_counts,
+    "embedding_quantize_stats": q_embedding_quantize_stats,
     # -- (c) stalest green: r1-only driver rows, unchanged code
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -3084,14 +3132,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_percentiles": q_price_percentiles,
     "name_edit_distance": q_name_edit_distance,
     "summary_grouping_sets": q_summary_grouping_sets,
-    "docs_hash_sample": q_docs_hash_sample,
-    "docs_group_quota": q_docs_group_quota,
     # -- new in r4: salted two-phase window top-k + hash-checked k-means
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
     # --------- driver checked-window boundary (position 50) ---------
     # -- r2-green refresh candidates displaced by the r4 additions
     #    (unchanged code, green r2 rows — lowest refresh priority)
+    "docs_hash_sample": q_docs_hash_sample,
+    "docs_group_quota": q_docs_group_quota,
     "docs_quality_bins": q_docs_quality_bins,
     "vocab_topk": q_vocab_topk,
     "orders_above_cust_avg": q_orders_above_cust_avg,
@@ -4850,5 +4898,33 @@ ORACLES: dict[str, str] = {
         ORDER BY round(p.n_ab * nn.n_orders / (ia.n_item * ib.n_item), 6) DESC,
                  p.part_a, p.part_b
         LIMIT 30
+    """,
+    "docs_bigram_counts": """
+        WITH toks AS (
+          SELECT string_split_regex(trim(text), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ), bg AS (
+          SELECT unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1])) AS bigram
+          FROM toks WHERE len(t) >= 2
+        )
+        SELECT bigram, count(*) AS n_occurrences
+        FROM bg GROUP BY bigram
+        ORDER BY n_occurrences DESC, bigram LIMIT 30
+    """,
+    "embedding_quantize_stats": """
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 -- CAST: list_max over a FLOAT list stays FLOAT in DuckDB,
+                 -- and round(FLOAT, 8) cannot represent the rounded value
+                 CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+                   / 127.0 AS scale
+          FROM embeddings
+        )
+        SELECT vec_id, round(scale, 8) AS scale,
+               round(list_sum(list_transform(embedding,
+                       x -> pow(x - floor(x / scale + 0.5) * scale, 2)))
+                     / len(embedding), 10) AS quant_mse
+        FROM s WHERE scale > 0 ORDER BY vec_id
     """,
 }
