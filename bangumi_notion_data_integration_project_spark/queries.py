@@ -2762,28 +2762,35 @@ def q_events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     net out identically on both engines because the default RANGE window
     frame sums the whole peer group.
 
-    Skew note: event_type is low-cardinality, so at 100 TB the window
-    key becomes (event_type, day) — a local sweep per day plus a
-    per-type prefix-sum of tiny daily net deltas to offset each day's
-    running count (intervals are bounded at 15 min, so only the
-    day-boundary carry matters). Same two-phase shape as
-    top_k_per_group_salted; the per-type form here is exact and right
-    for the test cardinalities."""
+    Skew note: event_type is low-cardinality, so at 100 TB use the
+    two-phase (event_type, day) sweep — ``events_max_concurrency_2p``
+    below, bit-identical output."""
+    from .operators.intervals import peak_concurrency
+
     e = load_table(spark, sf_dir, "events")
-    starts = e.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
-    ends = e.select(
+    return peak_concurrency(
+        e, "event_type", F.col("ts"), F.expr("ts + INTERVAL 15 MINUTES")
+    ).orderBy("event_type")
+
+
+def q_events_max_concurrency_2p(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the interval sweep (operators/intervals.py,
+    ``split_by_day=True``): within-day running sums over (key, day)
+    partitions plus a per-key prefix sum of daily net deltas as the
+    carry-in — no single task ever sorts a whole key's history. Exact
+    for any interval length (the sweep is over boundary points and days
+    partition the time axis); shares ``events_max_concurrency``'s
+    oracle because the results are identical by construction."""
+    from .operators.intervals import peak_concurrency
+
+    e = load_table(spark, sf_dir, "events")
+    return peak_concurrency(
+        e,
         "event_type",
-        F.expr("ts + INTERVAL 15 MINUTES").alias("t"),
-        F.lit(-1).alias("delta"),
-    )
-    pts = starts.union(ends)
-    w = Window.partitionBy("event_type").orderBy("t")  # default RANGE frame
-    return (
-        pts.withColumn("cur", F.sum("delta").over(w))
-        .groupBy("event_type")
-        .agg(F.max("cur").cast("long").alias("max_concurrent"))
-        .orderBy("event_type")
-    )
+        F.col("ts"),
+        F.expr("ts + INTERVAL 15 MINUTES"),
+        split_by_day=True,
+    ).orderBy("event_type")
 
 
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3104,6 +3111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    anomaly, weighted sample, reconciliation, graph rank, basket —
     #    no driver row yet, so they outrank stale-green refreshes
     "events_max_concurrency": q_events_max_concurrency,
+    "events_max_concurrency_2p": q_events_max_concurrency_2p,
     "events_funnel": q_events_funnel,
     "events_gap_fill": q_events_gap_fill,
     "events_anomaly": q_events_anomaly,
@@ -3131,13 +3139,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_skew_join": q_salted_skew_join,
     "price_percentiles": q_price_percentiles,
     "name_edit_distance": q_name_edit_distance,
-    "summary_grouping_sets": q_summary_grouping_sets,
     # -- new in r4: salted two-phase window top-k + hash-checked k-means
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
     # --------- driver checked-window boundary (position 50) ---------
     # -- r2-green refresh candidates displaced by the r4 additions
     #    (unchanged code, green r2 rows — lowest refresh priority)
+    "summary_grouping_sets": q_summary_grouping_sets,
     "docs_hash_sample": q_docs_hash_sample,
     "docs_group_quota": q_docs_group_quota,
     "docs_quality_bins": q_docs_quality_bins,
@@ -4711,6 +4719,19 @@ ORACLES: dict[str, str] = {
         ORDER BY l_returnflag, metric
     """,
     "events_max_concurrency": """
+        WITH pts AS (
+          SELECT event_type, ts AS t, 1 AS delta FROM events
+          UNION ALL
+          SELECT event_type, ts + INTERVAL 15 MINUTE, -1 FROM events
+        ), running AS (
+          SELECT event_type,
+                 sum(delta) OVER (PARTITION BY event_type ORDER BY t) AS cur
+          FROM pts
+        )
+        SELECT event_type, CAST(max(cur) AS BIGINT) AS max_concurrent
+        FROM running GROUP BY event_type ORDER BY event_type
+    """,
+    "events_max_concurrency_2p": """
         WITH pts AS (
           SELECT event_type, ts AS t, 1 AS delta FROM events
           UNION ALL
