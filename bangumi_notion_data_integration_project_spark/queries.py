@@ -2799,32 +2799,29 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional-min windows over the SAME partition spec (Catalyst
     reuses one sort/exchange for all three), then a single global
     aggregate. No self-joins, no per-user collect_list."""
+    from .operators.funnel import funnel_times
+
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id")
-    s1 = e.withColumn(
-        "s1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
-    )
-    s2 = s1.withColumn(
-        "c1",
-        F.min(
-            F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("s1")), F.col("ts"))
-        ).over(w),
-    )
-    s3 = s2.withColumn(
-        "p1",
-        F.min(
-            F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("c1")), F.col("ts"))
-        ).over(w),
-    )
-    per_user = s3.groupBy("user_id").agg(
-        F.max("s1").alias("s1"), F.max("c1").alias("c1"), F.max("p1").alias("p1")
-    )
+    per_user = funnel_times(e, "user_id", "ts", "event_type", ["signup", "click", "purchase"])
     return per_user.agg(
         F.count("*").cast("long").alias("n_users"),
-        F.count("s1").cast("long").alias("n_signup"),
-        F.count("c1").cast("long").alias("n_click_after_signup"),
-        F.count("p1").cast("long").alias("n_purchase_after_click"),
+        F.count("step_0").cast("long").alias("n_signup"),
+        F.count("step_1").cast("long").alias("n_click_after_signup"),
+        F.count("step_2").cast("long").alias("n_purchase_after_click"),
     )
+
+
+def q_events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-depth funnel summary (operators/funnel.py): a 4-step
+    signup → view → click → purchase funnel as (step_index, step,
+    n_reached) rows, denominator at index -1. Funnel depth adds window
+    expressions, not sorts — one exchange on user_id total."""
+    from .operators.funnel import funnel_counts
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_counts(
+        e, "user_id", "ts", "event_type", ["signup", "view", "click", "purchase"]
+    ).orderBy("step_index")
 
 
 def q_events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3113,6 +3110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_max_concurrency": q_events_max_concurrency,
     "events_max_concurrency_2p": q_events_max_concurrency_2p,
     "events_funnel": q_events_funnel,
+    "events_funnel_steps": q_events_funnel_steps,
     "events_gap_fill": q_events_gap_fill,
     "events_anomaly": q_events_anomaly,
     "docs_weighted_sample": q_docs_weighted_sample,
@@ -3138,13 +3136,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- (c) r2-green refresh (older half of the r2 set)
     "salted_skew_join": q_salted_skew_join,
     "price_percentiles": q_price_percentiles,
-    "name_edit_distance": q_name_edit_distance,
     # -- new in r4: salted two-phase window top-k + hash-checked k-means
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
     # --------- driver checked-window boundary (position 50) ---------
     # -- r2-green refresh candidates displaced by the r4 additions
     #    (unchanged code, green r2 rows — lowest refresh priority)
+    "name_edit_distance": q_name_edit_distance,
     "summary_grouping_sets": q_summary_grouping_sets,
     "docs_hash_sample": q_docs_hash_sample,
     "docs_group_quota": q_docs_group_quota,
@@ -4767,6 +4765,39 @@ ORACLES: dict[str, str] = {
                count(c1) AS n_click_after_signup,
                count(p1) AS n_purchase_after_click
         FROM per_user
+    """,
+    "events_funnel_steps": """
+        WITH w1 AS (
+          SELECT user_id, event_type, ts,
+                 min(CASE WHEN event_type = 'signup' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t0
+          FROM events
+        ), w2 AS (
+          SELECT *, min(CASE WHEN event_type = 'view' AND ts > t0 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t1
+          FROM w1
+        ), w3 AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t2
+          FROM w2
+        ), w4 AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                      OVER (PARTITION BY user_id) AS t3
+          FROM w3
+        ), per_user AS (
+          SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+          FROM w4 GROUP BY user_id
+        )
+        SELECT -1 AS step_index, 'total' AS step, count(*) AS n_reached FROM per_user
+        UNION ALL
+        SELECT 0, 'signup', count(t0) FROM per_user
+        UNION ALL
+        SELECT 1, 'view', count(t1) FROM per_user
+        UNION ALL
+        SELECT 2, 'click', count(t2) FROM per_user
+        UNION ALL
+        SELECT 3, 'purchase', count(t3) FROM per_user
+        ORDER BY step_index
     """,
     "events_gap_fill": """
         WITH daily AS (
