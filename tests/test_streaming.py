@@ -498,3 +498,63 @@ def test_streaming_partitioned_upsert_equals_batch_merge_scoped(
         delete_absent=False,
     )
     _final_vs_expected(spark, target, expected)
+
+
+def test_streaming_peak_concurrency_equals_batch_sweep(spark, tmp_path):
+    """Differential oracle: an in-order micro-batch replay through the
+    stateful streaming operator must land on the same per-key peak as
+    the batch boundary sweep (operators/intervals.peak_concurrency) —
+    the strongest check available for state logic SQL cannot see."""
+    import random
+
+    from bangumi_notion_data_integration_project_spark.operators.intervals import (
+        peak_concurrency,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.stateful import (
+        peak_concurrency_stream,
+    )
+
+    rng = random.Random(23)
+    minute = lambda m: f"2024-01-01 {m // 60:02d}:{m % 60:02d}:00"  # noqa: E731
+    rows = [
+        (i, minute(rng.randint(0, 600)), 1, rng.choice(["a", "b"]), 0.0)
+        for i in range(80)
+    ]
+    rows.sort(key=lambda r: r[1])  # event-time order, split across batches
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    emitted: dict[str, tuple[int, int]] = {}
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emitted[r["event_type"]] = (r["open_now"], r["max_concurrent"])
+
+        q = (
+            peak_concurrency_stream(read_event_stream(spark, inp, SCHEMA))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # three in-order micro-batches, state carried across restarts
+    third = len(rows) // 3
+    for chunk in (rows[:third], rows[third : 2 * third], rows[2 * third :]):
+        _write_batch(spark, inp, chunk)
+        run_once()
+
+    batch_df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        r["event_type"]: r["max_concurrent"]
+        for r in peak_concurrency(
+            batch_df, "event_type", F.col("ts"), F.expr("ts + INTERVAL 15 MINUTES")
+        ).collect()
+    }
+    got = {k: peak for k, (_open, peak) in emitted.items()}
+    assert got == want
