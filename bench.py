@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "parts_pagerank",
     "events_max_concurrency",
     "snapshot_diff_orders",
+    "docs_bigram_counts",
+    "events_funnel_steps",
 ]
 
 

@@ -255,3 +255,55 @@ def test_min_cost_supplier_single_catalog_pass(spark):
     schemas = _read_schemas(_plan(spark, "min_cost_supplier"))
     li_scans = [s for s in schemas if "l_partkey" in s and "l_quantity" in s]
     assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
+
+
+def test_funnel_windows_share_one_exchange(spark):
+    """operators/funnel.py's claim: N chained conditional-min windows
+    over the same partition spec plan ONE exchange on the entity key —
+    depth adds window expressions, not sorts/shuffles."""
+    plan = _plan(spark, "events_funnel_steps")
+    user_exchanges = len(re.findall(r"hashpartitioning\(user_id", plan))
+    assert user_exchanges == 1, plan
+
+
+def test_pagerank_has_no_cartesian_and_bounded_joins(spark):
+    """The co-purchase PageRank must stay equi-join + aggregate shaped:
+    no cartesian products, no nested-loop joins over the edge list
+    (broadcast-nested-loop is fine only for the 1-row N factor)."""
+    plan = _plan(spark, "parts_pagerank")
+    assert "CartesianProduct" not in plan
+    # any BroadcastNestedLoopJoin must come from the 1-row count factor,
+    # never carry the edge table: edges always join hash-partitioned
+    assert "SortMergeJoin LeftOuter" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bigram_counts_is_join_free(spark):
+    """Pair generation is a narrow per-document transform; the only
+    wide operator is the counting aggregate."""
+    plan = _plan(spark, "docs_bigram_counts")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_snapshot_diff_aggregates_before_join(spark):
+    """Reconciliation must reduce each side to n_buckets rows BEFORE
+    the only join — the row-level tables never meet."""
+    plan = _plan(spark, "snapshot_diff_orders")
+    # formatted-tree node ids: children (earlier stages) get smaller
+    # numbers, so every aggregate must be numbered below the join
+    aggs = [int(n) for n in re.findall(r"HashAggregate \((\d+)\)", plan)]
+    joins = [int(n) for n in re.findall(r"Join \w+ \((\d+)\)", plan)]
+    assert aggs and joins
+    assert max(aggs) < min(joins), plan[:600]
+
+
+def test_two_phase_sweep_has_no_whole_key_sort(spark):
+    """split_by_day's point: the big sort key is (event_type, day),
+    never event_type alone."""
+    plan = _plan(spark, "events_max_concurrency_2p")
+    # every sort over the point table must include the day column
+    sorts = re.findall(r"Arguments: \[event_type[^\]]*\]", plan)
+    windows_on_bare_key = [
+        s for s in sorts if "day" not in s and " t#" in s
+    ]
+    assert not windows_on_bare_key, sorts
