@@ -105,3 +105,81 @@ def kmeans_lite(
         F.col("cell").cast("long").alias("cluster"),
         "dist2",
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 4,
+) -> DataFrame:
+    """Product-quantization ENCODE: split each vector into ``m``
+    sub-vectors and assign each to its nearest codeword — the storage
+    layer of an IVF-PQ ANN index (a dim-64 float vector compresses to
+    m codes, here 4 bytes).
+
+    The codebook is the deterministic seed sample (``id % 7 == 0``,
+    first ``k`` by id — the same rule as ``kmeans_lite``/``ivf_topk``),
+    sliced per subspace; production would refine it with per-subspace
+    Lloyd rounds exactly as ``kmeans_lite`` does. Determinism makes the
+    encode hash-checkable against an ANSI oracle.
+
+    Scale shape: the corpus is read once, sub-vectors explode narrowly
+    (m rows per vector, never shuffled), the codebook (m·k tiny rows)
+    broadcasts, and the argmin is a per-(id, subspace) window. Returns
+    ``(id, subspace, code, dist2)``.
+    """
+    if dim % m != 0:
+        raise ValueError("dim must divide evenly into m subspaces")
+    sub_dim = dim // m
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .filter(F.pmod(F.col(id_col), F.lit(7)) == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    spark = corpus.sparkSession
+    cb_rows = []
+    for cell, row in enumerate(seeds):
+        vec = [float(x) for x in row[vec_col]]
+        for s in range(m):
+            cb_rows.append((s, cell, vec[s * sub_dim : (s + 1) * sub_dim]))
+    codebook = spark.createDataFrame(
+        cb_rows, "subspace int, cell int, cvec array<double>"
+    )
+    slices = F.array(
+        *[F.slice(vec_col, s * sub_dim + 1, sub_dim) for s in range(m)]
+    )
+    subs = corpus.select(
+        id_col, F.posexplode(slices).alias("subspace", "svec")
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("svec"),
+                F.col("cvec"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = subs.join(F.broadcast(codebook), "subspace").select(
+        id_col, "subspace", "cell", d2.alias("dist2")
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy("dist2", "cell")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("subspace").cast("long").alias("subspace"),
+            F.col("cell").cast("long").alias("code"),
+            "dist2",
+        )
+    )

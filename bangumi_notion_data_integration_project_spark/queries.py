@@ -3062,6 +3062,19 @@ def q_embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/clustering.py:pq_encode):
+    dim-64 vectors → 4 subspace codes from a deterministic seed
+    codebook — the compressed storage layer of an IVF-PQ index. Corpus
+    read once, sub-vectors explode narrowly, codebook broadcasts;
+    hash-checked because seeds/slicing/tie-breaks are all
+    engine-reproducible."""
+    from .operators.clustering import pq_encode
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(e, dim=64, m=4, k=4).orderBy("vec_id", "subspace")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3073,9 +3086,14 @@ def q_embedding_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window (the merge/SCD2 rewrite, simhash/multimodal/similarity touches,
 # plus the 4 entries the mis-placed r3 boundary pushed out), (b) the
 # queries touched again in round 4 (components convergence flag, vector
-# dot-product rework, pack/bin guard), (c) the stalest green rows —
-# r1-only, then the older half of the r2-green set. Everything behind
-# the boundary holds an r2 or r3 driver row for unchanged code.
+# dot-product rework, pack/bin guard), then the 12 queries NEW in the
+# round-4 continuation (sweep ×2, funnel ×2, gap fill, anomaly,
+# weighted sample, table-diff, PageRank, lift, bigrams, quantize — no
+# driver row exists yet, so they outrank refreshes), (c) the stalest
+# green rows — r1-only, then most of the r2-green set. Everything
+# behind the boundary holds an r2 or r3 driver row for unchanged code;
+# the handful of r2-refresh candidates the r4 additions displaced sit
+# directly after the boundary.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- (a) changed in r3, not driver-checked since: merge rewrite
     #    (45f1041/da99b9d/39df0eb), dedup/simhash lane packing,
@@ -3119,6 +3137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_pairs_lift": q_part_pairs_lift,
     "docs_bigram_counts": q_docs_bigram_counts,
     "embedding_quantize_stats": q_embedding_quantize_stats,
+    "embedding_pq_codes": q_embedding_pq_codes,
     # -- (c) stalest green: r1-only driver rows, unchanged code
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -3135,7 +3154,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "filtered_revenue": q_filtered_revenue,
     # -- (c) r2-green refresh (older half of the r2 set)
     "salted_skew_join": q_salted_skew_join,
-    "price_percentiles": q_price_percentiles,
     # -- new in r4: salted two-phase window top-k + hash-checked k-means
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
@@ -3143,6 +3161,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- r2-green refresh candidates displaced by the r4 additions
     #    (unchanged code, green r2 rows — lowest refresh priority)
     "name_edit_distance": q_name_edit_distance,
+    "price_percentiles": q_price_percentiles,
     "summary_grouping_sets": q_summary_grouping_sets,
     "docs_hash_sample": q_docs_hash_sample,
     "docs_group_quota": q_docs_group_quota,
@@ -4950,6 +4969,36 @@ ORACLES: dict[str, str] = {
         ORDER BY round(p.n_ab * nn.n_orders / (ia.n_item * ib.n_item), 6) DESC,
                  p.part_a, p.part_b
         LIMIT 30
+    """,
+    "embedding_pq_codes": """
+        WITH seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 4)
+        ), ss AS (
+          SELECT unnest(range(0, 4)) AS subspace
+        ), cb AS (
+          SELECT ss.subspace, seeds.cell,
+                 list_transform(range(1, 17),
+                   i -> CAST(embedding[ss.subspace * 16 + i] AS DOUBLE)) AS cvec
+          FROM seeds CROSS JOIN ss
+        ), sub AS (
+          SELECT e.vec_id, ss.subspace,
+                 list_transform(range(1, 17),
+                   i -> CAST(e.embedding[ss.subspace * 16 + i] AS DOUBLE)) AS svec
+          FROM embeddings e CROSS JOIN ss
+        ), d AS (
+          SELECT sub.vec_id, sub.subspace, cb.cell,
+                 round(list_sum(list_transform(range(1, 17),
+                   i -> (sub.svec[i] - cb.cvec[i]) * (sub.svec[i] - cb.cvec[i]))),
+                   6) AS dist2
+          FROM sub JOIN cb USING (subspace)
+        )
+        SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+               CAST(cell AS BIGINT) AS code, dist2
+        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                           ORDER BY dist2, cell) AS rn FROM d)
+        WHERE rn = 1 ORDER BY vec_id, subspace
     """,
     "docs_bigram_counts": """
         WITH toks AS (

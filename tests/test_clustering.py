@@ -52,3 +52,44 @@ def test_kmeans_separated_clusters_recovered(spark):
         [0, 1, 2, 3, 4],
         [70, 71, 72, 73, 74],
     ]
+
+
+def test_pq_encode_matches_python(spark, sf_dir):
+    """PQ encode vs a pure-Python re-derivation: same seeds, slicing,
+    rounding, and lowest-cell tie-break."""
+    import numpy as np
+
+    from bangumi_notion_data_integration_project_spark.catalog import load_table
+    from bangumi_notion_data_integration_project_spark.operators.clustering import (
+        pq_encode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in e.collect()}
+    seeds = [rows[i] for i in sorted(v for v in rows if v % 7 == 0)[:4]]
+    got = pq_encode(e, dim=64, m=4, k=4).collect()
+    assert len(got) == 4 * len(rows)
+    for r in got:
+        vec = rows[r["vec_id"]]
+        s = int(r["subspace"])
+        sv = np.array(vec[s * 16 : (s + 1) * 16])
+        dists = [
+            round(float(((sv - np.array(seed[s * 16 : (s + 1) * 16])) ** 2).sum()), 6)
+            for seed in seeds
+        ]
+        best = min(range(4), key=lambda c: (dists[c], c))
+        assert r["code"] == best
+        assert r["dist2"] == dists[best]
+
+
+def test_pq_encode_rejects_uneven_split(spark, sf_dir):
+    import pytest as _pytest
+
+    from bangumi_notion_data_integration_project_spark.catalog import load_table
+    from bangumi_notion_data_integration_project_spark.operators.clustering import (
+        pq_encode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    with _pytest.raises(ValueError):
+        pq_encode(e, dim=64, m=5, k=4)
