@@ -107,6 +107,38 @@ def kmeans_lite(
     )
 
 
+def pq_codebook(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 4,
+) -> DataFrame:
+    """Deterministic PQ codebook: the seed sample (``id % 7 == 0``,
+    first ``k`` by id) sliced into ``m`` subspaces → (subspace, cell,
+    cvec) rows, m·k total — broadcast-sized at any corpus scale."""
+    if dim % m != 0:
+        raise ValueError("dim must divide evenly into m subspaces")
+    sub_dim = dim // m
+    seeds = (
+        corpus.select(id_col, vec_col)
+        .filter(F.pmod(F.col(id_col), F.lit(7)) == 0)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    cb_rows = []
+    for cell, row in enumerate(seeds):
+        vec = [float(x) for x in row[vec_col]]
+        for s in range(m):
+            cb_rows.append((s, cell, vec[s * sub_dim : (s + 1) * sub_dim]))
+    return corpus.sparkSession.createDataFrame(
+        cb_rows, "subspace int, cell int, cvec array<double>"
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     *,
@@ -132,25 +164,8 @@ def pq_encode(
     broadcasts, and the argmin is a per-(id, subspace) window. Returns
     ``(id, subspace, code, dist2)``.
     """
-    if dim % m != 0:
-        raise ValueError("dim must divide evenly into m subspaces")
+    codebook = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k)
     sub_dim = dim // m
-    seeds = (
-        corpus.select(id_col, vec_col)
-        .filter(F.pmod(F.col(id_col), F.lit(7)) == 0)
-        .orderBy(id_col)
-        .limit(k)
-        .collect()
-    )
-    spark = corpus.sparkSession
-    cb_rows = []
-    for cell, row in enumerate(seeds):
-        vec = [float(x) for x in row[vec_col]]
-        for s in range(m):
-            cb_rows.append((s, cell, vec[s * sub_dim : (s + 1) * sub_dim]))
-    codebook = spark.createDataFrame(
-        cb_rows, "subspace int, cell int, cvec array<double>"
-    )
     slices = F.array(
         *[F.slice(vec_col, s * sub_dim + 1, sub_dim) for s in range(m)]
     )
@@ -182,4 +197,66 @@ def pq_encode(
             F.col("cell").cast("long").alias("code"),
             "dist2",
         )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    k: int = 4,
+    topk: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes — how an IVF-PQ
+    index actually answers queries: per query, a lookup table of
+    query-subvector → codeword distances (m·k entries) is built once,
+    and each corpus vector's approximate distance is the SUM of m table
+    lookups — no float vector is ever touched during the scan.
+
+    Scale shape: the corpus is represented only by its codes (m small
+    ints per vector); the per-query LUT (|queries|·m·k rows) broadcasts
+    to the codes, and the only shuffle is the (query, id) partial-sum
+    aggregate. Returns (query_id, vec_id, approx_dist2, rank), self
+    matches excluded.
+    """
+    sub_dim = dim // m
+    codebook = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k)
+    codes = pq_encode(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k)
+    slices = F.array(
+        *[F.slice(vec_col, s * sub_dim + 1, sub_dim) for s in range(m)]
+    )
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(slices).alias("subspace", "qvec"),
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("qvec"),
+                F.col("cvec"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    lut = qsubs.join(F.broadcast(codebook), "subspace").select(
+        "query_id", "subspace", F.col("cell").alias("code"), d2.alias("d2")
+    )
+    approx = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("d2"), 6).alias("approx_dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("approx_dist2", id_col)
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", id_col, "approx_dist2", F.col("rank").cast("long").alias("rank"))
     )

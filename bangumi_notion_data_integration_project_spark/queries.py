@@ -3075,6 +3075,23 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(e, dim=64, m=4, k=4).orderBy("vec_id", "subspace")
 
 
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search over PQ codes (operators/clustering.py:pq_adc_topk):
+    per query, an m·k lookup table of subvector→codeword distances is
+    built and each corpus vector's approximate distance is m table
+    lookups summed — the scan never touches a float vector, which is
+    the whole point of PQ at 100 TB (codes are ~64× smaller than the
+    raw embeddings). Self matches excluded; completes the ANN family
+    next to brute-force / LSH / IVF."""
+    from .operators.clustering import pq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2))
+    return pq_adc_topk(e, queries, dim=64, m=4, k=4, topk=10).orderBy(
+        "query_id", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3138,6 +3155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bigram_counts": q_docs_bigram_counts,
     "embedding_quantize_stats": q_embedding_quantize_stats,
     "embedding_pq_codes": q_embedding_pq_codes,
+    "ann_pq_topk": q_ann_pq_topk,
     # -- (c) stalest green: r1-only driver rows, unchanged code
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -3153,13 +3171,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "purchases_after_click": q_purchases_after_click,
     "filtered_revenue": q_filtered_revenue,
     # -- (c) r2-green refresh (older half of the r2 set)
-    "salted_skew_join": q_salted_skew_join,
     # -- new in r4: salted two-phase window top-k + hash-checked k-means
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
     # --------- driver checked-window boundary (position 50) ---------
     # -- r2-green refresh candidates displaced by the r4 additions
     #    (unchanged code, green r2 rows — lowest refresh priority)
+    "salted_skew_join": q_salted_skew_join,
     "name_edit_distance": q_name_edit_distance,
     "price_percentiles": q_price_percentiles,
     "summary_grouping_sets": q_summary_grouping_sets,
@@ -3327,6 +3345,39 @@ def _lsh_plane_values(n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
 # bucket (the Spark side's multiprobe fan-out, reproduced relationally
 # via a flips values-join), rank by (cosine, vec_id)
 _LSH_FLIPS = ", ".join(f"({f})" for f in [0] + [1 << i for i in range(6)])
+# Shared PQ CTEs: deterministic seed codebook, per-subspace slices,
+# distances, and the per-(vector, subspace) code assignment.
+_PQ_CTES = """
+        seeds AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
+          FROM (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 4)
+        ), ss AS (
+          SELECT unnest(range(0, 4)) AS subspace
+        ), cb AS (
+          SELECT ss.subspace, seeds.cell,
+                 list_transform(range(1, 17),
+                   i -> CAST(embedding[ss.subspace * 16 + i] AS DOUBLE)) AS cvec
+          FROM seeds CROSS JOIN ss
+        ), sub AS (
+          SELECT e.vec_id, ss.subspace,
+                 list_transform(range(1, 17),
+                   i -> CAST(e.embedding[ss.subspace * 16 + i] AS DOUBLE)) AS svec
+          FROM embeddings e CROSS JOIN ss
+        ), pqd AS (
+          SELECT sub.vec_id, sub.subspace, cb.cell,
+                 round(list_sum(list_transform(range(1, 17),
+                   i -> (sub.svec[i] - cb.cvec[i]) * (sub.svec[i] - cb.cvec[i]))),
+                   6) AS dist2
+          FROM sub JOIN cb USING (subspace)
+        ), pq_codes AS (
+          SELECT vec_id, subspace, cell AS code, dist2
+          FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+                                             ORDER BY dist2, cell) AS rn FROM pqd)
+          WHERE rn = 1
+        )"""
+
+
 _LSH_CTES = f"""
         planes(w, p) AS (VALUES {_lsh_plane_values()}),
         flips(f) AS (VALUES {_LSH_FLIPS}),
@@ -4970,35 +5021,35 @@ ORACLES: dict[str, str] = {
                  p.part_a, p.part_b
         LIMIT 30
     """,
-    "embedding_pq_codes": """
-        WITH seeds AS (
-          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, embedding
-          FROM (SELECT vec_id, embedding FROM embeddings
-                WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT 4)
-        ), ss AS (
-          SELECT unnest(range(0, 4)) AS subspace
-        ), cb AS (
-          SELECT ss.subspace, seeds.cell,
-                 list_transform(range(1, 17),
-                   i -> CAST(embedding[ss.subspace * 16 + i] AS DOUBLE)) AS cvec
-          FROM seeds CROSS JOIN ss
-        ), sub AS (
-          SELECT e.vec_id, ss.subspace,
-                 list_transform(range(1, 17),
-                   i -> CAST(e.embedding[ss.subspace * 16 + i] AS DOUBLE)) AS svec
-          FROM embeddings e CROSS JOIN ss
-        ), d AS (
-          SELECT sub.vec_id, sub.subspace, cb.cell,
-                 round(list_sum(list_transform(range(1, 17),
-                   i -> (sub.svec[i] - cb.cvec[i]) * (sub.svec[i] - cb.cvec[i]))),
-                   6) AS dist2
-          FROM sub JOIN cb USING (subspace)
-        )
+    "embedding_pq_codes": f"""
+        WITH {_PQ_CTES}
         SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
-               CAST(cell AS BIGINT) AS code, dist2
-        FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
-                                           ORDER BY dist2, cell) AS rn FROM d)
-        WHERE rn = 1 ORDER BY vec_id, subspace
+               CAST(code AS BIGINT) AS code, dist2
+        FROM pq_codes ORDER BY vec_id, subspace
+    """,
+    "ann_pq_topk": f"""
+        WITH {_PQ_CTES},
+        qsub AS (
+          SELECT vec_id AS query_id, subspace, svec FROM sub
+          WHERE vec_id IN (0, 1, 2)
+        ), lut AS (
+          SELECT q.query_id, q.subspace, cb.cell AS code,
+                 round(list_sum(list_transform(range(1, 17),
+                   i -> (q.svec[i] - cb.cvec[i]) * (q.svec[i] - cb.cvec[i]))),
+                   6) AS d2
+          FROM qsub q JOIN cb USING (subspace)
+        ), approx AS (
+          SELECT l.query_id, c.vec_id, round(sum(l.d2), 6) AS approx_dist2
+          FROM pq_codes c JOIN lut l
+            ON c.subspace = l.subspace AND c.code = l.code
+          WHERE c.vec_id <> l.query_id
+          GROUP BY l.query_id, c.vec_id
+        )
+        SELECT query_id, vec_id, approx_dist2, CAST(rn AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY approx_dist2, vec_id) AS rn
+              FROM approx)
+        WHERE rn <= 10 ORDER BY query_id, rank
     """,
     "docs_bigram_counts": """
         WITH toks AS (

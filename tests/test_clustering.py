@@ -93,3 +93,47 @@ def test_pq_encode_rejects_uneven_split(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     with _pytest.raises(ValueError):
         pq_encode(e, dim=64, m=5, k=4)
+
+
+def test_pq_adc_topk_matches_python(spark, sf_dir):
+    """ADC ranking vs numpy: LUT distances, summed lookups, tie on id."""
+    import numpy as np
+
+    from bangumi_notion_data_integration_project_spark.catalog import load_table
+    from bangumi_notion_data_integration_project_spark.operators.clustering import (
+        pq_adc_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = {r["vec_id"]: np.array([float(x) for x in r["embedding"]]) for r in e.collect()}
+    seeds = [rows[i] for i in sorted(v for v in rows if v % 7 == 0)[:4]]
+
+    def codes_for(vec):
+        out = []
+        for s in range(4):
+            sv = vec[s * 16 : (s + 1) * 16]
+            d = [round(float(((sv - seed[s * 16 : (s + 1) * 16]) ** 2).sum()), 6) for seed in seeds]
+            out.append(min(range(4), key=lambda c: (d[c], c)))
+        return out
+
+    queries = e.filter("vec_id in (0, 1, 2)")
+    got = pq_adc_topk(e, queries, dim=64, m=4, k=4, topk=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["approx_dist2"]))
+    all_codes = {v: codes_for(vec) for v, vec in rows.items()}
+    for q in (0, 1, 2):
+        qv = rows[q]
+        lut = {
+            (s, c): round(float(((qv[s * 16 : (s + 1) * 16] - seeds[c][s * 16 : (s + 1) * 16]) ** 2).sum()), 6)
+            for s in range(4)
+            for c in range(4)
+        }
+        approx = {
+            v: round(sum(lut[(s, code)] for s, code in enumerate(cs)), 6)
+            for v, cs in all_codes.items()
+            if v != q
+        }
+        want = sorted(approx.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+        got_q = sorted(by_q[q])
+        assert [(v, d) for _, v, d in got_q] == want
