@@ -3092,6 +3092,47 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of ADC-over-PQ-codes vs exact squared-L2 brute force —
+    the quantization-loss measurement that decides m and k before
+    shipping a PQ index. Like the LSH/IVF recall harnesses, fully
+    deterministic, so the lossy path itself is hash-checked. Numbers
+    are a worst case on near-uniform synthetic vectors (k=4 codewords
+    per subspace is extreme compression); clustered real embeddings
+    with k=256 score far higher."""
+    from .operators.clustering import pq_adc_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(0, 1, 2))
+    adc = pq_adc_topk(e, queries, dim=64, m=4, k=4, topk=10)
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    dist2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("qe"),
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dist2.alias("dist2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "vec_id")
+    exact = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("query_id", "vec_id")
+    )
+    return _ann_recall_frame(adc, exact)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3156,6 +3197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize_stats": q_embedding_quantize_stats,
     "embedding_pq_codes": q_embedding_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_recall": q_ann_pq_recall,
     # -- (c) stalest green: r1-only driver rows, unchanged code
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -3169,7 +3211,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latest_event_per_type": q_latest_event_per_type,
     "text_bpe_tokens": q_text_bpe_tokens,
     "purchases_after_click": q_purchases_after_click,
-    "filtered_revenue": q_filtered_revenue,
     # -- (c) r2-green refresh (older half of the r2 set)
     # -- new in r4: salted two-phase window top-k + hash-checked k-means
     "top_parts_salted": q_top_parts_salted,
@@ -3177,6 +3218,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --------- driver checked-window boundary (position 50) ---------
     # -- r2-green refresh candidates displaced by the r4 additions
     #    (unchanged code, green r2 rows — lowest refresh priority)
+    "filtered_revenue": q_filtered_revenue,
+    "docs_pii_scrub": q_docs_pii_scrub,
     "salted_skew_join": q_salted_skew_join,
     "name_edit_distance": q_name_edit_distance,
     "price_percentiles": q_price_percentiles,
@@ -3189,7 +3232,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customers_without_orders": q_customers_without_orders,
     "lineitem_unpivot": q_lineitem_unpivot,
     "suppliers_per_region": q_suppliers_per_region,
-    "docs_pii_scrub": q_docs_pii_scrub,
     "decontaminate_overlap": q_decontaminate_overlap,
     # -- r2-green remainder, unchanged
     "parts_skyline": q_parts_skyline,
@@ -3376,6 +3418,26 @@ _PQ_CTES = """
                                              ORDER BY dist2, cell) AS rn FROM pqd)
           WHERE rn = 1
         )"""
+
+# Shared ADC CTEs (extend _PQ_CTES): per-query LUT and approximate sums.
+_PQ_ADC_CTES = """
+        qsub AS (
+          SELECT vec_id AS query_id, subspace, svec FROM sub
+          WHERE vec_id IN (0, 1, 2)
+        ), lut AS (
+          SELECT q.query_id, q.subspace, cb.cell AS code,
+                 round(list_sum(list_transform(range(1, 17),
+                   i -> (q.svec[i] - cb.cvec[i]) * (q.svec[i] - cb.cvec[i]))),
+                   6) AS d2
+          FROM qsub q JOIN cb USING (subspace)
+        ), approx AS (
+          SELECT l.query_id, c.vec_id, round(sum(l.d2), 6) AS approx_dist2
+          FROM pq_codes c JOIN lut l
+            ON c.subspace = l.subspace AND c.code = l.code
+          WHERE c.vec_id <> l.query_id
+          GROUP BY l.query_id, c.vec_id
+        )"""
+
 
 
 _LSH_CTES = f"""
@@ -5029,27 +5091,39 @@ ORACLES: dict[str, str] = {
     """,
     "ann_pq_topk": f"""
         WITH {_PQ_CTES},
-        qsub AS (
-          SELECT vec_id AS query_id, subspace, svec FROM sub
-          WHERE vec_id IN (0, 1, 2)
-        ), lut AS (
-          SELECT q.query_id, q.subspace, cb.cell AS code,
-                 round(list_sum(list_transform(range(1, 17),
-                   i -> (q.svec[i] - cb.cvec[i]) * (q.svec[i] - cb.cvec[i]))),
-                   6) AS d2
-          FROM qsub q JOIN cb USING (subspace)
-        ), approx AS (
-          SELECT l.query_id, c.vec_id, round(sum(l.d2), 6) AS approx_dist2
-          FROM pq_codes c JOIN lut l
-            ON c.subspace = l.subspace AND c.code = l.code
-          WHERE c.vec_id <> l.query_id
-          GROUP BY l.query_id, c.vec_id
-        )
+        {_PQ_ADC_CTES}
         SELECT query_id, vec_id, approx_dist2, CAST(rn AS BIGINT) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                                            ORDER BY approx_dist2, vec_id) AS rn
               FROM approx)
         WHERE rn <= 10 ORDER BY query_id, rank
+    """,
+    "ann_pq_recall": f"""
+        WITH {_PQ_CTES},
+        {_PQ_ADC_CTES},
+        a10 AS (
+          SELECT query_id, vec_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY approx_dist2, vec_id) AS rn
+                FROM approx)
+          WHERE rn <= 10
+        ), qv2 AS (
+          SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+          WHERE vec_id IN (0, 1, 2)
+        ), ex AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_sum(list_transform(range(1, 65),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE)))),
+                   6) AS dist2
+          FROM embeddings e CROSS JOIN qv2 q WHERE e.vec_id <> q.query_id
+        ), bf10 AS (
+          SELECT query_id, vec_id
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY dist2, vec_id) AS rn FROM ex)
+          WHERE rn <= 10
+        )
+        {_RECALL_SELECT}
     """,
     "docs_bigram_counts": """
         WITH toks AS (
