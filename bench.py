@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "snapshot_diff_orders",
     "docs_bigram_counts",
     "events_funnel_steps",
+    "embedding_pq_codes",
+    "ann_pq_topk",
+    "events_conversion_lag",
 ]
 
 

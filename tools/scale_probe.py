@@ -53,6 +53,9 @@ PROBED = [
     "parts_pagerank",
     "part_pairs_lift",
     "snapshot_diff_orders",
+    "docs_bigram_counts",
+    "embedding_pq_codes",
+    "ann_pq_topk",
 ]
 SCALED_TABLES = {
     "lineitem": "l_orderkey",
