@@ -3158,6 +3158,173 @@ def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (operators/bloom.py): same
+    output as ``decontaminate_overlap`` — and the same oracle — but the
+    train-side gram inventory first passes a relational Bloom filter
+    built from the test grams (k seeded hashes → distinct bit-position
+    table, k broadcast semi-joins), and only the survivors reach the
+    exact gram semi-join.
+
+    At 100 TB the exact semi-join must shuffle every train gram string;
+    the Bloom stage replaces that with broadcast probes against a table
+    bounded at 2^20 longs REGARDLESS of test-set size, so the shuffle
+    only carries true matches plus the fp tail. The exact verify makes
+    the result independent of the hash functions — which is why the
+    DuckDB oracle (no xxhash64) can still check it bit-for-bit."""
+    from .operators.bloom import bloom_build, bloom_prefilter
+    from .operators.dedup import word_shingles
+    from .operators.sampling import _hash_slot, slot_threshold
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles("text", 5).alias("grams")
+    )
+    test_mark = _hash_slot("doc_id") < slot_threshold(0.1)
+    test_grams = (
+        d.filter(test_mark)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = d.filter(~test_mark).select("doc_id", F.explode("grams").alias("gram"))
+    bits = bloom_build(test_grams, "gram")
+    candidates = bloom_prefilter(train, "gram", bits)
+    return (
+        candidates.join(test_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+    )
+
+
+BOILERPLATE_SEGMENT_WORDS = 8
+BOILERPLATE_MAX_DF = 5
+
+
+def q_docs_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (operators/boilerplate.py):
+    segments appearing verbatim in ≥ 5 distinct documents are dropped
+    from every document; the remainder is reassembled in order and
+    fingerprinted. The C4/RefinedWeb line-dedup cleaning pass — the
+    synthetic corpus is single-line, so segmentation is by fixed 8-word
+    windows (``segment_by_lines`` is the production splitter; the plan
+    shape — one explode, two hash aggs, one join, ordered ``array_sort``
+    reassembly — is identical)."""
+    from .operators.boilerplate import remove_frequent_segments, segment_by_words
+
+    d = load_table(spark, sf_dir, "documents")
+    segs = segment_by_words(
+        d, "doc_id", "text", words_per_segment=BOILERPLATE_SEGMENT_WORDS
+    )
+    return remove_frequent_segments(
+        segs, "doc_id", max_doc_freq=BOILERPLATE_MAX_DF
+    ).orderBy("doc_id")
+
+
+BM25_TERMS = ("spark", "join", "window", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring over an inverted index — the ranking
+    function behind Lucene/Elasticsearch and the lexical half of hybrid
+    RAG retrieval. For a literal query-term set: per-(doc, term) TF from
+    one explode, per-term DF and corpus (N, avgdl) as tiny broadcast
+    aggregates, score summed per doc, global top-20.
+
+    avgdl is exact across engines (integer sum / count); the ranking
+    orders on the ROUNDED score (the docs_tfidf_topk stability rule).
+    Scale shape: explode → two hash aggs → broadcast DF + stats back —
+    the corpus never shuffles by term more than once."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").cast("double").alias("n")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (
+        F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(idf * tf_norm), 6).alias("bm25"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(20)
+
+
+ATTRIBUTION_WINDOW_DAYS = 7
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's click/view touches in the preceding
+    7 days, credited to the touch type. The marketing-analytics twin of
+    the range join: touch-purchase pairing is a point-in-interval join
+    (operators/rangejoin.py — bucketed equi-join, never a nested-loop),
+    the per-purchase touch count is a window over the pair output, and
+    the result is a tiny per-type rollup."""
+    from .operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("ts").alias("touch_ts"), "event_type"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_DAYS} DAYS")).alias(
+            "w_start"
+        ),
+        F.col("ts").alias("w_end"),
+        "value",
+    )
+    pairs = range_join(
+        touches,
+        purchases,
+        "user_id",
+        "touch_ts",
+        "w_start",
+        "w_end",
+        bucket_seconds=ATTRIBUTION_WINDOW_DAYS * 86400,
+    )
+    n_touches = F.count("*").over(Window.partitionBy("purchase_id"))
+    credited = pairs.select(
+        "event_type",
+        "purchase_id",
+        (F.col("value") / n_touches).alias("credit"),
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.countDistinct("purchase_id").cast("long").alias("n_purchases"),
+            F.round(F.sum("credit"), 2).alias("attributed_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3224,6 +3391,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_pq_codes": q_embedding_pq_codes,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_recall": q_ann_pq_recall,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "docs_line_scrub": q_docs_line_scrub,
+    "docs_bm25_topk": q_docs_bm25_topk,
+    "events_attribution": q_events_attribution,
     # -- (c) stalest green: r1-only driver rows, unchanged code
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -3232,15 +3403,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_price_histogram": q_orders_price_histogram,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_norms": q_embedding_norms,
-    "orders_cube": q_orders_cube,
-    "running_revenue": q_running_revenue,
-    "latest_event_per_type": q_latest_event_per_type,
-    "text_bpe_tokens": q_text_bpe_tokens,
     # -- (c) r2-green refresh (older half of the r2 set)
     # -- new in r4: salted two-phase window top-k + hash-checked k-means
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
     # --------- driver checked-window boundary (position 50) ---------
+    # -- r1-green refresh candidates displaced by the 4 late-r4
+    #    additions (bloom/line-scrub/bm25/attribution outrank
+    #    refreshes of unchanged code)
+    "orders_cube": q_orders_cube,
+    "running_revenue": q_running_revenue,
+    "latest_event_per_type": q_latest_event_per_type,
+    "text_bpe_tokens": q_text_bpe_tokens,
     # -- r2-green refresh candidates displaced by the r4 additions
     #    (unchanged code, green r2 rows — lowest refresh priority)
     "purchases_after_click": q_purchases_after_click,
@@ -5204,5 +5378,94 @@ ORACLES: dict[str, str] = {
                        x -> pow(x - floor(x / scale + 0.5) * scale, 2)))
                      / len(embedding), 10) AS quant_mse
         FROM s WHERE scale > 0 ORDER BY vec_id
+    """,
+    # Identical to decontaminate_overlap by design: the Bloom stage is a
+    # prefilter whose false positives are removed by the exact verify,
+    # so the result is hash-independent and the exact-overlap SQL IS the
+    # specification the Bloom path must reproduce.
+    "decontaminate_bloom": """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS t,
+                 substr(md5(doc_id::VARCHAR), 1, 4) < '199a' AS is_test
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, is_test,
+                 array_to_string(list_slice(t, i, i + 4), ' ') AS gram
+          FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)),
+        test_grams AS (SELECT DISTINCT gram FROM grams WHERE is_test)
+        SELECT DISTINCT g.doc_id
+        FROM grams g
+        WHERE NOT g.is_test AND g.gram IN (SELECT gram FROM test_grams)
+        ORDER BY g.doc_id
+    """,
+    "docs_line_scrub": """
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+          FROM documents),
+        words AS (
+          SELECT doc_id, i - 1 AS pos, t[i] AS word
+          FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+        segs AS (
+          SELECT doc_id, pos // 8 AS seg_idx,
+                 string_agg(word, ' ' ORDER BY pos) AS segment
+          FROM words GROUP BY doc_id, pos // 8),
+        freq AS (
+          SELECT segment, count(DISTINCT doc_id) AS df FROM segs GROUP BY segment)
+        SELECT s.doc_id,
+               count(*) AS n_segments,
+               count(*) FILTER (WHERE f.df < 5) AS n_kept,
+               md5(coalesce(string_agg(CASE WHEN f.df < 5 THEN s.segment END,
+                                       ' ' ORDER BY s.seg_idx), '')) AS kept_md5
+        FROM segs s JOIN freq f USING (segment)
+        GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+    "docs_bm25_topk": """
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(text), '\\s+') END AS t
+          FROM documents),
+        dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+        stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n FROM dl),
+        tf AS (
+          SELECT doc_id, word AS term, CAST(count(*) AS DOUBLE) AS tf
+          FROM (SELECT doc_id, unnest(t) AS word FROM toks)
+          WHERE word IN ('spark', 'join', 'window', 'stream')
+          GROUP BY doc_id, word),
+        dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term)
+        SELECT tf.doc_id,
+               round(sum(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                         * tf.tf * 2.2
+                         / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))), 6) AS bm25,
+               count(*) AS n_terms
+        FROM tf
+        JOIN dfreq d ON tf.term = d.term
+        JOIN dl l ON tf.doc_id = l.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, tf.doc_id
+        LIMIT 20
+    """,
+    "events_attribution": """
+        WITH touches AS (
+          SELECT user_id, ts AS touch_ts, event_type
+          FROM events WHERE event_type IN ('click', 'view')),
+        purch AS (
+          SELECT user_id, event_id AS purchase_id, ts, value
+          FROM events WHERE event_type = 'purchase'),
+        pairs AS (
+          SELECT t.event_type, p.purchase_id, p.value,
+                 count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+          FROM touches t
+          JOIN purch p ON t.user_id = p.user_id
+           AND t.touch_ts >= p.ts - INTERVAL 7 DAY
+           AND t.touch_ts <= p.ts)
+        SELECT event_type,
+               count(*) AS n_touches,
+               count(DISTINCT purchase_id) AS n_purchases,
+               round(sum(value / n_touches), 2) AS attributed_value
+        FROM pairs GROUP BY event_type ORDER BY event_type
     """,
 }

@@ -94,6 +94,10 @@ BENCH_QUERIES = [
     "embedding_pq_codes",
     "ann_pq_topk",
     "events_conversion_lag",
+    "decontaminate_bloom",
+    "docs_line_scrub",
+    "docs_bm25_topk",
+    "events_attribution",
 ]
 
 

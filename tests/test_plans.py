@@ -307,3 +307,40 @@ def test_two_phase_sweep_has_no_whole_key_sort(spark):
         s for s in sorts if "day" not in s and " t#" in s
     ]
     assert not windows_on_bare_key, sorts
+
+
+def test_bloom_decontaminate_probes_are_broadcast(spark):
+    """The Bloom stage's value at 100 TB: the train-gram inventory
+    meets the bit table via k broadcast semi-joins — never a shuffle
+    of the probe side against the bits."""
+    plan = _plan(spark, "decontaminate_bloom")
+    assert plan.count("BroadcastHashJoin") >= 4  # k membership probes
+    assert "CartesianProduct" not in plan
+
+
+def test_line_scrub_broadcasts_frequent_segments(spark):
+    """The corpus is never shuffled by segment text on the flag-back
+    path: the frequent-segment set joins as a broadcast, and the only
+    segment-keyed exchange feeds the frequency aggregate."""
+    plan = _plan(spark, "docs_line_scrub")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_pairs_without_nested_loop(spark):
+    """Touch-purchase pairing must be the bucketed equi-join, and the
+    per-purchase touch count a keyed (never global) window."""
+    plan = _plan(spark, "events_attribution")
+    assert "CartesianProduct" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^,)]*)", plan)
+    assert specs and all("purchase_id" in s for s in specs), specs
+
+
+def test_bm25_corpus_stats_broadcast(spark):
+    """Per-term DF and the (N, avgdl) scalar come back as broadcasts;
+    the only shuffles are the two hash aggregates and the doc-level
+    length join."""
+    plan = _plan(spark, "docs_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
