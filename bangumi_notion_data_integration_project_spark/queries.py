@@ -3325,6 +3325,34 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-graph triangle census of the co-purchase graph
+    (operators/graph.py:triangle_stats): node/edge counts, length-2
+    paths, exact triangles, and transitivity. The edge list is the same
+    support-≥3 basket co-occurrence as ``part_pairs_lift``; the count
+    uses the degree-oriented node-iterator, so wedge fan-out is bounded
+    by the ORIENTED degree (O(√m)) even when one part dominates every
+    order. The oracle counts triangles by the declarative 3-way
+    canonical-edge join — the naive spec the oriented algorithm must
+    reproduce exactly."""
+    from .operators.graph import triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    edges = (
+        baskets.select(F.explode("parts").alias("a"), "parts")
+        .select("a", F.explode("parts").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+        .select("a", "b")
+    )
+    return triangle_stats(edges)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3395,6 +3423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_line_scrub": q_docs_line_scrub,
     "docs_bm25_topk": q_docs_bm25_topk,
     "events_attribution": q_events_attribution,
+    "parts_triangles": q_parts_triangles,
     # -- (c) stalest green: r1-only driver rows, unchanged code
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
@@ -3402,15 +3431,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_repetition": q_docs_repetition,
     "orders_price_histogram": q_orders_price_histogram,
     "doc_fingerprint": q_doc_fingerprint,
-    "embedding_norms": q_embedding_norms,
     # -- (c) r2-green refresh (older half of the r2 set)
     # -- new in r4: salted two-phase window top-k + hash-checked k-means
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
     # --------- driver checked-window boundary (position 50) ---------
-    # -- r1-green refresh candidates displaced by the 4 late-r4
-    #    additions (bloom/line-scrub/bm25/attribution outrank
-    #    refreshes of unchanged code)
+    # -- r1-green refresh candidates displaced by the 5 late-r4
+    #    additions (bloom/line-scrub/bm25/attribution/triangles
+    #    outrank refreshes of unchanged code)
+    "embedding_norms": q_embedding_norms,
     "orders_cube": q_orders_cube,
     "running_revenue": q_running_revenue,
     "latest_event_per_type": q_latest_event_per_type,
@@ -5467,5 +5496,34 @@ ORACLES: dict[str, str] = {
                count(DISTINCT purchase_id) AS n_purchases,
                round(sum(value / n_touches), 2) AS attributed_value
         FROM pairs GROUP BY event_type ORDER BY event_type
+    """,
+    # Declarative spec: triangles counted by the naive 3-way join over
+    # canonical (a < b) edges — each triangle {a<b<c} matches exactly
+    # once as (a,b)(b,c)(a,c). The Spark side's degree-oriented
+    # node-iterator must reproduce these numbers exactly.
+    "parts_triangles": """
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        edges AS (
+          SELECT x.l_partkey AS a, y.l_partkey AS b
+          FROM b x JOIN b y ON x.l_orderkey = y.l_orderkey
+                           AND x.l_partkey < y.l_partkey
+          GROUP BY x.l_partkey, y.l_partkey
+          HAVING count(*) >= 3),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS d
+          FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+          GROUP BY node),
+        tri AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM edges e1
+          JOIN edges e2 ON e2.a = e1.b
+          JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+               (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_paths2,
+               t.n_triangles,
+               round(3.0 * t.n_triangles
+                     / (SELECT sum(d * (d - 1) // 2) FROM deg), 6) AS transitivity
+        FROM tri t
     """,
 }

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "docs_line_scrub",
     "docs_bm25_topk",
     "events_attribution",
+    "parts_triangles",
 ]
 
 

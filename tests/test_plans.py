@@ -344,3 +344,14 @@ def test_bm25_corpus_stats_broadcast(spark):
     plan = _plan(spark, "docs_bm25_topk")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_triangles_all_joins_are_equi(spark):
+    """Wedge generation and closure are equi-joins on node keys; the
+    degree orientation must never degrade to a nested loop."""
+    plan = _plan(spark, "parts_triangles")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the condition-free Cross
+    # joins stitching the 1-row stat aggregates onto the result
+    for m in re.finditer(r"BroadcastNestedLoopJoin\nJoin type: (\w+)\nJoin condition: (\w+)", plan):
+        assert m.group(1) == "Cross" and m.group(2) == "None", m.group(0)
