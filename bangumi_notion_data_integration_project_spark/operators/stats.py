@@ -1,0 +1,125 @@
+"""One-pass distributed statistics from EXACT integer sufficient stats.
+
+Closed-form simple linear regression and pairwise Pearson correlation,
+computed the way they must be computed on a cluster: a single
+``groupBy`` over exact-integer-valued columns, with every moment
+(n, Σx, Σy, Σx², Σy², Σxy) accumulated as DECIMAL(38,0) so the partial
+aggregates are EXACT no matter how Spark splits or reorders them.
+
+Why integers: float moment sums are order-dependent (a+b+c ≠ c+a+b in
+FP), so the same query returns last-ulp-different slopes on different
+partitionings — and diverges from any other engine. Fixed-point inputs
+(cents, basis points, integral quantities) make every sufficient
+statistic a single exact integer; the final slope/corr is then ONE
+deterministic double expression of those integers, bit-identical across
+partition counts, AQE decisions, and engines. Callers cast upstream
+(``(price*100)::long``) and own the unit bookkeeping.
+
+Scale design (100 TB):
+- One shuffle total, fully map-side-combinable: each task emits 6
+  decimals per (group, pair), the reduce adds them. No second pass, no
+  window, no collect. This is the textbook "algebraic aggregate".
+- All K·6 moments for K variable pairs ride in the SAME aggregate pass
+  (one scan), so adding pairs costs bandwidth, not passes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# DECIMAL(38,0) holds ±10³⁸: with 64-bit inputs x,y ≤ 10⁹ and row counts
+# ≤ 10¹⁵ the largest moment Σx·y ≤ 10³³ stays exact. The r² denominator
+# product (n·Σx²−(Σx)²)·(n·Σy²−(Σy)²) can exceed 10³⁸, so each factor is
+# cast to double FIRST and multiplied in FP — both factors are exact
+# integers at cast time, so the doubles (and their product) are still
+# engine-identical.
+_DEC = "decimal(38,0)"
+
+
+def _moments(x: Column, y: Column) -> dict[str, Column]:
+    xd = x.cast(_DEC)
+    yd = y.cast(_DEC)
+    return {
+        "n": F.count("*").cast(_DEC),
+        "sx": F.sum(xd),
+        "sy": F.sum(yd),
+        "sxx": F.sum(xd * xd),
+        "syy": F.sum(yd * yd),
+        "sxy": F.sum(xd * yd),
+    }
+
+
+def _cov_terms(m: str) -> tuple[Column, Column, Column]:
+    """(n·Σxy−ΣxΣy, n·Σx²−(Σx)², n·Σy²−(Σy)²) as exact decimals."""
+    n, sx, sy = F.col(f"{m}n"), F.col(f"{m}sx"), F.col(f"{m}sy")
+    sxx, syy, sxy = F.col(f"{m}sxx"), F.col(f"{m}syy"), F.col(f"{m}sxy")
+    return (n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy)
+
+
+def ols_fit(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Per-group simple OLS of ``y`` on ``x`` (both exact-integer
+    columns): returns group cols + ``n``, ``slope``, ``intercept``,
+    ``r2`` — slope/intercept in the input units, each a deterministic
+    double derived from exact integer moments (see module docstring).
+
+    slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²);  intercept = (Σy−slope·Σx)/n;
+    r² = (nΣxy−ΣxΣy)² / ((nΣx²−(Σx)²)(nΣy²−(Σy)²)).
+    Groups with zero x-variance get NULL slope/intercept/r².
+    """
+    agg = df.groupBy(*group_cols).agg(
+        *[c.alias(k) for k, c in _moments(F.col(x), F.col(y)).items()]
+    )
+    num, dx, dy = _cov_terms("")
+    numd, dxd, dyd = num.cast("double"), dx.cast("double"), dy.cast("double")
+    slope = F.when(dx != 0, numd / dxd)
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col(
+        "n"
+    ).cast("double")
+    r2 = F.when((dx != 0) & (dy != 0), numd * numd / (dxd * dyd))
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def corr_pairs(
+    df: DataFrame,
+    pairs: Sequence[tuple[str, str]],
+) -> DataFrame:
+    """Whole-table Pearson correlation for each (x, y) pair of
+    exact-integer columns, ALL pairs in one aggregate pass over one
+    scan. Returns (var_x, var_y, n, corr) — one row per pair, corr a
+    deterministic double (NULL when either side has zero variance).
+    """
+    aggs: list[Column] = []
+    for i, (x, y) in enumerate(pairs):
+        for k, c in _moments(F.col(x), F.col(y)).items():
+            aggs.append(c.alias(f"p{i}_{k}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for i, (x, y) in enumerate(pairs):
+        num, dx, dy = _cov_terms(f"p{i}_")
+        numd, dxd, dyd = num.cast("double"), dx.cast("double"), dy.cast("double")
+        corr = F.when(
+            (dx != 0) & (dy != 0), numd / F.sqrt(dxd * dyd)
+        )
+        rows.append(
+            F.struct(
+                F.lit(x).alias("var_x"),
+                F.lit(y).alias("var_y"),
+                F.col(f"p{i}_n").cast("long").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -3353,6 +3353,238 @@ def q_parts_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_stats(edges)
 
 
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log replay (operators/cdc.py): a deterministic 3-epoch change
+    log derived from orders — seq 1 inserts every order, seq 2 updates
+    every 7th key (price +100), seq 3 deletes every 13th — collapsed to
+    the net snapshot in ONE max_by groupBy (map-side partial winners;
+    the window-sort formulation would shuffle the whole log). The log
+    form complements the reference's snapshot diff
+    (data_loading_to_mysql_database.py:185-277): same net state, built
+    from the stream between snapshots instead of the snapshots."""
+    from .operators.cdc import apply_cdc
+
+    o = load_table(spark, sf_dir, "orders")
+    payload = ["o_custkey", "o_orderstatus", "price"]
+    inserts = o.select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit(2).alias("seq"),
+            F.lit("U").alias("op"),
+            "o_custkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") + 100.0).alias("price"),
+        )
+    )
+    deletes = (
+        o.filter(F.col("o_orderkey") % 13 == 0)
+        .select(
+            "o_orderkey",
+            F.lit(3).alias("seq"),
+            F.lit("D").alias("op"),
+            F.lit(None).cast("long").alias("o_custkey"),
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("double").alias("price"),
+        )
+    )
+    log = inserts.unionAll(updates).unionAll(deletes)
+    return apply_cdc(
+        log, key="o_orderkey", seq="seq", op="op", payload_cols=payload
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "price",
+        "n_versions",
+        F.col("last_seq").cast("long").alias("last_seq"),
+    )
+
+
+def q_lineitem_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed closed-form OLS (operators/stats.py): regress
+    extended price (cents) on quantity per (returnflag, linestatus) —
+    one algebraic aggregate pass, slope/intercept/r² derived from EXACT
+    DECIMAL(38,0) moment sums so the doubles are bit-identical across
+    partitionings and engines (float moments would be order-dependent).
+    The oracle re-derives the same formula from HUGEINT sums rather
+    than calling regr_slope, pinning the arithmetic path."""
+    from .operators.stats import ols_fit
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    fit = ols_fit(li, ["l_returnflag", "l_linestatus"], "qty", "cents")
+    return fit.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n",
+        F.round("slope", 6).alias("slope_cents_per_qty"),
+        F.round("intercept", 6).alias("intercept_cents"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the four lineitem measures —
+    quantity, price cents, discount bp, tax bp — all six pairs computed
+    in ONE aggregate pass over one scan (operators/stats.py:corr_pairs),
+    exact-integer moments, deterministic doubles. The feature-triage
+    step of a training pipeline: which raw columns are redundant before
+    they're fed to a model."""
+    from .operators.stats import corr_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_bp"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_bp"),
+    )
+    cols = ["qty", "cents", "disc_bp", "tax_bp"]
+    pairs = [(cols[i], cols[j]) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+    return (
+        corr_pairs(li, pairs)
+        .select("var_x", "var_y", "n", F.round("corr", 6).alias("corr"))
+        .orderBy("var_x", "var_y")
+    )
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path mining: each user-day's first five event types
+    (by ts, event_id) joined into a '>' path string, then the 20 most
+    frequent paths. The per-session ordering is a bounded array_sort of
+    collected (ts, id, type) structs — no window sort over the event
+    table, state per session is O(events/user/day). Path extraction is
+    the sequence-model precursor to the funnel family
+    (q_events_funnel): funnels test ONE hypothesis path, this surfaces
+    which paths exist."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                1,
+                5,
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    return (
+        per.groupBy("path")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.avg("n_events").alias("avg_raw"),
+        )
+        .select("path", "n_sessions", F.round("avg_raw", 6).alias("avg_session_events"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    anchored at the corpus max date), frequency, monetary (exact cents
+    so per-customer sums are order-independent), quintile-scored with
+    ntile over deterministic (metric, key) orderings. ntile's global
+    sort is fine at customer-dimension size; at fact-table size the
+    same scores come from broadcast percentile cut points — the
+    docs_quality_bins pattern. Top-20 '555' segment preview by
+    monetary."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("maxd"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("lastd"),
+            F.count("*").cast("long").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("maxd", "lastd").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = Window.orderBy("recency_days", "o_custkey")
+    fqy = Window.orderBy(F.desc("frequency"), "o_custkey")
+    m = Window.orderBy(F.desc("monetary_cents"), "o_custkey")
+    scored = per.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (F.lit(6) - F.ntile(5).over(r)).cast("long").alias("r_score"),
+        (F.lit(6) - F.ntile(5).over(fqy)).cast("long").alias("f_score"),
+        (F.lit(6) - F.ntile(5).over(m)).cast("long").alias("m_score"),
+    )
+    return (
+        scored.withColumn(
+            "segment",
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("long"),
+        )
+        .orderBy(F.desc("segment"), F.desc("monetary_cents"), "o_custkey")
+        .limit(20)
+    )
+
+
+def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the co-purchase graph (operators/graph.py:k_core,
+    k=80): iteratively peel parts with fewer than 80 distinct
+    co-purchase partners until fixpoint, then report the 25
+    highest-degree survivors plus whole-core counts. Peeling is the
+    scalable route to "the dense heart of the graph" — each round is a
+    degree aggregate + two node-sized semi joins, converging in ≤6
+    rounds here; the loop fails loudly if the budget exhausts. The
+    oracle unrolls eight peel rounds declaratively (extra rounds are
+    fixpoint no-ops), the same unrolled-iteration pattern as the
+    pagerank oracle."""
+    from .operators.graph import k_core
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("parts"))
+    edges = (
+        baskets.select(F.explode("parts").alias("a"), "parts")
+        .select("a", F.explode("parts").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    core = k_core(edges, 80, max_rounds=12).localCheckpoint(eager=False)
+    deg = (
+        core.select(F.col("a").alias("l_partkey"))
+        .unionAll(core.select(F.col("b").alias("l_partkey")))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+    totals = core.agg(F.count("*").cast("long").alias("n_core_edges")).crossJoin(
+        F.broadcast(deg.agg(F.count("*").cast("long").alias("n_core_nodes")))
+    )
+    return (
+        deg.crossJoin(F.broadcast(totals))
+        .select("l_partkey", "core_degree", "n_core_nodes", "n_core_edges")
+        .orderBy(F.desc("core_degree"), "l_partkey")
+        .limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3424,18 +3656,28 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bm25_topk": q_docs_bm25_topk,
     "events_attribution": q_events_attribution,
     "parts_triangles": q_parts_triangles,
-    # -- (c) stalest green: r1-only driver rows, unchanged code
+    # -- new in r4 (second batch): CDC replay, exact-moment OLS +
+    #    correlation matrix, path mining, RFM, k-core — no driver row
+    #    yet, so they outrank every refresh
+    "cdc_apply_orders": q_cdc_apply_orders,
+    "lineitem_regression": q_lineitem_regression,
+    "lineitem_correlations": q_lineitem_correlations,
+    "events_top_paths": q_events_top_paths,
+    "customer_rfm": q_customer_rfm,
+    "parts_kcore": q_parts_kcore,
+    # -- new in r4: salted two-phase window top-k + hash-checked k-means
+    "top_parts_salted": q_top_parts_salted,
+    "embedding_kmeans": q_embedding_kmeans,
+    # --------- driver checked-window boundary (position 50) ---------
+    # -- (c) stalest green refreshes (r1-only driver rows, unchanged
+    #    code) displaced past the boundary by the 6 second-batch
+    #    additions — new queries outrank refreshes of green code
     "text_token_stats": q_text_token_stats,
     "text_quality": q_text_quality,
     "text_lang_id": q_text_lang_id,
     "docs_repetition": q_docs_repetition,
     "orders_price_histogram": q_orders_price_histogram,
     "doc_fingerprint": q_doc_fingerprint,
-    # -- (c) r2-green refresh (older half of the r2 set)
-    # -- new in r4: salted two-phase window top-k + hash-checked k-means
-    "top_parts_salted": q_top_parts_salted,
-    "embedding_kmeans": q_embedding_kmeans,
-    # --------- driver checked-window boundary (position 50) ---------
     # -- r1-green refresh candidates displaced by the 5 late-r4
     #    additions (bloom/line-scrub/bm25/attribution/triangles
     #    outrank refreshes of unchanged code)
@@ -5526,4 +5768,199 @@ ORACLES: dict[str, str] = {
                      / (SELECT sum(d * (d - 1) // 2) FROM deg), 6) AS transitivity
         FROM tri t
     """,
+    "cdc_apply_orders": """
+        WITH log AS (
+          SELECT o_orderkey, 1 AS seq, 'I' AS op,
+                 o_custkey, o_orderstatus, o_totalprice AS price
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey, 2, 'U', o_custkey, o_orderstatus, o_totalprice + 100
+          FROM orders WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey, 3, 'D', NULL, NULL, NULL
+          FROM orders WHERE o_orderkey % 13 = 0
+        ), r AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY o_orderkey
+                                    ORDER BY seq DESC,
+                                             CASE WHEN op = 'D' THEN 0 ELSE 1 END) AS rn,
+                 count(*) OVER (PARTITION BY o_orderkey) AS n_versions,
+                 max(seq) OVER (PARTITION BY o_orderkey) AS last_seq
+          FROM log
+        )
+        SELECT o_orderkey, o_custkey, o_orderstatus, price,
+               CAST(n_versions AS BIGINT) AS n_versions,
+               CAST(last_seq AS BIGINT) AS last_seq
+        FROM r WHERE rn = 1 AND op <> 'D'
+        ORDER BY o_orderkey
+    """,
+    "lineitem_regression": """
+        WITH li AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem
+        ), m AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(qty) AS HUGEINT) AS sx,
+                 CAST(sum(cents) AS HUGEINT) AS sy,
+                 CAST(sum(qty * qty) AS HUGEINT) AS sxx,
+                 CAST(sum(cents * cents) AS HUGEINT) AS syy,
+                 CAST(sum(qty * cents) AS HUGEINT) AS sxy
+          FROM li GROUP BY l_returnflag, l_linestatus
+        ), fit AS (
+          SELECT l_returnflag, l_linestatus, n,
+                 CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+                 CAST(n * sxy - sx * sy AS DOUBLE) AS numd,
+                 CAST(n * sxx - sx * sx AS DOUBLE) AS dxd,
+                 CAST(n * syy - sy * sy AS DOUBLE) AS dyd,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+          FROM m
+        )
+        SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+               round(slope, 6) AS slope_cents_per_qty,
+               round((syd - slope * sxd) / CAST(n AS DOUBLE), 6) AS intercept_cents,
+               round(numd * numd / (dxd * dyd), 6) AS r2
+        FROM fit ORDER BY l_returnflag, l_linestatus
+    """,
+    "lineitem_correlations": """
+        WITH li AS (
+          SELECT CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                 CAST(round(l_discount * 100) AS BIGINT) AS disc_bp,
+                 CAST(round(l_tax * 100) AS BIGINT) AS tax_bp
+          FROM lineitem
+        ), m AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(qty) AS HUGEINT) AS s_qty,
+                 CAST(sum(cents) AS HUGEINT) AS s_cents,
+                 CAST(sum(disc_bp) AS HUGEINT) AS s_disc,
+                 CAST(sum(tax_bp) AS HUGEINT) AS s_tax,
+                 CAST(sum(qty * qty) AS HUGEINT) AS ss_qty,
+                 CAST(sum(cents * cents) AS HUGEINT) AS ss_cents,
+                 CAST(sum(disc_bp * disc_bp) AS HUGEINT) AS ss_disc,
+                 CAST(sum(tax_bp * tax_bp) AS HUGEINT) AS ss_tax,
+                 CAST(sum(qty * cents) AS HUGEINT) AS x_qty_cents,
+                 CAST(sum(qty * disc_bp) AS HUGEINT) AS x_qty_disc,
+                 CAST(sum(qty * tax_bp) AS HUGEINT) AS x_qty_tax,
+                 CAST(sum(cents * disc_bp) AS HUGEINT) AS x_cents_disc,
+                 CAST(sum(cents * tax_bp) AS HUGEINT) AS x_cents_tax,
+                 CAST(sum(disc_bp * tax_bp) AS HUGEINT) AS x_disc_tax
+          FROM li
+        ), pairs AS (
+          SELECT 'qty' AS var_x, 'cents' AS var_y, n,
+                 CAST(n * x_qty_cents - s_qty * s_cents AS DOUBLE) AS num,
+                 CAST(n * ss_qty - s_qty * s_qty AS DOUBLE) AS dx,
+                 CAST(n * ss_cents - s_cents * s_cents AS DOUBLE) AS dy FROM m
+          UNION ALL
+          SELECT 'qty', 'disc_bp', n,
+                 CAST(n * x_qty_disc - s_qty * s_disc AS DOUBLE),
+                 CAST(n * ss_qty - s_qty * s_qty AS DOUBLE),
+                 CAST(n * ss_disc - s_disc * s_disc AS DOUBLE) FROM m
+          UNION ALL
+          SELECT 'qty', 'tax_bp', n,
+                 CAST(n * x_qty_tax - s_qty * s_tax AS DOUBLE),
+                 CAST(n * ss_qty - s_qty * s_qty AS DOUBLE),
+                 CAST(n * ss_tax - s_tax * s_tax AS DOUBLE) FROM m
+          UNION ALL
+          SELECT 'cents', 'disc_bp', n,
+                 CAST(n * x_cents_disc - s_cents * s_disc AS DOUBLE),
+                 CAST(n * ss_cents - s_cents * s_cents AS DOUBLE),
+                 CAST(n * ss_disc - s_disc * s_disc AS DOUBLE) FROM m
+          UNION ALL
+          SELECT 'cents', 'tax_bp', n,
+                 CAST(n * x_cents_tax - s_cents * s_tax AS DOUBLE),
+                 CAST(n * ss_cents - s_cents * s_cents AS DOUBLE),
+                 CAST(n * ss_tax - s_tax * s_tax AS DOUBLE) FROM m
+          UNION ALL
+          SELECT 'disc_bp', 'tax_bp', n,
+                 CAST(n * x_disc_tax - s_disc * s_tax AS DOUBLE),
+                 CAST(n * ss_disc - s_disc * s_disc AS DOUBLE),
+                 CAST(n * ss_tax - s_tax * s_tax AS DOUBLE) FROM m
+        )
+        SELECT var_x, var_y, CAST(n AS BIGINT) AS n,
+               round(CASE WHEN dx <> 0 AND dy <> 0
+                          THEN num / sqrt(dx * dy) END, 6) AS corr
+        FROM pairs ORDER BY var_x, var_y
+    """,
+    "events_top_paths": """
+        WITH ranked AS (
+          SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                 row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ), per AS (
+          SELECT user_id, day,
+                 string_agg(CASE WHEN rn <= 5 THEN event_type END, '>' ORDER BY rn) AS path,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM ranked GROUP BY user_id, day
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+               round(avg(n_events), 6) AS avg_session_events
+        FROM per GROUP BY path
+        ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    "customer_rfm": """
+        WITH per AS (
+          SELECT o_custkey,
+                 date_diff('day', max(CAST(o_orderdate AS DATE)),
+                           (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS rec,
+                 CAST(count(*) AS BIGINT) AS frequency,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+          FROM orders GROUP BY o_custkey
+        ), scored AS (
+          SELECT o_custkey, CAST(rec AS BIGINT) AS recency_days, frequency, monetary_cents,
+                 CAST(6 - ntile(5) OVER (ORDER BY rec, o_custkey) AS BIGINT) AS r_score,
+                 CAST(6 - ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+                   AS f_score,
+                 CAST(6 - ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS BIGINT)
+                   AS m_score
+          FROM per
+        )
+        SELECT o_custkey, recency_days, frequency, monetary_cents,
+               r_score, f_score, m_score,
+               CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+        FROM scored
+        ORDER BY segment DESC, monetary_cents DESC, o_custkey LIMIT 20
+    """,
 }
+
+
+def _kcore_oracle(k: int = 80, rounds: int = 8) -> str:
+    """Unrolled-iteration oracle for q_parts_kcore (the pagerank-oracle
+    pattern): each peel round is a degree filter + edge restriction;
+    rounds past the fixpoint are no-ops, so unrolling a couple more
+    than the measured convergence count (6 at sf0.01) is safe."""
+    sql = """
+        WITH e0 AS MATERIALIZED (
+          SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+          FROM lineitem x JOIN lineitem y
+            ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        )"""
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+        d{i} AS MATERIALIZED (
+          SELECT node FROM (SELECT a AS node FROM {prev}
+                            UNION ALL SELECT b FROM {prev})
+          GROUP BY node HAVING count(*) >= {k}),
+        e{i} AS MATERIALIZED (
+          SELECT a, b FROM {prev}
+          WHERE a IN (SELECT node FROM d{i}) AND b IN (SELECT node FROM d{i}))"""
+        prev = f"e{i}"
+    sql += f""",
+        deg AS MATERIALIZED (
+          SELECT node AS l_partkey, CAST(count(*) AS BIGINT) AS core_degree
+          FROM (SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+          GROUP BY node)
+        SELECT l_partkey, core_degree,
+               (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_core_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM {prev}) AS n_core_edges
+        FROM deg ORDER BY core_degree DESC, l_partkey LIMIT 25"""
+    return sql
+
+
+ORACLES["parts_kcore"] = _kcore_oracle()

@@ -1,0 +1,140 @@
+"""Unit tests for CDC log replay and one-pass exact-moment statistics."""
+
+from __future__ import annotations
+
+import random
+import statistics
+
+import pytest
+from pyspark.sql import functions as F
+
+from bangumi_notion_data_integration_project_spark.operators.cdc import apply_cdc
+from bangumi_notion_data_integration_project_spark.operators.stats import corr_pairs, ols_fit
+
+
+def _log_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "k: long, seq: long, op: string, val: string"
+    )
+
+
+def _python_replay(rows):
+    """Reference replay: per key, highest (seq, delete-wins) event."""
+    best: dict[int, tuple] = {}
+    counts: dict[int, int] = {}
+    last: dict[int, int] = {}
+    for k, seq, op, val in rows:
+        counts[k] = counts.get(k, 0) + 1
+        last[k] = max(last.get(k, seq), seq)
+        rank = 1 if op == "D" else 0
+        if k not in best or (seq, rank) > best[k][:2]:
+            best[k] = (seq, rank, op, val)
+    return {
+        k: (v[3], counts[k], last[k])
+        for k, v in best.items()
+        if v[2] != "D"
+    }
+
+
+def test_apply_cdc_basic(spark):
+    rows = [
+        (1, 1, "I", "a"),
+        (1, 2, "U", "b"),
+        (2, 1, "I", "x"),
+        (2, 2, "D", None),
+        (3, 1, "I", "only"),
+        (4, 1, "I", "dead"),
+        (4, 2, "D", None),
+        (4, 3, "I", "resurrected"),
+    ]
+    out = apply_cdc(
+        _log_frame(spark, rows), key="k", seq="seq", op="op", payload_cols=["val"]
+    )
+    got = {r["k"]: (r["val"], r["n_versions"], r["last_seq"]) for r in out.collect()}
+    assert got == {1: ("b", 2, 2), 3: ("only", 1, 1), 4: ("resurrected", 3, 3)}
+
+
+def test_apply_cdc_delete_wins_seq_tie(spark):
+    rows = [(1, 1, "I", "a"), (1, 5, "U", "late"), (1, 5, "D", None)]
+    out = apply_cdc(
+        _log_frame(spark, rows), key="k", seq="seq", op="op", payload_cols=["val"]
+    )
+    assert out.count() == 0
+
+
+def test_apply_cdc_randomized_vs_reference(spark):
+    rng = random.Random(42)
+    rows = []
+    seqs: dict[int, int] = {}
+    for _ in range(400):
+        k = rng.randrange(40)
+        seqs[k] = seqs.get(k, 0) + 1
+        op = rng.choice(["I", "U", "U", "D"])
+        rows.append((k, seqs[k], op, None if op == "D" else f"v{k}.{seqs[k]}"))
+    out = apply_cdc(
+        _log_frame(spark, rows), key="k", seq="seq", op="op", payload_cols=["val"]
+    )
+    got = {r["k"]: (r["val"], r["n_versions"], r["last_seq"]) for r in out.collect()}
+    assert got == _python_replay(rows)
+
+
+def test_ols_fit_matches_statistics_module(spark):
+    rng = random.Random(7)
+    rows = [
+        ("g", x := rng.randrange(1, 100), 3 * x + rng.randrange(-20, 21) + 50)
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "grp: string, x: long, y: long")
+    got = ols_fit(df, ["grp"], "x", "y").first()
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    slope, intercept = statistics.linear_regression(xs, ys)
+    assert got["n"] == 500
+    assert got["slope"] == pytest.approx(slope, rel=1e-9)
+    assert got["intercept"] == pytest.approx(intercept, rel=1e-9)
+    r = statistics.correlation(xs, ys)
+    assert got["r2"] == pytest.approx(r * r, rel=1e-9)
+
+
+def test_ols_fit_zero_variance_group_is_null(spark):
+    df = spark.createDataFrame(
+        [("g", 5, 1), ("g", 5, 2), ("g", 5, 3)], "grp: string, x: long, y: long"
+    )
+    got = ols_fit(df, ["grp"], "x", "y").first()
+    assert got["slope"] is None and got["r2"] is None
+
+
+def test_ols_fit_partition_invariant(spark):
+    # exact decimal moments ⇒ bit-identical results at any parallelism
+    rows = [("g", i % 97, (i * 7919) % 10007) for i in range(2000)]
+    df = spark.createDataFrame(rows, "grp: string, x: long, y: long")
+    one = ols_fit(df.coalesce(1), ["grp"], "x", "y").first()
+    many = ols_fit(df.repartition(32), ["grp"], "x", "y").first()
+    assert one["slope"] == many["slope"]  # exact equality, not approx
+    assert one["intercept"] == many["intercept"]
+    assert one["r2"] == many["r2"]
+
+
+def test_corr_pairs_matches_statistics_module(spark):
+    rng = random.Random(11)
+    rows = [
+        (x := rng.randrange(100), x + rng.randrange(50), rng.randrange(100))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "a: long, b: long, c: long")
+    out = {
+        (r["var_x"], r["var_y"]): r["corr"]
+        for r in corr_pairs(df, [("a", "b"), ("a", "c"), ("b", "c")]).collect()
+    }
+    cols = list(zip(*rows))
+    for (x, y), (i, j) in {("a", "b"): (0, 1), ("a", "c"): (0, 2), ("b", "c"): (1, 2)}.items():
+        expect = statistics.correlation(list(cols[i]), list(cols[j]))
+        assert out[(x, y)] == pytest.approx(expect, rel=1e-9)
+
+
+def test_corr_pairs_single_pass(spark):
+    # all pairs must ride one aggregate over one scan: the physical plan
+    # contains exactly one pre-explode aggregate pair (partial+final)
+    df = spark.createDataFrame([(1, 2, 3)], "a: long, b: long, c: long")
+    plan = corr_pairs(df, [("a", "b"), ("a", "c"), ("b", "c")])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2

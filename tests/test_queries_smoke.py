@@ -8,7 +8,9 @@ import pytest
 from bangumi_notion_data_integration_project_spark.queries import ORACLES, QUERIES
 
 # Queries whose correct result may legitimately be empty at tiny scale.
-MAY_BE_EMPTY: set[str] = set()
+# parts_kcore: the sf0.001 co-purchase graph is too sparse for an
+# 80-core (every node peels); non-empty from sf0.01 up, oracle-checked
+MAY_BE_EMPTY: set[str] = {"parts_kcore"}
 
 
 def test_oracle_keys_subset_of_queries():
