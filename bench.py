@@ -99,6 +99,12 @@ BENCH_QUERIES = [
     "docs_bm25_topk",
     "events_attribution",
     "parts_triangles",
+    "cdc_apply_orders",
+    "lineitem_regression",
+    "lineitem_correlations",
+    "events_top_paths",
+    "customer_rfm",
+    "parts_kcore",
 ]
 
 

@@ -355,3 +355,44 @@ def test_triangles_all_joins_are_equi(spark):
     # joins stitching the 1-row stat aggregates onto the result
     for m in re.finditer(r"BroadcastNestedLoopJoin\nJoin type: (\w+)\nJoin condition: (\w+)", plan):
         assert m.group(1) == "Cross" and m.group(2) == "None", m.group(0)
+
+
+def test_cdc_apply_is_one_aggregate_no_window(spark):
+    """apply_cdc's contract: the per-key winner comes from ONE
+    map-side-combinable aggregate — never the row_number window (which
+    would shuffle + sort the whole log instead of the key set)."""
+    plan = _plan(spark, "cdc_apply_orders")
+    assert "Window" not in plan
+    # partial + final pair of the single max_by/count aggregate
+    # (unique node ids — formatted explain prints each node twice)
+    aggs = set(re.findall(r"\((\d+)\) (?:Hash|ObjectHash|Sort)Aggregate", plan))
+    assert len(aggs) <= 2, f"expected one partial+final aggregate pair, got {sorted(aggs)}"
+
+
+def test_regression_single_pass_exact_decimals(spark):
+    """All six OLS moments ride one aggregate over one pruned scan;
+    the decimal moment sums keep the result partition-invariant."""
+    plan = _plan(spark, "lineitem_regression")
+    assert "Window" not in plan
+    schemas = _read_schemas(plan)
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"}
+
+
+def test_correlations_one_scan_for_all_pairs(spark):
+    """Six correlation pairs = 19 moment sums in ONE aggregate over ONE
+    lineitem scan — adding pairs must not add scans or shuffles."""
+    plan = _plan(spark, "lineitem_correlations")
+    schemas = _read_schemas(plan)
+    assert len(schemas) == 1, f"expected one lineitem scan, got {len(schemas)}"
+    # partial→final exchange pair + at most the small-file spread
+    # repartition the catalog inserts at toy SFs (unique node ids)
+    exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(exchanges) <= 3, sorted(exchanges)
+
+
+def test_top_paths_no_event_table_window(spark):
+    """Path extraction sorts inside each collected session array (size
+    ≤ events/user/day), never a window sort over the event table."""
+    plan = _plan(spark, "events_top_paths")
+    assert "Window" not in plan
