@@ -31,6 +31,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cdc_net(
+    log: DataFrame,
+    *,
+    key: str,
+    seq: str,
+    op: str,
+    payload_cols: Sequence[str],
+    op_delete: str = "D",
+) -> DataFrame:
+    """Per-key net state of a CDC log INCLUDING delete tombstones.
+
+    One aggregate: key → winning payload + ``last_op`` + ``n_versions``
+    + ``last_seq``. Tombstone rows (``last_op == op_delete``) are kept
+    so that incremental consumers can guard against out-of-order
+    re-inserts of deleted keys; :func:`apply_cdc` filters them for the
+    batch-visible view.
+    """
+    payload_cols = list(payload_cols)
+    # rank deletes above payload ops at equal seq
+    op_rank = F.when(F.col(op) == op_delete, F.lit(1)).otherwise(F.lit(0))
+    order_key = F.struct(F.col(seq).alias("s"), op_rank.alias("r"))
+    winner = F.struct(
+        *[F.col(c) for c in payload_cols], F.col(op).alias("__op")
+    )
+    agg = log.groupBy(key).agg(
+        F.max_by(winner, order_key).alias("__w"),
+        F.count("*").cast("long").alias("n_versions"),
+        F.max(seq).alias("last_seq"),
+    )
+    return agg.select(
+        key,
+        *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
+        F.col("__w.__op").alias("last_op"),
+        "n_versions",
+        "last_seq",
+    )
+
+
 def apply_cdc(
     log: DataFrame,
     *,
@@ -54,21 +92,52 @@ def apply_cdc(
     Seq ties are broken in favor of the delete (then by payload struct
     comparison) so the result is deterministic.
     """
+    net = cdc_net(
+        log, key=key, seq=seq, op=op, payload_cols=payload_cols, op_delete=op_delete
+    )
+    return net.filter(F.col("last_op") != op_delete).drop("last_op")
+
+
+def merge_cdc_state(
+    state: DataFrame,
+    delta: DataFrame,
+    *,
+    key: str,
+    payload_cols: Sequence[str],
+    op_delete: str = "D",
+) -> DataFrame:
+    """Fold a new :func:`cdc_net` delta into accumulated net state.
+
+    Both inputs carry the ``cdc_net`` schema (payload + last_op +
+    n_versions + last_seq, tombstones included). The fold is the SAME
+    single max_by aggregate as ``cdc_net`` itself — net state is
+    associative, which is what makes the streaming replay
+    (``start_streaming_cdc_apply``) equal the batch replay of the
+    concatenated log regardless of how events are split across
+    micro-batches or arrive out of order BETWEEN batches. n_versions
+    adds; the winner is the higher (last_seq, delete-wins) side.
+    Tombstones persist so a stale pre-delete update arriving in a later
+    batch cannot resurrect the key.
+    """
     payload_cols = list(payload_cols)
-    # rank deletes above payload ops at equal seq
-    op_rank = F.when(F.col(op) == op_delete, F.lit(1)).otherwise(F.lit(0))
-    order_key = F.struct(F.col(seq).alias("s"), op_rank.alias("r"))
-    winner = F.struct(
-        *[F.col(c) for c in payload_cols], F.col(op).alias("__op")
-    )
-    agg = log.groupBy(key).agg(
-        F.max_by(winner, order_key).alias("__w"),
-        F.count("*").cast("long").alias("n_versions"),
-        F.max(seq).alias("last_seq"),
-    )
-    return agg.filter(F.col("__w.__op") != op_delete).select(
-        key,
-        *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
-        "n_versions",
-        "last_seq",
+    both = state.select(
+        key, *payload_cols, "last_op", "n_versions", "last_seq"
+    ).unionByName(delta.select(key, *payload_cols, "last_op", "n_versions", "last_seq"))
+    op_rank = F.when(F.col("last_op") == op_delete, F.lit(1)).otherwise(F.lit(0))
+    order_key = F.struct(F.col("last_seq").alias("s"), op_rank.alias("r"))
+    winner = F.struct(*[F.col(c) for c in payload_cols], F.col("last_op").alias("__op"))
+    return (
+        both.groupBy(key)
+        .agg(
+            F.max_by(winner, order_key).alias("__w"),
+            F.sum("n_versions").cast("long").alias("n_versions"),
+            F.max("last_seq").alias("last_seq"),
+        )
+        .select(
+            key,
+            *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
+            F.col("__w.__op").alias("last_op"),
+            "n_versions",
+            "last_seq",
+        )
     )

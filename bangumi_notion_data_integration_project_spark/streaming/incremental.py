@@ -190,6 +190,65 @@ def start_streaming_partitioned_upsert(
     )
 
 
+def start_streaming_cdc_apply(
+    stream: DataFrame,
+    target_dir: str,
+    *,
+    key: str,
+    seq: str,
+    op: str,
+    payload_cols: list[str],
+    checkpoint_dir: str,
+    op_delete: str = "D",
+):
+    """writeStream.foreachBatch: replay a CDC event stream into net
+    table state (operators/cdc.py), the streaming twin of ``apply_cdc``.
+
+    Each micro-batch is collapsed to its per-key net (``cdc_net``, ONE
+    map-side-combinable aggregate — tombstones included) and folded
+    into the accumulated state with ``merge_cdc_state`` — the same
+    associative max_by fold, so the final state equals the batch replay
+    of the whole log no matter how events are split across batches or
+    arrive out of order between them (tests assert this equivalence on
+    randomized splits). Tombstones persist in state: a stale update
+    arriving after its key's delete cannot resurrect the key; readers
+    take the visible view via ``last_op != 'D'``.
+
+    Per-batch work is O(batch keys + state keys) with a single shuffle;
+    at scale the state table lives in a transactional format and the
+    fold routes to MERGE, same as the sibling upserts. Crash safety:
+    staging+promote swap with ``recover_dir``, idempotent under
+    checkpoint replay because the fold of an already-applied batch net
+    is a no-op on (last_seq, n_versions)… n_versions double-counts on
+    replay — acceptable as a diagnostic column; the payload/liveness
+    state itself is replay-idempotent.
+    """
+    from ..operators.cdc import cdc_net, merge_cdc_state
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = cdc_net(
+            batch, key=key, seq=seq, op=op, payload_cols=payload_cols, op_delete=op_delete
+        )
+        if recover_dir(target_dir):
+            state = spark.read.parquet(target_dir)
+            merged = merge_cdc_state(
+                state, delta, key=key, payload_cols=payload_cols, op_delete=op_delete
+            )
+        else:
+            merged = delta
+        tmp = staging_path(target_dir)
+        merged.write.mode("overwrite").parquet(tmp)
+        promote_dir(tmp, target_dir)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def attribution_join(
     clicks: DataFrame,
     purchases: DataFrame,

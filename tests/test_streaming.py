@@ -558,3 +558,104 @@ def test_streaming_peak_concurrency_equals_batch_sweep(spark, tmp_path):
     }
     got = {k: peak for k, (_open, peak) in emitted.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# CDC stream: the associative-fold property. The streamed replay must
+# equal the batch replay of the concatenated log for ANY split of
+# events into micro-batches — including out-of-order ACROSS batches
+# (an early-seq event landing in a late batch), which the tombstoned
+# (last_seq, delete-wins) fold absorbs by construction.
+# ---------------------------------------------------------------------------
+
+CDC_SCHEMA = "k long, seq long, op string, val string"
+
+
+def _random_cdc_log(rng, n_events, key_space):
+    rows = []
+    seqs: dict[int, int] = {}
+    for _ in range(n_events):
+        k = rng.randrange(key_space)
+        seqs[k] = seqs.get(k, 0) + 1
+        o = rng.choice(["I", "U", "U", "D"])
+        rows.append((k, seqs[k], o, None if o == "D" else f"v{k}.{seqs[k]}"))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_streaming_cdc_apply_equals_batch_apply_cdc(spark, tmp_path, seed):
+    from bangumi_notion_data_integration_project_spark.operators.cdc import apply_cdc
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_cdc_apply,
+    )
+
+    rng = random.Random(seed)
+    inp = str(tmp_path / "cdc_in")
+    target = str(tmp_path / "cdc_state")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    log_rows = _random_cdc_log(rng, 120, 25)
+    # adversarial split: SHUFFLE events across 3 batches so later
+    # batches routinely carry earlier seqs for the same key
+    shuffled = log_rows[:]
+    rng.shuffle(shuffled)
+    for chunk in (shuffled[:40], shuffled[40:80], shuffled[80:]):
+        spark.createDataFrame(chunk, CDC_SCHEMA).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(inp)
+    )
+    q = start_streaming_cdc_apply(
+        stream,
+        target,
+        key="k",
+        seq="seq",
+        op="op",
+        payload_cols=["val"],
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+
+    visible = (
+        spark.read.parquet(target).filter("last_op <> 'D'").select("k", "val", "n_versions", "last_seq")
+    )
+    batch = apply_cdc(
+        spark.createDataFrame(log_rows, CDC_SCHEMA),
+        key="k",
+        seq="seq",
+        op="op",
+        payload_cols=["val"],
+    )
+    got = {tuple(r) for r in visible.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_streaming_cdc_tombstone_blocks_stale_update(spark, tmp_path):
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_cdc_apply,
+    )
+
+    inp = str(tmp_path / "in")
+    target = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1 deletes key 1 at seq 3; batch 2 delivers the STALE seq-2
+    # update late — the tombstone must keep the key dead
+    spark.createDataFrame([(1, 1, "I", "a"), (1, 3, "D", None)], CDC_SCHEMA).coalesce(
+        1
+    ).write.mode("append").parquet(inp)
+    spark.createDataFrame([(1, 2, "U", "stale")], CDC_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    stream = (
+        spark.readStream.schema(CDC_SCHEMA).option("maxFilesPerTrigger", 1).parquet(inp)
+    )
+    q = start_streaming_cdc_apply(
+        stream, target, key="k", seq="seq", op="op", payload_cols=["val"], checkpoint_dir=ckpt
+    )
+    q.awaitTermination(180)
+    state = spark.read.parquet(target).collect()
+    assert len(state) == 1
+    row = state[0]
+    assert row["last_op"] == "D" and row["last_seq"] == 3 and row["n_versions"] == 3
