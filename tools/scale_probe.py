@@ -56,6 +56,10 @@ PROBED = [
     "docs_bigram_counts",
     "embedding_pq_codes",
     "ann_pq_topk",
+    "cdc_apply_orders",
+    "lineitem_correlations",
+    "events_top_paths",
+    "customer_rfm",
 ]
 SCALED_TABLES = {
     "lineitem": "l_orderkey",
