@@ -3585,6 +3585,109 @@ def q_parts_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Benford expected first-digit shares, log10(1 + 1/d): emitted as the
+# SAME literal into the Spark plan and the oracle SQL, so neither
+# engine's libm decides the constant.
+BENFORD_SHARES = {
+    1: 0.30102999566398119,
+    2: 0.17609125905568124,
+    3: 0.12493873660829993,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the data-quality
+    screen for fabricated numeric columns. Exact digit counts (one
+    groupBy), expected shares as shared literals (no cross-engine libm
+    drift), per-digit chi-square contribution from those exact counts.
+    One row per digit 1-9."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.floor("o_totalprice").cast("string"), 1, 1).cast("int")
+    counts = o.groupBy(digit.alias("digit")).agg(
+        F.count("*").cast("long").alias("n_orders")
+    )
+    expected = F.create_map(
+        *[F.lit(x) for kv in BENFORD_SHARES.items() for x in kv]
+    )
+    total = counts.agg(F.sum("n_orders").cast("long").alias("__n"))
+    exp_n = F.col("exp_share") * F.col("__n")
+    return (
+        counts.withColumn("exp_share", expected[F.col("digit")])
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            F.round("exp_share", 6).alias("benford_share"),
+            F.round((F.col("n_orders") - exp_n) * (F.col("n_orders") - exp_n) / exp_n, 6).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted trailing mean of daily event counts
+    (half-per-day decay, 13-day horizon), gap-aware: weights follow the
+    actual DAY distance, so missing days decay instead of shifting.
+    The dyadic decay (2^-gap) makes every term an exact binary
+    fraction — sums are exact regardless of order, so the Spark
+    window-array formulation and the oracle's range self-join agree
+    bit-for-bit with no FP-order caveat. Per key the state is a ≤14-row
+    array; no range join, no unbounded window."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("long").alias("n_events")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+    hist = F.collect_list(F.struct("day", "n_events")).over(w)
+    daily = daily.withColumn("__hist", hist)
+    terms = F.filter(
+        F.col("__hist"), lambda s: F.datediff(F.col("day"), s["day"]) <= 13
+    )
+    num = F.aggregate(
+        terms,
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["n_events"].cast("double") * F.pow(F.lit(0.5), F.datediff(F.col("day"), s["day"])),
+    )
+    den = F.aggregate(
+        terms,
+        F.lit(0.0),
+        lambda acc, s: acc + F.pow(F.lit(0.5), F.datediff(F.col("day"), s["day"])),
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(num / den, 6).alias("ewma"),
+    ).orderBy("event_type", "day")
+
+
+def q_docs_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters without shuffling the long tail
+    (operators/heavyhitters.py): two-pass Misra-Gries — bounded
+    per-partition candidate summaries (map-only, Arrow), then an exact
+    recount of the broadcast candidate set. Guaranteed-exact output
+    (candidates are a proven superset), so the oracle is the naive
+    full groupBy it replaces at scale."""
+    from .operators.heavyhitters import frequent_items
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("token"))
+    return (
+        frequent_items(toks, "token", threshold=0.002)
+        .select("token", "n_occurrences", F.round("share", 6).alias("share"))
+        .orderBy(F.desc("n_occurrences"), "token")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3620,10 +3723,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
     "dedup_bow": q_dedup_bow,
-    # -- r3 rotation intent that the misplaced boundary defeated
-    "dedup_latest_by_key": q_dedup_latest_by_key,
-    "union_all_counts": q_union_all_counts,
-    "cross_join_dims": q_cross_join_dims,
+    # -- new in r4 (third batch): Benford audit, gap-aware dyadic EWMA,
+    #    Misra-Gries exact heavy hitters — never driver-checked, so they
+    #    displace the r1-green rotation trio (dedup_latest_by_key,
+    #    union_all_counts, cross_join_dims: unchanged code, green rows)
+    "orders_benford": q_orders_benford,
+    "events_ewma": q_events_ewma,
+    "docs_frequent_tokens": q_docs_frequent_tokens,
     # -- (b) changed in r4: components convergence flag, dot-product
     #    rework (similarity family), pack_into_bins shard guard
     "dedup_components": q_dedup_components,
@@ -3669,6 +3775,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
     # --------- driver checked-window boundary (position 50) ---------
+    # -- r1-green rotation trio displaced by the third-batch additions
+    "dedup_latest_by_key": q_dedup_latest_by_key,
+    "union_all_counts": q_union_all_counts,
+    "cross_join_dims": q_cross_join_dims,
     # -- (c) stalest green refreshes (r1-only driver rows, unchanged
     #    code) displaced past the boundary by the 6 second-batch
     #    additions — new queries outrank refreshes of green code
@@ -5964,3 +6074,61 @@ def _kcore_oracle(k: int = 80, rounds: int = 8) -> str:
 
 
 ORACLES["parts_kcore"] = _kcore_oracle()
+
+
+def _benford_oracle() -> str:
+    """Share literals emitted from the SAME dict the Spark plan uses."""
+    cases = " ".join(
+        f"WHEN {d} THEN CAST({s!r} AS DOUBLE)" for d, s in BENFORD_SHARES.items()
+    )
+    return f"""
+        WITH counts AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                      AS INT) AS digit,
+                 CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1
+        ), t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM counts),
+        e AS (
+          SELECT digit, n_orders,
+                 CASE digit {cases} END AS exp_share,
+                 CASE digit {cases} END * (SELECT n FROM t) AS exp_n
+          FROM counts
+        )
+        SELECT digit, n_orders,
+               round(exp_share, 6) AS benford_share,
+               round((n_orders - exp_n) * (n_orders - exp_n) / exp_n, 6) AS chi2_term
+        FROM e ORDER BY digit
+    """
+
+
+ORACLES["orders_benford"] = _benford_oracle()
+
+ORACLES["events_ewma"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT d1.event_type, d1.day, d1.n_events,
+           round(sum(CAST(d2.n_events AS DOUBLE)
+                     * power(0.5, date_diff('day', d2.day, d1.day)))
+                 / sum(power(0.5, date_diff('day', d2.day, d1.day))), 6) AS ewma
+    FROM daily d1 JOIN daily d2
+      ON d2.event_type = d1.event_type
+     AND d2.day <= d1.day
+     AND d2.day >= d1.day - INTERVAL 13 DAY
+    GROUP BY d1.event_type, d1.day, d1.n_events
+    ORDER BY d1.event_type, d1.day
+"""
+
+ORACLES["docs_frequent_tokens"] = r"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t)
+    SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+           round(CAST(count(*) AS DOUBLE) / (SELECT total FROM n), 6) AS share
+    FROM t GROUP BY token
+    HAVING count(*) > CAST(0.002 AS DOUBLE) * (SELECT total FROM n)
+    ORDER BY n_occurrences DESC, token
+"""

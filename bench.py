@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "events_top_paths",
     "customer_rfm",
     "parts_kcore",
+    "orders_benford",
+    "events_ewma",
+    "docs_frequent_tokens",
 ]
 
 

@@ -79,6 +79,10 @@ def test_no_rowwise_python_in_any_plan(spark, name):
         "video_frame_sample",
         "image_resize",
         "audio_segments",
+        # not media, but legitimately Python: the bounded per-partition
+        # Misra-Gries summary state is imperative by nature (Arrow
+        # mapInPandas, ≤ capacity rows out per partition)
+        "docs_frequent_tokens",
     )
     if name not in media_queries:
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (
@@ -396,3 +400,22 @@ def test_top_paths_no_event_table_window(spark):
     ≤ events/user/day), never a window sort over the event table."""
     plan = _plan(spark, "events_top_paths")
     assert "Window" not in plan
+
+
+def test_frequent_tokens_tail_never_shuffles(spark):
+    """The Misra-Gries recount pass must meet the candidate set as a
+    broadcast BEFORE the count aggregate — the long tail is filtered
+    map-side and never rides an exchange."""
+    plan = _plan(spark, "docs_frequent_tokens")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # candidate summarize stage is the only Python presence
+    assert plan.count("ArrowEvalPython") == 0  # mapInPandas, not a UDF eval
+
+
+def test_ewma_no_range_join(spark):
+    """Gap-aware EWMA stays a keyed window + in-array fold; the range
+    self-join lives only in the oracle."""
+    plan = _plan(spark, "events_ewma")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

@@ -60,6 +60,8 @@ PROBED = [
     "lineitem_correlations",
     "events_top_paths",
     "customer_rfm",
+    "events_ewma",
+    "docs_frequent_tokens",
 ]
 SCALED_TABLES = {
     "lineitem": "l_orderkey",
