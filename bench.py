@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "orders_benford",
     "events_ewma",
     "docs_frequent_tokens",
+    "embedding_covariance",
+    "embedding_pca_variance",
 ]
 
 

@@ -83,6 +83,10 @@ def test_no_rowwise_python_in_any_plan(spark, name):
         # Misra-Gries summary state is imperative by nature (Arrow
         # mapInPandas, ≤ capacity rows out per partition)
         "docs_frequent_tokens",
+        # per-partition BLAS Gram partials (one d²-sized row out per
+        # partition) — the production distributed-PCA pattern
+        "embedding_covariance",
+        "embedding_pca_variance",
     )
     if name not in media_queries:
         assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, (

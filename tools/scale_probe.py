@@ -62,6 +62,7 @@ PROBED = [
     "customer_rfm",
     "events_ewma",
     "docs_frequent_tokens",
+    "embedding_covariance",
 ]
 SCALED_TABLES = {
     "lineitem": "l_orderkey",
