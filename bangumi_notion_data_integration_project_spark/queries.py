@@ -3729,6 +3729,56 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic-window function surface in one keyed pass:
+    lag/lead, running first/nth, whole-partition last, percent_rank,
+    cume_dist, row_number — all over ONE (customer, date, key) sort, so
+    the battery costs a single shuffle+sort regardless of how many
+    functions ride it. Every customer key ends in 00 (1% sample via
+    key-mod pushdown, not a scan-then-sample)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.lag("o_totalprice").over(w).alias("prev_price"),
+            F.lead("o_totalprice").over(w).alias("next_price"),
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+            F.last("o_totalprice").over(wfull).alias("final_price"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface (EXCEPT / INTERSECT / UNION) over yearly
+    active-customer sets: who churned out of 1995, who was retained
+    into 1996, the union population. Distinct key sets, so each set op
+    is one hash aggregate over co-partitioned inputs."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    rows = [
+        ("churned_after_1995", y95.exceptAll(y96)),
+        ("retained_into_1996", y95.intersect(y96)),
+        ("active_either_year", y95.union(y96).distinct()),
+    ]
+    out = None
+    for label, df in rows:
+        r = df.agg(F.count("*").cast("long").alias("n_customers")).select(
+            F.lit(label).alias("cohort"), "n_customers"
+        )
+        out = r if out is None else out.unionAll(r)
+    return out.orderBy("cohort")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3758,8 +3808,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_tfidf_topk": q_docs_tfidf_topk,
     "event_sliding_window": q_event_sliding_window,
     "minhash_lsh_verified": q_minhash_lsh_verified,
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "ann_ivf_recall": q_ann_ivf_recall,
     "embedding_near_dup": q_embedding_near_dup,
     "dedup_bow": q_dedup_bow,
     # -- new in r4 (fourth batch): the distributed PCA split — exact
@@ -3769,6 +3817,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    r3-green driver rows via multimodal_features/audio_segments
     "embedding_covariance": q_embedding_covariance,
     "embedding_pca_variance": q_embedding_pca_variance,
+    # -- new in r4 (fifth batch): analytic-window battery + set-op
+    #    surface. Displace the ann recall refreshes: r2-green rows,
+    #    unchanged semantics, and their _topk siblings hold r3 rows
+    "orders_window_battery": q_orders_window_battery,
+    "customer_set_ops": q_customer_set_ops,
     # -- new in r4 (third batch): Benford audit, gap-aware dyadic EWMA,
     #    Misra-Gries exact heavy hitters — never driver-checked, so they
     #    displace the r1-green rotation trio (dedup_latest_by_key,
@@ -3825,6 +3878,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    module evidenced in-window by multimodal_features r3 rows)
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
+    # -- ann recall refreshes displaced by the fifth batch
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
     # -- r1-green rotation trio displaced by the third-batch additions
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "union_all_counts": q_union_all_counts,
@@ -6169,6 +6225,40 @@ ORACLES["events_ewma"] = """
      AND d2.day >= d1.day - INTERVAL 13 DAY
     GROUP BY d1.event_type, d1.day, d1.n_events
     ORDER BY d1.event_type, d1.day
+"""
+
+ORACLES["orders_window_battery"] = """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER w AS rn,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           last_value(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS final_price,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders WHERE o_custkey % 100 = 0
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, rn
+"""
+
+ORACLES["customer_set_ops"] = """
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE year(o_orderdate) = 1996)
+    SELECT 'churned_after_1995' AS cohort, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'retained_into_1996', CAST(count(*) AS BIGINT)
+    FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'active_either_year', CAST(count(*) AS BIGINT)
+    FROM (SELECT * FROM y95 UNION SELECT * FROM y96)
+    ORDER BY cohort
 """
 
 ORACLES["embedding_covariance"] = """

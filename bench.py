@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "docs_frequent_tokens",
     "embedding_covariance",
     "embedding_pca_variance",
+    "orders_window_battery",
+    "customer_set_ops",
 ]
 
 
