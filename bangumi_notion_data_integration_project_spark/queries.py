@@ -3779,6 +3779,29 @@ def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("cohort")
 
 
+SCD2_ASOF_DATE = "2000-06-01"
+
+
+def q_orders_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read over the SCD2 history: the
+    table state as of a date is the rows whose validity interval covers
+    it (valid_from ≤ D < valid_to, NULL = still open). With the history
+    partitioned/sorted by valid_from, the interval predicate prunes at
+    the scan — reconstruction costs a filter, not a replay. Completes
+    the temporal family: merge_scd2 WRITES history, this READS any
+    point of it."""
+    history = q_orders_scd2(spark, sf_dir)
+    d = F.lit(SCD2_ASOF_DATE).cast("date")
+    return (
+        history.filter(
+            (F.col("valid_from") <= d)
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > d))
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3806,7 +3829,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_updates": q_merge_updates,
     "dedup_near_pipeline": q_dedup_near_pipeline,
     "docs_tfidf_topk": q_docs_tfidf_topk,
-    "event_sliding_window": q_event_sliding_window,
     "minhash_lsh_verified": q_minhash_lsh_verified,
     "embedding_near_dup": q_embedding_near_dup,
     "dedup_bow": q_dedup_bow,
@@ -3822,6 +3844,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    unchanged semantics, and their _topk siblings hold r3 rows
     "orders_window_battery": q_orders_window_battery,
     "customer_set_ops": q_customer_set_ops,
+    # -- new in r4 (sixth batch): SCD2 point-in-time read. Displaces
+    #    event_sliding_window: its NTZ-fix code path is evidenced
+    #    in-window by events_session_window/event_window_agg r3 rows
+    "orders_scd2_asof": q_orders_scd2_asof,
     # -- new in r4 (third batch): Benford audit, gap-aware dyadic EWMA,
     #    Misra-Gries exact heavy hitters — never driver-checked, so they
     #    displace the r1-green rotation trio (dedup_latest_by_key,
@@ -3881,6 +3907,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- ann recall refreshes displaced by the fifth batch
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
+    # -- sliding-window refresh displaced by the sixth batch
+    "event_sliding_window": q_event_sliding_window,
     # -- r1-green rotation trio displaced by the third-batch additions
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "union_all_counts": q_union_all_counts,
@@ -6225,6 +6253,14 @@ ORACLES["events_ewma"] = """
      AND d2.day >= d1.day - INTERVAL 13 DAY
     GROUP BY d1.event_type, d1.day, d1.n_events
     ORDER BY d1.event_type, d1.day
+"""
+
+ORACLES["orders_scd2_asof"] = f"""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM ({ORACLES["orders_scd2"]}) h
+    WHERE valid_from <= DATE '{SCD2_ASOF_DATE}'
+      AND (valid_to IS NULL OR valid_to > DATE '{SCD2_ASOF_DATE}')
+    ORDER BY o_orderkey
 """
 
 ORACLES["orders_window_battery"] = """

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "embedding_pca_variance",
     "orders_window_battery",
     "customer_set_ops",
+    "orders_scd2_asof",
 ]
 
 
