@@ -252,8 +252,14 @@ def triangle_stats(edges: DataFrame, *, a: str = "a", b: str = "b") -> DataFrame
             "n_edges",
             "n_paths2",
             "n_triangles",
-            F.round(
-                F.lit(3.0) * F.col("n_triangles") / F.col("n_paths2"), 6
+            # guard: a graph with no length-2 paths (every surviving
+            # degree ≤ 1 — happens when the support threshold thins the
+            # corpus) has undefined transitivity, not a crash (ANSI
+            # division-by-zero). NULL matches the oracle's sum-over-
+            # empty NULL propagation.
+            F.when(
+                F.col("n_paths2") > 0,
+                F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_paths2"), 6),
             ).alias("transitivity"),
         )
     )
