@@ -89,6 +89,14 @@ def main() -> int:
         return 0
 
     run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
+    # execute EVERY registered query at the bench SF, not just the
+    # headline set — the transitivity divide-by-zero only manifested at
+    # sf0.1 (sparser support graph), a class the sf0.001/sf0.01 gates
+    # cannot see. Noop sink, fail on first exception.
+    run(
+        "full-registry execution sweep at bench SF",
+        [sys.executable, "tools/sweep_all.py"],
+    )
     bench = run("bench", [sys.executable, "bench.py"])
     last = bench.stdout.strip().splitlines()[-1]
     parsed = json.loads(last)  # raises (→ traceback, nonzero) if malformed
