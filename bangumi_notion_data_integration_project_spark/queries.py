@@ -3802,6 +3802,109 @@ def q_orders_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step: same transitive clusters as
+    q_dedup_components, but the keeper is chosen by QUALITY (longest
+    text, doc_id tiebreak) instead of min-id — the policy real corpus
+    dedup ships (keep the best copy, not an arbitrary one). One max_by
+    aggregate per cluster after the closure; reports keeper, member
+    count, and how many docs the cluster discards."""
+    from .operators.components import dedup_clusters
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    e1 = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source")) & (F.col("a.n_chars") == F.col("b.n_chars")) & lt,
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    e2 = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang")) & (F.col("a.n_chars") == F.col("b.n_chars")) & lt,
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    clusters = dedup_clusters(e1.unionByName(e2).distinct(), d, id_col="doc_id")
+    members = clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+    pref = F.struct(F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("t"))
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.max_by("doc_id", pref).alias("keeper_doc_id"),
+            F.max_by("n_chars", pref).alias("keeper_n_chars"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .withColumn("n_discarded", (F.col("n_members") - 1).cast("long"))
+        .orderBy("cluster_id")
+    )
+
+
+def q_supplier_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier reliability ranked by the Wilson lower confidence bound
+    (z=1.96) of the non-return rate — the right ranking when volumes
+    differ by orders of magnitude (a 1-shipment supplier with 0 returns
+    must not outrank a 1000-shipment one with 2). Exact (n, k) counts
+    from one aggregate; the interval arithmetic is the identical
+    formula text on both engines. Top 25 by bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_suppkey").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.count_if(F.col("l_returnflag") != "R").cast("long").alias("n_ok"),
+    ).filter(F.col("n_items") >= 20)
+    z = F.lit(1.96)
+    n = F.col("n_items").cast("double")
+    p = F.col("n_ok").cast("double") / n
+    denom = F.lit(1.0) + z * z / n
+    center = p + z * z / (F.lit(2.0) * n)
+    margin = z * F.sqrt((p * (F.lit(1.0) - p) + z * z / (F.lit(4.0) * n)) / n)
+    return (
+        agg.select(
+            "l_suppkey",
+            "n_items",
+            "n_ok",
+            F.round((center - margin) / denom, 6).alias("wilson_lower"),
+        )
+        .orderBy(F.desc("wilson_lower"), "l_suppkey")
+        .limit(25)
+    )
+
+
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) curve: sort customers by exact
+    total cents descending, cumulative-sum along that order, and report
+    each decile's cumulative revenue share — 'the top 10% of customers
+    carry X% of revenue'. All sums are exact longs up to the single
+    final division, so the curve is engine-exact. The global window
+    runs over the CUSTOMER dimension (not the fact table) — the
+    docs_quality_bins cut-point pattern is the fact-scale fallback."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), "o_custkey")
+    totals = per.agg(
+        F.sum("cents").alias("__total"), F.count("*").cast("long").alias("__n")
+    )
+    ranked = (
+        per.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_cents", F.sum("cents").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .crossJoin(F.broadcast(totals))
+        .withColumn("decile", F.ceil(F.col("rank") * 10 / F.col("__n")).cast("int"))
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.max("rank").cast("long").alias("n_customers_cum"),
+            F.round(
+                F.max("cum_cents").cast("double") / F.max("__total").cast("double"), 6
+            ).alias("cum_revenue_share"),
+        )
+        .orderBy("decile")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3825,7 +3928,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- (a) changed in r3, not driver-checked since: merge rewrite
     #    (45f1041/da99b9d/39df0eb), dedup/simhash lane packing,
     #    similarity multi-probe (78effca), multimodal decode plumbing
-    "orders_scd2": q_orders_scd2,
     "merge_updates": q_merge_updates,
     "dedup_near_pipeline": q_dedup_near_pipeline,
     "docs_tfidf_topk": q_docs_tfidf_topk,
@@ -3848,6 +3950,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    event_sliding_window: its NTZ-fix code path is evidenced
     #    in-window by events_session_window/event_window_agg r3 rows
     "orders_scd2_asof": q_orders_scd2_asof,
+    # -- new in r4 (seventh batch): quality-keeper dedup decision,
+    #    Wilson reliability ranking, Pareto revenue curve. Displaced:
+    #    orders_scd2 (its full code path runs INSIDE orders_scd2_asof),
+    #    dedup_components (dedup_keep_best re-verifies the same closure
+    #    via the recursive-CTE oracle), embedding_dup_pairs (similarity
+    #    rework evidenced by similarity_bruteforce + ann topk rows)
+    "dedup_keep_best": q_dedup_keep_best,
+    "supplier_wilson": q_supplier_wilson,
+    "revenue_pareto": q_revenue_pareto,
     # -- new in r4 (third batch): Benford audit, gap-aware dyadic EWMA,
     #    Misra-Gries exact heavy hitters — never driver-checked, so they
     #    displace the r1-green rotation trio (dedup_latest_by_key,
@@ -3857,12 +3968,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_frequent_tokens": q_docs_frequent_tokens,
     # -- (b) changed in r4: components convergence flag, dot-product
     #    rework (similarity family), pack_into_bins shard guard
-    "dedup_components": q_dedup_components,
     "docs_pack_bins": q_docs_pack_bins,
     "similarity_bruteforce": q_similarity_bruteforce,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
     # -- new in r4 (continuation): interval sweep, funnel, resample,
     #    anomaly, weighted sample, reconciliation, graph rank, basket —
     #    no driver row yet, so they outrank stale-green refreshes
@@ -3909,6 +4018,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": q_ann_ivf_recall,
     # -- sliding-window refresh displaced by the sixth batch
     "event_sliding_window": q_event_sliding_window,
+    # -- displaced by the seventh batch (code paths re-verified by the
+    #    in-window composites listed above)
+    "orders_scd2": q_orders_scd2,
+    "dedup_components": q_dedup_components,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
     # -- r1-green rotation trio displaced by the third-batch additions
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "union_all_counts": q_union_all_counts,
@@ -6253,6 +6367,75 @@ ORACLES["events_ewma"] = """
      AND d2.day >= d1.day - INTERVAL 13 DAY
     GROUP BY d1.event_type, d1.day, d1.n_events
     ORDER BY d1.event_type, d1.day
+"""
+
+ORACLES["dedup_keep_best"] = """
+    WITH RECURSIVE
+    d AS (SELECT doc_id, source, lang, n_chars FROM documents WHERE doc_id < 200),
+    e1 AS (SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+             ON a.source = b.source AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+    e2 AS (SELECT a.doc_id AS u, b.doc_id AS v FROM d a JOIN d b
+             ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id),
+    sym AS (SELECT u, v FROM e1 UNION SELECT u, v FROM e2
+            UNION SELECT v, u FROM e1 UNION SELECT v, u FROM e2),
+    reach AS (SELECT u, v FROM sym
+              UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+    clusters AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+      FROM d LEFT JOIN reach r ON r.u = d.doc_id GROUP BY d.doc_id),
+    m AS (SELECT c.cluster_id, c.doc_id, dd.n_chars
+          FROM clusters c JOIN d dd ON dd.doc_id = c.doc_id),
+    rk AS (SELECT *,
+                  row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY n_chars DESC, doc_id) AS rn,
+                  count(*) OVER (PARTITION BY cluster_id) AS nm
+           FROM m)
+    SELECT cluster_id, doc_id AS keeper_doc_id, n_chars AS keeper_n_chars,
+           CAST(nm AS BIGINT) AS n_members,
+           CAST(nm - 1 AS BIGINT) AS n_discarded
+    FROM rk WHERE rn = 1 ORDER BY cluster_id
+"""
+
+ORACLES["supplier_wilson"] = """
+    WITH agg AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_items,
+             CAST(count(*) FILTER (WHERE l_returnflag <> 'R') AS BIGINT) AS n_ok
+      FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 20
+    ), w AS (
+      SELECT l_suppkey, n_items, n_ok,
+             CAST(1.96 AS DOUBLE) AS z,
+             CAST(n_items AS DOUBLE) AS n,
+             CAST(n_ok AS DOUBLE) / CAST(n_items AS DOUBLE) AS p
+      FROM agg
+    )
+    SELECT l_suppkey, n_items, n_ok,
+           round(((p + z * z / (2.0 * n))
+                  - z * sqrt((p * (1.0 - p) + z * z / (4.0 * n)) / n))
+                 / (1.0 + z * z / n), 6) AS wilson_lower
+    FROM w ORDER BY wilson_lower DESC, l_suppkey LIMIT 25
+"""
+
+ORACLES["revenue_pareto"] = """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT CAST(sum(cents) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n
+      FROM per
+    ), rk AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, o_custkey) AS rank,
+             sum(cents) OVER (ORDER BY cents DESC, o_custkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM per
+    )
+    SELECT CAST(ceil(rank * 10.0 / (SELECT n FROM t)) AS INT) AS decile,
+           CAST(max(rank) AS BIGINT) AS n_customers_cum,
+           round(CAST(max(cum) AS DOUBLE) / (SELECT CAST(total AS DOUBLE) FROM t), 6)
+             AS cum_revenue_share
+    FROM rk GROUP BY 1 ORDER BY decile
 """
 
 ORACLES["orders_scd2_asof"] = f"""

@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "orders_window_battery",
     "customer_set_ops",
     "orders_scd2_asof",
+    "dedup_keep_best",
+    "supplier_wilson",
+    "revenue_pareto",
 ]
 
 
