@@ -155,7 +155,8 @@ def k_core(
         raise ValueError("k must be >= 1")
     if on_nonconverged not in ("raise", "flag"):
         raise ValueError(f"on_nonconverged must be 'raise' or 'flag', got {on_nonconverged!r}")
-    e = edges.select(F.col(a).alias("ea"), F.col(b).alias("eb")).localCheckpoint(eager=False)
+    e = edges.select(F.col(a).alias("ea"), F.col(b).alias("eb")).localCheckpoint(eager=True)
+    before = e.count()
     dropped = -1  # sentinel: "no round ran"
     for _ in range(max_rounds):
         deg = (
@@ -164,16 +165,19 @@ def k_core(
             .groupBy("node")
             .agg(F.count("*").alias("d"))
         )
-        keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint(eager=True)
+        # lazy checkpoint: both semi joins read the same materialized
+        # keep set without an extra driver-sync job per round
+        keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint(eager=False)
         survivors = (
             e.join(keep.withColumnRenamed("node", "ea"), "ea", "left_semi")
             .join(keep.withColumnRenamed("node", "eb"), "eb", "left_semi")
             .select("ea", "eb")
             .localCheckpoint(eager=True)
         )
-        before = e.count()
+        # one count per round: the previous round's size is carried over
         after = survivors.count()
         dropped = before - after
+        before = after
         e = survivors
         if dropped == 0 or after == 0:
             break
