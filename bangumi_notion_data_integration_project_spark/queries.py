@@ -3905,6 +3905,65 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types: P(next |
+    current) from adjacent pairs within each user-day session (lag
+    window on the keyed sort — the same single-sort shape as the
+    funnel family). Exact pair/row counts; the probability is the one
+    division. Completes the sequence family: top_paths shows WHICH
+    sequences, this gives the generative model."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), "next_type")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    totals = pairs.groupBy("cur").agg(F.sum("n_pairs").cast("long").alias("n_out"))
+    return (
+        pairs.join(totals, "cur")
+        .select(
+            "cur",
+            "next_type",
+            "n_pairs",
+            F.round(F.col("n_pairs").cast("double") / F.col("n_out"), 6).alias("p_next"),
+        )
+        .orderBy("cur", "next_type")
+    )
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue from the exact rank-weight
+    formula G = Σᵢ(2i−n−1)·xᵢ / (n·Σx) over cents sorted ascending —
+    numerator and denominator are exact integer sums (the rank weights
+    ride the same customer-dimension sort as the Pareto curve), so the
+    coefficient is engine-exact up to the single division. At fact
+    scale the weights come from exact longs ≤ 2⁶³; a 10¹⁰-customer
+    corpus would move the sums to DECIMAL(38,0) — same pattern as
+    operators/stats.py."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    totals = per.agg(
+        F.count("*").cast("long").alias("__n"), F.sum("cents").cast("long").alias("__total")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = per.withColumn("i", F.row_number().over(w).cast("long")).crossJoin(
+        F.broadcast(totals)
+    )
+    num = F.sum((F.lit(2) * F.col("i") - F.col("__n") - 1) * F.col("cents"))
+    return ranked.agg(
+        F.max("__n").alias("n_customers"),
+        F.max("__total").alias("total_cents"),
+        F.round(
+            num.cast("double") / (F.max("__n").cast("double") * F.max("__total").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4009,6 +4068,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
     # --------- driver checked-window boundary (position 50) ---------
+    # -- new in r4 (eighth batch) but OUTSIDE the full window: every
+    #    pre-boundary slot holds a never-checked query or a changed-code
+    #    refresh; these two carry mirror evidence (MIRROR_r04) and are
+    #    first in line for the r5 window
+    "events_markov": q_events_markov,
+    "revenue_gini": q_revenue_gini,
     # -- multimodal decode refreshes displaced by the PCA pair (same
     #    module evidenced in-window by multimodal_features r3 rows)
     "image_resize": q_image_resize,
@@ -6367,6 +6432,44 @@ ORACLES["events_ewma"] = """
      AND d2.day >= d1.day - INTERVAL 13 DAY
     GROUP BY d1.event_type, d1.day, d1.n_events
     ORDER BY d1.event_type, d1.day
+"""
+
+ORACLES["events_markov"] = """
+    WITH pairs AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), counts AS (
+      SELECT cur, next_type, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs WHERE next_type IS NOT NULL GROUP BY cur, next_type
+    ), totals AS (
+      SELECT cur, CAST(sum(n_pairs) AS BIGINT) AS n_out FROM counts GROUP BY cur
+    )
+    SELECT c.cur, c.next_type, c.n_pairs,
+           round(CAST(c.n_pairs AS DOUBLE) / t.n_out, 6) AS p_next
+    FROM counts c JOIN totals t ON c.cur = t.cur
+    ORDER BY c.cur, c.next_type
+"""
+
+ORACLES["revenue_gini"] = """
+    WITH per AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS total
+      FROM per
+    ), rk AS (
+      SELECT cents, CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+      FROM per
+    )
+    SELECT (SELECT n FROM t) AS n_customers,
+           (SELECT total FROM t) AS total_cents,
+           round(CAST(sum((2 * i - (SELECT n FROM t) - 1) * cents) AS DOUBLE)
+                 / (CAST((SELECT n FROM t) AS DOUBLE)
+                    * CAST((SELECT total FROM t) AS DOUBLE)), 6) AS gini
+    FROM rk
 """
 
 ORACLES["dedup_keep_best"] = """

@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "supplier_wilson",
     "revenue_pareto",
+    "events_markov",
+    "revenue_gini",
 ]
 
 
