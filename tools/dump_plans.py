@@ -50,6 +50,10 @@ SHOWN = [
     ("lineitem_correlations", "6-pair correlation matrix, one scan + one shuffle pair"),
     ("events_top_paths", "path mining via bounded in-array sort (no event-table window)"),
     ("parts_kcore", "iterative k-core peel, semi-join rounds"),
+    ("embedding_covariance", "fixed-point PCA Gram pass, map-only partials"),
+    ("orders_window_battery", "8 analytic window functions on one keyed sort"),
+    ("revenue_pareto", "customer-dimension cumsum + decile rollup"),
+    ("docs_frequent_tokens", "Misra-Gries candidates + broadcast recount"),
 ]
 
 

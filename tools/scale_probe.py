@@ -63,6 +63,10 @@ PROBED = [
     "events_ewma",
     "docs_frequent_tokens",
     "embedding_covariance",
+    "supplier_wilson",
+    "revenue_pareto",
+    "events_markov",
+    "dedup_keep_best",
 ]
 SCALED_TABLES = {
     "lineitem": "l_orderkey",
