@@ -3964,6 +3964,65 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation confusion matrix: declared vs predicted
+    language (the marker-word heuristic of q_text_lang_id), counts and
+    within-declared share — the quality-control readout a corpus
+    language filter ships with. One extra aggregate over the lang-ID
+    projection; the oracle wraps the lang-ID oracle as a subquery so
+    both sides share one classifier definition."""
+    scored = q_text_lang_id(spark, sf_dir)
+    counts = scored.groupBy("declared_lang", "predicted_lang").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    totals = counts.groupBy("declared_lang").agg(
+        F.sum("n_docs").cast("long").alias("n_declared")
+    )
+    return (
+        counts.join(totals, "declared_lang")
+        .select(
+            "declared_lang",
+            "predicted_lang",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("n_declared"), 6).alias("share"),
+        )
+        .orderBy("declared_lang", "predicted_lang")
+    )
+
+
+def q_orders_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue time series with a trailing-12-month trend and
+    year-over-year growth — the reporting rollup every warehouse ships.
+    Exact cent sums per month; the moving average divides an exact
+    12-term sum, and YoY is one lag(12) on the (tiny) month-dimension
+    sort. Trend/YoY are NULL until a full year of history exists."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.trunc("o_orderdate", "month").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("revenue_cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    trailing = w.rowsBetween(-11, 0)
+    return (
+        monthly.withColumn("__n12", F.count("*").over(trailing))
+        .select(
+            "month",
+            "revenue_cents",
+            "n_orders",
+            F.when(
+                F.col("__n12") == 12,
+                F.round(F.avg("revenue_cents").over(trailing), 6),
+            ).alias("trailing_12m_avg"),
+            F.round(
+                (F.col("revenue_cents") - F.lag("revenue_cents", 12).over(w)).cast("double")
+                / F.lag("revenue_cents", 12).over(w),
+                6,
+            ).alias("yoy_growth"),
+        )
+        .orderBy("month")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4074,6 +4133,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    first in line for the r5 window
     "events_markov": q_events_markov,
     "revenue_gini": q_revenue_gini,
+    "docs_lang_confusion": q_docs_lang_confusion,
+    "orders_seasonal": q_orders_seasonal,
     # -- multimodal decode refreshes displaced by the PCA pair (same
     #    module evidenced in-window by multimodal_features r3 rows)
     "image_resize": q_image_resize,
@@ -6432,6 +6493,40 @@ ORACLES["events_ewma"] = """
      AND d2.day >= d1.day - INTERVAL 13 DAY
     GROUP BY d1.event_type, d1.day, d1.n_events
     ORDER BY d1.event_type, d1.day
+"""
+
+ORACLES["docs_lang_confusion"] = f"""
+    WITH scored AS ({ORACLES["text_lang_id"]}),
+    counts AS (
+      SELECT declared_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM scored GROUP BY declared_lang, predicted_lang
+    ), totals AS (
+      SELECT declared_lang, CAST(sum(n_docs) AS BIGINT) AS n_declared
+      FROM counts GROUP BY declared_lang
+    )
+    SELECT c.declared_lang, c.predicted_lang, c.n_docs,
+           round(CAST(c.n_docs AS DOUBLE) / t.n_declared, 6) AS share
+    FROM counts c JOIN totals t ON c.declared_lang = t.declared_lang
+    ORDER BY c.declared_lang, c.predicted_lang
+"""
+
+ORACLES["orders_seasonal"] = """
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue_cents, n_orders,
+           CASE WHEN count(*) OVER t = 12
+                THEN round(avg(revenue_cents) OVER t, 6) END AS trailing_12m_avg,
+           round(CAST(revenue_cents - lag(revenue_cents, 12) OVER m AS DOUBLE)
+                 / lag(revenue_cents, 12) OVER m, 6) AS yoy_growth
+    FROM monthly
+    WINDOW m AS (ORDER BY month),
+           t AS (ORDER BY month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+    ORDER BY month
 """
 
 ORACLES["events_markov"] = """

@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "revenue_pareto",
     "events_markov",
     "revenue_gini",
+    "docs_lang_confusion",
+    "orders_seasonal",
 ]
 
 
