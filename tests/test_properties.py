@@ -378,3 +378,102 @@ def test_snapshot_diff_localizes_random_mutations(spark, seed):
     # row-count bookkeeping must reconcile globally
     assert sum(r["left_rows"] for r in out) == n
     assert sum(r["right_rows"] for r in out) == len(right_rows)
+
+
+# ---------------------------------------------------------------------------
+# CDC fold associativity: for ANY split of a random log into chunks and
+# ANY reordering of events across chunks, folding the chunk nets must
+# equal the one-shot net of the whole log (the property that makes the
+# streaming replay correct under cross-batch disorder).
+# ---------------------------------------------------------------------------
+
+
+def _random_cdc(rng, n, keys):
+    rows, seqs = [], {}
+    for _ in range(n):
+        k = rng.randrange(keys)
+        seqs[k] = seqs.get(k, 0) + 1
+        op = rng.choice(["I", "U", "U", "D"])
+        rows.append((k, seqs[k], op, None if op == "D" else f"v{k}.{seqs[k]}"))
+    return rows
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_cdc_fold_is_split_invariant(spark, seed):
+    from bangumi_notion_data_integration_project_spark.operators.cdc import (
+        cdc_net,
+        merge_cdc_state,
+    )
+
+    rng = random.Random(seed)
+    rows = _random_cdc(rng, 90, 18)
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    cut1, cut2 = sorted((rng.randrange(1, 89), rng.randrange(1, 89)))
+    schema = "k long, seq long, op string, val string"
+    net = lambda rs: cdc_net(  # noqa: E731
+        spark.createDataFrame(rs, schema), key="k", seq="seq", op="op", payload_cols=["val"]
+    )
+    whole = net(rows)
+    state = net(shuffled[:cut1] or shuffled[:1])
+    for chunk in (shuffled[cut1:cut2], shuffled[cut2:]):
+        if chunk:
+            state = merge_cdc_state(state, net(chunk), key="k", payload_cols=["val"])
+    cols = ["k", "val", "last_op", "n_versions", "last_seq"]
+    got = {tuple(r[c] for c in cols) for r in state.collect()}
+    want = {tuple(r[c] for c in cols) for r in whole.collect()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_frequent_items_partition_count_invariant(spark, seed):
+    from collections import Counter
+
+    from bangumi_notion_data_integration_project_spark.operators.heavyhitters import (
+        frequent_items,
+    )
+
+    rng = random.Random(seed)
+    rows = [f"hot{i % 4}" for i in range(2000)] + [
+        f"t{rng.randrange(3000)}" for _ in range(6000)
+    ]
+    rng.shuffle(rows)
+    exact = {
+        v: c for v, c in Counter(rows).items() if c > 0.03 * len(rows)
+    }
+    df = spark.createDataFrame([(v,) for v in rows], "token: string")
+    for parts in (1, 5, 17):
+        got = {
+            r["token"]: r["n_occurrences"]
+            for r in frequent_items(df.repartition(parts), "token", threshold=0.03).collect()
+        }
+        assert got == exact, f"parts={parts}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_kcore_fixpoint_properties(spark, seed):
+    from bangumi_notion_data_integration_project_spark.operators.graph import k_core
+
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < 90:
+        u, v = rng.randrange(25), rng.randrange(25)
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    df = spark.createDataFrame(sorted(edges), "a: long, b: long")
+    k = rng.choice([2, 3, 4])
+    core = {tuple(r) for r in k_core(df, k).collect()}
+    # (1) every node in the core has in-core degree >= k
+    deg: dict[int, int] = {}
+    for u, v in core:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    assert all(d >= k for d in deg.values()), (k, deg)
+    # (2) maximality: peeling the REMOVED edges' nodes was forced — no
+    # removed node has >= k neighbors within the core
+    core_nodes = set(deg)
+    for node in {x for e in edges for x in e} - core_nodes:
+        n_in_core = sum(
+            1 for u, v in edges if (u == node and v in core_nodes) or (v == node and u in core_nodes)
+        )
+        assert n_in_core < k, (node, n_in_core, k)
