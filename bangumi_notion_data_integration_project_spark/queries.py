@@ -4023,6 +4023,73 @@ def q_orders_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_agg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) materialized-view maintenance
+    (operators/cdc.py:maintain_grouped_agg): a per-status (count, cent
+    total) view is folded forward under a CDC delta — updates bump
+    prices (every 7th key, with every 21st MIGRATING status groups),
+    deletes drop every 13th key (winning seq ties over updates),
+    inserts add fresh keys (every 31st). The base table is read only
+    via a touched-key semi join; the oracle recomputes the post-merge
+    snapshot from scratch and aggregates it — incremental fold vs full
+    recompute is the differential."""
+    from .operators.cdc import cdc_net, maintain_grouped_agg
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    upd = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit(1).alias("seq"),
+        F.lit("U").alias("op"),
+        F.when(F.col("o_orderkey") % 21 == 0, F.lit("F"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        (F.col("cents") + 10000).alias("cents"),
+    )
+    dels = base.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderkey",
+        F.lit(2).alias("seq"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("long").alias("cents"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 31 == 0).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+        F.lit("P").alias("o_orderstatus"),
+        (F.col("cents") + 5000).alias("cents"),
+    )
+    log = upd.unionAll(dels).unionAll(ins)
+    net = cdc_net(
+        log,
+        key="o_orderkey",
+        seq="seq",
+        op="op",
+        payload_cols=["o_orderstatus", "cents"],
+    )
+    old_agg = base.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    return (
+        maintain_grouped_agg(
+            old_agg,
+            base,
+            net,
+            key="o_orderkey",
+            group_col="o_orderstatus",
+            val_col="cents",
+        )
+        .select("o_orderstatus", "n_rows", F.col("total").cast("long").alias("total_cents"))
+        .orderBy("o_orderstatus")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4135,6 +4202,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_gini": q_revenue_gini,
     "docs_lang_confusion": q_docs_lang_confusion,
     "orders_seasonal": q_orders_seasonal,
+    "incremental_agg_cdc": q_incremental_agg_cdc,
     # -- multimodal decode refreshes displaced by the PCA pair (same
     #    module evidenced in-window by multimodal_features r3 rows)
     "image_resize": q_image_resize,
@@ -6493,6 +6561,34 @@ ORACLES["events_ewma"] = """
      AND d2.day >= d1.day - INTERVAL 13 DAY
     GROUP BY d1.event_type, d1.day, d1.n_events
     ORDER BY d1.event_type, d1.day
+"""
+
+ORACLES["incremental_agg_cdc"] = """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), upd AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 21 = 0 THEN 'F' ELSE o_orderstatus END
+               AS o_orderstatus,
+             cents + 10000 AS cents
+      FROM base WHERE o_orderkey % 7 = 0
+    ), ins AS (
+      SELECT o_orderkey + 100000000 AS o_orderkey, 'P' AS o_orderstatus,
+             cents + 5000 AS cents
+      FROM base WHERE o_orderkey % 31 = 0
+    ), final AS (
+      SELECT o_orderkey, o_orderstatus, cents FROM base
+      WHERE o_orderkey % 13 <> 0 AND o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, cents FROM upd WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, cents FROM ins
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 ORACLES["docs_lang_confusion"] = f"""

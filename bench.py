@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "revenue_gini",
     "docs_lang_confusion",
     "orders_seasonal",
+    "incremental_agg_cdc",
 ]
 
 

@@ -138,3 +138,31 @@ def test_corr_pairs_single_pass(spark):
     df = spark.createDataFrame([(1, 2, 3)], "a: long, b: long, c: long")
     plan = corr_pairs(df, [("a", "b"), ("a", "c"), ("b", "c")])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") <= 2
+
+
+def test_maintain_grouped_agg_group_migration(spark):
+    from bangumi_notion_data_integration_project_spark.operators.cdc import (
+        cdc_net,
+        maintain_grouped_agg,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k: long, g: string, v: long"
+    )
+    old_agg = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_rows"), F.sum("v").cast("long").alias("total")
+    )
+    # key 1 migrates a->b with new value; key 3 deleted; key 4 inserted in c
+    log = spark.createDataFrame(
+        [(1, 1, "U", "b", 15), (3, 1, "D", None, None), (4, 1, "I", "c", 7)],
+        "k: long, seq: long, op: string, g: string, v: long",
+    )
+    net = cdc_net(log, key="k", seq="seq", op="op", payload_cols=["g", "v"])
+    out = {
+        r["g"]: (r["n_rows"], r["total"])
+        for r in maintain_grouped_agg(
+            old_agg, base, net, key="k", group_col="g", val_col="v"
+        ).collect()
+    }
+    # a: only key 2 left; b: key 3 deleted, key 1 moved in; c: new key 4
+    assert out == {"a": (1, 20), "b": (1, 15), "c": (1, 7)}
