@@ -249,6 +249,115 @@ def start_streaming_cdc_apply(
     )
 
 
+def start_streaming_cdc_view(
+    stream: DataFrame,
+    state_dir: str,
+    view_dir: str,
+    *,
+    key: str,
+    seq: str,
+    op: str,
+    group_col: str,
+    val_col: str,
+    checkpoint_dir: str,
+    op_delete: str = "D",
+):
+    """Streaming materialized view: maintain a grouped (n_rows, total)
+    aggregate AND the CDC net state together, per micro-batch, each in
+    O(batch).
+
+    The view delta is derived from the STATE TRANSITION, not the raw
+    batch: retract each touched key's pre-fold live row, assert its
+    post-fold live row. That makes the view correct even when a batch
+    carries STALE events (a lower-seq update arriving after the state
+    already holds a higher seq — the fold ignores it, so the
+    transition, and therefore the view delta, is empty). Folding raw
+    batch payloads into the view directly would corrupt it in exactly
+    that case. Group migration, deletes, and inserts all reduce to
+    retract+assert by construction (operators/cdc.maintain_grouped_agg
+    is the batch twin of this per-batch step).
+
+    Differential-tested: after any shuffled 3-batch replay, the view
+    equals a full groupBy of the batch ``apply_cdc`` result.
+    """
+    from ..operators.cdc import cdc_net, merge_cdc_state
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = cdc_net(
+            batch, key=key, seq=seq, op=op, payload_cols=[group_col, val_col], op_delete=op_delete
+        )
+        touched = delta.select(key)
+        have_state = recover_dir(state_dir)
+        if have_state:
+            state = spark.read.parquet(state_dir)
+            new_state = merge_cdc_state(
+                state, delta, key=key, payload_cols=[group_col, val_col], op_delete=op_delete
+            )
+            old_rows = (
+                state.filter(F.col("last_op") != op_delete)
+                .join(touched, key, "left_semi")
+                .select(key, group_col, val_col)
+            )
+        else:
+            new_state = delta
+            old_rows = delta.limit(0).select(key, group_col, val_col)
+        # materialize the fold ONCE; both the state write and the view
+        # delta read it
+        new_state = new_state.localCheckpoint(eager=True)
+        new_rows = (
+            new_state.filter(F.col("last_op") != op_delete)
+            .join(touched, key, "left_semi")
+            .select(key, group_col, val_col)
+        )
+        retract = old_rows.groupBy(group_col).agg(
+            (-F.count("*")).cast("long").alias("dn"), (-F.sum(val_col)).alias("dv")
+        )
+        assertions = new_rows.groupBy(group_col).agg(
+            F.count("*").cast("long").alias("dn"), F.sum(val_col).alias("dv")
+        )
+        deltas = (
+            retract.unionByName(assertions)
+            .groupBy(group_col)
+            .agg(F.sum("dn").cast("long").alias("dn"), F.sum("dv").alias("dv"))
+        )
+        if have_state and recover_dir(view_dir):
+            old_view = spark.read.parquet(view_dir)
+        else:
+            old_view = deltas.limit(0).select(
+                F.col(group_col),
+                F.col("dn").alias("n_rows"),
+                F.col("dv").alias("total"),
+            )
+        new_view = (
+            old_view.join(deltas, group_col, "full_outer")
+            .select(
+                group_col,
+                (F.coalesce("n_rows", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+                .cast("long")
+                .alias("n_rows"),
+                (
+                    F.coalesce(F.col("total"), F.lit(0).cast("long"))
+                    + F.coalesce(F.col("dv"), F.lit(0).cast("long"))
+                ).alias("total"),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+        tmp_view = staging_path(view_dir)
+        new_view.write.mode("overwrite").parquet(tmp_view)
+        tmp_state = staging_path(state_dir)
+        new_state.write.mode("overwrite").parquet(tmp_state)
+        promote_dir(tmp_state, state_dir)
+        promote_dir(tmp_view, view_dir)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def attribution_join(
     clicks: DataFrame,
     purchases: DataFrame,

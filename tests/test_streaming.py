@@ -659,3 +659,63 @@ def test_streaming_cdc_tombstone_blocks_stale_update(spark, tmp_path):
     assert len(state) == 1
     row = state[0]
     assert row["last_op"] == "D" and row["last_seq"] == 3 and row["n_versions"] == 3
+
+
+@pytest.mark.parametrize("seed", [3, 29])
+def test_streaming_cdc_view_equals_batch_groupby(spark, tmp_path, seed):
+    """The streaming materialized view after a shuffled 3-batch replay
+    must equal a full groupBy of the batch apply_cdc result — including
+    under cross-batch staleness (late low-seq events)."""
+    from bangumi_notion_data_integration_project_spark.operators.cdc import apply_cdc
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_cdc_view,
+    )
+
+    rng = random.Random(seed)
+    schema = "k long, seq long, op string, g string, v long"
+    rows, seqs = [], {}
+    for _ in range(150):
+        k = rng.randrange(30)
+        seqs[k] = seqs.get(k, 0) + 1
+        op = rng.choice(["I", "U", "U", "D"])
+        if op == "D":
+            rows.append((k, seqs[k], op, None, None))
+        else:
+            rows.append((k, seqs[k], op, rng.choice(["x", "y", "z"]), rng.randrange(100)))
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    inp = str(tmp_path / "in")
+    for chunk in (shuffled[:50], shuffled[50:100], shuffled[100:]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    state_dir = str(tmp_path / "state")
+    view_dir = str(tmp_path / "view")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inp)
+    q = start_streaming_cdc_view(
+        stream,
+        state_dir,
+        view_dir,
+        key="k",
+        seq="seq",
+        op="op",
+        group_col="g",
+        val_col="v",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+
+    final = apply_cdc(
+        spark.createDataFrame(rows, schema), key="k", seq="seq", op="op", payload_cols=["g", "v"]
+    )
+    want = {
+        (r["g"]): (r["n_rows"], r["total"])
+        for r in final.groupBy("g")
+        .agg(F.count("*").cast("long").alias("n_rows"), F.sum("v").cast("long").alias("total"))
+        .collect()
+    }
+    got = {
+        r["g"]: (r["n_rows"], r["total"])
+        for r in spark.read.parquet(view_dir).collect()
+    }
+    assert got == want
