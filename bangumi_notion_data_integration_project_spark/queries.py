@@ -4090,6 +4090,77 @@ def q_incremental_agg_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group statistics: exact median and MAD (median
+    absolute deviation) of order totals per priority, plus the count of
+    robust-z outliers (|x−med| > 3.5·1.4826·MAD — the Iglewicz-Hoaglin
+    screen, immune to the outliers it hunts, unlike stddev). Exact
+    percentile on integer cents interpolates to exact half-cents, so
+    both engines agree bit-for-bit; three group-sized aggregates, two
+    broadcast joins of the 5-row stat table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(cents, 0.5)").alias("median_cents"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("median_cents"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(F.expr("percentile(dev, 0.5)").alias("mad_cents"))
+    outliers = (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("dev") > F.lit(3.5) * F.lit(1.4826) * F.col("mad_cents"))
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        med.join(mad, "o_orderpriority")
+        .join(outliers, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round("median_cents", 6).alias("median_cents"),
+            F.round("mad_cents", 6).alias("mad_cents"),
+            "n_outliers",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering for training: docs bucketed into length
+    deciles (short-to-long as a difficulty proxy), deterministically
+    shuffled WITHIN each decile by key hash — easy examples first,
+    random order inside a difficulty band, identical on any engine or
+    cluster. First 50 positions shown; the full ordering is the
+    (decile, md5) sort key, which a writer materializes with
+    repartitionByRange at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    decile = F.ntile(10).over(Window.orderBy("n_chars", "doc_id"))
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        decile.alias("difficulty_decile"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    rank = F.row_number().over(Window.orderBy("difficulty_decile", "__h", "doc_id"))
+    return (
+        keyed.select(
+            "doc_id",
+            F.col("difficulty_decile").cast("long").alias("difficulty_decile"),
+            "n_chars",
+            rank.cast("long").alias("curriculum_rank"),
+        )
+        .orderBy("curriculum_rank")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4203,6 +4274,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lang_confusion": q_docs_lang_confusion,
     "orders_seasonal": q_orders_seasonal,
     "incremental_agg_cdc": q_incremental_agg_cdc,
+    "orders_mad": q_orders_mad,
+    "docs_curriculum": q_docs_curriculum,
     # -- multimodal decode refreshes displaced by the PCA pair (same
     #    module evidenced in-window by multimodal_features r3 rows)
     "image_resize": q_image_resize,
@@ -6561,6 +6634,55 @@ ORACLES["events_ewma"] = """
      AND d2.day >= d1.day - INTERVAL 13 DAY
     GROUP BY d1.event_type, d1.day, d1.n_events
     ORDER BY d1.event_type, d1.day
+"""
+
+ORACLES["orders_mad"] = """
+    WITH o AS (
+      SELECT o_orderpriority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ), med AS (
+      SELECT o_orderpriority,
+             quantile_cont(cents, 0.5) AS median_cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM o GROUP BY o_orderpriority
+    ), dev AS (
+      SELECT o.o_orderpriority, abs(o.cents - m.median_cents) AS dev,
+             m.median_cents
+      FROM o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+    ), mad AS (
+      SELECT o_orderpriority, quantile_cont(dev, 0.5) AS mad_cents
+      FROM dev GROUP BY o_orderpriority
+    ), outl AS (
+      SELECT d.o_orderpriority,
+             CAST(count(*) FILTER (
+               WHERE d.dev > CAST(3.5 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * a.mad_cents
+             ) AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad a ON d.o_orderpriority = a.o_orderpriority
+      GROUP BY d.o_orderpriority
+    )
+    SELECT m.o_orderpriority, m.n_orders,
+           round(m.median_cents, 6) AS median_cents,
+           round(a.mad_cents, 6) AS mad_cents,
+           o.n_outliers
+    FROM med m
+    JOIN mad a ON a.o_orderpriority = m.o_orderpriority
+    JOIN outl o ON o.o_orderpriority = m.o_orderpriority
+    ORDER BY m.o_orderpriority
+"""
+
+ORACLES["docs_curriculum"] = """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS difficulty_decile,
+             md5(doc_id::VARCHAR) AS h
+      FROM documents
+    )
+    SELECT doc_id, difficulty_decile, n_chars,
+           CAST(row_number() OVER (ORDER BY difficulty_decile, h, doc_id) AS BIGINT)
+             AS curriculum_rank
+    FROM keyed ORDER BY curriculum_rank LIMIT 50
 """
 
 ORACLES["incremental_agg_cdc"] = """

@@ -121,6 +121,8 @@ BENCH_QUERIES = [
     "docs_lang_confusion",
     "orders_seasonal",
     "incremental_agg_cdc",
+    "orders_mad",
+    "docs_curriculum",
 ]
 
 
