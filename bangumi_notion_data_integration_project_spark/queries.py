@@ -4161,6 +4161,93 @@ def q_docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_attribution_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: credit halves per whole day
+    between touch and purchase (2^-gap weights — exact binary
+    fractions, same dyadic trick as events_ewma), normalized per
+    purchase. Same bucketed range-join pairing as the linear variant
+    (q_events_attribution); only the credit formula changes — the
+    plumbing is the operator, the policy is an expression."""
+    from .operators.rangejoin import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("ts").alias("touch_ts"), "event_type"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_DAYS} DAYS")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pairs = range_join(
+        touches,
+        purchases,
+        "user_id",
+        "touch_ts",
+        "w_start",
+        "w_end",
+        bucket_seconds=ATTRIBUTION_WINDOW_DAYS * 86400,
+    )
+    gap_days = F.floor(
+        (F.unix_timestamp("w_end") - F.unix_timestamp("touch_ts")) / F.lit(86400)
+    )
+    weighted = pairs.withColumn("w", F.pow(F.lit(0.5), gap_days))
+    sw = F.sum("w").over(Window.partitionBy("purchase_id"))
+    credited = weighted.select(
+        "event_type",
+        "purchase_id",
+        (F.col("cents") * F.col("w") / sw).alias("credit_cents"),
+    )
+    return (
+        credited.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            F.countDistinct("purchase_id").cast("long").alias("n_purchases"),
+            F.round(F.sum("credit_cents") / 100.0, 2).alias("attributed_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_events_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-monitoring freshness/completeness report per event
+    type: last event time, staleness in minutes behind the freshest
+    type, and calendar completeness (days with ≥1 event vs the global
+    span). The table an on-call engineer checks before trusting a
+    downstream aggregate; one grouped aggregate + a broadcast 1-row
+    global max."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("days_present"),
+    )
+    g = e.agg(
+        F.max("ts").alias("gmax"),
+        (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1)
+        .cast("long")
+        .alias("span_days"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "n_events",
+            "last_ts",
+            F.floor(
+                (F.unix_timestamp("gmax") - F.unix_timestamp("last_ts")) / F.lit(60)
+            )
+            .cast("long")
+            .alias("staleness_minutes"),
+            "days_present",
+            F.round(F.col("days_present") / F.col("span_days"), 6).alias("calendar_coverage"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4276,6 +4363,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_agg_cdc": q_incremental_agg_cdc,
     "orders_mad": q_orders_mad,
     "docs_curriculum": q_docs_curriculum,
+    "events_attribution_decay": q_events_attribution_decay,
+    "events_freshness": q_events_freshness,
     # -- multimodal decode refreshes displaced by the PCA pair (same
     #    module evidenced in-window by multimodal_features r3 rows)
     "image_resize": q_image_resize,
@@ -6634,6 +6723,53 @@ ORACLES["events_ewma"] = """
      AND d2.day >= d1.day - INTERVAL 13 DAY
     GROUP BY d1.event_type, d1.day, d1.n_events
     ORDER BY d1.event_type, d1.day
+"""
+
+ORACLES["events_attribution_decay"] = """
+    WITH touches AS (
+      SELECT user_id, ts AS touch_ts, event_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    purch AS (
+      SELECT user_id, event_id AS purchase_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT t.event_type, p.purchase_id, p.cents,
+             power(0.5, floor(CAST(date_diff('second', t.touch_ts, p.ts) AS DOUBLE)
+                              / 86400)) AS w
+      FROM touches t
+      JOIN purch p ON t.user_id = p.user_id
+       AND t.touch_ts >= p.ts - INTERVAL 7 DAY
+       AND t.touch_ts <= p.ts),
+    norm AS (
+      SELECT event_type, purchase_id, cents, w,
+             sum(w) OVER (PARTITION BY purchase_id) AS sw
+      FROM pairs)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           round(sum(cents * w / sw) / 100.0, 2) AS attributed_value
+    FROM norm GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["events_freshness"] = """
+    WITH per AS (
+      SELECT event_type, max(ts) AS last_ts,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_present
+      FROM events GROUP BY event_type
+    ), g AS (
+      SELECT max(ts) AS gmax,
+             CAST(date_diff('day', min(CAST(ts AS DATE)),
+                            max(CAST(ts AS DATE))) + 1 AS BIGINT) AS span_days
+      FROM events
+    )
+    SELECT event_type, n_events, last_ts,
+           CAST(floor(CAST(date_diff('second', last_ts, g.gmax) AS DOUBLE) / 60)
+                AS BIGINT) AS staleness_minutes,
+           days_present,
+           round(CAST(days_present AS DOUBLE) / g.span_days, 6) AS calendar_coverage
+    FROM per CROSS JOIN g ORDER BY event_type
 """
 
 ORACLES["orders_mad"] = """

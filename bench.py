@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "incremental_agg_cdc",
     "orders_mad",
     "docs_curriculum",
+    "events_attribution_decay",
+    "events_freshness",
 ]
 
 
