@@ -205,8 +205,50 @@ def write_zordered(
     and sort within partitions, so parquet row-group min/max stats on
     BOTH columns are tight and readers skip aggressively on either
     predicate. The key is dropped before writing — it is a layout
-    artifact, not data."""
-    keyed = df.withColumn("__z", zorder_key(x, y, bits))
+    artifact, not data.
+
+    Each dimension is normalized to the ``bits``-bit grid
+    automatically (affine min/max scaling off a broadcast 1-row
+    aggregate; timestamps via epoch micros) — raw wide domains like
+    epoch seconds would otherwise contribute only their cycling low
+    bits and silently destroy the clustering (a raw ts key produced
+    files spanning the FULL range of both columns; see
+    tools/bench_zorder.py for the measured before/after). Min/max
+    scaling keeps the map monotone under skew; rank-bucketize upstream
+    if one dimension is pathologically heavy-tailed."""
+    from pyspark.sql import functions as F
+
+    def _numeric(c: str):
+        dt = dict(df.dtypes)[c]
+        col = F.col(c)
+        if dt.startswith("timestamp"):
+            col = F.unix_micros(col.cast("timestamp"))
+        elif dt == "date":
+            col = F.datediff(col, F.lit("1970-01-01"))
+        return col.cast("double")
+
+    xs, ys = _numeric(x), _numeric(y)
+    mm = df.agg(
+        F.min(xs).alias("__xmin"),
+        F.max(xs).alias("__xmax"),
+        F.min(ys).alias("__ymin"),
+        F.max(ys).alias("__ymax"),
+    )
+    top = float(2**bits - 1)
+
+    def _scaled(col, lo: str, hi: str):
+        span = F.col(hi) - F.col(lo)
+        return F.when(
+            span > 0, F.floor((col - F.col(lo)) / span * F.lit(top)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    keyed = (
+        df.crossJoin(F.broadcast(mm))
+        .withColumn("__zx", _scaled(xs, "__xmin", "__xmax"))
+        .withColumn("__zy", _scaled(ys, "__ymin", "__ymax"))
+        .withColumn("__z", zorder_key("__zx", "__zy", bits))
+        .drop("__zx", "__zy", "__xmin", "__xmax", "__ymin", "__ymax")
+    )
     keyed = (
         keyed.repartitionByRange(n_files, "__z")
         if n_files

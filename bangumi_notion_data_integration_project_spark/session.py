@@ -34,6 +34,12 @@ def get_spark(app_name: str = "bangumi_spark_engine", master: str | None = None)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Spark's default timestamp output is legacy INT96, which has NO
+        # parquet min/max statistics — every downstream time-range scan
+        # reads every row group. TIMESTAMP_MICROS restores footer stats,
+        # making time predicates prunable on files this engine writes
+        # (measured in tools/bench_zorder.py / SCALING.md).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
