@@ -54,6 +54,8 @@ SHOWN = [
     ("orders_window_battery", "8 analytic window functions on one keyed sort"),
     ("revenue_pareto", "customer-dimension cumsum + decile rollup"),
     ("docs_frequent_tokens", "Misra-Gries candidates + broadcast recount"),
+    ("incremental_agg_cdc", "O(delta) view maintenance: touched-key semi join + retract/assert"),
+    ("events_attribution_decay", "dyadic time-decay credit over the bucketed range join"),
 ]
 
 

@@ -67,6 +67,9 @@ PROBED = [
     "revenue_pareto",
     "events_markov",
     "dedup_keep_best",
+    "orders_mad",
+    "events_attribution_decay",
+    "incremental_agg_cdc",
 ]
 SCALED_TABLES = {
     "lineitem": "l_orderkey",
