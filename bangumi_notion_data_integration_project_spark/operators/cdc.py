@@ -49,12 +49,16 @@ def cdc_net(
     batch-visible view.
     """
     payload_cols = list(payload_cols)
-    # rank deletes above payload ops at equal seq
+    # rank deletes above payload ops at equal seq; the payload itself is
+    # the FINAL tiebreak so that duplicated (key, seq) events with
+    # different payloads (a malformed but real upstream) still resolve
+    # to ONE deterministic winner on any partitioning — max_by with a
+    # non-total order key returns an arbitrary tied row
     op_rank = F.when(F.col(op) == op_delete, F.lit(1)).otherwise(F.lit(0))
-    order_key = F.struct(F.col(seq).alias("s"), op_rank.alias("r"))
     winner = F.struct(
         *[F.col(c) for c in payload_cols], F.col(op).alias("__op")
     )
+    order_key = F.struct(F.col(seq).alias("s"), op_rank.alias("r"), winner.alias("w"))
     agg = log.groupBy(key).agg(
         F.max_by(winner, order_key).alias("__w"),
         F.count("*").cast("long").alias("n_versions"),
@@ -187,8 +191,11 @@ def merge_cdc_state(
         key, *payload_cols, "last_op", "n_versions", "last_seq"
     ).unionByName(delta.select(key, *payload_cols, "last_op", "n_versions", "last_seq"))
     op_rank = F.when(F.col("last_op") == op_delete, F.lit(1)).otherwise(F.lit(0))
-    order_key = F.struct(F.col("last_seq").alias("s"), op_rank.alias("r"))
     winner = F.struct(*[F.col(c) for c in payload_cols], F.col("last_op").alias("__op"))
+    # same total order as cdc_net: payload is the final tiebreak
+    order_key = F.struct(
+        F.col("last_seq").alias("s"), op_rank.alias("r"), winner.alias("w")
+    )
     return (
         both.groupBy(key)
         .agg(

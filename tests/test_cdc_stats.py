@@ -166,3 +166,16 @@ def test_maintain_grouped_agg_group_migration(spark):
     }
     # a: only key 2 left; b: key 3 deleted, key 1 moved in; c: new key 4
     assert out == {"a": (1, 20), "b": (1, 15), "c": (1, 7)}
+
+
+def test_apply_cdc_duplicate_seq_ties_are_deterministic(spark):
+    # malformed upstream: two different payloads share (key, seq). The
+    # winner must be the same on ANY partitioning (payload tiebreak),
+    # not whichever row an arbitrary task saw first.
+    rows = [(1, 5, "U", "alpha"), (1, 5, "U", "zeta"), (1, 1, "I", "base")]
+    outs = set()
+    for parts in (1, 2, 3):
+        df = spark.createDataFrame(rows, "k: long, seq: long, op: string, val: string").repartition(parts)
+        out = apply_cdc(df, key="k", seq="seq", op="op", payload_cols=["val"])
+        outs.add(out.first()["val"])
+    assert outs == {"zeta"}  # max payload wins the tie, everywhere
