@@ -152,8 +152,17 @@ def maintain_grouped_agg(
         .groupBy(group_col)
         .agg(F.sum("dn").cast("long").alias("dn"), F.sum("dv").alias("dv"))
     )
-    merged = old_agg.join(deltas, group_col, "full_outer").select(
-        group_col,
+    # eqNullSafe: groupBy treats NULL as a real group, but a plain join
+    # key never matches NULL==NULL — a NULL group would split into an
+    # unretracted stale row plus a delta-only row. Aliases because both
+    # sides usually derive from the same base lineage (self-join).
+    oa, dl = old_agg.alias("__oa"), deltas.alias("__dl")
+    merged = oa.join(
+        dl,
+        F.col(f"__oa.{group_col}").eqNullSafe(F.col(f"__dl.{group_col}")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col(f"__oa.{group_col}"), F.col(f"__dl.{group_col}")).alias(group_col),
         (F.coalesce(F.col("n_rows"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
         .cast("long")
         .alias("n_rows"),

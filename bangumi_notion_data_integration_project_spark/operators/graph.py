@@ -153,6 +153,8 @@ def k_core(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if max_rounds < 1:
+        raise ValueError("max_rounds must be >= 1")
     if on_nonconverged not in ("raise", "flag"):
         raise ValueError(f"on_nonconverged must be 'raise' or 'flag', got {on_nonconverged!r}")
     e = edges.select(F.col(a).alias("ea"), F.col(b).alias("eb")).localCheckpoint(eager=True)
@@ -182,7 +184,8 @@ def k_core(
         if dropped == 0 or after == 0:
             break
     out = e.select(F.col("ea").alias(a), F.col("eb").alias(b))
-    if dropped != 0 and e.count() > 0:
+    # `before` already holds the final edge count — no extra count job
+    if dropped != 0 and before > 0:
         msg = (
             f"k_core(k={k}) still peeling after {max_rounds} rounds "
             f"({dropped} edges dropped in the last round); raise max_rounds"

@@ -63,7 +63,10 @@ def _mg_partition(col: str, capacity: int):
             if len(buf) >= 32:
                 buf = [compact(buf)]
         summary = compact(buf) if buf else pd.Series(dtype="int64")
-        yield pd.DataFrame({col: summary.index.to_numpy()})
+        # object dtype: an EMPTY partition's summary has an int64
+        # RangeIndex, and Arrow refuses int64 -> string for the declared
+        # schema; object round-trips both the empty and the value case
+        yield pd.DataFrame({col: pd.Series(summary.index.to_numpy(), dtype=object)})
 
     return summarize
 
@@ -79,6 +82,14 @@ def frequent_items(
         raise ValueError("threshold must be in (0, 1)")
     if capacity is None:
         capacity = math.ceil(2.0 / threshold)
+    elif capacity < math.ceil(1.0 / threshold):
+        # below ceil(1/threshold) the MG retention bound (f_p >
+        # n_p/(capacity+1)) no longer covers every frequent item — the
+        # "guaranteed-exact" output could silently drop heavy hitters
+        raise ValueError(
+            f"capacity {capacity} voids the superset guarantee for "
+            f"threshold {threshold}; need >= {math.ceil(1.0 / threshold)}"
+        )
     vals = df.select(col)
     candidates = (
         vals.mapInPandas(_mg_partition(col, capacity), schema=vals.schema)

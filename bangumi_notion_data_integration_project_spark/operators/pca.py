@@ -123,8 +123,10 @@ def pca_eig(cov_rows: list, dim: int, top_k: int) -> list[tuple[int, float, floa
     total = float(vals.sum())
     out = []
     cum = 0.0
-    for k in range(top_k):
-        ratio = float(vals[k]) / total
+    # degenerate corpus (all vectors on one grid point) has zero total
+    # variance: report a defined all-zero spectrum, not a ZeroDivision
+    for k in range(min(top_k, dim)):
+        ratio = float(vals[k]) / total if total > 0 else 0.0
         cum += ratio
         out.append((k, float(vals[k]), ratio, cum))
     return out

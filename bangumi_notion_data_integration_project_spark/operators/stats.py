@@ -30,12 +30,17 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# DECIMAL(38,0) holds ±10³⁸: with 64-bit inputs x,y ≤ 10⁹ and row counts
-# ≤ 10¹⁵ the largest moment Σx·y ≤ 10³³ stays exact. The r² denominator
-# product (n·Σx²−(Σx)²)·(n·Σy²−(Σy)²) can exceed 10³⁸, so each factor is
-# cast to double FIRST and multiplied in FP — both factors are exact
-# integers at cast time, so the doubles (and their product) are still
-# engine-identical.
+# DECIMAL(38,0) holds ±10³⁸. The binding bound is the COVARIANCE-TERM
+# products n·Σxy, n·Σx², n·Σy² (computed exactly in decimal before the
+# double cast): each is ≤ n²·max|x·y|, so exactness requires
+#     n² · max|x| · max|y|  <  10³⁸.
+# Cents×quantity (10⁷·10²) holds to n ≈ 10¹⁴ rows; two 10⁹-scale
+# columns hold to n ≈ 10¹⁰ — past that, Spark's non-ANSI decimal
+# overflow silently NULLs the group. Pre-scale the units (drop basis
+# points to percent, cents to dollars-decimal) before crossing that
+# line. The r² denominator product of the two exact factors can always
+# exceed 10³⁸, so the factors are cast to double FIRST and multiplied
+# in FP — exact integers at cast time, hence engine-identical.
 _DEC = "decimal(38,0)"
 
 

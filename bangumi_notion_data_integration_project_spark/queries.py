@@ -6643,11 +6643,13 @@ ORACLES: dict[str, str] = {
 }
 
 
-def _kcore_oracle(k: int = 80, rounds: int = 8) -> str:
+def _kcore_oracle(k: int = 80, rounds: int = 12) -> str:
     """Unrolled-iteration oracle for q_parts_kcore (the pagerank-oracle
     pattern): each peel round is a degree filter + edge restriction;
-    rounds past the fixpoint are no-ops, so unrolling a couple more
-    than the measured convergence count (6 at sf0.01) is safe."""
+    rounds past the fixpoint are no-ops. The unroll count matches the
+    engine's max_rounds=12 EXACTLY: fewer oracle rounds would mismatch
+    a correct engine result if a fixture ever needed 9-12 peels (the
+    engine raises loudly past 12, so >12 cannot slip through)."""
     sql = """
         WITH e0 AS MATERIALIZED (
           SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

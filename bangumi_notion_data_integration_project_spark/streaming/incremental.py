@@ -277,10 +277,32 @@ def start_streaming_cdc_view(
     retract+assert by construction (operators/cdc.maintain_grouped_agg
     is the batch twin of this per-batch step).
 
+    Crash safety across TWO directories: each table carries a
+    ``__batch_id`` watermark. State promotes first; a crash before the
+    view promote leaves the view one batch behind, which the next fold
+    DETECTS (view watermark < state watermark) and repairs by
+    rebuilding the view from the state's visible rows — exact, O(state),
+    and paid only on the crash-recovery path. Without the watermark,
+    checkpoint replay would compute an empty state transition (the
+    batch is already folded) and the view would silently diverge
+    forever. Replay of an already-promoted batch is a no-op transition
+    on both tables.
+
     Differential-tested: after any shuffled 3-batch replay, the view
-    equals a full groupBy of the batch ``apply_cdc`` result.
+    equals a full groupBy of the batch ``apply_cdc`` result; a
+    crash-window test kills between the promotes and asserts repair.
     """
     from ..operators.cdc import cdc_net, merge_cdc_state
+
+    def visible_rollup(state: DataFrame) -> DataFrame:
+        return (
+            state.filter(F.col("last_op") != op_delete)
+            .groupBy(group_col)
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(val_col).alias("total"),
+            )
+        )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -290,7 +312,9 @@ def start_streaming_cdc_view(
         touched = delta.select(key)
         have_state = recover_dir(state_dir)
         if have_state:
-            state = spark.read.parquet(state_dir)
+            with_marker = spark.read.parquet(state_dir)
+            state_bid = with_marker.agg(F.max("__batch_id")).first()[0]
+            state = with_marker.drop("__batch_id")
             new_state = merge_cdc_state(
                 state, delta, key=key, payload_cols=[group_col, val_col], op_delete=op_delete
             )
@@ -300,6 +324,8 @@ def start_streaming_cdc_view(
                 .select(key, group_col, val_col)
             )
         else:
+            state_bid = None
+            state = None
             new_state = delta
             old_rows = delta.limit(0).select(key, group_col, val_col)
         # materialize the fold ONCE; both the state write and the view
@@ -321,18 +347,33 @@ def start_streaming_cdc_view(
             .groupBy(group_col)
             .agg(F.sum("dn").cast("long").alias("dn"), F.sum("dv").alias("dv"))
         )
+        empty_view = deltas.limit(0).select(
+            F.col(group_col), F.col("dn").alias("n_rows"), F.col("dv").alias("total")
+        )
         if have_state and recover_dir(view_dir):
-            old_view = spark.read.parquet(view_dir)
+            vm = spark.read.parquet(view_dir)
+            view_bid = vm.agg(F.max("__batch_id")).first()[0]
+            if view_bid is not None and state_bid is not None and view_bid < state_bid:
+                # crash landed between the two promotes: the state holds
+                # a batch the view never saw — rebuild the view from the
+                # PRE-fold state so this batch's transition applies to a
+                # consistent base
+                old_view = visible_rollup(state)
+            else:
+                old_view = vm.drop("__batch_id")
         else:
-            old_view = deltas.limit(0).select(
-                F.col(group_col),
-                F.col("dn").alias("n_rows"),
-                F.col("dv").alias("total"),
-            )
+            old_view = visible_rollup(state) if have_state else empty_view
+        ov, dl = old_view.alias("__ov"), deltas.alias("__dl")
         new_view = (
-            old_view.join(deltas, group_col, "full_outer")
+            ov.join(
+                dl,
+                F.col(f"__ov.{group_col}").eqNullSafe(F.col(f"__dl.{group_col}")),
+                "full_outer",
+            )
             .select(
-                group_col,
+                F.coalesce(
+                    F.col(f"__ov.{group_col}"), F.col(f"__dl.{group_col}")
+                ).alias(group_col),
                 (F.coalesce("n_rows", F.lit(0)) + F.coalesce("dn", F.lit(0)))
                 .cast("long")
                 .alias("n_rows"),
@@ -344,9 +385,13 @@ def start_streaming_cdc_view(
             .filter(F.col("n_rows") > 0)
         )
         tmp_view = staging_path(view_dir)
-        new_view.write.mode("overwrite").parquet(tmp_view)
+        new_view.withColumn("__batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
+            tmp_view
+        )
         tmp_state = staging_path(state_dir)
-        new_state.write.mode("overwrite").parquet(tmp_state)
+        new_state.withColumn("__batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
+            tmp_state
+        )
         promote_dir(tmp_state, state_dir)
         promote_dir(tmp_view, view_dir)
 

@@ -179,3 +179,30 @@ def test_apply_cdc_duplicate_seq_ties_are_deterministic(spark):
         out = apply_cdc(df, key="k", seq="seq", op="op", payload_cols=["val"])
         outs.add(out.first()["val"])
     assert outs == {"zeta"}  # max payload wins the tie, everywhere
+
+
+def test_maintain_grouped_agg_null_group(spark):
+    from bangumi_notion_data_integration_project_spark.operators.cdc import (
+        cdc_net,
+        maintain_grouped_agg,
+    )
+
+    # NULL is a real group for groupBy; the view join must match it
+    base = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "b", 30)], "k: long, g: string, v: long"
+    )
+    old_agg = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_rows"), F.sum("v").cast("long").alias("total")
+    )
+    log = spark.createDataFrame(
+        [(1, 1, "U", None, 15), (4, 1, "I", None, 7)],
+        "k: long, seq: long, op: string, g: string, v: long",
+    )
+    net = cdc_net(log, key="k", seq="seq", op="op", payload_cols=["g", "v"])
+    rows = maintain_grouped_agg(
+        old_agg, base, net, key="k", group_col="g", val_col="v"
+    ).collect()
+    out = {r["g"]: (r["n_rows"], r["total"]) for r in rows}
+    # NULL group: keys 1 (now 15), 2 (20), 4 (7) -> (3, 42); exactly ONE row
+    assert out == {None: (3, 42), "b": (1, 30)}
+    assert len(rows) == 2

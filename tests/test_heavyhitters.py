@@ -103,3 +103,17 @@ def test_ewma_dyadic_terms_are_exact(spark):
             assert r["ewma"] == expect, (r, expect)
             checked += 1
     assert checked >= 30
+
+
+def test_frequent_items_survives_empty_partitions(spark):
+    # over-partitioned tiny input: empty partitions must yield an
+    # empty STRING summary, not an int64 RangeIndex Arrow crash
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "v: string").repartition(16)
+    got = {r["v"] for r in frequent_items(df, "v", threshold=0.5).collect()}
+    assert got == {"a"}
+
+
+def test_frequent_items_rejects_guarantee_voiding_capacity(spark):
+    df = spark.createDataFrame([("a",)], "v: string")
+    with pytest.raises(ValueError, match="superset guarantee"):
+        frequent_items(df, "v", threshold=0.001, capacity=50)

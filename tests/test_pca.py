@@ -69,3 +69,11 @@ def test_pca_eig_matches_numpy_full_pca(spark):
         assert ev == pytest.approx(evs[k], rel=1e-9)
         assert ratio == pytest.approx(evs[k] / total, rel=1e-9)
     assert comps[0][2] > 0.6  # leading axis dominates by construction
+
+
+def test_pca_eig_degenerate_and_overlong_topk(spark):
+    X = np.ones((50, 4), dtype=np.float32)  # zero variance everywhere
+    rows = covariance_matrix(_vec_frame(spark, X), "embedding", 4).collect()
+    comps = pca_eig(rows, 4, 10)  # top_k > dim must clamp, not IndexError
+    assert len(comps) == 4
+    assert all(ratio == 0.0 for _, _, ratio, _ in comps)

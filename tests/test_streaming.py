@@ -719,3 +719,67 @@ def test_streaming_cdc_view_equals_batch_groupby(spark, tmp_path, seed):
         for r in spark.read.parquet(view_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_cdc_view_repairs_after_crash_between_promotes(spark, tmp_path):
+    """Simulate the crash window: state promoted for a batch, view not
+    (view dir rewound to the previous batch). The next fold must detect
+    the watermark gap and rebuild the view from state before applying
+    its own transition — no silent divergence."""
+    import shutil
+
+    from bangumi_notion_data_integration_project_spark.operators.cdc import apply_cdc
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_cdc_view,
+    )
+
+    schema = "k long, seq long, op string, g string, v long"
+    b0 = [(1, 1, "I", "x", 10), (2, 1, "I", "y", 20)]
+    b1 = [(1, 2, "U", "y", 15), (3, 1, "I", "x", 7)]
+    b2 = [(2, 2, "D", None, None), (4, 1, "I", "y", 9)]
+    inp = str(tmp_path / "in")
+    state_dir, view_dir = str(tmp_path / "state"), str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inp)
+        )
+        q = start_streaming_cdc_view(
+            stream, state_dir, view_dir,
+            key="k", seq="seq", op="op", group_col="g", val_col="v",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_once()
+    view_at_b0 = str(tmp_path / "view_b0")
+    shutil.copytree(view_dir, view_at_b0)
+
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_once()  # state + view now at batch 1
+
+    # CRASH SIMULATION: view promote for batch 1 never happened
+    shutil.rmtree(view_dir)
+    shutil.copytree(view_at_b0, view_dir)
+
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(inp)
+    run_once()  # fold of batch 2 must repair, then apply
+
+    final = apply_cdc(
+        spark.createDataFrame(b0 + b1 + b2, schema),
+        key="k", seq="seq", op="op", payload_cols=["g", "v"],
+    )
+    want = {
+        r["g"]: (r["n_rows"], r["total"])
+        for r in final.groupBy("g")
+        .agg(F.count("*").cast("long").alias("n_rows"), F.sum("v").cast("long").alias("total"))
+        .collect()
+    }
+    got = {
+        r["g"]: (r["n_rows"], r["total"])
+        for r in spark.read.parquet(view_dir).drop("__batch_id").collect()
+    }
+    assert got == want  # x: keys 3 (7); y: keys 1 (15) + 4 (9)
+    assert want == {"x": (1, 7), "y": (2, 24)}

@@ -92,7 +92,7 @@ def main() -> int:
     # execute EVERY registered query at the bench SF, not just the
     # headline set — the transitivity divide-by-zero only manifested at
     # sf0.1 (sparser support graph), a class the sf0.001/sf0.01 gates
-    # cannot see. Noop sink, fail on first exception.
+    # cannot see. Noop sink; reports all failures, nonzero exit on any.
     run(
         "full-registry execution sweep at bench SF",
         [sys.executable, "tools/sweep_all.py"],

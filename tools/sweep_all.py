@@ -1,5 +1,7 @@
 """Execute EVERY registry query at $SPARK_GRAFT_SF_DIR (default
-sf0.1) into the noop sink, failing on the first exception.
+sf0.1) into the noop sink, reporting every failure and exiting
+nonzero if any occurred (a full sweep, not fail-fast, so one broken
+query doesn't hide others).
 
 Exists because data-dependent crashes can be scale-selective: the
 triangle-census transitivity divide-by-zero appeared ONLY at sf0.1
