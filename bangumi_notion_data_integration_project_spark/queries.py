@@ -4248,6 +4248,85 @@ def q_events_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_brand_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: Herfindahl-Hirschman index of
+    supplier revenue within each part brand, computed EXACTLY as
+    Σcentsᵢ² / (Σcents)² — integer numerator and denominator, one
+    division, so the index is engine-exact with no share-summation
+    order dependence (the naive Σ(shareᵢ²) of doubles is not). Flags
+    brands where one supplier dominates; two grouped aggregates and a
+    broadcast dim join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+        )
+    )
+    dec = "decimal(38,0)"
+    agg = rev.groupBy("p_brand").agg(
+        F.count("*").cast("long").alias("n_suppliers"),
+        F.sum("cents").cast(dec).alias("__t"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).alias("__sq"),
+    )
+    return (
+        agg.select(
+            "p_brand",
+            "n_suppliers",
+            F.col("__t").cast("long").alias("total_cents"),
+            F.round(
+                F.col("__sq").cast("double")
+                / (F.col("__t").cast("double") * F.col("__t").cast("double")),
+                6,
+            ).alias("hhi"),
+        )
+        .orderBy(F.desc("hhi"), "p_brand")
+        .limit(25)
+    )
+
+
+def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile per event type: exact median / p95 /
+    max of the whole-second gaps between consecutive events of a type —
+    the arrival-process fingerprint behind capacity planning and
+    anomaly thresholds. One keyed window for the lag, one percentile
+    aggregate over exact integer gaps (interpolation lands on exact
+    half-seconds, so engines agree bit-for-bit)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = (
+        e.withColumn("__prev", F.lag("ts").over(w))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "event_type",
+            (F.unix_timestamp("ts") - F.unix_timestamp("__prev")).alias("gap_s"),
+        )
+    )
+    # p95 as a DISCRETE rank pick (ceil(0.95·n)-th sorted gap): the
+    # interpolated percentile's lower+(upper−lower)·frac arithmetic is
+    # not specified identically across engines at arbitrary fractions;
+    # p50 interpolation on ints lands on exact halves and IS safe
+    wg = Window.partitionBy("event_type").orderBy("gap_s")
+    ranked = gaps.withColumn("__rn", F.row_number().over(wg)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    p95 = ranked.filter(
+        F.col("__rn") == F.ceil(F.lit(0.95) * F.col("__n"))
+    ).select("event_type", F.col("gap_s").cast("long").alias("p95_gap_s"))
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6).alias("median_gap_s"),
+        F.max("gap_s").cast("long").alias("max_gap_s"),
+    )
+    return (
+        agg.join(p95, "event_type")
+        .select("event_type", "n_gaps", "median_gap_s", "p95_gap_s", "max_gap_s")
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4365,6 +4444,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curriculum": q_docs_curriculum,
     "events_attribution_decay": q_events_attribution_decay,
     "events_freshness": q_events_freshness,
+    "brand_concentration": q_brand_concentration,
+    "events_inter_arrival": q_events_inter_arrival,
     # -- multimodal decode refreshes displaced by the PCA pair (same
     #    module evidenced in-window by multimodal_features r3 rows)
     "image_resize": q_image_resize,
@@ -6725,6 +6806,52 @@ ORACLES["events_ewma"] = """
      AND d2.day >= d1.day - INTERVAL 13 DAY
     GROUP BY d1.event_type, d1.day, d1.n_events
     ORDER BY d1.event_type, d1.day
+"""
+
+ORACLES["brand_concentration"] = """
+    WITH rev AS (
+      SELECT p.p_brand, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand, l.l_suppkey
+    ), agg AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(cents) AS HUGEINT) AS t,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS sq
+      FROM rev GROUP BY p_brand
+    )
+    SELECT p_brand, n_suppliers, CAST(t AS BIGINT) AS total_cents,
+           round(CAST(sq AS DOUBLE) / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6)
+             AS hhi
+    FROM agg ORDER BY hhi DESC, p_brand LIMIT 25
+"""
+
+ORACLES["events_inter_arrival"] = """
+    WITH g0 AS (
+      SELECT event_type, ts,
+             lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+      FROM events
+    ), gaps AS (
+      SELECT event_type, CAST(date_diff('second', prev, ts) AS BIGINT) AS gap_s
+      FROM g0 WHERE prev IS NOT NULL
+    ), ranked AS (
+      SELECT event_type, gap_s,
+             row_number() OVER (PARTITION BY event_type ORDER BY gap_s) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM gaps
+    ), p95 AS (
+      SELECT event_type, CAST(gap_s AS BIGINT) AS p95_gap_s
+      FROM ranked WHERE rn = CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT)
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+             round(quantile_cont(gap_s, 0.5), 6) AS median_gap_s,
+             CAST(max(gap_s) AS BIGINT) AS max_gap_s
+      FROM gaps GROUP BY event_type
+    )
+    SELECT a.event_type, a.n_gaps, a.median_gap_s, p.p95_gap_s, a.max_gap_s
+    FROM agg a JOIN p95 p ON a.event_type = p.event_type
+    ORDER BY a.event_type
 """
 
 ORACLES["events_attribution_decay"] = """

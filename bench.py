@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "docs_curriculum",
     "events_attribution_decay",
     "events_freshness",
+    "brand_concentration",
+    "events_inter_arrival",
 ]
 
 
