@@ -70,22 +70,42 @@ class ReplayTransport:
 class HttpTransport:
     """Live HTTP transport with the reference's retry/backoff policy.
 
-    Kept import-light (requests imported lazily) and never exercised in
-    tests; the policy constants mirror the reference exactly.
+    Kept import-light (requests imported lazily); the policy constants
+    mirror the reference exactly. The retry envelope runs against a real
+    loopback ``http.server`` in tests/test_http_live.py — no network.
+
+    One ``requests.Session`` per transport instance (reference
+    bangumi_data_ingestion.py:66-90 keeps a single session for its whole
+    run): all pages of all cells read through one urllib3 connection
+    pool instead of a TCP+TLS handshake per page. The session is created
+    lazily on first use and excluded from pickling, so a transport built
+    on the driver and shipped to an executor re-opens its own pool.
     """
 
     def __init__(self, base_url: str, params_for_cell, headers: dict | None = None):
         self.base_url = base_url
         self.params_for_cell = params_for_cell  # (cell_id, offset, limit) -> params dict
         self.headers = headers or {}
+        self._session = None
 
-    def _get(self, params: dict) -> dict:
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_session"] = None  # sockets don't pickle; executor reopens
+        return state
+
+    def _get_session(self):
         import requests  # local import: executors without the lib fail loudly here only
 
+        if self._session is None:
+            self._session = requests.Session()
+        return self._session
+
+    def _get(self, params: dict) -> dict:
         last_err: object = None
+        session = self._get_session()
         for attempt in range(MAX_RETRIES):
             try:
-                resp = requests.get(
+                resp = session.get(
                     self.base_url, params=params, headers=self.headers, timeout=30
                 )
                 if resp.status_code == 429:

@@ -62,10 +62,16 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = []
+    ran = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -109,7 +115,7 @@ def main() -> int:
             failures.append(name)
         else:
             print(f"ok   {name}: {len(srows)} rows hash={sh} ({spark_t:.1f}s)")
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} passed")
+    print(f"\n{ran - len(failures)}/{ran} passed")
     return 1 if failures else 0
 
 
