@@ -133,3 +133,102 @@ def peak_concurrency_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PEAK_CONCURRENCY_WM_SCHEMA = (
+    "event_type string, open_now bigint, max_concurrent bigint, "
+    "n_pending bigint, n_dropped bigint"
+)
+_PEAK_WM_STATE_SCHEMA = (
+    "buf array<bigint>, open_ends array<bigint>, frontier bigint, "
+    "peak bigint, dropped bigint"
+)
+_FRONTIER_MIN = -(2**62)
+
+
+def peak_concurrency_stream_watermarked(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    duration_minutes: int = 15,
+    lateness_minutes: int = 30,
+) -> DataFrame:
+    """Out-of-order-tolerant twin of :func:`peak_concurrency_stream`.
+
+    Per key, an application-level watermark ("frontier") trails the
+    maximum event time seen by ``lateness_minutes``. Arrivals land in a
+    pending buffer; each batch, the buffer's CLOSED portion (ts <=
+    frontier) is drained **in event-time order** through the same
+    atomic expire→open→observe sweep as the in-order twin, so any
+    arrival order with displacement bounded by the lateness produces
+    the exact batch answer on the closed portion (differential-tested
+    under shuffled replays). Events arriving after their timestamp is
+    already closed are counted in ``n_dropped`` — never silently
+    mis-merged into a sweep that already passed them.
+
+    The frontier is kept in the operator state rather than
+    ``withWatermark`` because the engine watermark is global and
+    advances nondeterministically with micro-batch boundaries; the
+    per-key frontier makes the closed portion a deterministic function
+    of the arrival sequence, which is what a differential property can
+    pin down. (Fronting with ``withWatermark`` additionally bounds
+    TOTAL state when keys go quiet — compose both in production.)
+
+    State per key: pending buffer (bounded by events within one
+    lateness window), open interval ends (bounded by instantaneous
+    concurrency), frontier, lifetime peak, dropped count.
+    """
+    dur_us = duration_minutes * 60 * 1_000_000
+    late_us = lateness_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buf_stored, ends_stored, frontier, peak, dropped = state.get
+            buf, open_ends = list(buf_stored), list(ends_stored)
+        else:
+            buf, open_ends, frontier, peak, dropped = [], [], _FRONTIER_MIN, 0, 0
+        new_ts: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                new_ts.extend((pdf["ts"].astype("int64") // 1000).tolist())
+        for t in new_ts:
+            if t <= frontier:
+                dropped += 1  # beyond lateness bound: its sweep already closed
+            else:
+                buf.append(t)
+        if new_ts:
+            frontier = max(frontier, max(new_ts) - late_us)
+        ready = sorted(t for t in buf if t <= frontier)
+        buf = [t for t in buf if t > frontier]
+        i = 0
+        while i < len(ready):
+            t = ready[i]
+            j = i
+            while j < len(ready) and ready[j] == t:
+                j += 1
+            open_ends = [e for e in open_ends if e > t]
+            open_ends.extend([t + dur_us] * (j - i))
+            peak = max(peak, len(open_ends))
+            i = j
+        state.update((buf, open_ends, frontier, peak, dropped))
+        yield pd.DataFrame(
+            [
+                {
+                    "event_type": key[0],
+                    "open_now": len(open_ends),
+                    "max_concurrent": peak,
+                    "n_pending": len(buf),
+                    "n_dropped": dropped,
+                }
+            ]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=PEAK_CONCURRENCY_WM_SCHEMA,
+        stateStructType=_PEAK_WM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -560,6 +560,97 @@ def test_streaming_peak_concurrency_equals_batch_sweep(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", [7, 41])
+def test_streaming_peak_concurrency_out_of_order_closed_portion(spark, tmp_path, seed):
+    """Bounded-lateness property (SURVEY §7.1 M6 extension): replay the
+    events in a SHUFFLED arrival order whose event-time displacement is
+    bounded by the lateness, and the watermarked twin's closed portion
+    must equal the batch sweep over exactly the events at or before the
+    final per-key frontier — with nothing dropped and the open tail
+    accounted for in ``n_pending``."""
+    import random
+
+    from bangumi_notion_data_integration_project_spark.operators.intervals import (
+        peak_concurrency,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.stateful import (
+        peak_concurrency_stream_watermarked,
+    )
+
+    rng = random.Random(seed)
+    minute = lambda m: f"2024-01-01 {m // 60:02d}:{m % 60:02d}:00"  # noqa: E731
+    ts_minutes = [rng.randint(0, 600) for _ in range(80)]
+    rows = [
+        (i, minute(m), 1, rng.choice(["a", "b"]), 0.0)
+        for i, m in enumerate(ts_minutes)
+    ]
+    # arrival order = event time + bounded jitter (±10 min). With
+    # lateness 30 min the frontier trails max_seen by 30, and max_seen
+    # when any event arrives is < its ts + 20 — so no event can find
+    # its own timestamp already closed: n_dropped must stay 0.
+    arrival = sorted(range(len(rows)), key=lambda i: ts_minutes[i] + rng.uniform(-10, 10))
+    shuffled = [rows[i] for i in arrival]
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    emitted: dict[str, tuple[int, int, int]] = {}
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emitted[r["event_type"]] = (
+                    r["max_concurrent"], r["n_pending"], r["n_dropped"],
+                )
+
+        q = (
+            peak_concurrency_stream_watermarked(
+                read_event_stream(spark, inp, SCHEMA),
+                duration_minutes=15,
+                lateness_minutes=30,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    quarter = len(shuffled) // 4
+    for i in range(4):
+        hi = None if i == 3 else (i + 1) * quarter
+        _write_batch(spark, inp, shuffled[i * quarter : hi])
+        run_once()
+
+    # per-key final frontier = max event time − lateness; the closed
+    # portion is everything at or before it
+    by_key: dict[str, list[int]] = {}
+    for _, ts, _, k, _ in rows:
+        m = int(ts[11:13]) * 60 + int(ts[14:16])
+        by_key.setdefault(k, []).append(m)
+    frontier = {k: max(v) - 30 for k, v in by_key.items()}
+    closed = [
+        r for r in rows
+        if int(r[1][11:13]) * 60 + int(r[1][14:16]) <= frontier[r[3]]
+    ]
+    want = {
+        r["event_type"]: r["max_concurrent"]
+        for r in peak_concurrency(
+            _rows(spark, closed), "event_type",
+            F.col("ts"), F.expr("ts + INTERVAL 15 MINUTES"),
+        ).collect()
+    }
+    for k in by_key:
+        peak, pending, dropped = emitted[k]
+        assert dropped == 0, f"{k}: bounded-lateness arrival must drop nothing"
+        assert peak == want.get(k, 0), f"{k}: closed-portion peak diverges"
+        n_open_tail = sum(
+            1 for r in rows
+            if r[3] == k and int(r[1][11:13]) * 60 + int(r[1][14:16]) > frontier[k]
+        )
+        assert pending == n_open_tail, f"{k}: pending tail miscounted"
+
+
 # ---------------------------------------------------------------------------
 # CDC stream: the associative-fold property. The streamed replay must
 # equal the batch replay of the concatenated log for ANY split of
