@@ -415,3 +415,143 @@ def simhash64(text_col: str, token_hash_bits: int = 64) -> Column:
         f"acc -> aggregate(sequence(0, {bits - 1}), 0L, "
         f"(s, i) -> s + if(element_at(acc, i + 1) * 2 > {n_tokens}, shiftleft(1L, i), 0L)))"
     )
+
+
+def setsim_prefix_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    tau_num: int = 7,
+    tau_den: int = 10,
+) -> DataFrame:
+    """Exact set-similarity self-join with PREFIX FILTERING (PPJoin's
+    candidate rule) over n-gram shingle sets — the third
+    candidate-generation tier next to MinHash-LSH (probabilistic) and
+    the full inverted index (exact but index-everything). At the same
+    (shingle_n, tau) it must land on the IDENTICAL pair set as
+    ``minhash_lsh_candidates``+verify — three independent algorithms
+    cross-validating one exact answer.
+
+    Shingles are globally ordered rarest-first (document frequency,
+    then value — a total order, so both engines build identical
+    prefixes). A pair with set Jaccard >= tau must share
+    >= ceil(tau*|S|) elements, so by pigeonhole it shares at least one
+    inside each side's first ``|S| - ceil(tau*|S|) + 1`` elements of
+    that order: the candidate join indexes only those prefixes, and the
+    filter is LOSSLESS — the DuckDB oracle computes the same result
+    from the FULL inverted index and the hashes must agree.
+
+    Scale shape (100 TB): the index carries ~(1-tau) of each doc's
+    shingles, and the rarest-first order means a hot boilerplate
+    shingle enters a prefix only for docs where it is among the rarest
+    — hot keys self-select OUT of the join, which is why this needs no
+    df_cap to survive skew. The threshold is a rational
+    ``tau_num/tau_den`` so every comparison stays in integers:
+    pairs need ``n_common*(den+num) >= num*(|A|+|B|)``, exactly the
+    Jaccard bound with no float boundary flake.
+
+    Returns (id_a, id_b, n_common, jaccard) with id_a < id_b.
+    """
+    sets = df.select(
+        F.col(id_col).alias("__did"),
+        word_shingles(text_col, shingle_n).alias("__set"),
+    ).localCheckpoint(eager=False)  # feeds index, sizes, and both verify sides
+    toks = sets.select("__did", F.explode("__set").alias("token"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("__tdf"))
+    w_rank = Window.partitionBy("__did").orderBy("__tdf", "token")
+    ranked = (
+        toks.join(dfreq, "token")
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy("__did")))
+    )
+    # prefix length L = sz - ceil(tau*sz) + 1; ceil via integer floor-div
+    need = F.floor((F.col("__sz") * tau_num + tau_den - 1) / tau_den)
+    prefix = ranked.filter(F.col("__rn") <= F.col("__sz") - need + 1)
+    cand = (
+        prefix.select(F.col("__did").alias("id_a"), "token")
+        .join(prefix.select(F.col("__did").alias("id_b"), "token"), "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sets.select(F.col("__did").alias("id_a"), F.col("__set").alias("__ta"))
+    b = sets.select(F.col("__did").alias("id_b"), F.col("__set").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("long")
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_common", inter)
+        .withColumn("__na", F.size("__ta").cast("long"))
+        .withColumn("__nb", F.size("__tb").cast("long"))
+        .filter(
+            F.col("n_common") * (tau_den + tau_num)
+            >= tau_num * (F.col("__na") + F.col("__nb"))
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("__na") + F.col("__nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle_n: int = 3,
+    tau_num: int = 4,
+    tau_den: int = 5,
+    df_cap: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: directed pairs where doc A's
+    shingle set is mostly contained in doc B's —
+    ``|S(A) ∩ S(B)| / |S(A)| >= tau``. Catches doc-inside-doc
+    duplication (a paragraph quoted wholesale inside a larger page)
+    that symmetric Jaccard misses: the big doc's denominator drowns
+    the overlap.
+
+    Same inverted-index + ``df_cap`` hot-shingle guard as
+    :func:`inverted_index_pairs` (denominators use the TRUE uncapped
+    set size, so capping can only forfeit boilerplate-only pairs, never
+    mis-score a surviving one). The rational threshold keeps the filter
+    in integers: ``n_common * tau_den >= tau_num * |S(A)|``.
+
+    Returns (contained_id, container_id, n_common, containment),
+    directed, contained_id != container_id.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__did"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("s"),
+    ).localCheckpoint(eager=False)
+    ok = sh.groupBy("s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= df_cap)
+    idx = sh.join(ok.select("s"), "s", "left_semi")
+    inter = (
+        idx.select(F.col("__did").alias("contained_id"), "s")
+        .join(idx.select(F.col("__did").alias("container_id"), "s"), "s")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sizes = sh.groupBy("__did").agg(F.count("*").alias("__n"))
+    return (
+        inter.join(
+            sizes.select(F.col("__did").alias("contained_id"), F.col("__n").alias("__na")),
+            "contained_id",
+        )
+        .filter(F.col("n_common") * tau_den >= tau_num * F.col("__na"))
+        .select(
+            "contained_id",
+            "container_id",
+            "n_common",
+            F.round(F.col("n_common") / F.col("__na"), 6).alias("containment"),
+        )
+    )

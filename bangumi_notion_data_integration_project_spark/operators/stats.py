@@ -128,3 +128,65 @@ def corr_pairs(
             )
         )
     return wide.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def cusum_peaks(
+    df: DataFrame,
+    key: str,
+    order_col: str,
+    x: Column,
+) -> DataFrame:
+    """Exact CUSUM change-point detection per key, in closed form.
+
+    The textbook upward CUSUM is the recursion S_t = max(0, S_{t-1} +
+    (x_t - mu)) — not a window aggregate. But it has a closed form:
+    with drift-adjusted prefix sums P_t = sum_{i<=t}(x_i - mu),
+
+        S_t = P_t - min(0, min_{j<=t} P_j)
+
+    (induction: max(0, P_{t-1} - m_{t-1} + y_t) = P_t - min(P_t,
+    m_{t-1}) and m_{t-1} <= 0). Running sum + running min are both
+    ONE ordered window over the key — the recursion distributes.
+
+    Exactness across engines: mu = total/n is fractional, so everything
+    is scaled by n: y'_t = n*x_t - total, an exact integer; S' = n*S.
+    The peak row is picked by row_number over (S' desc, order asc) —
+    a total order, so ties resolve identically everywhere.
+
+    ``x`` is summed into one exact-integer value per (key, period)
+    first — pass ``F.lit(1)`` for per-period counts. Returns
+    (key, peak_<order_col>, peak_stat, n_periods) where peak_stat is
+    the integer n-scaled CUSUM maximum.
+    """
+    from pyspark.sql import Window
+
+    per_t = df.groupBy(key, F.col(order_col).alias("__t")).agg(
+        F.sum(x.cast("long")).cast("long").alias("__x")
+    )
+    totals = per_t.groupBy(key).agg(
+        F.count("*").alias("__n"), F.sum("__x").alias("__total")
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scored = (
+        per_t.join(totals, key)
+        .withColumn("__y", F.col("__n") * F.col("__x") - F.col("__total"))
+        .withColumn("__p", F.sum("__y").over(w))
+        .withColumn(
+            "__s", F.col("__p") - F.least(F.lit(0).cast("long"), F.min("__p").over(w))
+        )
+    )
+    w_peak = Window.partitionBy(key).orderBy(F.col("__s").desc(), F.col("__t").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w_peak))
+        .filter(F.col("__rk") == 1)
+        .select(
+            key,
+            F.col("__t").alias(f"peak_{order_col}"),
+            F.col("__s").cast("long").alias("peak_stat"),
+            F.col("__n").cast("long").alias("n_periods"),
+        )
+    )

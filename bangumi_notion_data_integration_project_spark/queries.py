@@ -4327,76 +4327,164 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_setsim_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set similarity self-join with PPJoin prefix filtering
+    (operators/dedup.setsim_prefix_pairs): the lossless candidate tier
+    between MinHash-LSH (probabilistic) and the full inverted index.
+    The oracle computes the identical pair set from the unfiltered
+    inverted index — hash equality PROVES the prefix filter lossless on
+    this corpus. Rational threshold 7/10 keeps the accept test integer."""
+    from .operators.dedup import setsim_prefix_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return setsim_prefix_pairs(d, "text", "doc_id", tau_num=7, tau_den=10).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_docs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric doc-inside-doc near-dup detection
+    (operators/dedup.containment_pairs): directed shingle containment
+    |S(A)∩S(B)|/|S(A)| >= 4/5 — the dedup decision symmetric Jaccard
+    cannot make (a page quoting a whole paragraph dilutes Jaccard with
+    its own size but containment of the paragraph stays ~1)."""
+    from .operators.dedup import containment_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(d, "text", "doc_id", shingle_n=3).orderBy(
+        "contained_id", "container_id"
+    )
+
+
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type over daily counts
+    (operators/stats.cusum_peaks): the sequential-detection recursion
+    S_t = max(0, S_{t-1} + x_t − μ) rewritten to its running-sum /
+    running-min closed form so it distributes as ONE ordered window —
+    and scaled by n_days so every statistic is an exact integer the
+    oracle reproduces bit-for-bit."""
+    from .operators.stats import cusum_peaks
+
+    e = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return cusum_peaks(e, "event_type", "day", F.lit(1)).orderBy("event_type")
+
+
+def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity continuous aggregate (operators/rollup.py):
+    day partials from ONE raw scan, week and month derived from the
+    day partials — the hypertable-rollup maintenance shape. Values
+    ride as exact integer cents so partial re-aggregation is
+    associative and engine-exact."""
+    from .operators.rollup import hierarchical_time_rollup
+
+    e = load_table(spark, sf_dir, "events")
+    return hierarchical_time_rollup(
+        e, "ts", F.round(F.col("value") * 100, 0)
+    ).orderBy("grain", "bucket_start")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks a
-# strict 50-entry prefix of this dict (CORRECTNESS_r03.json == first 50
-# entries exactly), so the round-4 front carries, in order: (a) every
-# query whose implementation changed in round 3 but fell outside the r3
-# window (the merge/SCD2 rewrite, simhash/multimodal/similarity touches,
-# plus the 4 entries the mis-placed r3 boundary pushed out), (b) the
-# queries touched again in round 4 (components convergence flag, vector
-# dot-product rework, pack/bin guard), then the 12 queries NEW in the
-# round-4 continuation (sweep ×2, funnel ×2, gap fill, anomaly,
-# weighted sample, table-diff, PageRank, lift, bigrams, quantize — no
-# driver row exists yet, so they outrank refreshes), (c) the stalest
-# green rows — r1-only, then most of the r2-green set. Everything
-# behind the boundary holds an r2 or r3 driver row for unchanged code;
-# the handful of r2-refresh candidates the r4 additions displaced sit
-# directly after the boundary.
+# strict 50-entry prefix of this dict. The round-5 front carries, in
+# order: (a) the 11 round-4 eighth-batch queries that never received a
+# driver row (mirror-green in MIRROR_r04 and independently re-verified
+# by the r4 judge — the r4 verdict's top ask), (b) the queries NEW in
+# round 5 (prefix-filter set-similarity join, asymmetric containment
+# dedup, closed-form CUSUM change-point, hierarchical time rollup) —
+# never driver-checked, so they outrank every refresh, (c) the stalest
+# green refreshes, oldest driver row first: the r1-green set, then the
+# refresh candidates displaced from previous windows (r2/r3 rows), then
+# the r2-green set. Everything behind the boundary holds an r4 driver
+# row (the whole r4 window re-verified green in CORRECTNESS_r04) or an
+# r2/r3 row for code unchanged since.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- (a) changed in r3, not driver-checked since: merge rewrite
-    #    (45f1041/da99b9d/39df0eb), dedup/simhash lane packing,
-    #    similarity multi-probe (78effca), multimodal decode plumbing
+    # -- (a) r4 eighth batch: mirror-green, never driver-checked
+    "events_markov": q_events_markov,
+    "revenue_gini": q_revenue_gini,
+    "docs_lang_confusion": q_docs_lang_confusion,
+    "orders_seasonal": q_orders_seasonal,
+    "incremental_agg_cdc": q_incremental_agg_cdc,
+    "orders_mad": q_orders_mad,
+    "docs_curriculum": q_docs_curriculum,
+    "events_attribution_decay": q_events_attribution_decay,
+    "events_freshness": q_events_freshness,
+    "brand_concentration": q_brand_concentration,
+    "events_inter_arrival": q_events_inter_arrival,
+    # -- (b) NEW in r5: PPJoin prefix-filter set-similarity (lossless
+    #    vs the oracle's full inverted index), asymmetric containment
+    #    near-dup, CUSUM change-point in closed window form,
+    #    hypertable-style hierarchical time rollup
+    "docs_setsim_prefix": q_docs_setsim_prefix,
+    "docs_containment": q_docs_containment,
+    "events_cusum": q_events_cusum,
+    "events_time_rollup": q_events_time_rollup,
+    # -- (c) stalest refreshes: r1-only driver rows, unchanged code
+    "dedup_latest_by_key": q_dedup_latest_by_key,
+    "union_all_counts": q_union_all_counts,
+    "cross_join_dims": q_cross_join_dims,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "docs_repetition": q_docs_repetition,
+    "orders_price_histogram": q_orders_price_histogram,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_norms": q_embedding_norms,
+    "orders_cube": q_orders_cube,
+    "running_revenue": q_running_revenue,
+    "latest_event_per_type": q_latest_event_per_type,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    # -- refresh candidates displaced from the r3/r4 windows (r2/r3
+    #    rows; their changed-code paths hold fresher in-window
+    #    evidence via the composites named in the r4 comments)
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "event_sliding_window": q_event_sliding_window,
+    "orders_scd2": q_orders_scd2,
+    "dedup_components": q_dedup_components,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    # -- r2-green refreshes, unchanged code
+    "purchases_after_click": q_purchases_after_click,
+    "filtered_revenue": q_filtered_revenue,
+    "docs_pii_scrub": q_docs_pii_scrub,
+    "salted_skew_join": q_salted_skew_join,
+    "name_edit_distance": q_name_edit_distance,
+    "price_percentiles": q_price_percentiles,
+    "summary_grouping_sets": q_summary_grouping_sets,
+    "docs_hash_sample": q_docs_hash_sample,
+    "docs_group_quota": q_docs_group_quota,
+    "docs_quality_bins": q_docs_quality_bins,
+    "vocab_topk": q_vocab_topk,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "customers_without_orders": q_customers_without_orders,
+    "lineitem_unpivot": q_lineitem_unpivot,
+    "suppliers_per_region": q_suppliers_per_region,
+    # --------- driver checked-window boundary (position 50) ---------
+    # -- the entire r4 window: every entry below through
+    #    embedding_kmeans holds a green r4 driver row
     "merge_updates": q_merge_updates,
     "dedup_near_pipeline": q_dedup_near_pipeline,
     "docs_tfidf_topk": q_docs_tfidf_topk,
     "minhash_lsh_verified": q_minhash_lsh_verified,
     "embedding_near_dup": q_embedding_near_dup,
     "dedup_bow": q_dedup_bow,
-    # -- new in r4 (fourth batch): the distributed PCA split — exact
-    #    fixed-point covariance (hash-checked) + driver-side eig
-    #    spectrum (rows-only, numpy-differential-tested). Displace the
-    #    image/video refreshes: their r3-changed module already holds
-    #    r3-green driver rows via multimodal_features/audio_segments
     "embedding_covariance": q_embedding_covariance,
     "embedding_pca_variance": q_embedding_pca_variance,
-    # -- new in r4 (fifth batch): analytic-window battery + set-op
-    #    surface. Displace the ann recall refreshes: r2-green rows,
-    #    unchanged semantics, and their _topk siblings hold r3 rows
     "orders_window_battery": q_orders_window_battery,
     "customer_set_ops": q_customer_set_ops,
-    # -- new in r4 (sixth batch): SCD2 point-in-time read. Displaces
-    #    event_sliding_window: its NTZ-fix code path is evidenced
-    #    in-window by events_session_window/event_window_agg r3 rows
     "orders_scd2_asof": q_orders_scd2_asof,
-    # -- new in r4 (seventh batch): quality-keeper dedup decision,
-    #    Wilson reliability ranking, Pareto revenue curve. Displaced:
-    #    orders_scd2 (its full code path runs INSIDE orders_scd2_asof),
-    #    dedup_components (dedup_keep_best re-verifies the same closure
-    #    via the recursive-CTE oracle), embedding_dup_pairs (similarity
-    #    rework evidenced by similarity_bruteforce + ann topk rows)
     "dedup_keep_best": q_dedup_keep_best,
     "supplier_wilson": q_supplier_wilson,
     "revenue_pareto": q_revenue_pareto,
-    # -- new in r4 (third batch): Benford audit, gap-aware dyadic EWMA,
-    #    Misra-Gries exact heavy hitters — never driver-checked, so they
-    #    displace the r1-green rotation trio (dedup_latest_by_key,
-    #    union_all_counts, cross_join_dims: unchanged code, green rows)
     "orders_benford": q_orders_benford,
     "events_ewma": q_events_ewma,
     "docs_frequent_tokens": q_docs_frequent_tokens,
-    # -- (b) changed in r4: components convergence flag, dot-product
-    #    rework (similarity family), pack_into_bins shard guard
     "docs_pack_bins": q_docs_pack_bins,
     "similarity_bruteforce": q_similarity_bruteforce,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    # -- new in r4 (continuation): interval sweep, funnel, resample,
-    #    anomaly, weighted sample, reconciliation, graph rank, basket —
-    #    no driver row yet, so they outrank stale-green refreshes
     "events_max_concurrency": q_events_max_concurrency,
     "events_max_concurrency_2p": q_events_max_concurrency_2p,
     "events_funnel": q_events_funnel,
@@ -4418,88 +4506,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bm25_topk": q_docs_bm25_topk,
     "events_attribution": q_events_attribution,
     "parts_triangles": q_parts_triangles,
-    # -- new in r4 (second batch): CDC replay, exact-moment OLS +
-    #    correlation matrix, path mining, RFM, k-core — no driver row
-    #    yet, so they outrank every refresh
     "cdc_apply_orders": q_cdc_apply_orders,
     "lineitem_regression": q_lineitem_regression,
     "lineitem_correlations": q_lineitem_correlations,
     "events_top_paths": q_events_top_paths,
     "customer_rfm": q_customer_rfm,
     "parts_kcore": q_parts_kcore,
-    # -- new in r4: salted two-phase window top-k + hash-checked k-means
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
-    # --------- driver checked-window boundary (position 50) ---------
-    # -- new in r4 (eighth batch) but OUTSIDE the full window: every
-    #    pre-boundary slot holds a never-checked query or a changed-code
-    #    refresh; these two carry mirror evidence (MIRROR_r04) and are
-    #    first in line for the r5 window
-    "events_markov": q_events_markov,
-    "revenue_gini": q_revenue_gini,
-    "docs_lang_confusion": q_docs_lang_confusion,
-    "orders_seasonal": q_orders_seasonal,
-    "incremental_agg_cdc": q_incremental_agg_cdc,
-    "orders_mad": q_orders_mad,
-    "docs_curriculum": q_docs_curriculum,
-    "events_attribution_decay": q_events_attribution_decay,
-    "events_freshness": q_events_freshness,
-    "brand_concentration": q_brand_concentration,
-    "events_inter_arrival": q_events_inter_arrival,
-    # -- multimodal decode refreshes displaced by the PCA pair (same
-    #    module evidenced in-window by multimodal_features r3 rows)
+    # -- r3-or-better rows, unchanged code
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
-    # -- ann recall refreshes displaced by the fifth batch
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "ann_ivf_recall": q_ann_ivf_recall,
-    # -- sliding-window refresh displaced by the sixth batch
-    "event_sliding_window": q_event_sliding_window,
-    # -- displaced by the seventh batch (code paths re-verified by the
-    #    in-window composites listed above)
-    "orders_scd2": q_orders_scd2,
-    "dedup_components": q_dedup_components,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    # -- r1-green rotation trio displaced by the third-batch additions
-    "dedup_latest_by_key": q_dedup_latest_by_key,
-    "union_all_counts": q_union_all_counts,
-    "cross_join_dims": q_cross_join_dims,
-    # -- (c) stalest green refreshes (r1-only driver rows, unchanged
-    #    code) displaced past the boundary by the 6 second-batch
-    #    additions — new queries outrank refreshes of green code
-    "text_token_stats": q_text_token_stats,
-    "text_quality": q_text_quality,
-    "text_lang_id": q_text_lang_id,
-    "docs_repetition": q_docs_repetition,
-    "orders_price_histogram": q_orders_price_histogram,
-    "doc_fingerprint": q_doc_fingerprint,
-    # -- r1-green refresh candidates displaced by the 5 late-r4
-    #    additions (bloom/line-scrub/bm25/attribution/triangles
-    #    outrank refreshes of unchanged code)
-    "embedding_norms": q_embedding_norms,
-    "orders_cube": q_orders_cube,
-    "running_revenue": q_running_revenue,
-    "latest_event_per_type": q_latest_event_per_type,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    # -- r2-green refresh candidates displaced by the r4 additions
-    #    (unchanged code, green r2 rows — lowest refresh priority)
-    "purchases_after_click": q_purchases_after_click,
-    "filtered_revenue": q_filtered_revenue,
-    "docs_pii_scrub": q_docs_pii_scrub,
-    "salted_skew_join": q_salted_skew_join,
-    "name_edit_distance": q_name_edit_distance,
-    "price_percentiles": q_price_percentiles,
-    "summary_grouping_sets": q_summary_grouping_sets,
-    "docs_hash_sample": q_docs_hash_sample,
-    "docs_group_quota": q_docs_group_quota,
-    "docs_quality_bins": q_docs_quality_bins,
-    "vocab_topk": q_vocab_topk,
-    "orders_above_cust_avg": q_orders_above_cust_avg,
-    "customers_without_orders": q_customers_without_orders,
-    "lineitem_unpivot": q_lineitem_unpivot,
-    "suppliers_per_region": q_suppliers_per_region,
     "decontaminate_overlap": q_decontaminate_overlap,
-    # -- r2-green remainder, unchanged
     "parts_skyline": q_parts_skyline,
     "incremental_agg_merge": q_incremental_agg_merge,
     "events_retention": q_events_retention,
@@ -4520,7 +4538,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_qty_revenue": q_small_qty_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "min_cost_supplier": q_min_cost_supplier,
-    # -- r3-green (freshest driver rows, first 50 of the r3 registry)
     "market_share": q_market_share,
     "important_parts": q_important_parts,
     "late_shipment_priority": q_late_shipment_priority,
@@ -7195,4 +7212,103 @@ ORACLES["docs_frequent_tokens"] = r"""
     FROM t GROUP BY token
     HAVING count(*) > CAST(0.002 AS DOUBLE) * (SELECT total FROM n)
     ORDER BY n_occurrences DESC, token
+"""
+
+ORACLES["docs_setsim_prefix"] = r"""
+    WITH tk2 AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) - 2, 0) + 1),
+               i -> concat(
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')[i], ' ',
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')[i+1], ' ',
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')[i+2])))) AS token
+      FROM documents
+    ), sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tk2 GROUP BY doc_id
+    ), inter AS (
+      -- full inverted index (no prefix filter): the Spark side's prefix
+      -- filter is lossless, so the result sets must be identical
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM tk2 a JOIN tk2 b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = id_a
+    JOIN sz sb ON sb.doc_id = id_b
+    WHERE n_common * 17 >= 7 * (sa.n + sb.n)
+    ORDER BY id_a, id_b
+"""
+
+ORACLES["docs_containment"] = r"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) - 2, 0) + 1),
+               i -> concat(
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')[i], ' ',
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')[i+1], ' ',
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')[i+2])))) AS s
+      FROM documents
+    ), sz AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT contained_id, container_id, n_common,
+           round(CAST(n_common AS DOUBLE) / sa.n, 6) AS containment
+    FROM inter JOIN sz sa ON sa.doc_id = contained_id
+    WHERE n_common * 5 >= 4 * sa.n
+    ORDER BY contained_id, container_id
+"""
+
+ORACLES["events_cusum"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ), p AS (
+      SELECT d.event_type, d.day, t.n,
+             CAST(sum(t.n * d.x - t.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pf
+      FROM daily d JOIN tot t USING (event_type)
+    ), s AS (
+      SELECT event_type, day, n,
+             pf - least(CAST(0 AS BIGINT), CAST(min(pf) OVER (
+               PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS stat
+      FROM p
+    )
+    SELECT event_type, day AS peak_day, CAST(stat AS BIGINT) AS peak_stat,
+           CAST(n AS BIGINT) AS n_periods
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                    ORDER BY stat DESC, day ASC) AS rk FROM s)
+    WHERE rk = 1 ORDER BY event_type
+"""
+
+ORACLES["events_time_rollup"] = """
+    WITH day AS (
+      SELECT CAST(ts AS DATE) AS bucket_start,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1
+    )
+    SELECT 'day' AS grain, bucket_start, n_events, value_cents FROM day
+    UNION ALL
+    SELECT 'week', date_trunc('week', bucket_start),
+           CAST(sum(n_events) AS BIGINT), CAST(sum(value_cents) AS BIGINT)
+    FROM day GROUP BY 2
+    UNION ALL
+    SELECT 'month', date_trunc('month', bucket_start),
+           CAST(sum(n_events) AS BIGINT), CAST(sum(value_cents) AS BIGINT)
+    FROM day GROUP BY 2
+    ORDER BY grain, bucket_start
 """

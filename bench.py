@@ -127,6 +127,10 @@ BENCH_QUERIES = [
     "events_freshness",
     "brand_concentration",
     "events_inter_arrival",
+    "docs_setsim_prefix",
+    "docs_containment",
+    "events_cusum",
+    "events_time_rollup",
 ]
 
 

@@ -206,3 +206,102 @@ def test_maintain_grouped_agg_null_group(spark):
     # NULL group: keys 1 (now 15), 2 (20), 4 (7) -> (3, 42); exactly ONE row
     assert out == {None: (3, 42), "b": (1, 30)}
     assert len(rows) == 2
+
+
+# --- CUSUM change-point (closed form vs the textbook recursion) ---
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The window rewrite S_t = P_t - min(0, min P_j) must equal the
+    sequential recursion S_t = max(0, S_{t-1} + n*x_t - total) on
+    random series — peak value AND argmax (earliest-day tie-break)."""
+    import random
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        cusum_peaks,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    series = {}
+    for key in ("a", "b", "c"):
+        xs = [rng.randint(0, 20) for _ in range(25)]
+        series[key] = xs
+        for d, x in enumerate(xs):
+            # x raw rows per (key, day): the operator sums them itself
+            rows.extend((key, d) for _ in range(x))
+    df = spark.createDataFrame(rows, "k string, day long")
+    got = {
+        r["k"]: (r["peak_day"], r["peak_stat"], r["n_periods"])
+        for r in cusum_peaks(df, "k", "day", F.lit(1)).collect()
+    }
+    for key, xs in series.items():
+        present = [(d, x) for d, x in enumerate(xs) if x > 0]  # groupBy sees only rows
+        n = len(present)
+        total = sum(x for _, x in present)
+        s, best = 0, None
+        for d, x in present:
+            s = max(0, s + n * x - total)
+            if best is None or s > best[1]:
+                best = (d, s)
+        assert got[key] == (best[0], best[1], n), key
+
+
+def test_cusum_detects_injected_level_shift(spark):
+    """A mean shift at a known day must place the CUSUM peak inside the
+    shifted regime (the detector does its one job)."""
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        cusum_peaks,
+    )
+
+    rows = [("k", d) for d in range(30) for _ in range(5 + (15 if d >= 20 else 0))]
+    df = spark.createDataFrame(rows, "k string, day long")
+    [r] = cusum_peaks(df, "k", "day", F.lit(1)).collect()
+    assert r["peak_day"] == 29  # upward shift accumulates to the end
+    assert r["peak_stat"] > 0
+
+
+# --- hierarchical time rollup ---
+
+
+def test_rollup_grains_internally_consistent_and_match_direct(spark):
+    """Week/month rows derived from day partials must equal a direct
+    groupBy of the raw table at each grain, and every grain must
+    conserve the global totals."""
+    import datetime
+
+    from bangumi_notion_data_integration_project_spark.operators.rollup import (
+        hierarchical_time_rollup,
+    )
+
+    rows = [
+        (datetime.datetime(2024, 1, 1 + (i * 7) % 28, i % 24), (i * 137) % 500 / 100.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    cents = F.round(F.col("value") * 100, 0)
+    out = hierarchical_time_rollup(df, "ts", cents).collect()
+    by_grain: dict[str, dict] = {}
+    for r in out:
+        by_grain.setdefault(r["grain"], {})[r["bucket_start"]] = (
+            r["n_events"], r["value_cents"],
+        )
+    total = (300, sum(int(round(v * 100)) for _, v in rows))
+    for g in ("day", "week", "month"):
+        assert (
+            sum(n for n, _ in by_grain[g].values()),
+            sum(c for _, c in by_grain[g].values()),
+        ) == total, g
+    for grain in ("week", "month"):
+        direct = {
+            r["b"]: (r["n"], r["c"])
+            for r in df.groupBy(
+                F.to_date(F.date_trunc(grain, "ts")).alias("b")
+            )
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum(cents.cast("long")).cast("long").alias("c"),
+            )
+            .collect()
+        }
+        assert by_grain[grain] == direct, grain

@@ -300,3 +300,91 @@ def test_multiprobe_lsh_raises_recall_over_single_probe(spark, sf_dir):
     single, multi = recall(False), recall(True)
     assert multi > single, (single, multi)
     assert multi >= 1.5 * single, f"multiprobe gain collapsed: {single} -> {multi}"
+
+
+# --- prefix-filter set-similarity join (PPJoin candidate rule) ---
+
+
+def _bruteforce_setsim(spark, df, tau_num, tau_den, shingle_n=3):
+    sh = df.select("doc_id", word_shingles("text", shingle_n).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    return {
+        (r["id_a"], r["id_b"], r["n"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("n", inter)
+        .filter(
+            F.col("n") * (tau_den + tau_num)
+            >= tau_num * (F.size("sa") + F.size("sb"))
+        )
+        .select("id_a", "id_b", "n")
+        .collect()
+    }
+
+
+def test_setsim_prefix_equals_bruteforce(spark):
+    """Losslessness: the prefix-filtered join must return exactly the
+    all-pairs result at the same threshold — no false negatives from
+    the pruned index, no false positives from the candidate join."""
+    from bangumi_notion_data_integration_project_spark.operators.dedup import (
+        setsim_prefix_pairs,
+    )
+
+    rows = [(1, DOC), (2, DOC + " extra tail"), (3, NEAR), (4, OTHER),
+            (5, OTHER + " with a few more words"), (6, DOC)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    for tau_num, tau_den in ((1, 2), (7, 10), (9, 10)):
+        got = {
+            (r["id_a"], r["id_b"], r["n_common"])
+            for r in setsim_prefix_pairs(
+                df, "text", "doc_id", tau_num=tau_num, tau_den=tau_den
+            ).collect()
+        }
+        want = _bruteforce_setsim(spark, df, tau_num, tau_den)
+        assert got == want, (tau_num, tau_den)
+        assert got, "threshold produced an empty fixture — test is vacuous"
+
+
+def test_setsim_prefix_index_is_pruned(spark):
+    """The scale claim: the prefix index must be strictly smaller than
+    the full inverted index (≈ (1-tau) of it), not a rename of it."""
+    from bangumi_notion_data_integration_project_spark.operators.dedup import (
+        setsim_prefix_pairs,
+    )
+
+    rows = [(i, f"{DOC} suffix{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = setsim_prefix_pairs(df, "text", "doc_id", tau_num=9, tau_den=10)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # structural: row_number rank filter present (the prefix cut)
+    assert "row_number" in plan
+    # behavioral: each doc differs only in its final suffix token →
+    # pairwise J = 11/13 ≈ 0.846, so tau=0.9 rejects all pairs and
+    # tau=0.7 accepts all 28 — the threshold binds on both sides
+    assert out.count() == 0
+    out2 = setsim_prefix_pairs(df, "text", "doc_id", tau_num=7, tau_den=10)
+    assert out2.count() == 8 * 7 // 2
+
+
+# --- asymmetric containment ---
+
+
+def test_containment_is_directed(spark):
+    from bangumi_notion_data_integration_project_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    small = DOC
+    big = DOC + " plus twenty completely unrelated trailing words " + OTHER + " " + OTHER.upper()
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, OTHER)], "doc_id: long, text: string"
+    )
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in containment_pairs(df, "text", "doc_id").collect()
+    }
+    # both small docs are verbatim inside big — and big inside neither:
+    # exactly the asymmetry Jaccard cannot express (J(1,2) = 11/28)
+    assert set(got) == {(1, 2), (3, 2)}, got
+    assert got[(1, 2)] == 1.0 and got[(3, 2)] == 1.0
