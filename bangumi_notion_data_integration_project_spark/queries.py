@@ -4383,6 +4383,151 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grain", "bucket_start")
 
 
+def q_events_sequence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential association rules (order-constrained market basket):
+    for each ordered event-type pair (a → b), the number of users with
+    some a BEFORE some b, and the confidence among users who did a at
+    all. ``part_pairs_lift`` is the unordered co-occurrence version;
+    the temporal constraint here is what funnels/recommenders need.
+
+    Scale shape: ONE groupBy collapses the log to (user, type,
+    first_ts, last_ts) — 'a before b' for a user is exactly
+    first_ts(a) < last_ts(b), so the pair join fans out |types|² per
+    user (a bounded constant, 25 here), never |events|². No window, no
+    self-join of the raw log."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    a = per.select(
+        "user_id", F.col("event_type").alias("antecedent"), "first_ts"
+    )
+    b = per.select(
+        "user_id", F.col("event_type").alias("consequent"), "last_ts"
+    )
+    both = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("first_ts") < F.col("last_ts"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").cast("long").alias("n_users_both"))
+    )
+    na = per.groupBy(F.col("event_type").alias("antecedent")).agg(
+        F.count("*").cast("long").alias("n_users_ante")
+    )
+    return (
+        both.join(na, "antecedent")
+        .select(
+            "antecedent",
+            "consequent",
+            "n_users_both",
+            "n_users_ante",
+            F.round(F.col("n_users_both") / F.col("n_users_ante"), 6).alias(
+                "confidence"
+            ),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+def q_brand_monthly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue trend: OLS slope of monthly revenue (cents)
+    over a month index, fitted on the AGGREGATE series — the two-level
+    shape (fact table → per-period partials → tiny per-group fit) that
+    keeps the regression pass proportional to |brands × months|, not
+    |lineitem|. Moments stay exact integers end-to-end
+    (operators/stats.ols_fit)."""
+    from .operators.stats import ols_fit
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy(
+            "p_brand",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate")).alias("mi"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    fit = ols_fit(monthly, ["p_brand"], "mi", "rev_cents")
+    return fit.select(
+        "p_brand",
+        F.col("n").alias("n_months"),
+        F.round("slope", 4).alias("trend_cents_per_month"),
+        F.round("r2", 6).alias("r2"),
+    ).orderBy("p_brand")
+
+
+BIGRAM_VOCAB_K = 400
+
+
+def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score with add-one smoothing —
+    the step up from ``docs_unigram_logprob`` toward the real
+    perplexity-filter gate: per document, the mean
+    ln((c(w₋₁w)+1)/(c(w₋₁)+V)) over its bigrams, with the bigram and
+    unigram count tables capped at top-K and embedded as plan-literal
+    maps (counts integer, ln computed engine-side — the same parity
+    contract the unigram gate proved). V is the exact corpus distinct
+    token count. Bounded driver collects: K bigrams + K unigrams + one
+    scalar. Scoring is a per-row higher-order fold — zero joins against
+    a token-exploded fact table."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(tokens("text")) >= 2
+    )
+    toks = tokens("text")
+    tok_rows = d.select(F.explode(toks).alias("token"))
+    v_distinct = tok_rows.select("token").distinct().count()
+    uni = (
+        tok_rows.groupBy("token")
+        .count()
+        .orderBy(F.col("count").desc(), "token")
+        .limit(UNIGRAM_VOCAB_K)
+        .collect()
+    )
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    bi = (
+        d.select(F.explode(bg).alias("bigram"))
+        .groupBy("bigram")
+        .count()
+        .orderBy(F.col("count").desc(), "bigram")
+        .limit(BIGRAM_VOCAB_K)
+        .collect()
+    )
+    upairs: list = []
+    for r in uni:
+        upairs += [F.lit(r["token"]), F.lit(int(r["count"]))]
+    bpairs: list = []
+    for r in bi:
+        bpairs += [F.lit(r["bigram"]), F.lit(int(r["count"]))]
+    umap, bmap = F.create_map(*upairs), F.create_map(*bpairs)
+    prev_of = lambda g: F.element_at(F.split(g, " "), 1)  # noqa: E731
+    lp = lambda g: F.log(  # noqa: E731
+        (F.coalesce(bmap[g], F.lit(0)) + 1)
+        / (F.coalesce(umap[prev_of(g)], F.lit(0)) + F.lit(v_distinct))
+    )
+    score_sum = F.aggregate(bg, F.lit(0.0), lambda acc, g: acc + lp(g))
+    return d.select(
+        "doc_id",
+        F.size(bg).cast("long").alias("n_bigrams"),
+        F.round(score_sum / F.size(bg), 6).alias("avg_logprob"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4421,6 +4566,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_containment": q_docs_containment,
     "events_cusum": q_events_cusum,
     "events_time_rollup": q_events_time_rollup,
+    # -- NEW in r5 (second batch): order-constrained sequence rules,
+    #    two-level grouped trend fit, bigram-LM quality gate — never
+    #    driver-checked, so they displace the 3 lowest-priority
+    #    r2-green refreshes past the boundary
+    "events_sequence_rules": q_events_sequence_rules,
+    "brand_monthly_trend": q_brand_monthly_trend,
+    "docs_bigram_logprob": q_docs_bigram_logprob,
     # -- (c) stalest refreshes: r1-only driver rows, unchanged code
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "union_all_counts": q_union_all_counts,
@@ -4458,10 +4610,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_quality_bins": q_docs_quality_bins,
     "vocab_topk": q_vocab_topk,
     "orders_above_cust_avg": q_orders_above_cust_avg,
+    # --------- driver checked-window boundary (position 50) ---------
+    # -- r2-green refreshes displaced by the r5 second batch (new
+    #    queries outrank refreshes of unchanged green code)
     "customers_without_orders": q_customers_without_orders,
     "lineitem_unpivot": q_lineitem_unpivot,
     "suppliers_per_region": q_suppliers_per_region,
-    # --------- driver checked-window boundary (position 50) ---------
     # -- the entire r4 window: every entry below through
     #    embedding_kmeans holds a green r4 driver row
     "merge_updates": q_merge_updates,
@@ -7311,4 +7465,91 @@ ORACLES["events_time_rollup"] = """
            CAST(sum(n_events) AS BIGINT), CAST(sum(value_cents) AS BIGINT)
     FROM day GROUP BY 2
     ORDER BY grain, bucket_start
+"""
+
+ORACLES["events_sequence_rules"] = """
+    WITH per AS (
+      SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events GROUP BY 1, 2
+    ), ab AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             CAST(count(*) AS BIGINT) AS n_users_both
+      FROM per a JOIN per b
+        ON a.user_id = b.user_id
+       AND a.event_type <> b.event_type
+       AND a.first_ts < b.last_ts
+      GROUP BY 1, 2
+    ), na AS (
+      SELECT event_type AS antecedent, CAST(count(*) AS BIGINT) AS n_users_ante
+      FROM per GROUP BY 1
+    )
+    SELECT antecedent, consequent, n_users_both, n_users_ante,
+           round(CAST(n_users_both AS DOUBLE) / n_users_ante, 6) AS confidence
+    FROM ab JOIN na USING (antecedent)
+    ORDER BY antecedent, consequent
+"""
+
+ORACLES["brand_monthly_trend"] = """
+    WITH monthly AS (
+      SELECT p_brand,
+             year(l_shipdate) * 12 + month(l_shipdate) AS mi,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT p_brand,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(mi) AS HUGEINT) AS sx,
+             CAST(sum(rev_cents) AS HUGEINT) AS sy,
+             CAST(sum(CAST(mi AS HUGEINT) * mi) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(rev_cents AS HUGEINT) * rev_cents) AS HUGEINT) AS syy,
+             CAST(sum(CAST(mi AS HUGEINT) * rev_cents) AS HUGEINT) AS sxy
+      FROM monthly GROUP BY p_brand
+    ), fit AS (
+      SELECT p_brand, n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS numd,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS dxd,
+             CAST(n * syy - sy * sy AS DOUBLE) AS dyd
+      FROM m
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_months,
+           round(slope, 4) AS trend_cents_per_month,
+           round(numd * numd / (dxd * dyd), 6) AS r2
+    FROM fit ORDER BY p_brand
+"""
+
+ORACLES["docs_bigram_logprob"] = r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 2
+    ), tok AS (
+      SELECT doc_id, unnest(tk) AS token FROM d
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                    i -> concat(tk[i], ' ', tk[i+1]))) AS bigram
+      FROM d
+    ), vd AS (
+      SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tok
+    ), uni AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok
+      GROUP BY token ORDER BY c DESC, token LIMIT 200
+    ), bivocab AS (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS c FROM bg
+      GROUP BY bigram ORDER BY c DESC, bigram LIMIT 400
+    )
+    SELECT bg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(CAST(coalesce(bv.c, 0) + 1 AS DOUBLE)
+                        / (coalesce(u.c, 0) + vd.v))), 6) AS avg_logprob
+    FROM bg
+    CROSS JOIN vd
+    LEFT JOIN bivocab bv ON bg.bigram = bv.bigram
+    LEFT JOIN uni u ON string_split(bg.bigram, ' ')[1] = u.token
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
 """

@@ -131,6 +131,9 @@ BENCH_QUERIES = [
     "docs_containment",
     "events_cusum",
     "events_time_rollup",
+    "events_sequence_rules",
+    "brand_monthly_trend",
+    "docs_bigram_logprob",
 ]
 
 

@@ -1,0 +1,180 @@
+"""Dedup scaling probe at CONSTANT duplicate fraction.
+
+The main ``scale_probe.py`` 10× corpus repeats document BODIES, so true
+duplicate pairs grow quadratically per group and the dedup family's
+ratios measure output blowup, not plan quality. This probe scales the
+corpus with a FIXED duplicate rate instead:
+
+- documents: copy ``i`` suffixes EVERY token with ``_c{i}`` — a
+  bijection on the token alphabet, so every intra-copy similarity
+  (exact dup, BoW dup, shingle Jaccard, containment) is preserved
+  EXACTLY, while cross-copy pairs share zero tokens and can never
+  pair. True pairs therefore grow exactly linearly: S copies → S× the
+  base pair count.
+- embeddings: copy ``i`` flips the sign of dimension ``j`` where
+  ``xxhash64(i, j)`` is odd — an orthogonal transform shared within
+  the copy (all intra-copy cosines and norms exactly preserved) and
+  pseudo-random across copies, i.e. copies behave like independent
+  fresh data. NOTE: for threshold-pair queries over independent
+  vectors the true pair count is background density — quadratic in N
+  by nature — so those queries are judged on time-vs-pairs, not the
+  linear invariant (see BACKGROUND_DENSITY).
+
+BOTH scales (1× and S×) are built with the same construction, so the
+wall-clock ratio is apples-to-apples; output row counts are recorded
+and the linear-pairs invariant (rows(S×) == S * rows(1×)) is checked
+per query, proving the duplicate fraction really was held constant.
+
+Run: python tools/scale_probe_dedup.py     (takes ~3-5 min)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bangumi_notion_data_integration_project_spark.catalog import load_table  # noqa: E402
+from bangumi_notion_data_integration_project_spark.queries import QUERIES  # noqa: E402
+from bangumi_notion_data_integration_project_spark.session import get_spark  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULT = 10
+SECTION = "## Dedup at constant duplicate fraction"
+# the pair-producing dedup/near-dup family (documents + embeddings only).
+# dedup_keep_best is deliberately absent: it reads a FIXED doc_id<200
+# slice, so its input never scales and a ratio would be meaningless.
+PROBED = [
+    "dedup_exact",
+    "dedup_bow",
+    "minhash_lsh_verified",
+    "dedup_near_pipeline",
+    "docs_setsim_prefix",
+    "docs_containment",
+    "embedding_near_dup",
+    "simhash_docs",
+]
+# Queries whose output is NOT planted duplicates but background pair
+# density: cosine-threshold pairs between INDEPENDENT vectors occur at
+# a fixed per-pair probability, so the true count is ~quadratic in N
+# for any honest scaling (fresh data behaves the same way). The linear
+# invariant does not apply; the informative number is time vs pairs.
+BACKGROUND_DENSITY = {"embedding_near_dup"}
+
+
+def build_corpus(spark, out_dir: str, n_copies: int) -> None:
+    """documents + embeddings only — the tables the probed family reads."""
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, BASE, "documents")
+    doc_off = (docs.agg(F.max("doc_id")).first()[0] or 0) + 1
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * doc_off)).withColumn(
+            "text", F.regexp_replace("text", r"(\S+)", f"$1_c{i}")
+        )
+        for i in range(n_copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    emb = load_table(spark, BASE, "embeddings")
+    vec_off = (emb.agg(F.max("vec_id")).first()[0] or 0) + 1
+    idx = F.sequence(F.lit(0), F.size("embedding") - 1)
+    def flipper(i: int):
+        # factory (not a default-arg lambda): zip_with introspects the
+        # callable's arity and must see exactly two parameters
+        return lambda v, j: F.when(
+            F.pmod(F.xxhash64(F.lit(i), j), 2) == 0, v
+        ).otherwise(-v)
+
+    eparts = []
+    for i in range(n_copies):
+        flip = flipper(i)
+        eparts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * vec_off)).withColumn(
+                "embedding", F.zip_with("embedding", idx, flip)
+            )
+        )
+    eout = eparts[0]
+    for p in eparts[1:]:
+        eout = eout.unionByName(p)
+    eout.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def probe(spark, sf_dir: str) -> dict[str, tuple[float, int]]:
+    out = {}
+    for name in PROBED:
+        def run():
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+        run()  # warm codegen for this plan
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        n = QUERIES[name](spark, sf_dir).count()
+        out[name] = (dt, n)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scale_probe_dedup")
+    root = os.path.join(os.path.dirname(__file__), "..", "spark-warehouse")
+    d1 = os.path.join(root, "_dedup1x")
+    d10 = os.path.join(root, f"_dedup{MULT}x")
+    build_corpus(spark, d1, 1)
+    build_corpus(spark, d10, MULT)
+    try:
+        r1 = probe(spark, d1)
+        r10 = probe(spark, d10)
+        lines = [
+            SECTION,
+            "",
+            f"`python tools/scale_probe_dedup.py`: corpus scaled {MULT}× with a",
+            "FIXED duplicate rate (per-copy token tagging / per-copy sign",
+            "flips — intra-copy similarities preserved exactly, cross-copy",
+            "pairs impossible), so true pairs grow exactly linearly and the",
+            "ratio is a clean plan-linearity number (vs the main table above,",
+            "where repeated bodies make dedup output quadratic by design).",
+            "",
+            "| query | 1× sec | 10× sec | ratio | rows 1× | rows 10× | linear-pairs |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for name in PROBED:
+            t1, n1 = r1[name]
+            t10, n10 = r10[name]
+            ratio = t10 / t1 if t1 > 0 else float("inf")
+            if name in BACKGROUND_DENSITY:
+                lin = f"background-density ({n10 / max(n1, 1):.0f}× pairs)"
+            elif n10 == MULT * n1:
+                lin = "exact"
+            else:
+                lin = f"**{n10} != {MULT}*{n1}**"
+            lines.append(
+                f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}× | {n1} | {n10} | {lin} |"
+            )
+        lines.append("")
+        md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
+        prev = ""
+        if os.path.exists(md_path):
+            with open(md_path) as f:
+                prev = f.read()
+        if SECTION in prev:  # replace our own section, keep everything else
+            start = prev.index(SECTION)
+            nxt = prev.find("\n## ", start + len(SECTION))
+            prev = prev[:start] + (prev[nxt + 1 :] if nxt >= 0 else "")
+        with open(md_path, "w") as f:
+            f.write(prev.rstrip("\n") + "\n\n" + "\n".join(lines) + "\n")
+        print("\n".join(lines))
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d10, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
