@@ -4396,8 +4396,10 @@ def q_events_sequence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     user (a bounded constant, 25 here), never |events|². No window, no
     self-join of the raw log."""
     e = load_table(spark, sf_dir, "events")
-    per = e.groupBy("user_id", "event_type").agg(
-        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    per = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .localCheckpoint(eager=False)  # feeds a, b, AND na: one log scan
     )
     a = per.select(
         "user_id", F.col("event_type").alias("antecedent"), "first_ts"

@@ -423,3 +423,60 @@ def test_ewma_no_range_join(spark):
     plan = _plan(spark, "events_ewma")
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_setsim_prefix_no_cartesian_all_equi(spark):
+    """PPJoin must stay equi-join shaped end-to-end: prefix-token join,
+    candidate-distinct, and the two verify joins — never a cartesian
+    or a non-equi nested loop, and the prefix cut (row_number rank
+    filter) must survive into the physical plan."""
+    plan = _plan(spark, "docs_setsim_prefix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "row_number" in plan
+
+
+def test_containment_no_cartesian_all_equi(spark):
+    plan = _plan(spark, "docs_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cusum_windows_are_key_partitioned(spark):
+    """Both ordered windows (prefix sum, running min) partition by the
+    key — no global single-partition sort anywhere in the plan."""
+    plan = _plan(spark, "events_cusum")
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Window .*?partitionBy=\[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "unpartitioned window in cusum plan"
+    assert "Window" in plan
+
+
+def test_time_rollup_is_join_free(spark):
+    """Hierarchical rollup: day partials + re-aggregations + union —
+    no join of any kind, every grain an algebraic aggregate."""
+    plan = _plan(spark, "events_time_rollup")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_sequence_rules_aggregates_before_join(spark):
+    """The pair join runs on the (user, type) aggregate, never on the
+    raw log: no cartesian, and the join keys are equi."""
+    plan = _plan(spark, "events_sequence_rules")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brand_trend_broadcasts_part_and_prunes_lineitem(spark):
+    plan = _plan(spark, "brand_monthly_trend")
+    assert "BroadcastHashJoin" in plan
+    li_schemas = [s for s in _read_schemas(plan) if "l_partkey" in s]
+    assert li_schemas and all(len(s.split(",")) == 4 for s in li_schemas), li_schemas
+
+
+def test_bigram_logprob_scoring_is_join_free(spark):
+    """Count maps ride as plan literals; the scored pass is a narrow
+    per-row fold over the token array — no join in the final plan."""
+    plan = _plan(spark, "docs_bigram_logprob")
+    assert "Join" not in plan

@@ -56,6 +56,13 @@ SHOWN = [
     ("docs_frequent_tokens", "Misra-Gries candidates + broadcast recount"),
     ("incremental_agg_cdc", "O(delta) view maintenance: touched-key semi join + retract/assert"),
     ("events_attribution_decay", "dyadic time-decay credit over the bucketed range join"),
+    ("docs_setsim_prefix", "PPJoin prefix-filter set-similarity join (lossless)"),
+    ("docs_containment", "asymmetric shingle-containment near-dup (directed)"),
+    ("events_cusum", "CUSUM change-point via running-sum/running-min closed form"),
+    ("events_time_rollup", "hierarchical day->week/month rollup from partials (join-free)"),
+    ("events_sequence_rules", "order-constrained rules: (user,type) aggregate before pair join"),
+    ("brand_monthly_trend", "two-level OLS: monthly partials then exact-moment fit"),
+    ("docs_bigram_logprob", "bigram-LM scoring, plan-literal count maps (join-free)"),
 ]
 
 
