@@ -4487,12 +4487,18 @@ def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens("text")) >= 2
     )
     toks = tokens("text")
-    tok_rows = d.select(F.explode(toks).alias("token"))
-    v_distinct = tok_rows.select("token").distinct().count()
-    uni = (
-        tok_rows.groupBy("token")
+    # one token-count pass feeds BOTH the exact V and the top-K vocab
+    # (eager checkpoint: the explode+groupBy shuffle runs once, the two
+    # driver actions read the materialized result)
+    tok_counts = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
         .count()
-        .orderBy(F.col("count").desc(), "token")
+        .localCheckpoint(eager=True)
+    )
+    v_distinct = tok_counts.count()
+    uni = (
+        tok_counts.orderBy(F.col("count").desc(), "token")
         .limit(UNIGRAM_VOCAB_K)
         .collect()
     )

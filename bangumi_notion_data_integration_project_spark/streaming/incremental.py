@@ -492,3 +492,102 @@ def stream_dedup(
     tiers: exact hash-groupBy, MinHash-LSH, SimHash)."""
     keys = keys or ["event_id"]
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def start_streaming_time_rollup(
+    stream: DataFrame,
+    rollup_dir: str,
+    *,
+    ts_col: str,
+    value_cents: "F.Column",
+    checkpoint_dir: str,
+):
+    """Streaming twin of ``operators/rollup.hierarchical_time_rollup``:
+    an incrementally-refreshed continuous aggregate. Each micro-batch
+    folds its day partials into the stored day table (O(days + touched
+    buckets), integer-exact because the measure is cents), and the
+    coarser grains are re-derived FROM THE DAY PARTIALS — never from a
+    raw-history re-scan, which a stream cannot replay anyway.
+
+    Idempotence: a sum-fold is NOT naturally idempotent (unlike the CDC
+    max_by fold), so the table carries a ``__batch_id`` watermark and a
+    replayed batch (checkpoint recovery re-delivers the last batch) is
+    detected as ``batch_id <= stored watermark`` and skipped — the
+    parquet promote and the checkpoint commit are not atomic together,
+    and without the guard a crash between them would double-count the
+    batch's values on restart. Steady-state keeps the watermark in the
+    driver (one read only on the recovery path, same pattern as the
+    CDC view).
+
+    Scale: the stored table is one row per (grain, bucket) — bounded by
+    the calendar, not the stream — so the whole-table rewrite per batch
+    is O(days); at warehouse scale partition by grain and route the day
+    fold through ``merge_into_partitioned``.
+    """
+    from ..operators.rollup import GRAINS
+
+    wm: dict[str, int | None] = {"v": None}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        have = recover_dir(rollup_dir)
+        old_day = None
+        if have:
+            stored = spark.read.parquet(rollup_dir)
+            bid = wm["v"]
+            if bid is None:  # cold cache → recovery path, read disk
+                bid = stored.agg(F.max("__batch_id")).first()[0]
+            if bid is not None and batch_id <= bid:
+                wm["v"] = bid
+                return  # checkpoint replay of an already-folded batch
+            old_day = stored.filter(F.col("grain") == "day").select(
+                "bucket_start", "n_events", "value_cents"
+            )
+        delta_day = batch.groupBy(F.to_date(ts_col).alias("bucket_start")).agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(value_cents.cast("long")).cast("long").alias("value_cents"),
+        )
+        day = (
+            delta_day
+            if old_day is None
+            else old_day.unionByName(delta_day)
+            .groupBy("bucket_start")
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("value_cents").cast("long").alias("value_cents"),
+            )
+        ).localCheckpoint(eager=True)  # read once per grain below
+        out = day.select(
+            F.lit("day").alias("grain"), "bucket_start", "n_events", "value_cents"
+        )
+        for grain in GRAINS[1:]:
+            out = out.unionByName(
+                day.groupBy(
+                    F.to_date(F.date_trunc(grain, "bucket_start")).alias(
+                        "bucket_start"
+                    )
+                )
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("value_cents").cast("long").alias("value_cents"),
+                )
+                .select(
+                    F.lit(grain).alias("grain"),
+                    "bucket_start",
+                    "n_events",
+                    "value_cents",
+                )
+            )
+        tmp = staging_path(rollup_dir)
+        out.withColumn("__batch_id", F.lit(batch_id)).write.mode("overwrite").parquet(
+            tmp
+        )
+        promote_dir(tmp, rollup_dir)
+        wm["v"] = batch_id
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

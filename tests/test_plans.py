@@ -13,6 +13,8 @@ import re
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from bangumi_notion_data_integration_project_spark.queries import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -480,3 +482,46 @@ def test_bigram_logprob_scoring_is_join_free(spark):
     per-row fold over the token array — no join in the final plan."""
     plan = _plan(spark, "docs_bigram_logprob")
     assert "Join" not in plan
+
+
+def test_aqe_replans_smj_to_broadcast_at_runtime(spark):
+    """The 'let Catalyst optimize' contract, runtime half: with static
+    broadcast disabled (as it would be when a planner cannot estimate a
+    filtered side), AQE must observe the true post-shuffle size of the
+    selective side and rewrite the SortMergeJoin into a broadcast join
+    at runtime — the mechanism our 100 TB plans lean on whenever a
+    filter collapses one side of a join."""
+    old_static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
+        )
+        from bangumi_notion_data_integration_project_spark.catalog import load_table
+
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        tiny = (
+            load_table(spark, SF_DIR, "orders")
+            .filter(F.col("o_totalprice") < 5000)  # selective: few rows
+            .select("o_orderkey", "o_orderpriority")
+        )
+        j = li.join(tiny, li.l_orderkey == tiny.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        static = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SortMergeJoin" in static, "fixture must start as SMJ"
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "BroadcastHashJoin" in final or "BroadcastQueryStage" in final, (
+            "AQE did not convert the join at runtime:\n" + final[:2000]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")

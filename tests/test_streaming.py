@@ -874,3 +874,78 @@ def test_streaming_cdc_view_repairs_after_crash_between_promotes(spark, tmp_path
     }
     assert got == want  # x: keys 3 (7); y: keys 1 (15) + 4 (9)
     assert want == {"x": (1, 7), "y": (2, 24)}
+
+
+def test_streaming_time_rollup_equals_batch(spark, tmp_path):
+    """Continuous-aggregate twin: after a 3-batch replay, the stored
+    (grain, bucket) table must equal the batch hierarchical rollup of
+    the concatenated input — day folded incrementally, week/month
+    re-derived from partials only."""
+    import random
+
+    from bangumi_notion_data_integration_project_spark.operators.rollup import (
+        hierarchical_time_rollup,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_time_rollup,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (
+            i,
+            f"2024-0{rng.randint(1, 2)}-{rng.randint(1, 28):02d} "
+            f"{rng.randint(0, 23):02d}:00:00",
+            1,
+            "e",
+            rng.randint(1, 9999) / 100.0,
+        )
+        for i in range(120)
+    ]
+    inp = str(tmp_path / "in")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in (rows[:40], rows[40:80], rows[80:]):
+        _write_batch(spark, inp, chunk)
+
+    q = start_streaming_time_rollup(
+        read_event_stream(spark, inp, SCHEMA),
+        rollup_dir,
+        ts_col="ts",
+        value_cents=F.round(F.col("value") * 100, 0),
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(180)
+
+    want = {
+        (r["grain"], r["bucket_start"]): (r["n_events"], r["value_cents"])
+        for r in hierarchical_time_rollup(
+            _rows(spark, rows), "ts", F.round(F.col("value") * 100, 0)
+        ).collect()
+    }
+    stored = spark.read.parquet(rollup_dir)
+    got = {
+        (r["grain"], r["bucket_start"]): (r["n_events"], r["value_cents"])
+        for r in stored.drop("__batch_id").collect()
+    }
+    assert got == want
+
+    # replay guard: wipe the CHECKPOINT (not the state) and re-run the
+    # whole input — every batch re-delivers with batch_id <= the stored
+    # watermark and must be skipped, or the sum-fold would double-count
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q2 = start_streaming_time_rollup(
+        read_event_stream(spark, inp, SCHEMA),
+        rollup_dir,
+        ts_col="ts",
+        value_cents=F.round(F.col("value") * 100, 0),
+        checkpoint_dir=ckpt,
+    )
+    q2.awaitTermination(180)
+    again = {
+        (r["grain"], r["bucket_start"]): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(rollup_dir).drop("__batch_id").collect()
+    }
+    assert again == want, "replayed batches double-counted into the rollup"
