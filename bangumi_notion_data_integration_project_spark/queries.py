@@ -4536,6 +4536,79 @@ def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BPE_N_MERGES = 4
+
+
+def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, the actual merge LOOP (operators/bpe.py):
+    4 rounds of count-pairs → pick-winner → fuse-corpus-wide over the
+    word-frequency table. The corpus is scanned once; each round runs
+    on the |vocab|-sized table with ONE bounded driver collect (the
+    winning pair — the k-means plan-literal pattern). The oracle
+    re-runs the identical 4 rounds as unrolled CTEs with the same
+    total-order tie-break, so the learned merges are hash-checked
+    cross-engine — an iterative ML training loop as a verifiable
+    query."""
+    from .operators.bpe import learn_bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(d, "text", BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_round int, pair string, pair_count long"
+    ).orderBy("merge_round")
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled n-round BPE oracle; each round = pair counts + arg-max
+    + 3-pass replace fuse, mirroring operators/bpe.py exactly.
+    Multiply-referenced CTEs are MATERIALIZED (memory: DuckDB inlines
+    them exponentially otherwise)."""
+    fuse = (
+        "replace(replace(replace(seq, {p}, {f}), {p}, {f}), {p}, {f})".format(
+            p="' ' || (SELECT pair FROM t{r}) || ' '",
+            f="' ' || (SELECT replace(pair, ' ', '') FROM t{r}) || ' '",
+        )
+    )
+    parts = [
+        r"""WITH wf AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents)
+      WHERE regexp_full_match(w, '[a-z]+')
+      GROUP BY w
+    ), s0 AS MATERIALIZED (
+      SELECT freq, ' ' || regexp_replace(w, '([a-z])', '\1 ', 'g') AS seq
+      FROM wf
+    )"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f""", p{r} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS c
+      FROM (
+        SELECT freq, sym[i] || ' ' || sym[i + 1] AS pair
+        FROM (SELECT freq, sym, unnest(range(1, len(sym))) AS i
+              FROM (SELECT freq, string_split(trim(seq), ' ') AS sym
+                    FROM s{r})))
+      GROUP BY pair
+    ), t{r} AS MATERIALIZED (
+      SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1
+    )"""
+        )
+        if r + 1 < n_merges:
+            parts.append(
+                f""", s{r + 1} AS MATERIALIZED (
+      SELECT freq, {fuse.format(r=r)} AS seq FROM s{r}
+    )"""
+            )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS merge_round, pair, c AS pair_count FROM t{r}"
+        for r in range(n_merges)
+    )
+    parts.append(f"\n    {sel}\n    ORDER BY merge_round")
+    return "".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -4581,6 +4654,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sequence_rules": q_events_sequence_rules,
     "brand_monthly_trend": q_brand_monthly_trend,
     "docs_bigram_logprob": q_docs_bigram_logprob,
+    # -- NEW in r5 (third batch): the BPE merge-training loop — an
+    #    iterative ML inner loop as a hash-checked query; displaces the
+    #    next-lowest r2-green refresh past the boundary
+    "docs_bpe_merges": q_docs_bpe_merges,
     # -- (c) stalest refreshes: r1-only driver rows, unchanged code
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "union_all_counts": q_union_all_counts,
@@ -4617,10 +4694,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_group_quota": q_docs_group_quota,
     "docs_quality_bins": q_docs_quality_bins,
     "vocab_topk": q_vocab_topk,
-    "orders_above_cust_avg": q_orders_above_cust_avg,
     # --------- driver checked-window boundary (position 50) ---------
-    # -- r2-green refreshes displaced by the r5 second batch (new
-    #    queries outrank refreshes of unchanged green code)
+    # -- r2-green refreshes displaced by the r5 second/third batches
+    #    (new queries outrank refreshes of unchanged green code)
+    "orders_above_cust_avg": q_orders_above_cust_avg,
     "customers_without_orders": q_customers_without_orders,
     "lineitem_unpivot": q_lineitem_unpivot,
     "suppliers_per_region": q_suppliers_per_region,
@@ -7561,3 +7638,5 @@ ORACLES["docs_bigram_logprob"] = r"""
     GROUP BY bg.doc_id
     ORDER BY bg.doc_id
 """
+
+ORACLES["docs_bpe_merges"] = _bpe_oracle(BPE_N_MERGES)

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "events_sequence_rules",
     "brand_monthly_trend",
     "docs_bigram_logprob",
+    "docs_bpe_merges",
 ]
 
 

@@ -138,3 +138,69 @@ def test_dot_product_arrow_matches_hof(spark):
     ).collect()
     for r in got:
         assert abs(r["hof"] - r["arrow"]) < 1e-9, r
+
+
+# --- BPE merge-training loop ---
+
+
+def _py_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python reference with the SAME semantics as operators/bpe.py:
+    Sennrich-style pair counts (all adjacent occurrences), total-order
+    tie-break (count desc, pair asc), 3-pass replace-scan fuse."""
+    seqs = {f" {' '.join(w)} ": f for w, f in word_freqs.items()}
+    merges = []
+    for r in range(n_merges):
+        counts: dict[str, int] = {}
+        for seq, f in seqs.items():
+            sym = seq.strip().split(" ")
+            for i in range(len(sym) - 1):
+                p = f"{sym[i]} {sym[i + 1]}"
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        merges.append((r, pair, counts[pair]))
+        fused = pair.replace(" ", "")
+        new: dict[str, int] = {}
+        for seq, f in seqs.items():
+            for _ in range(3):
+                seq = seq.replace(f" {pair} ", f" {fused} ")
+            new[seq] = new.get(seq, 0) + f
+        seqs = new
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark):
+    from bangumi_notion_data_integration_project_spark.operators.bpe import (
+        learn_bpe_merges,
+    )
+
+    corpus = [
+        "the cat sat on the mat",
+        "the hat and the bat",
+        "that cat that hat that",
+        "aaaa aaaa baaa",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    wf: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    want = _py_bpe(wf, 5)
+    got = learn_bpe_merges(df, "text", 5)
+    assert got == want, (got, want)
+    # sanity: 'at' dominates (cat/sat/mat/hat/bat/that all carry it)
+    assert got[0][1] == "a t", got
+    assert [m[1] for m in got[1:3]] == ["a a", "t h"], got
+
+
+def test_bpe_fuse_handles_boundary_sharing_runs(spark):
+    """' a b a b a b ' must fully fuse in the multi-pass replace —
+    the single-pass form leaves the middle occurrence unmerged."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.bpe import fuse
+
+    d = spark.createDataFrame([(" a b a b a b ",)], "seq string")
+    [r] = d.select(fuse(F.col("seq"), "a b").alias("f")).collect()
+    assert r["f"] == " ab ab ab "
