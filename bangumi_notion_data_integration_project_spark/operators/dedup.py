@@ -447,7 +447,10 @@ def setsim_prefix_pairs(
     shingles, and the rarest-first order means a hot boilerplate
     shingle enters a prefix only for docs where it is among the rarest
     — hot keys self-select OUT of the join, which is why this needs no
-    df_cap to survive skew. The threshold is a rational
+    df_cap to survive skew. Candidates additionally pass PPJoin's
+    length filter (``tau*max(|A|,|B|) <= min(|A|,|B|)``, implied by
+    the final Jaccard bound, checked in integers) so cross-size pairs
+    never reach the verify join. The threshold is a rational
     ``tau_num/tau_den`` so every comparison stays in integers:
     pairs need ``n_common*(den+num) >= num*(|A|+|B|)``, exactly the
     Jaccard bound with no float boundary flake.
@@ -469,10 +472,28 @@ def setsim_prefix_pairs(
     # prefix length L = sz - ceil(tau*sz) + 1; ceil via integer floor-div
     need = F.floor((F.col("__sz") * tau_num + tau_den - 1) / tau_den)
     prefix = ranked.filter(F.col("__rn") <= F.col("__sz") - need + 1)
+    # PPJoin's LENGTH filter: J(A,B) >= tau forces |∩| >= tau*|∪|, and
+    # with |∩| <= min(|A|,|B|), |∪| >= max(|A|,|B|) that means
+    # tau*max(|A|,|B|) <= min(|A|,|B|). The final Jaccard threshold
+    # already implies this, so dropping cross-size candidates BEFORE
+    # the verify join is free and lossless — it just prunes pairs the
+    # verify filter would reject anyway, before they pay the
+    # array_intersect.
     cand = (
-        prefix.select(F.col("__did").alias("id_a"), "token")
-        .join(prefix.select(F.col("__did").alias("id_b"), "token"), "token")
-        .filter(F.col("id_a") < F.col("id_b"))
+        prefix.select(F.col("__did").alias("id_a"), "token", F.col("__sz").alias("__sa"))
+        .join(
+            prefix.select(
+                F.col("__did").alias("id_b"), "token", F.col("__sz").alias("__sb")
+            ),
+            "token",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.greatest("__sa", "__sb") * tau_num
+                <= F.least("__sa", "__sb") * tau_den
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )
@@ -510,7 +531,6 @@ def containment_pairs(
     shingle_n: int = 3,
     tau_num: int = 4,
     tau_den: int = 5,
-    df_cap: int = 1000,
 ) -> DataFrame:
     """ASYMMETRIC near-dup detection: directed pairs where doc A's
     shingle set is mostly contained in doc B's —
@@ -519,34 +539,56 @@ def containment_pairs(
     that symmetric Jaccard misses: the big doc's denominator drowns
     the overlap.
 
-    Same inverted-index + ``df_cap`` hot-shingle guard as
-    :func:`inverted_index_pairs` (denominators use the TRUE uncapped
-    set size, so capping can only forfeit boilerplate-only pairs, never
-    mis-score a surviving one). The rational threshold keeps the filter
-    in integers: ``n_common * tau_den >= tau_num * |S(A)|``.
+    Candidate generation is a LOSSLESS contained-side prefix filter
+    (the containment analogue of :func:`setsim_prefix_pairs`'s PPJoin
+    rule): with A's shingles in the global rarest-first total order,
+    ``|A ∩ B| >= ceil(tau*|A|)`` forces at least one shared shingle
+    into A's first ``|A| - ceil(tau*|A|) + 1`` positions — otherwise
+    all shared shingles sit in the last ``ceil(tau*|A|) - 1`` slots,
+    one fewer than the overlap requires. Only A-prefixes are indexed;
+    the container side keeps its full posting list, and a globally hot
+    shingle self-selects OUT of prefixes (it is never among a doc's
+    rarest), so the candidate join's per-key fan-out stays bounded
+    without any df_cap. Surviving candidates are verified with
+    ``array_intersect`` on the FULL shingle sets, so n_common and
+    containment are exact — the earlier df_cap variant under-counted
+    n_common whenever a shared shingle's document frequency crossed
+    the cap, diverging from the full-index oracle. The rational
+    threshold keeps the filter in integers:
+    ``n_common * tau_den >= tau_num * |S(A)|``.
 
     Returns (contained_id, container_id, n_common, containment),
     directed, contained_id != container_id.
     """
-    sh = df.select(
+    sets = df.select(
         F.col(id_col).alias("__did"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("s"),
-    ).localCheckpoint(eager=False)
-    ok = sh.groupBy("s").agg(F.count("*").alias("__df")).filter(F.col("__df") <= df_cap)
-    idx = sh.join(ok.select("s"), "s", "left_semi")
-    inter = (
-        idx.select(F.col("__did").alias("contained_id"), "s")
-        .join(idx.select(F.col("__did").alias("container_id"), "s"), "s")
-        .filter(F.col("contained_id") != F.col("container_id"))
-        .groupBy("contained_id", "container_id")
-        .agg(F.count("*").cast("long").alias("n_common"))
+        word_shingles(text_col, shingle_n).alias("__set"),
+    ).localCheckpoint(eager=False)  # feeds prefix ranks, full index, verify
+    toks = sets.select("__did", F.explode("__set").alias("s"))
+    dfreq = toks.groupBy("s").agg(F.count("*").alias("__sdf"))
+    w_rank = Window.partitionBy("__did").orderBy("__sdf", "s")
+    ranked = (
+        toks.join(dfreq, "s")
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy("__did")))
     )
-    sizes = sh.groupBy("__did").agg(F.count("*").alias("__n"))
+    need = F.floor((F.col("__sz") * tau_num + tau_den - 1) / tau_den)  # ceil
+    prefix = ranked.filter(F.col("__rn") <= F.col("__sz") - need + 1)
+    cand = (
+        prefix.select(F.col("__did").alias("contained_id"), "s")
+        .join(toks.select(F.col("__did").alias("container_id"), "s"), "s")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .select("contained_id", "container_id")
+        .distinct()
+    )
+    a = sets.select(F.col("__did").alias("contained_id"), F.col("__set").alias("__ta"))
+    b = sets.select(F.col("__did").alias("container_id"), F.col("__set").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("long")
     return (
-        inter.join(
-            sizes.select(F.col("__did").alias("contained_id"), F.col("__n").alias("__na")),
-            "contained_id",
-        )
+        cand.join(a, "contained_id")
+        .join(b, "container_id")
+        .withColumn("n_common", inter)
+        .withColumn("__na", F.size("__ta").cast("long"))
         .filter(F.col("n_common") * tau_den >= tau_num * F.col("__na"))
         .select(
             "contained_id",

@@ -65,3 +65,99 @@ def hierarchical_time_rollup(
         )
         out = out.unionByName(coarse)
     return out
+
+
+def rollup_refresh_delta(
+    stored_rollup: DataFrame | None,
+    delta: DataFrame,
+    ts_col: str,
+    value_cents: Column,
+    *,
+    grains: tuple[str, ...] = GRAINS,
+) -> DataFrame:
+    """O(touched) continuous-aggregate refresh: the REPLACEMENT rows
+    for only the (grain, bucket) buckets the delta touches.
+
+    A late event touches one day partial; the day row re-folds from
+    (stored day row + delta partial), and each coarser grain rebuilds
+    ONLY its touched buckets — from the updated day partials, never
+    from raw history. Cost is O(|touched days| + |days inside touched
+    weeks/months|), independent of both raw-table size and calendar
+    length, which is what makes late-data backfill viable on a 100 TB
+    fact table: TimescaleDB's continuous-aggregate invalidation model,
+    re-expressed as three bounded DataFrame joins.
+
+    Returns the same (grain, bucket_start, n_events, value_cents)
+    shape as :func:`hierarchical_time_rollup`, restricted to touched
+    buckets. Feed it to :func:`apply_rollup_refresh` for the full
+    logical table, or use it as the MERGE source for a
+    partition-scoped stored rollup.
+    """
+    agg = [
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(value_cents.cast("long")).cast("long").alias("value_cents"),
+    ]
+    fold = [
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("value_cents").cast("long").alias("value_cents"),
+    ]
+    delta_day = (
+        delta.groupBy(F.to_date(ts_col).alias("bucket_start"))
+        .agg(*agg)
+        .localCheckpoint(eager=True)  # touched keys + fold + coarse reuse
+    )
+    touched = delta_day.select("bucket_start")
+    old_day = None
+    if stored_rollup is not None:
+        old_day = stored_rollup.filter(F.col("grain") == "day").select(
+            "bucket_start", "n_events", "value_cents"
+        )
+    day_new = (
+        delta_day
+        if old_day is None
+        else old_day.join(F.broadcast(touched), "bucket_start", "left_semi")
+        .unionByName(delta_day)
+        .groupBy("bucket_start")
+        .agg(*fold)
+    ).localCheckpoint(eager=True)  # read once per coarse grain below
+    out = day_new.select(
+        F.lit("day").alias("grain"), "bucket_start", "n_events", "value_cents"
+    )
+    for grain in grains[1:]:
+        trunc = F.to_date(F.date_trunc(grain, F.col("bucket_start")))
+        tb = touched.select(trunc.alias("__cb")).distinct()
+        contrib = day_new
+        if old_day is not None:
+            # stored day rows inside a touched coarse bucket but not
+            # themselves touched — day_new already covers the touched
+            # ones (including their stored content)
+            old_in = old_day.join(
+                F.broadcast(tb), trunc == F.col("__cb"), "left_semi"
+            ).join(F.broadcast(touched), "bucket_start", "left_anti")
+            contrib = old_in.unionByName(day_new)
+        out = out.unionByName(
+            contrib.groupBy(trunc.alias("bucket_start"))
+            .agg(*fold)
+            .select(F.lit(grain).alias("grain"), "bucket_start", "n_events", "value_cents")
+        )
+    return out
+
+
+def apply_rollup_refresh(
+    stored_rollup: DataFrame, refreshed: DataFrame
+) -> DataFrame:
+    """Replace the touched (grain, bucket) rows of a stored rollup with
+    :func:`rollup_refresh_delta`'s output — the logical-table form of
+    the partition-scoped MERGE (untouched rows pass through unscanned
+    in the partitioned storage layout; here they pass through one
+    anti join)."""
+    keep = stored_rollup.select(
+        "grain", "bucket_start", "n_events", "value_cents"
+    ).join(
+        F.broadcast(refreshed.select("grain", "bucket_start")),
+        ["grain", "bucket_start"],
+        "left_anti",
+    )
+    return keep.unionByName(
+        refreshed.select("grain", "bucket_start", "n_events", "value_cents")
+    )

@@ -4383,6 +4383,33 @@ def q_events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grain", "bucket_start")
 
 
+def q_events_time_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate REFRESH
+    (operators/rollup.rollup_refresh_delta): events split
+    deterministically into a base (event_id % 5 != 0) and a late-data
+    delta; the base rollup is refreshed with O(touched-buckets) work —
+    day rows re-folded from partials, touched weeks/months rebuilt
+    from day partials only — and the applied result must equal the
+    from-scratch rollup of ALL events, which is exactly what the
+    oracle computes. The hash match IS the proof that the incremental
+    path is exact (the TimescaleDB invalidation-refresh contract)."""
+    from .operators.rollup import (
+        apply_rollup_refresh,
+        hierarchical_time_rollup,
+        rollup_refresh_delta,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0)
+    base = e.filter(F.col("event_id") % 5 != 0)
+    delta = e.filter(F.col("event_id") % 5 == 0)
+    stored = hierarchical_time_rollup(base, "ts", cents)
+    refreshed = rollup_refresh_delta(stored, delta, "ts", cents)
+    return apply_rollup_refresh(stored, refreshed).orderBy(
+        "grain", "bucket_start"
+    )
+
+
 def q_events_sequence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential association rules (order-constrained market basket):
     for each ordered event-type pair (a → b), the number of users with
@@ -4658,6 +4685,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     #    iterative ML inner loop as a hash-checked query; displaces the
     #    next-lowest r2-green refresh past the boundary
     "docs_bpe_merges": q_docs_bpe_merges,
+    # -- NEW in r6: never driver-checked
+    "events_time_rollup_refresh": q_events_time_rollup_refresh,
     # -- (c) stalest refreshes: r1-only driver rows, unchanged code
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "union_all_counts": q_union_all_counts,
@@ -7552,6 +7581,10 @@ ORACLES["events_time_rollup"] = """
     ORDER BY grain, bucket_start
 """
 
+# The refresh query's contract: incremental base+delta refresh ==
+# from-scratch rollup of ALL events — so the oracle IS the full rollup.
+ORACLES["events_time_rollup_refresh"] = ORACLES["events_time_rollup"]
+
 ORACLES["events_sequence_rules"] = """
     WITH per AS (
       SELECT user_id, event_type, min(ts) AS first_ts, max(ts) AS last_ts
@@ -7601,8 +7634,12 @@ ORACLES["brand_monthly_trend"] = """
       FROM m
     )
     SELECT p_brand, CAST(n AS BIGINT) AS n_months,
-           round(slope, 4) AS trend_cents_per_month,
-           round(numd * numd / (dxd * dyd), 6) AS r2
+           -- zero-variance guards mirror the Spark side's when(dx != 0)
+           -- / when(dy != 0): a brand with one month (or constant
+           -- revenue) must yield NULL, not DuckDB's IEEE 0/0 NaN
+           round(CASE WHEN dxd <> 0 THEN slope END, 4) AS trend_cents_per_month,
+           round(CASE WHEN dxd <> 0 AND dyd <> 0
+                 THEN numd * numd / (dxd * dyd) END, 6) AS r2
     FROM fit ORDER BY p_brand
 """
 
@@ -7614,10 +7651,12 @@ ORACLES["docs_bigram_logprob"] = r"""
     ), tok AS (
       SELECT doc_id, unnest(tk) AS token FROM d
     ), bg AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, len(tk)),
-                    i -> concat(tk[i], ' ', tk[i+1]))) AS bigram
-      FROM d
+      -- position carried through so the final fold can replay Spark's
+      -- left-to-right F.aggregate order exactly (an unordered avg()
+      -- sums in engine-chosen order — a last-ulp flake risk on long
+      -- documents)
+      SELECT doc_id, i AS pos, concat(tk[i], ' ', tk[i+1]) AS bigram
+      FROM d, unnest(range(1, len(tk))) AS t(i)
     ), vd AS (
       SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM tok
     ), uni AS (
@@ -7629,8 +7668,10 @@ ORACLES["docs_bigram_logprob"] = r"""
     )
     SELECT bg.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(avg(ln(CAST(coalesce(bv.c, 0) + 1 AS DOUBLE)
-                        / (coalesce(u.c, 0) + vd.v))), 6) AS avg_logprob
+           round(list_reduce(
+                   list(ln(CAST(coalesce(bv.c, 0) + 1 AS DOUBLE)
+                           / (coalesce(u.c, 0) + vd.v)) ORDER BY bg.pos),
+                   (a, b) -> a + b) / count(*), 6) AS avg_logprob
     FROM bg
     CROSS JOIN vd
     LEFT JOIN bivocab bv ON bg.bigram = bv.bigram

@@ -519,10 +519,20 @@ def start_streaming_time_rollup(
     driver (one read only on the recovery path, same pattern as the
     CDC view).
 
+    CONTRACT: ``rollup_dir`` and ``checkpoint_dir`` live and die
+    together. The batch-id guard cannot distinguish a replayed batch
+    from genuinely NEW input renumbered 0..k after a checkpoint wipe —
+    wipe the checkpoint but keep the rollup and fresh low-numbered
+    batches are silently discarded. The partitioned twin
+    (:func:`start_streaming_time_rollup_partitioned`) stores a
+    checkpoint-identity token next to the watermark and fails loudly
+    on exactly that divergence.
+
     Scale: the stored table is one row per (grain, bucket) — bounded by
     the calendar, not the stream — so the whole-table rewrite per batch
-    is O(days); at warehouse scale partition by grain and route the day
-    fold through ``merge_into_partitioned``.
+    is O(days); at warehouse scale use the partitioned twin, which
+    routes the fold through ``merge_into_partitioned`` and rewrites
+    only touched partitions.
     """
     from ..operators.rollup import GRAINS
 
@@ -584,6 +594,118 @@ def start_streaming_time_rollup(
         )
         promote_dir(tmp, rollup_dir)
         wm["v"] = batch_id
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _checkpoint_identity(checkpoint_dir: str) -> str:
+    """Stable identity of a checkpoint LINEAGE: Structured Streaming
+    writes a query id into ``<checkpoint>/metadata`` when the
+    checkpoint is first created and keeps it across restarts — a wiped
+    or relocated checkpoint gets a fresh id. That is exactly the
+    distinction the replay guard needs: same id + small batch_id =
+    crash replay (skip); different id + small batch_id = the
+    checkpoint and the state diverged (fail loudly, silent discard
+    would lose data). Falls back to the absolute path when the
+    metadata file is not locally readable (object-store checkpoints)."""
+    import json as _json
+
+    meta = os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(meta) as fh:
+            return str(_json.load(fh)["id"])
+    except (OSError, ValueError, KeyError):
+        return os.path.abspath(checkpoint_dir)
+
+
+def start_streaming_time_rollup_partitioned(
+    stream: DataFrame,
+    rollup_dir: str,
+    *,
+    ts_col: str,
+    value_cents: "F.Column",
+    checkpoint_dir: str,
+):
+    """Warehouse-scale twin of :func:`start_streaming_time_rollup`:
+    the stored rollup is hive-partitioned by ``grain`` and each batch
+    folds through ``operators/rollup.rollup_refresh_delta`` +
+    ``merge_into_partitioned`` — O(touched buckets) of compute and
+    only the touched grain partitions rewritten, instead of the
+    whole-table rewrite the flat twin pays. The coarser grains still
+    rebuild from day partials only; raw history is never re-scanned.
+
+    Replay / identity guard: rows carry ``__batch_id`` (monotone
+    watermark) and ``__ckpt_id`` (checkpoint-lineage identity). A
+    batch with ``batch_id <= watermark`` and a MATCHING identity is a
+    checkpoint-recovery replay of an already-folded batch — skipped,
+    because a sum-fold is not idempotent. The same small batch_id with
+    a DIFFERENT identity means the checkpoint was wiped or relocated
+    while the rollup survived; folding would be wrong (the "new"
+    batches 0..k may or may not be re-reads of already-folded data)
+    and skipping would silently drop genuinely new data, so the query
+    FAILS with instructions instead of guessing.
+    """
+    from ..operators.rollup import rollup_refresh_delta
+
+    wm: dict[str, object] = {"bid": None, "ident": None}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        ident = _checkpoint_identity(checkpoint_dir)
+        have = os.path.exists(os.path.join(rollup_dir, "_SUCCESS"))
+        stored = None
+        if have:
+            stored = spark.read.parquet(rollup_dir)
+            bid, sid = wm["bid"], wm["ident"]
+            if bid is None:  # cold cache → recovery path, read disk
+                head = stored.agg(
+                    F.max("__batch_id"), F.first("__ckpt_id")
+                ).first()
+                bid, sid = head[0], head[1]
+            if bid is not None and batch_id <= bid:
+                if sid == ident:
+                    wm["bid"], wm["ident"] = bid, sid
+                    return  # checkpoint replay of an already-folded batch
+                raise RuntimeError(
+                    f"time-rollup at {rollup_dir}: batch {batch_id} <= stored "
+                    f"watermark {bid} but checkpoint identity changed "
+                    f"({sid!r} -> {ident!r}). The checkpoint was wiped or "
+                    "relocated while the rollup state survived; refusing to "
+                    "fold (could double-count) or skip (could drop new "
+                    "data). Rebuild the rollup from history or restore the "
+                    "matching checkpoint."
+                )
+        refreshed = rollup_refresh_delta(
+            stored, batch, ts_col, value_cents
+        ).select(
+            "grain",
+            "bucket_start",
+            "n_events",
+            "value_cents",
+            F.lit(batch_id).cast("long").alias("__batch_id"),
+            F.lit(ident).alias("__ckpt_id"),
+            F.concat_ws("|", "grain", "bucket_start").alias("__k"),
+        )
+        if not have:
+            refreshed.write.mode("overwrite").partitionBy("grain").parquet(
+                rollup_dir
+            )
+        else:
+            merge_into_partitioned(
+                spark,
+                refreshed,
+                rollup_dir,
+                "__k",
+                "grain",
+                delete_absent=False,  # untouched buckets in a touched
+                # partition must survive the dynamic overwrite
+            )
+        wm["bid"], wm["ident"] = batch_id, ident
 
     return (
         stream.writeStream.foreachBatch(fold)

@@ -949,3 +949,86 @@ def test_streaming_time_rollup_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(rollup_dir).drop("__batch_id").collect()
     }
     assert again == want, "replayed batches double-counted into the rollup"
+
+
+def test_streaming_time_rollup_partitioned_twin(spark, tmp_path):
+    """Warehouse-scale rollup twin: grain-partitioned storage folded
+    through merge_into_partitioned must equal the batch hierarchical
+    rollup after a multi-batch replay; a LATE batch (new data, intact
+    checkpoint) folds in O(touched buckets); and a wiped checkpoint
+    over surviving state fails LOUDLY instead of silently discarding
+    renumbered batches (the flat twin's documented blind spot)."""
+    import random
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bangumi_notion_data_integration_project_spark.operators.rollup import (
+        hierarchical_time_rollup,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_time_rollup_partitioned,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (
+            i,
+            f"2024-0{rng.randint(1, 2)}-{rng.randint(1, 28):02d} "
+            f"{rng.randint(0, 23):02d}:00:00",
+            1,
+            "e",
+            rng.randint(1, 9999) / 100.0,
+        )
+        for i in range(160)
+    ]
+    inp = str(tmp_path / "in")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    cents = F.round(F.col("value") * 100, 0)
+
+    def run():
+        q = start_streaming_time_rollup_partitioned(
+            read_event_stream(spark, inp, SCHEMA),
+            rollup_dir,
+            ts_col="ts",
+            value_cents=cents,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def stored_state():
+        return {
+            (r["grain"], r["bucket_start"]): (r["n_events"], r["value_cents"])
+            for r in spark.read.parquet(rollup_dir)
+            .select("grain", "bucket_start", "n_events", "value_cents")
+            .collect()
+        }
+
+    def want_state(upto):
+        return {
+            (r["grain"], r["bucket_start"]): (r["n_events"], r["value_cents"])
+            for r in hierarchical_time_rollup(
+                _rows(spark, rows[:upto]), "ts", cents
+            ).collect()
+        }
+
+    for chunk in (rows[:40], rows[40:80], rows[80:120]):
+        _write_batch(spark, inp, chunk)
+    run()
+    assert stored_state() == want_state(120)
+
+    # late-data batch with intact checkpoint: only-touched-bucket fold
+    _write_batch(spark, inp, rows[120:])
+    run()
+    assert stored_state() == want_state(160)
+
+    # checkpoint wiped, state kept: identity token diverges -> loud
+    # failure, never a silent skip/double-count guess
+    shutil.rmtree(ckpt)
+    try:
+        run()
+        raise AssertionError("foreign-identity replay did not fail")
+    except StreamingQueryException as e:
+        assert "checkpoint identity changed" in str(e)
+    assert stored_state() == want_state(160)  # state untouched
