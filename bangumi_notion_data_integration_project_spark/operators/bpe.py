@@ -107,3 +107,81 @@ def learn_bpe_merges(
         # truncate the growing replace-expression lineage every round
         seqs = seqs.localCheckpoint(eager=True)
     return merges
+
+
+def select_compatible(
+    cands: list[tuple[str, int]], batch_size: int
+) -> list[tuple[str, int]]:
+    """Pick up to ``batch_size`` mutually NON-INTERACTING pairs from a
+    (count desc, pair asc)-ordered candidate pool: a candidate is
+    blocked iff ANY higher-ranked pool candidate — selected or not —
+    shares a symbol with it. Blocking against every higher rank
+    (rather than only against already-selected pairs) is deliberately
+    order-free: it is a single anti-self-join in SQL, so the DuckDB
+    oracle replays the exact selection relationally instead of
+    emulating a stateful greedy scan. It is slightly more conservative
+    than transitive greedy (a pair blocked only by a blocked pair is
+    also dropped), and any two survivors are provably disjoint: the
+    lower-ranked one is unblocked by ALL higher ranks, including the
+    other survivor. The rank-1 pair is never blocked, so a non-empty
+    pool always yields at least one merge."""
+    out: list[tuple[str, int]] = []
+    for i, (pair, c) in enumerate(cands):
+        la, ra = pair.split(" ")
+        if any(
+            la in (lb, rb) or ra in (lb, rb)
+            for lb, rb in (q.split(" ") for q, _ in cands[:i])
+        ):
+            continue
+        out.append((pair, c))
+        if len(out) == batch_size:
+            break
+    return out
+
+
+def learn_bpe_merges_batched(
+    df: DataFrame,
+    text_col: str,
+    n_rounds: int,
+    *,
+    batch_size: int = 4,
+    pool: int | None = None,
+) -> list[tuple[int, int, str, int]]:
+    """Batched BPE training: per round, ONE bounded driver collect (the
+    top-``pool`` pair counts) selects up to ``batch_size`` mutually
+    non-interacting merges (:func:`select_compatible`) and fuses them
+    all in a single plan pass — the standard amortization real BPE
+    trainers use, cutting driver round-trips by ~``batch_size``× vs
+    :func:`learn_bpe_merges` (which syncs once per merge; a 30k-merge
+    tokenizer build needs ~30k/B rounds here, not 30k). Disjointness
+    makes the batch order-free: fusing ``a b`` cannot create, destroy,
+    or re-site an occurrence of ``c d`` when the pairs share no
+    symbol, so batch-of-1 is EXACTLY the serial loop (differential
+    test) and the pre-fuse counts stay truthful for every selected
+    pair. Fuses apply in selection order with the same 3-pass replace;
+    returns [(round, pos_in_round, pair, pair_count)].
+    """
+    if pool is None:
+        pool = 4 * batch_size
+    wf = word_frequencies(df, text_col).localCheckpoint(eager=True)
+    seqs = wf.select("freq", _initial_seq().alias("seq"))
+    merges: list[tuple[int, int, str, int]] = []
+    for r in range(n_rounds):
+        top = [
+            (row["pair"], row["pair_count"])
+            for row in _pair_counts(seqs)
+            .orderBy(F.col("pair_count").desc(), "pair")
+            .limit(pool)
+            .collect()
+        ]
+        chosen = select_compatible(top, batch_size)
+        if not chosen:
+            break
+        for pos, (pair, c) in enumerate(chosen, start=1):
+            merges.append((r, pos, pair, c))
+        col = F.col("seq")
+        for pair, _ in chosen:
+            col = fuse(col, pair)
+        # truncate the growing replace-expression lineage every round
+        seqs = seqs.select("freq", col.alias("seq")).localCheckpoint(eager=True)
+    return merges

@@ -417,6 +417,56 @@ def simhash64(text_col: str, token_hash_bits: int = 64) -> Column:
     )
 
 
+def setsim_prefix_candidates(
+    sets: DataFrame,
+    *,
+    tau_num: int,
+    tau_den: int,
+    length_filter: bool = True,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for :func:`setsim_prefix_pairs`:
+    the rarest-first prefix index self-join plus (by default) PPJoin's
+    LENGTH filter. ``sets`` carries (__did, __set). Exposed separately
+    so the scale probe can count candidates with and without the
+    length filter — the filter is lossless (implied by the final
+    Jaccard bound), so the delta is pure pre-verify pruning.
+
+    Length filter: J(A,B) >= tau forces |∩| >= tau*|∪|, and with
+    |∩| <= min(|A|,|B|), |∪| >= max(|A|,|B|) that means
+    tau*max(|A|,|B|) <= min(|A|,|B|) — checked in integers before the
+    candidate pair ever reaches the array_intersect verify join.
+    """
+    toks = sets.select("__did", F.explode("__set").alias("token"))
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("__tdf"))
+    w_rank = Window.partitionBy("__did").orderBy("__tdf", "token")
+    ranked = (
+        toks.join(dfreq, "token")
+        .withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy("__did")))
+    )
+    # prefix length L = sz - ceil(tau*sz) + 1; ceil via integer floor-div
+    need = F.floor((F.col("__sz") * tau_num + tau_den - 1) / tau_den)
+    prefix = ranked.filter(F.col("__rn") <= F.col("__sz") - need + 1)
+    cond = F.col("id_a") < F.col("id_b")
+    if length_filter:
+        cond = cond & (
+            F.greatest("__sa", "__sb") * tau_num
+            <= F.least("__sa", "__sb") * tau_den
+        )
+    return (
+        prefix.select(F.col("__did").alias("id_a"), "token", F.col("__sz").alias("__sa"))
+        .join(
+            prefix.select(
+                F.col("__did").alias("id_b"), "token", F.col("__sz").alias("__sb")
+            ),
+            "token",
+        )
+        .filter(cond)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def setsim_prefix_pairs(
     df: DataFrame,
     text_col: str,
@@ -461,41 +511,8 @@ def setsim_prefix_pairs(
         F.col(id_col).alias("__did"),
         word_shingles(text_col, shingle_n).alias("__set"),
     ).localCheckpoint(eager=False)  # feeds index, sizes, and both verify sides
-    toks = sets.select("__did", F.explode("__set").alias("token"))
-    dfreq = toks.groupBy("token").agg(F.count("*").alias("__tdf"))
-    w_rank = Window.partitionBy("__did").orderBy("__tdf", "token")
-    ranked = (
-        toks.join(dfreq, "token")
-        .withColumn("__rn", F.row_number().over(w_rank))
-        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy("__did")))
-    )
-    # prefix length L = sz - ceil(tau*sz) + 1; ceil via integer floor-div
-    need = F.floor((F.col("__sz") * tau_num + tau_den - 1) / tau_den)
-    prefix = ranked.filter(F.col("__rn") <= F.col("__sz") - need + 1)
-    # PPJoin's LENGTH filter: J(A,B) >= tau forces |∩| >= tau*|∪|, and
-    # with |∩| <= min(|A|,|B|), |∪| >= max(|A|,|B|) that means
-    # tau*max(|A|,|B|) <= min(|A|,|B|). The final Jaccard threshold
-    # already implies this, so dropping cross-size candidates BEFORE
-    # the verify join is free and lossless — it just prunes pairs the
-    # verify filter would reject anyway, before they pay the
-    # array_intersect.
-    cand = (
-        prefix.select(F.col("__did").alias("id_a"), "token", F.col("__sz").alias("__sa"))
-        .join(
-            prefix.select(
-                F.col("__did").alias("id_b"), "token", F.col("__sz").alias("__sb")
-            ),
-            "token",
-        )
-        .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (
-                F.greatest("__sa", "__sb") * tau_num
-                <= F.least("__sa", "__sb") * tau_den
-            )
-        )
-        .select("id_a", "id_b")
-        .distinct()
+    cand = setsim_prefix_candidates(
+        sets, tau_num=tau_num, tau_den=tau_den
     )
     a = sets.select(F.col("__did").alias("id_a"), F.col("__set").alias("__ta"))
     b = sets.select(F.col("__did").alias("id_b"), F.col("__set").alias("__tb"))

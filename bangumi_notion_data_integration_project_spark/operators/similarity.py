@@ -160,6 +160,75 @@ def srp_near_dup(
     )
 
 
+def srp_near_dup_topk(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """PRODUCTION-SAFE bounded variant of :func:`srp_near_dup`: per
+    vector, its top-``k`` same-bucket neighbors by cosine — output is
+    O(N·k) BY CONSTRUCTION, never background-density quadratic.
+
+    The threshold variant's output on independent data grows with the
+    number of pairs above the cosine cut — inherently quadratic in
+    bucket occupancy (SCALING.md measured 123× pairs at 10× data).
+    Capping at k per vector makes the output contract linear no matter
+    how dense the similarity graph gets, which is the form a 100 TB
+    dedup pipeline actually consumes (each doc keeps its best
+    near-dup candidates; clustering happens downstream). Candidates
+    still come only from the vector's own SRP bucket, the window
+    partitions by vector id (no global sort), and ties break on
+    neighbor id after 6-dp rounding so the cut is engine-stable.
+
+    Returns (vec_id, neighbor_id, cosine_sim, rank), directed.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    h = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vec"),
+        l2_norm(vec_col).alias("__n"),
+        lsh_bucket_key(vec_col, planes).alias("__bucket"),
+    )
+    a = h.select(
+        F.col(id_col).alias("vec_id_q"),
+        F.col("__vec").alias("__va"),
+        F.col("__n").alias("__na"),
+        "__bucket",
+    )
+    b = h.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__vec").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "__bucket",
+    )
+    denom = F.col("__na") * F.col("__nb")
+    cos = F.when(denom > 0, dot_product("__va", "__vb") / denom).otherwise(F.lit(0.0))
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("vec_id_q") != F.col("neighbor_id"))
+        .select(
+            F.col("vec_id_q").alias("vec_id"),
+            "neighbor_id",
+            F.round(cos, 6).alias("cosine_sim"),
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     query: DataFrame,

@@ -2731,6 +2731,21 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_near_dup(e, threshold=0.4, n_planes=6).orderBy("id_a", "id_b")
 
 
+def q_embedding_near_dup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded embedding near-dup (operators/similarity.
+    srp_near_dup_topk): per vector, its top-5 same-SRP-bucket
+    neighbors by cosine — output O(N·k) BY CONSTRUCTION, the
+    production-safe sibling of the threshold variant whose pair count
+    on independent data is inherently background-density quadratic
+    (123× pairs at 10× data in SCALING.md). Same plan-literal
+    hyperplanes; the oracle recomputes buckets and ranks, so the
+    bounded scale path is hash-checked too."""
+    from .operators.similarity import srp_near_dup_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return srp_near_dup_topk(e, k=5, n_planes=6).orderBy("vec_id", "rank")
+
+
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means over the embedding corpus
     (operators/clustering.py kmeans_lite): semantic clustering for
@@ -4585,6 +4600,106 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_round")
 
 
+BPE_BATCH_ROUNDS = 2
+BPE_BATCH_SIZE = 3
+BPE_BATCH_POOL = 12
+
+
+def q_docs_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training (operators/bpe.learn_bpe_merges_batched):
+    per round ONE bounded driver collect (top-12 pair counts) selects
+    up to 3 mutually non-interacting merges — blocked-by-any-higher-
+    rank rule, which is a pure anti-self-join so the oracle replays
+    the selection relationally — and fuses them in one plan pass.
+    This is the driver-sync amortization that makes a 30k-merge
+    tokenizer build feasible (30k/B rounds, not 30k); batch_size=1
+    reproduces the serial loop exactly (differential-tested)."""
+    from .operators.bpe import learn_bpe_merges_batched
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges_batched(
+        d,
+        "text",
+        BPE_BATCH_ROUNDS,
+        batch_size=BPE_BATCH_SIZE,
+        pool=BPE_BATCH_POOL,
+    )
+    return spark.createDataFrame(
+        merges, "merge_round int, merge_pos int, pair string, pair_count long"
+    ).orderBy("merge_round", "merge_pos")
+
+
+def _bpe_batched_oracle(n_rounds: int, batch_size: int, pool: int) -> str:
+    """Unrolled batched-BPE oracle: per round, pair counts → top-pool
+    ranked candidates → the blocked-by-any-higher-rank anti-self-join
+    → LIMIT batch_size, then the selected pairs fused sequentially in
+    selection order (3-pass replace each, innermost = pos 1),
+    mirroring learn_bpe_merges_batched exactly. A missing pos (round
+    selected fewer than batch_size pairs) fuses via a never-occurring
+    sentinel needle so the nested replace chain stays total."""
+    parts = [
+        r"""WITH wf AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+            FROM documents)
+      WHERE regexp_full_match(w, '[a-z]+')
+      GROUP BY w
+    ), s0 AS MATERIALIZED (
+      SELECT freq, ' ' || regexp_replace(w, '([a-z])', '\1 ', 'g') AS seq
+      FROM wf
+    )"""
+    ]
+    for r in range(n_rounds):
+        parts.append(
+            f""", p{r} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS c
+      FROM (
+        SELECT freq, sym[i] || ' ' || sym[i + 1] AS pair
+        FROM (SELECT freq, sym, unnest(range(1, len(sym))) AS i
+              FROM (SELECT freq, string_split(trim(seq), ' ') AS sym
+                    FROM s{r})))
+      GROUP BY pair
+    ), pool{r} AS MATERIALIZED (
+      SELECT pair, c, row_number() OVER (ORDER BY c DESC, pair) AS rk,
+             string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS rr
+      FROM p{r} ORDER BY c DESC, pair LIMIT {pool}
+    ), t{r} AS MATERIALIZED (
+      SELECT pair, c, row_number() OVER (ORDER BY rk) AS pos
+      FROM pool{r} a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pool{r} b
+        WHERE b.rk < a.rk
+          AND (b.l IN (a.l, a.rr) OR b.rr IN (a.l, a.rr)))
+      ORDER BY rk LIMIT {batch_size}
+    )"""
+        )
+        if r + 1 < n_rounds:
+            fused = "seq"
+            for k in range(1, batch_size + 1):
+                p = (
+                    f"coalesce(' ' || (SELECT pair FROM t{r} WHERE pos = {k})"
+                    " || ' ', chr(1))"
+                )
+                f_ = (
+                    f"coalesce(' ' || (SELECT replace(pair, ' ', '') FROM t{r}"
+                    f" WHERE pos = {k}) || ' ', chr(1))"
+                )
+                for _ in range(3):
+                    fused = f"replace({fused}, {p}, {f_})"
+            parts.append(
+                f""", s{r + 1} AS MATERIALIZED (
+      SELECT freq, {fused} AS seq FROM s{r}
+    )"""
+            )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS merge_round, CAST(pos AS INT) AS merge_pos, pair,"
+        f" c AS pair_count FROM t{r}"
+        for r in range(n_rounds)
+    )
+    parts.append(f"\n    {sel}\n    ORDER BY merge_round, merge_pos")
+    return "".join(parts)
+
+
 def _bpe_oracle(n_merges: int) -> str:
     """Unrolled n-round BPE oracle; each round = pair counts + arg-max
     + 3-pass replace fuse, mirroring operators/bpe.py exactly.
@@ -4687,6 +4802,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bpe_merges": q_docs_bpe_merges,
     # -- NEW in r6: never driver-checked
     "events_time_rollup_refresh": q_events_time_rollup_refresh,
+    "docs_bpe_merges_batched": q_docs_bpe_merges_batched,
+    "embedding_near_dup_topk": q_embedding_near_dup_topk,
     # -- (c) stalest refreshes: r1-only driver rows, unchanged code
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "union_all_counts": q_union_all_counts,
@@ -5689,6 +5806,28 @@ ORACLES: dict[str, str] = {
           JOIN embeddings eb ON eb.vec_id = b.vec_id)
         SELECT id_a, id_b, cosine_sim FROM cand
         WHERE cosine_sim >= 0.4 ORDER BY id_a, id_b
+    """,
+    "embedding_near_dup_topk": f"""
+        WITH planes(w, p) AS (VALUES {_lsh_plane_values()}),
+        bkt AS (
+          SELECT e.vec_id,
+                 cast(sum(CASE WHEN list_sum(list_transform(range(1, 65),
+                        j -> cast(e.embedding[j] AS DOUBLE) * pl.p[j])) >= 0
+                      THEN pl.w ELSE 0 END) AS BIGINT) AS bucket
+          FROM embeddings e CROSS JOIN planes pl GROUP BY e.vec_id),
+        cand AS (
+          SELECT a.vec_id, b.vec_id AS neighbor_id,
+                 {_duck_cosine('ea.embedding', 'eb.embedding')} AS cosine_sim
+          FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+          JOIN embeddings ea ON ea.vec_id = a.vec_id
+          JOIN embeddings eb ON eb.vec_id = b.vec_id),
+        ranked AS (
+          SELECT vec_id, neighbor_id, cosine_sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cosine_sim DESC, neighbor_id) AS rk
+          FROM cand)
+        SELECT vec_id, neighbor_id, cosine_sim, CAST(rk AS BIGINT) AS rank
+        FROM ranked WHERE rk <= 5 ORDER BY vec_id, rank
     """,
     # k-means: the oracle re-derives the deterministic init (vec_id % 7
     # sample, first 8), ONE Lloyd update with 6-dp centroid rounding,
@@ -7681,3 +7820,6 @@ ORACLES["docs_bigram_logprob"] = r"""
 """
 
 ORACLES["docs_bpe_merges"] = _bpe_oracle(BPE_N_MERGES)
+ORACLES["docs_bpe_merges_batched"] = _bpe_batched_oracle(
+    BPE_BATCH_ROUNDS, BPE_BATCH_SIZE, BPE_BATCH_POOL
+)

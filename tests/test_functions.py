@@ -204,3 +204,39 @@ def test_bpe_fuse_handles_boundary_sharing_runs(spark):
     d = spark.createDataFrame([(" a b a b a b ",)], "seq string")
     [r] = d.select(fuse(F.col("seq"), "a b").alias("f")).collect()
     assert r["f"] == " ab ab ab "
+
+
+def test_bpe_batched_equals_serial_at_batch_one(spark):
+    """batch_size=1 must reproduce the serial merge loop EXACTLY: the
+    rank-1 pair is never blocked, so each round's single selection is
+    the serial arg-max and the fuse chain is identical."""
+    from bangumi_notion_data_integration_project_spark.operators.bpe import (
+        learn_bpe_merges,
+        learn_bpe_merges_batched,
+    )
+
+    corpus = [
+        "the cat sat on the mat",
+        "the hat and the bat",
+        "that cat that hat that",
+        "aaaa aaaa baaa",
+    ]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    serial = learn_bpe_merges(df, "text", 5)
+    batched = learn_bpe_merges_batched(df, "text", 5, batch_size=1, pool=8)
+    assert [(r, 1, p, c) for r, p, c in serial] == batched, (serial, batched)
+
+
+def test_bpe_batch_selection_is_disjoint_and_conservative(spark):
+    from bangumi_notion_data_integration_project_spark.operators.bpe import (
+        select_compatible,
+    )
+
+    cands = [("a t", 10), ("t h", 9), ("h e", 8), ("c d", 7), ("x y", 6)]
+    got = select_compatible(cands, 3)
+    # "t h" blocked by "a t" (shares t); "h e" blocked by "t h" even
+    # though "t h" itself was blocked — the order-free rule is
+    # deliberately conservative so SQL can replay it as an anti-join
+    assert got == [("a t", 10), ("c d", 7), ("x y", 6)], got
+    syms = [s for p, _ in got for s in p.split(" ")]
+    assert len(syms) == len(set(syms))  # mutually non-interacting

@@ -57,6 +57,7 @@ PROBED = [
     "docs_setsim_prefix",
     "docs_containment",
     "embedding_near_dup",
+    "embedding_near_dup_topk",
     "simhash_docs",
 ]
 # Queries whose output is NOT planted duplicates but background pair
@@ -65,6 +66,10 @@ PROBED = [
 # for any honest scaling (fresh data behaves the same way). The linear
 # invariant does not apply; the informative number is time vs pairs.
 BACKGROUND_DENSITY = {"embedding_near_dup"}
+# Queries whose output is capped at N*k BY CONSTRUCTION (top-k per
+# vector): the linear-pairs invariant is replaced by the cap check —
+# this is the production-safe answer to background density.
+BOUNDED_OUTPUT = {"embedding_near_dup_topk": 5}
 
 
 def build_corpus(spark, out_dir: str, n_copies: int) -> None:
@@ -132,6 +137,39 @@ def main() -> None:
     try:
         r1 = probe(spark, d1)
         r10 = probe(spark, d10)
+        n_vec1 = load_table(spark, d1, "embeddings").count()
+
+        from bangumi_notion_data_integration_project_spark.operators.dedup import (  # noqa: E402
+            setsim_prefix_candidates,
+            word_shingles,
+        )
+
+        def cand_count(sf_dir: str, length_filter: bool) -> int:
+            d = load_table(spark, sf_dir, "documents")
+            sets = d.select(
+                F.col("doc_id").alias("__did"),
+                word_shingles("text", 3).alias("__set"),
+            )
+            return setsim_prefix_candidates(
+                sets, tau_num=7, tau_den=10, length_filter=length_filter
+            ).count()
+
+        c1_no, c1_yes = cand_count(d1, False), cand_count(d1, True)
+        c10_no, c10_yes = cand_count(d10, False), cand_count(d10, True)
+        cand_lines = [
+            "PPJoin length filter (`setsim_prefix_pairs`): candidate pairs",
+            "reaching the verify join with vs without the lossless length",
+            "filter (`tau*max(|A|,|B|) <= min(|A|,|B|)`, implied by the final",
+            "Jaccard bound — the drop is free pre-verify pruning):",
+            "",
+            "| scale | candidates (prefix only) | + length filter | dropped |",
+            "|---|---|---|---|",
+            f"| 1× | {c1_no} | {c1_yes} |"
+            f" {100 * (1 - c1_yes / max(c1_no, 1)):.0f}% |",
+            f"| 10× | {c10_no} | {c10_yes} |"
+            f" {100 * (1 - c10_yes / max(c10_no, 1)):.0f}% |",
+            "",
+        ]
         lines = [
             SECTION,
             "",
@@ -151,6 +189,11 @@ def main() -> None:
             ratio = t10 / t1 if t1 > 0 else float("inf")
             if name in BACKGROUND_DENSITY:
                 lin = f"background-density ({n10 / max(n1, 1):.0f}× pairs)"
+            elif name in BOUNDED_OUTPUT:
+                k = BOUNDED_OUTPUT[name]
+                cap = MULT * n_vec1 * k
+                ok = "≤" if n10 <= cap else "**EXCEEDS**"
+                lin = f"output-bounded ({n10} {ok} N·k = {cap})"
             elif n10 == MULT * n1:
                 lin = "exact"
             else:
@@ -159,6 +202,7 @@ def main() -> None:
                 f"| {name} | {t1:.2f} | {t10:.2f} | {ratio:.1f}× | {n1} | {n10} | {lin} |"
             )
         lines.append("")
+        lines += cand_lines
         md_path = os.path.join(os.path.dirname(__file__), "..", "SCALING.md")
         prev = ""
         if os.path.exists(md_path):
