@@ -4600,6 +4600,428 @@ def q_docs_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_round")
 
 
+# ---------------------------------------------------------------------------
+# Round 6: cohort/contingency analytics, exact order-statistics, corpus
+# curation metrics (coverage, novelty, winnowing fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohorted by first-order
+    month, revenue (exact integer cents) by months-since-cohort — the
+    retention/LTV triangle every growth warehouse maintains. Two
+    shuffles total: the first-order dim aggregates on o_custkey and
+    the fact joins back on the same key (co-partitioned, no extra
+    exchange); month arithmetic on month-truncated dates is exact
+    integers in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias(
+            "cohort_month"
+        )
+    )
+    j = o.join(first, "o_custkey")
+    off = F.months_between(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))),
+        F.col("cohort_month"),
+    ).cast("int")
+    return (
+        j.groupBy("cohort_month", off.alias("month_offset"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
+def q_supplier_lead_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfilment profile: item count, slow-shipment count
+    (shipped more than 90 days after the order date), and order→ship
+    lead-time stats — exact integer day sums, one division for the
+    mean. The orderkey join is the one fact-fact shuffle; the per-
+    supplier aggregate is map-side combinable on top of it, and the
+    supplier dim joins broadcast AFTER aggregation (|suppliers| rows,
+    not |lineitem|)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lead = F.datediff("l_shipdate", "o_orderdate").cast("long")
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.count_if(lead > 90).cast("long").alias("n_slow"),
+            F.sum(lead).cast("long").alias("sum_lead_days"),
+            F.max(lead).cast("long").alias("max_lead_days"),
+        )
+    )
+    return (
+        g.join(F.broadcast(s), g.l_suppkey == s.s_suppkey)
+        .select(
+            "l_suppkey",
+            "s_name",
+            "n_items",
+            "n_slow",
+            "sum_lead_days",
+            "max_lead_days",
+            F.round(F.col("sum_lead_days") / F.col("n_items"), 4).alias(
+                "avg_lead_days"
+            ),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def q_docs_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of corpus token
+    OCCURRENCES covered by the top-k vocabulary at k ∈ {10, 100,
+    1000} — the first question a tokenizer/vocab-size decision asks of
+    a training corpus. Counts are exact integers; the rank window runs
+    over the VOCABULARY (corpus-bounded, ~|distinct tokens| rows), not
+    the token stream, so the single-partition rank sort is
+    vocab-sized — at 100 TB the stream aggregate is the only
+    fact-scale pass."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # feeds rank, total, and coverage
+    )
+    ranked = counts.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("c").desc(), "token"))
+    )
+    tot = counts.agg(F.sum("c").cast("long").alias("total"))
+    ks = F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000))).alias(
+        "vocab_k"
+    )
+    return (
+        ranked.select("c", "rk", ks)
+        .filter(F.col("rk") <= F.col("vocab_k"))
+        .groupBy("vocab_k")
+        .agg(F.sum("c").cast("long").alias("covered_occurrences"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("vocab_k").cast("int").alias("vocab_k"),
+            "covered_occurrences",
+            F.col("total").alias("total_occurrences"),
+            F.round(F.col("covered_occurrences") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+        .orderBy("vocab_k")
+    )
+
+
+WINNOW_K = 3  # tokens per k-gram
+WINNOW_W = 4  # k-grams per winnowing window
+
+
+def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (the MOSS algorithm): per doc,
+    hash every K-token gram, slide a W-gram window, keep each
+    window's minimal hash (ties → rightmost). Guarantees any match of
+    length ≥ W+K-1 tokens shares a selected fingerprint, at expected
+    density 2/(W+1) — the local-dedup/plagiarism tier between the
+    global rolling-hash fingerprint and shingle dedup.
+
+    Engine-exact trick: hash and tie-break pack into ONE integer,
+    ``key = h·2²¹ + (2²⁰ − pos)`` (h < 2²⁰ via a prime modulus,
+    pos < 2²⁰ — docs here are ≪ 1M tokens), so the window argmin with
+    rightmost-tie-break is a plain integer ``min`` in both engines —
+    no struct comparison, no float, no engine-specific arg_min tie
+    rule. One ordered window per doc, partitioned by doc_id."""
+    P = 1048573  # largest prime < 2^20
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("__pos", "__tok")
+    )
+    code = (
+        F.ascii(F.substring("__tok", 1, 1)).cast("long") * 131
+        + F.length("__tok")
+    )
+    w_gram = Window.partitionBy("doc_id").orderBy("__pos")
+    g = toks.select(
+        "doc_id",
+        "__pos",
+        code.alias("__c0"),
+        F.lead(code, 1).over(w_gram).alias("__c1"),
+        F.lead(code, 2).over(w_gram).alias("__c2"),
+    ).filter(F.col("__c2").isNotNull())
+    h = (
+        F.col("__c0") % P * 131 % P * 131 % P
+        + F.col("__c1") % P * 131 % P
+        + F.col("__c2") % P
+    ) % P
+    grams = g.select(
+        "doc_id",
+        F.col("__pos").alias("gpos"),
+        (h * F.lit(2097152) + (F.lit(1048576) - F.col("gpos"))).alias("__key"),
+    )
+    w_win = (
+        Window.partitionBy("doc_id")
+        .orderBy("gpos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    w_cnt = Window.partitionBy("doc_id")
+    sel = (
+        grams.withColumn("__wmin", F.min("__key").over(w_win))
+        .withColumn("__n", F.count(F.lit(1)).over(w_cnt))
+        # a window starts at every gram position p with p+W <= n
+        .filter(F.col("gpos") <= F.col("__n") - WINNOW_W)
+        .select(
+            "doc_id",
+            "__n",
+            (F.lit(1048576) - F.col("__wmin") % F.lit(2097152)).alias(
+                "sel_pos"
+            ),
+            F.expr("__wmin div 2097152").alias("sel_hash"),
+        )
+    )
+    return (
+        sel.groupBy("doc_id")
+        .agg(
+            F.max("__n").alias("n_kgrams"),
+            F.countDistinct("sel_pos").cast("long").alias("n_selected"),
+            F.countDistinct("sel_hash").cast("long").alias("n_distinct_fp"),
+        )
+        .select(
+            "doc_id",
+            "n_kgrams",
+            "n_selected",
+            "n_distinct_fp",
+            F.round(F.col("n_selected") / F.col("n_kgrams"), 6).alias(
+                "density"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_orders_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency-table independence profile for (order priority ×
+    order status): per cell the observed count, marginals, expected
+    count under independence, and the chi-square term. Emitting
+    PER-CELL rows keeps everything either exact integers or a single
+    fixed-shape float expression per row — no cross-cell float
+    summation to flake on — and the downstream consumer can sum the
+    terms at whatever precision it owns. One fact-scale aggregate;
+    the marginals are windows over the |priorities|×|statuses| cell
+    table."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").cast("long").alias("observed")
+    )
+    m = (
+        cells.withColumn(
+            "row_total",
+            F.sum("observed")
+            .over(Window.partitionBy("o_orderpriority"))
+            .cast("long"),
+        )
+        .withColumn(
+            "col_total",
+            F.sum("observed")
+            .over(Window.partitionBy("o_orderstatus"))
+            .cast("long"),
+        )
+        .withColumn(
+            "n", F.sum("observed").over(Window.partitionBy()).cast("long")
+        )
+    )
+    exp_ = F.col("row_total").cast("double") * F.col("col_total") / F.col("n")
+    return m.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "observed",
+        "row_total",
+        "col_total",
+        F.round(exp_, 4).alias("expected"),
+        F.round(
+            F.pow(F.col("observed") - exp_, F.lit(2)) / exp_, 6
+        ).alias("chi2_term"),
+    ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+def q_segment_share_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-segment revenue share by year, in exact integer basis
+    points (rev·10⁴ div year-total — integer division, no float
+    share), with the year-over-year share delta via a lag window.
+    The fact join aggregates to |segments|×|years| rows before any
+    window touches it."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    s = g.withColumn(
+        "year_total",
+        F.sum("rev_cents").over(Window.partitionBy("yr")).cast("long"),
+    ).withColumn(
+        "share_bp", F.expr("rev_cents * 10000L div year_total").cast("long")
+    )
+    return (
+        s.withColumn(
+            "yoy_delta_bp",
+            (
+                F.col("share_bp")
+                - F.lag("share_bp").over(
+                    Window.partitionBy("segment").orderBy("yr")
+                )
+            ).cast("long"),
+        )
+        .select(
+            "segment", "yr", "rev_cents", "year_total", "share_bp", "yoy_delta_bp"
+        )
+        .orderBy("segment", "yr")
+    )
+
+
+def q_lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median line price per return flag: the
+    smallest price (integer cents) whose cumulative quantity reaches
+    half the flag's total — all-integer arithmetic, so the median is
+    engine-exact with no interpolation contract to align. Prices
+    pre-aggregate per (flag, price) before the ordered window, so the
+    window runs over distinct prices, not raw lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("w"))
+    c = pp.withColumn(
+        "cum",
+        F.sum("w")
+        .over(Window.partitionBy("l_returnflag").orderBy("price_cents"))
+        .cast("long"),
+    ).withColumn(
+        "tot",
+        F.sum("w").over(Window.partitionBy("l_returnflag")).cast("long"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(2 * F.col("cum") >= F.col("tot"), F.col("price_cents")))
+            .cast("long")
+            .alias("median_price_cents"),
+            F.max("tot").cast("long").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_events_user_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistic quantiles of per-user activity per event
+    type: p50/p90/p99 of the per-user event-count distribution, each
+    the value at rank ⌈q·n⌉ — pure integer rank selection (no
+    interpolation, no float), the deterministic twin of
+    percentile_approx profiling. The rank window runs on the
+    (type, user) aggregate — user-bounded, not event-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type", "user_id").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    r = per.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy("n", "user_id")
+        ),
+    ).withColumn(
+        "cnt",
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).cast("long"),
+    )
+    def at(q_num: int) -> F.Column:
+        pos = F.expr(f"(cnt * {q_num} + 99) div 100")
+        return F.max(F.when(F.col("rk") == pos, F.col("n"))).cast("long")
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.max("cnt").cast("long").alias("n_users"),
+            at(50).alias("p50"),
+            at(90).alias("p90"),
+            at(99).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_orders_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap profile per repeat customer: order count, gap
+    count, total and mean days between consecutive orders — exact
+    integer day sums with one final division. One ordered window per
+    customer (key-partitioned) over the orders table; customers with
+    a single order drop out (no gaps to profile)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gap = F.datediff("o_orderdate", F.lag("o_orderdate").over(w)).cast("long")
+    return (
+        o.select("o_custkey", gap.alias("gap"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sum_gap_days"),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .withColumn(
+            "avg_gap_days",
+            F.round(F.col("sum_gap_days") / F.col("n_gaps"), 4),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order novelty score per document: the fraction of its
+    distinct trigram shingles whose FIRST corpus occurrence (minimum
+    doc_id) is this document — near 1 for fresh content, near 0 for
+    recombinations of earlier text. The curation signal between exact
+    dedup (catches identity) and near-dup (catches high overlap):
+    novelty degrades smoothly with template reuse. Shapes like the
+    inverted index: one shingle-keyed aggregate (min doc_id per
+    shingle — map-side combinable) joined back to the doc-shingle
+    stream; no pair materialization at all."""
+    from .operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+    ).localCheckpoint(eager=False)  # feeds first-occurrence agg + join back
+    firsts = tri.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        tri.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_trigrams"),
+            F.count_if(F.col("first_doc") == F.col("doc_id"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_novel") / F.col("n_trigrams"), 6)
+        )
+        .orderBy("doc_id")
+    )
+
+
 BPE_BATCH_ROUNDS = 2
 BPE_BATCH_SIZE = 3
 BPE_BATCH_POOL = 12
@@ -4769,7 +5191,74 @@ def _bpe_oracle(n_merges: int) -> str:
 # row (the whole r4 window re-verified green in CORRECTNESS_r04) or an
 # r2/r3 row for code unchanged since.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- (a) r4 eighth batch: mirror-green, never driver-checked
+    # -- (a) NEW in r6, never driver-checked: continuous-aggregate
+    #    refresh, batched BPE training, bounded top-k near-dup, and the
+    #    round-6 analytics/curation batch
+    "events_time_rollup_refresh": q_events_time_rollup_refresh,
+    "docs_bpe_merges_batched": q_docs_bpe_merges_batched,
+    "embedding_near_dup_topk": q_embedding_near_dup_topk,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
+    "supplier_lead_times": q_supplier_lead_times,
+    "docs_token_coverage": q_docs_token_coverage,
+    "docs_winnowing": q_docs_winnowing,
+    "orders_chi2_cells": q_orders_chi2_cells,
+    "segment_share_yoy": q_segment_share_yoy,
+    "lineitem_weighted_median": q_lineitem_weighted_median,
+    "events_user_quantiles": q_events_user_quantiles,
+    "orders_gap_stats": q_orders_gap_stats,
+    "docs_ngram_novelty": q_docs_ngram_novelty,
+    # -- (b) changed-code/changed-oracle refreshes (r6 touched these):
+    #    setsim gained the PPJoin length filter, containment was
+    #    rewritten lossless, the trend + bigram oracles gained guards /
+    #    ordered folds, bpe.py + rollup.py + similarity.py gained the
+    #    batched/refresh/topk siblings (their in-window composites
+    #    docs_bpe_merges_batched, events_time_rollup_refresh and
+    #    embedding_near_dup_topk share the same helpers)
+    "docs_setsim_prefix": q_docs_setsim_prefix,
+    "docs_containment": q_docs_containment,
+    "brand_monthly_trend": q_brand_monthly_trend,
+    "docs_bigram_logprob": q_docs_bigram_logprob,
+    "docs_bpe_merges": q_docs_bpe_merges,
+    "events_time_rollup": q_events_time_rollup,
+    "embedding_near_dup": q_embedding_near_dup,
+    # -- (c) the 27 stalest refreshes: r2-vintage driver rows, unchanged
+    #    code (the r5 verdict's top ask — every other query has r3+)
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "customers_without_orders": q_customers_without_orders,
+    "lineitem_unpivot": q_lineitem_unpivot,
+    "suppliers_per_region": q_suppliers_per_region,
+    "image_resize": q_image_resize,
+    "video_frame_sample": q_video_frame_sample,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    "parts_skyline": q_parts_skyline,
+    "incremental_agg_merge": q_incremental_agg_merge,
+    "events_retention": q_events_retention,
+    "docs_char_entropy": q_docs_char_entropy,
+    "coalesce_display": q_coalesce_display,
+    "orders_top_unshipped": q_orders_top_unshipped,
+    "order_priority_counts": q_order_priority_counts,
+    "docs_unigram_logprob": q_docs_unigram_logprob,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_mixture_weights": q_docs_mixture_weights,
+    "volume_shipping": q_volume_shipping,
+    "product_profit": q_product_profit,
+    "returned_top_customers": q_returned_top_customers,
+    "promo_revenue": q_promo_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "brand_disc_revenue": q_brand_disc_revenue,
+    "top_revenue_suppliers": q_top_revenue_suppliers,
+    "small_qty_revenue": q_small_qty_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
+    "min_cost_supplier": q_min_cost_supplier,
+    # -- (d) next-stalest refreshes fill the remaining slots
+    "market_share": q_market_share,
+    "important_parts": q_important_parts,
+    "late_shipment_priority": q_late_shipment_priority,
+    # --------- driver checked-window boundary (position 50) ---------
+    # -- r5-window refreshes displaced by the r6 batches (all hold
+    #    green r5 driver rows; new queries and r2-vintage refreshes
+    #    outrank refreshes of unchanged r5-green code), then the r4/r3
+    #    groups in their prior order
     "events_markov": q_events_markov,
     "revenue_gini": q_revenue_gini,
     "docs_lang_confusion": q_docs_lang_confusion,
@@ -4781,30 +5270,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_freshness": q_events_freshness,
     "brand_concentration": q_brand_concentration,
     "events_inter_arrival": q_events_inter_arrival,
-    # -- (b) NEW in r5: PPJoin prefix-filter set-similarity (lossless
-    #    vs the oracle's full inverted index), asymmetric containment
-    #    near-dup, CUSUM change-point in closed window form,
-    #    hypertable-style hierarchical time rollup
-    "docs_setsim_prefix": q_docs_setsim_prefix,
-    "docs_containment": q_docs_containment,
     "events_cusum": q_events_cusum,
-    "events_time_rollup": q_events_time_rollup,
-    # -- NEW in r5 (second batch): order-constrained sequence rules,
-    #    two-level grouped trend fit, bigram-LM quality gate — never
-    #    driver-checked, so they displace the 3 lowest-priority
-    #    r2-green refreshes past the boundary
     "events_sequence_rules": q_events_sequence_rules,
-    "brand_monthly_trend": q_brand_monthly_trend,
-    "docs_bigram_logprob": q_docs_bigram_logprob,
-    # -- NEW in r5 (third batch): the BPE merge-training loop — an
-    #    iterative ML inner loop as a hash-checked query; displaces the
-    #    next-lowest r2-green refresh past the boundary
-    "docs_bpe_merges": q_docs_bpe_merges,
-    # -- NEW in r6: never driver-checked
-    "events_time_rollup_refresh": q_events_time_rollup_refresh,
-    "docs_bpe_merges_batched": q_docs_bpe_merges_batched,
-    "embedding_near_dup_topk": q_embedding_near_dup_topk,
-    # -- (c) stalest refreshes: r1-only driver rows, unchanged code
     "dedup_latest_by_key": q_dedup_latest_by_key,
     "union_all_counts": q_union_all_counts,
     "cross_join_dims": q_cross_join_dims,
@@ -4819,16 +5286,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "running_revenue": q_running_revenue,
     "latest_event_per_type": q_latest_event_per_type,
     "text_bpe_tokens": q_text_bpe_tokens,
-    # -- refresh candidates displaced from the r3/r4 windows (r2/r3
-    #    rows; their changed-code paths hold fresher in-window
-    #    evidence via the composites named in the r4 comments)
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "event_sliding_window": q_event_sliding_window,
     "orders_scd2": q_orders_scd2,
     "dedup_components": q_dedup_components,
     "embedding_dup_pairs": q_embedding_dup_pairs,
-    # -- r2-green refreshes, unchanged code
     "purchases_after_click": q_purchases_after_click,
     "filtered_revenue": q_filtered_revenue,
     "docs_pii_scrub": q_docs_pii_scrub,
@@ -4840,20 +5303,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_group_quota": q_docs_group_quota,
     "docs_quality_bins": q_docs_quality_bins,
     "vocab_topk": q_vocab_topk,
-    # --------- driver checked-window boundary (position 50) ---------
-    # -- r2-green refreshes displaced by the r5 second/third batches
-    #    (new queries outrank refreshes of unchanged green code)
-    "orders_above_cust_avg": q_orders_above_cust_avg,
-    "customers_without_orders": q_customers_without_orders,
-    "lineitem_unpivot": q_lineitem_unpivot,
-    "suppliers_per_region": q_suppliers_per_region,
-    # -- the entire r4 window: every entry below through
-    #    embedding_kmeans holds a green r4 driver row
     "merge_updates": q_merge_updates,
     "dedup_near_pipeline": q_dedup_near_pipeline,
     "docs_tfidf_topk": q_docs_tfidf_topk,
     "minhash_lsh_verified": q_minhash_lsh_verified,
-    "embedding_near_dup": q_embedding_near_dup,
     "dedup_bow": q_dedup_bow,
     "embedding_covariance": q_embedding_covariance,
     "embedding_pca_variance": q_embedding_pca_variance,
@@ -4899,33 +5352,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_kcore": q_parts_kcore,
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
-    # -- r3-or-better rows, unchanged code
-    "image_resize": q_image_resize,
-    "video_frame_sample": q_video_frame_sample,
-    "decontaminate_overlap": q_decontaminate_overlap,
-    "parts_skyline": q_parts_skyline,
-    "incremental_agg_merge": q_incremental_agg_merge,
-    "events_retention": q_events_retention,
-    "docs_char_entropy": q_docs_char_entropy,
-    "coalesce_display": q_coalesce_display,
-    "orders_top_unshipped": q_orders_top_unshipped,
-    "order_priority_counts": q_order_priority_counts,
-    "docs_unigram_logprob": q_docs_unigram_logprob,
-    "docs_stratified_sample": q_docs_stratified_sample,
-    "docs_mixture_weights": q_docs_mixture_weights,
-    "volume_shipping": q_volume_shipping,
-    "product_profit": q_product_profit,
-    "returned_top_customers": q_returned_top_customers,
-    "promo_revenue": q_promo_revenue,
-    "large_volume_customers": q_large_volume_customers,
-    "brand_disc_revenue": q_brand_disc_revenue,
-    "top_revenue_suppliers": q_top_revenue_suppliers,
-    "small_qty_revenue": q_small_qty_revenue,
-    "idle_rich_customers": q_idle_rich_customers,
-    "min_cost_supplier": q_min_cost_supplier,
-    "market_share": q_market_share,
-    "important_parts": q_important_parts,
-    "late_shipment_priority": q_late_shipment_priority,
     "customer_order_distribution": q_customer_order_distribution,
     "supplier_part_variety": q_supplier_part_variety,
     "excess_share_suppliers": q_excess_share_suppliers,
@@ -7823,3 +8249,210 @@ ORACLES["docs_bpe_merges"] = _bpe_oracle(BPE_N_MERGES)
 ORACLES["docs_bpe_merges_batched"] = _bpe_batched_oracle(
     BPE_BATCH_ROUNDS, BPE_BATCH_SIZE, BPE_BATCH_POOL
 )
+
+ORACLES["orders_cohort_ltv"] = """
+    WITH first AS (
+      SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(f.cohort_month AS DATE) AS cohort_month,
+           CAST(date_diff('month', f.cohort_month,
+                          date_trunc('month', o.o_orderdate)) AS INT)
+             AS month_offset,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+    FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLES["supplier_lead_times"] = """
+    SELECT l_suppkey, s_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(*) FILTER (WHERE date_diff('day', o_orderdate, l_shipdate) > 90)
+                AS BIGINT) AS n_slow,
+           CAST(sum(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+             AS sum_lead_days,
+           CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT)
+             AS max_lead_days,
+           round(CAST(sum(date_diff('day', o_orderdate, l_shipdate))
+                 AS DOUBLE) / count(*), 4) AS avg_lead_days
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1, 2 ORDER BY l_suppkey
+"""
+
+ORACLES["docs_token_coverage"] = r"""
+    WITH counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY token
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rk FROM counts
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total FROM counts
+    ), ks(k) AS (VALUES (10), (100), (1000))
+    SELECT CAST(k AS INT) AS vocab_k,
+           CAST(sum(c) AS BIGINT) AS covered_occurrences,
+           total AS total_occurrences,
+           round(CAST(sum(c) AS DOUBLE) / total, 6) AS coverage
+    FROM ranked CROSS JOIN tot JOIN ks ON rk <= k
+    GROUP BY k, total ORDER BY vocab_k
+"""
+
+ORACLES["docs_winnowing"] = r"""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS pos,
+             ascii(substr(tk[i], 1, 1)) * 131 + length(tk[i]) AS code
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+            FROM documents WHERE length(trim(text)) > 0),
+           unnest(range(1, len(tk) + 1)) AS t(i)
+    ), grams AS (
+      SELECT doc_id, pos AS gpos,
+             ((code % 1048573 * 131 % 1048573 * 131 % 1048573
+               + lead(code, 1) OVER w % 1048573 * 131 % 1048573
+               + lead(code, 2) OVER w % 1048573) % 1048573)
+               * 2097152 + (1048576 - pos) AS key,
+             lead(code, 2) OVER w AS c2
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), g2 AS (
+      SELECT doc_id, gpos, key,
+             CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+             min(key) OVER (PARTITION BY doc_id ORDER BY gpos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM grams WHERE c2 IS NOT NULL
+    ), sel AS (
+      SELECT doc_id, n,
+             1048576 - wmin % 2097152 AS sel_pos,
+             wmin // 2097152 AS sel_hash
+      FROM g2 WHERE gpos <= n - 4
+    )
+    SELECT doc_id, max(n) AS n_kgrams,
+           CAST(count(DISTINCT sel_pos) AS BIGINT) AS n_selected,
+           CAST(count(DISTINCT sel_hash) AS BIGINT) AS n_distinct_fp,
+           round(CAST(count(DISTINCT sel_pos) AS DOUBLE) / max(n), 6)
+             AS density
+    FROM sel GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["orders_chi2_cells"] = """
+    WITH cells AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT *,
+             CAST(sum(observed) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               AS row_total,
+             CAST(sum(observed) OVER (PARTITION BY o_orderstatus) AS BIGINT)
+               AS col_total,
+             CAST(sum(observed) OVER () AS BIGINT) AS n
+      FROM cells
+    )
+    SELECT o_orderpriority, o_orderstatus, observed, row_total, col_total,
+           round(CAST(row_total AS DOUBLE) * col_total / n, 4) AS expected,
+           round(pow(observed - CAST(row_total AS DOUBLE) * col_total / n, 2)
+                 / (CAST(row_total AS DOUBLE) * col_total / n), 6)
+             AS chi2_term
+    FROM m ORDER BY o_orderpriority, o_orderstatus
+"""
+
+ORACLES["segment_share_yoy"] = """
+    WITH g AS (
+      SELECT c_mktsegment AS segment, CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2
+    ), s AS (
+      SELECT *, CAST(sum(rev_cents) OVER (PARTITION BY yr) AS BIGINT)
+               AS year_total
+      FROM g
+    )
+    SELECT segment, yr, rev_cents, year_total,
+           CAST(rev_cents * 10000 // year_total AS BIGINT) AS share_bp,
+           CAST(rev_cents * 10000 // year_total
+                - lag(rev_cents * 10000 // year_total)
+                  OVER (PARTITION BY segment ORDER BY yr) AS BIGINT)
+             AS yoy_delta_bp
+    FROM s ORDER BY segment, yr
+"""
+
+ORACLES["lineitem_weighted_median"] = """
+    WITH pp AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT *,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag
+                               ORDER BY price_cents) AS BIGINT) AS cum,
+             CAST(sum(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+      FROM pp
+    )
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN 2 * cum >= tot THEN price_cents END) AS BIGINT)
+             AS median_price_cents,
+           CAST(max(tot) AS BIGINT) AS total_qty
+    FROM c GROUP BY 1 ORDER BY l_returnflag
+"""
+
+ORACLES["events_user_quantiles"] = """
+    WITH per AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n, user_id) AS rk,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+      FROM per
+    )
+    SELECT event_type, CAST(max(cnt) AS BIGINT) AS n_users,
+           CAST(max(CASE WHEN rk = (cnt * 50 + 99) // 100 THEN n END)
+                AS BIGINT) AS p50,
+           CAST(max(CASE WHEN rk = (cnt * 90 + 99) // 100 THEN n END)
+                AS BIGINT) AS p90,
+           CAST(max(CASE WHEN rk = (cnt * 99 + 99) // 100 THEN n END)
+                AS BIGINT) AS p99
+    FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLES["orders_gap_stats"] = """
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders
+    )
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS sum_gap_days,
+           round(CAST(sum(gap) AS DOUBLE) / count(gap), 4) AS avg_gap_days
+    FROM g GROUP BY 1 HAVING count(*) >= 2 ORDER BY o_custkey
+"""
+
+ORACLES["docs_ngram_novelty"] = r"""
+    WITH tri AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ns) - 2, 0) + 1),
+               i -> concat(ns[i], ' ', ns[i+1], ' ', ns[i+2])))) AS s
+      FROM (SELECT doc_id,
+                   string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ns
+            FROM documents)
+    ), f AS (
+      SELECT s, min(doc_id) AS first_doc FROM tri GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(count(*) FILTER (WHERE f.first_doc = t.doc_id) AS BIGINT)
+             AS n_novel,
+           round(CAST(count(*) FILTER (WHERE f.first_doc = t.doc_id)
+                 AS DOUBLE) / count(*), 6) AS novelty
+    FROM tri t JOIN f ON t.s = f.s GROUP BY 1 ORDER BY t.doc_id
+"""

@@ -138,6 +138,19 @@ BENCH_QUERIES = [
     "brand_monthly_trend",
     "docs_bigram_logprob",
     "docs_bpe_merges",
+    "events_time_rollup_refresh",
+    "docs_bpe_merges_batched",
+    "embedding_near_dup_topk",
+    "orders_cohort_ltv",
+    "supplier_lead_times",
+    "docs_token_coverage",
+    "docs_winnowing",
+    "orders_chi2_cells",
+    "segment_share_yoy",
+    "lineitem_weighted_median",
+    "events_user_quantiles",
+    "orders_gap_stats",
+    "docs_ngram_novelty",
 ]
 
 

@@ -525,3 +525,81 @@ def test_aqe_replans_smj_to_broadcast_at_runtime(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_static)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+# --- round 6 additions -----------------------------------------------------
+
+
+def test_rollup_refresh_no_cartesian_broadcast_touched(spark):
+    """The O(touched) refresh joins stored partials against the touched
+    bucket set — every join equi/broadcast, never a cartesian, and the
+    raw events table is scanned only for the delta partial."""
+    plan = _plan(spark, "events_time_rollup_refresh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dup_topk_window_is_key_partitioned(spark):
+    """Top-k per vector: the rank window partitions by vec_id — no
+    global sort — and candidates only meet on the SRP bucket key."""
+    plan = _plan(spark, "embedding_near_dup_topk")
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"Window .*?partitionBy=\[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "unpartitioned window in near-dup topk"
+
+
+def test_supplier_lead_times_broadcasts_dim_after_agg(spark):
+    """The supplier dim joins the |suppliers|-sized aggregate via
+    broadcast; only the orderkey fact-fact join may shuffle."""
+    plan = _plan(spark, "supplier_lead_times")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_windows_partition_by_doc(spark):
+    """Every ordered window in the winnowing plan partitions by doc_id
+    — fingerprint selection never sorts the corpus globally."""
+    plan = _plan(spark, "docs_winnowing")
+    for m in re.finditer(r"Window .*?partitionBy=\[([^\]]*)\]", plan):
+        assert "doc_id" in m.group(1), m.group(0)[:120]
+
+
+def test_token_coverage_single_fact_scan(spark):
+    """The coverage curve scans the token stream once; rank/total/cover
+    all derive from the vocab-sized count table (the plan may re-read
+    the lazy checkpoint, but only one exploded aggregate exists)."""
+    plan = _plan(spark, "docs_token_coverage")
+    assert "CartesianProduct" not in plan  # the k-explode rides the vocab side
+    assert plan.count("Generate explode") <= 2  # tokens + the 3-literal k array
+
+
+def test_cohort_ltv_no_extra_exchange_on_custkey(spark):
+    """First-order dim and fact join share the o_custkey partitioning;
+    no cartesian anywhere."""
+    plan = _plan(spark, "orders_cohort_ltv")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_round6_windows_are_key_partitioned(spark):
+    """The order-statistic/window queries added in round 6 keep every
+    window partitioned by its group key (the chi2 cell table and the
+    coverage vocab rank are deliberately exempt: both windows run over
+    a cardinality-bounded aggregate, |cells| and |vocab|)."""
+    for name in (
+        "lineitem_weighted_median",
+        "events_user_quantiles",
+        "orders_gap_stats",
+        "segment_share_yoy",
+    ):
+        plan = _plan(spark, name)
+        for m in re.finditer(r"Window .*?partitionBy=\[([^\]]*)\]", plan):
+            assert m.group(1).strip(), f"unpartitioned window in {name}"
+
+
+def test_ngram_novelty_no_pair_materialization(spark):
+    """Novelty is first-occurrence join-back, never a doc-pair join:
+    no cartesian, and the only joins are on the shingle key."""
+    plan = _plan(spark, "docs_ngram_novelty")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

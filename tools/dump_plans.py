@@ -63,6 +63,14 @@ SHOWN = [
     ("events_sequence_rules", "order-constrained rules: (user,type) aggregate before pair join"),
     ("brand_monthly_trend", "two-level OLS: monthly partials then exact-moment fit"),
     ("docs_bigram_logprob", "bigram-LM scoring, plan-literal count maps (join-free)"),
+    ("events_time_rollup_refresh", "O(touched) continuous-aggregate refresh == full rollup"),
+    ("embedding_near_dup_topk", "bounded O(N*k) SRP near-dup, per-vector rank window"),
+    ("docs_winnowing", "MOSS winnowing fingerprints, packed-integer window argmin"),
+    ("docs_token_coverage", "vocab coverage curve, one token-stream aggregate"),
+    ("docs_ngram_novelty", "first-occurrence novelty, shingle join-back (no pairs)"),
+    ("orders_cohort_ltv", "cohort LTV triangle, co-partitioned custkey join"),
+    ("supplier_lead_times", "fact-fact orderkey join + post-agg broadcast dim"),
+    ("lineitem_weighted_median", "exact weighted median via cumulative window"),
 ]
 
 
