@@ -6559,10 +6559,14 @@ ORACLES: dict[str, str] = {
         GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     "docs_unigram_logprob": f"""
-        WITH d AS (SELECT doc_id, trim(text) AS t FROM documents
-                   WHERE length(trim(text)) > 0),
-        tok AS (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS token
-                FROM d),
+        WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+                   FROM documents WHERE length(trim(text)) > 0),
+        -- position carried so the final fold replays Spark's ordered
+        -- left-to-right F.aggregate exactly (unordered avg() sums in
+        -- engine-chosen order — a last-ulp flake risk on long docs;
+        -- same fix as the bigram gate)
+        tok AS (SELECT doc_id, i AS pos, tk[i] AS token
+                FROM d, unnest(range(1, len(tk) + 1)) AS u(i)),
         tot AS (SELECT count(*)::DOUBLE AS n FROM tok),
         vocab AS (SELECT token, count(*) AS c FROM tok
                   GROUP BY token ORDER BY c DESC, token
@@ -6570,7 +6574,9 @@ ORACLES: dict[str, str] = {
         scored AS (
           SELECT tok.doc_id,
                  count(*) AS n_tokens,
-                 avg(coalesce(ln(v.c / tot.n), ln(0.5 / tot.n))) AS alp
+                 list_reduce(list(coalesce(ln(v.c / tot.n), ln(0.5 / tot.n))
+                                  ORDER BY tok.pos),
+                             (a, b) -> a + b) / count(*) AS alp
           FROM tok CROSS JOIN tot LEFT JOIN vocab v ON tok.token = v.token
           GROUP BY tok.doc_id)
         SELECT doc_id, n_tokens::BIGINT AS n_tokens,

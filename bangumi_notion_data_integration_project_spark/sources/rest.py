@@ -25,6 +25,11 @@ from __future__ import annotations
 import json
 import os
 import time
+
+# patchable alias: tests mock THIS, not time.sleep — patching the global
+# time module's sleep intercepts every other thread in the process (Spark
+# pollers spin on time.sleep(1)) and floods the recording
+_sleep = time.sleep
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
@@ -113,13 +118,13 @@ class HttpTransport:
                     # "...: None") and escalate the penalty sleep per
                     # attempt instead of a flat 10 s
                     last_err = "rate-limited (HTTP 429)"
-                    time.sleep(RATE_LIMIT_SLEEP * (attempt + 1))
+                    _sleep(RATE_LIMIT_SLEEP * (attempt + 1))
                     continue
                 resp.raise_for_status()
                 return resp.json()
             except Exception as e:  # noqa: BLE001
                 last_err = e
-                time.sleep(RETRY_BACKOFF * 2**attempt)
+                _sleep(RETRY_BACKOFF * 2**attempt)
         raise RuntimeError(f"REST fetch failed after {MAX_RETRIES} retries: {last_err}")
 
     def fetch_page(self, cell_id: str, page_index: int, limit: int) -> dict:

@@ -94,7 +94,11 @@ def server():
 def sleeps(monkeypatch):
     """Mock the module's clock; return the recorded sleep durations."""
     recorded: list[float] = []
-    monkeypatch.setattr(rest_mod.time, "sleep", recorded.append)
+    # patch the module-level alias, NOT time.sleep: rest_mod.time IS the
+    # global time module, and mocking its sleep turns every other
+    # thread's 1 s poll into a tight spin that floods the recording
+    # (observed: 126k stray entries from a Spark poller)
+    monkeypatch.setattr(rest_mod, "_sleep", recorded.append)
     return recorded
 
 
