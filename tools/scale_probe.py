@@ -70,6 +70,17 @@ PROBED = [
     "orders_mad",
     "events_attribution_decay",
     "incremental_agg_cdc",
+    # round 6: rollup refresh (calendar-bounded state), winnowing (one
+    # ordered window per doc), cohort LTV (co-partitioned join), exact
+    # order statistics, novelty join-back
+    "events_time_rollup_refresh",
+    "docs_winnowing",
+    "orders_cohort_ltv",
+    "supplier_lead_times",
+    "lineitem_weighted_median",
+    "events_user_quantiles",
+    "docs_ngram_novelty",
+    "segment_share_yoy",
 ]
 SCALED_TABLES = {
     "lineitem": "l_orderkey",
