@@ -305,3 +305,56 @@ def test_rollup_grains_internally_consistent_and_match_direct(spark):
             .collect()
         }
         assert by_grain[grain] == direct, grain
+
+
+def test_rollup_refresh_touches_only_delta_buckets(spark):
+    """The O(touched) claim, pinned: a delta landing in ONE day must
+    produce replacement rows for exactly that day, its week, and its
+    month — never a bucket the delta didn't touch — and applying the
+    refresh must equal the from-scratch rollup of base+delta."""
+    import datetime
+
+    from bangumi_notion_data_integration_project_spark.operators.rollup import (
+        apply_rollup_refresh,
+        hierarchical_time_rollup,
+        rollup_refresh_delta,
+    )
+
+    base_rows = [
+        (datetime.datetime(2024, 1, 1 + (i * 3) % 28, i % 24), (i * 31) % 400 / 100.0)
+        for i in range(200)
+    ] + [
+        (datetime.datetime(2024, 2, 1 + (i * 5) % 28, i % 24), (i * 17) % 400 / 100.0)
+        for i in range(100)
+    ]
+    delta_rows = [
+        (datetime.datetime(2024, 1, 10, h), 1.50) for h in range(6)
+    ]  # one touched day: 2024-01-10 (ISO week starting 01-08, month Jan)
+    cents = F.round(F.col("value") * 100, 0)
+    schema = "ts timestamp, value double"
+    base = spark.createDataFrame(base_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+
+    stored = hierarchical_time_rollup(base, "ts", cents)
+    refreshed = rollup_refresh_delta(stored, delta, "ts", cents).collect()
+
+    buckets = {(r["grain"], str(r["bucket_start"])) for r in refreshed}
+    assert buckets == {
+        ("day", "2024-01-10"),
+        ("week", "2024-01-08"),
+        ("month", "2024-01-01"),
+    }, buckets
+
+    want = {
+        (r["grain"], r["bucket_start"]): (r["n_events"], r["value_cents"])
+        for r in hierarchical_time_rollup(
+            spark.createDataFrame(base_rows + delta_rows, schema), "ts", cents
+        ).collect()
+    }
+    got = {
+        (r["grain"], r["bucket_start"]): (r["n_events"], r["value_cents"])
+        for r in apply_rollup_refresh(
+            stored, rollup_refresh_delta(stored, delta, "ts", cents)
+        ).collect()
+    }
+    assert got == want
