@@ -100,7 +100,8 @@ def main() -> int:
     bench = run("bench", [sys.executable, "bench.py"])
     last = bench.stdout.strip().splitlines()[-1]
     parsed = json.loads(last)  # raises (→ traceback, nonzero) if malformed
-    print(f"bench total {parsed['value']}s over {len(parsed['queries'])} queries")
+    n = parsed.get("n_queries") or len(parsed.get("queries", ()))
+    print(f"bench total {parsed['value']}s over {n} queries")
     print("preflight PASSED")
     return 0
 
