@@ -614,3 +614,73 @@ def containment_pairs(
             F.round(F.col("n_common") / F.col("__na"), 6).alias("containment"),
         )
     )
+
+
+WINNOW_PRIME = 1048573  # largest prime < 2^20 — keeps the k-gram hash in 20 bits
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint SELECTION (Schleimer/Wilkerson/Aiken's
+    MOSS algorithm): hash every k-token gram, slide a w-gram window,
+    keep each window's minimal hash with ties broken to the RIGHTMOST
+    position. Guarantees any shared token run of length >= w + k - 1
+    contributes at least one identical selected fingerprint to both
+    documents (property-tested), at expected density 2/(w+1) — the
+    local-match tier between the global rolling-hash fingerprint and
+    shingle-set dedup.
+
+    Engine-exact trick: hash and tie-break pack into ONE integer,
+    ``key = h·2²¹ + (2²⁰ − pos)`` (h < 2²⁰ via WINNOW_PRIME, pos <
+    2²⁰ — token positions beyond 1M would need a wider packing), so
+    the window argmin-with-rightmost-tie is a plain integer ``min`` in
+    any engine — no struct comparison, no arg_min tie rule to align.
+    One ordered window per doc, partitioned by the doc id; cost is
+    O(tokens) per doc with no joins at all.
+
+    Returns (id_col, n_kgrams, sel_pos, sel_hash) — one row per
+    selected fingerprint (distinct positions); docs with fewer than
+    w full windows contribute no rows.
+    """
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("__pos", "__tok")
+    )
+    code = (
+        F.ascii(F.substring("__tok", 1, 1)).cast("long") * 131
+        + F.length("__tok")
+    )
+    w_gram = Window.partitionBy(id_col).orderBy("__pos")
+    lead_cols = [F.lead(code, j).over(w_gram).alias(f"__c{j}") for j in range(k)]
+    g = toks.select(id_col, "__pos", *lead_cols).filter(
+        F.col(f"__c{k - 1}").isNotNull()
+    )
+    h = F.lit(0)
+    for j in range(k):
+        h = (h * 131 + F.col(f"__c{j}") % WINNOW_PRIME) % WINNOW_PRIME
+    grams = g.select(
+        id_col,
+        F.col("__pos").alias("gpos"),
+        (h * F.lit(2097152) + (F.lit(1048576) - F.col("__pos"))).alias("__key"),
+    )
+    w_win = Window.partitionBy(id_col).orderBy("gpos").rowsBetween(0, w - 1)
+    w_cnt = Window.partitionBy(id_col)
+    return (
+        grams.withColumn("__wmin", F.min("__key").over(w_win))
+        .withColumn("__n", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("gpos") <= F.col("__n") - w)
+        .select(
+            id_col,
+            F.col("__n").alias("n_kgrams"),
+            (F.lit(1048576) - F.col("__wmin") % F.lit(2097152)).alias("sel_pos"),
+            F.expr("__wmin div 2097152").alias("sel_hash"),
+        )
+        .distinct()
+    )

@@ -4736,57 +4736,14 @@ def q_docs_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     rightmost-tie-break is a plain integer ``min`` in both engines —
     no struct comparison, no float, no engine-specific arg_min tie
     rule. One ordered window per doc, partitioned by doc_id."""
-    P = 1048573  # largest prime < 2^20
+    from .operators.dedup import winnowing_fingerprints
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.posexplode(tokens("text")).alias("__pos", "__tok")
-    )
-    code = (
-        F.ascii(F.substring("__tok", 1, 1)).cast("long") * 131
-        + F.length("__tok")
-    )
-    w_gram = Window.partitionBy("doc_id").orderBy("__pos")
-    g = toks.select(
-        "doc_id",
-        "__pos",
-        code.alias("__c0"),
-        F.lead(code, 1).over(w_gram).alias("__c1"),
-        F.lead(code, 2).over(w_gram).alias("__c2"),
-    ).filter(F.col("__c2").isNotNull())
-    h = (
-        F.col("__c0") % P * 131 % P * 131 % P
-        + F.col("__c1") % P * 131 % P
-        + F.col("__c2") % P
-    ) % P
-    grams = g.select(
-        "doc_id",
-        F.col("__pos").alias("gpos"),
-        (h * F.lit(2097152) + (F.lit(1048576) - F.col("gpos"))).alias("__key"),
-    )
-    w_win = (
-        Window.partitionBy("doc_id")
-        .orderBy("gpos")
-        .rowsBetween(0, WINNOW_W - 1)
-    )
-    w_cnt = Window.partitionBy("doc_id")
-    sel = (
-        grams.withColumn("__wmin", F.min("__key").over(w_win))
-        .withColumn("__n", F.count(F.lit(1)).over(w_cnt))
-        # a window starts at every gram position p with p+W <= n
-        .filter(F.col("gpos") <= F.col("__n") - WINNOW_W)
-        .select(
-            "doc_id",
-            "__n",
-            (F.lit(1048576) - F.col("__wmin") % F.lit(2097152)).alias(
-                "sel_pos"
-            ),
-            F.expr("__wmin div 2097152").alias("sel_hash"),
-        )
-    )
+    sel = winnowing_fingerprints(d, "text", "doc_id", k=WINNOW_K, w=WINNOW_W)
     return (
         sel.groupBy("doc_id")
         .agg(
-            F.max("__n").alias("n_kgrams"),
+            F.max("n_kgrams").alias("n_kgrams"),
             F.countDistinct("sel_pos").cast("long").alias("n_selected"),
             F.countDistinct("sel_hash").cast("long").alias("n_distinct_fp"),
         )
