@@ -436,13 +436,18 @@ def setsim_prefix_candidates(
     tau*max(|A|,|B|) <= min(|A|,|B|) — checked in integers before the
     candidate pair ever reaches the array_intersect verify join.
     """
-    toks = sets.select("__did", F.explode("__set").alias("token"))
+    # __sz rides from the array length at explode time — a count window
+    # over the token stream would re-sort the whole stream just to
+    # recompute what F.size already knows
+    toks = sets.select(
+        "__did",
+        F.size("__set").alias("__sz"),
+        F.explode("__set").alias("token"),
+    )
     dfreq = toks.groupBy("token").agg(F.count("*").alias("__tdf"))
     w_rank = Window.partitionBy("__did").orderBy("__tdf", "token")
-    ranked = (
-        toks.join(dfreq, "token")
-        .withColumn("__rn", F.row_number().over(w_rank))
-        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy("__did")))
+    ranked = toks.join(dfreq, "token").withColumn(
+        "__rn", F.row_number().over(w_rank)
     )
     # prefix length L = sz - ceil(tau*sz) + 1; ceil via integer floor-div
     need = F.floor((F.col("__sz") * tau_num + tau_den - 1) / tau_den)
@@ -581,13 +586,15 @@ def containment_pairs(
         F.col(id_col).alias("__did"),
         word_shingles(text_col, shingle_n).alias("__set"),
     ).localCheckpoint(eager=False)  # feeds prefix ranks, full index, verify
-    toks = sets.select("__did", F.explode("__set").alias("s"))
+    toks = sets.select(
+        "__did",
+        F.size("__set").alias("__sz"),  # no count window over the stream
+        F.explode("__set").alias("s"),
+    )
     dfreq = toks.groupBy("s").agg(F.count("*").alias("__sdf"))
     w_rank = Window.partitionBy("__did").orderBy("__sdf", "s")
-    ranked = (
-        toks.join(dfreq, "s")
-        .withColumn("__rn", F.row_number().over(w_rank))
-        .withColumn("__sz", F.count(F.lit(1)).over(Window.partitionBy("__did")))
+    ranked = toks.join(dfreq, "s").withColumn(
+        "__rn", F.row_number().over(w_rank)
     )
     need = F.floor((F.col("__sz") * tau_num + tau_den - 1) / tau_den)  # ceil
     prefix = ranked.filter(F.col("__rn") <= F.col("__sz") - need + 1)
