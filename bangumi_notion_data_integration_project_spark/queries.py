@@ -4792,6 +4792,7 @@ def q_orders_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exp_ = F.col("row_total").cast("double") * F.col("col_total") / F.col("n")
+    dev = F.col("observed") - exp_
     return m.select(
         "o_orderpriority",
         "o_orderstatus",
@@ -4799,9 +4800,10 @@ def q_orders_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_total",
         "col_total",
         F.round(exp_, 4).alias("expected"),
-        F.round(
-            F.pow(F.col("observed") - exp_, F.lit(2)) / exp_, 6
-        ).alias("chi2_term"),
+        # dev*dev, not pow(dev, 2): IEEE multiplication is exact and
+        # deterministic; libm pow need not be correctly rounded and may
+        # differ between engines in the last ulp
+        F.round(dev * dev / exp_, 6).alias("chi2_term"),
     ).orderBy("o_orderpriority", "o_orderstatus")
 
 
@@ -8317,7 +8319,8 @@ ORACLES["orders_chi2_cells"] = """
     )
     SELECT o_orderpriority, o_orderstatus, observed, row_total, col_total,
            round(CAST(row_total AS DOUBLE) * col_total / n, 4) AS expected,
-           round(pow(observed - CAST(row_total AS DOUBLE) * col_total / n, 2)
+           round((observed - CAST(row_total AS DOUBLE) * col_total / n)
+                 * (observed - CAST(row_total AS DOUBLE) * col_total / n)
                  / (CAST(row_total AS DOUBLE) * col_total / n), 6)
              AS chi2_term
     FROM m ORDER BY o_orderpriority, o_orderstatus

@@ -1032,3 +1032,62 @@ def test_streaming_time_rollup_partitioned_twin(spark, tmp_path):
     except StreamingQueryException as e:
         assert "checkpoint identity changed" in str(e)
     assert stored_state() == want_state(160)  # state untouched
+
+
+def test_streaming_time_rollup_partitioned_replay_skip(spark, tmp_path):
+    """Same-identity replay branch: a batch whose batch_id is at or
+    below the stored watermark, under a MATCHING checkpoint identity,
+    must be skipped silently (crash-recovery re-delivery of an
+    already-folded batch — folding again would double-count the sums).
+    The checkpoint's metadata file is pre-seeded so Structured
+    Streaming adopts a known query id, making the stored identity
+    match the replay's."""
+    import json
+    import os
+
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_time_rollup_partitioned,
+    )
+
+    inp = str(tmp_path / "in")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    # Spark keeps a pre-existing checkpoint metadata id — seed it so the
+    # stored state can carry the SAME identity before the query starts
+    os.makedirs(ckpt)
+    qid = "11111111-2222-3333-4444-555555555555"
+    with open(os.path.join(ckpt, "metadata"), "w") as fh:
+        json.dump({"id": qid}, fh)
+
+    # stored state: one folded day, watermark far above the replay id
+    spark.createDataFrame(
+        [("day", "2024-01-01", 7, 700, 99, qid, "day|2024-01-01"),
+         ("week", "2024-01-01", 7, 700, 99, qid, "week|2024-01-01"),
+         ("month", "2024-01-01", 7, 700, 99, qid, "month|2024-01-01")],
+        "grain string, bucket_start string, n_events long, value_cents long,"
+        " __batch_id long, __ckpt_id string, __k string",
+    ).withColumn("bucket_start", F.to_date("bucket_start")).write.mode(
+        "overwrite"
+    ).partitionBy("grain").parquet(rollup_dir)
+
+    _write_batch(spark, inp, [(1, "2024-01-01 05:00:00", 1, "e", 3.0)])
+    q = start_streaming_time_rollup_partitioned(
+        read_event_stream(spark, inp, SCHEMA),
+        rollup_dir,
+        ts_col="ts",
+        value_cents=F.round(F.col("value") * 100, 0),
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["grain"], str(r["bucket_start"])): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(rollup_dir).collect()
+    }
+    # batch 0 <= watermark 99 with matching identity: skipped, state
+    # byte-identical — the new event's 300 cents must NOT appear
+    assert got == {
+        ("day", "2024-01-01"): (7, 700),
+        ("week", "2024-01-01"): (7, 700),
+        ("month", "2024-01-01"): (7, 700),
+    }, got
