@@ -4681,19 +4681,24 @@ def q_docs_token_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve: the fraction of corpus token
     OCCURRENCES covered by the top-k vocabulary at k ∈ {10, 100,
     1000} — the first question a tokenizer/vocab-size decision asks of
-    a training corpus. Counts are exact integers; the rank window runs
-    over the VOCABULARY (corpus-bounded, ~|distinct tokens| rows), not
-    the token stream, so the single-partition rank sort is
-    vocab-sized — at 100 TB the stream aggregate is the only
-    fact-scale pass."""
+    a training corpus. Counts are exact integers; the top-1000 comes
+    from a distributed TakeOrdered (per-partition heaps), so nothing
+    vocab-sized ever sorts on one partition — at 100 TB the stream
+    aggregate is the only fact-scale pass."""
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(tokens("text")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("c"))
-        .localCheckpoint(eager=False)  # feeds rank, total, and coverage
+        .localCheckpoint(eager=False)  # feeds top-k, total, and coverage
     )
-    ranked = counts.withColumn(
+    # limit-then-rank, not rank-then-filter: orderBy().limit(1000) is a
+    # distributed TakeOrdered (per-partition heaps + merge), while a
+    # row_number window over the full vocabulary sorts 100M+ tokens on
+    # ONE partition at corpus scale. The window then ranks only the
+    # 1000 survivors.
+    topk = counts.orderBy(F.col("c").desc(), "token").limit(1000)
+    ranked = topk.withColumn(
         "rk", F.row_number().over(Window.orderBy(F.col("c").desc(), "token"))
     )
     tot = counts.agg(F.sum("c").cast("long").alias("total"))
