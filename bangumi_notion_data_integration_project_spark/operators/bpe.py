@@ -109,28 +109,38 @@ def learn_bpe_merges(
     return merges
 
 
+def _pair_symbols(pair: str) -> tuple[str, str, str]:
+    l, r = pair.split(" ")
+    return l, r, l + r
+
+
 def select_compatible(
     cands: list[tuple[str, int]], batch_size: int
 ) -> list[tuple[str, int]]:
     """Pick up to ``batch_size`` mutually NON-INTERACTING pairs from a
     (count desc, pair asc)-ordered candidate pool: a candidate is
     blocked iff ANY higher-ranked pool candidate — selected or not —
-    shares a symbol with it. Blocking against every higher rank
-    (rather than only against already-selected pairs) is deliberately
-    order-free: it is a single anti-self-join in SQL, so the DuckDB
-    oracle replays the exact selection relationally instead of
-    emulating a stateful greedy scan. It is slightly more conservative
-    than transitive greedy (a pair blocked only by a blocked pair is
-    also dropped), and any two survivors are provably disjoint: the
-    lower-ranked one is unblocked by ALL higher ranks, including the
-    other survivor. The rank-1 pair is never blocked, so a non-empty
-    pool always yields at least one merge."""
+    shares a symbol with it, where a pair's symbol set is
+    ``{left, right, left+right}``. Including the FUSED symbol closes a
+    subtle interaction: from round 2 on, the pool can contain a pair
+    like ``x ab`` while another pair ``a b`` fuses to ``ab`` — fusing
+    ``a b`` first would CREATE new ``x ab`` adjacencies the selection
+    count never saw, so the two must not share a batch even though
+    their operand symbols are disjoint. Blocking against every higher
+    rank (rather than only against already-selected pairs) is
+    deliberately order-free: it is a single anti-self-join in SQL, so
+    the DuckDB oracle replays the exact selection relationally instead
+    of emulating a stateful greedy scan. It is slightly more
+    conservative than transitive greedy (a pair blocked only by a
+    blocked pair is also dropped), and any two survivors are provably
+    non-interacting: the lower-ranked one is unblocked by ALL higher
+    ranks, including the other survivor. The rank-1 pair is never
+    blocked, so a non-empty pool always yields at least one merge."""
     out: list[tuple[str, int]] = []
     for i, (pair, c) in enumerate(cands):
-        la, ra = pair.split(" ")
+        syms = set(_pair_symbols(pair))
         if any(
-            la in (lb, rb) or ra in (lb, rb)
-            for lb, rb in (q.split(" ") for q, _ in cands[:i])
+            syms & set(_pair_symbols(q)) for q, _ in cands[:i]
         ):
             continue
         out.append((pair, c))
@@ -153,12 +163,13 @@ def learn_bpe_merges_batched(
     all in a single plan pass — the standard amortization real BPE
     trainers use, cutting driver round-trips by ~``batch_size``× vs
     :func:`learn_bpe_merges` (which syncs once per merge; a 30k-merge
-    tokenizer build needs ~30k/B rounds here, not 30k). Disjointness
-    makes the batch order-free: fusing ``a b`` cannot create, destroy,
-    or re-site an occurrence of ``c d`` when the pairs share no
-    symbol, so batch-of-1 is EXACTLY the serial loop (differential
-    test) and the pre-fuse counts stay truthful for every selected
-    pair. Fuses apply in selection order with the same 3-pass replace;
+    tokenizer build needs ~30k/B rounds here, not 30k). The extended
+    disjointness rule (operand symbols AND the fused output symbol,
+    see :func:`select_compatible`) makes the batch order-free: no fuse
+    in the batch can create, destroy, or re-site an occurrence of any
+    other selected pair, so batch-of-1 is EXACTLY the serial loop
+    (differential test) and the pre-fuse counts stay truthful for
+    every selected pair. Fuses apply in selection order with the same 3-pass replace;
     returns [(round, pos_in_round, pair, pair_count)].
     """
     if pool is None:

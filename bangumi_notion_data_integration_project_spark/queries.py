@@ -5047,7 +5047,8 @@ def _bpe_batched_oracle(n_rounds: int, batch_size: int, pool: int) -> str:
       GROUP BY pair
     ), pool{r} AS MATERIALIZED (
       SELECT pair, c, row_number() OVER (ORDER BY c DESC, pair) AS rk,
-             string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS rr
+             string_split(pair, ' ')[1] AS l, string_split(pair, ' ')[2] AS rr,
+             replace(pair, ' ', '') AS fs
       FROM p{r} ORDER BY c DESC, pair LIMIT {pool}
     ), t{r} AS MATERIALIZED (
       SELECT pair, c, row_number() OVER (ORDER BY rk) AS pos
@@ -5055,7 +5056,8 @@ def _bpe_batched_oracle(n_rounds: int, batch_size: int, pool: int) -> str:
       WHERE NOT EXISTS (
         SELECT 1 FROM pool{r} b
         WHERE b.rk < a.rk
-          AND (b.l IN (a.l, a.rr) OR b.rr IN (a.l, a.rr)))
+          AND (b.l IN (a.l, a.rr, a.fs) OR b.rr IN (a.l, a.rr, a.fs)
+               OR b.fs IN (a.l, a.rr, a.fs)))
       ORDER BY rk LIMIT {batch_size}
     )"""
         )

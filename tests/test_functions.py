@@ -240,3 +240,9 @@ def test_bpe_batch_selection_is_disjoint_and_conservative(spark):
     assert got == [("a t", 10), ("c d", 7), ("x y", 6)], got
     syms = [s for p, _ in got for s in p.split(" ")]
     assert len(syms) == len(set(syms))  # mutually non-interacting
+
+    # fused-symbol interaction: fusing "a b" -> "ab" would CREATE new
+    # "x ab" adjacencies mid-batch, so "x ab" must not share the batch
+    # even though the operand symbols {a,b} and {x,ab} are disjoint
+    got2 = select_compatible([("a b", 10), ("x ab", 9), ("p q", 8)], 3)
+    assert got2 == [("a b", 10), ("p q", 8)], got2
