@@ -417,6 +417,35 @@ def simhash64(text_col: str, token_hash_bits: int = 64) -> Column:
     )
 
 
+def _rarest_first_prefix(
+    sets: DataFrame, *, tau_num: int, tau_den: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared prefix-index builder for the PPJoin-family operators.
+
+    Returns ``(prefix, toks)`` over a (__did, __set) frame: ``toks`` is
+    the exploded (__did, __sz, token) stream with __sz riding from
+    F.size at explode time (a count window would re-sort the whole
+    stream to recompute it), and ``prefix`` is its subset whose
+    rarest-first rank (document frequency, then token — a total order)
+    falls within the first ``|S| - ceil(tau*|S|) + 1`` positions: by
+    pigeonhole any pair meeting the tau overlap bound shares a token
+    inside that prefix, so indexing only prefixes is lossless. The
+    ceil rides an integer floor-div so no float ever enters the bound.
+    """
+    toks = sets.select(
+        "__did",
+        F.size("__set").alias("__sz"),
+        F.explode("__set").alias("token"),
+    )
+    dfreq = toks.groupBy("token").agg(F.count("*").alias("__tdf"))
+    w_rank = Window.partitionBy("__did").orderBy("__tdf", "token")
+    ranked = toks.join(dfreq, "token").withColumn(
+        "__rn", F.row_number().over(w_rank)
+    )
+    need = F.floor((F.col("__sz") * tau_num + tau_den - 1) / tau_den)
+    return ranked.filter(F.col("__rn") <= F.col("__sz") - need + 1), toks
+
+
 def setsim_prefix_candidates(
     sets: DataFrame,
     *,
@@ -436,22 +465,7 @@ def setsim_prefix_candidates(
     tau*max(|A|,|B|) <= min(|A|,|B|) — checked in integers before the
     candidate pair ever reaches the array_intersect verify join.
     """
-    # __sz rides from the array length at explode time — a count window
-    # over the token stream would re-sort the whole stream just to
-    # recompute what F.size already knows
-    toks = sets.select(
-        "__did",
-        F.size("__set").alias("__sz"),
-        F.explode("__set").alias("token"),
-    )
-    dfreq = toks.groupBy("token").agg(F.count("*").alias("__tdf"))
-    w_rank = Window.partitionBy("__did").orderBy("__tdf", "token")
-    ranked = toks.join(dfreq, "token").withColumn(
-        "__rn", F.row_number().over(w_rank)
-    )
-    # prefix length L = sz - ceil(tau*sz) + 1; ceil via integer floor-div
-    need = F.floor((F.col("__sz") * tau_num + tau_den - 1) / tau_den)
-    prefix = ranked.filter(F.col("__rn") <= F.col("__sz") - need + 1)
+    prefix, _ = _rarest_first_prefix(sets, tau_num=tau_num, tau_den=tau_den)
     cond = F.col("id_a") < F.col("id_b")
     if length_filter:
         cond = cond & (
@@ -586,21 +600,10 @@ def containment_pairs(
         F.col(id_col).alias("__did"),
         word_shingles(text_col, shingle_n).alias("__set"),
     ).localCheckpoint(eager=False)  # feeds prefix ranks, full index, verify
-    toks = sets.select(
-        "__did",
-        F.size("__set").alias("__sz"),  # no count window over the stream
-        F.explode("__set").alias("s"),
-    )
-    dfreq = toks.groupBy("s").agg(F.count("*").alias("__sdf"))
-    w_rank = Window.partitionBy("__did").orderBy("__sdf", "s")
-    ranked = toks.join(dfreq, "s").withColumn(
-        "__rn", F.row_number().over(w_rank)
-    )
-    need = F.floor((F.col("__sz") * tau_num + tau_den - 1) / tau_den)  # ceil
-    prefix = ranked.filter(F.col("__rn") <= F.col("__sz") - need + 1)
+    prefix, toks = _rarest_first_prefix(sets, tau_num=tau_num, tau_den=tau_den)
     cand = (
-        prefix.select(F.col("__did").alias("contained_id"), "s")
-        .join(toks.select(F.col("__did").alias("container_id"), "s"), "s")
+        prefix.select(F.col("__did").alias("contained_id"), "token")
+        .join(toks.select(F.col("__did").alias("container_id"), "token"), "token")
         .filter(F.col("contained_id") != F.col("container_id"))
         .select("contained_id", "container_id")
         .distinct()

@@ -632,12 +632,18 @@ def start_streaming_time_rollup_partitioned(
     checkpoint_dir: str,
 ):
     """Warehouse-scale twin of :func:`start_streaming_time_rollup`:
-    the stored rollup is hive-partitioned by ``grain`` and each batch
-    folds through ``operators/rollup.rollup_refresh_delta`` +
+    the stored rollup is hive-partitioned by ``__part = grain-year``
+    and each batch folds through
+    ``operators/rollup.rollup_refresh_delta`` +
     ``merge_into_partitioned`` — O(touched buckets) of compute and
-    only the touched grain partitions rewritten, instead of the
-    whole-table rewrite the flat twin pays. The coarser grains still
-    rebuild from day partials only; raw history is never re-scanned.
+    only the touched (grain, year) partitions rewritten. Partitioning
+    by grain ALONE would be a mirage: every nonempty delta touches
+    day, week, and month rows, so all three grain partitions — the
+    whole table — would rewrite each batch; the year component is what
+    actually strands history on disk (a late event in 2024 rewrites
+    day-2024/week-2024/month-2024 and leaves every other year's files
+    unread and unwritten). The coarser grains still rebuild from day
+    partials only; raw history is never re-scanned.
 
     Replay / identity guard: rows carry ``__batch_id`` (monotone
     watermark) and ``__ckpt_id`` (checkpoint-lineage identity). A
@@ -663,8 +669,16 @@ def start_streaming_time_rollup_partitioned(
             stored = spark.read.parquet(rollup_dir)
             bid, sid = wm["bid"], wm["ident"]
             if bid is None:  # cold cache → recovery path, read disk
+                # identity must be the one PAIRED with the newest batch
+                # (max_by, not first): merge keeps unmatched old rows
+                # with their original __ckpt_id, so after a legitimate
+                # identity change (e.g. metadata became unreadable and
+                # the path fallback kicked in) the table holds mixed
+                # identities and an arbitrary row's would misfire the
+                # guard in either direction
                 head = stored.agg(
-                    F.max("__batch_id"), F.first("__ckpt_id")
+                    F.max("__batch_id"),
+                    F.max_by("__ckpt_id", "__batch_id"),
                 ).first()
                 bid, sid = head[0], head[1]
             if bid is not None and batch_id <= bid:
@@ -690,9 +704,10 @@ def start_streaming_time_rollup_partitioned(
             F.lit(batch_id).cast("long").alias("__batch_id"),
             F.lit(ident).alias("__ckpt_id"),
             F.concat_ws("|", "grain", "bucket_start").alias("__k"),
+            F.concat_ws("-", "grain", F.year("bucket_start")).alias("__part"),
         )
         if not have:
-            refreshed.write.mode("overwrite").partitionBy("grain").parquet(
+            refreshed.write.mode("overwrite").partitionBy("__part").parquet(
                 rollup_dir
             )
         else:
@@ -701,7 +716,7 @@ def start_streaming_time_rollup_partitioned(
                 refreshed,
                 rollup_dir,
                 "__k",
-                "grain",
+                "__part",
                 delete_absent=False,  # untouched buckets in a touched
                 # partition must survive the dynamic overwrite
             )

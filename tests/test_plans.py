@@ -446,11 +446,14 @@ def test_containment_no_cartesian_all_equi(spark):
 
 def test_cusum_windows_are_key_partitioned(spark):
     """Both ordered windows (prefix sum, running min) partition by the
-    key — no global single-partition sort anywhere in the plan."""
+    key — no global single-partition sort anywhere in the plan. An
+    unpartitioned window forces an Exchange SinglePartition, so its
+    absence IS the property (windowspecdefinition text does not name
+    its partition clause in formatted explain — asserting on it
+    matches nothing)."""
     plan = _plan(spark, "events_cusum")
     assert "CartesianProduct" not in plan
-    for m in re.finditer(r"Window .*?partitionBy=\[([^\]]*)\]", plan):
-        assert m.group(1).strip(), "unpartitioned window in cusum plan"
+    assert "SinglePartition" not in plan, "global exchange in cusum plan"
     assert "Window" in plan
 
 
@@ -541,11 +544,12 @@ def test_rollup_refresh_no_cartesian_broadcast_touched(spark):
 
 def test_near_dup_topk_window_is_key_partitioned(spark):
     """Top-k per vector: the rank window partitions by vec_id — no
-    global sort — and candidates only meet on the SRP bucket key."""
+    global sort (no Exchange SinglePartition anywhere) — and
+    candidates only meet on the SRP bucket key."""
     plan = _plan(spark, "embedding_near_dup_topk")
     assert "CartesianProduct" not in plan
-    for m in re.finditer(r"Window .*?partitionBy=\[([^\]]*)\]", plan):
-        assert m.group(1).strip(), "unpartitioned window in near-dup topk"
+    assert "SinglePartition" not in plan, "global exchange in topk plan"
+    assert "Window" in plan
 
 
 def test_supplier_lead_times_broadcasts_dim_after_agg(spark):
@@ -557,11 +561,12 @@ def test_supplier_lead_times_broadcasts_dim_after_agg(spark):
 
 
 def test_winnowing_windows_partition_by_doc(spark):
-    """Every ordered window in the winnowing plan partitions by doc_id
-    — fingerprint selection never sorts the corpus globally."""
+    """Every window in the winnowing plan partitions by doc_id —
+    fingerprint selection never sorts the corpus globally, so no
+    Exchange SinglePartition may appear."""
     plan = _plan(spark, "docs_winnowing")
-    for m in re.finditer(r"Window .*?partitionBy=\[([^\]]*)\]", plan):
-        assert "doc_id" in m.group(1), m.group(0)[:120]
+    assert "SinglePartition" not in plan, "global exchange in winnowing"
+    assert "Window" in plan
 
 
 def test_token_coverage_single_fact_scan(spark):
@@ -570,7 +575,12 @@ def test_token_coverage_single_fact_scan(spark):
     the lazy checkpoint, but only one exploded aggregate exists)."""
     plan = _plan(spark, "docs_token_coverage")
     assert "CartesianProduct" not in plan  # the k-explode rides the vocab side
-    assert plan.count("Generate explode") <= 2  # tokens + the 3-literal k array
+    # the 3-literal k array explode, plus the token explode when the
+    # lazy checkpoint has not yet hidden it behind an RDD scan
+    assert 1 <= plan.count(") Generate") <= 2, plan.count(") Generate")
+    # the top-1000 must come from TakeOrdered (distributed heaps), not
+    # a global rank-window sort
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_cohort_ltv_no_extra_exchange_on_custkey(spark):
@@ -593,8 +603,8 @@ def test_round6_windows_are_key_partitioned(spark):
         "segment_share_yoy",
     ):
         plan = _plan(spark, name)
-        for m in re.finditer(r"Window .*?partitionBy=\[([^\]]*)\]", plan):
-            assert m.group(1).strip(), f"unpartitioned window in {name}"
+        assert "Window" in plan, name
+        assert "SinglePartition" not in plan, f"global exchange in {name}"
 
 
 def test_ngram_novelty_no_pair_materialization(spark):

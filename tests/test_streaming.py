@@ -1066,9 +1066,9 @@ def test_streaming_time_rollup_partitioned_replay_skip(spark, tmp_path):
          ("month", "2024-01-01", 7, 700, 99, qid, "month|2024-01-01")],
         "grain string, bucket_start string, n_events long, value_cents long,"
         " __batch_id long, __ckpt_id string, __k string",
-    ).withColumn("bucket_start", F.to_date("bucket_start")).write.mode(
-        "overwrite"
-    ).partitionBy("grain").parquet(rollup_dir)
+    ).withColumn("bucket_start", F.to_date("bucket_start")).withColumn(
+        "__part", F.concat_ws("-", "grain", F.year("bucket_start"))
+    ).write.mode("overwrite").partitionBy("__part").parquet(rollup_dir)
 
     _write_batch(spark, inp, [(1, "2024-01-01 05:00:00", 1, "e", 3.0)])
     q = start_streaming_time_rollup_partitioned(
