@@ -452,18 +452,31 @@ def setsim_prefix_candidates(
     tau_num: int,
     tau_den: int,
     length_filter: bool = True,
+    positional_filter: bool = True,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs for :func:`setsim_prefix_pairs`:
     the rarest-first prefix index self-join plus (by default) PPJoin's
-    LENGTH filter. ``sets`` carries (__did, __set). Exposed separately
-    so the scale probe can count candidates with and without the
-    length filter — the filter is lossless (implied by the final
-    Jaccard bound), so the delta is pure pre-verify pruning.
+    LENGTH and POSITIONAL filters. ``sets`` carries (__did, __set).
+    Exposed separately so the scale probe can count candidates with
+    each filter toggled — both are lossless (implied by the final
+    Jaccard bound), so the deltas are pure pre-verify pruning.
 
     Length filter: J(A,B) >= tau forces |∩| >= tau*|∪|, and with
     |∩| <= min(|A|,|B|), |∪| >= max(|A|,|B|) that means
     tau*max(|A|,|B|) <= min(|A|,|B|) — checked in integers before the
     candidate pair ever reaches the array_intersect verify join.
+
+    Positional filter: both sides' arrays follow the SAME global
+    total order, so for a tau-similar pair its FIRST common token is
+    common at positions (i, j) with no common token before either —
+    hence overlap <= 1 + min(|A|-i, |B|-j). Jaccard >= tau needs
+    overlap alpha = ceil(tau*(|A|+|B|)/(1+tau)); first-common also
+    forces alpha <= |A|-i+1 (and same for B), which is exactly the
+    prefix bound, so the first common token of every true pair sits
+    in BOTH prefixes and witnesses the survival of that pair under
+    EXISTS-any-shared-token semantics — pruning shared tokens whose
+    positional upper bound is < alpha keeps every true pair. Pure
+    integer arithmetic throughout (alpha via floor-div ceil).
     """
     prefix, _ = _rarest_first_prefix(sets, tau_num=tau_num, tau_den=tau_den)
     cond = F.col("id_a") < F.col("id_b")
@@ -472,11 +485,30 @@ def setsim_prefix_candidates(
             F.greatest("__sa", "__sb") * tau_num
             <= F.least("__sa", "__sb") * tau_den
         )
+    if positional_filter:
+        # alpha = ceil(num*(sa+sb)/(num+den)); ubound(i,j) at the
+        # shared token = 1 + min(sa-i, sb-j)
+        alpha = F.floor(
+            ((F.col("__sa") + F.col("__sb")) * tau_num + (tau_num + tau_den) - 1)
+            / (tau_num + tau_den)
+        )
+        cond = cond & (
+            1 + F.least(F.col("__sa") - F.col("__ra"), F.col("__sb") - F.col("__rb"))
+            >= alpha
+        )
     return (
-        prefix.select(F.col("__did").alias("id_a"), "token", F.col("__sz").alias("__sa"))
+        prefix.select(
+            F.col("__did").alias("id_a"),
+            "token",
+            F.col("__sz").alias("__sa"),
+            F.col("__rn").alias("__ra"),
+        )
         .join(
             prefix.select(
-                F.col("__did").alias("id_b"), "token", F.col("__sz").alias("__sb")
+                F.col("__did").alias("id_b"),
+                "token",
+                F.col("__sz").alias("__sb"),
+                F.col("__rn").alias("__rb"),
             ),
             "token",
         )
@@ -519,7 +551,10 @@ def setsim_prefix_pairs(
     df_cap to survive skew. Candidates additionally pass PPJoin's
     length filter (``tau*max(|A|,|B|) <= min(|A|,|B|)``, implied by
     the final Jaccard bound, checked in integers) so cross-size pairs
-    never reach the verify join. The threshold is a rational
+    never reach the verify join, and its positional filter (overlap
+    upper bound ``1 + min(|A|-i, |B|-j)`` at the shared prefix token
+    must reach the required overlap) so pairs meeting only deep in
+    their suffixes are dropped at the index join. The threshold is a rational
     ``tau_num/tau_den`` so every comparison stays in integers:
     pairs need ``n_common*(den+num) >= num*(|A|+|B|)``, exactly the
     Jaccard bound with no float boundary flake.

@@ -367,6 +367,50 @@ def test_setsim_prefix_index_is_pruned(spark):
     assert out2.count() == 8 * 7 // 2
 
 
+def test_setsim_positional_filter_prunes_candidates_not_pairs(spark):
+    """PPJoin's positional filter must strictly shrink the candidate
+    set on a corpus with partial overlaps (shared prefix tokens whose
+    positional overlap upper bound ``1 + min(|A|-i, |B|-j)`` falls
+    short of the required overlap) while candidate generation stays
+    LOSSLESS: every brute-force true pair survives the filter."""
+    from bangumi_notion_data_integration_project_spark.operators.dedup import (
+        setsim_prefix_candidates,
+        word_shingles,
+    )
+
+    # A and B: 6 unique words + an 18-word shared block → 22 trigram
+    # shingles each, 16 shared (J = 16/28 ≈ 0.57 < 0.7). The 6 df=1
+    # shingles per doc rank 1-6 rarest-first, so the first shared
+    # (df=2) shingle sits at prefix rank 7 of prefix length
+    # 22 - ceil(0.7*22) + 1 = 7: a candidate without the positional
+    # filter, pruned with it (ubound 1 + (22-7) = 16 < alpha =
+    # ceil(0.7*44/1.7) = 19). C/D and E/F are true pairs that must
+    # survive.
+    shared = " ".join(f"s{i:02d}" for i in range(18))
+    c_text = " ".join(f"c{i:02d}" for i in range(15))
+    rows = [
+        (1, "a1 a2 a3 a4 a5 a6 " + shared),
+        (2, "b1 b2 b3 b4 b5 b6 " + shared),
+        (3, c_text),
+        (4, c_text + " tail"),
+        (5, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),
+        (6, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    sets = df.select(
+        F.col("doc_id").alias("__did"), word_shingles("text", 3).alias("__set")
+    )
+    kw = dict(tau_num=7, tau_den=10, length_filter=True)
+    loose = setsim_prefix_candidates(sets, positional_filter=False, **kw)
+    tight = setsim_prefix_candidates(sets, positional_filter=True, **kw)
+    n_loose, n_tight = loose.count(), tight.count()
+    assert n_tight < n_loose, (n_tight, n_loose)
+    surviving = {(r["id_a"], r["id_b"]) for r in tight.collect()}
+    want = _bruteforce_setsim(spark, df, 7, 10)
+    assert want, "fixture produced no true pairs — test is vacuous"
+    assert {(a, b) for a, b, _ in want} <= surviving
+
+
 # --- asymmetric containment ---
 
 

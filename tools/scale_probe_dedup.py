@@ -144,30 +144,42 @@ def main() -> None:
             word_shingles,
         )
 
-        def cand_count(sf_dir: str, length_filter: bool) -> int:
+        def cand_count(
+            sf_dir: str, *, length_filter: bool, positional_filter: bool
+        ) -> int:
             d = load_table(spark, sf_dir, "documents")
             sets = d.select(
                 F.col("doc_id").alias("__did"),
                 word_shingles("text", 3).alias("__set"),
             )
             return setsim_prefix_candidates(
-                sets, tau_num=7, tau_den=10, length_filter=length_filter
+                sets,
+                tau_num=7,
+                tau_den=10,
+                length_filter=length_filter,
+                positional_filter=positional_filter,
             ).count()
 
-        c1_no, c1_yes = cand_count(d1, False), cand_count(d1, True)
-        c10_no, c10_yes = cand_count(d10, False), cand_count(d10, True)
+        c1_no = cand_count(d1, length_filter=False, positional_filter=False)
+        c1_len = cand_count(d1, length_filter=True, positional_filter=False)
+        c1_pos = cand_count(d1, length_filter=True, positional_filter=True)
+        c10_no = cand_count(d10, length_filter=False, positional_filter=False)
+        c10_len = cand_count(d10, length_filter=True, positional_filter=False)
+        c10_pos = cand_count(d10, length_filter=True, positional_filter=True)
         cand_lines = [
-            "PPJoin length filter (`setsim_prefix_pairs`): candidate pairs",
-            "reaching the verify join with vs without the lossless length",
-            "filter (`tau*max(|A|,|B|) <= min(|A|,|B|)`, implied by the final",
-            "Jaccard bound — the drop is free pre-verify pruning):",
+            "PPJoin filters (`setsim_prefix_pairs`): candidate pairs reaching",
+            "the verify join as each lossless filter switches on — length",
+            "(`tau*max(|A|,|B|) <= min(|A|,|B|)`) then positional (overlap",
+            "upper bound `1 + min(|A|-i, |B|-j)` at the shared prefix token",
+            "must reach the required overlap). Both are implied by the final",
+            "Jaccard bound, so every drop is free pre-verify pruning:",
             "",
-            "| scale | candidates (prefix only) | + length filter | dropped |",
-            "|---|---|---|---|",
-            f"| 1× | {c1_no} | {c1_yes} |"
-            f" {100 * (1 - c1_yes / max(c1_no, 1)):.0f}% |",
-            f"| 10× | {c10_no} | {c10_yes} |"
-            f" {100 * (1 - c10_yes / max(c10_no, 1)):.0f}% |",
+            "| scale | prefix only | + length | + positional | dropped |",
+            "|---|---|---|---|---|",
+            f"| 1× | {c1_no} | {c1_len} | {c1_pos} |"
+            f" {100 * (1 - c1_pos / max(c1_no, 1)):.0f}% |",
+            f"| 10× | {c10_no} | {c10_len} | {c10_pos} |"
+            f" {100 * (1 - c10_pos / max(c10_no, 1)):.0f}% |",
             "",
         ]
         lines = [
