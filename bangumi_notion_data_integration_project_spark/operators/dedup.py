@@ -636,10 +636,28 @@ def containment_pairs(
         word_shingles(text_col, shingle_n).alias("__set"),
     ).localCheckpoint(eager=False)  # feeds prefix ranks, full index, verify
     prefix, toks = _rarest_first_prefix(sets, tau_num=tau_num, tau_den=tau_den)
+    # container-side length filter (lossless): the overlap can never
+    # exceed |B|, so containment needs |B| >= ceil(tau*|A|) — checked
+    # in integers at the candidate join, before the set-verify join
+    # ever sees a container smaller than the bound
     cand = (
-        prefix.select(F.col("__did").alias("contained_id"), "token")
-        .join(toks.select(F.col("__did").alias("container_id"), "token"), "token")
-        .filter(F.col("contained_id") != F.col("container_id"))
+        prefix.select(
+            F.col("__did").alias("contained_id"),
+            "token",
+            F.col("__sz").alias("__sza"),
+        )
+        .join(
+            toks.select(
+                F.col("__did").alias("container_id"),
+                "token",
+                F.col("__sz").alias("__szb"),
+            ),
+            "token",
+        )
+        .filter(
+            (F.col("contained_id") != F.col("container_id"))
+            & (F.col("__szb") * tau_den >= F.col("__sza") * tau_num)
+        )
         .select("contained_id", "container_id")
         .distinct()
     )

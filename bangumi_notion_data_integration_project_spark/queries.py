@@ -2447,8 +2447,29 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     result, but the derived catalog is computed once instead of on both
     sides of a self-join. Region restriction applies to BOTH the
     candidate suppliers and the min (as in q2's correlated subquery).
-    The rounded unit cost makes the equality engine-stable."""
-    cat = _supply_catalog(spark, sf_dir)
+    The rounded unit cost makes the equality engine-stable. The part
+    predicate is pushed BELOW the catalog aggregation as a broadcast
+    semi-join on the lineitem scan: per-part mins are untouched by
+    dropping other parts, and the (part, supplier) shuffle then
+    carries only the selective subset instead of the whole fact —
+    at 100 TB that is the difference between shuffling the full
+    catalog and ~the filter's selectivity of it."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & F.col("p_size").isin(15, 25, 35, 45)
+    ).select("p_partkey", "p_name")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    cat = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.round(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+        ).alias("ps_unit_cost")
+    )
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
@@ -2461,9 +2482,6 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cat_r = cat.join(s, cat.ps_suppkey == s.s_suppkey)
     w_part = Window.partitionBy("ps_partkey")
-    p = load_table(spark, sf_dir, "part").filter(
-        (F.col("p_type") == "LARGE") & F.col("p_size").isin(15, 25, 35, 45)
-    ).select("p_partkey", "p_name")
     return (
         cat_r.withColumn("__min_cost", F.min("ps_unit_cost").over(w_part))
         .filter(F.col("ps_unit_cost") == F.col("__min_cost"))

@@ -261,10 +261,15 @@ def test_all_queries_analyze_without_exception(spark):
 
 def test_min_cost_supplier_single_catalog_pass(spark):
     """q2 shape: the derived supplier-part catalog must be computed
-    once (window min), not once per side of a min-equality self-join."""
-    schemas = _read_schemas(_plan(spark, "min_cost_supplier"))
+    once (window min), not once per side of a min-equality self-join,
+    and the part predicate must reach the lineitem side BELOW the
+    (part, supplier) aggregation as a broadcast semi-join — the
+    catalog shuffle carries only the filtered subset."""
+    plan = _plan(spark, "min_cost_supplier")
+    schemas = _read_schemas(plan)
     li_scans = [s for s in schemas if "l_partkey" in s and "l_quantity" in s]
     assert len(li_scans) == 1, f"lineitem scanned {len(li_scans)}x"
+    assert "LeftSemi" in plan, "part filter not applied as a semi-join"
 
 
 def test_funnel_windows_share_one_exchange(spark):
