@@ -1034,6 +1034,70 @@ def test_streaming_time_rollup_partitioned_twin(spark, tmp_path):
     assert stored_state() == want_state(160)  # state untouched
 
 
+def test_streaming_time_rollup_partitioned_scopes_io_to_touched_years(
+    spark, tmp_path
+):
+    """The (grain, year) partition claim, pinned at the file level: a
+    late batch touching only 2024 must leave every 2023 partition's
+    files byte-untouched (same names AND mtimes — a rewrite changes
+    both) while the 2024 partitions rewrite. Partitioning by grain
+    alone could never pass this: every nonempty delta touches all
+    three grains, so all partitions would rewrite each batch."""
+    import os
+
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_time_rollup_partitioned,
+    )
+
+    inp = str(tmp_path / "in")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    cents = F.round(F.col("value") * 100, 0)
+
+    def run():
+        q = start_streaming_time_rollup_partitioned(
+            read_event_stream(spark, inp, SCHEMA),
+            rollup_dir,
+            ts_col="ts",
+            value_cents=cents,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    _write_batch(
+        spark,
+        inp,
+        [(1, "2023-03-05 10:00:00", 1, "e", 5.0),
+         (2, "2023-11-20 09:00:00", 1, "e", 7.0),
+         (3, "2024-01-02 08:00:00", 1, "e", 9.0)],
+    )
+    run()
+
+    def part_files(year):
+        out = {}
+        for grain in ("day", "week", "month"):
+            d = os.path.join(rollup_dir, f"__part={grain}-{year}")
+            assert os.path.isdir(d), d
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    out[f"{grain}/{f}"] = os.path.getmtime(os.path.join(d, f))
+        assert out, f"no parquet files for year {year}"
+        return out
+
+    before_2023, before_2024 = part_files(2023), part_files(2024)
+    _write_batch(spark, inp, [(4, "2024-01-03 04:00:00", 1, "e", 11.0)])
+    run()
+    assert part_files(2023) == before_2023, "2023 partitions rewrote"
+    assert part_files(2024) != before_2024, "2024 partitions untouched"
+    got = {
+        (r["grain"], str(r["bucket_start"])): r["value_cents"]
+        for r in spark.read.parquet(rollup_dir).collect()
+    }
+    assert got[("day", "2023-03-05")] == 500
+    assert got[("day", "2024-01-03")] == 1100
+    assert got[("month", "2024-01-01")] == 900 + 1100
+
+
 def test_streaming_time_rollup_partitioned_replay_skip(spark, tmp_path):
     """Same-identity replay branch: a batch whose batch_id is at or
     below the stored watermark, under a MATCHING checkpoint identity,
