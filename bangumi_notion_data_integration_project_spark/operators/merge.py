@@ -120,7 +120,7 @@ def merge_into_partitioned(
     source: DataFrame,
     target_path: str,
     key: str,
-    partition_col: str,
+    partition_col: "str | list[str]",
     *,
     delete_absent: bool = True,
 ) -> None:
@@ -129,6 +129,8 @@ def merge_into_partitioned(
     ``MERGE INTO`` (SURVEY §2.6 M6 at warehouse scale; the reference
     rewrites its whole table on every sync,
     data_loading_to_mysql_database.py:268 ``if_exists='replace'``).
+    ``partition_col`` may be one column or a list (multi-level hive
+    layout); touched-partition scoping is on the full tuple.
 
     Write path: ``partitionOverwriteMode=dynamic`` replaces ONLY the
     partitions present in the merged output; every other partition's
@@ -162,21 +164,25 @@ def merge_into_partitioned(
     # (the pruning rule wants EqualTo), so probe the DELTA (the small
     # side — one tiny job) and only pay the null-safe plan when a NULL
     # partition row is actually present.
-    touched = source.select(partition_col).distinct()
-    source_has_null_part = (
-        source.filter(F.col(partition_col).isNull()).limit(1).count() > 0
-    )
+    pcols = [partition_col] if isinstance(partition_col, str) else list(partition_col)
+    touched = source.select(*pcols).distinct()
+    null_probe = F.lit(False)
+    for c in pcols:
+        null_probe = null_probe | F.col(c).isNull()
+    source_has_null_part = source.filter(null_probe).limit(1).count() > 0
     if source_has_null_part:
-        cond = F.col(f"t.{partition_col}").eqNullSafe(F.col(f"p.{partition_col}"))
+        cond = F.lit(True)
+        for c in pcols:
+            cond = cond & F.col(f"t.{c}").eqNullSafe(F.col(f"p.{c}"))
         affected = target.alias("t").join(touched.alias("p"), cond, "left_semi")
     else:
-        affected = target.join(touched, partition_col, "left_semi")
+        affected = target.join(touched, pcols, "left_semi")
     merged = merge_snapshot(
         source, affected, key, delete_absent=delete_absent
     ).localCheckpoint(eager=True)  # sever self-referential read→overwrite lineage
     try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(target_path)
+        merged.write.mode("overwrite").partitionBy(*pcols).parquet(target_path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

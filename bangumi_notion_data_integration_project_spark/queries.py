@@ -2423,12 +2423,19 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _supply_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _supply_catalog(
+    spark: SparkSession, sf_dir: str, lineitem: DataFrame | None = None
+) -> DataFrame:
     """Supplier-part catalog derived from lineitem (the schema has no
     partsupp table): one row per observed (part, supplier) with the
     minimum observed unit price as the supply cost. min() over doubles
-    is merge-order-independent, so the catalog is engine-stable."""
-    li = load_table(spark, sf_dir, "lineitem")
+    is merge-order-independent, so the catalog is engine-stable.
+    ``lineitem`` lets a caller pre-filter the scan (e.g. a part
+    semi-join pushed below the aggregation) without duplicating the
+    stability-critical unit-cost expression — per-part mins are
+    untouched by dropping OTHER parts' rows, never by dropping a
+    subset of one part's rows."""
+    li = load_table(spark, sf_dir, "lineitem") if lineitem is None else lineitem
     return li.groupBy(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
@@ -2462,14 +2469,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey") == F.col("p_partkey"),
         "left_semi",
     )
-    cat = li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(
-        F.round(
-            F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
-        ).alias("ps_unit_cost")
-    )
+    cat = _supply_catalog(spark, sf_dir, lineitem=li)
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )

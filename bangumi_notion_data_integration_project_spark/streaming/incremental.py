@@ -632,18 +632,26 @@ def start_streaming_time_rollup_partitioned(
     checkpoint_dir: str,
 ):
     """Warehouse-scale twin of :func:`start_streaming_time_rollup`:
-    the stored rollup is hive-partitioned by ``__part = grain-year``
-    and each batch folds through
-    ``operators/rollup.rollup_refresh_delta`` +
+    the stored rollup is hive-partitioned by ``(grain, __year)`` — two
+    separate partition columns, not a fused token — and each batch
+    folds through ``operators/rollup.rollup_refresh_delta`` +
     ``merge_into_partitioned`` — O(touched buckets) of compute and
-    only the touched (grain, year) partitions rewritten. Partitioning
-    by grain ALONE would be a mirage: every nonempty delta touches
-    day, week, and month rows, so all three grain partitions — the
-    whole table — would rewrite each batch; the year component is what
-    actually strands history on disk (a late event in 2024 rewrites
-    day-2024/week-2024/month-2024 and leaves every other year's files
-    unread and unwritten). The coarser grains still rebuild from day
-    partials only; raw history is never re-scanned.
+    only the touched (grain, year) partitions rewritten. Each column
+    earns its keep on a different side of the I/O: ``grain`` prunes
+    READS — the per-batch fold's ``grain == 'day'`` filter skips every
+    week/month directory at listing time (fusing grain into a
+    ``grain-year`` token would demote that to row-group stats behind a
+    footer read of every file) — while ``__year`` scopes WRITES, since
+    every nonempty delta touches all three grains but only its own
+    years, so without the year level the whole table would rewrite
+    each batch. One precision: week buckets straddle New Year
+    (``date_trunc('week')`` of an early-January event can land in
+    December), so a late event may additionally rewrite the ADJACENT
+    prior year's week partition — bounded at one extra partition, and
+    the merge key/partition stay consistent because ``__year`` derives
+    from ``bucket_start``, not the event time. The coarser grains
+    still rebuild from day partials only; raw history is never
+    re-scanned.
 
     Replay / identity guard: rows carry ``__batch_id`` (monotone
     watermark) and ``__ckpt_id`` (checkpoint-lineage identity). A
@@ -704,19 +712,19 @@ def start_streaming_time_rollup_partitioned(
             F.lit(batch_id).cast("long").alias("__batch_id"),
             F.lit(ident).alias("__ckpt_id"),
             F.concat_ws("|", "grain", "bucket_start").alias("__k"),
-            F.concat_ws("-", "grain", F.year("bucket_start")).alias("__part"),
+            F.year("bucket_start").alias("__year"),
         )
         if not have:
-            refreshed.write.mode("overwrite").partitionBy("__part").parquet(
-                rollup_dir
-            )
+            refreshed.write.mode("overwrite").partitionBy(
+                "grain", "__year"
+            ).parquet(rollup_dir)
         else:
             merge_into_partitioned(
                 spark,
                 refreshed,
                 rollup_dir,
                 "__k",
-                "__part",
+                ["grain", "__year"],
                 delete_absent=False,  # untouched buckets in a touched
                 # partition must survive the dynamic overwrite
             )

@@ -4,6 +4,10 @@ implement_incremental_load data_loading_to_mysql_database.py:185-277)."""
 
 from __future__ import annotations
 
+import re
+
+from pyspark.sql import functions as F
+
 from bangumi_notion_data_integration_project_spark.operators.merge import (
     merge_parts,
     merge_snapshot,
@@ -120,6 +124,72 @@ def test_merge_into_partitioned_rewrites_only_touched_partitions(spark, tmp_path
     # identical file names AND mtimes (a rewrite changes both)
     assert files_of("p2") == before_p2
     assert files_of("p3") == before_p3
+
+
+def test_merge_into_partitioned_multi_level_scopes_to_tuple(spark, tmp_path):
+    """Two-level hive layout: touched-partition scoping is on the FULL
+    (p, q) tuple — a source touching only (p1, q1) must leave the
+    sibling (p1, q2) directory's files byte-untouched even though its
+    first-level value p1 IS touched."""
+    import os
+
+    from bangumi_notion_data_integration_project_spark.operators.merge import (
+        merge_into_partitioned,
+    )
+
+    path = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, "old", "p1", "q1"), (2, "keep", "p1", "q2"), (3, "keep", "p2", "q1")],
+        "k: long, v: string, p: string, q: string",
+    ).write.partitionBy("p", "q").parquet(path)
+
+    def files_of(p, q):
+        d = os.path.join(path, f"p={p}", f"q={q}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_p1q2, before_p2q1 = files_of("p1", "q2"), files_of("p2", "q1")
+    source = spark.createDataFrame(
+        [(1, "new", "p1", "q1"), (4, "ins", "p1", "q1")],
+        "k: long, v: string, p: string, q: string",
+    )
+    merge_into_partitioned(spark, source, path, "k", ["p", "q"], delete_absent=False)
+    got = sorted((r.k, r.v, r.p, r.q) for r in spark.read.parquet(path).collect())
+    assert got == [
+        (1, "new", "p1", "q1"),
+        (2, "keep", "p1", "q2"),
+        (3, "keep", "p2", "q1"),
+        (4, "ins", "p1", "q1"),
+    ]
+    assert files_of("p1", "q2") == before_p1q2, "sibling leaf rewrote"
+    assert files_of("p2", "q1") == before_p2q1, "untouched branch rewrote"
+
+
+def test_grain_partition_prunes_stored_rollup_read(spark, tmp_path):
+    """The (grain, __year) layout's read-side half: the per-batch fold
+    filters ``grain == 'day'`` on the stored rollup, and with grain as
+    its own partition column that filter must land in the scan's
+    PartitionFilters (directory-level listing prune) — fusing grain
+    into a grain-year token would demote it to row-group stats behind
+    a footer read of every file."""
+    path = str(tmp_path / "roll")
+    spark.createDataFrame(
+        [("day", "2024-01-01", 1, 100, 2024),
+         ("week", "2024-01-01", 1, 100, 2024),
+         ("month", "2024-01-01", 1, 100, 2023)],
+        "grain string, bucket_start string, n_events long,"
+        " value_cents long, __year int",
+    ).write.partitionBy("grain", "__year").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("grain") == "day")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "grain" in m.group(1), plan[:800]
+    assert df.count() == 1
 
 
 def test_merge_into_partitioned_null_partition_keeps_target_rows(spark, tmp_path):

@@ -31,6 +31,16 @@ def _read_schemas(plan: str) -> list[str]:
     return re.findall(r"ReadSchema: struct<([^>]*)>", plan)
 
 
+def _window_partition_keys(plan: str) -> set[str]:
+    """Leading identifier of every ``windowspecdefinition(...)`` in the
+    formatted plan — the first PARTITION column when the window is
+    partitioned. An unpartitioned window leads with its ORDER column
+    instead, so an equality assert on the expected key set catches
+    both a dropped partition clause and a wrong-key partition (the
+    order columns have different names in every plan below)."""
+    return set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+
+
 def test_category_summary_prunes_columns(spark):
     """Flagship agg reads 5 of lineitem's 16 columns — nothing more."""
     schemas = _read_schemas(_plan(spark, "category_summary"))
@@ -451,15 +461,13 @@ def test_containment_no_cartesian_all_equi(spark):
 
 def test_cusum_windows_are_key_partitioned(spark):
     """Both ordered windows (prefix sum, running min) partition by the
-    key — no global single-partition sort anywhere in the plan. An
-    unpartitioned window forces an Exchange SinglePartition, so its
-    absence IS the property (windowspecdefinition text does not name
-    its partition clause in formatted explain — asserting on it
-    matches nothing)."""
+    series key — pinned by NAME via the windowspecdefinition leading
+    column, plus the structural no-global-exchange check (an
+    unpartitioned window forces Exchange SinglePartition)."""
     plan = _plan(spark, "events_cusum")
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan, "global exchange in cusum plan"
-    assert "Window" in plan
+    assert _window_partition_keys(plan) == {"event_type"}
 
 
 def test_time_rollup_is_join_free(spark):
@@ -548,13 +556,13 @@ def test_rollup_refresh_no_cartesian_broadcast_touched(spark):
 
 
 def test_near_dup_topk_window_is_key_partitioned(spark):
-    """Top-k per vector: the rank window partitions by vec_id — no
-    global sort (no Exchange SinglePartition anywhere) — and
-    candidates only meet on the SRP bucket key."""
+    """Top-k per vector: the rank window partitions by vec_id (pinned
+    by name) — no global sort (no Exchange SinglePartition anywhere) —
+    and candidates only meet on the SRP bucket key."""
     plan = _plan(spark, "embedding_near_dup_topk")
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan, "global exchange in topk plan"
-    assert "Window" in plan
+    assert _window_partition_keys(plan) == {"vec_id"}
 
 
 def test_supplier_lead_times_broadcasts_dim_after_agg(spark):
@@ -566,12 +574,12 @@ def test_supplier_lead_times_broadcasts_dim_after_agg(spark):
 
 
 def test_winnowing_windows_partition_by_doc(spark):
-    """Every window in the winnowing plan partitions by doc_id —
-    fingerprint selection never sorts the corpus globally, so no
-    Exchange SinglePartition may appear."""
+    """Every window in the winnowing plan partitions by doc_id (pinned
+    by name) — fingerprint selection never sorts the corpus globally,
+    so no Exchange SinglePartition may appear either."""
     plan = _plan(spark, "docs_winnowing")
     assert "SinglePartition" not in plan, "global exchange in winnowing"
-    assert "Window" in plan
+    assert _window_partition_keys(plan) == {"doc_id"}
 
 
 def test_token_coverage_single_fact_scan(spark):
@@ -601,14 +609,15 @@ def test_round6_windows_are_key_partitioned(spark):
     window partitioned by its group key (the chi2 cell table and the
     coverage vocab rank are deliberately exempt: both windows run over
     a cardinality-bounded aggregate, |cells| and |vocab|)."""
-    for name in (
-        "lineitem_weighted_median",
-        "events_user_quantiles",
-        "orders_gap_stats",
-        "segment_share_yoy",
+    for name, keys in (
+        ("lineitem_weighted_median", {"l_returnflag"}),
+        ("events_user_quantiles", {"event_type"}),
+        ("orders_gap_stats", {"o_custkey"}),
+        # share-of-year window keys on yr; the YoY lag keys on segment
+        ("segment_share_yoy", {"yr", "segment"}),
     ):
         plan = _plan(spark, name)
-        assert "Window" in plan, name
+        assert _window_partition_keys(plan) == keys, name
         assert "SinglePartition" not in plan, f"global exchange in {name}"
 
 

@@ -1037,12 +1037,16 @@ def test_streaming_time_rollup_partitioned_twin(spark, tmp_path):
 def test_streaming_time_rollup_partitioned_scopes_io_to_touched_years(
     spark, tmp_path
 ):
-    """The (grain, year) partition claim, pinned at the file level: a
+    """The (grain, __year) partition claim, pinned at the file level: a
     late batch touching only 2024 must leave every 2023 partition's
     files byte-untouched (same names AND mtimes — a rewrite changes
     both) while the 2024 partitions rewrite. Partitioning by grain
     alone could never pass this: every nonempty delta touches all
-    three grains, so all partitions would rewrite each batch."""
+    three grains, so all partitions would rewrite each batch. The
+    fixture's week buckets stay inside their calendar year (no event
+    within the first straddling week of January), so the bounded
+    adjacent-year week rewrite documented on the operator does not
+    trigger here."""
     import os
 
     from bangumi_notion_data_integration_project_spark.streaming.incremental import (
@@ -1076,7 +1080,7 @@ def test_streaming_time_rollup_partitioned_scopes_io_to_touched_years(
     def part_files(year):
         out = {}
         for grain in ("day", "week", "month"):
-            d = os.path.join(rollup_dir, f"__part={grain}-{year}")
+            d = os.path.join(rollup_dir, f"grain={grain}", f"__year={year}")
             assert os.path.isdir(d), d
             for f in os.listdir(d):
                 if f.endswith(".parquet"):
@@ -1131,8 +1135,8 @@ def test_streaming_time_rollup_partitioned_replay_skip(spark, tmp_path):
         "grain string, bucket_start string, n_events long, value_cents long,"
         " __batch_id long, __ckpt_id string, __k string",
     ).withColumn("bucket_start", F.to_date("bucket_start")).withColumn(
-        "__part", F.concat_ws("-", "grain", F.year("bucket_start"))
-    ).write.mode("overwrite").partitionBy("__part").parquet(rollup_dir)
+        "__year", F.year("bucket_start")
+    ).write.mode("overwrite").partitionBy("grain", "__year").parquet(rollup_dir)
 
     _write_batch(spark, inp, [(1, "2024-01-01 05:00:00", 1, "e", 3.0)])
     q = start_streaming_time_rollup_partitioned(
