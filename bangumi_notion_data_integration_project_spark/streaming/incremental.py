@@ -623,6 +623,29 @@ def _checkpoint_identity(checkpoint_dir: str) -> str:
         return os.path.abspath(checkpoint_dir)
 
 
+def _touched_years(delta: DataFrame, ts_col: str) -> list[int]:
+    """Calendar years whose stored day partials a rollup refresh of
+    ``delta`` can possibly need: for every event day d, the refresh
+    folds d itself plus the other days inside d's week and month
+    buckets. Month buckets never cross a year, but week buckets
+    straddle New Year in both directions, so the needed set is exactly
+    the years of d's week START and week END (both include year(d)
+    since start <= d <= end). One driver-side distinct on the
+    micro-batch — bounded by the number of calendar years humanity has
+    produced events in, not by data volume."""
+    ws = F.to_date(F.date_trunc("week", F.col(ts_col)))
+    rows = (
+        delta.select(
+            F.explode(
+                F.array(F.year(ws), F.year(F.date_add(ws, 6)))
+            ).alias("__y")
+        )
+        .distinct()
+        .collect()
+    )
+    return [r["__y"] for r in rows if r["__y"] is not None]
+
+
 def start_streaming_time_rollup_partitioned(
     stream: DataFrame,
     rollup_dir: str,
@@ -644,7 +667,10 @@ def start_streaming_time_rollup_partitioned(
     footer read of every file) — while ``__year`` scopes WRITES, since
     every nonempty delta touches all three grains but only its own
     years, so without the year level the whole table would rewrite
-    each batch. One precision: week buckets straddle New Year
+    each batch. The fold also scopes its stored READ to the delta's
+    :func:`_touched_years`, so the per-batch day-partials read lists
+    only the touched years' directories too (the watermark recovery
+    read stays unscoped — the newest batch id can live anywhere). One precision: week buckets straddle New Year
     (``date_trunc('week')`` of an early-January event can land in
     December), so a late event may additionally rewrite the ADJACENT
     prior year's week partition — bounded at one extra partition, and
@@ -702,6 +728,18 @@ def start_streaming_time_rollup_partitioned(
                     "data). Rebuild the rollup from history or restore the "
                     "matching checkpoint."
                 )
+        # the refresh only ever needs stored day partials from the
+        # years the delta touches (plus the week-straddle adjacency —
+        # see _touched_years), and __year is a partition column, so
+        # isin() prunes every other year's files at LISTING time. The
+        # watermark recovery above stays on the UNSCOPED frame (the
+        # newest batch id can live in any partition), and the scope is
+        # derived only AFTER the replay guard — a skipped replay batch
+        # never pays the distinct-years job.
+        if stored is not None:
+            stored = stored.filter(
+                F.col("__year").isin(_touched_years(batch, ts_col))
+            )
         refreshed = rollup_refresh_delta(
             stored, batch, ts_col, value_cents
         ).select(

@@ -1102,6 +1102,34 @@ def test_streaming_time_rollup_partitioned_scopes_io_to_touched_years(
     assert got[("month", "2024-01-01")] == 900 + 1100
 
 
+def test_touched_years_covers_week_straddle_both_directions(spark):
+    """The stored-read year scope must include the adjacent year
+    whenever an event's WEEK bucket straddles New Year — in either
+    direction: an early-January event whose week starts in December
+    (needs the prior year's day partials inside that week), and a
+    late-December event whose week ends in January (needs the next
+    year's). Mid-year events scope to exactly their own year."""
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        _touched_years,
+    )
+
+    def years(*ts):
+        df = spark.createDataFrame([(t,) for t in ts], "ts: string").select(
+            F.to_timestamp("ts").alias("ts")
+        )
+        return sorted(_touched_years(df, "ts"))
+
+    # 2025-01-01 is a Wednesday: week starts Mon 2024-12-30
+    assert years("2025-01-01 08:00:00") == [2024, 2025]
+    # 2024-12-30 is a Monday: week runs through Sun 2025-01-05
+    assert years("2024-12-30 08:00:00") == [2024, 2025]
+    # mid-year: one year only
+    assert years("2024-06-05 12:00:00") == [2024]
+    # week fully inside the year at both ends
+    assert years("2023-11-20 09:00:00") == [2023]
+    assert years("2025-01-01 08:00:00", "2024-06-05 12:00:00") == [2024, 2025]
+
+
 def test_streaming_time_rollup_partitioned_replay_skip(spark, tmp_path):
     """Same-identity replay branch: a batch whose batch_id is at or
     below the stored watermark, under a MATCHING checkpoint identity,
