@@ -2032,6 +2032,19 @@ def q_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNIGRAM_VOCAB_K = 200
 
 
+def _lit_map(keys: list, vals: list) -> Column:
+    """Lookup table as a SINGLE map literal: ``map_from_arrays`` over
+    two array literals is foldable, so ConstantFolding collapses it to
+    one MapType literal in the optimized plan. A ``create_map`` of the
+    same content carries 2N literal child expressions instead — at the
+    LM gates' 600 entries that codegens a multi-thousand-line janino
+    method whose recompilation (after long-session codegen-cache
+    eviction) cost ~5 s per bench pass. Values keep their exact Python
+    representation either way (floats stay the same IEEE doubles), so
+    cross-engine hashes are unchanged."""
+    return F.map_from_arrays(F.lit(keys), F.lit(vals))
+
+
 def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality score (the CCNet/Gopher-style
     'LM perplexity' gate, reduced to its scalable core): per document,
@@ -2059,11 +2072,10 @@ def q_docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(UNIGRAM_VOCAB_K)
         .collect()
     )
-    pairs: list = []
-    for r in vocab:
-        pairs.append(F.lit(r["token"]))
-        pairs.append(F.lit(math.log(r["count"] / total)))
-    lp_map = F.create_map(*pairs)
+    lp_map = _lit_map(
+        [r["token"] for r in vocab],
+        [math.log(r["count"] / total) for r in vocab],
+    )
     oov = math.log(0.5 / total)
     score_sum = F.aggregate(
         toks,
@@ -4576,13 +4588,8 @@ def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(BIGRAM_VOCAB_K)
         .collect()
     )
-    upairs: list = []
-    for r in uni:
-        upairs += [F.lit(r["token"]), F.lit(int(r["count"]))]
-    bpairs: list = []
-    for r in bi:
-        bpairs += [F.lit(r["bigram"]), F.lit(int(r["count"]))]
-    umap, bmap = F.create_map(*upairs), F.create_map(*bpairs)
+    umap = _lit_map([r["token"] for r in uni], [int(r["count"]) for r in uni])
+    bmap = _lit_map([r["bigram"] for r in bi], [int(r["count"]) for r in bi])
     prev_of = lambda g: F.element_at(F.split(g, " "), 1)  # noqa: E731
     lp = lambda g: F.log(  # noqa: E731
         (F.coalesce(bmap[g], F.lit(0)) + 1)
