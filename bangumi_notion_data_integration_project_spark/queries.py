@@ -5246,6 +5246,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "important_parts": q_important_parts,
     "late_shipment_priority": q_late_shipment_priority,
     # --------- driver checked-window boundary (position 50) ---------
+    # ROUND-7 ROTATION NOTE: after r6 lands, the stalest evidence is
+    # the 40 r3-vintage queries (audio_segments, category_summary,
+    # customer_balance_ranks, customer_order_distribution, dedup_exact,
+    # docs_chunks, docs_dup_spans, docs_epoch_shuffle,
+    # docs_filter_pipeline, docs_length_histogram, docs_temperature_mix,
+    # docs_train_test_split, dq_report, event_window_agg,
+    # events_session_window, events_sessionize, events_zorder_stats,
+    # excess_share_suppliers, filter_nonempty, global_summary,
+    # jaccard_top_pairs, json_extract, map_multikey, merge_deletes,
+    # merge_full_sync, merge_inserts, merge_partition_scoped,
+    # merge_upsert, multimodal_features, order_top_parts,
+    # orders_asof_join, pivot_status, project_truncate,
+    # revenue_by_nation, rollup_summary, supplier_part_variety,
+    # timestamp_parse, token_pivot, top_parts_per_brand,
+    # waiting_suppliers) — rotate the r7 window onto these plus
+    # r7-new queries, changed-code refreshes first as usual.
     # -- r5-window refreshes displaced by the r6 batches (all hold
     #    green r5 driver rows; new queries and r2-vintage refreshes
     #    outrank refreshes of unchanged r5-green code), then the r4/r3
