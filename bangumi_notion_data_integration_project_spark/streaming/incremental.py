@@ -623,6 +623,29 @@ def _checkpoint_identity(checkpoint_dir: str) -> str:
         return os.path.abspath(checkpoint_dir)
 
 
+def _expected_rollup_keys(
+    delta: DataFrame, ts_col: str, grains: tuple[str, ...]
+) -> DataFrame:
+    """The exact ``__k`` key set a fold of ``delta`` writes: one key
+    per touched bucket at every grain. Derivable from the batch ALONE
+    — no stored state involved — which is what makes post-crash replay
+    validation possible: after a FULL commit of batch k, every one of
+    these keys exists in the store with ``__batch_id >= k`` (k itself,
+    or a later batch that refolded the same bucket), so any key below
+    k is proof the commit was partial."""
+    d = delta.select(F.to_date(ts_col).alias("__b")).distinct()
+    out = d.select(F.concat_ws("|", F.lit(grains[0]), "__b").alias("__k"))
+    for g in grains[1:]:
+        out = out.unionByName(
+            d.select(
+                F.concat_ws(
+                    "|", F.lit(g), F.to_date(F.date_trunc(g, "__b"))
+                ).alias("__k")
+            ).distinct()
+        )
+    return out.distinct()
+
+
 def _touched_years(delta: DataFrame, ts_col: str) -> list[int]:
     """Calendar years whose stored day partials a rollup refresh of
     ``delta`` can possibly need: for every event day d, the refresh
@@ -683,14 +706,25 @@ def start_streaming_time_rollup_partitioned(
     watermark) and ``__ckpt_id`` (checkpoint-lineage identity). A
     batch with ``batch_id <= watermark`` and a MATCHING identity is a
     checkpoint-recovery replay of an already-folded batch — skipped,
-    because a sum-fold is not idempotent. The same small batch_id with
-    a DIFFERENT identity means the checkpoint was wiped or relocated
-    while the rollup survived; folding would be wrong (the "new"
-    batches 0..k may or may not be re-reads of already-folded data)
-    and skipping would silently drop genuinely new data, so the query
-    FAILS with instructions instead of guessing.
+    because a sum-fold is not idempotent — but only after proving the
+    prior attempt committed COMPLETELY: a plain-parquet dynamic
+    overwrite is not atomic across partitions, so the guard checks
+    that every ``__k`` key the batch would write (computable from the
+    batch alone, :func:`_expected_rollup_keys`) is stored with
+    ``__batch_id >= batch_id``; a partial commit fails loudly instead
+    of stranding the unwritten partitions (skip) or double-counting
+    the written ones (fold). The same small batch_id with a DIFFERENT
+    identity means the checkpoint was wiped or relocated while the
+    rollup survived; folding would be wrong (the "new" batches 0..k
+    may or may not be re-reads of already-folded data) and skipping
+    would silently drop genuinely new data, so the query FAILS with
+    instructions instead of guessing. Residual window (documented, not
+    closable on plain parquet): a crash inside the overwrite's
+    delete-then-rename of ONE partition can drop that partition's
+    untouched sibling buckets — a transactional table format (Delta /
+    Iceberg) closes it with an atomic metadata swap.
     """
-    from ..operators.rollup import rollup_refresh_delta
+    from ..operators.rollup import GRAINS, rollup_refresh_delta
 
     wm: dict[str, object] = {"bid": None, "ident": None}
 
@@ -716,18 +750,48 @@ def start_streaming_time_rollup_partitioned(
                 ).first()
                 bid, sid = head[0], head[1]
             if bid is not None and batch_id <= bid:
-                if sid == ident:
-                    wm["bid"], wm["ident"] = bid, sid
-                    return  # checkpoint replay of an already-folded batch
-                raise RuntimeError(
-                    f"time-rollup at {rollup_dir}: batch {batch_id} <= stored "
-                    f"watermark {bid} but checkpoint identity changed "
-                    f"({sid!r} -> {ident!r}). The checkpoint was wiped or "
-                    "relocated while the rollup state survived; refusing to "
-                    "fold (could double-count) or skip (could drop new "
-                    "data). Rebuild the rollup from history or restore the "
-                    "matching checkpoint."
-                )
+                if sid != ident:
+                    raise RuntimeError(
+                        f"time-rollup at {rollup_dir}: batch {batch_id} <= "
+                        f"stored watermark {bid} but checkpoint identity "
+                        f"changed ({sid!r} -> {ident!r}). The checkpoint was "
+                        "wiped or relocated while the rollup state survived; "
+                        "refusing to fold (could double-count) or skip "
+                        "(could drop new data). Rebuild the rollup from "
+                        "history or restore the matching checkpoint."
+                    )
+                # same identity: a crash-recovery replay — but a plain-
+                # parquet dynamic overwrite is not atomic ACROSS
+                # partitions, so before skipping, prove the replayed
+                # batch committed COMPLETELY: every key it would write
+                # (derivable from the batch alone) must be stored with
+                # __batch_id >= batch_id. Anything less means the crash
+                # landed mid-commit — skipping would strand the
+                # unwritten partitions stale forever, re-folding would
+                # double-count the written ones, so fail loudly.
+                exp = _expected_rollup_keys(batch, ts_col, GRAINS)
+                n_exp = exp.count()
+                if n_exp:
+                    n_new = (
+                        stored.filter(
+                            F.col("__year").isin(_touched_years(batch, ts_col))
+                        )
+                        .join(F.broadcast(exp), "__k", "left_semi")
+                        .filter(F.col("__batch_id") >= batch_id)
+                        .count()
+                    )
+                    if n_new != n_exp:
+                        raise RuntimeError(
+                            f"time-rollup at {rollup_dir}: replayed batch "
+                            f"{batch_id} (stored watermark {bid}) committed "
+                            f"only {n_new} of its {n_exp} bucket keys — the "
+                            "prior attempt crashed mid-overwrite. Skipping "
+                            "would strand the unwritten partitions, folding "
+                            "would double-count the written ones. Rebuild "
+                            "the rollup from history."
+                        )
+                wm["bid"], wm["ident"] = bid, sid
+                return  # fully-committed replay of an already-folded batch
         # the refresh only ever needs stored day partials from the
         # years the delta touches (plus the week-straddle adjacency —
         # see _touched_years), and __year is a partition column, so

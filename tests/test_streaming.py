@@ -1102,6 +1102,62 @@ def test_streaming_time_rollup_partitioned_scopes_io_to_touched_years(
     assert got[("month", "2024-01-01")] == 900 + 1100
 
 
+def test_streaming_time_rollup_partitioned_partial_commit_fails(
+    spark, tmp_path
+):
+    """Crash-mid-overwrite detection: a replayed batch whose prior
+    attempt committed only SOME of its bucket keys (here the day
+    partition carries the replay's watermark but the week/month
+    partitions still hold an older __batch_id) must FAIL LOUDLY —
+    skipping would strand the unwritten grains stale forever, folding
+    would double-count the written one."""
+    import json
+    import os
+
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_time_rollup_partitioned,
+    )
+
+    inp = str(tmp_path / "in")
+    rollup_dir = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    qid = "11111111-2222-3333-4444-555555555555"
+    with open(os.path.join(ckpt, "metadata"), "w") as fh:
+        json.dump({"id": qid}, fh)
+
+    # day key committed at the replay's batch id (0); week/month keys
+    # still carry the pre-crash vintage (-1 = "older than the replay")
+    spark.createDataFrame(
+        [("day", "2024-01-01", 7, 700, 0, qid, "day|2024-01-01"),
+         ("week", "2024-01-01", 7, 700, -1, qid, "week|2024-01-01"),
+         ("month", "2024-01-01", 7, 700, -1, qid, "month|2024-01-01")],
+        "grain string, bucket_start string, n_events long, value_cents long,"
+        " __batch_id long, __ckpt_id string, __k string",
+    ).withColumn("bucket_start", F.to_date("bucket_start")).withColumn(
+        "__year", F.year("bucket_start")
+    ).write.mode("overwrite").partitionBy("grain", "__year").parquet(rollup_dir)
+
+    _write_batch(spark, inp, [(1, "2024-01-01 05:00:00", 1, "e", 3.0)])
+    q = start_streaming_time_rollup_partitioned(
+        read_event_stream(spark, inp, SCHEMA),
+        rollup_dir,
+        ts_col="ts",
+        value_cents=F.round(F.col("value") * 100, 0),
+        checkpoint_dir=ckpt,
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination(180)
+    assert "committed only 1 of its 3 bucket keys" in str(exc.value)
+    # state untouched by the failed replay
+    got = {
+        (r["grain"], str(r["bucket_start"])): (r["n_events"], r["value_cents"])
+        for r in spark.read.parquet(rollup_dir).collect()
+    }
+    assert got[("day", "2024-01-01")] == (7, 700)
+    assert got[("week", "2024-01-01")] == (7, 700)
+
+
 def test_touched_years_covers_week_straddle_both_directions(spark):
     """The stored-read year scope must include the adjacent year
     whenever an event's WEEK bucket straddles New Year — in either
