@@ -1,0 +1,360 @@
+"""Manifest-committed partitioned parquet table — atomic multi-partition
+overwrite on a plain filesystem.
+
+:func:`..operators.merge.merge_into_partitioned` (the dynamic-overwrite
+MERGE used by the reference-shaped sync, vs the reference's whole-table
+``if_exists='replace'`` rewrite, data_loading_to_mysql_database.py:268)
+has one residual durability window: Spark's dynamic partition overwrite
+commits each touched partition directory independently, so a crash
+mid-job can leave SOME touched partitions replaced and others stale —
+a mixed-vintage table no reader can detect. The streaming rollup twin
+(``streaming/incremental.start_streaming_time_rollup_partitioned``)
+papers over it with a fail-loud replay guard that proves full commit
+key-by-key; this module removes the window instead, with the mechanism
+every transactional table format (Iceberg, Delta) uses: data files are
+immutable and unreferenced until a SINGLE small metadata file is
+swapped by an atomic rename.
+
+Layout::
+
+    table_dir/
+      MANIFEST            <- JSON; the one-file commit point
+      staging/<txid>/     <- in-flight hive-partitioned write (orphaned
+                             by a crash, reclaimed by gc(), never read)
+      data/<txid>/<n>/    <- immutable per-partition data dirs; plain
+                             parquet files carrying the FULL schema
+
+A commit stages all touched partitions in ONE Spark job, moves each
+staged partition dir under ``data/``, then atomically renames a new
+``MANIFEST`` into place.  Readers resolve live partition dirs through
+the manifest only, so they see the old table until the rename and the
+complete new table after it — never a mix.  Because data files keep
+their real columns (the hive write runs on *duplicated* shadow
+columns), a read is a plain multi-path parquet scan with no partition
+value reconstruction.
+
+The manifest doubles as partition-level metadata (Iceberg-style):
+``read(partition_filter=...)`` prunes directories on the DRIVER from
+the manifest's decoded partition values — the scan never lists, let
+alone reads, a pruned partition.  At 100 TB the manifest stays
+O(live partitions), a few MB of JSON; beyond that the same design
+splits it into manifest files per partition range, which is exactly
+the Iceberg manifest-list layering and out of scope here.
+
+Commit metadata: ``commit(..., meta=...)`` stores a small user dict in
+the manifest itself, so bookkeeping like a streaming batch watermark
+commits ATOMICALLY with the data it describes — the property that
+makes ``streaming/incremental.start_streaming_time_rollup_manifest``'s
+replay guard exact where the plain-parquet twin's can only fail
+loudly on a detected partial commit.
+
+Concurrency contract: single writer (the streaming fold / merge job),
+snapshot-isolated readers.  ``gc()`` and the post-commit cleanup
+delete directories no longer referenced by the CURRENT manifest; in a
+multi-reader production deployment that cleanup runs behind a
+retention window (Iceberg ``expire_snapshots`` semantics) instead of
+immediately.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import secrets
+import shutil
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "MANIFEST"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+_SHADOW = "__mp_"  # shadow partition-column prefix for the hive write
+
+
+def _unescape(token: str) -> str | None:
+    """Decode one hive partition-value token (``%xx`` escapes applied
+    by Spark's path escaping; the null sentinel becomes None)."""
+    if token == _HIVE_NULL:
+        return None
+    from urllib.parse import unquote
+
+    return unquote(token)
+
+
+class ManifestTable:
+    """A partitioned parquet table whose visible state is defined by
+    one atomically-swapped JSON manifest. See the module docstring."""
+
+    def __init__(self, table_dir: str, partition_cols: list[str]):
+        if not partition_cols:
+            raise ValueError("a manifest table needs >= 1 partition column")
+        self.table_dir = table_dir.rstrip("/")
+        self.partition_cols = list(partition_cols)
+
+    # -- manifest I/O -------------------------------------------------
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.table_dir, _MANIFEST)
+
+    def manifest(self) -> dict | None:
+        """The current committed manifest, or None before the first
+        commit. A torn ``.tmp`` sibling is never read — only the
+        atomically-renamed ``MANIFEST`` defines table state."""
+        try:
+            with open(self._manifest_path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def meta(self) -> dict:
+        m = self.manifest()
+        return {} if m is None else dict(m.get("meta") or {})
+
+    def _swap(self, manifest: dict) -> None:
+        """The commit point: write the manifest beside the target and
+        atomically rename it in. fsync file and directory so the
+        rename is durable before any cleanup deletes old data."""
+        os.makedirs(self.table_dir, exist_ok=True)
+        tmp = self._manifest_path + "." + secrets.token_hex(4) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._manifest_path)
+        try:  # best-effort directory-entry durability (POSIX)
+            dfd = os.open(self.table_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        except OSError:
+            pass
+
+    # -- write path ---------------------------------------------------
+
+    def commit(
+        self,
+        updates: DataFrame | None,
+        *,
+        drop: "list[dict] | None" = None,
+        meta: dict | None = None,
+    ) -> int:
+        """Atomically replace every partition present in ``updates``
+        (dynamic-partition-overwrite semantics), drop the partitions
+        named by ``drop`` (decoded-value dicts), and store ``meta`` in
+        the manifest. Returns the new version.
+
+        All staged data becomes visible at one ``os.replace`` of the
+        manifest; a crash anywhere before that leaves the table
+        byte-identical to the previous version (staged files are
+        unreferenced), and a crash after it leaves the new version
+        complete (cleanup of now-orphaned old dirs is deferred work
+        :func:`gc` finishes).  ``updates=None`` / no staged rows is a
+        metadata-only commit — e.g. advancing a stream watermark for
+        an empty batch — and costs one small file rename.
+        """
+        prior = self.manifest()
+        version = 1 if prior is None else int(prior["version"]) + 1
+        txid = f"{version:06d}-{secrets.token_hex(4)}"
+        new_parts: dict[str, dict] = {}
+        if updates is not None:
+            staging = os.path.join(self.table_dir, "staging", txid)
+            staged = updates
+            shadows = []
+            for c in self.partition_cols:
+                staged = staged.withColumn(_SHADOW + c, F.col(c))
+                shadows.append(_SHADOW + c)
+            staged.write.mode("errorifexists").partitionBy(*shadows).parquet(
+                staging
+            )
+            if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+                raise RuntimeError(
+                    f"staged write at {staging} left no _SUCCESS marker"
+                )
+            new_parts = self._adopt_staged(staging, txid)
+        parts: dict[str, dict] = (
+            {} if prior is None else dict(prior["partitions"])
+        )
+        replaced = [
+            parts.pop(k)["dir"] for k in list(parts) if k in new_parts
+        ]
+        for d in drop or []:
+            key = self._key_for_values(d)
+            if key in parts:
+                replaced.append(parts.pop(key)["dir"])
+        parts.update(new_parts)
+        self._swap(
+            {"version": version, "partitions": parts, "meta": meta or {}}
+        )
+        # Post-commit cleanup of dirs orphaned by THIS swap. Failure
+        # here never corrupts — gc() reclaims later.
+        for rel in replaced:
+            shutil.rmtree(os.path.join(self.table_dir, rel), ignore_errors=True)
+        staging_root = os.path.join(self.table_dir, "staging", txid)
+        shutil.rmtree(staging_root, ignore_errors=True)
+        return version
+
+    def _key_for_values(self, values: dict) -> str:
+        # JSON list, not a path-style join: a value containing "/" or
+        # "=" can never alias another partition's key.
+        return json.dumps(
+            [values.get(c) for c in self.partition_cols]
+        )
+
+    def _adopt_staged(self, staging: str, txid: str) -> dict[str, dict]:
+        """Move each staged hive leaf dir under ``data/<txid>/<n>`` and
+        return manifest entries for them. Plain renames inside one
+        filesystem; NOT the commit point — a crash mid-way only
+        orphans files that no manifest references."""
+        leaves: list[tuple[str, dict]] = []
+
+        def walk(path: str, depth: int, values: dict) -> None:
+            if depth == len(self.partition_cols):
+                leaves.append((path, values))
+                return
+            want = _SHADOW + self.partition_cols[depth] + "="
+            for name in sorted(os.listdir(path)):
+                if name.startswith(want):
+                    walk(
+                        os.path.join(path, name),
+                        depth + 1,
+                        {
+                            **values,
+                            self.partition_cols[depth]: _unescape(
+                                name[len(want):]
+                            ),
+                        },
+                    )
+
+        walk(staging, 0, {})
+        out: dict[str, dict] = {}
+        data_root = os.path.join(self.table_dir, "data", txid)
+        os.makedirs(data_root, exist_ok=True)
+        for i, (leaf, values) in enumerate(leaves):
+            rel = os.path.join("data", txid, str(i))
+            os.replace(leaf, os.path.join(self.table_dir, rel))
+            out[self._key_for_values(values)] = {
+                "values": values,
+                "dir": rel,
+            }
+        return out
+
+    # -- read path ----------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        partition_filter: "Callable[[dict], bool] | None" = None,
+    ) -> DataFrame | None:
+        """The committed table (or the partitions whose decoded-value
+        dict passes ``partition_filter``) as a plain parquet scan over
+        exactly the live directories — pruning happens on the driver
+        from manifest metadata, so a pruned partition is never even
+        listed. Returns None before the first data commit."""
+        m = self.manifest()
+        if m is None or not m["partitions"]:
+            return None
+        entries = list(m["partitions"].values())
+        picked = [
+            e
+            for e in entries
+            if partition_filter is None or partition_filter(e["values"])
+        ]
+        if not picked:  # preserve schema: empty slice of one live dir
+            only = spark.read.parquet(
+                os.path.join(self.table_dir, entries[0]["dir"])
+            )
+            return only.filter(F.lit(False))
+        return spark.read.parquet(
+            *[os.path.join(self.table_dir, e["dir"]) for e in picked]
+        )
+
+    # -- maintenance --------------------------------------------------
+
+    def gc(self) -> list[str]:
+        """Reclaim everything the current manifest does not reference:
+        abandoned staging roots, data dirs orphaned by crashes between
+        swap and cleanup, torn manifest temp files. Writer-side only
+        (see the concurrency contract). Returns removed paths."""
+        removed: list[str] = []
+        live = set()
+        m = self.manifest()
+        if m is not None:
+            live = {
+                os.path.normpath(e["dir"]) for e in m["partitions"].values()
+            }
+        staging_root = os.path.join(self.table_dir, "staging")
+        if os.path.isdir(staging_root):
+            for name in os.listdir(staging_root):
+                p = os.path.join(staging_root, name)
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(p)
+        data_root = os.path.join(self.table_dir, "data")
+        if os.path.isdir(data_root):
+            for tx in os.listdir(data_root):
+                txdir = os.path.join(data_root, tx)
+                for n in os.listdir(txdir):
+                    rel = os.path.normpath(os.path.join("data", tx, n))
+                    if rel not in live:
+                        shutil.rmtree(
+                            os.path.join(txdir, n), ignore_errors=True
+                        )
+                        removed.append(os.path.join(txdir, n))
+                if not os.listdir(txdir):
+                    os.rmdir(txdir)
+        if os.path.isdir(self.table_dir):
+            for name in os.listdir(self.table_dir):
+                if name.startswith(_MANIFEST + ".") and name.endswith(".tmp"):
+                    p = os.path.join(self.table_dir, name)
+                    os.unlink(p)
+                    removed.append(p)
+        return removed
+
+
+def merge_into_manifest(
+    spark: SparkSession,
+    source: DataFrame,
+    table: ManifestTable,
+    key: str,
+    *,
+    meta: dict | None = None,
+) -> int:
+    """Partition-scoped MERGE with an atomic multi-partition commit:
+    same upsert semantics as ``operators/merge.merge_into_partitioned``
+    (source rows replace target rows by ``key`` inside every touched
+    partition; untouched partitions are never read or written), but
+    the swap of ALL touched partitions is one manifest rename — the
+    mixed-vintage crash window of dynamic partition overwrite cannot
+    occur. ``key`` must not migrate across partitions (same contract
+    as merge_scoped).
+
+    The touched-partition read is pruned on the DRIVER from manifest
+    metadata — one ``collect()`` of the source's distinct partition
+    tuples, bounded by the number of touched partitions exactly like
+    the hive twin's dynamic-overwrite listing.
+    """
+    pcols = table.partition_cols
+    # Canonicalize partition values through Spark's own string cast so
+    # they compare equal to the manifest's decoded hive-path tokens
+    # (int 2024 -> "2024", date -> "2024-01-01", NULL -> None). The
+    # collect is bounded by the number of touched partitions.
+    touched = {
+        tuple(r[c] for c in pcols)
+        for r in source.select(
+            *[F.col(c).cast("string").alias(c) for c in pcols]
+        )
+        .distinct()
+        .collect()
+    }
+    stored = table.read(
+        spark,
+        partition_filter=lambda v: tuple(v[c] for c in pcols) in touched,
+    )
+    if stored is None:
+        return table.commit(source, meta=meta)
+    replaced = stored.join(
+        F.broadcast(source.select(key).distinct()), key, "left_anti"
+    ).unionByName(source.select(*stored.columns))
+    return table.commit(replaced, meta=meta)
