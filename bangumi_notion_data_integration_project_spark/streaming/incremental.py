@@ -838,3 +838,111 @@ def start_streaming_time_rollup_partitioned(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_streaming_time_rollup_manifest(
+    stream: DataFrame,
+    table_dir: str,
+    *,
+    ts_col: str,
+    value_cents: "F.Column",
+    checkpoint_dir: str,
+):
+    """Transactional twin of
+    :func:`start_streaming_time_rollup_partitioned`: the stored rollup
+    is a :class:`..manifest_table.ManifestTable` partitioned by
+    ``(grain, __year)``, and each batch's fold lands through
+    ``merge_into_manifest`` — every touched partition becomes visible
+    at ONE atomic manifest rename, with the batch watermark riding the
+    same swap as commit metadata.
+
+    That atomicity is what retires the plain-parquet twin's two
+    residual compromises at once:
+
+    - The partial-commit ambiguity is gone BY CONSTRUCTION. The hive
+      twin must prove a replayed batch fully committed (and fail
+      loudly when it cannot), because dynamic overwrite commits
+      partitions independently; here a crash before the rename leaves
+      the old version byte-identical (the replay refolds from it), and
+      a crash after the rename leaves the new version complete (the
+      replay skips). There is no third state, so the skip needs no
+      key-set proof.
+    - The watermark cannot diverge from the data. ``__batch_id`` rows
+      and data partitions in the hive twin are written by the same job
+      but committed per-partition; here ``batch_id``/``ckpt_id`` live
+      in the manifest that IS the commit.
+
+    I/O scaling is unchanged from the hive twin: O(touched buckets) of
+    compute, only touched (grain, year) partitions staged, the stored
+    day-partials read pruned to :func:`_touched_years` — but the
+    pruning happens on the driver from manifest metadata, so untouched
+    years are never even listed. The identity guard is the same: a
+    replay-range batch under a DIFFERENT checkpoint identity still
+    fails loudly (atomicity cannot tell re-read data from new data —
+    that remains a lineage question).
+    """
+    from ..manifest_table import ManifestTable, merge_into_manifest
+    from ..operators.rollup import rollup_refresh_delta
+
+    table = ManifestTable(table_dir, ["grain", "__year"])
+    wm: dict[str, object] = {"bid": None, "ident": None, "cold": True}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        ident = _checkpoint_identity(checkpoint_dir)
+        if wm["cold"]:
+            # one-time startup maintenance: reclaim whatever a crashed
+            # predecessor staged or orphaned (never touches live state)
+            table.gc()
+            wm["cold"] = False
+        bid, sid = wm["bid"], wm["ident"]
+        if bid is None:
+            meta = table.meta()
+            bid, sid = meta.get("batch_id"), meta.get("ckpt_id")
+        if bid is not None and batch_id <= bid:
+            if sid != ident:
+                raise RuntimeError(
+                    f"time-rollup at {table_dir}: batch {batch_id} <= "
+                    f"committed watermark {bid} but checkpoint identity "
+                    f"changed ({sid!r} -> {ident!r}). The checkpoint was "
+                    "wiped or relocated while the rollup state survived; "
+                    "refusing to fold (could double-count) or skip (could "
+                    "drop new data). Rebuild the rollup from history or "
+                    "restore the matching checkpoint."
+                )
+            # same identity: the watermark committed in the same atomic
+            # swap as the data, so reaching it proves the whole batch
+            # landed — skip without any partial-commit proof.
+            wm["bid"], wm["ident"] = bid, sid
+            return
+        years = set(_touched_years(batch, ts_col))
+        stored = table.read(
+            spark,
+            partition_filter=lambda v: v["__year"] is not None
+            and int(v["__year"]) in years,
+        )
+        refreshed = rollup_refresh_delta(
+            stored, batch, ts_col, value_cents
+        ).select(
+            "grain",
+            "bucket_start",
+            "n_events",
+            "value_cents",
+            F.concat_ws("|", "grain", "bucket_start").alias("__k"),
+            F.year("bucket_start").alias("__year"),
+        )
+        merge_into_manifest(
+            spark,
+            refreshed,
+            table,
+            "__k",
+            meta={"batch_id": batch_id, "ckpt_id": ident},
+        )
+        wm["bid"], wm["ident"] = batch_id, ident
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

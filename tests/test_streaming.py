@@ -1243,3 +1243,216 @@ def test_streaming_time_rollup_partitioned_replay_skip(spark, tmp_path):
         ("week", "2024-01-01"): (7, 700),
         ("month", "2024-01-01"): (7, 700),
     }, got
+
+
+def test_streaming_time_rollup_manifest_twin(spark, tmp_path):
+    """Transactional twin: differential vs the batch rollup across
+    incremental runs + late data, and the identity guard on a wiped
+    checkpoint — same contract as the hive twin, new commit path."""
+    import random
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bangumi_notion_data_integration_project_spark.manifest_table import (
+        ManifestTable,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.rollup import (
+        hierarchical_time_rollup,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_time_rollup_manifest,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (
+            i,
+            f"202{rng.randint(3, 4)}-0{rng.randint(1, 2)}"
+            f"-{rng.randint(1, 28):02d} {rng.randint(0, 23):02d}:00:00",
+            1,
+            "e",
+            rng.randint(1, 9999) / 100.0,
+        )
+        for i in range(120)
+    ]
+    inp = str(tmp_path / "in")
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    cents = F.round(F.col("value") * 100, 0)
+    table = ManifestTable(table_dir, ["grain", "__year"])
+
+    def run():
+        q = start_streaming_time_rollup_manifest(
+            read_event_stream(spark, inp, SCHEMA),
+            table_dir,
+            ts_col="ts",
+            value_cents=cents,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def stored_state():
+        return {
+            (r["grain"], str(r["bucket_start"])): (r["n_events"], r["value_cents"])
+            for r in table.read(spark)
+            .select("grain", "bucket_start", "n_events", "value_cents")
+            .collect()
+        }
+
+    def want_state(upto):
+        return {
+            (r["grain"], str(r["bucket_start"])): (r["n_events"], r["value_cents"])
+            for r in hierarchical_time_rollup(
+                _rows(spark, rows[:upto]), "ts", cents
+            ).collect()
+        }
+
+    for chunk in (rows[:40], rows[40:80]):
+        _write_batch(spark, inp, chunk)
+    run()
+    assert stored_state() == want_state(80)
+    # late data folds O(touched); watermark advanced atomically
+    _write_batch(spark, inp, rows[80:])
+    run()
+    assert stored_state() == want_state(120)
+    # the late batch's id committed with its data (file→batch packing
+    # is a source detail; what matters is the watermark advanced)
+    assert table.meta()["batch_id"] >= 1
+
+    # wiped checkpoint + surviving state: loud identity failure
+    shutil.rmtree(ckpt)
+    try:
+        run()
+        raise AssertionError("foreign-identity replay did not fail")
+    except StreamingQueryException as e:
+        assert "checkpoint identity changed" in str(e)
+    assert stored_state() == want_state(120)
+
+
+def test_streaming_time_rollup_manifest_crash_at_commit_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """The atomicity payoff: kill the job AT the commit point (manifest
+    rename) mid-batch. The table stays byte-identical to the previous
+    version, so the checkpoint replay simply refolds the batch — no
+    partial-commit state, no rebuild-from-history error, exact final
+    sums. The hive twin's analogous crash leaves a mixed-vintage table
+    its guard can only reject."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from bangumi_notion_data_integration_project_spark import manifest_table as mt
+    from bangumi_notion_data_integration_project_spark.operators.rollup import (
+        hierarchical_time_rollup,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_time_rollup_manifest,
+    )
+
+    rows_a = [(i, "2024-01-05 06:00:00", 1, "e", 1.0) for i in range(10)]
+    rows_b = [(i + 10, "2024-01-06 07:00:00", 1, "e", 2.5) for i in range(10)]
+    inp = str(tmp_path / "in")
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    cents = F.round(F.col("value") * 100, 0)
+    table = mt.ManifestTable(table_dir, ["grain", "__year"])
+
+    def run():
+        q = start_streaming_time_rollup_manifest(
+            read_event_stream(spark, inp, SCHEMA),
+            table_dir,
+            ts_col="ts",
+            value_cents=cents,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def state():
+        return {
+            (r["grain"], str(r["bucket_start"])): (r["n_events"], r["value_cents"])
+            for r in table.read(spark).collect()
+        }
+
+    def want(rs):
+        return {
+            (r["grain"], str(r["bucket_start"])): (r["n_events"], r["value_cents"])
+            for r in hierarchical_time_rollup(_rows(spark, rs), "ts", cents).collect()
+        }
+
+    _write_batch(spark, inp, rows_a)
+    run()
+    assert state() == want(rows_a)
+    v1 = table.manifest()["version"]
+
+    _write_batch(spark, inp, rows_b)
+    real_swap = mt.ManifestTable._swap
+
+    def boom(self, manifest):
+        raise OSError("simulated crash at the manifest rename")
+
+    monkeypatch.setattr(mt.ManifestTable, "_swap", boom)
+    try:
+        with pytest.raises(StreamingQueryException):
+            run()
+    finally:
+        monkeypatch.setattr(mt.ManifestTable, "_swap", real_swap)
+    # crash before the rename: table byte-identical to the prior version
+    assert table.manifest()["version"] == v1
+    assert state() == want(rows_a)
+
+    # restart: the replay refolds batch 1 from the intact old state —
+    # exact once-applied sums, orphaned staging reclaimed on cold start
+    run()
+    assert state() == want(rows_a + rows_b)
+    assert table.manifest()["version"] > v1
+
+
+def test_streaming_time_rollup_manifest_replay_skip(spark, tmp_path):
+    """Same-identity replay at or below the committed watermark is
+    skipped with NO partial-commit proof needed: the watermark rode
+    the same atomic swap as the data, so reaching it proves the whole
+    batch landed."""
+    import json
+    import os
+
+    from bangumi_notion_data_integration_project_spark.manifest_table import (
+        ManifestTable,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_time_rollup_manifest,
+    )
+
+    inp = str(tmp_path / "in")
+    table_dir = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    qid = "11111111-2222-3333-4444-555555555555"
+    with open(os.path.join(ckpt, "metadata"), "w") as fh:
+        json.dump({"id": qid}, fh)
+
+    table = ManifestTable(table_dir, ["grain", "__year"])
+    table.commit(
+        spark.createDataFrame(
+            [("day", "2024-01-01", 7, 700, "day|2024-01-01", 2024)],
+            "grain string, bucket_start string, n_events long,"
+            " value_cents long, __k string, __year int",
+        ).withColumn("bucket_start", F.to_date("bucket_start")),
+        meta={"batch_id": 99, "ckpt_id": qid},
+    )
+
+    _write_batch(spark, inp, [(1, "2024-01-01 05:00:00", 1, "e", 3.0)])
+    q = start_streaming_time_rollup_manifest(
+        read_event_stream(spark, inp, SCHEMA),
+        table_dir,
+        ts_col="ts",
+        value_cents=F.round(F.col("value") * 100, 0),
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["grain"], str(r["bucket_start"])): (r["n_events"], r["value_cents"])
+        for r in table.read(spark).collect()
+    }
+    # batch 0 <= watermark 99, matching identity: skipped, untouched
+    assert got == {("day", "2024-01-01"): (7, 700)}, got
+    assert table.meta() == {"batch_id": 99, "ckpt_id": qid}
