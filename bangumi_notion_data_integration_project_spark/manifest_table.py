@@ -354,7 +354,9 @@ def merge_into_manifest(
     )
     if stored is None:
         return table.commit(source, meta=meta)
+    # no forced broadcast: a backfill delta can be arbitrarily large,
+    # and AQE already picks broadcast when the key set is small
     replaced = stored.join(
-        F.broadcast(source.select(key).distinct()), key, "left_anti"
+        source.select(key).distinct(), key, "left_anti"
     ).unionByName(source.select(*stored.columns))
     return table.commit(replaced, meta=meta)
