@@ -48,6 +48,14 @@ makes ``streaming/incremental.start_streaming_time_rollup_manifest``'s
 replay guard exact where the plain-parquet twin's can only fail
 loudly on a detected partial commit.
 
+Commit-point filesystem contract: the atomic rename exists on POSIX
+filesystems, HDFS, and ABFS — NOT on S3, where object "rename" is
+copy+delete. There the manifest swap must become a conditional put
+(If-None-Match on a versioned manifest key) or a catalog commit,
+which is precisely why Iceberg commits through a catalog rather than
+the object store; the data-dir layout and everything else here is
+store-agnostic.
+
 Concurrency contract: single writer (the streaming fold / merge job),
 snapshot-isolated readers.  ``gc()`` and the post-commit cleanup
 delete directories no longer referenced by the CURRENT manifest; in a
