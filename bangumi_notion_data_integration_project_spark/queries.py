@@ -5165,6 +5165,408 @@ def _bpe_oracle(n_merges: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Round-7 batch: record linkage, time-weighted stats, seasonality
+# profiles, joint histograms, interval backlog, RFM segmentation,
+# vocabulary growth, and batch debounce
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_name_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: near-duplicate part NAMES found by
+    (first token, second-token initial) blocking + Levenshtein 1..3 —
+    the classic record-linkage recipe (block to bound the candidate
+    set, then edit-distance verify inside blocks). The self-join runs
+    over DISTINCT names with their member counts, never over the fact
+    rows, so output and compare work scale with |name vocabulary|² per
+    block, not |parts|²; ``n_linked_pairs`` = n_a·n_b recovers the
+    record-level pair count exactly. Complements name_edit_distance
+    (bounded-sample all-pairs) with the production blocking shape."""
+    p = load_table(spark, sf_dir, "part")
+    names = (
+        p.groupBy("p_name")
+        .agg(F.count("*").cast("long").alias("n_parts"))
+        .withColumn("__b1", F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)))
+        .withColumn(
+            "__b2",
+            F.substring(F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)), 1, 1),
+        )
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_a"),
+        "__b1",
+        "__b2",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_b"),
+        F.col("__b1").alias("__c1"),
+        F.col("__b2").alias("__c2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("__b1") == F.col("__c1"))
+            & (F.col("__b2") == F.col("__c2"))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter((F.col("edit_dist") >= 1) & (F.col("edit_dist") <= 3))
+        .select(
+            "name_a",
+            "name_b",
+            "edit_dist",
+            "n_a",
+            "n_b",
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("n_linked_pairs"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+def q_events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day) — the TWAP
+    shape used for prices/gauges where plain AVG over-weights bursts.
+    Each event's value holds until the next event of the type that day
+    (the last one holds to midnight), so the weight is an exact
+    whole-second duration; numerator Σ(cents·dur) and denominator
+    Σ(dur) are exact integers and only the final division is float.
+    One keyed lead() window, then a grouped aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_timestamp("ts").cast("long").alias("__u"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    dur = (
+        base.withColumn("__next_u", F.lead("__u").over(w))
+        .withColumn(
+            "__day_end",
+            F.unix_timestamp(F.date_add(F.col("day"), 1).cast("timestamp")).cast(
+                "long"
+            ),
+        )
+        .withColumn("dur_s", F.coalesce("__next_u", "__day_end") - F.col("__u"))
+    )
+    return (
+        dur.groupBy("event_type", "day")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("dur_s").cast("long").alias("total_dur_s"),
+            F.sum(F.col("cents") * F.col("dur_s")).cast("long").alias("__wsum"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "total_dur_s",
+            F.round(
+                F.col("__wsum").cast("double") / F.col("total_dur_s") / 100.0, 6
+            ).alias("twap_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q_orders_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per market segment: order count,
+    exact cent revenue, the segment's weekday revenue share in integer
+    basis points (rev·10⁴ div segment total — no float shares), and the
+    mean order value. The fact join aggregates to |segments|×7 rows
+    before the share window touches it; customer is broadcast.
+    Complements orders_seasonal (monthly trend) on the weekly axis."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    g = base.groupBy("segment", "dow").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    return (
+        g.withColumn(
+            "seg_total",
+            F.sum("revenue_cents").over(Window.partitionBy("segment")).cast("long"),
+        )
+        .withColumn(
+            "share_bp", F.expr("revenue_cents * 10000L div seg_total").cast("long")
+        )
+        .withColumn(
+            "avg_order_cents",
+            F.round(F.col("revenue_cents").cast("double") / F.col("n_orders"), 6),
+        )
+        .select(
+            "segment",
+            "dow",
+            "n_orders",
+            "revenue_cents",
+            "seg_total",
+            "share_bp",
+            "avg_order_cents",
+        )
+        .orderBy("segment", "dow")
+    )
+
+
+def q_docs_quality_joint_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint 2-D corpus histogram: character-length band × type-token-
+    ratio band (TTR = distinct/total tokens, banded by the integer rule
+    min(4, 5·types div tokens) — no float boundary to flake). The 2-D
+    cell grid is what curation dashboards cut on ("short AND
+    repetitive" is the junk cell; 1-D histograms hide the interaction).
+    Fixed integer band edges keep it one pure groupBy — no global rank,
+    fully distributed at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    base = d.select(
+        "n_chars",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+    ).filter(F.col("n_tok") > 0)
+    banded = base.select(
+        F.least(F.lit(9).cast("long"), F.expr("n_chars div 150L")).alias("len_band"),
+        F.least(F.lit(4).cast("long"), F.expr("(n_types * 5L) div n_tok")).alias(
+            "ttr_band"
+        ),
+        "n_chars",
+        "n_tok",
+    )
+    return (
+        banded.groupBy("len_band", "ttr_band")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.sum("n_chars").cast("double") / F.count("*"), 6).alias(
+                "avg_chars"
+            ),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("len_band", "ttr_band")
+    )
+
+
+def q_docs_lang_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-5 tokens by frequency (count desc, token asc —
+    a total order, so ties are deterministic): the grouped wordcount
+    every corpus audit starts from, via the shared top_k_per_group
+    operator over the aggregated (lang, token) counts — the window
+    never sees exploded fact rows."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(tokens("text")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").cast("long").alias("n_occurrences"))
+    )
+    return (
+        top_k_per_group(
+            counts,
+            ["lang"],
+            [F.desc("n_occurrences"), F.asc("token")],
+            5,
+            rank_col="rank",
+        )
+        .select("lang", F.col("rank").cast("long").alias("rank"), "token", "n_occurrences")
+        .orderBy("lang", "rank")
+    )
+
+
+def q_orders_running_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog from interval endpoints: each order is
+    open from its order date through its last ship date; explode to
+    (+1 at start, −1 the day after close), aggregate per day, then one
+    running prefix sum. The ordered window runs over the O(distinct
+    days) aggregate — calendar-bounded regardless of fact size, the
+    same shape as events concurrency (operators/intervals.py) on the
+    orders star."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("start_day")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("close_day"))
+    )
+    iv = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    deltas = iv.select(
+        F.col("start_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("delta").cast("long").alias("net_change"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_opened"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.withColumn("n_open", F.sum("net_change").over(w).cast("long"))
+        .select("day", "n_opened", "net_change", "n_open")
+        .orderBy("day")
+    )
+
+
+def q_docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: sub-word (BPE-proxy) tokens
+    per whitespace word, and characters per sub-word token — the two
+    standard metrics for judging how well a tokenizer fits each
+    language in a multilingual training corpus (fertility ≫ 1 means
+    the tokenizer shreds that language into fragments, inflating
+    training cost). Both numerator and denominator are exact integer
+    corpus sums; only the two final ratios are float. Pure map + one
+    grouped aggregate — no joins, no windows."""
+    from .functions.text import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        "n_chars",
+        bpe_ish_token_count("text").alias("n_bpe"),
+        token_count("text").alias("n_ws"),
+    ).filter(F.col("n_ws") > 0)
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_ws").cast("long").alias("ws_tokens"),
+            F.sum("n_bpe").cast("long").alias("bpe_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6),
+        )
+        .withColumn(
+            "chars_per_bpe",
+            F.round(F.col("total_chars").cast("double") / F.col("bpe_tokens"), 6),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_events_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly profile: per (event_type, day-of-week, hour)
+    cell, the event count, mean value, and how many events sit more
+    than 3σ from their OWN cell's mean. The z² > 9 test is evaluated in
+    exact integer moments — (n·x−S)² > 9(nQ−S²) with DECIMAL(38,0)
+    sums — so the outlier count is engine-exact with no float σ, and
+    zero-variance cells fall out naturally (0 > 0 is false; no guard
+    needed on either side, the ADVICE-r5 zero-variance lesson applied
+    by construction). Profile is broadcast back onto the facts."""
+    e = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    base = e.select(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    prof = base.groupBy("event_type", "dow", "hour").agg(
+        F.count("*").cast(dec).alias("__n"),
+        F.sum(F.col("cents").cast(dec)).alias("__s"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents").cast(dec)).alias("__q"),
+    )
+    flagged = base.join(F.broadcast(prof), ["event_type", "dow", "hour"]).withColumn(
+        "__dev", F.col("__n") * F.col("cents").cast(dec) - F.col("__s")
+    )
+    is_out = (F.col("__dev") * F.col("__dev")) > (
+        F.lit(9).cast(dec) * (F.col("__n") * F.col("__q") - F.col("__s") * F.col("__s"))
+    )
+    return (
+        flagged.groupBy("event_type", "dow", "hour")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("cents").cast("double") / F.count("*") / 100.0, 6).alias(
+                "mean_value"
+            ),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type", "dow", "hour")
+    )
+
+
+def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve: scanning the corpus in doc_id
+    order in buckets of 50 docs, the cumulative token count, cumulative
+    DISTINCT vocabulary (each type attributed to the bucket of its
+    first appearance — min(bucket) per token, so no quadratic
+    recount), and the running type-token ratio. All counts exact
+    integers; the prefix-sum window runs over the O(buckets) aggregate.
+    The curve is how training-data pipelines spot corpus saturation
+    (new data stops adding vocabulary)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.expr("doc_id div 50L").alias("bucket"),
+        F.explode(tokens("text")).alias("token"),
+    )
+    totals = tok.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    news = (
+        tok.groupBy("token")
+        .agg(F.min("bucket").alias("first_bucket"))
+        .groupBy("first_bucket")
+        .agg(F.count("*").cast("long").alias("n_new_types"))
+    )
+    n_docs = d.groupBy(F.expr("doc_id div 50L").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    joined = (
+        totals.join(news, totals["bucket"] == news["first_bucket"], "left")
+        .select(
+            totals["bucket"],
+            "n_tokens",
+            F.coalesce("n_new_types", F.lit(0)).cast("long").alias("n_new_types"),
+        )
+        .join(n_docs, "bucket")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        joined.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .withColumn("cum_vocab", F.sum("n_new_types").over(w).cast("long"))
+        .withColumn(
+            "ttr", F.round(F.col("cum_vocab").cast("double") / F.col("cum_tokens"), 6)
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "n_tokens",
+            "n_new_types",
+            "cum_tokens",
+            "cum_vocab",
+            "ttr",
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch debounce (operators/debounce.py): per (user, event_type)
+    keep an event only if ≥24 h have passed since the previously KEPT
+    event — the rate-limit/notification-throttle semantics a lag()
+    filter cannot express (its anchor must be the last survivor, a
+    sequential per-key fold). Runs as one shuffle on the key plus an
+    Arrow-batched applyInPandas walk per group; the oracle replays the
+    identical fold as a DuckDB recursive CTE advancing one row per key
+    per step."""
+    from .operators.debounce import debounce
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    kept = debounce(
+        e, ["user_id", "event_type"], "ts", ["ts", "event_id"], min_gap_s=86400
+    )
+    return kept.select("event_id", "user_id", "event_type", "ts").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5260,8 +5662,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # orders_asof_join, pivot_status, project_truncate,
     # revenue_by_nation, rollup_summary, supplier_part_variety,
     # timestamp_parse, token_pivot, top_parts_per_brand,
-    # waiting_suppliers) — rotate the r7 window onto these plus
-    # r7-new queries, changed-code refreshes first as usual.
+    # waiting_suppliers) — rotate the r7 window onto these plus the 10
+    # r7-new queries registered immediately below (never driver-checked;
+    # they take the front of the r7 window), changed-code refreshes
+    # first as usual. 10 new + 40 stale = exactly one 50-slot window.
+    # -- NEW for r7 (built at the end of r6, never driver-checked):
+    #    blocked record linkage, TWAP, weekday profile, 2-D quality
+    #    histogram, grouped top-k tokens, interval backlog, RFM cube,
+    #    integer-exact seasonal outliers, Heaps growth, batch debounce
+    "fuzzy_name_blocking": q_fuzzy_name_blocking,
+    "events_twap": q_events_twap,
+    "orders_dow_profile": q_orders_dow_profile,
+    "docs_quality_joint_hist": q_docs_quality_joint_hist,
+    "docs_lang_topk_tokens": q_docs_lang_topk_tokens,
+    "orders_running_backlog": q_orders_running_backlog,
+    "docs_tokenizer_fertility": q_docs_tokenizer_fertility,
+    "events_seasonal_zscore": q_events_seasonal_zscore,
+    "docs_vocab_growth": q_docs_vocab_growth,
+    "events_debounce": q_events_debounce,
     # -- r5-window refreshes displaced by the r6 batches (all hold
     #    green r5 driver rows; new queries and r2-vintage refreshes
     #    outrank refreshes of unchanged r5-green code), then the r4/r3
@@ -8469,4 +8887,240 @@ ORACLES["docs_ngram_novelty"] = r"""
            round(CAST(count(*) FILTER (WHERE f.first_doc = t.doc_id)
                  AS DOUBLE) / count(*), 6) AS novelty
     FROM tri t JOIN f ON t.s = f.s GROUP BY 1 ORDER BY t.doc_id
+"""
+
+ORACLES["fuzzy_name_blocking"] = """
+    WITH names AS (
+      SELECT p_name, CAST(count(*) AS BIGINT) AS n_parts,
+             split_part(p_name, ' ', 1) AS b1,
+             substr(split_part(p_name, ' ', 2), 1, 1) AS b2
+      FROM part GROUP BY 1
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           a.n_parts AS n_a, b.n_parts AS n_b,
+           CAST(a.n_parts * b.n_parts AS BIGINT) AS n_linked_pairs
+    FROM names a JOIN names b
+      ON a.b1 = b.b1 AND a.b2 = b.b2 AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 3
+    ORDER BY name_a, name_b
+"""
+
+ORACLES["events_twap"] = """
+    WITH base AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             CAST(floor(epoch(ts)) AS BIGINT) AS u
+      FROM events
+    ), d AS (
+      SELECT event_type, day, cents,
+             coalesce(
+               lead(u) OVER (PARTITION BY event_type, day ORDER BY ts, event_id),
+               CAST(floor(epoch(CAST(day + 1 AS TIMESTAMP))) AS BIGINT)
+             ) - u AS dur_s
+      FROM base
+    )
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(dur_s) AS BIGINT) AS total_dur_s,
+           round(CAST(sum(cents * dur_s) AS DOUBLE)
+                 / CAST(sum(dur_s) AS BIGINT) / 100.0, 6) AS twap_value
+    FROM d GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+ORACLES["orders_dow_profile"] = """
+    WITH base AS (
+      SELECT c_mktsegment AS segment,
+             CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), g AS (
+      SELECT segment, dow, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS revenue_cents
+      FROM base GROUP BY 1, 2
+    )
+    SELECT segment, dow, n_orders, revenue_cents,
+           CAST(sum(revenue_cents) OVER (PARTITION BY segment) AS BIGINT)
+             AS seg_total,
+           CAST(revenue_cents * 10000
+                // sum(revenue_cents) OVER (PARTITION BY segment) AS BIGINT)
+             AS share_bp,
+           round(CAST(revenue_cents AS DOUBLE) / n_orders, 6) AS avg_order_cents
+    FROM g ORDER BY segment, dow
+"""
+
+ORACLES["docs_quality_joint_hist"] = r"""
+    WITH base AS (
+      SELECT n_chars, CAST(len(tk) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(tk)) AS BIGINT) AS n_types
+      FROM (SELECT n_chars,
+                   CASE WHEN length(trim(text)) = 0 THEN []
+                        ELSE string_split_regex(trim(text), '\s+') END AS tk
+            FROM documents)
+      WHERE len(tk) > 0
+    ), banded AS (
+      SELECT least(9, n_chars // 150) AS len_band,
+             least(4, (n_types * 5) // n_tok) AS ttr_band,
+             n_chars, n_tok
+      FROM base
+    )
+    SELECT CAST(len_band AS BIGINT) AS len_band,
+           CAST(ttr_band AS BIGINT) AS ttr_band,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM banded GROUP BY 1, 2 ORDER BY len_band, ttr_band
+"""
+
+ORACLES["docs_lang_topk_tokens"] = r"""
+    WITH counts AS (
+      SELECT lang, token, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT lang, token, n_occurrences,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_occurrences DESC, token) AS rank
+      FROM counts
+    )
+    SELECT lang, CAST(rank AS BIGINT) AS rank, token, n_occurrences
+    FROM ranked WHERE rank <= 5 ORDER BY lang, rank
+"""
+
+ORACLES["orders_running_backlog"] = """
+    WITH iv AS (
+      SELECT CAST(o_orderdate AS DATE) AS start_day, close_day
+      FROM orders
+      JOIN (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS close_day
+            FROM lineitem GROUP BY 1) li ON o_orderkey = l_orderkey
+    ), deltas AS (
+      SELECT start_day AS day, 1 AS delta FROM iv
+      UNION ALL
+      SELECT close_day + 1 AS day, -1 AS delta FROM iv
+    ), daily AS (
+      SELECT day, CAST(sum(delta) AS BIGINT) AS net_change,
+             CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_opened
+      FROM deltas GROUP BY 1
+    )
+    SELECT day, n_opened, net_change,
+           CAST(sum(net_change) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_open
+    FROM daily ORDER BY day
+"""
+
+ORACLES["docs_tokenizer_fertility"] = r"""
+    WITH per_doc AS (
+      SELECT lang, n_chars,
+             CAST(len(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+                  AS BIGINT) AS n_ws
+      FROM documents
+    ), g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+             CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM per_doc WHERE n_ws > 0 GROUP BY 1
+    )
+    SELECT lang, n_docs, ws_tokens, bpe_tokens, total_chars,
+           round(CAST(bpe_tokens AS DOUBLE) / ws_tokens, 6) AS fertility,
+           round(CAST(total_chars AS DOUBLE) / bpe_tokens, 6) AS chars_per_bpe
+    FROM g ORDER BY lang
+"""
+
+ORACLES["events_seasonal_zscore"] = """
+    WITH base AS (
+      SELECT event_type,
+             CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hour,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), prof AS (
+      SELECT event_type, dow, hour,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(cents AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                  AS HUGEINT) AS q
+      FROM base GROUP BY 1, 2, 3
+    ), flagged AS (
+      SELECT b.event_type, b.dow, b.hour, b.cents,
+             (p.n * CAST(b.cents AS HUGEINT) - p.s) AS dev,
+             p.n, p.s, p.q
+      FROM base b JOIN prof p
+        ON b.event_type = p.event_type AND b.dow = p.dow AND b.hour = p.hour
+    )
+    SELECT event_type, dow, hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(cents) AS DOUBLE) / count(*) / 100.0, 6) AS mean_value,
+           CAST(sum(CASE WHEN dev * dev > 9 * (n * q - s * s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM flagged GROUP BY 1, 2, 3 ORDER BY event_type, dow, hour
+"""
+
+ORACLES["docs_vocab_growth"] = r"""
+    WITH tok AS (
+      SELECT doc_id // 50 AS bucket,
+             unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents WHERE length(trim(text)) > 0
+    ), totals AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens
+      FROM tok GROUP BY 1
+    ), news AS (
+      SELECT first_bucket, CAST(count(*) AS BIGINT) AS n_new_types
+      FROM (SELECT token, min(bucket) AS first_bucket FROM tok GROUP BY 1)
+      GROUP BY 1
+    ), nd AS (
+      SELECT doc_id // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ), joined AS (
+      SELECT t.bucket, nd.n_docs, t.n_tokens,
+             CAST(coalesce(n.n_new_types, 0) AS BIGINT) AS n_new_types
+      FROM totals t
+      LEFT JOIN news n ON t.bucket = n.first_bucket
+      JOIN nd ON t.bucket = nd.bucket
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, n_tokens, n_new_types,
+           CAST(sum(n_tokens) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens,
+           CAST(sum(n_new_types) OVER (ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab,
+           round(CAST(sum(n_new_types) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST(sum(n_tokens) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT),
+                 6) AS ttr
+    FROM joined ORDER BY bucket
+"""
+
+ORACLES["events_debounce"] = """
+    WITH RECURSIVE e AS MATERIALIZED (
+      SELECT event_id, user_id, event_type, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS u,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), walk AS (
+      SELECT user_id, event_type, rn, u AS last_kept, TRUE AS kept,
+             event_id, ts
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_type, e.rn,
+             CASE WHEN e.u - w.last_kept >= 86400 THEN e.u
+                  ELSE w.last_kept END,
+             e.u - w.last_kept >= 86400,
+             e.event_id, e.ts
+      FROM walk w
+      JOIN e ON e.user_id = w.user_id AND e.event_type = w.event_type
+            AND e.rn = w.rn + 1
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM walk WHERE kept ORDER BY event_id
 """

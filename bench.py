@@ -151,6 +151,16 @@ BENCH_QUERIES = [
     "events_user_quantiles",
     "orders_gap_stats",
     "docs_ngram_novelty",
+    "fuzzy_name_blocking",
+    "events_twap",
+    "orders_dow_profile",
+    "docs_quality_joint_hist",
+    "docs_lang_topk_tokens",
+    "orders_running_backlog",
+    "docs_tokenizer_fertility",
+    "events_seasonal_zscore",
+    "docs_vocab_growth",
+    "events_debounce",
 ]
 
 
