@@ -16,8 +16,9 @@ Arrow-batched ``applyInPandas`` walk of each group. Group size — not
 table size — bounds the sequential work; at 100 TB the per-key event
 counts are what must stay bounded (they are: per-user-per-type streams),
 and a hot key can always be range-split by day first. The Python-side
-walk is a single vectorized-ingest loop over a NumPy column per group,
-not a row-at-a-time UDF over the table.
+walk is one native-int scan per group over a bulk-extracted column
+(Arrow batch -> list once, no per-row pandas access), not a
+row-at-a-time UDF over the table.
 
 Oracle shape (see ``ORACLES['events_debounce']``): a DuckDB recursive
 CTE advances one row per key per iteration, carrying the last-kept
@@ -55,7 +56,7 @@ def debounce(
 
     def walk(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        u = pdf["__u"].to_numpy()
+        u = pdf["__u"].to_numpy().tolist()  # native ints: no numpy boxing in the scan
         keep = [False] * len(u)
         last = None
         for i in range(len(u)):

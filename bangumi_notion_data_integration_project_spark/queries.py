@@ -5166,7 +5166,7 @@ def _bpe_oracle(n_merges: int) -> str:
 
 # ---------------------------------------------------------------------------
 # Round-7 batch: record linkage, time-weighted stats, seasonality
-# profiles, joint histograms, interval backlog, RFM segmentation,
+# profiles, joint histograms, interval backlog, tokenizer fertility,
 # vocabulary growth, and batch debounce
 # ---------------------------------------------------------------------------
 
@@ -5668,7 +5668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # first as usual. 10 new + 40 stale = exactly one 50-slot window.
     # -- NEW for r7 (built at the end of r6, never driver-checked):
     #    blocked record linkage, TWAP, weekday profile, 2-D quality
-    #    histogram, grouped top-k tokens, interval backlog, RFM cube,
+    #    histogram, grouped top-k tokens, interval backlog, fertility,
     #    integer-exact seasonal outliers, Heaps growth, batch debounce
     "fuzzy_name_blocking": q_fuzzy_name_blocking,
     "events_twap": q_events_twap,

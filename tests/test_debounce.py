@@ -71,7 +71,7 @@ def test_matches_reference_fold_shuffled_arrival(spark):
     # order makes survivors deterministic; the reference sorts the same
     # (off, i) pairs, so both resolve ties identically.
     gap = 300
-    assert _run(spark, spec, gap, shuffle=False) == _reference(spec, gap)
+    assert _run(spark, spec, gap, shuffle=True) == _reference(spec, gap)
 
 
 def test_input_order_irrelevant(spark):
