@@ -627,3 +627,20 @@ def test_ngram_novelty_no_pair_materialization(spark):
     plan = _plan(spark, "docs_ngram_novelty")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_sketch_is_partial_topk_with_pruned_scan(spark):
+    """The sketch build must be TakeOrderedAndProject (per-partition
+    partial bottom-k, never a full sort/shuffle of the input) and its
+    scan must read only the id + value columns."""
+    from bangumi_notion_data_integration_project_spark.operators.quantile_sketch import (
+        quantile_sketch,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    sk = quantile_sketch(li, "l_extendedprice", ["l_orderkey", "l_linenumber"], k=256)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas == ["l_orderkey:bigint,l_linenumber:int,l_extendedprice:double"]

@@ -1,0 +1,101 @@
+"""Mergeable bottom-k quantile sketch (operators/quantile_sketch.py):
+determinism, exact mergeability over disjoint inputs, exactness when
+the sketch holds everything, and the statistical rank-error bound on
+real table data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bangumi_notion_data_integration_project_spark.operators.quantile_sketch import (
+    grouped_quantile_sketch,
+    merge_quantile_sketches,
+    quantile_sketch,
+    rank_error_bound,
+    sketch_quantiles,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+
+def _rows(sk):
+    return sorted((r["value"], r["__qs_h"]) for r in sk.collect())
+
+
+def test_deterministic_across_builds(lineitem):
+    a = quantile_sketch(lineitem, "l_extendedprice", ["l_orderkey", "l_linenumber"], k=256)
+    b = quantile_sketch(
+        lineitem.repartition(7), "l_extendedprice", ["l_orderkey", "l_linenumber"], k=256
+    )
+    assert _rows(a) == _rows(b)
+    assert a.count() == 256
+
+
+def test_merge_of_disjoint_halves_equals_whole(lineitem):
+    lo = lineitem.filter(F.col("l_orderkey") % 2 == 0)
+    hi = lineitem.filter(F.col("l_orderkey") % 2 == 1)
+    ids = ["l_orderkey", "l_linenumber"]
+    merged = merge_quantile_sketches(
+        [
+            quantile_sketch(lo, "l_extendedprice", ids, k=128),
+            quantile_sketch(hi, "l_extendedprice", ids, k=128),
+        ],
+        k=128,
+    )
+    whole = quantile_sketch(lineitem, "l_extendedprice", ids, k=128)
+    assert _rows(merged) == _rows(whole)
+
+
+def test_exact_when_k_covers_input(spark):
+    df = spark.createDataFrame([(i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7])], "id long, v double")
+    sk = quantile_sketch(df, "v", ["id"], k=100)
+    est = {r["prob"]: r["est"] for r in sketch_quantiles(sk, [0.2, 0.4, 0.6, 0.8, 1.0]).collect()}
+    # m=5: ceil(q*5) picks the 1st,2nd,3rd,4th,5th order statistic
+    assert est == {0.2: 1.0, 0.4: 3.0, 0.6: 5.0, 0.8: 7.0, 1.0: 9.0}
+
+
+def test_rank_error_within_bound(spark, lineitem):
+    k = 1024
+    probs = [0.1, 0.5, 0.9]
+    sk = quantile_sketch(lineitem, "l_extendedprice", ["l_orderkey", "l_linenumber"], k=k)
+    est = {r["prob"]: r["est"] for r in sketch_quantiles(sk, probs).collect()}
+    n = lineitem.count()
+    for q in probs:
+        # true rank of the estimate in the full column
+        rank = lineitem.filter(F.col("l_extendedprice") <= est[q]).count()
+        err = abs(rank / n - q)
+        assert err <= rank_error_bound(k, q) + 1.0 / n, (q, est[q], err)
+
+
+def test_grouped_sketch_caps_and_bounds(spark):
+    rows = [(g, i, float((i * 37 + g * 11) % 1000)) for g in range(3) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g int, id int, v double")
+    sk = grouped_quantile_sketch(df, "v", ["id", "g"], ["g"], k=400)
+    sizes = {r["g"]: r["c"] for r in sk.groupBy("g").agg(F.count("*").alias("c")).collect()}
+    assert sizes == {0: 400, 1: 400, 2: 400}
+    # each group's values are 0..999 uniform; the per-group sample median
+    # must sit within the 5-sigma rank band of 0.5
+    for g in range(3):
+        one = sk.filter(F.col("g") == g).select("value", "__qs_h")
+        med = sketch_quantiles(one, [0.5]).collect()[0]["est"]
+        assert abs(med / 1000.0 - 0.5) <= rank_error_bound(400, 0.5) + 1e-3
+
+
+def test_validation_errors(spark):
+    df = spark.createDataFrame([(1, 2.0)], "id long, v double")
+    with pytest.raises(ValueError):
+        quantile_sketch(df, "v", ["id"], k=0)
+    with pytest.raises(ValueError):
+        quantile_sketch(df, "v", [])
+    with pytest.raises(ValueError):
+        merge_quantile_sketches([], k=4)
+    with pytest.raises(ValueError):
+        sketch_quantiles(quantile_sketch(df, "v", ["id"], k=4), [0.0])
