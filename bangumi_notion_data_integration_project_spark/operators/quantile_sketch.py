@@ -77,13 +77,28 @@ def quantile_sketch(
 
 
 def merge_quantile_sketches(sketches: Sequence[DataFrame], *, k: int) -> DataFrame:
-    """Fold sketches built over DISJOINT row sets into the sketch of
-    their union (exact: same rows as sketching the union directly).
-    Overlapping inputs would double-count the overlap — the sketch
-    carries no multiplicity correction by design."""
+    """Fold sketches into the sketch of their input union: dedup on
+    (hash, value), then bottom-k.
+
+    The dedup makes the merge a true SEMILATTICE join — idempotent,
+    commutative, associative — so besides disjoint shards (exact: same
+    rows as sketching the union directly) it also absorbs OVERLAPPING
+    inputs: re-merging a sketch already folded in is a no-op, because a
+    replayed row re-derives the identical (hash, value) pair. That is
+    what lets the streaming twin survive checkpoint replay with no
+    batch-id watermark or transactional commit at all — the property
+    the sum-fold rollups have to buy with ``__batch_id`` guards and
+    manifest swaps. Requires the build contract (``id_cols`` unique per
+    row): duplicate identities collide on hash and collapse here.
+    """
     if not sketches:
         raise ValueError("need at least one sketch")
-    return reduce(DataFrame.unionAll, sketches).orderBy(_H).limit(k)
+    return (
+        reduce(DataFrame.unionAll, sketches)
+        .dropDuplicates([_H, "value"])
+        .orderBy(_H)
+        .limit(k)
+    )
 
 
 def sketch_quantiles(sketch: DataFrame, probs: Sequence[float]) -> DataFrame:

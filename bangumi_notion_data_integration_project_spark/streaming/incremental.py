@@ -946,3 +946,58 @@ def start_streaming_time_rollup_manifest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_streaming_quantile_sketch(
+    stream: DataFrame,
+    sketch_dir: str,
+    *,
+    value_col: str,
+    id_cols: list[str],
+    k: int = 2048,
+    seed: int = 2024,
+    checkpoint_dir: str,
+):
+    """Streaming twin of ``operators/quantile_sketch``: maintain a
+    bottom-k quantile sketch of everything the stream has delivered.
+
+    Each micro-batch builds its own <= k-row sketch and semilattice-
+    merges it into the stored one (dedup on (hash, value), bottom-k).
+    Because that merge is IDEMPOTENT, this twin needs none of the
+    replay machinery the sum-fold rollups carry: no ``__batch_id``
+    watermark, no checkpoint-identity token, no manifest commit. A
+    crash between the parquet promote and the checkpoint commit
+    re-delivers the batch, whose rows re-derive the identical (hash,
+    value) pairs and vanish in the dedup; even the sum-folds'
+    unfixable scenario — checkpoint wiped, state kept, then BOTH old
+    and new data re-delivered as renumbered batches — folds to the
+    correct sketch, because replayed rows are no-ops and new rows
+    merge in. Exactness is algebraic, not transactional.
+
+    The per-batch work is one scan-bound partial bottom-k over the
+    batch plus a (<= 2k)-row merge and a k-row rewrite — O(batch + k)
+    regardless of how much history the sketch summarizes. ``id_cols``
+    must be unique per row ACROSS the whole stream (the build
+    contract); reused identities collapse in the dedup.
+    """
+    from ..operators.quantile_sketch import (
+        merge_quantile_sketches,
+        quantile_sketch,
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = quantile_sketch(batch, value_col, id_cols, k=k, seed=seed)
+        if recover_dir(sketch_dir):
+            stored = spark.read.parquet(sketch_dir)
+            delta = merge_quantile_sketches([stored, delta], k=k)
+        tmp = staging_path(sketch_dir)
+        delta.write.mode("overwrite").parquet(tmp)
+        promote_dir(tmp, sketch_dir)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

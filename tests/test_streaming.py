@@ -1456,3 +1456,76 @@ def test_streaming_time_rollup_manifest_replay_skip(spark, tmp_path):
     # batch 0 <= watermark 99, matching identity: skipped, untouched
     assert got == {("day", "2024-01-01"): (7, 700)}, got
     assert table.meta() == {"batch_id": 99, "ckpt_id": qid}
+
+
+def test_streaming_quantile_sketch_replay_exact(spark, tmp_path):
+    """Semilattice sketch twin: after a 3-batch run the stored sketch
+    is row-for-row the batch sketch of the concatenated input; a wiped
+    checkpoint replaying EVERYTHING leaves it unchanged (idempotent
+    merge — no batch-id guard exists to save it); new data arriving
+    after the replay still folds in exactly."""
+    import random
+    import shutil
+
+    from bangumi_notion_data_integration_project_spark.operators.quantile_sketch import (
+        quantile_sketch,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_quantile_sketch,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, "e", rng.randint(0, 99999) / 100.0)
+        for i in range(900)
+    ]
+    inp = str(tmp_path / "in")
+    sk_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in (rows[:300], rows[300:600], rows[600:]):
+        _write_batch(spark, inp, chunk)
+
+    def run():
+        q = start_streaming_quantile_sketch(
+            read_event_stream(spark, inp, SCHEMA),
+            sk_dir,
+            value_col="value",
+            id_cols=["event_id"],
+            k=128,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def stored():
+        return sorted(
+            (r["value"], r["__qs_h"])
+            for r in spark.read.parquet(sk_dir).collect()
+        )
+
+    def direct(rs):
+        df = _rows(spark, rs)
+        return sorted(
+            (r["value"], r["__qs_h"])
+            for r in quantile_sketch(df, "value", ["event_id"], k=128).collect()
+        )
+
+    run()
+    want = direct(rows)
+    assert stored() == want
+
+    # full replay: wipe the checkpoint, keep the state, re-deliver all
+    # 900 rows as fresh batches 0..2 — the sum-fold twins either
+    # double-count (flat) or fail loudly (partitioned); here the merge
+    # absorbs every replayed row as a no-op
+    shutil.rmtree(ckpt)
+    run()
+    assert stored() == want, "replayed rows changed the sketch"
+
+    # and new data AFTER the replay still folds in exactly
+    extra = [
+        (1000 + i, "2024-01-02 00:00:00", 1, "e", rng.randint(0, 99999) / 100.0)
+        for i in range(300)
+    ]
+    _write_batch(spark, inp, extra)
+    run()
+    assert stored() == direct(rows + extra)
