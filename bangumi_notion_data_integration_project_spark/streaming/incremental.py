@@ -1001,3 +1001,48 @@ def start_streaming_quantile_sketch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_streaming_distinct_sketch(
+    stream: DataFrame,
+    sketch_dir: str,
+    *,
+    key_cols: list[str],
+    id_col: str,
+    lg_k: int = 12,
+    checkpoint_dir: str,
+):
+    """Streaming per-key distinct counts via stored HLL sketches — the
+    cardinality sibling of ``start_streaming_quantile_sketch`` and the
+    second semilattice twin: HLL union is idempotent (register max /
+    coupon-set union), so checkpoint replay — including the full
+    wipe-and-renumber scenario — re-absorbs rows as no-ops and the
+    stored estimates cannot drift. No batch-id watermark, no identity
+    token, no manifest commit.
+
+    Per batch: one keyed sketch aggregate over the batch (long tail
+    never leaves the executors), a per-key union against the stored
+    table (keys missing from the batch pass through untouched), and a
+    rewrite of O(keys) sketch rows — independent of stream history.
+    """
+    from ..operators.distinct_sketch import (
+        distinct_sketch,
+        merge_distinct_sketches,
+    )
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = distinct_sketch(batch, key_cols, id_col, lg_k=lg_k)
+        if recover_dir(sketch_dir):
+            stored = spark.read.parquet(sketch_dir)
+            delta = merge_distinct_sketches([stored, delta])
+        tmp = staging_path(sketch_dir)
+        delta.write.mode("overwrite").parquet(tmp)
+        promote_dir(tmp, sketch_dir)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1529,3 +1529,67 @@ def test_streaming_quantile_sketch_replay_exact(spark, tmp_path):
     _write_batch(spark, inp, extra)
     run()
     assert stored() == direct(rows + extra)
+
+
+def test_streaming_distinct_sketch_replay_exact(spark, tmp_path):
+    """HLL twin: stored per-key estimates equal the batch sketch of the
+    whole input, survive a full checkpoint-wipe replay untouched, and
+    absorb post-replay data exactly — idempotence by register algebra."""
+    import shutil
+
+    from bangumi_notion_data_integration_project_spark.operators.distinct_sketch import (
+        distinct_sketch,
+        sketch_estimates,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_distinct_sketch,
+    )
+
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 137, ("click", "view")[i % 2], 1.0)
+        for i in range(600)
+    ]
+    inp = str(tmp_path / "in")
+    sk_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in (rows[:200], rows[200:400], rows[400:]):
+        _write_batch(spark, inp, chunk)
+
+    def run():
+        q = start_streaming_distinct_sketch(
+            read_event_stream(spark, inp, SCHEMA),
+            sk_dir,
+            key_cols=["event_type"],
+            id_col="user_id",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def stored():
+        return {
+            r["event_type"]: r["distinct_est"]
+            for r in sketch_estimates(spark.read.parquet(sk_dir)).collect()
+        }
+
+    def direct(rs):
+        return {
+            r["event_type"]: r["distinct_est"]
+            for r in sketch_estimates(
+                distinct_sketch(_rows(spark, rs), ["event_type"], "user_id")
+            ).collect()
+        }
+
+    run()
+    want = direct(rows)
+    assert stored() == want
+
+    shutil.rmtree(ckpt)
+    run()
+    assert stored() == want, "replayed rows changed the estimates"
+
+    extra = [
+        (1000 + i, "2024-01-02 00:00:00", 500 + i, "click", 1.0) for i in range(80)
+    ]
+    _write_batch(spark, inp, extra)
+    run()
+    assert stored() == direct(rows + extra)
