@@ -71,6 +71,11 @@ SHOWN = [
     ("orders_cohort_ltv", "cohort LTV triangle, co-partitioned custkey join"),
     ("supplier_lead_times", "fact-fact orderkey join + post-agg broadcast dim"),
     ("lineitem_weighted_median", "exact weighted median via cumulative window"),
+    ("fuzzy_name_blocking", "blocked record linkage: vocab-sized Levenshtein verify inside blocks"),
+    ("events_twap", "time-weighted average price, exact whole-second hold durations"),
+    ("orders_running_backlog", "interval-endpoint +-1 fold, prefix sum over O(days) aggregate"),
+    ("events_debounce", "last-KEPT-anchor throttle, one key shuffle + Arrow walk"),
+    ("docs_vocab_growth", "Heaps-law growth via first-bucket attribution (no recount)"),
 ]
 
 
