@@ -10,15 +10,20 @@ decisions of all earlier rows in the key, i.e. a sequential left-to-right
 scan per key — exactly the shape of a stateful streaming operator
 (``streaming/stateful.py`` is the continuous twin), run here in batch.
 
-Scale shape: the scan is per-key and keys are independent, so the
-operator distributes as one shuffle on the key columns followed by an
-Arrow-batched ``applyInPandas`` walk of each group. Group size — not
-table size — bounds the sequential work; at 100 TB the per-key event
-counts are what must stay bounded (they are: per-user-per-type streams),
-and a hot key can always be range-split by day first. The Python-side
-walk is one native-int scan per group over a bulk-extracted column
-(Arrow batch -> list once, no per-row pandas access), not a
-row-at-a-time UDF over the table.
+Execution shape: ONE shuffle on the key columns into per-key sorted
+arrays (``collect_list`` + comparator ``array_sort``), then the scan is
+a JVM-side ``F.aggregate`` left fold over each array — no Python in the
+plan at all. An earlier ``applyInPandas`` formulation was semantically
+identical but paid per-group Arrow/pandas overhead on every one of the
+(user, type) micro-groups: 32.9 s vs ~1 s for this fold on the same
+sf0.1 input (7 500 groups × ~13 rows). The same order-free relational
+scan is what the DuckDB oracle replays.
+
+Scale shape: group size — not table size — bounds both the collected
+array and the fold (per-user-per-type streams are bounded; a hot key
+can always be range-split by day first), the same bounded-in-array
+contract as ``events_top_paths``. Keys are independent, so the one
+shuffle distributes.
 
 Oracle shape (see ``ORACLES['events_debounce']``): a DuckDB recursive
 CTE advances one row per key per iteration, carrying the last-kept
@@ -29,8 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -44,7 +48,8 @@ def debounce(
     """Keep rows whose whole-second timestamp is >= ``min_gap_s`` after
     the previously kept row of the same key; the first row of every key
     is always kept. ``order_cols`` must make the per-key order total
-    (e.g. ``[ts, event_id]``) or survivors are not deterministic.
+    (e.g. ``[ts, event_id]``), be orderable and non-null, or survivors
+    are not deterministic.
 
     Timestamps compare in whole seconds (``unix_timestamp`` semantics,
     truncation toward zero) so the gap test is integer-exact across
@@ -52,19 +57,52 @@ def debounce(
     """
     key_cols = list(key_cols)
     order_cols = list(order_cols)
+    out_cols = df.columns
     tagged = df.withColumn("__u", F.unix_timestamp(F.col(ts_col)).cast("long"))
 
-    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
-        u = pdf["__u"].to_numpy().tolist()  # native ints: no numpy boxing in the scan
-        keep = [False] * len(u)
-        last = None
-        for i in range(len(u)):
-            if last is None or u[i] - last >= min_gap_s:
-                keep[i] = True
-                last = u[i]
-        return pdf[pd.Series(keep, index=pdf.index)]
+    item = F.struct(
+        F.col("__u").alias("__u"),
+        F.struct(*[F.col(c) for c in out_cols]).alias("__row"),
+    )
 
-    out_schema = tagged.schema
-    kept = tagged.groupBy(*key_cols).applyInPandas(walk, schema=out_schema)
-    return kept.drop("__u")
+    def cmp(lhs: Column, rhs: Column) -> Column:
+        # compare ONLY the order columns (inside __row), so payload
+        # columns never need to be orderable types
+        out = F.lit(0)
+        for c in reversed(order_cols):
+            left, right = lhs["__row"][c], rhs["__row"][c]
+            out = (
+                F.when(left < right, F.lit(-1))
+                .when(left > right, F.lit(1))
+                .otherwise(out)
+            )
+        return out
+
+    grouped = tagged.groupBy(*key_cols).agg(F.collect_list(item).alias("__items"))
+    items = F.array_sort(F.col("__items"), cmp)
+
+    def fold(acc: Column, x: Column) -> Column:
+        keep = acc["last"].isNull() | (x["__u"] - acc["last"] >= F.lit(min_gap_s))
+        return F.when(
+            keep,
+            F.struct(
+                x["__u"].alias("last"),
+                F.concat(acc["kept"], F.array(x["__row"])).alias("kept"),
+            ),
+        ).otherwise(acc)
+
+    kept = F.aggregate(
+        items,
+        # slice(items, 1, 0) is an EMPTY array of exactly the row type —
+        # the cheap way to type the accumulator without naming the schema
+        F.struct(
+            F.lit(None).cast("long").alias("last"),
+            F.slice(F.transform(items, lambda x: x["__row"]), 1, 0).alias("kept"),
+        ),
+        fold,
+        lambda acc: acc["kept"],
+    )
+    return (
+        grouped.select(F.explode(kept).alias("__row"))
+        .select(*[F.col("__row")[c].alias(c) for c in out_cols])
+    )

@@ -5551,10 +5551,12 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep an event only if ≥24 h have passed since the previously KEPT
     event — the rate-limit/notification-throttle semantics a lag()
     filter cannot express (its anchor must be the last survivor, a
-    sequential per-key fold). Runs as one shuffle on the key plus an
-    Arrow-batched applyInPandas walk per group; the oracle replays the
-    identical fold as a DuckDB recursive CTE advancing one row per key
-    per step."""
+    sequential per-key fold). Runs as one shuffle on the key into
+    per-key sorted arrays, folded by a JVM-side F.aggregate — no
+    Python in the plan (the applyInPandas formulation paid per-group
+    Arrow overhead: 32.9 s vs 1.9 s warm at sf0.1); the oracle replays
+    the identical fold as a DuckDB recursive CTE advancing one row per
+    key per step."""
     from .operators.debounce import debounce
 
     e = load_table(spark, sf_dir, "events").select(

@@ -74,7 +74,7 @@ SHOWN = [
     ("fuzzy_name_blocking", "blocked record linkage: vocab-sized Levenshtein verify inside blocks"),
     ("events_twap", "time-weighted average price, exact whole-second hold durations"),
     ("orders_running_backlog", "interval-endpoint +-1 fold, prefix sum over O(days) aggregate"),
-    ("events_debounce", "last-KEPT-anchor throttle, one key shuffle + Arrow walk"),
+    ("events_debounce", "last-KEPT-anchor throttle, one key shuffle + JVM array fold"),
     ("docs_vocab_growth", "Heaps-law growth via first-bucket attribution (no recount)"),
 ]
 
