@@ -96,3 +96,24 @@ def test_whole_second_truncation(spark):
     df = spark.createDataFrame(rows, "event_id long, key string, ts timestamp")
     out = debounce(df, ["key"], "ts", ["ts", "event_id"], 1)
     assert {r.event_id for r in out.collect()} == {0, 2}
+
+
+def test_random_cases_match_reference_in_one_job(spark):
+    """20 random (gap, spec) scenarios, each under its own case key, in
+    ONE DataFrame per gap family — broad randomized coverage of the JVM
+    fold without 20 Spark jobs. Duplicate offsets and bursts included."""
+    rng = random.Random(2024)
+    for gap in (1, 60, 500):
+        spec = []  # (key, off) with case-disambiguating key
+        for case in range(20):
+            n = rng.randrange(1, 60)
+            base = rng.randrange(0, 3000)
+            for _ in range(n):
+                # bursts: half the offsets cluster tightly around base
+                off = base + (
+                    rng.randrange(0, 5 * gap)
+                    if rng.random() < 0.5
+                    else rng.randrange(0, 5000)
+                )
+                spec.append((f"c{case}", off))
+        assert _run(spark, spec, gap, shuffle=True) == _reference(spec, gap)
