@@ -81,6 +81,20 @@ PROBED = [
     "events_user_quantiles",
     "docs_ngram_novelty",
     "segment_share_yoy",
+    # round 7 batch: blocked linkage (vocab-bounded verify), TWAP
+    # (ordered windows), endpoint backlog (O(days) fold), JVM-fold
+    # debounce (10x longer per-key arrays), integer-moment outliers,
+    # Heaps growth, fertility, grouped top-k, 2-D histogram, profile
+    "fuzzy_name_blocking",
+    "events_twap",
+    "orders_running_backlog",
+    "events_debounce",
+    "events_seasonal_zscore",
+    "docs_vocab_growth",
+    "docs_tokenizer_fertility",
+    "docs_lang_topk_tokens",
+    "docs_quality_joint_hist",
+    "orders_dow_profile",
 ]
 SCALED_TABLES = {
     "lineitem": "l_orderkey",
