@@ -160,6 +160,58 @@ def grouped_quantile_sketch(
     )
 
 
+def merge_grouped_quantile_sketches(
+    sketches: Sequence[DataFrame],
+    group_cols: Iterable[str],
+    *,
+    k: int,
+) -> DataFrame:
+    """Per-group semilattice merge: union, dedup on (group, hash,
+    value), keep each group's bottom-k. Same algebra as the global
+    merge — exact over disjoint shards, idempotent over replays —
+    applied per key; groups present in only some inputs pass through.
+    One shuffle on the group columns, state is ≤ k rows per group."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    groups = list(group_cols)
+    u = reduce(DataFrame.unionAll, sketches).dropDuplicates([*groups, _H, "value"])
+    w = Window.partitionBy(*groups).orderBy(_H)
+    return (
+        u.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def grouped_sketch_quantiles(
+    sketch: DataFrame,
+    group_cols: Iterable[str],
+    probs: Sequence[float],
+) -> DataFrame:
+    """Per-group quantile estimates: one row per (group, prob). Ranks
+    are per-group windows over ≤ k sample rows, so no partition ever
+    holds more than one group's sketch."""
+    for q in probs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"probs must be in (0, 1], got {q}")
+    groups = list(group_cols)
+    spark = sketch.sparkSession
+    w = Window.partitionBy(*groups).orderBy("value", _H)
+    ranked = sketch.withColumn("__r", F.row_number().over(w))
+    m = sketch.groupBy(*groups).agg(F.count("*").alias("__m"))
+    pdf = spark.createDataFrame([(float(q),) for q in probs], "prob double")
+    tgt = m.crossJoin(F.broadcast(pdf)).select(
+        *groups,
+        "prob",
+        F.greatest(F.lit(1), F.ceil(F.col("prob") * F.col("__m")).cast("int")).alias("__r"),
+    )
+    return (
+        tgt.join(ranked.select(*groups, "__r", "value"), [*groups, "__r"])
+        .select(*groups, "prob", F.col("value").alias("est"))
+        .orderBy(*groups, "prob")
+    )
+
+
 def rank_error_bound(k: int, q: float, *, n_sigma: float = 5.0) -> float:
     """The test/monitoring companion: an ``n_sigma``-standard-deviation
     bound on |empirical rank − q| for a uniform size-k sample."""

@@ -956,10 +956,14 @@ def start_streaming_quantile_sketch(
     id_cols: list[str],
     k: int = 2048,
     seed: int = 2024,
+    group_cols: list[str] | None = None,
     checkpoint_dir: str,
 ):
     """Streaming twin of ``operators/quantile_sketch``: maintain a
-    bottom-k quantile sketch of everything the stream has delivered.
+    bottom-k quantile sketch of everything the stream has delivered —
+    one global sketch, or one per key when ``group_cols`` is set (the
+    per-key latency-quantile monitoring shape; state is ≤ k rows per
+    key and keys absent from a batch pass through the merge untouched).
 
     Each micro-batch builds its own <= k-row sketch and semilattice-
     merges it into the stored one (dedup on (hash, value), bottom-k).
@@ -981,16 +985,28 @@ def start_streaming_quantile_sketch(
     contract); reused identities collapse in the dedup.
     """
     from ..operators.quantile_sketch import (
+        grouped_quantile_sketch,
+        merge_grouped_quantile_sketches,
         merge_quantile_sketches,
         quantile_sketch,
     )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
-        delta = quantile_sketch(batch, value_col, id_cols, k=k, seed=seed)
+        if group_cols:
+            delta = grouped_quantile_sketch(
+                batch, value_col, id_cols, group_cols, k=k, seed=seed
+            )
+        else:
+            delta = quantile_sketch(batch, value_col, id_cols, k=k, seed=seed)
         if recover_dir(sketch_dir):
             stored = spark.read.parquet(sketch_dir)
-            delta = merge_quantile_sketches([stored, delta], k=k)
+            if group_cols:
+                delta = merge_grouped_quantile_sketches(
+                    [stored, delta], group_cols, k=k
+                )
+            else:
+                delta = merge_quantile_sketches([stored, delta], k=k)
         tmp = staging_path(sketch_dir)
         delta.write.mode("overwrite").parquet(tmp)
         promote_dir(tmp, sketch_dir)

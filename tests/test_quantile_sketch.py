@@ -99,3 +99,45 @@ def test_validation_errors(spark):
         merge_quantile_sketches([], k=4)
     with pytest.raises(ValueError):
         sketch_quantiles(quantile_sketch(df, "v", ["id"], k=4), [0.0])
+
+
+def test_grouped_merge_exact_and_idempotent(spark):
+    rows = [(i % 2, i, float((i * 53) % 997)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "g int, id int, v double")
+    lo = df.filter(F.col("id") < 2000)
+    hi = df.filter(F.col("id") >= 2000)
+    from bangumi_notion_data_integration_project_spark.operators.quantile_sketch import (
+        merge_grouped_quantile_sketches,
+    )
+
+    def sk(d):
+        return grouped_quantile_sketch(d, "v", ["id", "g"], ["g"], k=200)
+
+    merged = merge_grouped_quantile_sketches([sk(lo), sk(hi)], ["g"], k=200)
+    direct = sk(df)
+
+    def rows_of(d):
+        return sorted((r["g"], r["value"], r["__qs_h"]) for r in d.collect())
+
+    assert rows_of(merged) == rows_of(direct)
+    # idempotence per group: re-folding one shard changes nothing
+    again = merge_grouped_quantile_sketches([merged, sk(lo)], ["g"], k=200)
+    assert rows_of(again) == rows_of(direct)
+
+
+def test_grouped_quantile_extraction(spark):
+    # group 0: values 0..99; group 1: values 0..999 — distinct scales
+    rows = [(0, i, float(i)) for i in range(100)] + [
+        (1, 1000 + i, float(i)) for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "g int, id int, v double")
+    from bangumi_notion_data_integration_project_spark.operators.quantile_sketch import (
+        grouped_sketch_quantiles,
+    )
+
+    sk = grouped_quantile_sketch(df, "v", ["id"], ["g"], k=5000)  # k > n: exact
+    est = {
+        (r["g"], r["prob"]): r["est"]
+        for r in grouped_sketch_quantiles(sk, ["g"], [0.5, 1.0]).collect()
+    }
+    assert est == {(0, 0.5): 49.0, (0, 1.0): 99.0, (1, 0.5): 499.0, (1, 1.0): 999.0}

@@ -1593,3 +1593,61 @@ def test_streaming_distinct_sketch_replay_exact(spark, tmp_path):
     _write_batch(spark, inp, extra)
     run()
     assert stored() == direct(rows + extra)
+
+
+def test_streaming_grouped_quantile_sketch_replay_exact(spark, tmp_path):
+    """Keyed sketch twin (group_cols set): per-key stored sketches equal
+    the batch grouped sketch of the whole input and survive a full
+    checkpoint-wipe replay — the per-key latency-quantile shape."""
+    import random
+    import shutil
+
+    from bangumi_notion_data_integration_project_spark.operators.quantile_sketch import (
+        grouped_quantile_sketch,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_quantile_sketch,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (i, "2024-01-01 00:00:00", 1, ("click", "view", "purchase")[i % 3],
+         rng.randint(0, 9999) / 100.0)
+        for i in range(600)
+    ]
+    inp = str(tmp_path / "in")
+    sk_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in (rows[:200], rows[200:400], rows[400:]):
+        _write_batch(spark, inp, chunk)
+
+    def run():
+        q = start_streaming_quantile_sketch(
+            read_event_stream(spark, inp, SCHEMA),
+            sk_dir,
+            value_col="value",
+            id_cols=["event_id"],
+            k=64,
+            group_cols=["event_type"],
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def stored():
+        return sorted(
+            (r["event_type"], r["value"], r["__qs_h"])
+            for r in spark.read.parquet(sk_dir).collect()
+        )
+
+    run()
+    want = sorted(
+        (r["event_type"], r["value"], r["__qs_h"])
+        for r in grouped_quantile_sketch(
+            _rows(spark, rows), "value", ["event_id"], ["event_type"], k=64
+        ).collect()
+    )
+    assert stored() == want
+
+    shutil.rmtree(ckpt)
+    run()
+    assert stored() == want, "replayed rows changed a per-key sketch"
