@@ -196,3 +196,82 @@ def learn_bpe_merges_batched(
         # truncate the growing replace-expression lineage every round
         seqs = seqs.select("freq", col.alias("seq")).localCheckpoint(eager=True)
     return merges
+
+
+def encode_bpe(
+    df: DataFrame,
+    text_col: str,
+    merges: list,
+    *,
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Apply learned merges to a corpus — the ENCODE half of the BPE
+    story (:func:`learn_bpe_merges` / ``_batched`` is the training
+    half). Adds ``out_col array<string>``: the BPE tokens of the
+    row's lowercased alphabetic words, in order.
+
+    ``merges`` accepts either the trainer's return values (tuples whose
+    string element is the pair) or plain ``"l r"`` pair strings, in
+    priority order.
+
+    Parity contract: tokens reproduce the trainer's final segmentation
+    EXACTLY — merges apply in training order with the same 3-pass
+    non-overlapping replace (``FUSE_PASSES``), mirroring ``fuse()``'s
+    JVM semantics symbol-for-symbol (differential-tested against the
+    F.replace chain). This is deliberately the trainer's definition of
+    segmentation, not the rank-iterated encoder some runtimes use —
+    two implementations of one semantics, so an in-vocabulary word
+    always round-trips to the symbols training left it with.
+
+    Execution shape: tokenization is the canonical Pandas-UDF job —
+    per-symbol string surgery with a per-worker WORD CACHE (corpus
+    word frequency is Zipfian: the cache turns per-row cost into
+    per-distinct-word cost, and hot words hit the cache ~always). One
+    ``mapInPandas`` pass, no shuffle, scales with executors; the merge
+    table ships once per task as a closure (tokenizers are ~30k
+    merges ≈ a few hundred KB — broadcast-sized, not join-sized).
+    """
+    import re as _re
+
+    pairs: list[str] = []
+    for m in merges:
+        if isinstance(m, str):
+            pairs.append(m)
+        else:
+            pairs.append(next(x for x in m if isinstance(x, str)))
+    reps = [(f" {p} ", " " + p.replace(" ", "") + " ") for p in pairs]
+    word_re = _re.compile(r"[a-z]+")
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    # a NEW StructType: .add() would mutate the DataFrame's cached schema
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def enc(batches):
+        cache: dict[str, list[str]] = {}
+
+        def word_tokens(w: str) -> list[str]:
+            t = cache.get(w)
+            if t is None:
+                seq = " " + " ".join(w) + " "
+                for old, new in reps:
+                    for _ in range(FUSE_PASSES):
+                        seq = seq.replace(old, new)
+                t = seq.split()
+                cache[w] = t
+            return t
+
+        for pdf in batches:
+            col = []
+            for text in pdf[text_col]:
+                toks: list[str] = []
+                for w in word_re.findall(str(text).lower()):
+                    toks.extend(word_tokens(w))
+                col.append(toks)
+            pdf = pdf.copy()
+            pdf[out_col] = col
+            yield pdf
+
+    return df.mapInPandas(enc, schema=out_schema)

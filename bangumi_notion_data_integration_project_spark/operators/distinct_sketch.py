@@ -71,3 +71,36 @@ def sketch_estimates(sketch: DataFrame) -> DataFrame:
     return sketch.select(
         *keys, F.hll_sketch_estimate(F.col(_SK)).cast("long").alias("distinct_est")
     )
+
+
+def sketch_intersection_estimates(
+    a: DataFrame, b: DataFrame, key_cols: Iterable[str]
+) -> DataFrame:
+    """Audience-overlap estimates from two STORED sketch tables via
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A ∪ B), where
+    the union sketch is the exact register-max union (``hll_union``) —
+    no raw data touched. Returns (key..., est_a, est_b, est_union,
+    est_intersection) for keys present in BOTH tables.
+
+    Honesty note: HLL supports union natively; intersection by
+    inclusion-exclusion inherits the ABSOLUTE error of the three
+    estimates, so the RELATIVE error blows up when |A∩B| is small
+    compared to |A ∪ B| (a 1% RSE on a 10M-user union is ±100k — useless
+    for a 50k overlap). Use it for overlaps that are a material
+    fraction of the union; below that, compute the intersection
+    exactly from raw data or keep a theta-sketch pipeline instead.
+    """
+    keys = list(key_cols)
+    aa = a.select(*keys, F.col(_SK).alias("__a"))
+    bb = b.select(*keys, F.col(_SK).alias("__b"))
+    j = aa.join(bb, keys)
+    est_a = F.hll_sketch_estimate("__a").cast("long")
+    est_b = F.hll_sketch_estimate("__b").cast("long")
+    est_u = F.hll_sketch_estimate(F.hll_union("__a", "__b")).cast("long")
+    return j.select(
+        *keys,
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        (est_a + est_b - est_u).alias("est_intersection"),
+    )

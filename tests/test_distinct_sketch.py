@@ -88,3 +88,24 @@ def test_validation(spark):
         distinct_sketch(df, [], "v")
     with pytest.raises(ValueError):
         merge_distinct_sketches([])
+
+
+def test_intersection_estimates(spark):
+    from bangumi_notion_data_integration_project_spark.operators.distinct_sketch import (
+        sketch_intersection_estimates,
+    )
+
+    # users 0..799 in A, 400..1199 in B → overlap 400 of union 1200
+    a = spark.createDataFrame([("k", i) for i in range(800)], "k string, u int")
+    b = spark.createDataFrame(
+        [("k", i) for i in range(400, 1200)] + [("only_b", 1)], "k string, u int"
+    )
+    out = sketch_intersection_estimates(
+        distinct_sketch(a, ["k"], "u"), distinct_sketch(b, ["k"], "u"), ["k"]
+    ).collect()
+    assert len(out) == 1 and out[0]["k"] == "k"  # only shared keys
+    r = out[0]
+    # lg_k=12: exact-ish at this cardinality; allow the 5-sigma envelope
+    assert abs(r["est_a"] - 800) <= 0.08 * 800 + 1
+    assert abs(r["est_union"] - 1200) <= 0.08 * 1200 + 1
+    assert abs(r["est_intersection"] - 400) <= 0.08 * 1200 * 3 + 1
