@@ -208,7 +208,13 @@ def encode_bpe(
     """Apply learned merges to a corpus — the ENCODE half of the BPE
     story (:func:`learn_bpe_merges` / ``_batched`` is the training
     half). Adds ``out_col array<string>``: the BPE tokens of the
-    row's lowercased alphabetic words, in order.
+    row's words, in order. Word extraction is IDENTICAL to the
+    trainer's :func:`word_frequencies` — lowercase, split on
+    whitespace, keep only fully-alphabetic ``^[a-z]+$`` tokens — so
+    the encoder never emits tokens for material training never saw
+    (``"don't"``/``"ab3"`` are excluded on both sides, not split into
+    runs). Null text encodes to an empty array, matching the
+    trainer's null-dropping scan.
 
     ``merges`` accepts either the trainer's return values (tuples whose
     string element is the pair) or plain ``"l r"`` pair strings, in
@@ -250,7 +256,8 @@ def encode_bpe(
         else:
             pairs.append(next(x for x in m if isinstance(x, str)))
     reps = [(f" {p} ", " " + p.replace(" ", "") + " ") for p in pairs]
-    word_re = _re.compile(r"[a-z]+")
+    word_re = _re.compile(r"[a-z]+")  # fullmatch: the trainer's ^[a-z]+$ rule
+    ws_re = _re.compile(r"\s+")
 
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
@@ -277,8 +284,10 @@ def encode_bpe(
             col = []
             for text in pdf[text_col]:
                 toks: list[str] = []
-                for w in word_re.findall(str(text).lower()):
-                    toks.extend(word_tokens(w))
+                if isinstance(text, str):  # nulls arrive as None: empty tokens
+                    for w in ws_re.split(text.lower()):
+                        if word_re.fullmatch(w):
+                            toks.extend(word_tokens(w))
                 col.append(toks)
             pdf = pdf.copy()
             pdf[out_col] = col

@@ -58,7 +58,12 @@ def debounce(
     key_cols = list(key_cols)
     order_cols = list(order_cols)
     out_cols = df.columns
-    tagged = df.withColumn("__u", F.unix_timestamp(F.col(ts_col)).cast("long"))
+    # A null timestamp cannot satisfy a time-gap contract; worse, a
+    # kept null would reset the fold's anchor to null and disable the
+    # throttle for the rest of the key. Drop such rows explicitly.
+    tagged = df.withColumn(
+        "__u", F.unix_timestamp(F.col(ts_col)).cast("long")
+    ).filter(F.col("__u").isNotNull())
 
     item = F.struct(
         F.col("__u").alias("__u"),

@@ -102,5 +102,9 @@ def sketch_intersection_estimates(
         est_a.alias("est_a"),
         est_b.alias("est_b"),
         est_u.alias("est_union"),
-        (est_a + est_b - est_u).alias("est_intersection"),
+        # clamp: three noisy estimates can difference below zero when
+        # the true overlap is tiny — never emit a negative cardinality
+        F.greatest(F.lit(0).cast("long"), est_a + est_b - est_u).alias(
+            "est_intersection"
+        ),
     )

@@ -93,8 +93,10 @@ def merge_quantile_sketches(sketches: Sequence[DataFrame], *, k: int) -> DataFra
     """
     if not sketches:
         raise ValueError("need at least one sketch")
+    # unionByName: a stored sketch re-selected in a different column
+    # order must not cross-pair hashes into the value slot
     return (
-        reduce(DataFrame.unionAll, sketches)
+        reduce(DataFrame.unionByName, sketches)
         .dropDuplicates([_H, "value"])
         .orderBy(_H)
         .limit(k)
@@ -114,6 +116,9 @@ def sketch_quantiles(sketch: DataFrame, probs: Sequence[float]) -> DataFrame:
         if not 0.0 < q <= 1.0:
             raise ValueError(f"probs must be in (0, 1], got {q}")
     spark = sketch.sparkSession
+    # the plan below references the sketch twice (count + ranked join);
+    # checkpoint so a live build plan executes once, not twice
+    sketch = sketch.localCheckpoint(eager=False)
     m_row = sketch.agg(F.count("*").alias("__m"))
     ranked = sketch.withColumn(
         "__r", F.row_number().over(Window.orderBy("value", _H))
@@ -174,7 +179,7 @@ def merge_grouped_quantile_sketches(
     if not sketches:
         raise ValueError("need at least one sketch")
     groups = list(group_cols)
-    u = reduce(DataFrame.unionAll, sketches).dropDuplicates([*groups, _H, "value"])
+    u = reduce(DataFrame.unionByName, sketches).dropDuplicates([*groups, _H, "value"])
     w = Window.partitionBy(*groups).orderBy(_H)
     return (
         u.withColumn("__r", F.row_number().over(w))
@@ -196,6 +201,7 @@ def grouped_sketch_quantiles(
             raise ValueError(f"probs must be in (0, 1], got {q}")
     groups = list(group_cols)
     spark = sketch.sparkSession
+    sketch = sketch.localCheckpoint(eager=False)  # referenced twice below
     w = Window.partitionBy(*groups).orderBy("value", _H)
     ranked = sketch.withColumn("__r", F.row_number().over(w))
     m = sketch.groupBy(*groups).agg(F.count("*").alias("__m"))

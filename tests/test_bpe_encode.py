@@ -70,8 +70,18 @@ def test_merge_formats_and_order_matter(spark):
     assert rev == ["ab", "ab"]
 
 
-def test_non_alpha_and_case_normalization(spark):
-    df = spark.createDataFrame([("Ab3 cD!  e",)], "text string")
-    toks = list(encode_bpe(df, "text", []).collect()[0]["tokens"])
-    # lowercased alphabetic runs only, split on the digit/punct
-    assert toks == ["a", "b", "c", "d", "e"]
+def test_word_rule_matches_trainer_and_nulls_are_empty(spark):
+    # the trainer keeps only whole whitespace tokens matching ^[a-z]+$:
+    # "ab3"/"cd!" are EXCLUDED (not split into runs), so the encoder
+    # must exclude them too or it would tokenize material the merges
+    # never saw; null text encodes to an empty array like the
+    # trainer's null-dropping scan
+    df = spark.createDataFrame(
+        [(1, "Ab3 cD!  e"), (2, None), (3, "ok then")],
+        "id int, text string",
+    )
+    got = {
+        r["id"]: list(r["tokens"])
+        for r in encode_bpe(df, "text", ["t h", "th e"]).collect()
+    }
+    assert got == {1: ["e"], 2: [], 3: ["o", "k", "the", "n"]}

@@ -117,3 +117,18 @@ def test_random_cases_match_reference_in_one_job(spark):
                 )
                 spec.append((f"c{case}", off))
         assert _run(spark, spec, gap, shuffle=True) == _reference(spec, gap)
+
+
+def test_null_timestamps_dropped_not_anchor_poison(spark):
+    # a kept null would reset the anchor and disable the throttle for
+    # the whole key; the contract is: null-ts rows are dropped, the
+    # fold over the rest is unaffected
+    rows = [
+        (0, "a", None),
+        (1, "a", T0),
+        (2, "a", T0 + dt.timedelta(seconds=30)),
+        (3, "a", T0 + dt.timedelta(seconds=60)),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, key string, ts timestamp")
+    out = debounce(df, ["key"], "ts", ["ts", "event_id"], 50)
+    assert {r.event_id for r in out.collect()} == {1, 3}

@@ -109,3 +109,21 @@ def test_intersection_estimates(spark):
     assert abs(r["est_a"] - 800) <= 0.08 * 800 + 1
     assert abs(r["est_union"] - 1200) <= 0.08 * 1200 + 1
     assert abs(r["est_intersection"] - 400) <= 0.08 * 1200 * 3 + 1
+
+
+def test_intersection_estimate_never_negative(spark):
+    # disjoint sets: the raw inclusion-exclusion difference is noise
+    # around zero and must clamp at 0, never a negative cardinality
+    from bangumi_notion_data_integration_project_spark.operators.distinct_sketch import (
+        sketch_intersection_estimates,
+    )
+
+    a = spark.createDataFrame([("k", i) for i in range(50_000)], "k string, u int")
+    b = spark.createDataFrame(
+        [("k", i) for i in range(100_000, 150_000)], "k string, u int"
+    )
+    r = sketch_intersection_estimates(
+        distinct_sketch(a, ["k"], "u"), distinct_sketch(b, ["k"], "u"), ["k"]
+    ).collect()[0]
+    assert r["est_intersection"] >= 0
+    assert r["est_intersection"] <= 0.08 * r["est_union"]
