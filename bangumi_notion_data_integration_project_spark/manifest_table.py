@@ -247,7 +247,47 @@ class ManifestTable:
                 "values": values,
                 "dir": rel,
             }
+        # Power-loss durability: the manifest swap fsyncs itself, but a
+        # durable MANIFEST must never reference data bytes the OS never
+        # flushed (post-commit cleanup deletes the old dirs, so a torn
+        # data file would be unrecoverable). fsync every adopted file
+        # and directory BEFORE commit() reaches the swap. On a DFS /
+        # object store the close-to-visible durability contract makes
+        # this a no-op-by-ownership; locally it closes the window.
+        self._fsync_tree(data_root)
+        try:  # the data/ dir entry naming the new txid dir
+            fd = os.open(os.path.dirname(data_root), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        except OSError:
+            pass
         return out
+
+    @staticmethod
+    def _fsync_tree(root: str) -> None:
+        """fsync every regular file and directory under ``root``
+        (bottom-up so directory entries are flushed after their
+        contents). Best-effort on filesystems that reject fsync."""
+        for dirpath, _dirnames, filenames in os.walk(root, topdown=False):
+            for name in filenames:
+                try:
+                    fd = os.open(os.path.join(dirpath, name), os.O_RDONLY)
+                    try:
+                        os.fsync(fd)
+                    finally:
+                        os.close(fd)
+                except OSError:
+                    pass
+            try:
+                fd = os.open(dirpath, os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            except OSError:
+                pass
 
     # -- read path ----------------------------------------------------
 

@@ -23,9 +23,13 @@ sketch keeps the property that actually matters for a pipeline —
   and folded in any order or tree shape — the semilattice property
   streaming and incremental rollups need.
 - Everything is built-in expressions: the bottom-k is
-  ``orderBy(hash).limit(k)``, which Spark executes as
+  ``orderBy(hash, value).limit(k)``, which Spark executes as
   TakeOrderedAndProject — per-partition partial top-k, then a k-row
-  merge, never a full sort or a Python UDF.
+  merge, never a full sort or a Python UDF. The cut is a TOTAL order
+  ((hash, value), everywhere: build, merge, grouped windows) so a
+  64-bit hash collision at the k-th boundary resolves identically in
+  every code path — without it, build and merge could keep different
+  boundary rows and break the exact row-for-row merge contract.
 
 Scale shape (100 TB): one scan, no shuffle of the input (partial top-k
 reduces each partition to ≤ k rows before anything moves), result is
@@ -71,7 +75,7 @@ def quantile_sketch(
     h = F.xxhash64(*ids, F.lit(seed))
     return (
         df.select(F.col(value_col).alias("value"), h.alias(_H))
-        .orderBy(_H)
+        .orderBy(_H, "value")
         .limit(k)
     )
 
@@ -98,7 +102,7 @@ def merge_quantile_sketches(sketches: Sequence[DataFrame], *, k: int) -> DataFra
     return (
         reduce(DataFrame.unionByName, sketches)
         .dropDuplicates([_H, "value"])
-        .orderBy(_H)
+        .orderBy(_H, "value")
         .limit(k)
     )
 
@@ -156,7 +160,7 @@ def grouped_quantile_sketch(
     if not ids:
         raise ValueError("id_cols must name at least one column")
     h = F.xxhash64(*ids, F.lit(seed))
-    w = Window.partitionBy(*groups).orderBy(_H)
+    w = Window.partitionBy(*groups).orderBy(_H, "value")
     return (
         df.select(*groups, F.col(value_col).alias("value"), h.alias(_H))
         .withColumn("__r", F.row_number().over(w))
@@ -180,7 +184,7 @@ def merge_grouped_quantile_sketches(
         raise ValueError("need at least one sketch")
     groups = list(group_cols)
     u = reduce(DataFrame.unionByName, sketches).dropDuplicates([*groups, _H, "value"])
-    w = Window.partitionBy(*groups).orderBy(_H)
+    w = Window.partitionBy(*groups).orderBy(_H, "value")
     return (
         u.withColumn("__r", F.row_number().over(w))
         .filter(F.col("__r") <= k)

@@ -611,16 +611,52 @@ def _checkpoint_identity(checkpoint_dir: str) -> str:
     distinction the replay guard needs: same id + small batch_id =
     crash replay (skip); different id + small batch_id = the
     checkpoint and the state diverged (fail loudly, silent discard
-    would lose data). Falls back to the absolute path when the
-    metadata file is not locally readable (object-store checkpoints)."""
+    would lose data).
+
+    Returns a JSON string carrying BOTH the query id (None when the
+    metadata file is not locally readable — object-store checkpoints,
+    transient read failures) and the absolute path. Storing both forms
+    and comparing with :func:`_identity_matches` means a metadata file
+    that flips between readable and unreadable across restarts can
+    never flip the identity itself and spuriously fail a legitimate
+    crash-recovery replay."""
     import json as _json
 
+    ident: dict[str, str | None] = {
+        "id": None,
+        "path": os.path.abspath(checkpoint_dir),
+    }
     meta = os.path.join(checkpoint_dir, "metadata")
     try:
         with open(meta) as fh:
-            return str(_json.load(fh)["id"])
+            ident["id"] = str(_json.load(fh)["id"])
     except (OSError, ValueError, KeyError):
-        return os.path.abspath(checkpoint_dir)
+        pass
+    return _json.dumps(ident, sort_keys=True)
+
+
+def _identity_matches(stored: "str | None", current: str) -> bool:
+    """True when ``stored`` and ``current`` name the same checkpoint
+    lineage. When both sides know the query id, the ids decide — that
+    is the strong form which detects a checkpoint wiped and recreated
+    at the SAME path. When either side lacks an id (unreadable
+    metadata), the paths decide, the best distinction available there.
+    Legacy stored values (a bare id or bare path from a pre-dual-form
+    store) match either component of ``current``."""
+    import json as _json
+
+    if stored is None:
+        return False
+    cur = _json.loads(current)
+    try:
+        st = _json.loads(stored)
+        if not isinstance(st, dict):
+            raise ValueError(stored)
+    except ValueError:
+        return stored in (cur["id"], cur["path"])
+    if st.get("id") is not None and cur.get("id") is not None:
+        return st["id"] == cur["id"]
+    return st.get("path") == cur.get("path")
 
 
 def _expected_rollup_keys(
@@ -750,7 +786,7 @@ def start_streaming_time_rollup_partitioned(
                 ).first()
                 bid, sid = head[0], head[1]
             if bid is not None and batch_id <= bid:
-                if sid != ident:
+                if not _identity_matches(sid, ident):
                     raise RuntimeError(
                         f"time-rollup at {rollup_dir}: batch {batch_id} <= "
                         f"stored watermark {bid} but checkpoint identity "
@@ -900,7 +936,7 @@ def start_streaming_time_rollup_manifest(
             meta = table.meta()
             bid, sid = meta.get("batch_id"), meta.get("ckpt_id")
         if bid is not None and batch_id <= bid:
-            if sid != ident:
+            if not _identity_matches(sid, ident):
                 raise RuntimeError(
                     f"time-rollup at {table_dir}: batch {batch_id} <= "
                     f"committed watermark {bid} but checkpoint identity "

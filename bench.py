@@ -206,8 +206,12 @@ def main() -> None:
 
     total = sum(timings.values())
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Metric renamed r7: "value" is the sum of per-query min(pass1,
+    # pass2) WARM times (two-pass protocol since r6); honest end-to-end
+    # time is "total_wall". Pre-r6 artifacts used a single cold pass
+    # under the old key "headline_queries_total_wall" — not comparable.
     payload = {
-        "metric": "headline_queries_total_wall",
+        "metric": "headline_queries_total_warm",
         "value": round(total, 4),
         "unit": "sec",
         "n_queries": len(timings),

@@ -1651,3 +1651,57 @@ def test_streaming_grouped_quantile_sketch_replay_exact(spark, tmp_path):
     shutil.rmtree(ckpt)
     run()
     assert stored() == want, "replayed rows changed a per-key sketch"
+
+
+def test_checkpoint_identity_dual_form(tmp_path):
+    """The replay guard's identity must not flip between its strong
+    (query-id) and weak (path) forms when the checkpoint metadata file
+    transiently becomes unreadable — the r6 advisory: a legitimate
+    crash-recovery replay spuriously failed when the stored form and
+    the re-read form differed. The dual-form identity stores both and
+    matches id-vs-id when both sides know it, path-vs-path otherwise;
+    bare legacy values match either component."""
+    import json
+    import os
+
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        _checkpoint_identity,
+        _identity_matches,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    qid = "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee"
+    with open(os.path.join(ckpt, "metadata"), "w") as fh:
+        json.dump({"id": qid}, fh)
+
+    readable = _checkpoint_identity(ckpt)
+    assert json.loads(readable) == {"id": qid, "path": os.path.abspath(ckpt)}
+
+    # metadata becomes unreadable (object store / transient failure):
+    # identity degrades to path-only but must STILL match the stored
+    # readable-form identity (and vice versa)
+    os.remove(os.path.join(ckpt, "metadata"))
+    pathonly = _checkpoint_identity(ckpt)
+    assert json.loads(pathonly)["id"] is None
+    assert _identity_matches(readable, pathonly)
+    assert _identity_matches(pathonly, readable)
+
+    # wiped-and-recreated checkpoint at the SAME path: both ids known
+    # -> the strong form still detects the divergence
+    with open(os.path.join(ckpt, "metadata"), "w") as fh:
+        json.dump({"id": "ffffffff-0000-1111-2222-333333333333"}, fh)
+    fresh = _checkpoint_identity(ckpt)
+    assert not _identity_matches(readable, fresh)
+
+    # a different path never matches path-to-path
+    other = str(tmp_path / "elsewhere")
+    os.makedirs(other)
+    assert not _identity_matches(pathonly, _checkpoint_identity(other))
+
+    # legacy bare stored values (pre-dual-form tables): a bare query id
+    # or a bare abspath each match the current dual form
+    assert _identity_matches(qid, fresh) is False
+    assert _identity_matches("ffffffff-0000-1111-2222-333333333333", fresh)
+    assert _identity_matches(os.path.abspath(ckpt), pathonly)
+    assert not _identity_matches(None, fresh)
