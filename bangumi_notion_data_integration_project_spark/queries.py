@@ -5573,22 +5573,92 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks a
-# strict 50-entry prefix of this dict. The round-5 front carries, in
-# order: (a) the 11 round-4 eighth-batch queries that never received a
-# driver row (mirror-green in MIRROR_r04 and independently re-verified
-# by the r4 judge — the r4 verdict's top ask), (b) the queries NEW in
-# round 5 (prefix-filter set-similarity join, asymmetric containment
-# dedup, closed-form CUSUM change-point, hierarchical time rollup) —
-# never driver-checked, so they outrank every refresh, (c) the stalest
-# green refreshes, oldest driver row first: the r1-green set, then the
-# refresh candidates displaced from previous windows (r2/r3 rows), then
-# the r2-green set. Everything behind the boundary holds an r4 driver
-# row (the whole r4 window re-verified green in CORRECTNESS_r04) or an
-# r2/r3 row for code unchanged since.
+# strict 50-entry prefix of this dict. The round-7 window carries, in
+# order: (a) the 10 queries built at the end of round 6 and never
+# driver-checked — blocked record linkage, TWAP, weekday profile, 2-D
+# quality histogram, grouped top-k tokens, interval backlog, tokenizer
+# fertility, integer-exact seasonal outliers, Heaps vocabulary growth,
+# batch debounce — new queries outrank every refresh; (b) the 40
+# stalest refreshes: r3-vintage driver rows on code unchanged since
+# (every other query holds an r4+ row). No code changed this round
+# behind any registry query, so there are no changed-code refreshes to
+# front-load. Everything behind the boundary holds an r4/r5/r6 driver
+# row (the whole r6 window re-verified green in CORRECTNESS_r06).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- (a) NEW in r6, never driver-checked: continuous-aggregate
-    #    refresh, batched BPE training, bounded top-k near-dup, and the
-    #    round-6 analytics/curation batch
+    # -- (a) NEW for r7 (built at the end of r6, never driver-checked)
+    "fuzzy_name_blocking": q_fuzzy_name_blocking,
+    "events_twap": q_events_twap,
+    "orders_dow_profile": q_orders_dow_profile,
+    "docs_quality_joint_hist": q_docs_quality_joint_hist,
+    "docs_lang_topk_tokens": q_docs_lang_topk_tokens,
+    "orders_running_backlog": q_orders_running_backlog,
+    "docs_tokenizer_fertility": q_docs_tokenizer_fertility,
+    "events_seasonal_zscore": q_events_seasonal_zscore,
+    "docs_vocab_growth": q_docs_vocab_growth,
+    "events_debounce": q_events_debounce,
+    # -- (b) the 40 stalest refreshes: r3-vintage driver rows,
+    #    unchanged code, kept in their prior relative order
+    "customer_order_distribution": q_customer_order_distribution,
+    "supplier_part_variety": q_supplier_part_variety,
+    "excess_share_suppliers": q_excess_share_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
+    "docs_dup_spans": q_docs_dup_spans,
+    "docs_length_histogram": q_docs_length_histogram,
+    "docs_chunks": q_docs_chunks,
+    "customer_balance_ranks": q_customer_balance_ranks,
+    "events_session_window": q_events_session_window,
+    "events_zorder_stats": q_events_zorder_stats,
+    "events_sessionize": q_events_sessionize,
+    "docs_train_test_split": q_docs_train_test_split,
+    "dq_report": q_dq_report,
+    "merge_partition_scoped": q_merge_partition_scoped,
+    "docs_epoch_shuffle": q_docs_epoch_shuffle,
+    "audio_segments": q_audio_segments,
+    "docs_temperature_mix": q_docs_temperature_mix,
+    "category_summary": q_category_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "orders_asof_join": q_orders_asof_join,
+    "merge_full_sync": q_merge_full_sync,
+    "merge_upsert": q_merge_upsert,
+    "dedup_exact": q_dedup_exact,
+    "docs_filter_pipeline": q_docs_filter_pipeline,
+    "jaccard_top_pairs": q_jaccard_top_pairs,
+    "multimodal_features": q_multimodal_features,
+    "event_window_agg": q_event_window_agg,
+    "global_summary": q_global_summary,
+    "pivot_status": q_pivot_status,
+    "rollup_summary": q_rollup_summary,
+    "project_truncate": q_project_truncate,
+    "filter_nonempty": q_filter_nonempty,
+    "timestamp_parse": q_timestamp_parse,
+    "json_extract": q_json_extract,
+    "map_multikey": q_map_multikey,
+    "token_pivot": q_token_pivot,
+    "order_top_parts": q_order_top_parts,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    "merge_inserts": q_merge_inserts,
+    "merge_deletes": q_merge_deletes,
+    # --------- driver checked-window boundary (position 50) ---------
+    # ROUND-8 ROTATION NOTE: after r7 lands, the stalest evidence is
+    # the 3 rows-only r3-vintage queries (minhash_lsh_pairs,
+    # simhash_docs, sketch_distinct_counts) and the 49 r4-vintage
+    # queries (ann_*_topk/recall, cdc_apply_orders, customer_rfm,
+    # customer_set_ops, decontaminate_bloom, dedup_bow/keep_best/
+    # near_pipeline, docs_bigram_counts, docs_bm25_topk,
+    # docs_frequent_tokens, docs_line_scrub, docs_pack_bins,
+    # docs_tfidf_topk, docs_weighted_sample, embedding_covariance/
+    # kmeans/pca_variance/pq_codes/quantize_stats, events_anomaly/
+    # attribution/conversion_lag/ewma/funnel/funnel_steps/gap_fill/
+    # max_concurrency(+_2p)/top_paths, lineitem_correlations/
+    # regression, merge_updates, minhash_lsh_verified, orders_benford/
+    # scd2_asof/window_battery, part_pairs_lift, parts_kcore/pagerank/
+    # triangles, revenue_pareto, similarity_bruteforce,
+    # snapshot_diff_orders, supplier_wilson, top_parts_salted). Rotate
+    # the r8 window onto ~10 r8-new queries + the 3 rows-only r3 + 37
+    # of the 49 r4-vintage (registry order below; the remainder spill
+    # to r9), changed-code refreshes first as usual. Do NOT register
+    # more new queries than the window budget (~10).
+    # -- displaced r6 window: all 50 hold green r6 driver rows
     "events_time_rollup_refresh": q_events_time_rollup_refresh,
     "docs_bpe_merges_batched": q_docs_bpe_merges_batched,
     "embedding_near_dup_topk": q_embedding_near_dup_topk,
@@ -5602,13 +5672,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_quantiles": q_events_user_quantiles,
     "orders_gap_stats": q_orders_gap_stats,
     "docs_ngram_novelty": q_docs_ngram_novelty,
-    # -- (b) changed-code/changed-oracle refreshes (r6 touched these):
-    #    setsim gained the PPJoin length filter, containment was
-    #    rewritten lossless, the trend + bigram oracles gained guards /
-    #    ordered folds, bpe.py + rollup.py + similarity.py gained the
-    #    batched/refresh/topk siblings (their in-window composites
-    #    docs_bpe_merges_batched, events_time_rollup_refresh and
-    #    embedding_near_dup_topk share the same helpers)
     "docs_setsim_prefix": q_docs_setsim_prefix,
     "docs_containment": q_docs_containment,
     "brand_monthly_trend": q_brand_monthly_trend,
@@ -5616,8 +5679,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bpe_merges": q_docs_bpe_merges,
     "events_time_rollup": q_events_time_rollup,
     "embedding_near_dup": q_embedding_near_dup,
-    # -- (c) the 27 stalest refreshes: r2-vintage driver rows, unchanged
-    #    code (the r5 verdict's top ask — every other query has r3+)
     "orders_above_cust_avg": q_orders_above_cust_avg,
     "customers_without_orders": q_customers_without_orders,
     "lineitem_unpivot": q_lineitem_unpivot,
@@ -5645,47 +5706,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "small_qty_revenue": q_small_qty_revenue,
     "idle_rich_customers": q_idle_rich_customers,
     "min_cost_supplier": q_min_cost_supplier,
-    # -- (d) next-stalest refreshes fill the remaining slots
     "market_share": q_market_share,
     "important_parts": q_important_parts,
     "late_shipment_priority": q_late_shipment_priority,
-    # --------- driver checked-window boundary (position 50) ---------
-    # ROUND-7 ROTATION NOTE: after r6 lands, the stalest evidence is
-    # the 40 r3-vintage queries (audio_segments, category_summary,
-    # customer_balance_ranks, customer_order_distribution, dedup_exact,
-    # docs_chunks, docs_dup_spans, docs_epoch_shuffle,
-    # docs_filter_pipeline, docs_length_histogram, docs_temperature_mix,
-    # docs_train_test_split, dq_report, event_window_agg,
-    # events_session_window, events_sessionize, events_zorder_stats,
-    # excess_share_suppliers, filter_nonempty, global_summary,
-    # jaccard_top_pairs, json_extract, map_multikey, merge_deletes,
-    # merge_full_sync, merge_inserts, merge_partition_scoped,
-    # merge_upsert, multimodal_features, order_top_parts,
-    # orders_asof_join, pivot_status, project_truncate,
-    # revenue_by_nation, rollup_summary, supplier_part_variety,
-    # timestamp_parse, token_pivot, top_parts_per_brand,
-    # waiting_suppliers) — rotate the r7 window onto these plus the 10
-    # r7-new queries registered immediately below (never driver-checked;
-    # they take the front of the r7 window), changed-code refreshes
-    # first as usual. 10 new + 40 stale = exactly one 50-slot window.
-    # -- NEW for r7 (built at the end of r6, never driver-checked):
-    #    blocked record linkage, TWAP, weekday profile, 2-D quality
-    #    histogram, grouped top-k tokens, interval backlog, fertility,
-    #    integer-exact seasonal outliers, Heaps growth, batch debounce
-    "fuzzy_name_blocking": q_fuzzy_name_blocking,
-    "events_twap": q_events_twap,
-    "orders_dow_profile": q_orders_dow_profile,
-    "docs_quality_joint_hist": q_docs_quality_joint_hist,
-    "docs_lang_topk_tokens": q_docs_lang_topk_tokens,
-    "orders_running_backlog": q_orders_running_backlog,
-    "docs_tokenizer_fertility": q_docs_tokenizer_fertility,
-    "events_seasonal_zscore": q_events_seasonal_zscore,
-    "docs_vocab_growth": q_docs_vocab_growth,
-    "events_debounce": q_events_debounce,
-    # -- r5-window refreshes displaced by the r6 batches (all hold
-    #    green r5 driver rows; new queries and r2-vintage refreshes
-    #    outrank refreshes of unchanged r5-green code), then the r4/r3
-    #    groups in their prior order
+    # -- r5/r4-vintage rows in their prior order
     "events_markov": q_events_markov,
     "revenue_gini": q_revenue_gini,
     "docs_lang_confusion": q_docs_lang_confusion,
@@ -5779,49 +5803,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_kcore": q_parts_kcore,
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
-    "customer_order_distribution": q_customer_order_distribution,
-    "supplier_part_variety": q_supplier_part_variety,
-    "excess_share_suppliers": q_excess_share_suppliers,
-    "waiting_suppliers": q_waiting_suppliers,
-    "docs_dup_spans": q_docs_dup_spans,
-    "docs_length_histogram": q_docs_length_histogram,
-    "docs_chunks": q_docs_chunks,
-    "customer_balance_ranks": q_customer_balance_ranks,
-    "events_session_window": q_events_session_window,
-    "events_zorder_stats": q_events_zorder_stats,
-    "events_sessionize": q_events_sessionize,
-    "docs_train_test_split": q_docs_train_test_split,
-    "dq_report": q_dq_report,
-    "merge_partition_scoped": q_merge_partition_scoped,
-    "docs_epoch_shuffle": q_docs_epoch_shuffle,
-    "audio_segments": q_audio_segments,
-    "docs_temperature_mix": q_docs_temperature_mix,
-    "category_summary": q_category_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "orders_asof_join": q_orders_asof_join,
-    "merge_full_sync": q_merge_full_sync,
-    "merge_upsert": q_merge_upsert,
-    "dedup_exact": q_dedup_exact,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_docs": q_simhash_docs,
     "sketch_distinct_counts": q_sketch_distinct_counts,
-    "docs_filter_pipeline": q_docs_filter_pipeline,
-    "jaccard_top_pairs": q_jaccard_top_pairs,
-    "multimodal_features": q_multimodal_features,
-    "event_window_agg": q_event_window_agg,
-    "global_summary": q_global_summary,
-    "pivot_status": q_pivot_status,
-    "rollup_summary": q_rollup_summary,
-    "project_truncate": q_project_truncate,
-    "filter_nonempty": q_filter_nonempty,
-    "timestamp_parse": q_timestamp_parse,
-    "json_extract": q_json_extract,
-    "map_multikey": q_map_multikey,
-    "token_pivot": q_token_pivot,
-    "order_top_parts": q_order_top_parts,
-    "top_parts_per_brand": q_top_parts_per_brand,
-    "merge_inserts": q_merge_inserts,
-    "merge_deletes": q_merge_deletes,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
