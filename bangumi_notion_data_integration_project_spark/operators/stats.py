@@ -190,3 +190,70 @@ def cusum_peaks(
             F.col("__n").cast("long").alias("n_periods"),
         )
     )
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate over right-censored durations.
+
+    Input: one row per subject with an integer ``duration_col`` and
+    ``event_col`` = 1 if the terminal event was OBSERVED at that
+    duration, 0 if the subject was censored there (still alive when
+    observation ended). Output: one row per distinct duration with at
+    least one observed event — the classic KM step table
+    ``(duration, n_at_risk, n_events, survival)`` where
+
+        S(t) = prod_{t' <= t} (1 - d_{t'} / n_{t'})
+
+    with d = observed events at t' and n = subjects whose duration is
+    >= t' (events at t happen before censorings at t, the standard
+    convention).
+
+    Scale shape: the raw table collapses to one row per DISTINCT
+    duration in a single map-side-combinable groupBy; every window
+    below runs on that aggregate, which is calendar-bounded (days of
+    observation), not data-bounded. The cumulative product is a
+    per-row ordered fold over ``collect_list`` of the ≤O(durations)
+    factor list — NOT exp(sum(log)): the fold multiplies the same
+    doubles in the same order in any engine (and any partitioning),
+    so results are bit-identical, where a float log-sum is
+    order-dependent. Single-partition windows are safe here for the
+    same reason the sketch extractors' are: the input is the bounded
+    aggregate, never raw rows.
+    """
+    from pyspark.sql import Window
+
+    per_t = df.groupBy(F.col(duration_col).alias("__t")).agg(
+        F.count("*").cast("long").alias("__ends"),
+        F.sum(F.col(event_col).cast("long")).cast("long").alias("n_events"),
+    )
+    total = per_t.agg(F.sum("__ends").cast("long").alias("__total"))
+    w_prev = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = per_t.crossJoin(F.broadcast(total)).withColumn(
+        "n_at_risk",
+        (
+            F.col("__total")
+            - F.coalesce(F.sum("__ends").over(w_prev), F.lit(0))
+        ).cast("long"),
+    )
+    steps = at_risk.filter(F.col("n_events") > 0)
+    w_cum = Window.orderBy("__t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    factors = steps.withColumn(
+        "__f",
+        F.lit(1.0) - F.col("n_events") / F.col("n_at_risk"),
+    ).withColumn("__fl", F.collect_list("__f").over(w_cum))
+    return factors.select(
+        F.col("__t").alias(duration_col),
+        "n_at_risk",
+        "n_events",
+        F.round(
+            F.aggregate("__fl", F.lit(1.0), lambda a, x: a * x), 6
+        ).alias("survival"),
+    ).orderBy(duration_col)

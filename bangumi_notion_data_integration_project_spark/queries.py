@@ -5569,6 +5569,575 @@ def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-7 batch: sketch registry entries, survival/ACF/seasonal series
+# analytics, PMI collocations, Zipf fit, interval coverage, corpus JSD
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable bottom-k quantile sketch (operators/quantile_sketch)
+    validated against its own rank-error guarantee in one query:
+    sketch l_extendedprice cents at k=2048, extract five quantile
+    estimates, measure each estimate's TRUE rank over the full table,
+    and compare |rank − q| with the 5-sigma bound rank_error_bound(k,
+    q). xxhash64 sampling is seeded, so every column is deterministic
+    and within_bound must read true — the query validates itself,
+    which is what makes a rows-only registry entry (DuckDB has no
+    Spark-compatible xxhash64) trustworthy. Scale: the build is
+    TakeOrderedAndProject (per-partition partial bottom-k; only k rows
+    move), the rank probe is one broadcast join + a map-side-
+    combinable aggregate — the full-scan probe is the TEST harness,
+    not the serving path (production reads quantiles from the k-row
+    sketch alone)."""
+    from .operators.quantile_sketch import (
+        quantile_sketch,
+        rank_error_bound,
+        sketch_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    probs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    sk = quantile_sketch(li, "cents", ["l_orderkey", "l_linenumber"], k=2048)
+    est = sketch_quantiles(sk, probs)
+    bounds = spark.createDataFrame(
+        [(float(p), float(rank_error_bound(2048, p))) for p in probs],
+        "prob double, err_bound double",
+    )
+    probe = (
+        li.crossJoin(F.broadcast(est))
+        .groupBy("prob", "est")
+        .agg(
+            F.sum(F.when(F.col("cents") <= F.col("est"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_le"),
+            F.count("*").cast("long").alias("n_total"),
+        )
+    )
+    return (
+        probe.join(F.broadcast(bounds), "prob")
+        .select(
+            "prob",
+            "est",
+            "n_le",
+            "n_total",
+            F.round(
+                F.abs(F.col("n_le") / F.col("n_total") - F.col("prob")), 6
+            ).alias("rank_err"),
+            F.round("err_bound", 6).alias("err_bound"),
+            (
+                F.abs(F.col("n_le") / F.col("n_total") - F.col("prob"))
+                <= F.col("err_bound")
+            ).alias("within_bound"),
+        )
+        .orderBy("prob")
+    )
+
+
+def q_lineitem_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-visible semilattice proof for the grouped quantile
+    sketch: shard lineitem by orderkey parity, build one per-
+    returnflag sketch per shard, merge them, and compare ROW FOR ROW
+    against the sketch built over the unsharded table. merge(sketch(A),
+    sketch(B)) == sketch(A ∪ B) exactly is the property that lets a
+    100 TB build run per-file/per-day with no coordination and lets
+    the streaming twin replay batches with no transactional machinery
+    — so n_only_direct / n_only_merged must both read 0 and the two
+    median estimates must be equal, deterministically (seeded
+    xxhash64; rows-only because DuckDB can't replay that hash)."""
+    from .operators.quantile_sketch import (
+        grouped_quantile_sketch,
+        grouped_sketch_quantiles,
+        merge_grouped_quantile_sketches,
+    )
+
+    k = 512
+    ids = ["l_orderkey", "l_linenumber"]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *ids,
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    direct = grouped_quantile_sketch(
+        li, "cents", ids, ["l_returnflag"], k=k
+    ).localCheckpoint(eager=False)
+    merged = merge_grouped_quantile_sketches(
+        [
+            grouped_quantile_sketch(
+                li.filter(F.col("l_orderkey") % 2 == i),
+                "cents",
+                ids,
+                ["l_returnflag"],
+                k=k,
+            )
+            for i in (0, 1)
+        ],
+        ["l_returnflag"],
+        k=k,
+    ).localCheckpoint(eager=False)
+    cols = direct.columns
+    only_d = (
+        direct.join(merged, cols, "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").cast("long").alias("n_only_direct"))
+    )
+    only_m = (
+        merged.join(direct, cols, "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").cast("long").alias("n_only_merged"))
+    )
+    base = direct.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n_sketch_rows")
+    )
+    med_d = grouped_sketch_quantiles(direct, ["l_returnflag"], [0.5]).select(
+        "l_returnflag", F.col("est").alias("p50_direct")
+    )
+    med_m = grouped_sketch_quantiles(merged, ["l_returnflag"], [0.5]).select(
+        "l_returnflag", F.col("est").alias("p50_merged")
+    )
+    return (
+        base.join(only_d, "l_returnflag", "left")
+        .join(only_m, "l_returnflag", "left")
+        .join(med_d, "l_returnflag")
+        .join(med_m, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_sketch_rows",
+            F.coalesce("n_only_direct", F.lit(0)).cast("long").alias("n_only_direct"),
+            F.coalesce("n_only_merged", F.lit(0)).cast("long").alias("n_only_merged"),
+            "p50_direct",
+            "p50_merged",
+            (F.col("p50_direct") == F.col("p50_merged")).alias("medians_equal"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_events_weekly_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-sketch re-aggregation (operators/distinct_sketch): per-DAY
+    HLL sketches of active users are unioned up to calendar weeks —
+    the raw events are scanned once to build 4 KB day sketches, and
+    the weekly numbers come from re-aggregating THOSE, which is how a
+    100 TB warehouse serves "weekly uniques" (or any coarser rollup
+    decided later) without ever re-scanning history. The exact
+    per-week countDistinct rides alongside with the relative error
+    (lg_k=12 → ~1.6% RSE; DataSketches HLL is deterministic for a
+    given input set, so the estimates are stable — rows-only because
+    DuckDB's HLL is a different implementation)."""
+    from .operators.distinct_sketch import (
+        distinct_sketch,
+        merge_distinct_sketches,
+        sketch_estimates,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    day_sk = distinct_sketch(e, ["week", "day"], "user_id", lg_k=12)
+    week_sk = merge_distinct_sketches([day_sk.drop("day")])
+    exact = e.groupBy("week").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        sketch_estimates(week_sk)
+        .join(exact, "week")
+        .select(
+            "week",
+            F.col("distinct_est").alias("est_users"),
+            "exact_users",
+            F.round(
+                F.abs(F.col("distinct_est") - F.col("exact_users"))
+                / F.col("exact_users")
+                * 100.0,
+                2,
+            ).alias("rel_err_pct"),
+        )
+        .orderBy("week")
+    )
+
+
+def q_orders_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer-lifetime curve (operators/stats.
+    km_survival): duration = days between a customer's first and last
+    order; a customer whose last order precedes the dataset's end by
+    more than 90 days is an observed churn event, later ones are
+    right-censored. The oracle replays the cumulative survival product
+    as the SAME ordered fold (DuckDB list() window + list_reduce), so
+    both engines multiply identical doubles in identical order —
+    bit-identical S(t) with no transcendental tricks."""
+    from .operators.stats import km_survival
+
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("gmax"))
+    per_c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("last_d", "first_d").cast("long").alias("duration_days"),
+            (F.datediff("gmax", "last_d") > 90).cast("long").alias("churned"),
+        )
+    )
+    return km_survival(per_c, "duration_days", "churned")
+
+
+def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1..7 from
+    EXACT integer moments: with S = Σx over n days, the n-scaled
+    deviation D_t = n·x_t − S is an exact integer, so the numerator
+    Σ D_t·D_{t−k} and denominator Σ D_t² accumulate exactly in
+    DECIMAL(38,0) under any partitioning; each acf value is ONE double
+    division at the end. Lag pairing is a calendar self-join on the
+    O(days) daily aggregate (broadcast — calendar-bounded, never
+    data-bounded, so the nested-loop inequality join is ~days² tiny)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"), F.sum("x").cast("long").alias("s")
+    )
+    dev = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            (F.col("n").cast("decimal(38,0)") * F.col("x") - F.col("s"))
+            .cast("decimal(38,0)")
+            .alias("dev"),
+        )
+        .localCheckpoint(eager=False)  # referenced three times below
+    )
+    den = dev.agg(
+        F.sum(F.col("dev") * F.col("dev")).cast("decimal(38,0)").alias("den")
+    )
+    a, b = dev.alias("a"), dev.alias("b")
+    lag = F.datediff(F.col("a.d"), F.col("b.d"))
+    pairs = a.join(F.broadcast(b), (lag >= 1) & (lag <= 7)).select(
+        lag.cast("long").alias("lag"),
+        (F.col("a.dev") * F.col("b.dev")).alias("prod"),
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("prod").cast("decimal(38,0)").alias("num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(
+                F.col("num").cast("double") / F.col("den").cast("double"), 6
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def q_docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by PMI with a min-count floor. PMI =
+    ln(p(xy) / (p(x)·p(y))) is MONOTONE in the integer ratio
+    c_xy·N² / (M·c_x·c_y), so the ranking needs no transcendental at
+    all: the score is that exact-integer ratio evaluated in one double
+    division (identical integer operands → identical double in every
+    engine) and ln never enters. Counts aggregate map-side; the
+    unigram lookups broadcast (vocab ≪ corpus); the global top-50 is
+    TakeOrdered under a (score desc, w1, w2) total order."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    uni = (
+        d.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    nn = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    big = d.filter(F.size("tk") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk)-1),"
+                " i -> struct(element_at(tk, i) as w1,"
+                " element_at(tk, i+1) as w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    mm = big.agg(F.count("*").cast("long").alias("m_big"))
+    bgc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("n_w1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("n_w2"))
+    scored = (
+        bgc.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            (
+                (
+                    F.col("n_pair").cast("decimal(38,0)")
+                    * F.col("n_uni")
+                    * F.col("n_uni")
+                ).cast("double")
+                / (
+                    F.col("m_big").cast("decimal(38,0)")
+                    * F.col("n_w1")
+                    * F.col("n_w2")
+                ).cast("double")
+            ).alias("__score"),
+        )
+    )
+    top = scored.orderBy(F.col("__score").desc(), "w1", "w2").limit(50)
+    w = Window.orderBy(F.col("__score").desc(), "w1", "w2")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round("__score", 6).alias("pmi_ratio"),
+        )
+        .orderBy("rank")
+    )
+
+
+def q_docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 token types: OLS of ln(count)
+    on ln(rank). Per-row ln is engine-identical (same libm double —
+    the docs_char_entropy precedent); each ln is rounded at 1e-6 and
+    SCALED TO INTEGER micro-units so every moment sum is an exact
+    integer (a raw double Σ is partition-order-dependent), and slope /
+    intercept / r² are closed-form double expressions of those
+    integers, written with the identical operation sequence in the
+    oracle. The top-1000 cut is TakeOrdered under a (count desc,
+    token) total order — never a full vocab sort."""
+    d = load_table(spark, sf_dir, "documents").select(tokens("text").alias("tk"))
+    uni = (
+        d.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    top = uni.orderBy(F.col("c").desc(), "w").limit(1000)
+    w = Window.orderBy(F.col("c").desc(), "w")
+    xy = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1e6).cast("long").alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    slope = num / denx
+    return m.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("intercept"),
+        F.round(slope * (num / deny), 6).alias("r2"),
+    )
+
+
+def q_events_user_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user active-time coverage (operators/intervals.
+    interval_coverage): each event opens a 30-minute activity window;
+    overlapping windows must count once, so the union length is
+    computed with the running-max-of-end merge — one ordered window +
+    one aggregate, zero self-joins, exact integer seconds. The merged-
+    interval count rides along (a session count under a fixed
+    horizon)."""
+    from .operators.intervals import interval_coverage
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").cast("long").alias("u")
+    )
+    return (
+        interval_coverage(e, "user_id", F.col("u"), 1800, ["event_id"])
+        .select(
+            "user_id",
+            F.col("n_rows").alias("n_events"),
+            "n_intervals",
+            "covered_s",
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical moving-average seasonal decomposition of daily
+    revenue, exact to the last integer: the trend is the CENTERED
+    7-row moving SUM (kept ×7 — no division), the residual
+    residual_x7 = 7·x − trend_x7 is an exact integer, and the
+    day-of-week seasonal component is the exact rational mean of those
+    residuals, divided once at presentation. Edge rows without a full
+    7-row window are excluded by the same count(*)-over-frame guard in
+    both engines. The ordered window runs on the one-row-per-day
+    aggregate — calendar-bounded, so its single partition is safe by
+    construction (same argument as the KM and sketch extractors)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    res = daily.select(
+        "d",
+        "x",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.lit(7) * F.col("x") - F.sum("x").over(w7),
+        )
+        .cast("long")
+        .alias("res_x7"),
+    )
+    return (
+        res.groupBy(F.dayofweek("d").cast("long").alias("dow"))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.sum(F.when(F.col("res_x7").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_days_full"),
+            F.sum("x").cast("long").alias("revenue_cents"),
+            F.sum("res_x7").cast("long").alias("res_x7_sum"),
+        )
+        .select(
+            "dow",
+            "n_days",
+            "n_days_full",
+            "revenue_cents",
+            "res_x7_sum",
+            F.round(
+                F.col("res_x7_sum").cast("double")
+                / (F.lit(7.0) * F.col("n_days_full")),
+                4,
+            ).alias("seasonal_cents"),
+            F.round(
+                F.col("revenue_cents").cast("double") / F.col("n_days"), 4
+            ).alias("mean_daily_cents"),
+        )
+        .orderBy("dow")
+    )
+
+
+def q_docs_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the token
+    distributions of document SOURCES — the standard corpus-drift /
+    mixture-monitoring measure for training-data pipelines (symmetric,
+    bounded [0,1] in bits). Per-token terms are double expressions
+    (per-row libm ln — identical cross-engine, the entropy precedent),
+    rounded at 1e-9 and integer-summed so the Σ over the vocabulary is
+    order-free; ln(2) enters as the same literal on both sides. The
+    source-pair fan-out is |sources|² (tiny, broadcast); token counts
+    aggregate map-side before any join."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", tokens("text").alias("tk")
+    )
+    cnt = (
+        d.select("source", F.explode("tk").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # reused for totals + both sides
+    )
+    totals = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n_tok"))
+    pa = totals.select(
+        F.col("source").alias("source_a"), F.col("n_tok").alias("n_a")
+    )
+    pb = totals.select(
+        F.col("source").alias("source_b"), F.col("n_tok").alias("n_b")
+    )
+    pairs = pa.crossJoin(pb).filter(F.col("source_a") < F.col("source_b"))
+    toks = (
+        cnt.select("w")
+        .distinct()
+        .crossJoin(F.broadcast(pairs))
+    )
+    ca = cnt.select(
+        F.col("source").alias("source_a"), "w", F.col("c").alias("ca")
+    )
+    cb = cnt.select(
+        F.col("source").alias("source_b"), "w", F.col("c").alias("cb")
+    )
+    j = (
+        toks.join(ca, ["source_a", "w"], "left")
+        .join(cb, ["source_b", "w"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+        .filter((F.col("ca") > 0) | (F.col("cb") > 0))
+    )
+    p = F.col("ca").cast("double") / F.col("n_a").cast("double")
+    q = F.col("cb").cast("double") / F.col("n_b").cast("double")
+    mid = (p + q) / F.lit(2.0)
+    term = F.when(F.col("ca") > 0, p * F.log(p / mid)).otherwise(
+        F.lit(0.0)
+    ) * F.lit(0.5) + F.when(F.col("cb") > 0, q * F.log(q / mid)).otherwise(
+        F.lit(0.0)
+    ) * F.lit(0.5)
+    return (
+        j.select(
+            "source_a",
+            "source_b",
+            F.round(term * F.lit(1000000000.0)).cast("long").alias("t_nano"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_types_union"),
+            F.sum("t_nano").cast("long").alias("__s"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_types_union",
+            F.round(
+                F.col("__s").cast("double")
+                / F.lit(1000000000.0)
+                / F.lit(0.6931471805599453),
+                6,
+            ).alias("jsd_bits"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -5658,6 +6227,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # of the 49 r4-vintage (registry order below; the remainder spill
     # to r9), changed-code refreshes first as usual. Do NOT register
     # more new queries than the window budget (~10).
+    # -- NEW for r8 (built in r7, never driver-checked): quantile-
+    #    sketch self-validation + semilattice merge proof + HLL
+    #    day->month re-aggregation (rows-only: seeded xxhash64 /
+    #    DataSketches HLL have no DuckDB twin; each self-validates
+    #    in-query), Kaplan-Meier survival, exact-moment ACF, PMI
+    #    collocations, Zipf OLS fit, interval-union coverage, seasonal
+    #    decomposition, source-pair Jensen-Shannon drift
+    "lineitem_quantile_sketch": q_lineitem_quantile_sketch,
+    "lineitem_sketch_merge": q_lineitem_sketch_merge,
+    "events_weekly_users_sketch": q_events_weekly_users_sketch,
+    "orders_survival_km": q_orders_survival_km,
+    "revenue_acf": q_revenue_acf,
+    "docs_pmi_collocations": q_docs_pmi_collocations,
+    "docs_zipf_fit": q_docs_zipf_fit,
+    "events_user_coverage": q_events_user_coverage,
+    "orders_seasonal_decompose": q_orders_seasonal_decompose,
+    "docs_source_jsd": q_docs_source_jsd,
     # -- displaced r6 window: all 50 hold green r6 driver rows
     "events_time_rollup_refresh": q_events_time_rollup_refresh,
     "docs_bpe_merges_batched": q_docs_bpe_merges_batched,
@@ -9109,4 +9695,224 @@ ORACLES["events_debounce"] = """
     )
     SELECT event_id, user_id, event_type, ts
     FROM walk WHERE kept ORDER BY event_id
+"""
+
+ORACLES["orders_survival_km"] = """
+    WITH mx AS (SELECT max(o_orderdate) AS gmax FROM orders),
+    per_c AS (
+      SELECT CAST(date_diff('day', min(o_orderdate), max(o_orderdate))
+                  AS BIGINT) AS t,
+             CASE WHEN date_diff('day', max(o_orderdate),
+                                 (SELECT gmax FROM mx)) > 90
+                  THEN 1 ELSE 0 END AS churned
+      FROM orders GROUP BY o_custkey
+    ), per_t AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS ends,
+             CAST(sum(churned) AS BIGINT) AS d
+      FROM per_c GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             CAST((SELECT sum(ends) FROM per_t)
+                  - coalesce(sum(ends) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_at_risk
+      FROM per_t
+    ), steps AS (
+      SELECT t, n_at_risk, d,
+             1.0 - CAST(d AS DOUBLE) / n_at_risk AS f
+      FROM risk WHERE d > 0
+    )
+    SELECT t AS duration_days, n_at_risk, d AS n_events,
+           round(list_reduce(list(f) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 (a, b) -> a * b), 6) AS survival
+    FROM steps ORDER BY duration_days
+"""
+
+ORACLES["revenue_acf"] = """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM daily
+    ), dev AS (
+      SELECT d, CAST(n AS HUGEINT) * x - s AS dev FROM daily, tot
+    ), den AS (
+      SELECT sum(dev * dev) AS den FROM dev
+    ), pairs AS (
+      SELECT CAST(date_diff('day', b.d, a.d) AS BIGINT) AS lag,
+             a.dev * b.dev AS prod
+      FROM dev a JOIN dev b
+        ON date_diff('day', b.d, a.d) BETWEEN 1 AND 7
+    )
+    SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(prod) AS DOUBLE)
+                 / CAST((SELECT den FROM den) AS DOUBLE), 6) AS acf
+    FROM pairs GROUP BY lag ORDER BY lag
+"""
+
+ORACLES["docs_pmi_collocations"] = r"""
+    WITH tok AS (
+      SELECT string_split_regex(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0
+    ), uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY 1
+    ), nn AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+    big AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2
+      FROM tok, unnest(range(1, len(tk))) AS t(i)
+      WHERE len(tk) >= 2
+    ), mm AS (SELECT CAST(count(*) AS BIGINT) AS m_big FROM big),
+    bgc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM big GROUP BY 1, 2 HAVING count(*) >= 5
+    ), scored AS (
+      SELECT g.w1, g.w2, g.n_pair, u1.c AS n_w1, u2.c AS n_w2,
+             CAST(CAST(g.n_pair AS HUGEINT) * nn.n_uni * nn.n_uni AS DOUBLE)
+             / CAST(CAST(mm.m_big AS HUGEINT) * u1.c * u2.c AS DOUBLE)
+               AS score
+      FROM bgc g
+      JOIN uni u1 ON g.w1 = u1.w
+      JOIN uni u2 ON g.w2 = u2.w, nn, mm
+    ), top AS (
+      SELECT * FROM scored ORDER BY score DESC, w1, w2 LIMIT 50
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, w1, w2) AS BIGINT)
+             AS rank,
+           w1, w2, n_pair, n_w1, n_w2, round(score, 6) AS pmi_ratio
+    FROM top ORDER BY rank
+"""
+
+ORACLES["docs_zipf_fit"] = r"""
+    WITH uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents WHERE length(trim(text)) > 0) GROUP BY 1
+    ), top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r
+      FROM uni ORDER BY c DESC, w LIMIT 1000
+    ), xy AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM top
+    ), m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(y * y) AS HUGEINT) AS syy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_types,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept,
+           round((CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * sxx - sx * sx AS DOUBLE))
+                 * (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM m
+"""
+
+ORACLES["events_user_coverage"] = """
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS e
+      FROM events
+    ), scored AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM base
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_intervals,
+           CAST(sum(greatest(0, e - greatest(s, coalesce(pmax, s))))
+                AS BIGINT) AS covered_s
+    FROM scored GROUP BY 1 ORDER BY user_id
+"""
+
+ORACLES["orders_seasonal_decompose"] = """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), res AS (
+      SELECT d, x,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN 7 * x - sum(x) OVER w7 END AS res_x7
+      FROM daily
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN res_x7 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_days_full,
+           CAST(sum(x) AS BIGINT) AS revenue_cents,
+           CAST(sum(res_x7) AS BIGINT) AS res_x7_sum,
+           round(CAST(sum(res_x7) AS DOUBLE)
+                 / (7.0 * sum(CASE WHEN res_x7 IS NOT NULL THEN 1 ELSE 0 END)),
+                 4) AS seasonal_cents,
+           round(CAST(sum(x) AS DOUBLE) / count(*), 4) AS mean_daily_cents
+    FROM res GROUP BY 1 ORDER BY dow
+"""
+
+ORACLES["docs_source_jsd"] = r"""
+    WITH cnt AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents WHERE length(trim(text)) > 0)
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tok FROM cnt GROUP BY 1
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.n_tok AS n_a, b.n_tok AS n_b
+      FROM totals a JOIN totals b ON a.source < b.source
+    ), toks AS (
+      SELECT DISTINCT w FROM cnt
+    ), j AS (
+      SELECT p.source_a, p.source_b, p.n_a, p.n_b,
+             CAST(coalesce(ca.c, 0) AS BIGINT) AS ca,
+             CAST(coalesce(cb.c, 0) AS BIGINT) AS cb
+      FROM toks t
+      CROSS JOIN pairs p
+      LEFT JOIN cnt ca ON ca.source = p.source_a AND ca.w = t.w
+      LEFT JOIN cnt cb ON cb.source = p.source_b AND cb.w = t.w
+      WHERE coalesce(ca.c, 0) > 0 OR coalesce(cb.c, 0) > 0
+    ), terms AS (
+      SELECT source_a, source_b,
+             CAST(round((
+               CASE WHEN ca > 0
+                    THEN (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+                         * ln((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+                              / ((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                  + CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                                 / 2.0))
+                    ELSE 0.0 END * 0.5
+               + CASE WHEN cb > 0
+                      THEN (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                           * ln((CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                                / ((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)
+                                    + CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                                   / 2.0))
+                      ELSE 0.0 END * 0.5
+             ) * 1000000000.0) AS BIGINT) AS t_nano
+      FROM j
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_types_union,
+           round(CAST(sum(t_nano) AS DOUBLE) / 1000000000.0
+                 / 0.6931471805599453, 6) AS jsd_bits
+    FROM terms GROUP BY 1, 2 ORDER BY source_a, source_b
 """

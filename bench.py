@@ -161,6 +161,17 @@ BENCH_QUERIES = [
     "events_seasonal_zscore",
     "docs_vocab_growth",
     "events_debounce",
+    # round-7 additions
+    "lineitem_quantile_sketch",
+    "lineitem_sketch_merge",
+    "events_weekly_users_sketch",
+    "orders_survival_km",
+    "revenue_acf",
+    "docs_pmi_collocations",
+    "docs_zipf_fit",
+    "events_user_coverage",
+    "orders_seasonal_decompose",
+    "docs_source_jsd",
 ]
 
 

@@ -358,3 +358,39 @@ def test_rollup_refresh_touches_only_delta_buckets(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_km_survival_handmade(spark):
+    """Textbook KM table: durations [1e, 2c, 3e, 3e, 5c] ->
+    S(1) = 4/5, S(3) = 4/5 * (1 - 2/3)."""
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        km_survival,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (3, 1), (5, 0)],
+        "duration long, event long",
+    )
+    rows = [r.asDict() for r in km_survival(df, "duration", "event").collect()]
+    assert rows == [
+        {"duration": 1, "n_at_risk": 5, "n_events": 1, "survival": 0.8},
+        {
+            "duration": 3,
+            "n_at_risk": 3,
+            "n_events": 2,
+            "survival": round(0.8 * (1 - 2 / 3), 6),
+        },
+    ]
+
+
+def test_km_survival_all_events_reaches_zero(spark):
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        km_survival,
+    )
+
+    df = spark.createDataFrame(
+        [(d, 1) for d in (1, 2, 2, 4)], "duration long, event long"
+    )
+    rows = km_survival(df, "duration", "event").collect()
+    assert [r["n_at_risk"] for r in rows] == [4, 3, 1]
+    assert rows[-1]["survival"] == 0.0

@@ -87,3 +87,69 @@ def test_sweep_interval_spanning_midnight(spark):
         ("k", BASE + dt.timedelta(hours=24), BASE + dt.timedelta(hours=24, minutes=5)),
     ]
     assert _spark_peaks(spark, rows, split_by_day=True) == {"k": 2}
+
+
+def py_coverage(rows, dur):
+    """Independent pure-Python union-length: materialize covered
+    integer seconds per key (durations are small in the test)."""
+    by_key = {}
+    for k, s in rows:
+        by_key.setdefault(k, set()).update(range(s, s + dur))
+    merged = {}
+    for k, covered in by_key.items():
+        pts = sorted(covered)
+        n_iv = 1 + sum(
+            1 for a, b in zip(pts, pts[1:]) if b > a + 1
+        )
+        merged[k] = (len(pts), n_iv)
+    return merged
+
+
+def test_interval_coverage_handmade(spark):
+    """Overlaps merge (counted once), a gap starts a new interval."""
+    from bangumi_notion_data_integration_project_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    rows = [
+        # user a: [0,100) and [50,150) overlap -> 150s, one interval;
+        # [400,500) after a gap -> second interval
+        ("a", 0, 1),
+        ("a", 50, 2),
+        ("a", 400, 3),
+        # user b: [0,100), [10,110), [20,120) chain-overlap into one
+        # merged interval [0,120) -> each later one adds only 10s
+        ("b", 0, 4),
+        ("b", 10, 5),
+        ("b", 20, 6),
+    ]
+    df = spark.createDataFrame(rows, "user string, u long, event_id long")
+    got = {
+        r["user"]: (r["n_rows"], r["n_intervals"], r["covered_s"])
+        for r in interval_coverage(
+            df, "user", F.col("u"), 100, ["event_id"]
+        ).collect()
+    }
+    assert got == {"a": (3, 2, 250), "b": (3, 1, 120)}
+
+
+def test_interval_coverage_matches_python(spark):
+    rng = random.Random(7)
+    rows = [
+        (f"u{rng.randrange(5)}", rng.randrange(0, 500))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(k, s, i) for i, (k, s) in enumerate(rows)],
+        "user string, u long, event_id long",
+    )
+    from bangumi_notion_data_integration_project_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    got = {
+        r["user"]: (r["covered_s"], r["n_intervals"])
+        for r in interval_coverage(df, "user", F.col("u"), 37, ["event_id"]).collect()
+    }
+    want = py_coverage(rows, 37)
+    assert got == {k: (c, n) for k, (c, n) in want.items()}
