@@ -644,3 +644,67 @@ def test_quantile_sketch_is_partial_topk_with_pruned_scan(spark):
     assert "Exchange" not in plan
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert schemas == ["l_orderkey:bigint,l_linenumber:int,l_extendedprice:double"]
+
+
+def test_quantile_sketch_build_is_take_ordered(spark):
+    """The bottom-k cut must execute as TakeOrderedAndProject (per-
+    partition partial top-k, only k rows move), never a global Sort +
+    Limit over the raw table — that is the operator's whole scale
+    claim (operators/quantile_sketch.py). Asserted on the operator's
+    own plan: the registry query checkpoints the sketch before
+    extraction, so the build subtree is invisible in the final plan."""
+    from bangumi_notion_data_integration_project_spark.operators.quantile_sketch import (
+        quantile_sketch,
+    )
+
+    li = spark.read.parquet(SF_DIR + "/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    sk = quantile_sketch(li, "cents", ["l_orderkey", "l_linenumber"], k=2048)
+    plan = sk._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # nothing but the k-row merge moves
+
+
+def test_zipf_and_pmi_topk_are_take_ordered(spark):
+    """Global top-N cuts (top-1000 vocab, top-50 collocations) must be
+    TakeOrderedAndProject, not a single-partition full sort of the
+    vocabulary/bigram tables."""
+    for name in ("docs_zipf_fit", "docs_pmi_collocations"):
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_pmi_unigram_lookups_are_broadcast(spark):
+    """Both unigram-count joins and the scalar N/M joins broadcast —
+    the bigram table never shuffles for a lookup."""
+    plan = _plan(spark, "docs_pmi_collocations")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_acf_lag_pairing_is_broadcast_on_daily_agg(spark):
+    """The lag-1..7 inequality self-join runs on the calendar-bounded
+    daily aggregate via BroadcastNestedLoopJoin — acceptable exactly
+    because both sides are O(days); the raw orders table must be
+    aggregated before any join."""
+    plan = _plan(spark, "revenue_acf")
+    assert "BroadcastNestedLoopJoin" in plan
+    # the joins only ever see the checkpointed daily aggregate (the
+    # raw-orders groupBy ran inside the checkpoint job); nothing may
+    # sort-merge or go cartesian
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Scan parquet" not in plan  # raw table never reaches this plan
+
+
+def test_coverage_window_is_per_user(spark):
+    """interval_coverage's running-max window partitions by user_id —
+    a missing partition clause would serialize 100 TB through one
+    task."""
+    plan = _plan(spark, "events_user_coverage")
+    assert "user_id" in _window_partition_keys(plan)
