@@ -135,8 +135,10 @@ def interval_coverage(
         F.col("__e")
         - F.greatest(F.col("__s"), F.coalesce(F.col("__pmax"), F.col("__s"))),
     )
+    # strict >: a window starting exactly where the furthest end stops
+    # touches it, and touching windows union into ONE maximal run
     new_iv = (
-        F.col("__pmax").isNull() | (F.col("__s") >= F.col("__pmax"))
+        F.col("__pmax").isNull() | (F.col("__s") > F.col("__pmax"))
     ).cast("long")
     return (
         scored.withColumn("__cov", covered)

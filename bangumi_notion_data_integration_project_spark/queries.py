@@ -5860,17 +5860,23 @@ def q_docs_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode("tk").alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)  # feeds c1, c2 and the N total
     )
     nn = uni.agg(F.sum("c").cast("long").alias("n_uni"))
-    big = d.filter(F.size("tk") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tk)-1),"
-                " i -> struct(element_at(tk, i) as w1,"
-                " element_at(tk, i+1) as w2))"
-            )
-        ).alias("bg")
-    ).select("bg.w1", "bg.w2")
+    big = (
+        d.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk)-1),"
+                    " i -> struct(element_at(tk, i) as w1,"
+                    " element_at(tk, i+1) as w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .localCheckpoint(eager=False)  # feeds the pair counts and M
+    )
     mm = big.agg(F.count("*").cast("long").alias("m_big"))
     bgc = (
         big.groupBy("w1", "w2")
@@ -6079,10 +6085,18 @@ def q_docs_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("source_b"), F.col("n_tok").alias("n_b")
     )
     pairs = pa.crossJoin(pb).filter(F.col("source_a") < F.col("source_b"))
+    # per-pair token union, NOT global-vocab x pairs: each (source, w)
+    # count row fans out only to the pairs its source belongs to, so a
+    # pair's rows are exactly |V_a ∪ V_b| after the distinct — tokens
+    # in neither source are never materialized
     toks = (
-        cnt.select("w")
+        cnt.join(
+            F.broadcast(pairs),
+            (F.col("source") == F.col("source_a"))
+            | (F.col("source") == F.col("source_b")),
+        )
+        .select("source_a", "source_b", "n_a", "n_b", "w")
         .distinct()
-        .crossJoin(F.broadcast(pairs))
     )
     ca = cnt.select(
         F.col("source").alias("source_a"), "w", F.col("c").alias("ca")
@@ -6101,7 +6115,6 @@ def q_docs_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
             F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
         )
-        .filter((F.col("ca") > 0) | (F.col("cb") > 0))
     )
     p = F.col("ca").cast("double") / F.col("n_a").cast("double")
     q = F.col("cb").cast("double") / F.col("n_b").cast("double")
@@ -6229,7 +6242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # more new queries than the window budget (~10).
     # -- NEW for r8 (built in r7, never driver-checked): quantile-
     #    sketch self-validation + semilattice merge proof + HLL
-    #    day->month re-aggregation (rows-only: seeded xxhash64 /
+    #    day->week re-aggregation (rows-only: seeded xxhash64 /
     #    DataSketches HLL have no DuckDB twin; each self-validates
     #    in-query), Kaplan-Meier survival, exact-moment ACF, PMI
     #    collocations, Zipf OLS fit, interval-union coverage, seasonal
@@ -9834,7 +9847,7 @@ ORACLES["events_user_coverage"] = """
       FROM base
     )
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CASE WHEN pmax IS NULL OR s >= pmax THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_intervals,
            CAST(sum(greatest(0, e - greatest(s, coalesce(pmax, s))))
                 AS BIGINT) AS covered_s

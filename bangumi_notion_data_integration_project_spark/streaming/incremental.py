@@ -641,8 +641,13 @@ def _identity_matches(stored: "str | None", current: str) -> bool:
     is the strong form which detects a checkpoint wiped and recreated
     at the SAME path. When either side lacks an id (unreadable
     metadata), the paths decide, the best distinction available there.
-    Legacy stored values (a bare id or bare path from a pre-dual-form
-    store) match either component of ``current``."""
+    Legacy stored values from a pre-dual-form store: a bare path
+    matches the current path; a bare query id matches the current id,
+    and when the current id is UNREADABLE it is accepted — a bare id
+    can never equal a path, and failing there would brick every
+    legitimate crash replay of a legacy table behind a transiently
+    unreadable metadata file (a wipe is undetectable in that state
+    under any scheme — the path fallback matches too)."""
     import json as _json
 
     if stored is None:
@@ -653,7 +658,12 @@ def _identity_matches(stored: "str | None", current: str) -> bool:
         if not isinstance(st, dict):
             raise ValueError(stored)
     except ValueError:
-        return stored in (cur["id"], cur["path"])
+        if stored in (cur["id"], cur["path"]):
+            return True
+        # bare legacy query id vs id-less current identity: unverifiable
+        # either way; trust the replay guard (paths can't disagree here
+        # because a bare id never looks like an abspath)
+        return cur["id"] is None and not stored.startswith("/")
     if st.get("id") is not None and cur.get("id") is not None:
         return st["id"] == cur["id"]
     return st.get("path") == cur.get("path")

@@ -153,3 +153,21 @@ def test_interval_coverage_matches_python(spark):
     }
     want = py_coverage(rows, 37)
     assert got == {k: (c, n) for k, (c, n) in want.items()}
+
+
+def test_interval_coverage_touching_windows_merge(spark):
+    """A window starting exactly where the previous one ends touches
+    it: the union is contiguous, so it must count as ONE maximal run
+    (and contribute its full length) — the semantics the pure-Python
+    contiguity reference and the SQL oracle both pin."""
+    from bangumi_notion_data_integration_project_spark.operators.intervals import (
+        interval_coverage,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 0, 1), ("a", 100, 2), ("a", 201, 3)],
+        "user string, u long, event_id long",
+    )
+    [r] = interval_coverage(df, "user", F.col("u"), 100, ["event_id"]).collect()
+    # [0,100) + [100,200) touch -> one run; [201,301) starts past 200
+    assert (r["n_intervals"], r["covered_s"]) == (2, 300)

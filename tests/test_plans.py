@@ -646,30 +646,6 @@ def test_quantile_sketch_is_partial_topk_with_pruned_scan(spark):
     assert schemas == ["l_orderkey:bigint,l_linenumber:int,l_extendedprice:double"]
 
 
-def test_quantile_sketch_build_is_take_ordered(spark):
-    """The bottom-k cut must execute as TakeOrderedAndProject (per-
-    partition partial top-k, only k rows move), never a global Sort +
-    Limit over the raw table — that is the operator's whole scale
-    claim (operators/quantile_sketch.py). Asserted on the operator's
-    own plan: the registry query checkpoints the sketch before
-    extraction, so the build subtree is invisible in the final plan."""
-    from bangumi_notion_data_integration_project_spark.operators.quantile_sketch import (
-        quantile_sketch,
-    )
-
-    li = spark.read.parquet(SF_DIR + "/lineitem.parquet").select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
-    )
-    sk = quantile_sketch(li, "cents", ["l_orderkey", "l_linenumber"], k=2048)
-    plan = sk._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-    assert "TakeOrderedAndProject" in plan
-    assert "Exchange" not in plan  # nothing but the k-row merge moves
-
-
 def test_zipf_and_pmi_topk_are_take_ordered(spark):
     """Global top-N cuts (top-1000 vocab, top-50 collocations) must be
     TakeOrderedAndProject, not a single-partition full sort of the

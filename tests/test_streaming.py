@@ -1704,4 +1704,10 @@ def test_checkpoint_identity_dual_form(tmp_path):
     assert _identity_matches(qid, fresh) is False
     assert _identity_matches("ffffffff-0000-1111-2222-333333333333", fresh)
     assert _identity_matches(os.path.abspath(ckpt), pathonly)
+    # bare legacy id + UNREADABLE current metadata: unverifiable either
+    # way -> must match (failing would brick every legacy crash replay
+    # behind a transiently unreadable metadata file), while a bare path
+    # still only matches the path form
+    assert _identity_matches(qid, pathonly)
+    assert not _identity_matches("/some/other/path", pathonly)
     assert not _identity_matches(None, fresh)
