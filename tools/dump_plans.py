@@ -76,6 +76,13 @@ SHOWN = [
     ("orders_running_backlog", "interval-endpoint +-1 fold, prefix sum over O(days) aggregate"),
     ("events_debounce", "last-KEPT-anchor throttle, one key shuffle + JVM array fold"),
     ("docs_vocab_growth", "Heaps-law growth via first-bucket attribution (no recount)"),
+    ("orders_survival_km", "Kaplan-Meier steps, ordered product fold over O(durations) agg"),
+    ("revenue_acf", "lag-1..7 autocorrelation, exact DECIMAL moments on calendar-bounded agg"),
+    ("docs_pmi_collocations", "PMI top-50 via monotone integer ratio, TakeOrdered cut"),
+    ("docs_zipf_fit", "Zipf OLS, micro-int ln moments, TakeOrdered vocab cut"),
+    ("events_user_coverage", "interval-union coverage, running-max merge (no self-join)"),
+    ("orders_seasonal_decompose", "7-row moving-average decomposition, x7-integer-exact"),
+    ("docs_source_jsd", "pairwise source JSD, per-pair token union + nano-int sums"),
 ]
 
 

@@ -95,6 +95,17 @@ PROBED = [
     "docs_lang_topk_tokens",
     "docs_quality_joint_hist",
     "orders_dow_profile",
+    # round 7 second batch: KM steps + ACF + decomposition (all on
+    # calendar/duration-bounded aggregates -> expect flat), PMI + Zipf
+    # + JSD (token-count-bounded aggregates + TakeOrdered cuts),
+    # interval-union coverage (one per-user window)
+    "orders_survival_km",
+    "revenue_acf",
+    "orders_seasonal_decompose",
+    "docs_pmi_collocations",
+    "docs_zipf_fit",
+    "docs_source_jsd",
+    "events_user_coverage",
 ]
 SCALED_TABLES = {
     "lineitem": "l_orderkey",
