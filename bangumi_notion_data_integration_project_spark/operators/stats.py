@@ -257,3 +257,190 @@ def km_survival(
             F.aggregate("__fl", F.lit(1.0), lambda a, x: a * x), 6
         ).alias("survival"),
     ).orderBy(duration_col)
+
+
+def segmented_trend(
+    df: DataFrame,
+    order_col: str,
+    y_col: str,
+    *,
+    min_seg: int = 3,
+) -> DataFrame:
+    """Two-segment least-squares changepoint fit over an ordered,
+    integer-valued series: find the breakpoint k that minimizes
+    SSE(rows 1..k fit) + SSE(rows k+1..n fit), with the x-axis the row
+    index (uniform spacing).
+
+    Distributed shape: ONE ordered window pass accumulates the prefix
+    moments (Σt, Σy, Σt², Σty, Σy² — all exact integers in
+    DECIMAL(38,0)); every candidate breakpoint's two SSEs are then
+    CLOSED-FORM expressions of the prefix row and the broadcast totals
+    (suffix moment = total − prefix), so evaluating all n−2·min_seg+1
+    candidates costs one projection, not n regressions. The argmin is
+    a row_number under a (sse, k) total order. The input must already
+    be the per-period aggregate (one row per day/week/...) — the
+    window is single-partition ON PURPOSE, bounded by the calendar,
+    never by raw data volume.
+
+    Exactness across engines: every moment is an exact integer; each
+    SSE is m·SSE = A − B²/C with A = m·Σy²−(Σy)², B = m·Σty−Σt·Σy,
+    C = m·Σt²−(Σt)² evaluated in ONE double expression of those
+    integers — identical operand bits → identical doubles → identical
+    ranking in any engine (ties broken on k). C > 0 whenever m ≥ 2
+    because the t values are distinct ranks.
+
+    Returns one row: (breakpoint = ``order_col`` value of the LAST
+    point in the left segment, n_points, slope_left, slope_right,
+    sse_two, sse_single, rel_reduction); slopes are per-index-step in
+    y units. Needs n >= 2*min_seg rows (returns an empty frame below
+    that).
+    """
+    from pyspark.sql import Window
+
+    if min_seg < 2:
+        raise ValueError("min_seg must be >= 2 (a 1-point fit has no slope)")
+    w = Window.orderBy("__o")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (
+        df.select(F.col(order_col).alias("__o"), F.col(y_col).cast("long").alias("__y"))
+        .withColumn("__t", F.row_number().over(w).cast("long"))
+    )
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    pre = (
+        d.withColumn("__st", dec(F.sum("__t").over(wc)))
+        .withColumn("__sy", dec(F.sum("__y").over(wc)))
+        .withColumn("__stt", dec(F.sum(F.col("__t") * F.col("__t")).over(wc)))
+        .withColumn(
+            "__sty", dec(F.sum(dec(F.col("__t")) * F.col("__y")).over(wc))
+        )
+        .withColumn(
+            "__syy", dec(F.sum(dec(F.col("__y")) * F.col("__y")).over(wc))
+        )
+    )
+    # totals = the LAST row's prefix (max_by on __t), NOT max of the
+    # prefixes: signed y makes __sy/__sty non-monotone running sums
+    tot = pre.groupBy().agg(
+        F.max("__t").alias("__n"),
+        F.max_by("__st", "__t").alias("__tst"),
+        F.max_by("__sy", "__t").alias("__tsy"),
+        F.max_by("__stt", "__t").alias("__tstt"),
+        F.max_by("__sty", "__t").alias("__tsty"),
+        F.max_by("__syy", "__t").alias("__tsyy"),
+    )
+
+    def _sse(m, st, sy, stt, sty, syy):
+        a = (m * syy - sy * sy).cast("double")
+        b = (m * sty - st * sy).cast("double")
+        c = (m * stt - st * st).cast("double")
+        return a - b * b / c, b, c
+
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("__t") >= F.lit(min_seg))
+            & (F.col("__t") <= F.col("__n") - F.lit(min_seg))
+        )
+    )
+    ml = dec(F.col("__t"))
+    mr = dec(F.col("__n") - F.col("__t"))
+    sse_l, b_l, c_l = _sse(
+        ml, F.col("__st"), F.col("__sy"), F.col("__stt"), F.col("__sty"), F.col("__syy")
+    )
+    sse_r, b_r, c_r = _sse(
+        mr,
+        F.col("__tst") - F.col("__st"),
+        F.col("__tsy") - F.col("__sy"),
+        F.col("__tstt") - F.col("__stt"),
+        F.col("__tsty") - F.col("__sty"),
+        F.col("__tsyy") - F.col("__syy"),
+    )
+    scored = cand.select(
+        "__o",
+        "__t",
+        "__n",
+        (sse_l / ml.cast("double") + sse_r / mr.cast("double")).alias("__sse2"),
+        (b_l / c_l).alias("__sl"),
+        (b_r / c_r).alias("__sr"),
+        "__tst",
+        "__tsy",
+        "__tstt",
+        "__tsty",
+        "__tsyy",
+    )
+    w_min = Window.orderBy(F.col("__sse2").asc(), F.col("__t").asc())
+    best = scored.withColumn("__rk", F.row_number().over(w_min)).filter(
+        F.col("__rk") == 1
+    )
+    mn = dec(F.col("__n"))
+    sse_1, _b1, _c1 = _sse(
+        mn, F.col("__tst"), F.col("__tsy"), F.col("__tstt"), F.col("__tsty"), F.col("__tsyy")
+    )
+    sse_single = sse_1 / mn.cast("double")
+    return best.select(
+        F.col("__o").alias("breakpoint"),
+        F.col("__n").alias("n_points"),
+        F.round(F.col("__sl"), 6).alias("slope_left"),
+        F.round(F.col("__sr"), 6).alias("slope_right"),
+        F.round(F.col("__sse2"), 4).alias("sse_two"),
+        F.round(sse_single, 4).alias("sse_single"),
+        F.round((sse_single - F.col("__sse2")) / sse_single, 6).alias(
+            "rel_reduction"
+        ),
+    )
+
+
+def km_survival_grouped(
+    df: DataFrame,
+    group_cols: "list[str]",
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Per-group Kaplan-Meier: one survival step table per key (churn
+    curves per segment/cohort). Same construction as
+    :func:`km_survival` with every window partitioned by the group
+    columns — so no task ever holds more than one group's
+    duration-bounded aggregate, and the per-group ordered product fold
+    is identical to the global operator's (differential-tested)."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must name at least one column")
+    per_t = df.groupBy(*groups, F.col(duration_col).alias("__t")).agg(
+        F.count("*").cast("long").alias("__ends"),
+        F.sum(F.col(event_col).cast("long")).cast("long").alias("n_events"),
+    )
+    total = per_t.groupBy(*groups).agg(
+        F.sum("__ends").cast("long").alias("__total")
+    )
+    w_prev = (
+        Window.partitionBy(*groups)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    at_risk = per_t.join(total, groups).withColumn(
+        "n_at_risk",
+        (
+            F.col("__total")
+            - F.coalesce(F.sum("__ends").over(w_prev), F.lit(0))
+        ).cast("long"),
+    )
+    steps = at_risk.filter(F.col("n_events") > 0)
+    w_cum = (
+        Window.partitionBy(*groups)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    factors = steps.withColumn(
+        "__f",
+        F.lit(1.0) - F.col("n_events") / F.col("n_at_risk"),
+    ).withColumn("__fl", F.collect_list("__f").over(w_cum))
+    return factors.select(
+        *groups,
+        F.col("__t").alias(duration_col),
+        "n_at_risk",
+        "n_events",
+        F.round(
+            F.aggregate("__fl", F.lit(1.0), lambda a, x: a * x), 6
+        ).alias("survival"),
+    ).orderBy(*groups, duration_col)

@@ -232,3 +232,104 @@ def peak_concurrency_stream_watermarked(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+COVERAGE_WM_SCHEMA = (
+    "user_id bigint, n_events bigint, n_intervals bigint,"
+    " covered_s bigint, n_pending bigint, n_dropped bigint"
+)
+_COVERAGE_WM_STATE_SCHEMA = (
+    "buf array<bigint>, frontier bigint, covered bigint,"
+    " n_iv bigint, run_end bigint, dropped bigint, n_seen bigint"
+)
+
+
+def coverage_stream_watermarked(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    duration_s: int = 1800,
+    lateness_s: int = 3600,
+) -> DataFrame:
+    """Streaming twin of ``operators/intervals.interval_coverage``:
+    per-key union length of fixed ``[t, t+duration_s)`` activity
+    windows, tolerant of out-of-order arrival up to ``lateness_s``.
+
+    Same frontier + pending-buffer design as
+    :func:`peak_concurrency_stream_watermarked`: arrivals buffer until
+    the per-key event-time frontier (max seen − lateness) passes them,
+    then drain in event-time order through the same merge the batch
+    operator does — a single running ``run_end``: a drained window
+    starting at or before it extends the current maximal run
+    (contributing only its overhang), one starting strictly after it
+    opens a new run. Whole-second arithmetic and the touching-windows-
+    merge rule match the batch operator exactly, which is what the
+    closed-portion differential test pins. Events older than the
+    frontier at arrival count in ``n_dropped`` — the already-drained
+    prefix cannot be re-merged without unbounded state.
+
+    State per key: the pending buffer (bounded by events inside one
+    lateness window) plus five scalars. Unlike the sketch twins this
+    fold is NOT replay-idempotent by algebra — covered_s is a sum — so
+    exactly-once delivery relies on the engine checkpoint, same as the
+    concurrency twin.
+    """
+    late = int(lateness_s)
+    dur = int(duration_s)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            buf_stored, frontier, covered, n_iv, run_end, dropped, n_seen = state.get
+            buf = list(buf_stored)
+        else:
+            buf, frontier, covered, n_iv, run_end, dropped, n_seen = (
+                [], _FRONTIER_MIN, 0, 0, _FRONTIER_MIN, 0, 0,
+            )
+        new_s: list[int] = []
+        for pdf in pdfs:
+            if len(pdf):
+                new_s.extend(
+                    (pdf["ts"].astype("int64") // 1_000_000_000).tolist()
+                )
+        n_seen += len(new_s)
+        for t in new_s:
+            if t <= frontier:
+                dropped += 1  # its stretch of the timeline already drained
+            else:
+                buf.append(t)
+        if new_s:
+            frontier = max(frontier, max(new_s) - late)
+        ready = sorted(t for t in buf if t <= frontier)
+        buf = [t for t in buf if t > frontier]
+        for t in ready:
+            e = t + dur
+            if t > run_end:  # strict: touching windows merge (batch rule)
+                n_iv += 1
+                covered += dur
+                run_end = e
+            elif e > run_end:
+                covered += e - run_end
+                run_end = e
+        state.update((buf, frontier, covered, n_iv, run_end, dropped, n_seen))
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n_seen,
+                    "n_intervals": n_iv,
+                    "covered_s": covered,
+                    "n_pending": len(buf),
+                    "n_dropped": dropped,
+                }
+            ]
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=COVERAGE_WM_SCHEMA,
+        stateStructType=_COVERAGE_WM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

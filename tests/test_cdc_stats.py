@@ -394,3 +394,89 @@ def test_km_survival_all_events_reaches_zero(spark):
     rows = km_survival(df, "duration", "event").collect()
     assert [r["n_at_risk"] for r in rows] == [4, 3, 1]
     assert rows[-1]["survival"] == 0.0
+
+
+def test_segmented_trend_finds_exact_breakpoint(spark):
+    """Noise-free piecewise-linear input: the two-segment fit must
+    land exactly on the construction breakpoint with zero SSE and
+    recover both slopes."""
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        segmented_trend,
+    )
+
+    # a LEVEL JUMP at the junction so the point at day 30 lies on
+    # neither extension - without it both k=29 and k=30 give zero SSE
+    rows = [(i, 100 * i) for i in range(1, 31)] + [
+        (i, 2000 + 5 * (i - 30)) for i in range(31, 61)
+    ]
+    df = spark.createDataFrame(rows, "day long, y long")
+    [r] = segmented_trend(df, "day", "y").collect()
+    assert r["n_points"] == 60
+    # SSE is zero on both sides only when the split is at day 30
+    # (left fit y=100t exact, right fit y=5t+c exact)
+    assert r["breakpoint"] == 30
+    assert r["slope_left"] == 100.0
+    assert r["slope_right"] == 5.0
+    assert r["sse_two"] == 0.0
+    assert r["rel_reduction"] == 1.0
+
+
+def test_segmented_trend_matches_numpy(spark):
+    """Random integer series: the chosen breakpoint and SSE must match
+    an independent numpy scan over every candidate split."""
+    import random
+
+    import numpy as np
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        segmented_trend,
+    )
+
+    rng = random.Random(11)
+    ys = [rng.randrange(-500, 500) for _ in range(40)]
+    df = spark.createDataFrame(
+        [(i + 1, y) for i, y in enumerate(ys)], "idx long, y long"
+    )
+    [r] = segmented_trend(df, "idx", "y", min_seg=3).collect()
+
+    def sse(seg):
+        t = np.arange(1, len(seg) + 1, dtype=float)
+        y = np.asarray(seg, dtype=float)
+        resid = y - np.polyval(np.polyfit(t, y, 1), t)
+        return float(resid @ resid)
+
+    best = min(
+        (sse(ys[:k]) + sse(ys[k:]), k) for k in range(3, len(ys) - 3 + 1)
+    )
+    assert r["breakpoint"] == best[1]
+    assert abs(r["sse_two"] - best[0]) < 1e-4 * max(1.0, best[0])
+
+
+def test_km_survival_grouped_matches_global_per_group(spark):
+    """The grouped KM must equal the global operator applied to each
+    group's rows separately."""
+    import random
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        km_survival,
+        km_survival_grouped,
+    )
+
+    rng = random.Random(5)
+    rows = [
+        (rng.choice(["x", "y", "z"]), rng.randint(0, 12), rng.randint(0, 1))
+        for _ in range(120)
+    ]
+    df = spark.createDataFrame(rows, "seg string, duration long, event long")
+    got = sorted(
+        (r["seg"], r["duration"], r["n_at_risk"], r["n_events"], r["survival"])
+        for r in km_survival_grouped(df, ["seg"], "duration", "event").collect()
+    )
+    want = []
+    for seg in ("x", "y", "z"):
+        sub = df.filter(F.col("seg") == seg)
+        for r in km_survival(sub, "duration", "event").collect():
+            want.append(
+                (seg, r["duration"], r["n_at_risk"], r["n_events"], r["survival"])
+            )
+    assert got == sorted(want)

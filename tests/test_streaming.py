@@ -1711,3 +1711,94 @@ def test_checkpoint_identity_dual_form(tmp_path):
     assert _identity_matches(qid, pathonly)
     assert not _identity_matches("/some/other/path", pathonly)
     assert not _identity_matches(None, fresh)
+
+
+@pytest.mark.parametrize("seed", [3, 23])
+def test_streaming_coverage_out_of_order_closed_portion(spark, tmp_path, seed):
+    """Bounded-lateness coverage twin: replay events in a shuffled
+    arrival order with displacement under the lateness, and the closed
+    portion (ts <= final per-key frontier) must equal the BATCH
+    interval_coverage over exactly those events — same whole-second
+    merge, same touching-windows rule, nothing dropped, the open tail
+    in n_pending."""
+    import random
+
+    from bangumi_notion_data_integration_project_spark.operators.intervals import (
+        interval_coverage,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.stateful import (
+        coverage_stream_watermarked,
+    )
+
+    rng = random.Random(seed)
+    minute = lambda m: f"2024-01-01 {m // 60:02d}:{m % 60:02d}:00"  # noqa: E731
+    ts_minutes = [rng.randint(0, 600) for _ in range(90)]
+    rows = [
+        (i, minute(m), rng.choice([1, 2]), "e", 0.0)
+        for i, m in enumerate(ts_minutes)
+    ]
+    # jitter ±10 min, lateness 30 min -> nothing can arrive pre-closed
+    arrival = sorted(
+        range(len(rows)), key=lambda i: ts_minutes[i] + rng.uniform(-10, 10)
+    )
+    shuffled = [rows[i] for i in arrival]
+
+    inp = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    emitted: dict[int, tuple[int, int, int, int]] = {}
+
+    def run_once():
+        def sink(batch, _bid):
+            for r in batch.collect():
+                emitted[r["user_id"]] = (
+                    r["n_intervals"], r["covered_s"], r["n_pending"], r["n_dropped"],
+                )
+
+        q = (
+            coverage_stream_watermarked(
+                read_event_stream(spark, inp, SCHEMA),
+                duration_s=900,
+                lateness_s=1800,
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    third = len(shuffled) // 3
+    for i in range(3):
+        hi = None if i == 2 else (i + 1) * third
+        _write_batch(spark, inp, shuffled[i * third : hi])
+        run_once()
+
+    by_key: dict[int, list[int]] = {}
+    for _, ts, uid, _, _ in rows:
+        m = int(ts[11:13]) * 60 + int(ts[14:16])
+        by_key.setdefault(uid, []).append(m)
+    frontier = {k: max(v) * 60 - 1800 for k, v in by_key.items()}
+    closed = [
+        r for r in rows
+        if (int(r[1][11:13]) * 60 + int(r[1][14:16])) * 60 <= frontier[r[2]]
+    ]
+    want = {
+        r["user_id"]: (r["n_intervals"], r["covered_s"])
+        for r in interval_coverage(
+            _rows(spark, closed).select(
+                "user_id", "event_id", F.unix_timestamp("ts").cast("long").alias("u")
+            ),
+            "user_id",
+            F.col("u"),
+            900,
+            ["event_id"],
+        ).collect()
+    }
+    for k, mins in by_key.items():
+        n_iv, covered, pending, dropped = emitted[k]
+        assert dropped == 0, f"user {k}: bounded-lateness arrival dropped events"
+        w_iv, w_cov = want.get(k, (0, 0))
+        assert (n_iv, covered) == (w_iv, w_cov), f"user {k}: closed portion diverges"
+        tail = sum(1 for m in mins if m * 60 > frontier[k])
+        assert pending == tail, f"user {k}: pending tail miscounted"
