@@ -444,3 +444,54 @@ def km_survival_grouped(
             F.aggregate("__fl", F.lit(1.0), lambda a, x: a * x), 6
         ).alias("survival"),
     ).orderBy(*groups, duration_col)
+
+
+def pacf_from_acf(acf_df: DataFrame, *, max_lag: int) -> DataFrame:
+    """Partial autocorrelation via the Durbin-Levinson recursion, from
+    an already-computed autocorrelation table ``(lag, acf)`` (lags
+    1..max_lag, e.g. ``revenue_acf``'s output).
+
+    The recursion is inherently sequential in the lag index but the
+    input is max_lag rows — a BOUNDED driver-side collect (the same
+    budget class as the BPE winner row), never data-scale work; the
+    result returns as a max_lag-row DataFrame.
+
+    Determinism contract for a cross-engine oracle: the recursion
+    consumes the acf values EXACTLY as stored (already rounded by the
+    producer) and performs plain double arithmetic in a fixed order —
+    an unrolled SQL replay of the same steps on the same inputs
+    reproduces it bit-for-bit (the unrolled-iteration oracle pattern:
+    pagerank/k-core/BPE). phi_kk is reported rounded at 1e-6.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    rows = acf_df.orderBy("lag").collect()
+    r = {int(row["lag"]): float(row["acf"]) for row in rows}
+    missing = [k for k in range(1, max_lag + 1) if k not in r]
+    if missing:
+        raise ValueError(f"acf table is missing lags {missing}")
+    # Durbin-Levinson: phi[k][k] is the PACF at lag k
+    phi_prev: list[float] = []
+    out = []
+    for k in range(1, max_lag + 1):
+        if k == 1:
+            phi_kk = r[1]
+            denom = 1.0 - r[1] * r[1]
+        else:
+            num = r[k]
+            for j in range(1, k):
+                num = num - phi_prev[j - 1] * r[k - j]
+            phi_kk = num / denom
+        phi_new = [
+            phi_prev[j - 1] - phi_kk * phi_prev[k - 1 - j] for j in range(1, k)
+        ]
+        phi_new.append(phi_kk)
+        if k > 1:
+            denom = denom * (1.0 - phi_kk * phi_kk)
+        else:
+            phi_new = [phi_kk]
+        phi_prev = phi_new
+        out.append((k, phi_kk))
+    spark = acf_df.sparkSession
+    res = spark.createDataFrame(out, "lag long, pacf_raw double")
+    return res.select("lag", F.round("pacf_raw", 6).alias("pacf")).orderBy("lag")

@@ -480,3 +480,41 @@ def test_km_survival_grouped_matches_global_per_group(spark):
                 (seg, r["duration"], r["n_at_risk"], r["n_events"], r["survival"])
             )
     assert got == sorted(want)
+
+
+def test_pacf_matches_toeplitz_solve(spark):
+    """Durbin-Levinson PACF must match the independent definition: the
+    last coefficient of the Yule-Walker solve R_k phi = r for each k
+    (numpy Toeplitz system)."""
+    import numpy as np
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        pacf_from_acf,
+    )
+
+    # a valid ACF sequence: take one from an AR(2)-ish decay
+    acf = [0.62, 0.31, 0.12, 0.05, -0.03, -0.07, -0.02]
+    df = spark.createDataFrame(
+        [(i + 1, v) for i, v in enumerate(acf)], "lag long, acf double"
+    )
+    got = {r["lag"]: r["pacf"] for r in pacf_from_acf(df, max_lag=7).collect()}
+    full = [1.0] + acf
+    for k in range(1, 8):
+        R = np.array([[full[abs(i - j)] for j in range(k)] for i in range(k)])
+        rhs = np.array(acf[:k])
+        want = float(np.linalg.solve(R, rhs)[-1])
+        # the operator rounds pacf at 1e-6; the recursion itself is
+        # exact to ~1e-16 (verified inline in development)
+        assert abs(got[k] - want) < 5.1e-7, (k, got[k], want)
+
+
+def test_pacf_requires_contiguous_lags(spark):
+    import pytest as _pytest
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        pacf_from_acf,
+    )
+
+    df = spark.createDataFrame([(1, 0.5), (3, 0.1)], "lag long, acf double")
+    with _pytest.raises(ValueError, match="missing lags"):
+        pacf_from_acf(df, max_lag=3)
