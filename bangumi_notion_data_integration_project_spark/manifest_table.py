@@ -321,6 +321,47 @@ class ManifestTable:
 
     # -- maintenance --------------------------------------------------
 
+    def compact(
+        self,
+        spark: SparkSession,
+        *,
+        min_files: int = 2,
+        files_per_partition: int = 1,
+    ) -> list[str]:
+        """Small-files maintenance: rewrite every committed partition
+        whose directory holds >= ``min_files`` parquet data files down
+        to ``files_per_partition``, through the SAME atomic commit path
+        as a data write — readers see either the fragmented version or
+        the compacted one, never a mix, and a crash mid-compaction
+        leaves the table untouched (staged files unreferenced, gc
+        reclaims). Rows are byte-identical; the stored commit ``meta``
+        (e.g. a streaming watermark) is carried forward unchanged.
+
+        Returns the partition keys rewritten. At warehouse scale run
+        it per-partition-subset on a schedule; each call's cost is one
+        read+write of the touched partitions only (manifest pruning
+        scopes the scan), which is the standard bin-packing OPTIMIZE
+        shape."""
+        m = self.manifest()
+        if m is None:
+            return []
+        victims: list[str] = []
+        dirs: list[str] = []
+        for key, ent in m["partitions"].items():
+            d = os.path.join(self.table_dir, ent["dir"])
+            n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+            if n >= min_files:
+                victims.append(key)
+                dirs.append(d)
+        if not victims:
+            return []
+        # partition values ride IN the data files (commit() stages
+        # shadow copies and keeps the originals), so reading the leaf
+        # dirs yields exactly the rows + partition columns to restage
+        df = spark.read.parquet(*dirs).coalesce(int(files_per_partition))
+        self.commit(df, meta=self.meta())
+        return victims
+
     def gc(self) -> list[str]:
         """Reclaim everything the current manifest does not reference:
         abandoned staging roots, data dirs orphaned by crashes between

@@ -253,3 +253,41 @@ def test_merge_into_manifest_first_commit_bootstraps(spark, tmp_path):
     )
     assert _rows(t.read(spark)) == [("day", 2024, "a", 1)]
     assert t.meta() == {"b": 1}
+
+
+def test_compact_merges_small_files_preserving_rows_and_meta(spark, tmp_path):
+    """compact() rewrites fragmented partitions down to one file each
+    through the normal commit path: rows byte-identical, stored commit
+    meta (a streaming watermark) carried forward, untouched partitions
+    left alone, orphaned fragment dirs reclaimed."""
+    t = ManifestTable(str(tmp_path / "t"), ["grain"])
+    frag = _mk(
+        spark,
+        [("day", 2024, f"k{i}", i) for i in range(24)]
+        + [("week", 2024, "w", 99)],
+    ).repartition(6)
+    t.commit(frag, meta={"batch_id": 7})
+    m = t.manifest()
+
+    def n_files(key):
+        d = os.path.join(t.table_dir, t.manifest()["partitions"][key]["dir"])
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    day_key = json.dumps(["day"])
+    week_key = json.dumps(["week"])
+    assert n_files(day_key) > 1  # repartition(6) fragments the leaf
+    before = _rows(t.read(spark))
+    before_week_dir = m["partitions"][week_key]["dir"]
+
+    rewritten = t.compact(spark, min_files=2)
+    assert day_key in rewritten
+    assert n_files(day_key) == 1
+    assert _rows(t.read(spark)) == before
+    assert t.meta() == {"batch_id": 7}, "compaction must not wipe the watermark"
+    m2 = t.manifest()
+    assert m2["version"] == m["version"] + 1
+    if week_key not in rewritten:  # single-file partition untouched
+        assert m2["partitions"][week_key]["dir"] == before_week_dir
+
+    # idempotent: nothing left to compact
+    assert t.compact(spark, min_files=2) == []
