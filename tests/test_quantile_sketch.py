@@ -141,3 +141,38 @@ def test_grouped_quantile_extraction(spark):
         for r in grouped_sketch_quantiles(sk, ["g"], [0.5, 1.0]).collect()
     }
     assert est == {(0, 0.5): 49.0, (0, 1.0): 99.0, (1, 0.5): 499.0, (1, 1.0): 999.0}
+
+
+@pytest.mark.parametrize("seed", [2, 9])
+def test_merge_random_shard_splits_equals_whole(spark, lineitem, seed):
+    """Semilattice property under ARBITRARY sharding: split the input
+    into a random number of shards by a random hash, sketch each,
+    merge in shard order AND in reversed order — every path must equal
+    the direct whole-input sketch row for row (the contract the
+    (hash, value) total-order cut guarantees even at the k-th-boundary
+    tie)."""
+    import random
+
+    rng = random.Random(seed)
+    n_shards = rng.randint(2, 5)
+    salt = rng.randint(0, 10**6)
+    df = lineitem.withColumn(
+        "__shard",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber", F.lit(salt)), F.lit(n_shards)),
+    )
+    shards = [
+        quantile_sketch(
+            df.filter(F.col("__shard") == i).drop("__shard"),
+            "l_extendedprice",
+            ["l_orderkey", "l_linenumber"],
+            k=256,
+        )
+        for i in range(n_shards)
+    ]
+    whole = _rows(
+        quantile_sketch(
+            lineitem, "l_extendedprice", ["l_orderkey", "l_linenumber"], k=256
+        )
+    )
+    assert _rows(merge_quantile_sketches(shards, k=256)) == whole
+    assert _rows(merge_quantile_sketches(list(reversed(shards)), k=256)) == whole
