@@ -342,6 +342,15 @@ class ManifestTable:
         read+write of the touched partitions only (manifest pruning
         scopes the scan), which is the standard bin-packing OPTIMIZE
         shape."""
+        if files_per_partition < 1:
+            raise ValueError("files_per_partition must be >= 1")
+        if min_files <= files_per_partition:
+            # otherwise the rewrite can land back at >= min_files files
+            # and every scheduled run re-selects the same victims forever
+            raise ValueError(
+                "min_files must exceed files_per_partition or compaction"
+                " never converges"
+            )
         m = self.manifest()
         if m is None:
             return []
@@ -359,7 +368,10 @@ class ManifestTable:
         # shadow copies and keeps the originals), so reading the leaf
         # dirs yields exactly the rows + partition columns to restage
         df = spark.read.parquet(*dirs).coalesce(int(files_per_partition))
-        self.commit(df, meta=self.meta())
+        # carry meta from the SAME manifest snapshot the victims were
+        # selected from (re-reading could interleave with a concurrent
+        # metadata-only commit in the writer process)
+        self.commit(df, meta=dict(m.get("meta") or {}))
         return victims
 
     def gc(self) -> list[str]:

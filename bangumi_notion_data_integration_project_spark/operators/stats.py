@@ -192,6 +192,67 @@ def cusum_peaks(
     )
 
 
+def _km_steps(df: DataFrame, groups: "list[str]", duration_col: str, event_col: str) -> DataFrame:
+    """Shared Kaplan-Meier construction (see :func:`km_survival` for
+    the statistics): one implementation parameterized by the grouping
+    columns so the global and grouped operators can never diverge on
+    the conventions (events-before-censoring, n_events>0 steps, the
+    ordered collect_list product fold, round at 1e-6)."""
+    from pyspark.sql import Window
+
+    per_t = df.groupBy(*groups, F.col(duration_col).alias("__t")).agg(
+        F.count("*").cast("long").alias("__ends"),
+        F.sum(F.col(event_col).cast("long")).cast("long").alias("n_events"),
+    )
+    if groups:
+        total = per_t.groupBy(*groups).agg(
+            F.sum("__ends").cast("long").alias("__total")
+        )
+        based = per_t.join(total, groups)
+        w_prev = (
+            Window.partitionBy(*groups)
+            .orderBy("__t")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        w_cum = (
+            Window.partitionBy(*groups)
+            .orderBy("__t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        total = per_t.agg(F.sum("__ends").cast("long").alias("__total"))
+        based = per_t.crossJoin(F.broadcast(total))
+        w_prev = Window.orderBy("__t").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        w_cum = Window.orderBy("__t").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    at_risk = based.withColumn(
+        "n_at_risk",
+        (
+            F.col("__total")
+            - F.coalesce(F.sum("__ends").over(w_prev), F.lit(0))
+        ).cast("long"),
+    )
+    factors = (
+        at_risk.filter(F.col("n_events") > 0)
+        .withColumn(
+            "__f", F.lit(1.0) - F.col("n_events") / F.col("n_at_risk")
+        )
+        .withColumn("__fl", F.collect_list("__f").over(w_cum))
+    )
+    return factors.select(
+        *groups,
+        F.col("__t").alias(duration_col),
+        "n_at_risk",
+        "n_events",
+        F.round(
+            F.aggregate("__fl", F.lit(1.0), lambda a, x: a * x), 6
+        ).alias("survival"),
+    ).orderBy(*groups, duration_col)
+
+
 def km_survival(
     df: DataFrame,
     duration_col: str,
@@ -224,39 +285,26 @@ def km_survival(
     same reason the sketch extractors' are: the input is the bounded
     aggregate, never raw rows.
     """
-    from pyspark.sql import Window
+    return _km_steps(df, [], duration_col, event_col)
 
-    per_t = df.groupBy(F.col(duration_col).alias("__t")).agg(
-        F.count("*").cast("long").alias("__ends"),
-        F.sum(F.col(event_col).cast("long")).cast("long").alias("n_events"),
-    )
-    total = per_t.agg(F.sum("__ends").cast("long").alias("__total"))
-    w_prev = Window.orderBy("__t").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    at_risk = per_t.crossJoin(F.broadcast(total)).withColumn(
-        "n_at_risk",
-        (
-            F.col("__total")
-            - F.coalesce(F.sum("__ends").over(w_prev), F.lit(0))
-        ).cast("long"),
-    )
-    steps = at_risk.filter(F.col("n_events") > 0)
-    w_cum = Window.orderBy("__t").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    factors = steps.withColumn(
-        "__f",
-        F.lit(1.0) - F.col("n_events") / F.col("n_at_risk"),
-    ).withColumn("__fl", F.collect_list("__f").over(w_cum))
-    return factors.select(
-        F.col("__t").alias(duration_col),
-        "n_at_risk",
-        "n_events",
-        F.round(
-            F.aggregate("__fl", F.lit(1.0), lambda a, x: a * x), 6
-        ).alias("survival"),
-    ).orderBy(duration_col)
+
+def km_survival_grouped(
+    df: DataFrame,
+    group_cols: "list[str]",
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Per-group Kaplan-Meier: one survival step table per key (churn
+    curves per segment/cohort). Same construction as
+    :func:`km_survival` — literally the same code path, parameterized
+    by the group columns — with every window partitioned by the key,
+    so no task ever holds more than one group's duration-bounded
+    aggregate (differential-tested against the global operator per
+    group)."""
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must name at least one column")
+    return _km_steps(df, groups, duration_col, event_col)
 
 
 def segmented_trend(
@@ -302,7 +350,13 @@ def segmented_trend(
     w = Window.orderBy("__o")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = (
-        df.select(F.col(order_col).alias("__o"), F.col(y_col).cast("long").alias("__y"))
+        df.select(
+            # DECIMAL cast like ols_fit: fractional input rounds (the
+            # module contract is integer-valued y; a stray double must
+            # not silently TRUNCATE toward zero)
+            F.col(order_col).alias("__o"),
+            F.col(y_col).cast(_DEC).alias("__y"),
+        )
         .withColumn("__t", F.row_number().over(w).cast("long"))
     )
     dec = lambda c: c.cast(_DEC)  # noqa: E731
@@ -316,6 +370,7 @@ def segmented_trend(
         .withColumn(
             "__syy", dec(F.sum(dec(F.col("__y")) * F.col("__y")).over(wc))
         )
+        .localCheckpoint(eager=False)  # referenced by tot AND cand below
     )
     # totals = the LAST row's prefix (max_by on __t), NOT max of the
     # prefixes: signed y makes __sy/__sty non-monotone running sums
@@ -383,9 +438,15 @@ def segmented_trend(
         F.round(F.col("__sr"), 6).alias("slope_right"),
         F.round(F.col("__sse2"), 4).alias("sse_two"),
         F.round(sse_single, 4).alias("sse_single"),
-        F.round((sse_single - F.col("__sse2")) / sse_single, 6).alias(
-            "rel_reduction"
-        ),
+        # a perfectly-linear series has sse_single == 0 exactly; under
+        # Spark 4 ANSI mode the bare division would throw DIVIDE_BY_ZERO
+        F.round(
+            F.when(
+                sse_single > 0.0,
+                (sse_single - F.col("__sse2")) / sse_single,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rel_reduction"),
     )
 
 
@@ -466,6 +527,9 @@ def pacf_from_acf(acf_df: DataFrame, *, max_lag: int) -> DataFrame:
     if max_lag < 1:
         raise ValueError("max_lag must be >= 1")
     rows = acf_df.orderBy("lag").collect()
+    for row in rows:
+        if row["acf"] is None:
+            raise ValueError(f"acf is NULL at lag {row['lag']}")
     r = {int(row["lag"]): float(row["acf"]) for row in rows}
     missing = [k for k in range(1, max_lag + 1) if k not in r]
     if missing:
@@ -476,20 +540,23 @@ def pacf_from_acf(acf_df: DataFrame, *, max_lag: int) -> DataFrame:
     for k in range(1, max_lag + 1):
         if k == 1:
             phi_kk = r[1]
-            denom = 1.0 - r[1] * r[1]
         else:
+            if denom == 0.0:
+                raise ValueError(
+                    f"degenerate ACF: prediction variance hit 0 before lag {k}"
+                    " (|pacf| reached 1 — the process is deterministic)"
+                )
             num = r[k]
             for j in range(1, k):
                 num = num - phi_prev[j - 1] * r[k - j]
             phi_kk = num / denom
+        # for k == 1 the comprehension below is empty, so phi_new ends
+        # up [phi_kk] with no special-casing
         phi_new = [
             phi_prev[j - 1] - phi_kk * phi_prev[k - 1 - j] for j in range(1, k)
         ]
         phi_new.append(phi_kk)
-        if k > 1:
-            denom = denom * (1.0 - phi_kk * phi_kk)
-        else:
-            phi_new = [phi_kk]
+        denom = (1.0 - r[1] * r[1]) if k == 1 else denom * (1.0 - phi_kk * phi_kk)
         phi_prev = phi_new
         out.append((k, phi_kk))
     spark = acf_df.sparkSession

@@ -518,3 +518,37 @@ def test_pacf_requires_contiguous_lags(spark):
     df = spark.createDataFrame([(1, 0.5), (3, 0.1)], "lag long, acf double")
     with _pytest.raises(ValueError, match="missing lags"):
         pacf_from_acf(df, max_lag=3)
+
+
+def test_segmented_trend_linear_input_no_divide_by_zero(spark):
+    """A perfectly-linear series (sse_single == 0 exactly) must return
+    rel_reduction 0, not throw ANSI DIVIDE_BY_ZERO."""
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        segmented_trend,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 10 * i) for i in range(1, 13)], "day long, y long"
+    )
+    [r] = segmented_trend(df, "day", "y").collect()
+    assert r["sse_single"] == 0.0
+    assert r["rel_reduction"] == 0.0
+
+
+def test_pacf_rejects_null_and_degenerate_acf(spark):
+    import pytest as _pytest
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        pacf_from_acf,
+    )
+
+    null_df = spark.createDataFrame(
+        [(1, 0.5), (2, None)], "lag long, acf double"
+    )
+    with _pytest.raises(ValueError, match="NULL at lag 2"):
+        pacf_from_acf(null_df, max_lag=2)
+    degen = spark.createDataFrame(
+        [(1, 1.0), (2, 0.9)], "lag long, acf double"
+    )
+    with _pytest.raises(ValueError, match="degenerate ACF"):
+        pacf_from_acf(degen, max_lag=2)

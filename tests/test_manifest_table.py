@@ -291,3 +291,9 @@ def test_compact_merges_small_files_preserving_rows_and_meta(spark, tmp_path):
 
     # idempotent: nothing left to compact
     assert t.compact(spark, min_files=2) == []
+
+    # non-convergent parameterizations are rejected up front
+    with pytest.raises(ValueError, match="never converges"):
+        t.compact(spark, min_files=2, files_per_partition=2)
+    with pytest.raises(ValueError, match=">= 1"):
+        t.compact(spark, min_files=2, files_per_partition=0)
