@@ -562,3 +562,54 @@ def pacf_from_acf(acf_df: DataFrame, *, max_lag: int) -> DataFrame:
     spark = acf_df.sparkSession
     res = spark.createDataFrame(out, "lag long, pacf_raw double")
     return res.select("lag", F.round("pacf_raw", 6).alias("pacf")).orderBy("lag")
+
+
+def pacf_unrolled_sql(acf_sql: str, max_lag: int) -> str:
+    """Generate the DuckDB oracle for :func:`pacf_from_acf`: the
+    Durbin-Levinson recursion UNROLLED into a chain of single-row CTEs
+    (the pagerank/k-core/BPE unrolled-iteration oracle pattern).
+
+    ``acf_sql`` must be a query yielding ``(lag, acf)`` for lags
+    1..max_lag — normally the registered ACF oracle itself, so both
+    engines consume bit-identical inputs. Every float operation is
+    emitted in EXACTLY the order the Python recursion performs it
+    (left-folded numerator subtractions, ``num / denom``,
+    ``prev - phi_kk * mirror``, ``v * (1 - phi**2)``), which makes the
+    SQL replay bit-for-bit equal: subtraction/division order is
+    preserved and IEEE multiplication is commutative at the bit level.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    a = ", ".join(
+        f"max(CASE WHEN lag = {k} THEN acf END) AS a{k}"
+        for k in range(1, max_lag + 1)
+    )
+    ctes = [f"__acf AS ({acf_sql})", f"__r AS (SELECT {a} FROM __acf)"]
+    prev = "__r"
+    for k in range(1, max_lag + 1):
+        if k == 1:
+            ctes.append(
+                f"__d1 AS (SELECT *, a1 AS p1_1, 1.0 - a1 * a1 AS v1 FROM {prev})"
+            )
+            prev = "__d1"
+            continue
+        num = f"a{k}"
+        for j in range(1, k):
+            num = f"({num} - p{k - 1}_{j} * a{k - j})"
+        ctes.append(
+            f"__d{k}a AS (SELECT *, {num} / v{k - 1} AS p{k}_{k} FROM {prev})"
+        )
+        updates = ", ".join(
+            f"p{k - 1}_{j} - p{k}_{k} * p{k - 1}_{k - j} AS p{k}_{j}"
+            for j in range(1, k)
+        )
+        ctes.append(
+            f"__d{k} AS (SELECT *, {updates},"
+            f" v{k - 1} * (1.0 - p{k}_{k} * p{k}_{k}) AS v{k} FROM __d{k}a)"
+        )
+        prev = f"__d{k}"
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, round(p{k}_{k}, 6) AS pacf FROM {prev}"
+        for k in range(1, max_lag + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + rows + " ORDER BY lag"

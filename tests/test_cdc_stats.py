@@ -552,3 +552,32 @@ def test_pacf_rejects_null_and_degenerate_acf(spark):
     )
     with _pytest.raises(ValueError, match="degenerate ACF"):
         pacf_from_acf(degen, max_lag=2)
+
+
+def test_pacf_unrolled_sql_matches_operator_cross_engine(spark):
+    """The generated unrolled Durbin-Levinson SQL replays the operator
+    bit-for-bit on DuckDB when both consume the (hash-matched) ACF —
+    the exact contract a future registry entry needs (unrolled-
+    iteration oracle pattern)."""
+    import duckdb
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        pacf_from_acf,
+        pacf_unrolled_sql,
+    )
+    from bangumi_notion_data_integration_project_spark.queries import (
+        ORACLES,
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    acf = QUERIES["revenue_acf"](spark, sf)
+    got = {r["lag"]: r["pacf"] for r in pacf_from_acf(acf, max_lag=7).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    want = dict(
+        con.execute(pacf_unrolled_sql(ORACLES["revenue_acf"], 7)).fetchall()
+    )
+    assert got == want
