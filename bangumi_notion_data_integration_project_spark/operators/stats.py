@@ -613,3 +613,60 @@ def pacf_unrolled_sql(acf_sql: str, max_lag: int) -> str:
         for k in range(1, max_lag + 1)
     )
     return "WITH " + ", ".join(ctes) + " " + rows + " ORDER BY lag"
+
+
+def holt_linear(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizons: Sequence[int] = (1, 7, 30),
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing over an ordered
+    series: level l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}), trend
+    b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}, initialized l_1 = x_1,
+    b_1 = 0. Returns one row: (n_periods, level, trend,
+    forecast_h<h>... = level + h·trend, each rounded at 1e-4).
+
+    The recursion is inherently sequential, so the input contract is
+    the same as :func:`km_survival`'s: feed the per-period AGGREGATE
+    (daily/weekly cents — calendar-bounded), never raw rows. The fold
+    runs as one ``aggregate`` over a sort_array'd collect_list — the
+    same doubles multiplied in the same order on every partitioning.
+    Dyadic defaults (α=1/2, β=1/4) are exact binary fractions, so no
+    engine can disagree on the coefficients themselves; a cross-engine
+    oracle replays the steps with a recursive CTE (the events_debounce
+    pattern — NOT list_reduce: DuckDB 1.0.0 mis-folds struct
+    accumulators)."""
+    if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
+        raise ValueError("alpha in (0,1], beta in [0,1] required")
+    arr = df.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(x_col).cast("double").alias("x")))
+        ).alias("__a")
+    )
+    xs = F.transform(F.col("__a"), lambda s: s["x"])
+    a, b_ = float(alpha), float(beta)
+    init = F.struct(
+        F.element_at(xs, 1).alias("l"),
+        F.lit(0.0).alias("b"),
+    )
+    def step(acc, x):
+        ln = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        bn = F.lit(b_) * (ln - acc["l"]) + F.lit(1.0 - b_) * acc["b"]
+        return F.struct(ln.alias("l"), bn.alias("b"))
+    fin = F.aggregate(F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))), init, step)
+    out = arr.select(
+        F.size("__a").cast("long").alias("n_periods"),
+        F.round(fin["l"], 4).alias("level"),
+        F.round(fin["b"], 4).alias("trend"),
+        *[
+            F.round(fin["l"] + F.lit(float(h)) * fin["b"], 4).alias(
+                f"forecast_h{h}"
+            )
+            for h in horizons
+        ],
+    )
+    return out

@@ -581,3 +581,55 @@ def test_pacf_unrolled_sql_matches_operator_cross_engine(spark):
         con.execute(pacf_unrolled_sql(ORACLES["revenue_acf"], 7)).fetchall()
     )
     assert got == want
+
+
+def test_holt_linear_matches_python_and_recursive_cte(spark):
+    """The Spark ordered fold must equal (bit-for-bit, then rounded)
+    both a Python replay and the DuckDB RECURSIVE-CTE oracle shape —
+    the struct-accumulator list_reduce is NOT used because DuckDB
+    1.0.0 mis-folds it (probed; see operator docstring)."""
+    import random
+
+    import duckdb
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        holt_linear,
+    )
+
+    rng = random.Random(17)
+    xs = [rng.randrange(0, 10_000) for _ in range(50)]
+    df = spark.createDataFrame(
+        [(i + 1, x) for i, x in enumerate(xs)], "d long, x long"
+    )
+    [r] = holt_linear(df, "d", "x", horizons=(1, 7)).collect()
+
+    l, b = float(xs[0]), 0.0
+    for x in xs[1:]:
+        ln = 0.5 * x + 0.5 * (l + b)
+        bn = 0.25 * (ln - l) + 0.75 * b
+        l, b = ln, bn
+    assert (r["level"], r["trend"]) == (round(l, 4), round(b, 4))
+    assert r["forecast_h7"] == round(l + 7.0 * b, 4)
+    assert r["n_periods"] == 50
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (d BIGINT, x BIGINT)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", list(enumerate(xs, 1)))
+    got = con.execute(
+        """
+        WITH RECURSIVE e AS (
+          SELECT d, CAST(x AS DOUBLE) AS x,
+                 row_number() OVER (ORDER BY d) AS rn FROM s
+        ), walk AS (
+          SELECT rn, x AS l, CAST(0 AS DOUBLE) AS b FROM e WHERE rn = 1
+          UNION ALL
+          SELECT e.rn,
+                 0.5 * e.x + 0.5 * (w.l + w.b),
+                 0.25 * ((0.5 * e.x + 0.5 * (w.l + w.b)) - w.l) + 0.75 * w.b
+          FROM walk w JOIN e ON e.rn = w.rn + 1
+        )
+        SELECT round(l, 4), round(b, 4) FROM walk
+        ORDER BY rn DESC LIMIT 1
+        """
+    ).fetchone()
+    assert got == (r["level"], r["trend"])
