@@ -670,3 +670,75 @@ def holt_linear(
         ],
     )
     return out
+
+
+def runs_test(df: DataFrame, order_col: str, x_col: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of an ordered integer
+    series around its median: values are labeled above(1)/below(0) the
+    median (ties-with-median dropped, the classic convention), the
+    number of RUNS of equal labels is counted, and the normal-
+    approximation z-score comes from the exact run-count moments
+
+        mu = 2·n1·n0/n + 1,   sigma² = (mu−1)(mu−2)/(n−1).
+
+    Everything before the final z expression is exact integer work:
+    the median is the lower order statistic at rank ceil(n/2) (an
+    integer of the input column — no interpolation, so both engines
+    agree bit-for-bit), run boundaries come from one lag over the
+    ordered aggregate, and n/n1/n0/R are counts. One ordered window
+    over the input (which must already be the calendar-bounded
+    per-period aggregate, the km_survival contract) and one final
+    double expression.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(order_col).alias("__o"), F.col(x_col).cast("long").alias("__x")
+    )
+    n_all = d.groupBy().agg(F.count("*").cast("long").alias("__n_all"))
+    w_rank = Window.orderBy("__x", "__o")
+    ranked = d.crossJoin(F.broadcast(n_all)).withColumn(
+        "__r", F.row_number().over(w_rank).cast("long")
+    )
+    med = ranked.filter(
+        F.col("__r") == F.ceil(F.col("__n_all") / F.lit(2)).cast("long")
+    ).select(F.col("__x").alias("__med"))
+    lab = (
+        d.crossJoin(F.broadcast(med))
+        .filter(F.col("__x") != F.col("__med"))
+        .select(
+            "__o", (F.col("__x") > F.col("__med")).cast("long").alias("__lab")
+        )
+    )
+    w_ord = Window.orderBy("__o")
+    runs = lab.withColumn("__prev", F.lag("__lab").over(w_ord)).select(
+        "__lab",
+        (
+            F.col("__prev").isNull() | (F.col("__lab") != F.col("__prev"))
+        ).cast("long").alias("__new_run"),
+    )
+    agg = runs.groupBy().agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("__lab").cast("long").alias("n_above"),
+        F.sum("__new_run").cast("long").alias("n_runs"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n_above").cast("double")
+    n0 = (F.col("n") - F.col("n_above")).cast("double")
+    mu = F.lit(2.0) * n1 * n0 / n + F.lit(1.0)
+    var = (mu - F.lit(1.0)) * (mu - F.lit(2.0)) / (n - F.lit(1.0))
+    return agg.crossJoin(F.broadcast(med)).select(
+        "n",
+        F.col("__med").alias("median"),
+        F.col("n_above"),
+        (F.col("n") - F.col("n_above")).cast("long").alias("n_below"),
+        F.col("n_runs"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(
+            F.when(
+                var > 0.0,
+                (F.col("n_runs").cast("double") - mu) / F.sqrt(var),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("z"),
+    )

@@ -633,3 +633,54 @@ def test_holt_linear_matches_python_and_recursive_cte(spark):
         """
     ).fetchone()
     assert got == (r["level"], r["trend"])
+
+
+def test_runs_test_matches_reference(spark):
+    """Random labels around the median: run count, moments and z must
+    match an independent Python computation (same drop-median-ties
+    convention)."""
+    import math
+    import random
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        runs_test,
+    )
+
+    rng = random.Random(13)
+    xs = [rng.randrange(0, 1000) for _ in range(101)]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "d long, x long"
+    )
+    [r] = runs_test(df, "d", "x").collect()
+
+    med = sorted(xs)[(len(xs) + 1) // 2 - 1]  # lower median, rank ceil(n/2)
+    labs = [1 if x > med else 0 for x in xs if x != med]
+    n, n1 = len(labs), sum(labs)
+    n0 = n - n1
+    runs = 1 + sum(1 for a, b in zip(labs, labs[1:]) if a != b)
+    mu = 2.0 * n1 * n0 / n + 1.0
+    var = (mu - 1.0) * (mu - 2.0) / (n - 1.0)
+    assert (r["median"], r["n"], r["n_above"], r["n_below"]) == (med, n, n1, n0)
+    assert r["n_runs"] == runs
+    assert r["expected_runs"] == round(mu, 6)
+    assert r["z"] == round((runs - mu) / math.sqrt(var), 6)
+
+
+def test_runs_test_alternating_and_blocked_extremes(spark):
+    """A strictly alternating series maximizes runs (z >> 0); a fully
+    blocked one minimizes them (z << 0)."""
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        runs_test,
+    )
+
+    # distinct values so the median-tie drop removes at most one point
+    alt = [(i, 1000 + i if i % 2 else i) for i in range(40)]
+    [ra] = runs_test(
+        spark.createDataFrame(alt, "d long, x long"), "d", "x"
+    ).collect()
+    blocked = [(i, i if i < 20 else 1000 + i) for i in range(40)]
+    [rb] = runs_test(
+        spark.createDataFrame(blocked, "d long, x long"), "d", "x"
+    ).collect()
+    assert ra["n_runs"] > ra["expected_runs"] and ra["z"] > 3
+    assert rb["n_runs"] == 2 and rb["z"] < -3
