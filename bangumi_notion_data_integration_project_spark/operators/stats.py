@@ -450,63 +450,6 @@ def segmented_trend(
     )
 
 
-def km_survival_grouped(
-    df: DataFrame,
-    group_cols: "list[str]",
-    duration_col: str,
-    event_col: str,
-) -> DataFrame:
-    """Per-group Kaplan-Meier: one survival step table per key (churn
-    curves per segment/cohort). Same construction as
-    :func:`km_survival` with every window partitioned by the group
-    columns — so no task ever holds more than one group's
-    duration-bounded aggregate, and the per-group ordered product fold
-    is identical to the global operator's (differential-tested)."""
-    from pyspark.sql import Window
-
-    groups = list(group_cols)
-    if not groups:
-        raise ValueError("group_cols must name at least one column")
-    per_t = df.groupBy(*groups, F.col(duration_col).alias("__t")).agg(
-        F.count("*").cast("long").alias("__ends"),
-        F.sum(F.col(event_col).cast("long")).cast("long").alias("n_events"),
-    )
-    total = per_t.groupBy(*groups).agg(
-        F.sum("__ends").cast("long").alias("__total")
-    )
-    w_prev = (
-        Window.partitionBy(*groups)
-        .orderBy("__t")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    at_risk = per_t.join(total, groups).withColumn(
-        "n_at_risk",
-        (
-            F.col("__total")
-            - F.coalesce(F.sum("__ends").over(w_prev), F.lit(0))
-        ).cast("long"),
-    )
-    steps = at_risk.filter(F.col("n_events") > 0)
-    w_cum = (
-        Window.partitionBy(*groups)
-        .orderBy("__t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    factors = steps.withColumn(
-        "__f",
-        F.lit(1.0) - F.col("n_events") / F.col("n_at_risk"),
-    ).withColumn("__fl", F.collect_list("__f").over(w_cum))
-    return factors.select(
-        *groups,
-        F.col("__t").alias(duration_col),
-        "n_at_risk",
-        "n_events",
-        F.round(
-            F.aggregate("__fl", F.lit(1.0), lambda a, x: a * x), 6
-        ).alias("survival"),
-    ).orderBy(*groups, duration_col)
-
-
 def pacf_from_acf(acf_df: DataFrame, *, max_lag: int) -> DataFrame:
     """Partial autocorrelation via the Durbin-Levinson recursion, from
     an already-computed autocorrelation table ``(lag, acf)`` (lags
@@ -577,6 +520,13 @@ def pacf_unrolled_sql(acf_sql: str, max_lag: int) -> str:
     ``prev - phi_kk * mirror``, ``v * (1 - phi**2)``), which makes the
     SQL replay bit-for-bit equal: subtraction/division order is
     preserved and IEEE multiplication is commutative at the bit level.
+
+    Contract: VALID input only. On a missing lag or a degenerate ACF
+    the operator raises descriptive ValueErrors, while SQL has no
+    raise — the generated query would emit NULL pacf from the first
+    bad step on. The cross-engine equality claim (and the pinned test)
+    covers well-formed ACF tables, which is what a registered oracle
+    consumes after the ACF query itself hash-matches.
     """
     if max_lag < 1:
         raise ValueError("max_lag must be >= 1")
@@ -642,15 +592,30 @@ def holt_linear(
     accumulators)."""
     if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
         raise ValueError("alpha in (0,1], beta in [0,1] required")
+    # fail loudly on NULL inputs (the file convention, see
+    # pacf_from_acf): a null x would silently poison level/trend into
+    # permanent NULLs with no trace of the offending period
+    x_checked = F.when(
+        F.col(x_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("holt_linear: NULL x value at "),
+                F.col(order_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.col(x_col).cast("double"))
     arr = df.groupBy().agg(
         F.sort_array(
-            F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(x_col).cast("double").alias("x")))
+            F.collect_list(F.struct(F.col(order_col).alias("o"), x_checked.alias("x")))
         ).alias("__a")
     )
     xs = F.transform(F.col("__a"), lambda s: s["x"])
     a, b_ = float(alpha), float(beta)
     init = F.struct(
-        F.element_at(xs, 1).alias("l"),
+        # F.get: null (not an ANSI index error) on the empty-input
+        # degenerate, which then flows to a null level/trend row with
+        # n_periods = 0 — a visible, documented degenerate
+        F.get(xs, 0).alias("l"),
         F.lit(0.0).alias("b"),
     )
     def step(acc, x):
@@ -700,9 +665,18 @@ def runs_test(df: DataFrame, order_col: str, x_col: str) -> DataFrame:
     ranked = d.crossJoin(F.broadcast(n_all)).withColumn(
         "__r", F.row_number().over(w_rank).cast("long")
     )
-    med = ranked.filter(
-        F.col("__r") == F.ceil(F.col("__n_all") / F.lit(2)).cast("long")
-    ).select(F.col("__x").alias("__med"))
+    # an AGGREGATE (always exactly one row, null median on empty
+    # input) — a filter+select here would produce a zero-row frame
+    # whose crossJoin erases the output row entirely
+    med = ranked.agg(
+        F.max(
+            F.when(
+                F.col("__r")
+                == F.ceil(F.col("__n_all") / F.lit(2)).cast("long"),
+                F.col("__x"),
+            )
+        ).alias("__med")
+    )
     lab = (
         d.crossJoin(F.broadcast(med))
         .filter(F.col("__x") != F.col("__med"))
@@ -719,26 +693,33 @@ def runs_test(df: DataFrame, order_col: str, x_col: str) -> DataFrame:
     )
     agg = runs.groupBy().agg(
         F.count("*").cast("long").alias("n"),
-        F.sum("__lab").cast("long").alias("n_above"),
-        F.sum("__new_run").cast("long").alias("n_runs"),
+        F.coalesce(F.sum("__lab"), F.lit(0)).cast("long").alias("n_above"),
+        F.coalesce(F.sum("__new_run"), F.lit(0)).cast("long").alias("n_runs"),
     )
     n = F.col("n").cast("double")
     n1 = F.col("n_above").cast("double")
     n0 = (F.col("n") - F.col("n_above")).cast("double")
     mu = F.lit(2.0) * n1 * n0 / n + F.lit(1.0)
     var = (mu - F.lit(1.0)) * (mu - F.lit(2.0)) / (n - F.lit(1.0))
+    # ANSI mode: every division lives inside a when() VALUE branch
+    # whose condition proves the denominator positive (CaseWhen
+    # branches evaluate lazily) — n=0 (all ties the median) and n=1
+    # would otherwise throw DIVIDE_BY_ZERO. Untestable inputs report
+    # NULL expected_runs/z, never a fake "perfectly random" 0.0.
     return agg.crossJoin(F.broadcast(med)).select(
         "n",
         F.col("__med").alias("median"),
         F.col("n_above"),
         (F.col("n") - F.col("n_above")).cast("long").alias("n_below"),
         F.col("n_runs"),
-        F.round(mu, 6).alias("expected_runs"),
-        F.round(
+        F.when(F.col("n") > 0, F.round(mu, 6)).alias("expected_runs"),
+        F.when(
+            F.col("n") > 1,
             F.when(
                 var > 0.0,
-                (F.col("n_runs").cast("double") - mu) / F.sqrt(var),
-            ).otherwise(F.lit(0.0)),
-            6,
+                F.round(
+                    (F.col("n_runs").cast("double") - mu) / F.sqrt(var), 6
+                ),
+            ),
         ).alias("z"),
     )

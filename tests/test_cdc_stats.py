@@ -684,3 +684,54 @@ def test_runs_test_alternating_and_blocked_extremes(spark):
     ).collect()
     assert ra["n_runs"] > ra["expected_runs"] and ra["z"] > 3
     assert rb["n_runs"] == 2 and rb["z"] < -3
+
+
+def test_runs_test_degenerate_inputs_stay_ansi_safe(spark):
+    """n=0 (everything ties the median / empty input) and n=1 must
+    return a well-defined row with NULL moments — not ANSI
+    DIVIDE_BY_ZERO, not a fake z=0 'perfectly random' verdict."""
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        runs_test,
+    )
+
+    [r] = runs_test(
+        spark.createDataFrame([(1, 5), (2, 5), (3, 5)], "d long, x long"),
+        "d",
+        "x",
+    ).collect()
+    assert (r["n"], r["expected_runs"], r["z"]) == (0, None, None)
+    [r1] = runs_test(
+        spark.createDataFrame([(1, 2), (2, 2), (3, 3)], "d long, x long"),
+        "d",
+        "x",
+    ).collect()
+    assert (r1["n"], r1["n_runs"], r1["z"]) == (1, 1, None)
+    [re_] = runs_test(
+        spark.createDataFrame([], "d long, x long"), "d", "x"
+    ).collect()
+    assert (re_["n"], re_["median"]) == (0, None)
+
+
+def test_holt_linear_empty_and_null_inputs(spark):
+    """Empty input degenerates to an n_periods=0 row with NULL
+    level/trend (never an ANSI element_at index error); a NULL x fails
+    loudly naming the offending period (the pacf_from_acf
+    convention)."""
+    import pytest as _pytest
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        holt_linear,
+    )
+
+    [r] = holt_linear(
+        spark.createDataFrame([], "d long, x long"), "d", "x"
+    ).collect()
+    # the fold's init is (null level, 0.0 trend); an empty slice
+    # returns it unchanged
+    assert (r["n_periods"], r["level"], r["trend"]) == (0, None, 0.0)
+    with _pytest.raises(Exception, match="NULL x value at 2"):
+        holt_linear(
+            spark.createDataFrame([(1, 42), (2, None)], "d long, x long"),
+            "d",
+            "x",
+        ).collect()
