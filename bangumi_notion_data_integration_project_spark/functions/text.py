@@ -28,7 +28,16 @@ def _col(c: Column | str) -> Column:
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization; empty/blank text → empty array (not [''])."""
+    r"""Whitespace tokenization; empty/space-blank text → empty array
+    (not ['']).
+
+    Quirk, shared BIT-FOR-BIT by every DuckDB oracle
+    (``string_split_regex(trim(text), '\s+')``): trim strips ASCII
+    spaces only, so text padded with tabs/newlines yields empty-string
+    edge tokens on BOTH engines — consistent, hash-stable, but callers
+    that treat tokens as words (e.g. operators/keywords.py) should
+    filter ``length(tok) > 0``. Changing this here requires changing
+    every oracle's tokenizer in the same commit."""
     t = F.trim(_col(text))
     return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")

@@ -44,19 +44,34 @@ def phrase_occurrences(
     (runs longer than ``max_phrase_len`` are dropped — RAKE's guard
     against degenerate stopword-free walls of text)."""
     sw = [w.lower() for w in (stopwords or STOPWORDS_EN)]
-    toks = df.select(
-        F.col(doc_id_col).alias("doc_id"),
-        F.posexplode(tokens(text_col)).alias("pos", "tok"),
-    ).withColumn("__sw", F.lower("tok").isin(sw).cast("int"))
+    toks = (
+        df.select(
+            F.col(doc_id_col).alias("doc_id"),
+            # per-ROW id: duplicate doc_id values (or rows) must never
+            # interleave their token streams in the run window below
+            F.monotonically_increasing_id().alias("__rid"),
+            tokens(text_col).alias("__tk"),
+        )
+        .select(
+            "doc_id", "__rid", F.posexplode("__tk").alias("pos", "tok")
+        )
+        # tokens() can emit '' edge tokens on tab/newline-padded text
+        # (see its docstring); phantom words must not join phrases
+        .filter(F.length("tok") > 0)
+        # classic RAKE: case-normalized word identity, matching the
+        # case-insensitive stopword test
+        .withColumn("tok", F.lower("tok"))
+        .withColumn("__sw", F.col("tok").isin(sw).cast("int"))
+    )
     w = (
-        Window.partitionBy("doc_id")
+        Window.partitionBy("__rid")
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     runs = (
         toks.withColumn("run", F.sum("__sw").over(w))
         .filter(F.col("__sw") == 0)
-        .groupBy("doc_id", "run")
+        .groupBy("doc_id", "__rid", "run")
         .agg(
             F.transform(
                 F.array_sort(

@@ -13,11 +13,19 @@ from bangumi_notion_data_integration_project_spark.operators.keywords import (
 )
 
 
+def _round_half_away(x, nd):
+    import math
+
+    scaled = abs(x) * 10**nd
+    return math.copysign(math.floor(scaled + 0.5), x) / 10**nd
+
+
 def _py_rake(texts, stopwords, max_len, top_k):
     sw = {w.lower() for w in stopwords}
     occs = []  # list of word tuples
     for t in texts:
         toks = re.split(r"\s+", t.strip()) if t and t.strip() else []
+        toks = [w.lower() for w in toks if w]  # RAKE case-normalized
         run = []
         for tok in toks + ["the"]:  # sentinel stopword flushes the tail
             if tok.lower() in sw:
@@ -64,8 +72,10 @@ def test_rake_matches_python_reference(spark):
         (r["phrase"], r["n_occurrences"], r["n_words"], r["score"])
         for r in rake_keywords(df, "doc_id", "text", top_k=25).collect()
     ]
+    # half-away rounding mirrors Spark's round(); python round is
+    # half-even and can diverge on decimal ties
     want = [
-        (p, n, k, round(s, 6))
+        (p, n, k, _round_half_away(s, 6))
         for p, n, k, s in _py_rake(texts, STOPWORDS_EN, 4, 25)
     ]
     assert got == want
@@ -96,3 +106,27 @@ def test_rake_long_runs_dropped(spark):
     ]
     assert "one two three four five" not in occ
     assert "short run" in occ
+
+
+def test_rake_case_normalized_and_whitespace_hardened(spark):
+    """'Data' and 'data' are one word; duplicate doc_id rows never
+    interleave runs; tab/newline padding adds no phantom tokens."""
+    df = spark.createDataFrame(
+        [
+            (1, "Data Mining and data mining"),
+            (1, "quick brown and lazy dog"),  # same doc_id, second row
+            (2, "\tbig data\n"),
+        ],
+        "doc_id long, text string",
+    )
+    occ = sorted(
+        (r["phrase"], r["n_words"])
+        for r in phrase_occurrences(df, "doc_id", "text").collect()
+    )
+    assert occ == [
+        ("big data", 2),
+        ("data mining", 2),
+        ("data mining", 2),
+        ("lazy dog", 2),
+        ("quick brown", 2),
+    ]
