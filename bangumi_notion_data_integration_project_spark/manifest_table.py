@@ -80,6 +80,13 @@ _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _SHADOW = "__mp_"  # shadow partition-column prefix for the hive write
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Raised when a commit carrying ``expect_version`` finds the
+    manifest advanced past that version — another writer interleaved.
+    The table is untouched (nothing swapped; staged files are
+    unreferenced and :func:`ManifestTable.gc` reclaims them)."""
+
+
 def _unescape(token: str) -> str | None:
     """Decode one hive partition-value token (``%xx`` escapes applied
     by Spark's path escaping; the null sentinel becomes None)."""
@@ -148,6 +155,7 @@ class ManifestTable:
         *,
         drop: "list[dict] | None" = None,
         meta: dict | None = None,
+        expect_version: int | None = None,
     ) -> int:
         """Atomically replace every partition present in ``updates``
         (dynamic-partition-overwrite semantics), drop the partitions
@@ -162,8 +170,22 @@ class ManifestTable:
         :func:`gc` finishes).  ``updates=None`` / no staged rows is a
         metadata-only commit — e.g. advancing a stream watermark for
         an empty batch — and costs one small file rename.
+
+        ``expect_version`` makes the commit optimistic-concurrency
+        checked: if the manifest version at entry OR immediately before
+        the swap differs, :class:`ConcurrentCommitError` is raised and
+        nothing becomes visible. Read-modify-write callers (compact)
+        pass the version of the snapshot they read, so an interleaved
+        writer commit can never be silently overwritten with state
+        derived from the stale snapshot.
         """
         prior = self.manifest()
+        if expect_version is not None:
+            pv = 0 if prior is None else int(prior["version"])
+            if pv != int(expect_version):
+                raise ConcurrentCommitError(
+                    f"manifest at version {pv}, expected {expect_version}"
+                )
         version = 1 if prior is None else int(prior["version"]) + 1
         txid = f"{version:06d}-{secrets.token_hex(4)}"
         new_parts: dict[str, dict] = {}
@@ -193,6 +215,16 @@ class ManifestTable:
             if key in parts:
                 replaced.append(parts.pop(key)["dir"])
         parts.update(new_parts)
+        if expect_version is not None:
+            # re-check right before the swap: the staged write above
+            # takes long enough for another writer to land a commit
+            cur = self.manifest()
+            cv = 0 if cur is None else int(cur["version"])
+            if cv != int(expect_version):
+                raise ConcurrentCommitError(
+                    f"manifest advanced to version {cv} during commit,"
+                    f" expected {expect_version}"
+                )
         self._swap(
             {"version": version, "partitions": parts, "meta": meta or {}}
         )
@@ -327,6 +359,7 @@ class ManifestTable:
         *,
         min_files: int = 2,
         files_per_partition: int = 1,
+        max_retries: int = 2,
     ) -> list[str]:
         """Small-files maintenance: rewrite every committed partition
         whose directory holds >= ``min_files`` parquet data files down
@@ -351,28 +384,42 @@ class ManifestTable:
                 "min_files must exceed files_per_partition or compaction"
                 " never converges"
             )
-        m = self.manifest()
-        if m is None:
-            return []
-        victims: list[str] = []
-        dirs: list[str] = []
-        for key, ent in m["partitions"].items():
-            d = os.path.join(self.table_dir, ent["dir"])
-            n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
-            if n >= min_files:
-                victims.append(key)
-                dirs.append(d)
-        if not victims:
-            return []
-        # partition values ride IN the data files (commit() stages
-        # shadow copies and keeps the originals), so reading the leaf
-        # dirs yields exactly the rows + partition columns to restage
-        df = spark.read.parquet(*dirs).coalesce(int(files_per_partition))
-        # carry meta from the SAME manifest snapshot the victims were
-        # selected from (re-reading could interleave with a concurrent
-        # metadata-only commit in the writer process)
-        self.commit(df, meta=dict(m.get("meta") or {}))
-        return victims
+        for attempt in range(int(max_retries) + 1):
+            m = self.manifest()
+            if m is None:
+                return []
+            victims: list[str] = []
+            dirs: list[str] = []
+            for key, ent in m["partitions"].items():
+                d = os.path.join(self.table_dir, ent["dir"])
+                n = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+                if n >= min_files:
+                    victims.append(key)
+                    dirs.append(d)
+            if not victims:
+                return []
+            # partition values ride IN the data files (commit() stages
+            # shadow copies and keeps the originals), so reading the
+            # leaf dirs yields exactly the rows + partition columns to
+            # restage
+            df = spark.read.parquet(*dirs).coalesce(int(files_per_partition))
+            try:
+                # meta carried from the SAME snapshot the victims were
+                # selected from; expect_version makes that safe — if a
+                # writer commit (data or watermark) interleaves, the
+                # commit aborts instead of overwriting the newer meta
+                # with this stale snapshot's, and compaction restarts
+                # from a fresh snapshot
+                self.commit(
+                    df,
+                    meta=dict(m.get("meta") or {}),
+                    expect_version=int(m["version"]),
+                )
+                return victims
+            except ConcurrentCommitError:
+                if attempt >= int(max_retries):
+                    raise
+        raise AssertionError("unreachable")
 
     def gc(self) -> list[str]:
         """Reclaim everything the current manifest does not reference:

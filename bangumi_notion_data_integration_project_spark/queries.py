@@ -5962,17 +5962,27 @@ def q_docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     denx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     deny = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-    slope = num / denx
+    # Degenerate-corpus guards (ANSI): a single token type makes denx
+    # 0; all-equal top counts make deny 0 — NULL out, never divide.
+    slope = F.when(denx != F.lit(0.0), num / denx)
     return m.select(
         F.col("n").cast("long").alias("n_types"),
         F.round(slope, 6).alias("slope"),
         F.round(
-            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
-            / F.col("n").cast("double")
-            / F.lit(1000000.0),
+            F.when(
+                (denx != F.lit(0.0)) & (F.col("n") > 0),
+                (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+                / F.col("n").cast("double")
+                / F.lit(1000000.0),
+            ),
             6,
         ).alias("intercept"),
-        F.round(slope * (num / deny), 6).alias("r2"),
+        F.round(
+            F.when(
+                (denx != F.lit(0.0)) & (deny != F.lit(0.0)), slope * (num / deny)
+            ),
+            6,
+        ).alias("r2"),
     )
 
 
@@ -6046,8 +6056,13 @@ def q_orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_cents",
             "res_x7_sum",
             F.round(
-                F.col("res_x7_sum").cast("double")
-                / (F.lit(7.0) * F.col("n_days_full")),
+                # ANSI guard: a span under ~10 days leaves a dow group
+                # with no full 7-row window — NULL, never divide by 0
+                F.when(
+                    F.col("n_days_full") > 0,
+                    F.col("res_x7_sum").cast("double")
+                    / (F.lit(7.0) * F.col("n_days_full")),
+                ),
                 4,
             ).alias("seasonal_cents"),
             F.round(
@@ -9820,17 +9835,21 @@ ORACLES["docs_zipf_fit"] = r"""
       FROM xy
     )
     SELECT CAST(n AS BIGINT) AS n_types,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
-           round((CAST(sy AS DOUBLE)
+           round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0
+                 THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS slope,
+           round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0 AND n > 0
+                 THEN (CAST(sy AS DOUBLE)
                   - (CAST(n * sxy - sx * sy AS DOUBLE)
                      / CAST(n * sxx - sx * sx AS DOUBLE))
                     * CAST(sx AS DOUBLE))
-                 / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept,
-           round((CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n AS DOUBLE) / 1000000.0 END, 6) AS intercept,
+           round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) <> 0.0
+                       AND CAST(n * syy - sy * sy AS DOUBLE) <> 0.0
+                 THEN (CAST(n * sxy - sx * sy AS DOUBLE)
                   / CAST(n * sxx - sx * sx AS DOUBLE))
                  * (CAST(n * sxy - sx * sy AS DOUBLE)
-                    / CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+                    / CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r2
     FROM m
 """
 
@@ -9872,9 +9891,10 @@ ORACLES["orders_seasonal_decompose"] = """
                 AS BIGINT) AS n_days_full,
            CAST(sum(x) AS BIGINT) AS revenue_cents,
            CAST(sum(res_x7) AS BIGINT) AS res_x7_sum,
-           round(CAST(sum(res_x7) AS DOUBLE)
-                 / (7.0 * sum(CASE WHEN res_x7 IS NOT NULL THEN 1 ELSE 0 END)),
-                 4) AS seasonal_cents,
+           round(CASE WHEN sum(CASE WHEN res_x7 IS NOT NULL THEN 1 ELSE 0 END) > 0
+                 THEN CAST(sum(res_x7) AS DOUBLE)
+                 / (7.0 * sum(CASE WHEN res_x7 IS NOT NULL THEN 1 ELSE 0 END))
+                 END, 4) AS seasonal_cents,
            round(CAST(sum(x) AS DOUBLE) / count(*), 4) AS mean_daily_cents
     FROM res GROUP BY 1 ORDER BY dow
 """

@@ -21,6 +21,7 @@ sink-agnostic on purpose.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -635,6 +636,12 @@ def _checkpoint_identity(checkpoint_dir: str) -> str:
     return _json.dumps(ident, sort_keys=True)
 
 
+_UUID_RE = re.compile(
+    r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+    r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"
+)
+
+
 def _identity_matches(stored: "str | None", current: str) -> bool:
     """True when ``stored`` and ``current`` name the same checkpoint
     lineage. When both sides know the query id, the ids decide — that
@@ -661,9 +668,12 @@ def _identity_matches(stored: "str | None", current: str) -> bool:
         if stored in (cur["id"], cur["path"]):
             return True
         # bare legacy query id vs id-less current identity: unverifiable
-        # either way; trust the replay guard (paths can't disagree here
-        # because a bare id never looks like an abspath)
-        return cur["id"] is None and not stored.startswith("/")
+        # either way; trust the replay guard — but ONLY for values that
+        # are shaped like a Spark query id (a UUID). Any other bare
+        # string (relative path, Windows abspath, junk) fails loud:
+        # accepting it against a different checkpoint would bypass the
+        # divergence guard entirely.
+        return cur["id"] is None and _UUID_RE.fullmatch(stored) is not None
     if st.get("id") is not None and cur.get("id") is not None:
         return st["id"] == cur["id"]
     return st.get("path") == cur.get("path")

@@ -297,3 +297,56 @@ def test_compact_merges_small_files_preserving_rows_and_meta(spark, tmp_path):
         t.compact(spark, min_files=2, files_per_partition=2)
     with pytest.raises(ValueError, match=">= 1"):
         t.compact(spark, min_files=2, files_per_partition=0)
+
+
+def test_compact_occ_never_overwrites_interleaved_commit(spark, tmp_path):
+    """The r7 advisory: compact() commits meta captured from the
+    snapshot it selected victims from; if a writer commit (e.g. a
+    watermark advance) interleaves, that stale meta must NOT silently
+    overwrite the newer state. The optimistic-concurrency check aborts
+    the stale commit and compact retries from a fresh snapshot."""
+    t = ManifestTable(str(tmp_path / "t"), ["grain"])
+    frag = _mk(spark, [("day", 2024, f"k{i}", i) for i in range(12)]).repartition(4)
+    t.commit(frag, meta={"batch_id": 7})
+    before = _rows(t.read(spark))
+
+    # interleave a metadata-only watermark advance between compact's
+    # snapshot read and its commit, exactly once
+    real_commit = ManifestTable.commit
+    fired = {"n": 0}
+
+    def racing_commit(self, updates, **kw):
+        if fired["n"] == 0 and kw.get("expect_version") is not None:
+            fired["n"] += 1
+            real_commit(self, None, meta={"batch_id": 8})
+        return real_commit(self, updates, **kw)
+
+    try:
+        ManifestTable.commit = racing_commit
+        rewritten = t.compact(spark, min_files=2)
+    finally:
+        ManifestTable.commit = real_commit
+    assert rewritten, "retry must converge after the interleaved commit"
+    assert _rows(t.read(spark)) == before
+    # the NEWER watermark survives — the stale snapshot's meta lost
+    assert t.meta() == {"batch_id": 8}
+
+    # with retries exhausted the conflict surfaces loudly
+    from bangumi_notion_data_integration_project_spark.manifest_table import (
+        ConcurrentCommitError,
+    )
+
+    t.commit(
+        _mk(spark, [("day", 2024, f"x{i}", i) for i in range(12)]).repartition(4),
+        meta={"batch_id": 9},
+    )
+    fired["n"] = 0
+    try:
+        ManifestTable.commit = racing_commit
+        with pytest.raises(ConcurrentCommitError):
+            t.compact(spark, min_files=2, max_retries=0)
+    finally:
+        ManifestTable.commit = real_commit
+    # aborted commit left nothing visible; gc reclaims the staged files
+    assert t.meta() == {"batch_id": 8}
+    t.gc()

@@ -1710,6 +1710,11 @@ def test_checkpoint_identity_dual_form(tmp_path):
     # still only matches the path form
     assert _identity_matches(qid, pathonly)
     assert not _identity_matches("/some/other/path", pathonly)
+    # r7 advisory: ONLY UUID-shaped bare values take the lenient
+    # legacy-id branch — a relative or non-POSIX (Windows) legacy path
+    # must fail loud, not slip through as an "id"
+    assert not _identity_matches("ckpt/relative", pathonly)
+    assert not _identity_matches("C:\\streams\\ckpt", pathonly)
     assert not _identity_matches(None, fresh)
 
 
