@@ -6170,19 +6170,91 @@ def q_docs_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks a
-# strict 50-entry prefix of this dict. The round-7 window carries, in
-# order: (a) the 10 queries built at the end of round 6 and never
-# driver-checked — blocked record linkage, TWAP, weekday profile, 2-D
-# quality histogram, grouped top-k tokens, interval backlog, tokenizer
-# fertility, integer-exact seasonal outliers, Heaps vocabulary growth,
-# batch debounce — new queries outrank every refresh; (b) the 40
-# stalest refreshes: r3-vintage driver rows on code unchanged since
-# (every other query holds an r4+ row). No code changed this round
-# behind any registry query, so there are no changed-code refreshes to
-# front-load. Everything behind the boundary holds an r4/r5/r6 driver
-# row (the whole r6 window re-verified green in CORRECTNESS_r06).
+# strict 50-entry prefix of this dict. The round-8 window carries, in
+# order: (a) the 10 queries built in round 7 and never driver-checked
+# — quantile-sketch self-validation, semilattice merge proof, HLL
+# day->week re-aggregation, Kaplan-Meier survival, exact-moment ACF,
+# PMI collocations, Zipf OLS fit, interval-union coverage, seasonal
+# decomposition, source-pair JSD — new queries outrank every refresh;
+# (b) the 3 rows-only r3-vintage refreshes (the registry's oldest
+# driver evidence); (c) 37 of the 49 r4-vintage refreshes, kept in
+# their prior relative order. The 12 r4-vintage rows that spill to r9
+# are listed in the rotation note at the boundary; each spilled row
+# either has an in-window sibling exercising the same code path this
+# round or holds an unchanged green r4 row. docs_zipf_fit and
+# orders_seasonal_decompose carry this round's ANSI divide-guards
+# (changed code), and both sit in the window.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- (a) NEW for r7 (built at the end of r6, never driver-checked)
+    # -- (a) NEW for r8 (built in r7, never driver-checked)
+    "lineitem_quantile_sketch": q_lineitem_quantile_sketch,
+    "lineitem_sketch_merge": q_lineitem_sketch_merge,
+    "events_weekly_users_sketch": q_events_weekly_users_sketch,
+    "orders_survival_km": q_orders_survival_km,
+    "revenue_acf": q_revenue_acf,
+    "docs_pmi_collocations": q_docs_pmi_collocations,
+    "docs_zipf_fit": q_docs_zipf_fit,
+    "events_user_coverage": q_events_user_coverage,
+    "orders_seasonal_decompose": q_orders_seasonal_decompose,
+    "docs_source_jsd": q_docs_source_jsd,
+    # -- (b) rows-only r3-vintage refreshes (oldest driver rows)
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_docs": q_simhash_docs,
+    "sketch_distinct_counts": q_sketch_distinct_counts,
+    # -- (c) 37 r4-vintage refreshes in prior relative order
+    "dedup_near_pipeline": q_dedup_near_pipeline,
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "minhash_lsh_verified": q_minhash_lsh_verified,
+    "embedding_pca_variance": q_embedding_pca_variance,
+    "orders_window_battery": q_orders_window_battery,
+    "orders_scd2_asof": q_orders_scd2_asof,
+    "dedup_keep_best": q_dedup_keep_best,
+    "supplier_wilson": q_supplier_wilson,
+    "revenue_pareto": q_revenue_pareto,
+    "orders_benford": q_orders_benford,
+    "events_ewma": q_events_ewma,
+    "docs_frequent_tokens": q_docs_frequent_tokens,
+    "similarity_bruteforce": q_similarity_bruteforce,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "events_max_concurrency": q_events_max_concurrency,
+    "events_funnel": q_events_funnel,
+    "events_conversion_lag": q_events_conversion_lag,
+    "events_gap_fill": q_events_gap_fill,
+    "events_anomaly": q_events_anomaly,
+    "snapshot_diff_orders": q_snapshot_diff,
+    "parts_pagerank": q_parts_pagerank,
+    "part_pairs_lift": q_part_pairs_lift,
+    "embedding_quantize_stats": q_embedding_quantize_stats,
+    "ann_pq_topk": q_ann_pq_topk,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "docs_line_scrub": q_docs_line_scrub,
+    "docs_bm25_topk": q_docs_bm25_topk,
+    "events_attribution": q_events_attribution,
+    "parts_triangles": q_parts_triangles,
+    "cdc_apply_orders": q_cdc_apply_orders,
+    "lineitem_regression": q_lineitem_regression,
+    "events_top_paths": q_events_top_paths,
+    "customer_rfm": q_customer_rfm,
+    "parts_kcore": q_parts_kcore,
+    "top_parts_salted": q_top_parts_salted,
+    "embedding_kmeans": q_embedding_kmeans,
+    # --------- driver checked-window boundary (position 50) ---------
+    # ROUND-9 ROTATION NOTE: after r8 lands, the stalest evidence is
+    # the 12 r4-vintage rows spilled this round (ann_pq_recall,
+    # customer_set_ops, dedup_bow, docs_bigram_counts, docs_pack_bins,
+    # docs_weighted_sample, embedding_covariance, embedding_pq_codes,
+    # events_funnel_steps, events_max_concurrency_2p,
+    # lineitem_correlations, merge_updates — spill rationale: each has
+    # an in-window r8 sibling on the same code path [ann_pq_topk for
+    # the PQ index + codes, events_funnel, events_max_concurrency,
+    # lineitem_regression, docs_pmi_collocations consumes bigram
+    # counts, embedding_pca_variance computes the covariance, the
+    # merge family was re-proven r7] or is standalone-green since r4)
+    # plus the 44 r5-vintage rows. Rotate the r9 window onto the ~10
+    # r9-new queries below + the 12 spilled r4 + 28 of the r5-vintage,
+    # changed-code refreshes first as usual. Do NOT register more new
+    # queries than the window budget (~10).
+    # -- displaced r8: the r7 window, every row green in r7
     "fuzzy_name_blocking": q_fuzzy_name_blocking,
     "events_twap": q_events_twap,
     "orders_dow_profile": q_orders_dow_profile,
@@ -6193,8 +6265,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_seasonal_zscore": q_events_seasonal_zscore,
     "docs_vocab_growth": q_docs_vocab_growth,
     "events_debounce": q_events_debounce,
-    # -- (b) the 40 stalest refreshes: r3-vintage driver rows,
-    #    unchanged code, kept in their prior relative order
     "customer_order_distribution": q_customer_order_distribution,
     "supplier_part_variety": q_supplier_part_variety,
     "excess_share_suppliers": q_excess_share_suppliers,
@@ -6235,44 +6305,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_per_brand": q_top_parts_per_brand,
     "merge_inserts": q_merge_inserts,
     "merge_deletes": q_merge_deletes,
-    # --------- driver checked-window boundary (position 50) ---------
-    # ROUND-8 ROTATION NOTE: after r7 lands, the stalest evidence is
-    # the 3 rows-only r3-vintage queries (minhash_lsh_pairs,
-    # simhash_docs, sketch_distinct_counts) and the 49 r4-vintage
-    # queries (ann_*_topk/recall, cdc_apply_orders, customer_rfm,
-    # customer_set_ops, decontaminate_bloom, dedup_bow/keep_best/
-    # near_pipeline, docs_bigram_counts, docs_bm25_topk,
-    # docs_frequent_tokens, docs_line_scrub, docs_pack_bins,
-    # docs_tfidf_topk, docs_weighted_sample, embedding_covariance/
-    # kmeans/pca_variance/pq_codes/quantize_stats, events_anomaly/
-    # attribution/conversion_lag/ewma/funnel/funnel_steps/gap_fill/
-    # max_concurrency(+_2p)/top_paths, lineitem_correlations/
-    # regression, merge_updates, minhash_lsh_verified, orders_benford/
-    # scd2_asof/window_battery, part_pairs_lift, parts_kcore/pagerank/
-    # triangles, revenue_pareto, similarity_bruteforce,
-    # snapshot_diff_orders, supplier_wilson, top_parts_salted). Rotate
-    # the r8 window onto ~10 r8-new queries + the 3 rows-only r3 + 37
-    # of the 49 r4-vintage (registry order below; the remainder spill
-    # to r9), changed-code refreshes first as usual. Do NOT register
-    # more new queries than the window budget (~10).
-    # -- NEW for r8 (built in r7, never driver-checked): quantile-
-    #    sketch self-validation + semilattice merge proof + HLL
-    #    day->week re-aggregation (rows-only: seeded xxhash64 /
-    #    DataSketches HLL have no DuckDB twin; each self-validates
-    #    in-query), Kaplan-Meier survival, exact-moment ACF, PMI
-    #    collocations, Zipf OLS fit, interval-union coverage, seasonal
-    #    decomposition, source-pair Jensen-Shannon drift
-    "lineitem_quantile_sketch": q_lineitem_quantile_sketch,
-    "lineitem_sketch_merge": q_lineitem_sketch_merge,
-    "events_weekly_users_sketch": q_events_weekly_users_sketch,
-    "orders_survival_km": q_orders_survival_km,
-    "revenue_acf": q_revenue_acf,
-    "docs_pmi_collocations": q_docs_pmi_collocations,
-    "docs_zipf_fit": q_docs_zipf_fit,
-    "events_user_coverage": q_events_user_coverage,
-    "orders_seasonal_decompose": q_orders_seasonal_decompose,
-    "docs_source_jsd": q_docs_source_jsd,
-    # -- displaced r6 window: all 50 hold green r6 driver rows
+    # -- the 12 r4-vintage spills (refresh first in r9)
+    "ann_pq_recall": q_ann_pq_recall,
+    "customer_set_ops": q_customer_set_ops,
+    "dedup_bow": q_dedup_bow,
+    "docs_bigram_counts": q_docs_bigram_counts,
+    "docs_pack_bins": q_docs_pack_bins,
+    "docs_weighted_sample": q_docs_weighted_sample,
+    "embedding_covariance": q_embedding_covariance,
+    "embedding_pq_codes": q_embedding_pq_codes,
+    "events_funnel_steps": q_events_funnel_steps,
+    "events_max_concurrency_2p": q_events_max_concurrency_2p,
+    "lineitem_correlations": q_lineitem_correlations,
+    "merge_updates": q_merge_updates,
+    # -- r5/r6/r7-vintage rows in their prior order
     "events_time_rollup_refresh": q_events_time_rollup_refresh,
     "docs_bpe_merges_batched": q_docs_bpe_merges_batched,
     "embedding_near_dup_topk": q_embedding_near_dup_topk,
@@ -6323,7 +6369,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_share": q_market_share,
     "important_parts": q_important_parts,
     "late_shipment_priority": q_late_shipment_priority,
-    # -- r5/r4-vintage rows in their prior order
     "events_markov": q_events_markov,
     "revenue_gini": q_revenue_gini,
     "docs_lang_confusion": q_docs_lang_confusion,
@@ -6368,58 +6413,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_group_quota": q_docs_group_quota,
     "docs_quality_bins": q_docs_quality_bins,
     "vocab_topk": q_vocab_topk,
-    "merge_updates": q_merge_updates,
-    "dedup_near_pipeline": q_dedup_near_pipeline,
-    "docs_tfidf_topk": q_docs_tfidf_topk,
-    "minhash_lsh_verified": q_minhash_lsh_verified,
-    "dedup_bow": q_dedup_bow,
-    "embedding_covariance": q_embedding_covariance,
-    "embedding_pca_variance": q_embedding_pca_variance,
-    "orders_window_battery": q_orders_window_battery,
-    "customer_set_ops": q_customer_set_ops,
-    "orders_scd2_asof": q_orders_scd2_asof,
-    "dedup_keep_best": q_dedup_keep_best,
-    "supplier_wilson": q_supplier_wilson,
-    "revenue_pareto": q_revenue_pareto,
-    "orders_benford": q_orders_benford,
-    "events_ewma": q_events_ewma,
-    "docs_frequent_tokens": q_docs_frequent_tokens,
-    "docs_pack_bins": q_docs_pack_bins,
-    "similarity_bruteforce": q_similarity_bruteforce,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "events_max_concurrency": q_events_max_concurrency,
-    "events_max_concurrency_2p": q_events_max_concurrency_2p,
-    "events_funnel": q_events_funnel,
-    "events_funnel_steps": q_events_funnel_steps,
-    "events_conversion_lag": q_events_conversion_lag,
-    "events_gap_fill": q_events_gap_fill,
-    "events_anomaly": q_events_anomaly,
-    "docs_weighted_sample": q_docs_weighted_sample,
-    "snapshot_diff_orders": q_snapshot_diff,
-    "parts_pagerank": q_parts_pagerank,
-    "part_pairs_lift": q_part_pairs_lift,
-    "docs_bigram_counts": q_docs_bigram_counts,
-    "embedding_quantize_stats": q_embedding_quantize_stats,
-    "embedding_pq_codes": q_embedding_pq_codes,
-    "ann_pq_topk": q_ann_pq_topk,
-    "ann_pq_recall": q_ann_pq_recall,
-    "decontaminate_bloom": q_decontaminate_bloom,
-    "docs_line_scrub": q_docs_line_scrub,
-    "docs_bm25_topk": q_docs_bm25_topk,
-    "events_attribution": q_events_attribution,
-    "parts_triangles": q_parts_triangles,
-    "cdc_apply_orders": q_cdc_apply_orders,
-    "lineitem_regression": q_lineitem_regression,
-    "lineitem_correlations": q_lineitem_correlations,
-    "events_top_paths": q_events_top_paths,
-    "customer_rfm": q_customer_rfm,
-    "parts_kcore": q_parts_kcore,
-    "top_parts_salted": q_top_parts_salted,
-    "embedding_kmeans": q_embedding_kmeans,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_docs": q_simhash_docs,
-    "sketch_distinct_counts": q_sketch_distinct_counts,
 }
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
