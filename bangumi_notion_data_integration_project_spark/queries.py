@@ -6165,6 +6165,354 @@ def q_docs_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_revenue_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue at lags 1..7
+    (operators/stats.pacf_from_acf): Durbin-Levinson on the EXACT
+    hash-matched ACF values of ``revenue_acf``. The recursion input is
+    max_lag rows — a bounded driver-side collect (the BPE-winner
+    budget class) — and the oracle is the machine-generated unrolled
+    recursion (stats.pacf_unrolled_sql over the registered ACF
+    oracle), replaying every float op in the identical order, so both
+    engines are bit-equal (pinned in tests/test_cdc_stats.py)."""
+    from .operators.stats import pacf_from_acf
+
+    return pacf_from_acf(q_revenue_acf(spark, sf_dir), max_lag=7)
+
+
+def q_revenue_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double exponential) smoothing of daily revenue
+    cents (operators/stats.holt_linear), dyadic α=1/2 β=1/4 — exact
+    binary fractions, so no engine can disagree on the coefficients.
+    The level/trend recursion folds the calendar-bounded daily
+    aggregate in day order as one JVM ``aggregate``; the oracle
+    replays the identical steps with a RECURSIVE CTE (the
+    events_debounce pattern — NOT list_reduce, whose struct
+    accumulators DuckDB 1.0.0 mis-folds; shape pinned in
+    tests/test_cdc_stats.py)."""
+    from .operators.stats import holt_linear
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return holt_linear(daily, "d", "x", horizons=(1, 7, 30))
+
+
+def q_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue around its median
+    (operators/stats.runs_test): is the day-to-day series random or
+    trending/mean-reverting? Everything up to the final z is exact
+    integer work — the median is the lower order statistic at rank
+    ceil(n/2) (no interpolation), runs come from one lag over the
+    O(days) aggregate, and the moments are closed-form doubles of the
+    counts written in the identical operation order in the oracle."""
+    from .operators.stats import runs_test
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return runs_test(daily, "d", "x")
+
+
+def q_orders_breakpoint_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-segment changepoint fit over daily revenue cents
+    (operators/stats.segmented_trend): ONE ordered window accumulates
+    exact DECIMAL(38,0) prefix moments, every candidate breakpoint's
+    two SSEs are closed-form doubles of the prefix row + broadcast
+    totals (suffix = total − prefix), and the argmin is a (sse, k)
+    total order — n candidates for one projection, not n regressions.
+    The oracle replays the identical integer moments (HUGEINT) and the
+    identical double expression sequence, so the selected breakpoint
+    and both slopes match bit-for-bit."""
+    from .operators.stats import segmented_trend
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return segmented_trend(daily, "d", "x", min_seg=3)
+
+
+def q_segment_churn_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment Kaplan-Meier churn curves (operators/stats.
+    km_survival_grouped): the orders_survival_km construction joined
+    to customer segments, with every window partitioned by segment so
+    no task holds more than one segment's duration-bounded aggregate.
+    The oracle replays the per-group cumulative product as the same
+    ordered fold (DuckDB list() window + list_reduce, scalar double
+    accumulator — safe), bit-identical per group."""
+    from .operators.stats import km_survival_grouped
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    mx = o.agg(F.max("o_orderdate").alias("gmax"))
+    per_c = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("first_d"),
+            F.max("o_orderdate").alias("last_d"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_mktsegment",
+            F.datediff("last_d", "first_d").cast("long").alias("duration_days"),
+            (F.datediff("gmax", "last_d") > 90).cast("long").alias("churned"),
+        )
+    )
+    return km_survival_grouped(
+        per_c, ["c_mktsegment"], "duration_days", "churned"
+    )
+
+
+def q_docs_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-25 RAKE keywords (operators/keywords.rake_keywords):
+    candidate phrases are maximal stopword-free token runs (the
+    run-splitting is one posexplode + per-document ordered window,
+    bounded by document length); word degree/freq are exact integer
+    aggregates; each phrase score folds its member-word scores in
+    phrase order. The oracle replays the identical run-split (sum of
+    stopword flags over a per-doc pos window — doc_id is unique in
+    documents, so the per-row isolation the operator gets from
+    monotonically_increasing_id holds for the SQL partition too), the
+    same long/long word divisions, and the same ordered fold
+    (list_reduce over scalar doubles; 0.0-init vs first-element-init
+    identical in IEEE)."""
+    from .operators.keywords import rake_keywords
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return rake_keywords(d, "doc_id", "text", max_phrase_len=4, top_k=25)
+
+
+def q_docs_branching_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left/right branching entropy of the 25 most frequent tokens —
+    the segmentation/collocation signal (a token whose right-context
+    distribution has LOW entropy glues to what follows; high entropy
+    marks a word boundary). Bigram and unigram counts aggregate
+    map-side; the top-25 cut is TakeOrdered under a (count desc,
+    token) total order; each context term p·ln(p) is one double
+    expression of exact integer counts (per-row libm ln — the entropy
+    precedent), rounded at 1e-9 and integer-summed so the Σ over
+    context types is order-free; ln(2) enters as the same literal on
+    both sides. Only bigrams whose endpoint is a top-25 token survive
+    the broadcast semi-join — the vocab-scale bigram table is never
+    shuffled whole."""
+    d = load_table(spark, sf_dir, "documents").select(tokens("text").alias("tk"))
+    uni = (
+        d.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c_uni"))
+    )
+    top = uni.orderBy(F.col("c_uni").desc(), "w").limit(25)
+    big = (
+        d.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk)-1),"
+                    " i -> struct(element_at(tk, i) as w1,"
+                    " element_at(tk, i+1) as w2))"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg.w1", "bg.w2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .localCheckpoint(eager=False)  # feeds the right AND left sides
+    )
+    ln2 = F.lit(0.6931471805599453)
+    nano = F.lit(1000000000.0)
+
+    def side(key: str, out_n: str, out_h: str) -> DataFrame:
+        b = big.join(
+            F.broadcast(top.select(F.col("w").alias(key))), key
+        )
+        tot = b.groupBy(key).agg(F.sum("n_pair").cast("long").alias("__t"))
+        p = F.col("n_pair").cast("double") / F.col("__t").cast("double")
+        return (
+            b.join(F.broadcast(tot), key)
+            .select(
+                F.col(key).alias("w"),
+                F.round(p * F.log(p) * nano).cast("long").alias("__tn"),
+            )
+            .groupBy("w")
+            .agg(
+                F.count("*").cast("long").alias(out_n),
+                F.sum("__tn").cast("long").alias("__s"),
+            )
+            .select(
+                "w",
+                out_n,
+                F.round(-F.col("__s").cast("double") / nano / ln2, 6).alias(
+                    out_h
+                ),
+            )
+        )
+
+    right = side("w1", "n_right", "right_entropy_bits")
+    left = side("w2", "n_left", "left_entropy_bits")
+    w_rank = Window.orderBy(F.col("c_uni").desc(), "w")
+    return (
+        top.join(right, "w", "left")
+        .join(left, "w", "left")
+        .select(
+            F.row_number().over(w_rank).cast("long").alias("rank"),
+            F.col("w").alias("token"),
+            "c_uni",
+            F.coalesce("n_right", F.lit(0)).cast("long").alias("n_right"),
+            "right_entropy_bits",
+            F.coalesce("n_left", F.lit(0)).cast("long").alias("n_left"),
+            "left_entropy_bits",
+        )
+        .orderBy("rank")
+    )
+
+
+def q_events_value_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type quantiles from the GROUPED mergeable sketch
+    (operators/quantile_sketch.grouped_quantile_sketch), validated
+    in-query against the per-group rank-error guarantee: sketch value
+    cents at k=512 per type, extract p25/p50/p90 per group, measure
+    each estimate's true rank within its group over the full table,
+    and compare |rank − q| with rank_error_bound(512, q). Seeded
+    xxhash64 sampling → deterministic; within_bound must read true —
+    the self-validating rows-only pattern (DuckDB has no
+    Spark-compatible xxhash64). The build is one per-group window over
+    a single scan; the probe is one broadcast join + map-side
+    aggregate (test harness, not the serving path)."""
+    from .operators.quantile_sketch import (
+        grouped_quantile_sketch,
+        grouped_sketch_quantiles,
+        rank_error_bound,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    probs = [0.25, 0.5, 0.9]
+    sk = grouped_quantile_sketch(
+        e, "cents", ["event_id"], ["event_type"], k=512
+    )
+    est = grouped_sketch_quantiles(sk, ["event_type"], probs)
+    bounds = spark.createDataFrame(
+        [(float(p), float(rank_error_bound(512, p))) for p in probs],
+        "prob double, err_bound double",
+    )
+    probe = (
+        e.join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "prob", "est")
+        .agg(
+            F.sum(F.when(F.col("cents") <= F.col("est"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_le"),
+            F.count("*").cast("long").alias("n_total"),
+        )
+    )
+    return (
+        probe.join(F.broadcast(bounds), "prob")
+        .select(
+            "event_type",
+            "prob",
+            "est",
+            "n_le",
+            "n_total",
+            F.round(
+                F.abs(F.col("n_le") / F.col("n_total") - F.col("prob")), 6
+            ).alias("rank_err"),
+            F.round("err_bound", 6).alias("err_bound"),
+            (
+                F.abs(F.col("n_le") / F.col("n_total") - F.col("prob"))
+                <= F.col("err_bound")
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type", "prob")
+    )
+
+
+def q_events_type_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types from STORED per-type HLL
+    sketches (operators/distinct_sketch.sketch_intersection_estimates):
+    |A∩B| ≈ est(A) + est(B) − est(A∪B) with the union the exact
+    register-max hll_union — no raw data touched on the serving path.
+    The exact per-pair intersection rides alongside (distinct users
+    per type, one equi-join on user_id — bounded by |users|·|types|,
+    types are a bounded dimension) with a tolerance check: inclusion-
+    exclusion inherits the ABSOLUTE error of three lg_k=12 estimates
+    (~1.6% RSE each), so within_tol tests |err| ≤ max(5% of the union,
+    16). DataSketches HLL is deterministic for a given input set →
+    stable rows; rows-only because DuckDB's HLL is a different
+    implementation."""
+    from .operators.distinct_sketch import (
+        distinct_sketch,
+        sketch_intersection_estimates,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = distinct_sketch(e, ["event_type"], "user_id", lg_k=12).localCheckpoint(
+        eager=False
+    )  # reused for both pair sides
+    ta = sk.select(F.col("event_type").alias("type_a"), F.col("__hll"))
+    tb = sk.select(F.col("event_type").alias("type_b"), F.col("__hll"))
+    pairs = (
+        ta.select("type_a")
+        .crossJoin(tb.select("type_b"))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    a_side = pairs.join(F.broadcast(ta), "type_a")
+    b_side = pairs.join(F.broadcast(tb), "type_b")
+    est = sketch_intersection_estimates(
+        a_side.select("type_a", "type_b", "__hll"),
+        # |types|² rows — broadcast so the pair join never shuffles
+        F.broadcast(b_side.select("type_a", "type_b", "__hll")),
+        ["type_a", "type_b"],
+    )
+    u = e.distinct()
+    ua = u.select(F.col("event_type").alias("type_a"), "user_id")
+    ub = u.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        ua.join(ub, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    err = F.abs(
+        F.col("est_intersection")
+        - F.coalesce(F.col("exact_intersection"), F.lit(0))
+    )
+    return (
+        est.join(F.broadcast(exact), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            "est_intersection",
+            F.coalesce("exact_intersection", F.lit(0))
+            .cast("long")
+            .alias("exact_intersection"),
+            err.cast("long").alias("abs_err"),
+            (
+                err
+                <= F.greatest(
+                    F.lit(0.05) * F.col("est_union").cast("double"), F.lit(16.0)
+                )
+            ).alias("within_tol"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -6254,6 +6602,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r9-new queries below + the 12 spilled r4 + 28 of the r5-vintage,
     # changed-code refreshes first as usual. Do NOT register more new
     # queries than the window budget (~10).
+    # -- NEW for r9 (built in r8, never driver-checked): Durbin-
+    #    Levinson PACF (machine-generated unrolled oracle), Holt linear
+    #    smoothing (recursive-CTE oracle), Wald-Wolfowitz runs test,
+    #    two-segment changepoint fit, per-segment Kaplan-Meier churn,
+    #    RAKE keywords, branching entropy; rows-only self-validating:
+    #    grouped sketch quantiles with per-group rank bound, HLL
+    #    audience overlap with exact-intersection tolerance check
+    "revenue_pacf": q_revenue_pacf,
+    "revenue_holt": q_revenue_holt,
+    "revenue_runs_test": q_revenue_runs_test,
+    "orders_breakpoint_trend": q_orders_breakpoint_trend,
+    "segment_churn_km": q_segment_churn_km,
+    "docs_rake_keywords": q_docs_rake_keywords,
+    "docs_branching_entropy": q_docs_branching_entropy,
+    "events_value_quantiles_sketch": q_events_value_quantiles_sketch,
+    "events_type_overlap_sketch": q_events_type_overlap_sketch,
     # -- displaced r8: the r7 window, every row green in r7
     "fuzzy_name_blocking": q_fuzzy_name_blocking,
     "events_twap": q_events_twap,
@@ -9941,4 +10305,297 @@ ORACLES["docs_source_jsd"] = r"""
            round(CAST(sum(t_nano) AS DOUBLE) / 1000000000.0
                  / 0.6931471805599453, 6) AS jsd_bits
     FROM terms GROUP BY 1, 2 ORDER BY source_a, source_b
+"""
+
+# --- r9-batch oracles -------------------------------------------------------
+# revenue_pacf: the machine-generated unrolled Durbin-Levinson recursion
+# over the registered ACF oracle — both engines consume bit-identical
+# ACF values and replay every float op in the identical order
+# (cross-engine equality pinned in tests/test_cdc_stats.py).
+from .operators.stats import pacf_unrolled_sql as _pacf_unrolled_sql  # noqa: E402
+
+ORACLES["revenue_pacf"] = _pacf_unrolled_sql(ORACLES["revenue_acf"], 7)
+
+ORACLES["revenue_holt"] = """
+    WITH RECURSIVE daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), e AS (
+      SELECT CAST(x AS DOUBLE) AS x,
+             row_number() OVER (ORDER BY d) AS rn
+      FROM daily
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_periods FROM e),
+    walk AS (
+      SELECT rn, x AS l, CAST(0 AS DOUBLE) AS b FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.rn,
+             0.5 * e.x + 0.5 * (w.l + w.b),
+             0.25 * ((0.5 * e.x + 0.5 * (w.l + w.b)) - w.l) + 0.75 * w.b
+      FROM walk w JOIN e ON e.rn = w.rn + 1
+    ), fin AS (SELECT l, b FROM walk ORDER BY rn DESC LIMIT 1)
+    SELECT nn.n_periods,
+           round(l, 4) AS level, round(b, 4) AS trend,
+           round(l + 1.0 * b, 4) AS forecast_h1,
+           round(l + 7.0 * b, 4) AS forecast_h7,
+           round(l + 30.0 * b, 4) AS forecast_h30
+    FROM fin, nn
+"""
+
+ORACLES["revenue_runs_test"] = """
+    WITH daily AS (
+      SELECT o_orderdate AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM daily),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, d) AS r FROM daily
+    ), med AS (
+      SELECT max(CASE WHEN r = CAST(ceil(n_all / 2) AS BIGINT) THEN x END)
+             AS med
+      FROM ranked, nn
+    ), lab AS (
+      SELECT d, CASE WHEN x > med THEN 1 ELSE 0 END AS lab
+      FROM daily, med WHERE x <> med
+    ), runs AS (
+      SELECT lab,
+             CASE WHEN lag(lab) OVER (ORDER BY d) IS NULL
+                    OR lab <> lag(lab) OVER (ORDER BY d)
+                  THEN 1 ELSE 0 END AS new_run
+      FROM lab
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(lab), 0) AS BIGINT) AS n_above,
+             CAST(coalesce(sum(new_run), 0) AS BIGINT) AS n_runs
+      FROM runs
+    ), mom AS (
+      SELECT n, n_above, n_runs,
+             2.0 * CAST(n_above AS DOUBLE) * CAST(n - n_above AS DOUBLE)
+               / CAST(n AS DOUBLE) + 1.0 AS mu
+      FROM agg
+    ), mom2 AS (
+      SELECT *,
+             (mu - 1.0) * (mu - 2.0) / (CAST(n AS DOUBLE) - 1.0) AS vr
+      FROM mom
+    )
+    SELECT n, (SELECT med FROM med) AS median, n_above,
+           CAST(n - n_above AS BIGINT) AS n_below, n_runs,
+           CASE WHEN n > 0 THEN round(mu, 6) END AS expected_runs,
+           CASE WHEN n > 1 THEN
+                CASE WHEN vr > 0.0 THEN
+                     round((CAST(n_runs AS DOUBLE) - mu) / sqrt(vr), 6)
+                END
+           END AS z
+    FROM mom2
+"""
+
+ORACLES["orders_breakpoint_trend"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), d2 AS (
+      SELECT d, CAST(x AS HUGEINT) AS y,
+             CAST(row_number() OVER (ORDER BY d) AS HUGEINT) AS t
+      FROM daily
+    ), pre AS (
+      SELECT d, t,
+             sum(t) OVER wc AS st, sum(y) OVER wc AS sy,
+             sum(t * t) OVER wc AS stt, sum(t * y) OVER wc AS sty,
+             sum(y * y) OVER wc AS syy
+      FROM d2
+      WINDOW wc AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW)
+    ), tot AS (
+      SELECT t AS n, st AS tst, sy AS tsy, stt AS tstt, sty AS tsty,
+             syy AS tsyy
+      FROM pre WHERE t = (SELECT max(t) FROM pre)
+    ), scored AS (
+      SELECT d, t, n,
+             (CAST(t * syy - sy * sy AS DOUBLE)
+              - CAST(t * sty - st * sy AS DOUBLE)
+                * CAST(t * sty - st * sy AS DOUBLE)
+                / CAST(t * stt - st * st AS DOUBLE)) / CAST(t AS DOUBLE)
+           + (CAST((n - t) * (tsyy - syy) - (tsy - sy) * (tsy - sy) AS DOUBLE)
+              - CAST((n - t) * (tsty - sty) - (tst - st) * (tsy - sy)
+                     AS DOUBLE)
+                * CAST((n - t) * (tsty - sty) - (tst - st) * (tsy - sy)
+                       AS DOUBLE)
+                / CAST((n - t) * (tstt - stt) - (tst - st) * (tst - st)
+                       AS DOUBLE))
+             / CAST(n - t AS DOUBLE) AS sse2,
+             CAST(t * sty - st * sy AS DOUBLE)
+               / CAST(t * stt - st * st AS DOUBLE) AS sl,
+             CAST((n - t) * (tsty - sty) - (tst - st) * (tsy - sy) AS DOUBLE)
+               / CAST((n - t) * (tstt - stt) - (tst - st) * (tst - st)
+                      AS DOUBLE) AS sr,
+             tst, tsy, tstt, tsty, tsyy
+      FROM pre, tot
+      WHERE t >= 3 AND t <= n - 3
+    ), best AS (
+      SELECT * FROM scored ORDER BY sse2 ASC, t ASC LIMIT 1
+    ), fin AS (
+      SELECT *,
+             (CAST(n * tsyy - tsy * tsy AS DOUBLE)
+              - CAST(n * tsty - tst * tsy AS DOUBLE)
+                * CAST(n * tsty - tst * tsy AS DOUBLE)
+                / CAST(n * tstt - tst * tst AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS sse1
+      FROM best
+    )
+    SELECT d AS breakpoint, CAST(n AS BIGINT) AS n_points,
+           round(sl, 6) AS slope_left, round(sr, 6) AS slope_right,
+           round(sse2, 4) AS sse_two, round(sse1, 4) AS sse_single,
+           round(CASE WHEN sse1 > 0.0 THEN (sse1 - sse2) / sse1
+                      ELSE 0.0 END, 6) AS rel_reduction
+    FROM fin
+"""
+
+ORACLES["segment_churn_km"] = """
+    WITH mx AS (SELECT max(o_orderdate) AS gmax FROM orders),
+    per_c AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', min(o_orderdate), max(o_orderdate))
+                  AS BIGINT) AS t,
+             CASE WHEN date_diff('day', max(o_orderdate),
+                                 (SELECT gmax FROM mx)) > 90
+                  THEN 1 ELSE 0 END AS churned
+      FROM orders GROUP BY o_custkey
+    ), seg AS (
+      SELECT c.c_mktsegment AS s, p.t, p.churned
+      FROM per_c p JOIN customer c ON p.o_custkey = c.c_custkey
+    ), per_t AS (
+      SELECT s, t, CAST(count(*) AS BIGINT) AS ends,
+             CAST(sum(churned) AS BIGINT) AS d
+      FROM seg GROUP BY s, t
+    ), tot AS (
+      SELECT s, CAST(sum(ends) AS BIGINT) AS total FROM per_t GROUP BY s
+    ), risk AS (
+      SELECT p.s, p.t, p.d,
+             CAST(tot.total
+                  - coalesce(sum(p.ends) OVER (PARTITION BY p.s ORDER BY p.t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_at_risk
+      FROM per_t p JOIN tot ON p.s = tot.s
+    ), steps AS (
+      SELECT s, t, n_at_risk, d,
+             1.0 - CAST(d AS DOUBLE) / n_at_risk AS f
+      FROM risk WHERE d > 0
+    )
+    SELECT s AS c_mktsegment, t AS duration_days, n_at_risk, d AS n_events,
+           round(list_reduce(list(f) OVER (PARTITION BY s ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 (a, b) -> a * b), 6) AS survival
+    FROM steps ORDER BY c_mktsegment, duration_days
+"""
+
+ORACLES["docs_rake_keywords"] = rf"""
+    WITH toks AS (
+      SELECT doc_id, i AS pos, lower(tk[i]) AS tok
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+            FROM documents WHERE length(trim(text)) > 0) dd,
+           unnest(range(1, len(tk) + 1)) AS t(i)
+      WHERE length(tk[i]) > 0
+    ), flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN list_contains([{_SW}], tok) THEN 1 ELSE 0 END AS sw
+      FROM toks
+    ), runs AS (
+      SELECT doc_id, pos, tok, sw,
+             sum(sw) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM flagged
+    ), occ AS (
+      SELECT doc_id, run, list(tok ORDER BY pos) AS words
+      FROM runs WHERE sw = 0 GROUP BY doc_id, run
+      HAVING count(*) <= 4
+    ), occ2 AS (
+      SELECT array_to_string(words, ' ') AS phrase, words,
+             CAST(len(words) AS BIGINT) AS n_words
+      FROM occ
+    ), member AS (
+      SELECT phrase, n_words, unnest(words) AS w FROM occ2
+    ), stats AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(n_words) AS BIGINT) AS degree
+      FROM member GROUP BY w
+    ), grouped AS (
+      SELECT phrase, words, CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(len(words) AS BIGINT) AS n_words
+      FROM occ2 GROUP BY phrase, words
+    ), perword AS (
+      SELECT g.phrase, g.n_occurrences, g.n_words, t.i AS wpos,
+             CAST(s.degree AS DOUBLE) / CAST(s.freq AS DOUBLE) AS wscore
+      FROM grouped g, unnest(range(1, len(g.words) + 1)) AS t(i)
+      JOIN stats s ON s.w = g.words[t.i]
+    ), pscore AS (
+      SELECT phrase, n_occurrences, n_words,
+             list_reduce(list(wscore ORDER BY wpos), (a, b) -> a + b)
+               AS score
+      FROM perword GROUP BY phrase, n_occurrences, n_words
+    ), top AS (
+      SELECT * FROM pscore ORDER BY score DESC, phrase LIMIT 25
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, phrase) AS BIGINT)
+             AS rank,
+           phrase, n_occurrences, n_words, round(score, 6) AS score
+    FROM top ORDER BY rank
+"""
+
+ORACLES["docs_branching_entropy"] = r"""
+    WITH tok AS (
+      SELECT string_split_regex(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0
+    ), uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c_uni
+      FROM (SELECT unnest(tk) AS w FROM tok) GROUP BY 1
+    ), top AS (
+      SELECT w, c_uni FROM uni ORDER BY c_uni DESC, w LIMIT 25
+    ), big AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2, CAST(count(*) AS BIGINT) AS n_pair
+      FROM tok, unnest(range(1, len(tk))) AS t(i)
+      WHERE len(tk) >= 2
+      GROUP BY 1, 2
+    ), rsel AS (
+      SELECT b.w1 AS w, b.n_pair FROM big b JOIN top ON b.w1 = top.w
+    ), rtot AS (
+      SELECT w, CAST(sum(n_pair) AS BIGINT) AS tt FROM rsel GROUP BY 1
+    ), rterm AS (
+      SELECT r.w,
+             CAST(round((CAST(r.n_pair AS DOUBLE) / CAST(t.tt AS DOUBLE))
+                   * ln(CAST(r.n_pair AS DOUBLE) / CAST(t.tt AS DOUBLE))
+                   * 1000000000.0) AS BIGINT) AS tn
+      FROM rsel r JOIN rtot t ON r.w = t.w
+    ), ragg AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_right,
+             CAST(sum(tn) AS BIGINT) AS s
+      FROM rterm GROUP BY 1
+    ), lsel AS (
+      SELECT b.w2 AS w, b.n_pair FROM big b JOIN top ON b.w2 = top.w
+    ), ltot AS (
+      SELECT w, CAST(sum(n_pair) AS BIGINT) AS tt FROM lsel GROUP BY 1
+    ), lterm AS (
+      SELECT r.w,
+             CAST(round((CAST(r.n_pair AS DOUBLE) / CAST(t.tt AS DOUBLE))
+                   * ln(CAST(r.n_pair AS DOUBLE) / CAST(t.tt AS DOUBLE))
+                   * 1000000000.0) AS BIGINT) AS tn
+      FROM lsel r JOIN ltot t ON r.w = t.w
+    ), lagg AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n_left,
+             CAST(sum(tn) AS BIGINT) AS s
+      FROM lterm GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (ORDER BY top.c_uni DESC, top.w) AS BIGINT)
+             AS rank,
+           top.w AS token, top.c_uni,
+           CAST(coalesce(r.n_right, 0) AS BIGINT) AS n_right,
+           round(-CAST(r.s AS DOUBLE) / 1000000000.0
+                 / 0.6931471805599453, 6) AS right_entropy_bits,
+           CAST(coalesce(l.n_left, 0) AS BIGINT) AS n_left,
+           round(-CAST(l.s AS DOUBLE) / 1000000000.0
+                 / 0.6931471805599453, 6) AS left_entropy_bits
+    FROM top
+    LEFT JOIN ragg r ON top.w = r.w
+    LEFT JOIN lagg l ON top.w = l.w
+    ORDER BY rank
 """

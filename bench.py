@@ -172,7 +172,91 @@ BENCH_QUERIES = [
     "events_user_coverage",
     "orders_seasonal_decompose",
     "docs_source_jsd",
+    # round-8 additions
+    "revenue_pacf",
+    "revenue_holt",
+    "revenue_runs_test",
+    "orders_breakpoint_trend",
+    "segment_churn_km",
+    "docs_rake_keywords",
+    "docs_branching_entropy",
+    "events_value_quantiles_sketch",
+    "events_type_overlap_sketch",
+    # round-8 coverage sweep: every registry entry with a distinct
+    # execution path is benched (tests/test_bench_coverage.py enforces
+    # registry ⊆ BENCH_QUERIES ∪ BENCH_SKIP from here on)
+    "minhash_lsh_pairs",
+    "sketch_distinct_counts",
+    "ann_lsh_recall",
+    "ann_ivf_topk",
+    "ann_ivf_recall",
+    "ann_pq_recall",
+    "events_funnel",
+    "events_gap_fill",
+    "events_anomaly",
+    "events_max_concurrency_2p",
+    "event_sliding_window",
+    "latest_event_per_type",
+    "part_pairs_lift",
+    "embedding_quantize_stats",
+    "embedding_norms",
+    "embedding_dup_pairs",
+    "top_parts_salted",
+    "supplier_part_variety",
+    "excess_share_suppliers",
+    "suppliers_per_region",
+    "docs_length_histogram",
+    "customer_balance_ranks",
+    "docs_train_test_split",
+    "docs_epoch_shuffle",
+    "docs_temperature_mix",
+    "docs_weighted_sample",
+    "docs_stratified_sample",
+    "docs_mixture_weights",
+    "docs_group_quota",
+    "docs_repetition",
+    "docs_char_entropy",
+    "docs_unigram_logprob",
+    "docs_pii_scrub",
+    "text_bpe_tokens",
+    "decontaminate_overlap",
+    "name_edit_distance",
+    "merge_updates",
+    "union_all_counts",
+    "pivot_status",
+    "orders_above_cust_avg",
+    "customers_without_orders",
+    "lineitem_unpivot",
+    "orders_top_unshipped",
+    "orders_price_histogram",
+    "product_profit",
+    "returned_top_customers",
+    "brand_disc_revenue",
+    "top_revenue_suppliers",
+    "small_qty_revenue",
+    "idle_rich_customers",
+    "important_parts",
+    "late_shipment_priority",
 ]
+
+# Registry entries intentionally NOT benched (coverage is enforced by
+# tests/test_bench_coverage.py: every QUERIES key must appear in
+# BENCH_QUERIES or here, with a reason). Only trivial per-row
+# projections with no shuffle, strict subsets of a benched composite,
+# or the warmup query belong here.
+BENCH_SKIP: dict[str, str] = {
+    "project_truncate": "two-column projection + truncate, no shuffle",
+    "filter_nonempty": "single per-row filter projection, no shuffle",
+    "timestamp_parse": "per-row timestamp-cast projection, no shuffle",
+    "json_extract": "per-row from_json projection, no shuffle",
+    "map_multikey": "per-row map-coalesce projection, no shuffle",
+    "token_pivot": "per-row positional pivot projection, no shuffle",
+    "coalesce_display": "per-row scalar coalesce projection, no shuffle",
+    "merge_inserts": "one anti-join; strict subset of benched merge_full_sync",
+    "merge_deletes": "one anti-join; strict subset of benched merge_full_sync",
+    "cross_join_dims": "tiny-dim broadcast cross join, output bounded by dims",
+    "order_priority_counts": "the bench warmup query, deliberately untimed",
+}
 
 
 def main() -> None:

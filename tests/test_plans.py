@@ -684,3 +684,88 @@ def test_coverage_window_is_per_user(spark):
     task."""
     plan = _plan(spark, "events_user_coverage")
     assert "user_id" in _window_partition_keys(plan)
+
+
+def test_segment_churn_km_windows_partition_by_segment(spark):
+    """Every KM window (prev-ends sum, cumulative factor list) keys on
+    the segment — no task ever holds more than one segment's
+    duration-bounded aggregate."""
+    plan = _plan(spark, "segment_churn_km")
+    assert _window_partition_keys(plan) == {"c_mktsegment"}
+    # (a global Exchange exists for the scalar max-orderdate aggregate
+    # — one row — so no blanket SinglePartition assert here)
+    assert "CartesianProduct" not in plan
+
+
+def test_rake_run_split_window_is_per_row(spark):
+    """RAKE's stopword-run window partitions by the per-row id — a
+    missing partition clause would serialize the whole token stream
+    through one task. Asserted on the operator's own frame: the
+    registry query's localCheckpoint renders the subtree as Scan
+    ExistingRDD in the outer plan. The outer plan still shows the
+    broadcast word-score lookup and the TakeOrdered top-25 cut."""
+    from bangumi_notion_data_integration_project_spark.operators.keywords import (
+        phrase_occurrences,
+    )
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    occ = phrase_occurrences(d, "doc_id", "text")
+    inner = occ._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert any(
+        k.startswith("__rid") for k in _window_partition_keys(inner)
+    ), _window_partition_keys(inner)
+    plan = _plan(spark, "docs_rake_keywords")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # global top-25 cut
+
+
+def test_branching_entropy_joins_broadcast_and_topk_take_ordered(spark):
+    """The top-25 token cut is TakeOrderedAndProject (never a full
+    vocab sort) and every lookup join broadcasts — the vocab-scale
+    bigram table is never shuffled for a join."""
+    plan = _plan(spark, "docs_branching_entropy")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # top x2 sides + totals
+
+
+def test_grouped_value_sketch_windows_key_on_event_type(spark):
+    """The grouped sketch build and the per-group quantile extraction
+    both window per event_type; the probe joins broadcast (estimates
+    and bounds are tiny)."""
+    plan = _plan(spark, "events_value_quantiles_sketch")
+    assert _window_partition_keys(plan) == {"event_type"}
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_breakpoint_trend_is_one_window_pass(spark):
+    """segmented_trend evaluates all candidate breakpoints from ONE
+    prefix-moment window over the calendar-bounded daily aggregate —
+    no join of the raw table, no quadratic rescans (the totals arrive
+    via one broadcast)."""
+    plan = _plan(spark, "orders_breakpoint_trend")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # raw orders were aggregated inside the localCheckpoint job; this
+    # plan only ever sees the O(days) aggregate
+    assert "Scan parquet" not in plan
+
+
+def test_type_overlap_never_rescans_raw_for_estimates(spark):
+    """The sketch-side estimates are computed from the stored per-type
+    HLL sketches alone (one raw scan builds them; the exact-probe side
+    is the validation harness); nothing goes cartesian unbounded —
+    the only nested-loop join is the |types|² pair frame."""
+    plan = _plan(spark, "events_type_overlap_sketch")
+    # the ONLY shuffle join allowed is the user-level exact-
+    # intersection probe (data-scale on both sides — sort-merge is the
+    # right plan there); every sketch/pair/bound lookup broadcasts
+    smj_nodes = re.findall(r"\(\d+\) SortMergeJoin", plan)
+    assert len(smj_nodes) <= 1, plan
+    assert "CartesianProduct" not in plan
