@@ -176,3 +176,39 @@ def test_merge_random_shard_splits_equals_whole(spark, lineitem, seed):
     )
     assert _rows(merge_quantile_sketches(shards, k=256)) == whole
     assert _rows(merge_quantile_sketches(list(reversed(shards)), k=256)) == whole
+
+
+def test_serving_path_answers_from_persisted_sketch_alone(spark, lineitem, tmp_path):
+    """The production claim behind every sketch registry entry: the
+    full-scan rank probe is the TEST harness; serving persists the
+    k-row sketch as a table and answers ANY later quantile from it
+    alone. Pin it: persist, reopen, extract quantiles — the plan must
+    scan only the k-row sketch table (never lineitem), and the answers
+    must equal the pre-persist extraction and sit within the rank
+    bound measured against the raw column."""
+    k = 1024
+    sk = quantile_sketch(
+        lineitem, "l_extendedprice", ["l_orderkey", "l_linenumber"], k=k
+    )
+    probs = [0.25, 0.5, 0.9]
+    before = {
+        r["prob"]: r["est"] for r in sketch_quantiles(sk, probs).collect()
+    }
+
+    path = str(tmp_path / "sketch_table")
+    sk.write.parquet(path)  # one-time build cost; 100 TB -> k rows
+
+    stored = spark.read.parquet(path)
+    assert stored.count() == k  # the serving input IS the k-row table
+    served = sketch_quantiles(stored, probs)
+    # sketch_quantiles localCheckpoints its input, so the sketch scan
+    # shows as Scan ExistingRDD; the raw table must appear nowhere
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "serving must never rescan the raw table"
+    got = {r["prob"]: r["est"] for r in served.collect()}
+    assert got == before
+
+    n = lineitem.count()
+    for p in probs:
+        rank = lineitem.filter(F.col("l_extendedprice") <= got[p]).count() / n
+        assert abs(rank - p) <= rank_error_bound(k, p)

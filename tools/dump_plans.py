@@ -83,6 +83,15 @@ SHOWN = [
     ("events_user_coverage", "interval-union coverage, running-max merge (no self-join)"),
     ("orders_seasonal_decompose", "7-row moving-average decomposition, x7-integer-exact"),
     ("docs_source_jsd", "pairwise source JSD, per-pair token union + nano-int sums"),
+    ("revenue_pacf", "Durbin-Levinson PACF on the stored ACF (bounded collect)"),
+    ("revenue_holt", "Holt linear smoothing, one ordered JVM fold on O(days) agg"),
+    ("revenue_runs_test", "Wald-Wolfowitz runs test, integer order statistics"),
+    ("orders_breakpoint_trend", "two-segment changepoint, one prefix-moment window"),
+    ("segment_churn_km", "per-segment KM curves, windows keyed on segment"),
+    ("docs_rake_keywords", "RAKE keywords, per-row run-split + broadcast word scores"),
+    ("docs_branching_entropy", "left/right branching entropy, broadcast top-25 cut"),
+    ("events_value_quantiles_sketch", "grouped bottom-k sketch + per-group rank probe"),
+    ("events_type_overlap_sketch", "HLL inclusion-exclusion overlap from stored sketches"),
 ]
 
 

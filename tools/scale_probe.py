@@ -106,6 +106,22 @@ PROBED = [
     "docs_zipf_fit",
     "docs_source_jsd",
     "events_user_coverage",
+    # round 8 batch: PACF/Holt/runs/changepoint (all on the O(days)
+    # daily aggregate -> expect flat), per-segment KM (duration-bounded
+    # per group), RAKE (the posexplode run-split is the only new
+    # token-scale window — per-doc partitions), branching entropy
+    # (vocab-bounded aggregates + TakeOrdered), grouped value sketch
+    # (per-group bottom-k windows), HLL overlap (sketch algebra + one
+    # user-level equi-join)
+    "revenue_pacf",
+    "revenue_holt",
+    "revenue_runs_test",
+    "orders_breakpoint_trend",
+    "segment_churn_km",
+    "docs_rake_keywords",
+    "docs_branching_entropy",
+    "events_value_quantiles_sketch",
+    "events_type_overlap_sketch",
 ]
 SCALED_TABLES = {
     "lineitem": "l_orderkey",
