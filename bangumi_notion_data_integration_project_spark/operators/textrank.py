@@ -1,0 +1,160 @@
+"""TextRank keyword extraction (Mihalcea & Tarau 2004): rank candidate
+words by weighted PageRank over their co-occurrence graph.
+
+The graph-based sibling of RAKE (``operators/keywords.py``): where RAKE
+scores phrases by degree/frequency inside stopword-free runs, TextRank
+builds an undirected word graph — an edge per pair of candidate words
+within a sliding window of the candidate sequence, weighted by
+co-occurrence count — and runs a fixed number of damped power
+iterations, the pagerank recipe specialized to weighted edges:
+
+    s(v) = (1 - d) + d * Σ_{u~v}  w(u,v) / wdeg(u) * s(u)
+
+Scale design mirrors ``operators/graph.pagerank``: the window pairing
+is per-document lead() windows (bounded by document length — no
+self-join), edge weights are one map-side-combinable groupBy, and each
+iteration is one node-sized join plus one aggregate on the destination
+key. The iteration count is fixed, so the plan is bounded and an
+unrolled-SQL oracle can replay it (the pagerank/k-core pattern);
+ordering on the ROUNDED rank keeps a future registry top-k stable
+across engines' FP summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS_EN, tokens
+
+
+def word_graph(
+    df: DataFrame,
+    doc_id_col: str,
+    text_col: str | Column,
+    *,
+    stopwords: "list[str] | None" = None,
+    window: int = 2,
+) -> DataFrame:
+    """Canonical weighted co-occurrence edges ``(w1 < w2, weight)``.
+
+    Candidates are the lowercased non-stopword tokens of each document
+    in order (RAKE's tokenizer conventions: '' edge tokens filtered,
+    case-insensitive stopword test). An edge joins candidates at
+    distance ≤ ``window`` in the CANDIDATE sequence (the classic
+    TextRank definition — stopwords don't block adjacency); its weight
+    counts co-occurrences over the corpus. Self-loops (a word repeated
+    within the window) are dropped."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    sw = [w.lower() for w in (stopwords or STOPWORDS_EN)]
+    toks = (
+        df.select(
+            # per-ROW id: duplicate doc_id values must never interleave
+            # token streams (the keywords.py lesson)
+            F.monotonically_increasing_id().alias("__rid"),
+            tokens(text_col).alias("__tk"),
+        )
+        .select("__rid", F.posexplode("__tk").alias("pos", "tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("tok", F.lower("tok"))
+        .filter(~F.col("tok").isin(sw))
+    )
+    w_doc = Window.partitionBy("__rid").orderBy("pos")
+    pairs = []
+    for d in range(1, window + 1):
+        pairs.append(
+            toks.select(
+                F.col("tok").alias("wa"),
+                F.lead("tok", d).over(w_doc).alias("wb"),
+            ).filter(F.col("wb").isNotNull())
+        )
+    allp = pairs[0]
+    for p in pairs[1:]:
+        allp = allp.unionByName(p)
+    return (
+        allp.filter(F.col("wa") != F.col("wb"))
+        .select(
+            F.least("wa", "wb").alias("w1"),
+            F.greatest("wa", "wb").alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over canonical undirected
+    edges ``(w1, w2, weight)``; returns ``(node, rank)`` with ranks
+    initialized at 1.0 (the TextRank convention — the stationary scale
+    with the additive ``1-d`` term, no ``/N``)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    sym = edges.select(
+        F.col("w1").alias("src"), F.col("w2").alias("dst"), "weight"
+    ).unionByName(
+        edges.select(
+            F.col("w2").alias("src"), F.col("w1").alias("dst"), "weight"
+        )
+    ).localCheckpoint(eager=False)  # scanned every iteration
+    wdeg = sym.groupBy("src").agg(
+        F.sum("weight").cast("double").alias("wdeg")
+    ).select(F.col("src").alias("deg_node"), "wdeg")
+    nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        shares = ranks.join(wdeg, ranks["node"] == F.col("deg_node")).select(
+            F.col("deg_node").alias("src"),
+            (F.col("rank") / F.col("wdeg")).alias("share"),
+        )
+        contrib = (
+            shares.join(sym, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("share") * F.col("weight")).alias("incoming"))
+        )
+        # symmetric graph: every node has wdeg > 0, incoming never null
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(1.0 - damping) + F.lit(damping) * F.col("incoming")
+            ).alias("rank"),
+        )
+    return ranks
+
+
+def textrank_keywords(
+    df: DataFrame,
+    doc_id_col: str,
+    text_col: str | Column,
+    *,
+    stopwords: "list[str] | None" = None,
+    window: int = 2,
+    iterations: int = 10,
+    damping: float = 0.85,
+    top_k: int = 25,
+) -> DataFrame:
+    """Corpus top-k keywords: ``(rank, token, score)`` under a
+    (rounded-score desc, token) total order. Scores rounded at 1e-9 —
+    the parts_pagerank convention that keeps the top-k boundary stable
+    across engines' FP summation orders."""
+    g = word_graph(
+        df, doc_id_col, text_col, stopwords=stopwords, window=window
+    )
+    ranks = weighted_pagerank(g, iterations=iterations, damping=damping)
+    scored = ranks.select(
+        F.col("node").alias("token"), F.round("rank", 9).alias("score")
+    )
+    top = scored.orderBy(F.col("score").desc(), "token").limit(top_k)
+    w_rank = Window.orderBy(F.col("score").desc(), "token")
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .select("rank", "token", "score")
+        .orderBy("rank")
+    )

@@ -1,0 +1,137 @@
+"""TextRank (operators/textrank.py): word-graph construction against a
+hand-built reference, weighted power iteration against a pure-Python
+replay, determinism across partitionings, and stopword/window
+semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bangumi_notion_data_integration_project_spark.operators.textrank import (
+    textrank_keywords,
+    weighted_pagerank,
+    word_graph,
+)
+
+DOCS = [
+    (1, "spark runs fast and spark scales well"),
+    (2, "fast spark jobs scale to large clusters"),
+    (3, "the spark optimizer makes jobs fast"),
+]
+
+
+def _docs(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_graph(rows, stopwords, window=2):
+    from collections import Counter
+
+    edges = Counter()
+    for _, text in rows:
+        cand = [
+            t.lower()
+            for t in text.split()
+            if t and t.lower() not in stopwords
+        ]
+        for i, wa in enumerate(cand):
+            for d in range(1, window + 1):
+                if i + d < len(cand):
+                    wb = cand[i + d]
+                    if wa != wb:
+                        edges[(min(wa, wb), max(wa, wb))] += 1
+    return dict(edges)
+
+
+def _py_pagerank(edges, iterations=10, d=0.85):
+    wdeg: dict[str, float] = {}
+    adj: dict[str, list[tuple[str, int]]] = {}
+    for (a, b), w in edges.items():
+        for u, v in ((a, b), (b, a)):
+            wdeg[u] = wdeg.get(u, 0.0) + w
+            adj.setdefault(u, []).append((v, w))
+    ranks = {u: 1.0 for u in wdeg}
+    for _ in range(iterations):
+        shares = {u: ranks[u] / wdeg[u] for u in ranks}
+        nxt = {}
+        for u, nbrs in adj.items():
+            for v, w in nbrs:
+                nxt[v] = nxt.get(v, 0.0) + shares[u] * w
+        ranks = {v: (1.0 - d) + d * s for v, s in nxt.items()}
+    return ranks
+
+
+STOP = {"and", "the", "to", "well"}
+
+
+def test_word_graph_matches_reference(spark):
+    got = {
+        (r["w1"], r["w2"]): r["weight"]
+        for r in word_graph(
+            _docs(spark), "doc_id", "text", stopwords=list(STOP), window=2
+        ).collect()
+    }
+    assert got == _py_graph(DOCS, STOP, window=2)
+
+
+def test_stopwords_do_not_block_adjacency(spark):
+    # "runs and fast": with 'and' a stopword, runs-fast are ADJACENT in
+    # the candidate sequence (distance 1), the classic TextRank rule
+    rows = [(1, "runs and fast")]
+    got = {
+        (r["w1"], r["w2"]): r["weight"]
+        for r in word_graph(
+            _docs(spark, rows), "doc_id", "text", stopwords=["and"], window=1
+        ).collect()
+    }
+    assert got == {("fast", "runs"): 1}
+
+
+def test_weighted_pagerank_matches_python_replay(spark):
+    edges = _py_graph(DOCS, STOP, window=2)
+    edf = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in edges.items()],
+        "w1 string, w2 string, weight long",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in weighted_pagerank(edf, iterations=10).collect()
+    }
+    want = _py_pagerank(edges, iterations=10)
+    assert set(got) == set(want)
+    for node, r in got.items():
+        assert abs(r - want[node]) <= 1e-9 * max(1.0, abs(want[node])), node
+
+
+def test_keywords_deterministic_and_total_ordered(spark):
+    d = _docs(spark)
+    a = textrank_keywords(
+        d, "doc_id", "text", stopwords=list(STOP), iterations=8, top_k=5
+    ).collect()
+    b = textrank_keywords(
+        d.repartition(7),
+        "doc_id",
+        "text",
+        stopwords=list(STOP),
+        iterations=8,
+        top_k=5,
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert [r["rank"] for r in a] == list(range(1, len(a) + 1))
+    # 'spark' is the hub of this corpus
+    assert a[0]["token"] == "spark"
+
+
+def test_parameter_validation(spark):
+    import pytest
+
+    d = _docs(spark)
+    with pytest.raises(ValueError, match="window"):
+        word_graph(d, "doc_id", "text", window=0)
+    with pytest.raises(ValueError, match="iterations"):
+        weighted_pagerank(
+            spark.createDataFrame(
+                [("a", "b", 1)], "w1 string, w2 string, weight long"
+            ),
+            iterations=0,
+        )
