@@ -343,14 +343,50 @@ def segmented_trend(
     y units. Needs n >= 2*min_seg rows (returns an empty frame below
     that).
     """
+    return _segmented_core(df, [], order_col, y_col, min_seg)
+
+
+def segmented_trend_grouped(
+    df: DataFrame,
+    group_cols: "list[str]",
+    order_col: str,
+    y_col: str,
+    *,
+    min_seg: int = 3,
+) -> DataFrame:
+    """Per-group two-segment changepoint fit: one breakpoint row per
+    key (e.g. a trend break per event type / segment). Same
+    construction as :func:`segmented_trend` — literally the same code
+    path parameterized by the group columns (the _km_steps pattern, so
+    the two can never diverge on conventions) — with every window
+    partitioned by the key and the totals joined back per group, so no
+    task ever holds more than one group's calendar-bounded aggregate.
+    Groups with fewer than 2*min_seg rows produce no row."""
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must name at least one column")
+    return _segmented_core(df, groups, order_col, y_col, min_seg)
+
+
+def _segmented_core(
+    df: DataFrame,
+    groups: "list[str]",
+    order_col: str,
+    y_col: str,
+    min_seg: int,
+) -> DataFrame:
     from pyspark.sql import Window
 
     if min_seg < 2:
         raise ValueError("min_seg must be >= 2 (a 1-point fit has no slope)")
-    w = Window.orderBy("__o")
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("__o")
+    else:
+        w = Window.orderBy("__o")
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     d = (
         df.select(
+            *groups,
             # DECIMAL cast like ols_fit: fractional input rounds (the
             # module contract is integer-valued y; a stray double must
             # not silently TRUNCATE toward zero)
@@ -374,7 +410,7 @@ def segmented_trend(
     )
     # totals = the LAST row's prefix (max_by on __t), NOT max of the
     # prefixes: signed y makes __sy/__sty non-monotone running sums
-    tot = pre.groupBy().agg(
+    tot = pre.groupBy(*groups).agg(
         F.max("__t").alias("__n"),
         F.max_by("__st", "__t").alias("__tst"),
         F.max_by("__sy", "__t").alias("__tsy"),
@@ -389,12 +425,10 @@ def segmented_trend(
         c = (m * stt - st * st).cast("double")
         return a - b * b / c, b, c
 
-    cand = (
-        pre.crossJoin(F.broadcast(tot))
-        .filter(
-            (F.col("__t") >= F.lit(min_seg))
-            & (F.col("__t") <= F.col("__n") - F.lit(min_seg))
-        )
+    based = pre.join(tot, groups) if groups else pre.crossJoin(F.broadcast(tot))
+    cand = based.filter(
+        (F.col("__t") >= F.lit(min_seg))
+        & (F.col("__t") <= F.col("__n") - F.lit(min_seg))
     )
     ml = dec(F.col("__t"))
     mr = dec(F.col("__n") - F.col("__t"))
@@ -410,6 +444,7 @@ def segmented_trend(
         F.col("__tsyy") - F.col("__syy"),
     )
     scored = cand.select(
+        *groups,
         "__o",
         "__t",
         "__n",
@@ -422,7 +457,12 @@ def segmented_trend(
         "__tsty",
         "__tsyy",
     )
-    w_min = Window.orderBy(F.col("__sse2").asc(), F.col("__t").asc())
+    if groups:
+        w_min = Window.partitionBy(*groups).orderBy(
+            F.col("__sse2").asc(), F.col("__t").asc()
+        )
+    else:
+        w_min = Window.orderBy(F.col("__sse2").asc(), F.col("__t").asc())
     best = scored.withColumn("__rk", F.row_number().over(w_min)).filter(
         F.col("__rk") == 1
     )
@@ -431,7 +471,8 @@ def segmented_trend(
         mn, F.col("__tst"), F.col("__tsy"), F.col("__tstt"), F.col("__tsty"), F.col("__tsyy")
     )
     sse_single = sse_1 / mn.cast("double")
-    return best.select(
+    out = best.select(
+        *groups,
         F.col("__o").alias("breakpoint"),
         F.col("__n").alias("n_points"),
         F.round(F.col("__sl"), 6).alias("slope_left"),
@@ -448,6 +489,7 @@ def segmented_trend(
             6,
         ).alias("rel_reduction"),
     )
+    return out.orderBy(*groups) if groups else out
 
 
 def pacf_from_acf(acf_df: DataFrame, *, max_lag: int) -> DataFrame:

@@ -735,3 +735,66 @@ def test_holt_linear_empty_and_null_inputs(spark):
             "d",
             "x",
         ).collect()
+
+
+def test_segmented_trend_grouped_matches_global_per_group(spark):
+    """The grouped changepoint fit shares _segmented_core with the
+    global operator (the _km_steps pattern), so each group's row must
+    be IDENTICAL to running the global operator on that group alone;
+    undersized groups (< 2*min_seg rows) produce no row."""
+    import pytest as _pytest
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        segmented_trend,
+        segmented_trend_grouped,
+    )
+
+    rows = []
+    # group a: slope +10 then -5 with breakpoint at t=12 (of 24)
+    rows += [("a", t, 10 * t if t <= 12 else 120 - 5 * (t - 12)) for t in range(1, 25)]
+    # group b: pure noise-free rise, different length
+    rows += [("b", t, 3 * t + (7 if t > 9 else 0)) for t in range(1, 19)]
+    # group c: undersized (5 rows < 2*min_seg)
+    rows += [("c", t, t) for t in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, d long, y long")
+
+    got = {
+        r["g"]: tuple(r)[1:]
+        for r in segmented_trend_grouped(
+            df, ["g"], "d", "y", min_seg=3
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}  # c is undersized -> no row
+    for g in ("a", "b"):
+        [want] = segmented_trend(
+            df.filter(F.col("g") == g).select("d", "y"), "d", "y", min_seg=3
+        ).collect()
+        assert got[g] == tuple(want), g
+    # both k=11 and k=12 split the tent apex into two exact lines
+    # (SSE 0 + 0); the (sse, k) total order picks the earlier k
+    assert got["a"][0] == 11
+
+    with _pytest.raises(ValueError, match="group_cols"):
+        segmented_trend_grouped(df, [], "d", "y")
+
+
+def test_segmented_trend_grouped_windows_are_key_partitioned(spark):
+    """Every window in the grouped plan keys on the group — a dropped
+    partition clause would serialize all groups through one task."""
+    import re as _re
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        segmented_trend_grouped,
+    )
+
+    df = spark.createDataFrame(
+        [("a", t, t * 2) for t in range(1, 10)], "g string, d long, y long"
+    )
+    out = segmented_trend_grouped(df, ["g"], "d", "y", min_seg=3)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    keys = set(_re.findall(r"windowspecdefinition\((\w+)#", plan))
+    assert keys == {"g"}, keys
