@@ -1118,3 +1118,53 @@ def start_streaming_distinct_sketch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_streaming_set_sketch(
+    stream: DataFrame,
+    sketch_dir: str,
+    *,
+    id_cols: list[str],
+    k: int = 4096,
+    seed: int = 2024,
+    key_cols: list[str] | None = None,
+    checkpoint_dir: str,
+):
+    """Streaming KMV set sketch (``operators/setsketch``) — the third
+    semilattice twin: maintain the bottom-k distinct-id hash sample of
+    everything the stream has delivered, globally or per key. Serves
+    distinct counts AND set algebra (union / intersection / Jaccard
+    between keys or between independently-built sketch tables) from
+    k-row state.
+
+    The kept set is a pure function of the union of distinct hashes
+    seen, so the per-batch merge (dedup on (key, hash), bottom-k) is
+    idempotent: checkpoint replay — including the wipe-and-renumber
+    scenario — re-absorbs rows as no-ops. No batch-id watermark, no
+    identity token, no manifest commit; exactness is algebraic, the
+    same argument as the quantile and HLL twins.
+
+    Per batch: one map-side-combinable distinct over the batch, a
+    (<= 2k per key)-row merge, a k-row-per-key rewrite — O(batch + k)
+    regardless of history.
+    """
+    from ..operators.setsketch import merge_set_sketches, set_sketch
+
+    keys = list(key_cols or [])
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = set_sketch(batch, keys, id_cols, k=k, seed=seed)
+        if recover_dir(sketch_dir):
+            stored = spark.read.parquet(sketch_dir)
+            delta = merge_set_sketches([stored, delta], keys, k=k)
+        tmp = staging_path(sketch_dir)
+        delta.write.mode("overwrite").parquet(tmp)
+        promote_dir(tmp, sketch_dir)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

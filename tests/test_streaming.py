@@ -1807,3 +1807,82 @@ def test_streaming_coverage_out_of_order_closed_portion(spark, tmp_path, seed):
         assert (n_iv, covered) == (w_iv, w_cov), f"user {k}: closed portion diverges"
         tail = sum(1 for m in mins if m * 60 > frontier[k])
         assert pending == tail, f"user {k}: pending tail miscounted"
+
+
+def test_streaming_set_sketch_replay_exact(spark, tmp_path):
+    """KMV set-sketch twin: the stored per-key bottom-k hash sample
+    equals the batch sketch of the whole input ROW FOR ROW, survives a
+    full checkpoint-wipe replay untouched, and absorbs post-replay data
+    exactly — the dedup/bottom-k semilattice argument, the third of
+    the algebra-exact twins."""
+    import shutil
+
+    from bangumi_notion_data_integration_project_spark.operators.setsketch import (
+        set_sketch,
+        set_sketch_distinct,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_set_sketch,
+    )
+
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 211, ("click", "view")[i % 2], 1.0)
+        for i in range(600)
+    ]
+    inp = str(tmp_path / "in")
+    sk_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in (rows[:200], rows[200:400], rows[400:]):
+        _write_batch(spark, inp, chunk)
+
+    def run():
+        q = start_streaming_set_sketch(
+            read_event_stream(spark, inp, SCHEMA),
+            sk_dir,
+            id_cols=["user_id"],
+            k=64,  # below the 211-key cardinality: the estimator path
+            key_cols=["event_type"],
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def stored_rows():
+        return sorted(
+            (r["event_type"], r["__ss_h"])
+            for r in spark.read.parquet(sk_dir).collect()
+        )
+
+    def direct_rows(rs):
+        return sorted(
+            (r["event_type"], r["__ss_h"])
+            for r in set_sketch(
+                _rows(spark, rs), ["event_type"], ["user_id"], k=64
+            ).collect()
+        )
+
+    run()
+    want = direct_rows(rows)
+    assert stored_rows() == want
+
+    shutil.rmtree(ckpt)
+    run()
+    assert stored_rows() == want, "replayed rows changed the kept set"
+
+    extra = [
+        (1000 + i, "2024-01-02 00:00:00", 500 + i, "click", 1.0)
+        for i in range(80)
+    ]
+    _write_batch(spark, inp, extra)
+    run()
+    assert stored_rows() == direct_rows(rows + extra)
+
+    # the stored table serves estimates directly
+    ests = {
+        r["event_type"]: r["distinct_est"]
+        for r in set_sketch_distinct(
+            spark.read.parquet(sk_dir), ["event_type"], k=64
+        ).collect()
+    }
+    assert set(ests) == {"click", "view"}
+    true_click = len({u for i, _, u, t, _ in rows + extra if t == "click"})
+    assert abs(ests["click"] - true_click) / true_click <= 5.0 / (62**0.5)
