@@ -46,14 +46,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _H = "__ss_h"
-# affine signed-long -> (0, 1) unit mapping: u = h/2^64 + (2^63+1)/2^64.
-# The +1 in the numerator keeps u strictly positive at h = -2^63.
+# affine signed-long -> [0, 1) unit mapping: u = h/2^64 + 0.5, clamped
+# to >= 2^-64 — h = Long.MIN maps to exactly 0.0 (a "+1 ulp" literal is
+# not representable in double), and a zero u would turn the (k-1)/u
+# estimate into Infinity and the long cast into an ANSI overflow.
 _TWO64 = 18446744073709551616.0
-_HALF_PLUS = 0.5000000000000000001
+_U_MIN = 5.421010862427522e-20  # 2^-64
 
 
 def _unit(col):
-    return col.cast("double") / F.lit(_TWO64) + F.lit(_HALF_PLUS)
+    return F.greatest(
+        col.cast("double") / F.lit(_TWO64) + F.lit(0.5), F.lit(_U_MIN)
+    )
 
 
 def set_sketch(
