@@ -477,3 +477,47 @@ def test_kcore_fixpoint_properties(spark, seed):
             1 for u, v in edges if (u == node and v in core_nodes) or (v == node and u in core_nodes)
         )
         assert n_in_core < k, (node, n_in_core, k)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_set_sketch_semilattice_under_random_shardings(spark, seed):
+    """For ANY multiset and ANY partition into shards: merging the
+    per-shard sketches equals sketching the whole input row-for-row,
+    duplicates never change the kept set, and below-k inputs report
+    exact distinct/intersection counts."""
+    from bangumi_notion_data_integration_project_spark.operators.setsketch import (
+        merge_set_sketches,
+        set_sketch,
+        set_sketch_distinct,
+        set_sketch_overlap,
+    )
+
+    rng = random.Random(seed)
+    ids = [rng.randrange(0, 400) for _ in range(900)]  # duplicates likely
+    n_shards = rng.randint(2, 5)
+    shards = [[] for _ in range(n_shards)]
+    for v in ids:
+        shards[rng.randrange(n_shards)].append(v)
+
+    def df(vals):
+        return spark.createDataFrame([(v,) for v in vals], "v long")
+
+    k = 128
+    direct = set_sketch(df(ids), [], ["v"], k=k)
+    merged = merge_set_sketches(
+        [set_sketch(df(s), [], ["v"], k=k) for s in shards if s], [], k=k
+    )
+    rows = lambda sk: sorted(r["__ss_h"] for r in sk.collect())  # noqa: E731
+    assert rows(merged) == rows(direct)
+
+    # below-k: exact distinct and exact overlap against Python sets
+    a = set(rng.randrange(0, 200) for _ in range(150))
+    b = set(rng.randrange(100, 300) for _ in range(150))
+    ska = set_sketch(df(sorted(a)), [], ["v"], k=1024)
+    skb = set_sketch(df(sorted(b)), [], ["v"], k=1024)
+    [d] = set_sketch_distinct(ska, [], k=1024).collect()
+    assert d["distinct_est"] == len(a)
+    [o] = set_sketch_overlap(ska, skb, [], k=1024).collect()
+    assert o["est_union"] == len(a | b)
+    assert o["est_intersection"] == len(a & b)
+    assert o["jaccard_est"] == round(len(a & b) / len(a | b), 6)
