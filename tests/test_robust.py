@@ -1,0 +1,111 @@
+"""Hampel filter (operators/robust.py): python-reference differential
+on random series, planted-spike detection, flat-segment semantics,
+edge-row NULLs, grouped windows."""
+
+from __future__ import annotations
+
+import random
+
+from bangumi_notion_data_integration_project_spark.operators.robust import (
+    hampel_outliers,
+)
+
+
+def _py_hampel(xs, hw, n_mads):
+    out = []
+    full = 2 * hw + 1
+    rank = (full + 1) // 2
+    for i, x in enumerate(xs):
+        if i < hw or i >= len(xs) - hw:
+            out.append((x, None, None, None))
+            continue
+        win = sorted(xs[i - hw : i + hw + 1])
+        med = win[rank - 1]
+        mad = sorted(abs(v - med) for v in win)[rank - 1]
+        out.append((x, med, mad, abs(x - med) > n_mads * mad))
+    return out
+
+
+def test_matches_python_reference(spark):
+    rng = random.Random(3)
+    xs = [rng.randrange(0, 1000) for _ in range(80)]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "d long, x long"
+    )
+    rows = hampel_outliers(df, "d", "x", half_window=3, n_mads=3).collect()
+    want = _py_hampel(xs, 3, 3)
+    got = [(r["x"], r["med"], r["mad"], r["is_outlier"]) for r in rows]
+    assert got == want
+
+
+def test_planted_spikes_flagged_and_neighbors_spared(spark):
+    xs = [100 + (i % 5) for i in range(40)]
+    xs[15] = 10_000  # spike
+    xs[30] = -10_000
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "d long, x long"
+    )
+    rows = hampel_outliers(df, "d", "x", half_window=3, n_mads=3).collect()
+    flags = {r["d"]: r["is_outlier"] for r in rows}
+    assert flags[15] is True and flags[30] is True
+    # the spike sits INSIDE its neighbors' windows but a robust median
+    # shrugs it off — no collateral flags anywhere else
+    assert all(
+        v is not True for k, v in flags.items() if k not in (15, 30)
+    )
+
+
+def test_flat_window_mad_zero_flags_any_deviation(spark):
+    xs = [5] * 9 + [6] + [5] * 9
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "d long, x long"
+    )
+    rows = hampel_outliers(df, "d", "x", half_window=2, n_mads=3).collect()
+    by_d = {r["d"]: r for r in rows}
+    assert by_d[9]["mad"] == 0 and by_d[9]["is_outlier"] is True
+
+
+def test_edge_rows_report_null(spark):
+    df = spark.createDataFrame(
+        [(i, i) for i in range(10)], "d long, x long"
+    )
+    rows = hampel_outliers(df, "d", "x", half_window=3).collect()
+    for r in rows:
+        if r["d"] < 3 or r["d"] > 6:
+            assert r["med"] is None and r["is_outlier"] is None
+        else:
+            assert r["is_outlier"] is False  # a line has no outliers
+
+
+def test_grouped_windows_isolate_keys(spark):
+    rows = [("a", i, 100) for i in range(9)] + [("b", i, 100) for i in range(9)]
+    rows[4] = ("a", 4, 9000)  # spike only in group a
+    df = spark.createDataFrame(rows, "g string, d long, x long")
+    got = {
+        (r["g"], r["d"]): r["is_outlier"]
+        for r in hampel_outliers(
+            df, "d", "x", group_cols=["g"], half_window=2, n_mads=3
+        ).collect()
+    }
+    assert got[("a", 4)] is True
+    assert all(v is not True for k, v in got.items() if k != ("a", 4))
+    # plan: windows keyed on the group
+    import re
+
+    out = hampel_outliers(df, "d", "x", group_cols=["g"], half_window=2)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert set(re.findall(r"windowspecdefinition\((\w+)#", plan)) == {"g"}
+
+
+def test_parameter_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 1)], "d long, x long")
+    with pytest.raises(ValueError, match="half_window"):
+        hampel_outliers(df, "d", "x", half_window=0)
+    with pytest.raises(ValueError, match="n_mads"):
+        hampel_outliers(df, "d", "x", n_mads=0)
