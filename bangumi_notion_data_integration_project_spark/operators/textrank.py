@@ -158,3 +158,93 @@ def textrank_keywords(
         .select("rank", "token", "score")
         .orderBy("rank")
     )
+
+
+def textrank_keyphrases(
+    df: DataFrame,
+    doc_id_col: str,
+    text_col: str | Column,
+    *,
+    stopwords: "list[str] | None" = None,
+    window: int = 2,
+    iterations: int = 10,
+    damping: float = 0.85,
+    top_word_count: int = 50,
+    top_k: int = 25,
+) -> DataFrame:
+    """The full TextRank pipeline: rank words, keep the
+    ``top_word_count`` best (rounded-score, token tie-break — a
+    deterministic total order, where the classic n/3 fraction would
+    make the cut data-dependent), then collapse ADJACENT top words in
+    the original token stream into multiword keyphrases scored by the
+    sum of member scores folded in phrase order.
+
+    Returns ``(rank, phrase, n_words, n_occurrences, score)`` under a
+    (score desc, phrase) total order. The adjacency pass reuses the
+    run-split shape from RAKE (consecutive-position runs per row id);
+    the top-word lookup broadcasts."""
+    sw = [w.lower() for w in (stopwords or STOPWORDS_EN)]
+    ranks = weighted_pagerank(
+        word_graph(df, doc_id_col, text_col, stopwords=sw, window=window),
+        iterations=iterations,
+        damping=damping,
+    )
+    top_words = (
+        ranks.select(
+            F.col("node").alias("tok"), F.round("rank", 9).alias("wscore")
+        )
+        .orderBy(F.col("wscore").desc(), "tok")
+        .limit(int(top_word_count))
+    )
+    toks = (
+        df.select(
+            F.monotonically_increasing_id().alias("__rid"),
+            tokens(text_col).alias("__tk"),
+        )
+        .select("__rid", F.posexplode("__tk").alias("pos", "tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("tok", F.lower("tok"))
+        .join(F.broadcast(top_words), "tok")
+    )
+    # consecutive ORIGINAL positions group into one phrase run: pos
+    # minus the rank among the document's selected tokens is constant
+    # exactly on consecutive-pos stretches
+    w_sel = Window.partitionBy("__rid").orderBy("pos")
+    runs = toks.withColumn(
+        "__run", F.col("pos") - F.row_number().over(w_sel)
+    )
+    occ = (
+        runs.groupBy("__rid", "__run")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tok", "wscore"))
+            ).alias("__m")
+        )
+        .select(
+            F.concat_ws(
+                " ", F.transform("__m", lambda s: s["tok"])
+            ).alias("phrase"),
+            F.size("__m").cast("long").alias("n_words"),
+            F.aggregate(
+                F.transform("__m", lambda s: s["wscore"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("__score"),
+        )
+    )
+    phrases = occ.groupBy("phrase", "n_words", "__score").agg(
+        F.count("*").cast("long").alias("n_occurrences")
+    )
+    top = phrases.orderBy(F.col("__score").desc(), "phrase").limit(top_k)
+    w_rank = Window.orderBy(F.col("__score").desc(), "phrase")
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .select(
+            "rank",
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.round("__score", 6).alias("score"),
+        )
+        .orderBy("rank")
+    )

@@ -135,3 +135,57 @@ def test_parameter_validation(spark):
             ),
             iterations=0,
         )
+
+
+def test_keyphrases_match_python_replay(spark):
+    """Full-pipeline keyphrases: adjacent top words in the ORIGINAL
+    token stream merge into phrases (stopwords and non-top words break
+    runs), phrase score = ordered sum of member word scores."""
+    from bangumi_notion_data_integration_project_spark.operators.textrank import (
+        textrank_keyphrases,
+    )
+
+    got = [
+        (r["phrase"], r["n_words"], r["n_occurrences"], r["score"])
+        for r in textrank_keyphrases(
+            _docs(spark),
+            "doc_id",
+            "text",
+            stopwords=list(STOP),
+            iterations=8,
+            top_word_count=4,
+            top_k=10,
+        ).collect()
+    ]
+
+    # python replay: same graph, same ranks, same adjacency merge
+    edges = _py_graph(DOCS, STOP, window=2)
+    ranks = _py_pagerank(edges, iterations=8)
+    r9 = {w: round(r, 9) for w, r in ranks.items()}
+    top4 = set(sorted(r9, key=lambda w: (-r9[w], w))[:4])
+    from collections import Counter
+
+    occ = Counter()
+    score = {}
+    for _, text in DOCS:
+        stream = [t.lower() for t in text.split() if t]
+        run = []
+        for t in stream + ["\x00"]:  # sentinel flush
+            if t in top4:
+                run.append(t)
+            else:
+                if run:
+                    p = " ".join(run)
+                    occ[p] += 1
+                    score[p] = (len(run), sum(r9[w] for w in run))
+                run = []
+    want = sorted(
+        (
+            (p, score[p][0], occ[p], round(score[p][1], 6))
+            for p in occ
+        ),
+        key=lambda t: (-t[3], t[0]),
+    )[:10]
+    assert got == want
+    # the corpus's hub bigram surfaces as a multiword phrase
+    assert any(n_words >= 2 for _, n_words, _, _ in got)
