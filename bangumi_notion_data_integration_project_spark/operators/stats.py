@@ -637,6 +637,42 @@ def holt_linear(
     # fail loudly on NULL inputs (the file convention, see
     # pacf_from_acf): a null x would silently poison level/trend into
     # permanent NULLs with no trace of the offending period
+    return _holt_core(df, [], order_col, x_col, alpha, beta, horizons)
+
+
+def holt_linear_grouped(
+    df: DataFrame,
+    group_cols: "list[str]",
+    order_col: str,
+    x_col: str,
+    *,
+    alpha: float = 0.5,
+    beta: float = 0.25,
+    horizons: Sequence[int] = (1, 7, 30),
+) -> DataFrame:
+    """Per-group Holt's linear smoothing: one (level, trend,
+    forecasts) row per key — per-segment forecasts from per-period
+    aggregates. Same fold as :func:`holt_linear` through one shared
+    core (the _km_steps pattern); each group's ordered array assembles
+    under its own key, so no task holds more than one group's
+    calendar-bounded series."""
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must name at least one column")
+    if not 0.0 < alpha <= 1.0 or not 0.0 <= beta <= 1.0:
+        raise ValueError("alpha in (0,1], beta in [0,1] required")
+    return _holt_core(df, groups, order_col, x_col, alpha, beta, horizons)
+
+
+def _holt_core(
+    df: DataFrame,
+    groups: "list[str]",
+    order_col: str,
+    x_col: str,
+    alpha: float,
+    beta: float,
+    horizons: Sequence[int],
+) -> DataFrame:
     x_checked = F.when(
         F.col(x_col).isNull(),
         F.raise_error(
@@ -646,7 +682,7 @@ def holt_linear(
             )
         ),
     ).otherwise(F.col(x_col).cast("double"))
-    arr = df.groupBy().agg(
+    arr = df.groupBy(*groups).agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(order_col).alias("o"), x_checked.alias("x")))
         ).alias("__a")
@@ -666,6 +702,7 @@ def holt_linear(
         return F.struct(ln.alias("l"), bn.alias("b"))
     fin = F.aggregate(F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))), init, step)
     out = arr.select(
+        *groups,
         F.size("__a").cast("long").alias("n_periods"),
         F.round(fin["l"], 4).alias("level"),
         F.round(fin["b"], 4).alias("trend"),
@@ -676,7 +713,7 @@ def holt_linear(
             for h in horizons
         ],
     )
-    return out
+    return out.orderBy(*groups) if groups else out
 
 
 def runs_test(df: DataFrame, order_col: str, x_col: str) -> DataFrame:

@@ -798,3 +798,41 @@ def test_segmented_trend_grouped_windows_are_key_partitioned(spark):
     )
     keys = set(_re.findall(r"windowspecdefinition\((\w+)#", plan))
     assert keys == {"g"}, keys
+
+
+def test_holt_linear_grouped_matches_global_per_group(spark):
+    """Grouped Holt shares _holt_core with the global operator: each
+    group's row equals running the global fold on that group alone."""
+    import random
+
+    import pytest as _pytest
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        holt_linear,
+        holt_linear_grouped,
+    )
+
+    rng = random.Random(23)
+    rows = [
+        (g, i + 1, rng.randrange(0, 10_000))
+        for g in ("a", "b", "c")
+        for i in range(rng.randint(5, 40))
+    ]
+    df = spark.createDataFrame(rows, "g string, d long, x long")
+    got = {
+        r["g"]: tuple(r)[1:]
+        for r in holt_linear_grouped(
+            df, ["g"], "d", "x", horizons=(1, 7)
+        ).collect()
+    }
+    for g in ("a", "b", "c"):
+        [want] = holt_linear(
+            df.filter(F.col("g") == g).select("d", "x"),
+            "d",
+            "x",
+            horizons=(1, 7),
+        ).collect()
+        assert got[g] == tuple(want), g
+
+    with _pytest.raises(ValueError, match="group_cols"):
+        holt_linear_grouped(df, [], "d", "x")
