@@ -113,6 +113,51 @@ def main() -> None:
     r10 = timed(lambda: rank(d10))
     print(f"textrank warm: 1x {r1:.2f}s, 10x {r10:.2f}s, ratio {r10 / r1:.1f}x")
 
+    # Hampel: per-key rolling median over per-key daily aggregates —
+    # 10x the KEYS (the scale axis for grouped windows)
+    from bangumi_notion_data_integration_project_spark.operators.robust import (
+        hampel_outliers,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_totalprice"
+    )
+
+    def daily(df):
+        return df.groupBy("g", "d").agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+
+    def hamp(df):
+        hampel_outliers(
+            daily(df), "d", "x", group_cols=["g"], half_window=3
+        ).write.mode("overwrite").format("noop").save()
+
+    g1 = orders.withColumn("g", F.col("o_custkey") % 500)
+    g10 = orders.withColumn("g", F.col("o_custkey") % 5000)
+    h1 = timed(lambda: hamp(g1))
+    h10 = timed(lambda: hamp(g10))
+    print(f"hampel warm (10x keys): 1x {h1:.2f}s, 10x {h10:.2f}s,"
+          f" ratio {h10 / h1:.1f}x")
+
+    # PSI: 10x the ROWS through the exact-edge path
+    from bangumi_notion_data_integration_project_spark.operators.drift import psi
+
+    cents = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x")
+    )
+
+    def run_psi(df):
+        psi(df, df.select((F.col("x") + 5000).alias("x")), "x").write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    p1 = timed(lambda: run_psi(replicate(cents, 1).drop("__copy")))
+    p10 = timed(lambda: run_psi(replicate(cents, 10).drop("__copy")))
+    print(f"psi warm: 1x {p1:.2f}s, 10x {p10:.2f}s, ratio {p10 / p1:.1f}x")
+
     if not identical or rel > bound:
         sys.exit(1)
 
