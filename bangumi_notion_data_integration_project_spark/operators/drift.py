@@ -159,7 +159,7 @@ def psi(
         F.round(p, 6).alias("cur_share"),
         F.round(term, 6).alias("psi_term"),
         F.round(term * F.lit(1000000000.0)).cast("long").alias("__tn"),
-    )
+    ).localCheckpoint(eager=False)  # referenced by the total AND the output
     tot = terms.agg(F.sum("__tn").cast("long").alias("__s")).select(
         F.round(F.col("__s").cast("double") / F.lit(1000000000.0), 6).alias(
             "psi"
