@@ -125,7 +125,7 @@ def minhash_signature(hashes_col: str, num_hashes: int = 32, seed: int = 42) -> 
     return F.array(*[F.expr(m) for m in mins])
 
 
-def minhash_lsh_candidates(
+def minhash_bands(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -134,14 +134,13 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
-
-    Plan shape: project signature → explode bands (×bands rows) →
-    shuffle on (band, band_hash) → self-join inside buckets. At 100 TB
-    the explode stays narrow (id + 8-byte hash), and bucket sizes are
-    bounded by the band width, so no N² blowup. Pairs sharing multiple
-    bands are deduped.
-    """
+    """Per-document banded MinHash bucket keys: ``(__id, __band,
+    __bucket)``, ``bands`` rows per document. The shared front half of
+    :func:`minhash_lsh_candidates` — exposed so an INCREMENTAL dedup
+    index can store these rows and probe new arrivals against them
+    (streaming/incremental.start_streaming_dedup_index); the stored
+    row set is a pure function of the document set, which is what
+    makes that index replay-exact by set-union algebra."""
     rows_per_band = num_hashes // bands
     # Shingle hashing without building shingle strings: hash each token
     # once, then hash each n-consecutive-token-hash window (xxhash64 is
@@ -193,7 +192,7 @@ def minhash_lsh_candidates(
             for i, (a, b) in enumerate(perms)
         ]
     )
-    banded = (
+    return (
         sig_mins.select(
             "__id",
             F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
@@ -213,6 +212,33 @@ def minhash_lsh_candidates(
                 )
             ).alias("__band", "__bucket"),
         )
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    Plan shape: project signature → explode bands (×bands rows) →
+    shuffle on (band, band_hash) → self-join inside buckets. At 100 TB
+    the explode stays narrow (id + 8-byte hash), and bucket sizes are
+    bounded by the band width, so no N² blowup. Pairs sharing multiple
+    bands are deduped.
+    """
+    banded = minhash_bands(
+        df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
     )
     # Pair generation: ONE aggregation per (band, bucket) then in-bucket
     # combinations — the signature pipeline runs once (a self-join would

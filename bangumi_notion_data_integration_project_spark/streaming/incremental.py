@@ -1168,3 +1168,98 @@ def start_streaming_set_sketch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_streaming_dedup_index(
+    stream: DataFrame,
+    index_dir: str,
+    matches_dir: str,
+    *,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    checkpoint_dir: str,
+):
+    """Incremental near-duplicate detection — the production shape of
+    dedup: every new micro-batch of documents is checked against ALL
+    history without rescanning it, by maintaining the banded-MinHash
+    bucket index (``operators/dedup.minhash_bands`` rows) as a stored
+    table and probing the batch's bands against it.
+
+    Two stored tables, BOTH pure set-unions of row sets — the fourth
+    algebra-exact twin:
+
+    - ``index_dir``: (band, bucket, id) rows for every document seen.
+      The row set is a pure function of the document set, so the
+      per-batch merge (union + distinct) is idempotent.
+    - ``matches_dir``: candidate pairs (id_a < id_b) sharing any
+      bucket, restricted to pairs touching the batch — every pair is
+      emitted in the batch where its LATER member arrives (the earlier
+      member is already in the merged index), so the accumulated table
+      equals ``minhash_lsh_candidates`` over the whole corpus, exactly
+      (differential-pinned). Replayed batches re-derive identical
+      pairs and vanish in the distinct.
+
+    Per-batch cost: one signature pass over the batch, a bucket-key
+    join against the stored index (hash-partitioned on (band,
+    bucket)), and rewrites of the two stores. The index grows
+    O(docs × bands) — inherent to dedup state; at warehouse scale both
+    stores live in a partitioned table (bucket-hash ranges) and the
+    rewrite becomes a partition-scoped merge, same as the rollup twins.
+    Verification (actual Jaccard over candidate pairs) stays a batch
+    job over the matches table — candidates are the expensive part to
+    keep incremental."""
+    from ..operators.dedup import minhash_bands
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = minhash_bands(
+            batch,
+            text_col,
+            id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+        )
+        if recover_dir(index_dir):
+            merged = (
+                spark.read.parquet(index_dir).unionByName(delta).distinct()
+            )
+        else:
+            merged = delta.distinct()
+        merged = merged.localCheckpoint(eager=True)  # feeds probe + store
+        # pairs touching this batch: probe the batch's bands against
+        # the MERGED index (so within-batch pairs surface too)
+        probe = delta.select(
+            F.col("__band"),
+            F.col("__bucket"),
+            F.col("__id").alias("__new"),
+        ).distinct()
+        pairs = (
+            probe.join(merged, ["__band", "__bucket"])
+            .filter(F.col("__id") != F.col("__new"))
+            .select(
+                F.least("__id", "__new").alias("id_a"),
+                F.greatest("__id", "__new").alias("id_b"),
+            )
+            .distinct()
+        )
+        if recover_dir(matches_dir):
+            pairs = (
+                spark.read.parquet(matches_dir).unionByName(pairs).distinct()
+            )
+        tmp_m = staging_path(matches_dir)
+        pairs.write.mode("overwrite").parquet(tmp_m)
+        promote_dir(tmp_m, matches_dir)
+        tmp_i = staging_path(index_dir)
+        merged.write.mode("overwrite").parquet(tmp_i)
+        promote_dir(tmp_i, index_dir)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

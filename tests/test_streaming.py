@@ -1886,3 +1886,80 @@ def test_streaming_set_sketch_replay_exact(spark, tmp_path):
     assert set(ests) == {"click", "view"}
     true_click = len({u for i, _, u, t, _ in rows + extra if t == "click"})
     assert abs(ests["click"] - true_click) / true_click <= 5.0 / (62**0.5)
+
+
+def test_streaming_dedup_index_matches_batch_lsh(spark, tmp_path):
+    """Incremental dedup twin: after draining N batches, the
+    accumulated matches table must equal minhash_lsh_candidates over
+    the WHOLE corpus (every pair surfaces in the batch where its later
+    member arrives), survive a checkpoint-wipe replay untouched, and
+    absorb post-replay arrivals — both stores are set-unions."""
+    import shutil
+
+    from bangumi_notion_data_integration_project_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_dedup_index,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "and the crowd cheers loudly under bright summer skies tonight"
+    )
+    docs = []
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"tok{i}"  # near-dup family of `base`
+        docs.append((i, " ".join(words)))
+    for i in range(30, 45):  # unrelated docs
+        docs.append((i, " ".join(f"u{i}w{j}" for j in range(20))))
+
+    def doc_rows(ds):
+        # ride the events schema: text in event_type (string column)
+        return [(i, "2024-01-01 00:00:00", 0, t, 0.0) for i, t in ds]
+
+    inp = str(tmp_path / "in")
+    idx = str(tmp_path / "index")
+    mat = str(tmp_path / "matches")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in (docs[:15], docs[15:30], docs[30:]):
+        _write_batch(spark, inp, doc_rows(chunk))
+
+    def run():
+        q = start_streaming_dedup_index(
+            read_event_stream(spark, inp, SCHEMA),
+            idx,
+            mat,
+            text_col="event_type",
+            id_col="event_id",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(240)
+
+    def stored_pairs():
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(mat).collect()
+        )
+
+    def batch_pairs(ds):
+        df = spark.createDataFrame(ds, "doc_id long, text string")
+        return sorted(
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(df, "text", "doc_id").collect()
+        )
+
+    run()
+    want = batch_pairs(docs)
+    assert want, "the planted family must produce candidate pairs"
+    assert stored_pairs() == want
+
+    shutil.rmtree(ckpt)
+    run()
+    assert stored_pairs() == want, "replay changed the stores"
+
+    late = [(100 + i, docs[i][1]) for i in range(3)]  # dups of the family
+    _write_batch(spark, inp, doc_rows(late))
+    run()
+    assert stored_pairs() == batch_pairs(docs + late)
