@@ -88,11 +88,23 @@ def weighted_pagerank(
     *,
     iterations: int = 10,
     damping: float = 0.85,
+    per_iteration_round: "int | None" = None,
 ) -> DataFrame:
     """Fixed-iteration weighted PageRank over canonical undirected
     edges ``(w1, w2, weight)``; returns ``(node, rank)`` with ranks
     initialized at 1.0 (the TextRank convention — the stationary scale
-    with the additive ``1-d`` term, no ``/N``)."""
+    with the additive ``1-d`` term, no ``/N``).
+
+    ``per_iteration_round`` rounds every rank to that many digits at
+    the END of each iteration. This is the cross-engine-exactness
+    switch: a float sum over a node's neighbors is shuffle-order-
+    dependent at the last ulp, and over N iterations that drift
+    compounds; re-snapping both engines to the same 1e-9 grid every
+    round means each iteration carries only ONE aggregation's ~1e-15
+    drift into a 1e-9 grid — vanishing mismatch odds, where
+    final-round-only (the parts_pagerank recipe) leaves N rounds of
+    accumulation. Registry queries against
+    :func:`weighted_pagerank_unrolled_sql` must set it."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     sym = edges.select(
@@ -120,11 +132,11 @@ def weighted_pagerank(
             .agg(F.sum(F.col("share") * F.col("weight")).alias("incoming"))
         )
         # symmetric graph: every node has wdeg > 0, incoming never null
+        new_rank = F.lit(1.0 - damping) + F.lit(damping) * F.col("incoming")
+        if per_iteration_round is not None:
+            new_rank = F.round(new_rank, int(per_iteration_round))
         ranks = contrib.select(
-            F.col("dst").alias("node"),
-            (
-                F.lit(1.0 - damping) + F.lit(damping) * F.col("incoming")
-            ).alias("rank"),
+            F.col("dst").alias("node"), new_rank.alias("rank")
         )
     return ranks
 
@@ -247,4 +259,55 @@ def textrank_keyphrases(
             F.round("__score", 6).alias("score"),
         )
         .orderBy("rank")
+    )
+
+
+def weighted_pagerank_unrolled_sql(
+    edges_sql: str,
+    *,
+    iterations: int,
+    damping: float = 0.85,
+    round_digits: int = 9,
+) -> str:
+    """Generate the DuckDB oracle for :func:`weighted_pagerank` run
+    with ``per_iteration_round=round_digits``: the fixed iteration
+    count unrolled into a CTE chain (the pacf_unrolled_sql /
+    pagerank/k-core pattern). ``edges_sql`` must yield
+    ``(w1, w2, weight)`` — normally the SQL restatement of
+    :func:`word_graph`, so both engines consume identical integer
+    edges.
+
+    Float-op parity: each iteration computes
+    ``round((1-d) + d * sum(rank / wdeg * weight), n)`` with the SAME
+    literals (``1-d`` and ``d`` are the same Python floats emitted
+    into both plans) and the same per-term op order; the per-iteration
+    round re-snaps both engines to one grid, so summation-order drift
+    (~1e-15) cannot accumulate across rounds."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    base = repr(float(1.0 - damping))
+    d = repr(float(damping))
+    n = int(round_digits)
+    ctes = [
+        f"__e AS ({edges_sql})",
+        "__sym AS (SELECT w1 AS src, w2 AS dst, weight FROM __e"
+        " UNION ALL SELECT w2 AS src, w1 AS dst, weight FROM __e)",
+        "__wdeg AS (SELECT src, CAST(sum(weight) AS DOUBLE) AS wdeg"
+        " FROM __sym GROUP BY src)",
+        "__r0 AS (SELECT DISTINCT src AS node, 1.0 AS rank FROM __sym)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"__r{i} AS (SELECT s.dst AS node,"
+            f" round({base} + {d} * sum(r.rank / w.wdeg * s.weight), {n})"
+            f" AS rank"
+            f" FROM __r{i - 1} r"
+            f" JOIN __wdeg w ON r.node = w.src"
+            f" JOIN __sym s ON s.src = r.node"
+            f" GROUP BY s.dst)"
+        )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f" SELECT node, rank FROM __r{iterations}"
     )

@@ -189,3 +189,79 @@ def test_keyphrases_match_python_replay(spark):
     assert got == want
     # the corpus's hub bigram surfaces as a multiword phrase
     assert any(n_words >= 2 for _, n_words, _, _ in got)
+
+
+def test_weighted_pagerank_unrolled_sql_matches_spark_cross_engine(spark):
+    """The generated unrolled-iteration DuckDB oracle replays
+    weighted_pagerank(per_iteration_round=9) bit-for-bit on the real
+    documents table — the contract the future registry entry needs.
+    Both engines consume identical integer edges (the word_graph SQL
+    restatement) and re-snap ranks to the 1e-9 grid every iteration,
+    so summation-order drift cannot accumulate."""
+    import duckdb
+
+    from bangumi_notion_data_integration_project_spark.functions.text import (
+        STOPWORDS_EN,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.textrank import (
+        weighted_pagerank,
+        weighted_pagerank_unrolled_sql,
+        word_graph,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    g = word_graph(docs, "doc_id", "text", window=2)
+    got = {
+        r["node"]: r["rank"]
+        for r in weighted_pagerank(
+            g, iterations=4, per_iteration_round=9
+        ).collect()
+    }
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    edges_sql = rf"""
+        WITH toks AS (
+          SELECT doc_id, i AS pos, lower(tk[i]) AS tok
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+                FROM documents WHERE length(trim(text)) > 0) dd,
+               unnest(range(1, len(tk) + 1)) AS t(i)
+          WHERE length(tk[i]) > 0
+        ), cand AS (
+          SELECT doc_id, pos, tok FROM toks
+          WHERE NOT list_contains([{sw}], tok)
+        ), pairs AS (
+          SELECT tok AS wa,
+                 lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS wb
+          FROM cand
+          UNION ALL
+          SELECT tok,
+                 lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+          FROM cand
+        )
+        SELECT least(wa, wb) AS w1, greatest(wa, wb) AS w2,
+               CAST(count(*) AS BIGINT) AS weight
+        FROM pairs WHERE wb IS NOT NULL AND wa <> wb GROUP BY 1, 2
+    """
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    # the edge tables must agree exactly before the iteration starts
+    want_edges = dict(
+        ((a, b), w) for a, b, w in con.execute(edges_sql).fetchall()
+    )
+    got_edges = {
+        (r["w1"], r["w2"]): r["weight"] for r in g.collect()
+    }
+    assert got_edges == want_edges
+
+    want = dict(
+        con.execute(
+            weighted_pagerank_unrolled_sql(edges_sql, iterations=4)
+        ).fetchall()
+    )
+    assert got == want
