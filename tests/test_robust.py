@@ -109,3 +109,65 @@ def test_parameter_validation(spark):
         hampel_outliers(df, "d", "x", half_window=0)
     with pytest.raises(ValueError, match="n_mads"):
         hampel_outliers(df, "d", "x", n_mads=0)
+
+
+def test_hampel_duckdb_oracle_shape_cross_engine(spark):
+    """The DuckDB restatement (list window + list_sort + rank extract,
+    all integers) is bit-equal to the operator on the real daily
+    revenue series — the r10 registry oracle, pinned ahead of
+    registration (the pacf/textrank de-risk pattern)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    got = [
+        (str(r["d"]), r["x"], r["med"], r["mad"], r["deviation"], r["is_outlier"])
+        for r in hampel_outliers(
+            daily, "d", "x", half_window=3, n_mads=3
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    want = [
+        (str(d), x, med, mad, dev, out)
+        for d, x, med, mad, dev, out in con.execute(
+            """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders GROUP BY 1
+        ), win AS (
+          SELECT d, x,
+                 CASE WHEN count(*) OVER w7 = 7
+                      THEN list_sort(list(x) OVER w7) END AS warr
+          FROM daily
+          WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                        AND 3 FOLLOWING)
+        )
+        SELECT d, x,
+               CAST(warr[4] AS BIGINT) AS med,
+               CAST(list_sort(
+                      list_transform(warr, v -> abs(v - warr[4])))[4]
+                    AS BIGINT) AS mad,
+               CAST(abs(x - warr[4]) AS BIGINT) AS deviation,
+               CASE WHEN warr IS NOT NULL
+                    THEN abs(x - warr[4]) > 3 * list_sort(
+                      list_transform(warr, v -> abs(v - warr[4])))[4]
+               END AS is_outlier
+        FROM win ORDER BY d
+        """
+        ).fetchall()
+    ]
+    assert got == want
+    assert any(r[5] is not None for r in got)  # full windows exist
