@@ -115,3 +115,116 @@ def test_parameter_validation(spark):
     d = _df(spark, [1, 2, 3])
     with pytest.raises(ValueError, match="n_buckets"):
         psi_buckets(d, "x", n_buckets=1)
+
+
+def test_psi_duckdb_oracle_shape_cross_engine(spark):
+    """The DuckDB restatement of psi() — cum-count edges over distinct
+    values, range-join bucketize, Laplace shares, nano-int term sums —
+    is bit-equal to the operator on real orders cents split by
+    order-key parity: the r10 registry oracle, pinned ahead of
+    registration (the pacf/textrank/hampel de-risk pattern)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderkey") % 2 == 0).select("x")
+    cur = o.filter(F.col("o_orderkey") % 2 == 1).select("x")
+    got = [tuple(r) for r in psi(ref, cur, "x", n_buckets=10).collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS"
+        f" SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+        WITH ref AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+          FROM orders WHERE o_orderkey % 2 = 0
+        ), cur AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+          FROM orders WHERE o_orderkey % 2 = 1
+        ), vc AS (
+          SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM ref GROUP BY 1
+        ), cum AS (
+          SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM vc
+        ), nn AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cum),
+        targets AS (
+          SELECT b AS bucket,
+                 CAST(ceil(CAST(b AS DOUBLE) * CAST(n AS DOUBLE) / 10.0)
+                      AS BIGINT) AS r
+          FROM (SELECT unnest(range(1, 10)) AS b), nn
+        ), edges AS (
+          SELECT CAST(bucket AS INT) AS bucket, min(v) AS edge
+          FROM cum, targets WHERE cum >= r GROUP BY bucket
+        ), rvc AS (
+          SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt FROM ref GROUP BY 1
+        ), rbk AS (
+          SELECT r.v, r.cnt, CAST(1 + count(e.edge) AS INT) AS bucket
+          FROM rvc r LEFT JOIN edges e ON r.v > e.edge
+          GROUP BY r.v, r.cnt
+        ), rcnt AS (
+          SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c FROM rbk GROUP BY 1
+        ), cvc AS (
+          SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt FROM cur GROUP BY 1
+        ), cbk AS (
+          SELECT r.v, r.cnt, CAST(1 + count(e.edge) AS INT) AS bucket
+          FROM cvc r LEFT JOIN edges e ON r.v > e.edge
+          GROUP BY r.v, r.cnt
+        ), ccnt AS (
+          SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c FROM cbk GROUP BY 1
+        ), nrt AS (SELECT CAST(count(*) AS BIGINT) AS n_ref_total FROM ref),
+        nct AS (SELECT CAST(count(*) AS BIGINT) AS n_cur_total FROM cur),
+        grid AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bucket),
+        base AS (
+          SELECT g.bucket,
+                 CAST(coalesce(r.c, 0) AS BIGINT) AS n_ref,
+                 CAST(coalesce(c.c, 0) AS BIGINT) AS n_cur,
+                 nrt.n_ref_total, nct.n_cur_total
+          FROM grid g
+          LEFT JOIN rcnt r ON g.bucket = r.bucket
+          LEFT JOIN ccnt c ON g.bucket = c.bucket, nrt, nct
+        ), terms AS (
+          SELECT bucket, n_ref, n_cur,
+                 round(CAST(n_ref + 1 AS DOUBLE)
+                       / CAST(n_ref_total + 10 AS DOUBLE), 6) AS ref_share,
+                 round(CAST(n_cur + 1 AS DOUBLE)
+                       / CAST(n_cur_total + 10 AS DOUBLE), 6) AS cur_share,
+                 round((CAST(n_cur + 1 AS DOUBLE)
+                        / CAST(n_cur_total + 10 AS DOUBLE)
+                        - CAST(n_ref + 1 AS DOUBLE)
+                          / CAST(n_ref_total + 10 AS DOUBLE))
+                       * ln((CAST(n_cur + 1 AS DOUBLE)
+                             / CAST(n_cur_total + 10 AS DOUBLE))
+                            / (CAST(n_ref + 1 AS DOUBLE)
+                               / CAST(n_ref_total + 10 AS DOUBLE))), 6)
+                   AS psi_term,
+                 CAST(round((CAST(n_cur + 1 AS DOUBLE)
+                        / CAST(n_cur_total + 10 AS DOUBLE)
+                        - CAST(n_ref + 1 AS DOUBLE)
+                          / CAST(n_ref_total + 10 AS DOUBLE))
+                       * ln((CAST(n_cur + 1 AS DOUBLE)
+                             / CAST(n_cur_total + 10 AS DOUBLE))
+                            / (CAST(n_ref + 1 AS DOUBLE)
+                               / CAST(n_ref_total + 10 AS DOUBLE)))
+                       * 1000000000.0) AS BIGINT) AS tn
+          FROM base
+        ), tot AS (
+          SELECT round(CAST(sum(tn) AS DOUBLE) / 1000000000.0, 6) AS psi
+          FROM terms
+        )
+        SELECT t.bucket, e.edge, t.n_ref, t.n_cur, t.ref_share,
+               t.cur_share, t.psi_term, tot.psi
+        FROM terms t LEFT JOIN edges e ON t.bucket = e.bucket, tot
+        ORDER BY t.bucket
+        """
+        ).fetchall()
+    ]
+    assert got == want
