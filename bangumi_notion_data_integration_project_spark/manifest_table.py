@@ -175,9 +175,16 @@ class ManifestTable:
         checked: if the manifest version at entry OR immediately before
         the swap differs, :class:`ConcurrentCommitError` is raised and
         nothing becomes visible. Read-modify-write callers (compact)
-        pass the version of the snapshot they read, so an interleaved
-        writer commit can never be silently overwritten with state
-        derived from the stale snapshot.
+        pass the version of the snapshot they read. Scope of the
+        guarantee: this guards SINGLE-DRIVER interleavings (two commit
+        paths racing inside one Spark application — the case the tests
+        pin); the re-check and :meth:`_swap` are not one atomic step,
+        so a genuinely concurrent writer in another process can still
+        land between the final re-read and ``os.replace`` and be
+        overwritten. Multi-process writers need an external lock (or a
+        rename-based ``O_EXCL`` version file) — see DEPLOYMENT.md;
+        at 100 TB the single-writer-per-table rule is the norm anyway
+        (Iceberg/Delta put this CAS in a catalog, not the filesystem).
         """
         prior = self.manifest()
         if expect_version is not None:

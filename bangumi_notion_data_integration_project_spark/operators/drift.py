@@ -25,12 +25,50 @@ Scale shape: one pass over the reference builds k edges (a bounded
 TakeOrdered-class cut over the ranked aggregate); bucketing both sides
 is a broadcast range join against the k-row edge table; counts are
 map-side-combinable. Nothing data-scaled ever sits in one partition.
+
+NULLs are fail-loud (the ``holt_linear`` convention): a NULL value in
+either snapshot raises at execution rather than silently biasing the
+edges and shares — drop or impute NULLs explicitly before monitoring.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _checked_long(v: Column, where: str) -> Column:
+    """Fail-loud NULL handling (the ``holt_linear`` convention): a NULL
+    value would otherwise land silently in bucket 1 (``v > edge`` never
+    matches, count(edge) = 0) and skew every share — raise instead, and
+    let the caller filter NULLs explicitly if that is what they mean."""
+    return F.when(
+        v.isNull(),
+        F.raise_error(
+            F.lit(
+                f"psi: NULL value in {where} — filter NULLs out "
+                "explicitly before computing drift"
+            )
+        ),
+    ).otherwise(v.cast("long"))
+
+
+def _ranked_distinct(ref: DataFrame, v: Column) -> DataFrame:
+    """``(__v, __c, __cum)`` — distinct values with counts and the
+    cumulative count under the value order. The ordered window runs on
+    this DISTINCT-VALUE aggregate, never on raw rows (the docstring
+    promise ``tests/test_plans.py`` pins): raw rows reduce map-side in
+    the groupBy first, so the single-partition sort the unpartitioned
+    window implies only ever sees O(distinct values) rows."""
+    vc = (
+        ref.select(_checked_long(v, "reference").alias("__v"))
+        .groupBy("__v")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    w = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return vc.withColumn("__cum", F.sum("__c").over(w))
 
 
 def psi_buckets(
@@ -53,15 +91,7 @@ def psi_buckets(
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    vc = (
-        ref.select(v.cast("long").alias("__v"))
-        .groupBy("__v")
-        .agg(F.count("*").cast("long").alias("__c"))
-    )
-    w = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = vc.withColumn("__cum", F.sum("__c").over(w)).localCheckpoint(
+    cum = _ranked_distinct(ref, v).localCheckpoint(
         eager=False
     )  # reused: totals + the per-target min scan
     n_row = cum.agg(F.max("__cum").cast("long").alias("__n"))
@@ -88,7 +118,9 @@ def psi_buckets(
 
 
 def _bucketize(df: DataFrame, value, edges: DataFrame, n_buckets: int):
-    v = (F.col(value) if isinstance(value, str) else value).cast("long")
+    v = _checked_long(
+        F.col(value) if isinstance(value, str) else value, "input"
+    )
     # reduce to distinct values map-side BEFORE the broadcast range
     # join: bucket = 1 + number of edges strictly below the value
     vc = df.select(v.alias("__v")).groupBy("__v").agg(

@@ -20,6 +20,11 @@ Degenerate behavior is explicit: rows without a full window report
 NULL med/mad/outlier (the ``orders_seasonal_decompose`` edge-row
 convention), and a locally-constant window has mad = 0, so ANY
 deviation flags — the textbook Hampel behavior on flat segments.
+A NULL ``x`` anywhere in the window makes the window NOT full
+(fullness gates on ``count(x)``, which skips NULLs, never on
+``count(*)``) — so a NULL can never silently shift the order
+statistic; every neighboring row reports NULL med/mad/outlier,
+exactly like an edge row.
 """
 
 from __future__ import annotations
@@ -60,7 +65,10 @@ def hampel_outliers(
         *groups,
         F.col(order_col).alias("__o"),
         x.alias("__x"),
-        F.when(F.count("*").over(w) == full, arr).alias("__w"),
+        # count(x) skips NULLs: a NULL x inside the window would pass a
+        # count(*) gate while collect_list silently dropped it, shifting
+        # every rank — gate on non-NULL count so such windows read NULL
+        F.when(F.count(x).over(w) == full, arr).alias("__w"),
     )
     # lower median at rank ceil(m/2); m == full here, so the rank is a
     # plan literal — element_at is 1-based

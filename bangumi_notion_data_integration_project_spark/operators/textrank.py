@@ -44,16 +44,38 @@ def word_graph(
     distance ≤ ``window`` in the CANDIDATE sequence (the classic
     TextRank definition — stopwords don't block adjacency); its weight
     counts co-occurrences over the corpus. Self-loops (a word repeated
-    within the window) are dropped."""
+    within the window) are dropped.
+
+    Input contract: ONE ROW PER DOCUMENT — ``doc_id_col`` must be
+    unique, and that is asserted fail-loud at execution (a duplicated
+    doc_id would imply a multi-row document whose token order this
+    operator has no column to reconstruct; silently treating the rows
+    as separate documents, or interleaving them, would both be wrong).
+    Adjacency itself is keyed per row, which under the asserted
+    contract IS per document."""
     if window < 1:
         raise ValueError("window must be >= 1")
     sw = [w.lower() for w in (stopwords or STOPWORDS_EN)]
+    did = F.col(doc_id_col)
+    dup = F.count("*").over(Window.partitionBy(did)) > 1
     toks = (
         df.select(
             # per-ROW id: duplicate doc_id values must never interleave
-            # token streams (the keywords.py lesson)
+            # token streams (the keywords.py lesson) — and the contract
+            # check makes a duplicate loud instead of silently per-row
             F.monotonically_increasing_id().alias("__rid"),
-            tokens(text_col).alias("__tk"),
+            F.when(
+                dup,
+                F.raise_error(
+                    F.concat(
+                        F.lit("word_graph: duplicate doc_id "),
+                        did.cast("string"),
+                        F.lit(" — the contract is one row per document"),
+                    )
+                ),
+            )
+            .otherwise(tokens(text_col))
+            .alias("__tk"),
         )
         .select("__rid", F.posexplode("__tk").alias("pos", "tok"))
         .filter(F.length("tok") > 0)

@@ -228,3 +228,19 @@ def test_psi_duckdb_oracle_shape_cross_engine(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+def test_null_value_raises_instead_of_bucket_one(spark):
+    # r8 ADVICE: a NULL value silently classified into bucket 1 (no
+    # edge matches NULL > edge) and skewed shares; the file convention
+    # is fail-loud. Both the edge build and the bucketize path raise.
+    import pytest
+
+    ref = spark.createDataFrame(
+        [(i,) for i in range(40)] + [(None,)], "v long"
+    )
+    cur = spark.createDataFrame([(i,) for i in range(40)], "v long")
+    with pytest.raises(Exception, match="psi: NULL value"):
+        psi(ref, cur, "v", n_buckets=4).collect()
+    with pytest.raises(Exception, match="psi: NULL value"):
+        psi(cur, ref, "v", n_buckets=4).collect()

@@ -769,3 +769,34 @@ def test_type_overlap_never_rescans_raw_for_estimates(spark):
     smj_nodes = re.findall(r"\(\d+\) SortMergeJoin", plan)
     assert len(smj_nodes) <= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_psi_edge_window_runs_on_distinct_value_aggregate(spark):
+    """drift.psi_buckets promises its ordered cumulative-count window
+    never ranks raw rows: the window's child chain must contain the
+    distinct-value HashAggregate (keys=[__v]), so the implied single
+    partition only ever holds O(distinct values). Asserted on the
+    operator's pre-checkpoint frame (_ranked_distinct) — the registry
+    query's plan hides it behind the lazy localCheckpoint."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.drift import (
+        _ranked_distinct,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    d = _ranked_distinct(orders, F.col("o_totalprice"))
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    i_win = next(i for i, l in enumerate(lines) if "Window" in l)
+    i_agg = next(
+        i
+        for i, l in enumerate(lines)
+        if "HashAggregate" in l and "__v" in l
+    )
+    i_scan = next(i for i, l in enumerate(lines) if "Scan parquet" in l)
+    # tree is root-at-top: aggregate sits BELOW the window and ABOVE
+    # the scan => it is in the window's child chain
+    assert i_win < i_agg < i_scan, plan
+    # and the scan reads only the value column
+    assert _read_schemas(plan) == ["o_totalprice:double"], plan

@@ -171,3 +171,21 @@ def test_hampel_duckdb_oracle_shape_cross_engine(spark):
     ]
     assert got == want
     assert any(r[5] is not None for r in got)  # full windows exist
+
+
+def test_null_x_inside_window_reports_null_not_shifted_ranks(spark):
+    # r8 ADVICE: count(*) fullness let a NULL x pass the gate while
+    # collect_list dropped it, shifting every order statistic. The fix
+    # gates on count(x): any window containing the NULL reads NULL.
+    xs = [100, 101, 102, None, 104, 105, 106, 107, 108, 109, 110]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "d long, x long"
+    )
+    rows = hampel_outliers(df, "d", "x", half_window=3, n_mads=3).collect()
+    by_d = {r["d"]: r for r in rows}
+    # every window touching position 3 (d in 0..6) is not-full -> NULL,
+    # as are the usual edge rows
+    for d in range(0, 7):
+        assert by_d[d]["med"] is None and by_d[d]["is_outlier"] is None
+    # the first window clear of the NULL is centered at d=7 (4..10)
+    assert by_d[7]["med"] == 107 and by_d[7]["is_outlier"] is False

@@ -265,3 +265,17 @@ def test_weighted_pagerank_unrolled_sql_matches_spark_cross_engine(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_duplicate_doc_id_raises(spark):
+    # r8 ADVICE: doc_id_col was accepted but unused, so a document
+    # spanning two rows with one doc_id silently became two documents.
+    # The contract (one row per document) is now asserted fail-loud.
+    import pytest
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (1, "gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="duplicate doc_id"):
+        word_graph(d, "doc_id", "text", window=2).collect()
