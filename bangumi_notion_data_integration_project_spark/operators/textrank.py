@@ -173,15 +173,24 @@ def textrank_keywords(
     iterations: int = 10,
     damping: float = 0.85,
     top_k: int = 25,
+    per_iteration_round: "int | None" = None,
 ) -> DataFrame:
     """Corpus top-k keywords: ``(rank, token, score)`` under a
     (rounded-score desc, token) total order. Scores rounded at 1e-9 —
     the parts_pagerank convention that keeps the top-k boundary stable
-    across engines' FP summation orders."""
+    across engines' FP summation orders. Registry queries checked
+    against :func:`weighted_pagerank_unrolled_sql` must pass
+    ``per_iteration_round`` (normally 9) — see
+    :func:`weighted_pagerank`."""
     g = word_graph(
         df, doc_id_col, text_col, stopwords=stopwords, window=window
     )
-    ranks = weighted_pagerank(g, iterations=iterations, damping=damping)
+    ranks = weighted_pagerank(
+        g,
+        iterations=iterations,
+        damping=damping,
+        per_iteration_round=per_iteration_round,
+    )
     scored = ranks.select(
         F.col("node").alias("token"), F.round("rank", 9).alias("score")
     )
@@ -205,6 +214,7 @@ def textrank_keyphrases(
     damping: float = 0.85,
     top_word_count: int = 50,
     top_k: int = 25,
+    per_iteration_round: "int | None" = None,
 ) -> DataFrame:
     """The full TextRank pipeline: rank words, keep the
     ``top_word_count`` best (rounded-score, token tie-break — a
@@ -222,6 +232,7 @@ def textrank_keyphrases(
         word_graph(df, doc_id_col, text_col, stopwords=sw, window=window),
         iterations=iterations,
         damping=damping,
+        per_iteration_round=per_iteration_round,
     )
     top_words = (
         ranks.select(

@@ -6513,27 +6513,398 @@ def q_events_type_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_docs_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-25 TextRank keywords (operators/textrank.
+    textrank_keywords): weighted PageRank over the word co-occurrence
+    graph — per-document lead() windows build the edges (bounded by
+    document length, no self-join), each of the 4 damped iterations is
+    one node-sized join + one destination-key aggregate, and
+    ``per_iteration_round=9`` re-snaps both engines to the 1e-9 grid
+    every round so neighbor-sum order drift cannot accumulate (pinned
+    cross-engine in tests/test_textrank.py). The oracle is the
+    machine-generated unrolled iteration chain over the identical
+    integer edge table."""
+    from .operators.textrank import textrank_keywords
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return textrank_keywords(
+        d,
+        "doc_id",
+        "text",
+        window=2,
+        iterations=4,
+        per_iteration_round=9,
+        top_k=25,
+    )
+
+
+def q_docs_textrank_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 TextRank keyphrases (operators/textrank.
+    textrank_keyphrases): the full pipeline — rank words (same 4
+    rounded iterations as ``docs_textrank_keywords``), keep the top-50
+    under the (rounded score, token) total order, collapse ADJACENT
+    top words in the original token stream into phrases (the RAKE
+    run-split shape: pos minus rank-in-selection is constant exactly
+    on consecutive stretches), score each phrase by folding its
+    member-word ROUNDED scores in phrase order (identical words →
+    identical fold bits, so grouping by the score is safe). The
+    oracle replays run-split + fold with list_reduce over scalar
+    doubles (the DuckDB-safe accumulator class)."""
+    from .operators.textrank import textrank_keyphrases
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return textrank_keyphrases(
+        d,
+        "doc_id",
+        "text",
+        window=2,
+        iterations=4,
+        per_iteration_round=9,
+        top_word_count=50,
+        top_k=25,
+    )
+
+
+def q_orders_price_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution,
+    early era (orderdate < 1998-01-01) as the reference vs the late
+    era as current (operators/drift.psi): exact integer order-
+    statistic edges built on the reference's DISTINCT-VALUE aggregate
+    (never raw rows — plan-pinned), broadcast range-join bucketize,
+    Laplace-smoothed integer shares, per-bucket terms rounded at 1e-9
+    and integer-summed so the Σ is order-free. At 100 TB the same
+    psi() accepts sketch-fed edges; this exact path is the
+    oracle-checkable one (chain pinned cross-engine in
+    tests/test_drift.py)."""
+    from .operators.drift import psi
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    return psi(ref, cur, "x", n_buckets=10)
+
+
+def q_revenue_hampel_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel filter over daily revenue cents (operators/robust.
+    hampel_outliers, half_window=3, n_mads=3): rolling median and MAD
+    are the lower order statistics at plan-literal rank 4 of the
+    sorted 7-day window — exact integer work end to end, so both
+    engines agree bit-for-bit (pinned cross-engine in
+    tests/test_robust.py). Rows without a full window (edges — and any
+    window containing a NULL, gated on count(x)) report NULL; a flat
+    window has mad = 0 so any deviation flags, the textbook
+    behavior."""
+    from .operators.robust import hampel_outliers
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return hampel_outliers(daily, "d", "x", half_window=3, n_mads=3)
+
+
+def q_events_user_overlap_setsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity overlap between event types from KMV bottom-k set
+    sketches (operators/setsketch): the sketched item is the distinct
+    (user_id, active-day) pair, so the per-type sets genuinely differ.
+    k=512 rows per type is the ONLY state — union is the semilattice
+    merge cut back to bottom-k, |A∪B| = (k−1)/u_k, |A∩B| = c/k·|A∪B|
+    (the theta-sketch estimator; both EXACT whenever the merged set
+    holds < k rows, e.g. at sf0.001). The exact answers ride alongside
+    (one equi-join on the distinct aggregate) with tolerance checks:
+    KMV RSE at k=512 ≈ 4.4%, so within_tol tests |err| ≤ max(12% of
+    est_union, 16) ≈ 2.7σ — union_within_tol and
+    intersection_within_tol must read true (the self-validating
+    rows-only pattern; DuckDB has no Spark-compatible xxhash64).
+    Measured at sf0.1: worst union err 5.5%, worst intersection err
+    3.7% of union."""
+    from .operators.setsketch import _H, set_sketch, set_sketch_overlap
+
+    k = 512
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    sk = set_sketch(
+        e, ["event_type"], ["user_id", "day"], k=k
+    ).localCheckpoint(eager=False)  # reused for both pair sides
+    ta = sk.select(F.col("event_type").alias("type_a"), _H)
+    tb = sk.select(F.col("event_type").alias("type_b"), _H)
+    pairs = (
+        ta.select("type_a")
+        .distinct()
+        .crossJoin(tb.select("type_b").distinct())
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    # |types|²-bounded pair table; each side broadcast so the k-row
+    # sketches never shuffle
+    a_side = pairs.join(F.broadcast(ta), "type_a").select(
+        "type_a", "type_b", _H
+    )
+    b_side = pairs.join(F.broadcast(tb), "type_b").select(
+        "type_a", "type_b", _H
+    )
+    est = set_sketch_overlap(a_side, b_side, ["type_a", "type_b"], k=k)
+    u = e.distinct()
+    ua = u.select(F.col("event_type").alias("type_a"), "user_id", "day")
+    ub = u.select(F.col("event_type").alias("type_b"), "user_id", "day")
+    exact_i = (
+        ua.join(ub, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("exact_intersection"))
+    )
+    cnt = u.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    tol = F.greatest(
+        F.lit(0.12) * F.col("est_union").cast("double"), F.lit(16.0)
+    )
+    err_u = F.abs(F.col("est_union") - F.col("exact_union"))
+    err_i = F.abs(F.col("est_intersection") - F.col("exact_intersection"))
+    return (
+        est.join(F.broadcast(exact_i), ["type_a", "type_b"], "left")
+        .join(
+            F.broadcast(
+                cnt.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n").alias("__na"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                cnt.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n").alias("__nb"),
+                )
+            ),
+            "type_b",
+        )
+        .withColumn(
+            "exact_intersection",
+            F.coalesce("exact_intersection", F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "exact_union",
+            (F.col("__na") + F.col("__nb") - F.col("exact_intersection"))
+            .cast("long"),
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_union_kept",
+            "est_union",
+            "est_intersection",
+            "jaccard_est",
+            "exact_union",
+            "exact_intersection",
+            err_u.cast("long").alias("abs_err_union"),
+            err_i.cast("long").alias("abs_err_intersection"),
+            (err_u <= tol).alias("union_within_tol"),
+            (err_i <= tol).alias("intersection_within_tol"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def q_segment_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-market-segment Holt linear smoothing of daily revenue cents
+    (operators/stats.holt_linear_grouped, dyadic α=1/2 β=1/4): the
+    ``revenue_holt`` recursion partitioned by segment — each group's
+    calendar-bounded series folds under its own key (scale-probed:
+    1.0× wall at 10× keys, SCALING.md). The oracle walks all segments
+    in lockstep with one recursive CTE carrying (segment, rn) — the
+    events_debounce pattern, never list_reduce struct accumulators."""
+    from .operators.stats import holt_linear_grouped
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", F.col("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return holt_linear_grouped(
+        daily, ["c_mktsegment"], "d", "x", horizons=(1, 7, 30)
+    )
+
+
+def q_events_type_breakpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type two-segment changepoint fit over daily value
+    cents (operators/stats.segmented_trend_grouped): the
+    ``orders_breakpoint_trend`` construction with every window
+    partitioned by event type (scale-probed: 0.9× wall at 10× keys,
+    SCALING.md) — one prefix-moment window pass per group, every
+    candidate breakpoint one projection, argmin under the (sse, k)
+    total order. Oracle = the pinned breakpoint SQL with PARTITION BY
+    throughout and per-group argmin."""
+    from .operators.stats import segmented_trend_grouped
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return segmented_trend_grouped(
+        daily, ["event_type"], "d", "x", min_seg=3
+    )
+
+
+def q_events_conversion_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel time-to-conversion as a Kaplan-Meier curve
+    (operators/stats.km_survival): per user, duration = days from
+    first signup to first subsequent purchase, right-censored at the
+    corpus max timestamp when no purchase follows — S(t) is the
+    fraction not yet converted by day t. Reuses the churn-KM operator
+    verbatim with a new duration/censoring construction: two map-side
+    min() aggregates, a broadcast scalar max-date (aggregate, not
+    filter — always exactly one row), and the duration-bounded step
+    fold."""
+    from .operators.stats import km_survival
+
+    e = load_table(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    pu = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    mx = e.agg(F.max("ts").alias("gmax"))
+    per_u = (
+        su.join(pu, "user_id", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(
+                F.to_date(F.coalesce("tp", "gmax")), F.to_date("t0")
+            )
+            .cast("long")
+            .alias("duration_days"),
+            F.col("tp").isNotNull().cast("long").alias("converted"),
+        )
+    )
+    return km_survival(per_u, "duration_days", "converted")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks a
-# strict 50-entry prefix of this dict. The round-8 window carries, in
-# order: (a) the 10 queries built in round 7 and never driver-checked
-# — quantile-sketch self-validation, semilattice merge proof, HLL
-# day->week re-aggregation, Kaplan-Meier survival, exact-moment ACF,
-# PMI collocations, Zipf OLS fit, interval-union coverage, seasonal
-# decomposition, source-pair JSD — new queries outrank every refresh;
-# (b) the 3 rows-only r3-vintage refreshes (the registry's oldest
-# driver evidence); (c) 37 of the 49 r4-vintage refreshes, kept in
-# their prior relative order. The 12 r4-vintage rows that spill to r9
-# are listed in the rotation note at the boundary; each spilled row
-# either has an in-window sibling exercising the same code path this
-# round or holds an unchanged green r4 row. docs_zipf_fit and
-# orders_seasonal_decompose carry this round's ANSI divide-guards
-# (changed code), and both sit in the window.
+# strict 50-entry prefix of this dict. The round-9 window carries, in
+# order: (a) the 9 queries built in round 8 and never driver-checked —
+# new queries outrank every refresh; (b) the 12 r4-vintage rows that
+# spilled from the r8 window (the registry's stalest driver evidence —
+# this retires the r4 debt entirely); (c) the 29 stalest r5-vintage
+# refreshes, kept in their prior relative order (the rotation note
+# said 28 + fill the last slot with the stalest remaining r5 row —
+# ann_ivf_recall). No registered query's code path changed this round
+# (the ADVICE fixes touch drift/robust/textrank, first registered at
+# positions 51-58 below, outside this window).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- (a) NEW for r8 (built in r7, never driver-checked)
+    # -- NEW for r9 (built in r8, never driver-checked): Durbin-
+    # --    Levinson PACF (machine-generated unrolled oracle), Holt linear
+    # --    smoothing (recursive-CTE oracle), Wald-Wolfowitz runs test,
+    # --    two-segment changepoint fit, per-segment Kaplan-Meier churn,
+    # --    RAKE keywords, branching entropy; rows-only self-validating:
+    # --    grouped sketch quantiles with per-group rank bound, HLL
+    # --    audience overlap with exact-intersection tolerance check
+    "revenue_pacf": q_revenue_pacf,
+    "revenue_holt": q_revenue_holt,
+    "revenue_runs_test": q_revenue_runs_test,
+    "orders_breakpoint_trend": q_orders_breakpoint_trend,
+    "segment_churn_km": q_segment_churn_km,
+    "docs_rake_keywords": q_docs_rake_keywords,
+    "docs_branching_entropy": q_docs_branching_entropy,
+    "events_value_quantiles_sketch": q_events_value_quantiles_sketch,
+    "events_type_overlap_sketch": q_events_type_overlap_sketch,
+    # -- the 12 r4-vintage spills from r8 (stalest driver rows)
+    "ann_pq_recall": q_ann_pq_recall,
+    "customer_set_ops": q_customer_set_ops,
+    "dedup_bow": q_dedup_bow,
+    "docs_bigram_counts": q_docs_bigram_counts,
+    "docs_pack_bins": q_docs_pack_bins,
+    "docs_weighted_sample": q_docs_weighted_sample,
+    "embedding_covariance": q_embedding_covariance,
+    "embedding_pq_codes": q_embedding_pq_codes,
+    "events_funnel_steps": q_events_funnel_steps,
+    "events_max_concurrency_2p": q_events_max_concurrency_2p,
+    "lineitem_correlations": q_lineitem_correlations,
+    "merge_updates": q_merge_updates,
+    # -- 29 stalest r5-vintage refreshes in prior relative order
+    "events_markov": q_events_markov,
+    "revenue_gini": q_revenue_gini,
+    "docs_lang_confusion": q_docs_lang_confusion,
+    "orders_seasonal": q_orders_seasonal,
+    "incremental_agg_cdc": q_incremental_agg_cdc,
+    "orders_mad": q_orders_mad,
+    "docs_curriculum": q_docs_curriculum,
+    "events_attribution_decay": q_events_attribution_decay,
+    "events_freshness": q_events_freshness,
+    "brand_concentration": q_brand_concentration,
+    "events_inter_arrival": q_events_inter_arrival,
+    "events_cusum": q_events_cusum,
+    "events_sequence_rules": q_events_sequence_rules,
+    "dedup_latest_by_key": q_dedup_latest_by_key,
+    "union_all_counts": q_union_all_counts,
+    "cross_join_dims": q_cross_join_dims,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "docs_repetition": q_docs_repetition,
+    "orders_price_histogram": q_orders_price_histogram,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_norms": q_embedding_norms,
+    "orders_cube": q_orders_cube,
+    "running_revenue": q_running_revenue,
+    "latest_event_per_type": q_latest_event_per_type,
+    "text_bpe_tokens": q_text_bpe_tokens,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    # --------- driver checked-window boundary (position 50) ---------
+    # ROUND-10 ROTATION NOTE: after r9 lands, every driver row is r5+
+    # (the r4 debt is retired this round) and the stalest evidence is
+    # the 15 r5-vintage rows at the registry tail (event_sliding_window
+    # .. vocab_topk) followed by the 50 r6-vintage rows. Rotate the r10
+    # window onto the 8 r10-new queries below (positions 51-58, never
+    # driver-checked) + those 15 r5 rows + the 27 stalest r6 rows in
+    # their prior relative order (events_time_rollup_refresh ..
+    # docs_bpe_merges at minimum; changed-code refreshes first as
+    # usual), displacing the remaining 23 r6 rows to r11. Do NOT
+    # register more new queries than the window budget (~10).
+    # -- NEW for r10 (built in r8/r9, never driver-checked):
+    # --    TextRank keywords + keyphrases (unrolled weighted-pagerank
+    # --    oracle, per-iteration 1e-9 re-snap), PSI price-drift monitor,
+    # --    Hampel rolling-median/MAD outliers, per-segment Holt, per-type
+    # --    changepoint, funnel time-to-conversion KM; rows-only
+    # --    self-validating: KMV bottom-k overlap vs exact with 2.7-sigma
+    # --    tolerance columns
+    "docs_textrank_keywords": q_docs_textrank_keywords,
+    "docs_textrank_phrases": q_docs_textrank_phrases,
+    "orders_price_psi": q_orders_price_psi,
+    "revenue_hampel_outliers": q_revenue_hampel_outliers,
+    "events_user_overlap_setsketch": q_events_user_overlap_setsketch,
+    "segment_holt": q_segment_holt,
+    "events_type_breakpoint": q_events_type_breakpoint,
+    "events_conversion_km": q_events_conversion_km,
+    # -- displaced r9: the r8 window, every row green in r8
     "lineitem_quantile_sketch": q_lineitem_quantile_sketch,
     "lineitem_sketch_merge": q_lineitem_sketch_merge,
     "events_weekly_users_sketch": q_events_weekly_users_sketch,
@@ -6544,11 +6915,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_user_coverage": q_events_user_coverage,
     "orders_seasonal_decompose": q_orders_seasonal_decompose,
     "docs_source_jsd": q_docs_source_jsd,
-    # -- (b) rows-only r3-vintage refreshes (oldest driver rows)
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_docs": q_simhash_docs,
     "sketch_distinct_counts": q_sketch_distinct_counts,
-    # -- (c) 37 r4-vintage refreshes in prior relative order
     "dedup_near_pipeline": q_dedup_near_pipeline,
     "docs_tfidf_topk": q_docs_tfidf_topk,
     "minhash_lsh_verified": q_minhash_lsh_verified,
@@ -6586,39 +6955,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_kcore": q_parts_kcore,
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
-    # --------- driver checked-window boundary (position 50) ---------
-    # ROUND-9 ROTATION NOTE: after r8 lands, the stalest evidence is
-    # the 12 r4-vintage rows spilled this round (ann_pq_recall,
-    # customer_set_ops, dedup_bow, docs_bigram_counts, docs_pack_bins,
-    # docs_weighted_sample, embedding_covariance, embedding_pq_codes,
-    # events_funnel_steps, events_max_concurrency_2p,
-    # lineitem_correlations, merge_updates — spill rationale: each has
-    # an in-window r8 sibling on the same code path [ann_pq_topk for
-    # the PQ index + codes, events_funnel, events_max_concurrency,
-    # lineitem_regression, docs_pmi_collocations consumes bigram
-    # counts, embedding_pca_variance computes the covariance, the
-    # merge family was re-proven r7] or is standalone-green since r4)
-    # plus the 44 r5-vintage rows. Rotate the r9 window onto the ~10
-    # r9-new queries below + the 12 spilled r4 + 28 of the r5-vintage,
-    # changed-code refreshes first as usual. Do NOT register more new
-    # queries than the window budget (~10).
-    # -- NEW for r9 (built in r8, never driver-checked): Durbin-
-    #    Levinson PACF (machine-generated unrolled oracle), Holt linear
-    #    smoothing (recursive-CTE oracle), Wald-Wolfowitz runs test,
-    #    two-segment changepoint fit, per-segment Kaplan-Meier churn,
-    #    RAKE keywords, branching entropy; rows-only self-validating:
-    #    grouped sketch quantiles with per-group rank bound, HLL
-    #    audience overlap with exact-intersection tolerance check
-    "revenue_pacf": q_revenue_pacf,
-    "revenue_holt": q_revenue_holt,
-    "revenue_runs_test": q_revenue_runs_test,
-    "orders_breakpoint_trend": q_orders_breakpoint_trend,
-    "segment_churn_km": q_segment_churn_km,
-    "docs_rake_keywords": q_docs_rake_keywords,
-    "docs_branching_entropy": q_docs_branching_entropy,
-    "events_value_quantiles_sketch": q_events_value_quantiles_sketch,
-    "events_type_overlap_sketch": q_events_type_overlap_sketch,
-    # -- displaced r8: the r7 window, every row green in r7
+    # -- r7-vintage rows in their prior order
     "fuzzy_name_blocking": q_fuzzy_name_blocking,
     "events_twap": q_events_twap,
     "orders_dow_profile": q_orders_dow_profile,
@@ -6669,20 +7006,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_per_brand": q_top_parts_per_brand,
     "merge_inserts": q_merge_inserts,
     "merge_deletes": q_merge_deletes,
-    # -- the 12 r4-vintage spills (refresh first in r9)
-    "ann_pq_recall": q_ann_pq_recall,
-    "customer_set_ops": q_customer_set_ops,
-    "dedup_bow": q_dedup_bow,
-    "docs_bigram_counts": q_docs_bigram_counts,
-    "docs_pack_bins": q_docs_pack_bins,
-    "docs_weighted_sample": q_docs_weighted_sample,
-    "embedding_covariance": q_embedding_covariance,
-    "embedding_pq_codes": q_embedding_pq_codes,
-    "events_funnel_steps": q_events_funnel_steps,
-    "events_max_concurrency_2p": q_events_max_concurrency_2p,
-    "lineitem_correlations": q_lineitem_correlations,
-    "merge_updates": q_merge_updates,
-    # -- r5/r6/r7-vintage rows in their prior order
+    # -- r6-vintage rows in their prior order
     "events_time_rollup_refresh": q_events_time_rollup_refresh,
     "docs_bpe_merges_batched": q_docs_bpe_merges_batched,
     "embedding_near_dup_topk": q_embedding_near_dup_topk,
@@ -6733,35 +7057,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_share": q_market_share,
     "important_parts": q_important_parts,
     "late_shipment_priority": q_late_shipment_priority,
-    "events_markov": q_events_markov,
-    "revenue_gini": q_revenue_gini,
-    "docs_lang_confusion": q_docs_lang_confusion,
-    "orders_seasonal": q_orders_seasonal,
-    "incremental_agg_cdc": q_incremental_agg_cdc,
-    "orders_mad": q_orders_mad,
-    "docs_curriculum": q_docs_curriculum,
-    "events_attribution_decay": q_events_attribution_decay,
-    "events_freshness": q_events_freshness,
-    "brand_concentration": q_brand_concentration,
-    "events_inter_arrival": q_events_inter_arrival,
-    "events_cusum": q_events_cusum,
-    "events_sequence_rules": q_events_sequence_rules,
-    "dedup_latest_by_key": q_dedup_latest_by_key,
-    "union_all_counts": q_union_all_counts,
-    "cross_join_dims": q_cross_join_dims,
-    "text_token_stats": q_text_token_stats,
-    "text_quality": q_text_quality,
-    "text_lang_id": q_text_lang_id,
-    "docs_repetition": q_docs_repetition,
-    "orders_price_histogram": q_orders_price_histogram,
-    "doc_fingerprint": q_doc_fingerprint,
-    "embedding_norms": q_embedding_norms,
-    "orders_cube": q_orders_cube,
-    "running_revenue": q_running_revenue,
-    "latest_event_per_type": q_latest_event_per_type,
-    "text_bpe_tokens": q_text_bpe_tokens,
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "ann_ivf_recall": q_ann_ivf_recall,
+    # -- the 15 r5-vintage rows that spill to r10 (refresh first)
     "event_sliding_window": q_event_sliding_window,
     "orders_scd2": q_orders_scd2,
     "dedup_components": q_dedup_components,
@@ -10598,4 +10894,362 @@ ORACLES["docs_branching_entropy"] = r"""
     LEFT JOIN ragg r ON top.w = r.w
     LEFT JOIN lagg l ON top.w = l.w
     ORDER BY rank
+"""
+
+
+# -- r10-batch oracles ------------------------------------------------------
+
+from .operators.textrank import (  # noqa: E402
+    weighted_pagerank_unrolled_sql as _wpr_unrolled_sql,
+)
+
+# The word_graph SQL restatement (cross-engine edge equality pinned in
+# tests/test_textrank.py): per-doc positions via unnest(range), the
+# tokenizer convention shared with every other oracle, lead() windows
+# per candidate distance, least/greatest canonical pairs.
+_TEXTRANK_EDGES_SQL = rf"""
+        SELECT least(wa, wb) AS w1, greatest(wa, wb) AS w2,
+               CAST(count(*) AS BIGINT) AS weight
+        FROM (
+          SELECT tok AS wa,
+                 lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS wb
+          FROM (
+            SELECT doc_id, i AS pos, lower(tk[i]) AS tok
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+                  FROM documents WHERE length(trim(text)) > 0) dd,
+                 unnest(range(1, len(tk) + 1)) AS t(i)
+            WHERE length(tk[i]) > 0
+              AND NOT list_contains([{_SW}], lower(tk[i]))
+          ) cand
+          UNION ALL
+          SELECT tok,
+                 lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)
+          FROM (
+            SELECT doc_id, i AS pos, lower(tk[i]) AS tok
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+                  FROM documents WHERE length(trim(text)) > 0) dd,
+                 unnest(range(1, len(tk) + 1)) AS t(i)
+            WHERE length(tk[i]) > 0
+              AND NOT list_contains([{_SW}], lower(tk[i]))
+          ) cand
+        ) pairs
+        WHERE wb IS NOT NULL AND wa <> wb GROUP BY 1, 2
+"""
+
+ORACLES["docs_textrank_keywords"] = f"""
+    WITH scored AS (
+      SELECT node AS token, round(rank, 9) AS score
+      FROM ({_wpr_unrolled_sql(_TEXTRANK_EDGES_SQL, iterations=4)}) pr
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, token) AS BIGINT)
+             AS rank,
+           token, score
+    FROM scored ORDER BY rank LIMIT 25
+"""
+
+ORACLES["docs_textrank_phrases"] = rf"""
+    WITH tw AS (
+      SELECT node AS tok, round(rank, 9) AS wscore
+      FROM ({_wpr_unrolled_sql(_TEXTRANK_EDGES_SQL, iterations=4)}) pr
+      ORDER BY wscore DESC, tok LIMIT 50
+    ), toks AS (
+      SELECT doc_id, i AS pos, lower(tk[i]) AS tok
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+            FROM documents WHERE length(trim(text)) > 0) dd,
+           unnest(range(1, len(tk) + 1)) AS t(i)
+      WHERE length(tk[i]) > 0
+    ), sel AS (
+      SELECT t.doc_id, t.pos, t.tok, tw.wscore
+      FROM toks t JOIN tw ON t.tok = tw.tok
+    ), runs AS (
+      SELECT doc_id, pos, tok, wscore,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run
+      FROM sel
+    ), occ AS (
+      SELECT string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             list_reduce(list(wscore ORDER BY pos),
+                         (a, b) -> a + b) AS score0
+      FROM runs GROUP BY doc_id, run
+    ), ph AS (
+      SELECT phrase, n_words, score0,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM occ GROUP BY phrase, n_words, score0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score0 DESC, phrase) AS BIGINT)
+             AS rank,
+           phrase, n_words, n_occurrences, round(score0, 6) AS score
+    FROM ph ORDER BY rank LIMIT 25
+"""
+
+# The psi() chain pinned cross-engine in tests/test_drift.py, with the
+# era split (orderdate before/after 1998-01-01) as the ref/cur inputs.
+ORACLES["orders_price_psi"] = """
+    WITH ref AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ), cur AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    ), vc AS (
+      SELECT x AS v, CAST(count(*) AS BIGINT) AS c FROM ref GROUP BY 1
+    ), cum AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM vc
+    ), nn AS (SELECT CAST(max(cum) AS BIGINT) AS n FROM cum),
+    targets AS (
+      SELECT b AS bucket,
+             CAST(ceil(CAST(b AS DOUBLE) * CAST(n AS DOUBLE) / 10.0)
+                  AS BIGINT) AS r
+      FROM (SELECT unnest(range(1, 10)) AS b), nn
+    ), edges AS (
+      SELECT CAST(bucket AS INT) AS bucket, min(v) AS edge
+      FROM cum, targets WHERE cum >= r GROUP BY bucket
+    ), rvc AS (
+      SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt FROM ref GROUP BY 1
+    ), rbk AS (
+      SELECT r.v, r.cnt, CAST(1 + count(e.edge) AS INT) AS bucket
+      FROM rvc r LEFT JOIN edges e ON r.v > e.edge
+      GROUP BY r.v, r.cnt
+    ), rcnt AS (
+      SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c FROM rbk GROUP BY 1
+    ), cvc AS (
+      SELECT x AS v, CAST(count(*) AS BIGINT) AS cnt FROM cur GROUP BY 1
+    ), cbk AS (
+      SELECT r.v, r.cnt, CAST(1 + count(e.edge) AS INT) AS bucket
+      FROM cvc r LEFT JOIN edges e ON r.v > e.edge
+      GROUP BY r.v, r.cnt
+    ), ccnt AS (
+      SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c FROM cbk GROUP BY 1
+    ), nrt AS (SELECT CAST(count(*) AS BIGINT) AS n_ref_total FROM ref),
+    nct AS (SELECT CAST(count(*) AS BIGINT) AS n_cur_total FROM cur),
+    grid AS (SELECT CAST(unnest(range(1, 11)) AS INT) AS bucket),
+    base AS (
+      SELECT g.bucket,
+             CAST(coalesce(r.c, 0) AS BIGINT) AS n_ref,
+             CAST(coalesce(c.c, 0) AS BIGINT) AS n_cur,
+             nrt.n_ref_total, nct.n_cur_total
+      FROM grid g
+      LEFT JOIN rcnt r ON g.bucket = r.bucket
+      LEFT JOIN ccnt c ON g.bucket = c.bucket, nrt, nct
+    ), terms AS (
+      SELECT bucket, n_ref, n_cur,
+             round(CAST(n_ref + 1 AS DOUBLE)
+                   / CAST(n_ref_total + 10 AS DOUBLE), 6) AS ref_share,
+             round(CAST(n_cur + 1 AS DOUBLE)
+                   / CAST(n_cur_total + 10 AS DOUBLE), 6) AS cur_share,
+             round((CAST(n_cur + 1 AS DOUBLE)
+                    / CAST(n_cur_total + 10 AS DOUBLE)
+                    - CAST(n_ref + 1 AS DOUBLE)
+                      / CAST(n_ref_total + 10 AS DOUBLE))
+                   * ln((CAST(n_cur + 1 AS DOUBLE)
+                         / CAST(n_cur_total + 10 AS DOUBLE))
+                        / (CAST(n_ref + 1 AS DOUBLE)
+                           / CAST(n_ref_total + 10 AS DOUBLE))), 6)
+               AS psi_term,
+             CAST(round((CAST(n_cur + 1 AS DOUBLE)
+                    / CAST(n_cur_total + 10 AS DOUBLE)
+                    - CAST(n_ref + 1 AS DOUBLE)
+                      / CAST(n_ref_total + 10 AS DOUBLE))
+                   * ln((CAST(n_cur + 1 AS DOUBLE)
+                         / CAST(n_cur_total + 10 AS DOUBLE))
+                        / (CAST(n_ref + 1 AS DOUBLE)
+                           / CAST(n_ref_total + 10 AS DOUBLE)))
+                   * 1000000000.0) AS BIGINT) AS tn
+      FROM base
+    ), tot AS (
+      SELECT round(CAST(sum(tn) AS DOUBLE) / 1000000000.0, 6) AS psi
+      FROM terms
+    )
+    SELECT t.bucket, e.edge, t.n_ref, t.n_cur, t.ref_share,
+           t.cur_share, t.psi_term, tot.psi
+    FROM terms t LEFT JOIN edges e ON t.bucket = e.bucket, tot
+    ORDER BY t.bucket
+"""
+
+# Pinned cross-engine in tests/test_robust.py (count(x) gate matches
+# the operator's NULL-safe fullness rule; x is a sum, never NULL here).
+ORACLES["revenue_hampel_outliers"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), win AS (
+      SELECT d, x,
+             CASE WHEN count(x) OVER w7 = 7
+                  THEN list_sort(list(x) OVER w7) END AS warr
+      FROM daily
+      WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                    AND 3 FOLLOWING)
+    )
+    SELECT d, x,
+           CAST(warr[4] AS BIGINT) AS med,
+           CAST(list_sort(
+                  list_transform(warr, v -> abs(v - warr[4])))[4]
+                AS BIGINT) AS mad,
+           CAST(abs(x - warr[4]) AS BIGINT) AS deviation,
+           CASE WHEN warr IS NOT NULL
+                THEN abs(x - warr[4]) > 3 * list_sort(
+                  list_transform(warr, v -> abs(v - warr[4])))[4]
+           END AS is_outlier
+    FROM win ORDER BY d
+"""
+
+# revenue_holt's recursive walk with (segment, rn) carried per step —
+# all segments advance in lockstep; the per-group last row closes.
+ORACLES["segment_holt"] = """
+    WITH RECURSIVE daily AS (
+      SELECT c.c_mktsegment AS g, o.o_orderdate AS d,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), e AS (
+      SELECT g, CAST(x AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY g ORDER BY d) AS rn
+      FROM daily
+    ), nn AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_periods FROM e GROUP BY g
+    ), walk AS (
+      SELECT g, rn, x AS l, CAST(0 AS DOUBLE) AS b FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.g, e.rn,
+             0.5 * e.x + 0.5 * (w.l + w.b),
+             0.25 * ((0.5 * e.x + 0.5 * (w.l + w.b)) - w.l) + 0.75 * w.b
+      FROM walk w JOIN e ON e.g = w.g AND e.rn = w.rn + 1
+    ), fin AS (
+      SELECT g, l, b FROM (
+        SELECT g, l, b,
+               row_number() OVER (PARTITION BY g ORDER BY rn DESC) AS rk
+        FROM walk) z
+      WHERE rk = 1
+    )
+    SELECT nn.g AS c_mktsegment, nn.n_periods,
+           round(l, 4) AS level, round(b, 4) AS trend,
+           round(l + 1.0 * b, 4) AS forecast_h1,
+           round(l + 7.0 * b, 4) AS forecast_h7,
+           round(l + 30.0 * b, 4) AS forecast_h30
+    FROM fin JOIN nn ON fin.g = nn.g
+    ORDER BY c_mktsegment
+"""
+
+# The pinned breakpoint SQL with PARTITION BY event_type throughout
+# and the per-group argmin under the identical (sse, t) total order.
+ORACLES["events_type_breakpoint"] = """
+    WITH daily AS (
+      SELECT event_type AS s, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), d2 AS (
+      SELECT s, d, CAST(x AS HUGEINT) AS y,
+             CAST(row_number() OVER (PARTITION BY s ORDER BY d)
+                  AS HUGEINT) AS t
+      FROM daily
+    ), pre AS (
+      SELECT s, d, t,
+             sum(t) OVER wc AS st, sum(y) OVER wc AS sy,
+             sum(t * t) OVER wc AS stt, sum(t * y) OVER wc AS sty,
+             sum(y * y) OVER wc AS syy
+      FROM d2
+      WINDOW wc AS (PARTITION BY s ORDER BY t ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW)
+    ), tot AS (
+      SELECT s, t AS n, st AS tst, sy AS tsy, stt AS tstt, sty AS tsty,
+             syy AS tsyy
+      FROM (SELECT *, row_number() OVER (PARTITION BY s ORDER BY t DESC)
+                      AS rk
+            FROM pre) z
+      WHERE rk = 1
+    ), scored AS (
+      SELECT p.s, p.d, p.t, tot.n,
+             (CAST(p.t * p.syy - p.sy * p.sy AS DOUBLE)
+              - CAST(p.t * p.sty - p.st * p.sy AS DOUBLE)
+                * CAST(p.t * p.sty - p.st * p.sy AS DOUBLE)
+                / CAST(p.t * p.stt - p.st * p.st AS DOUBLE))
+               / CAST(p.t AS DOUBLE)
+           + (CAST((tot.n - p.t) * (tot.tsyy - p.syy)
+                   - (tot.tsy - p.sy) * (tot.tsy - p.sy) AS DOUBLE)
+              - CAST((tot.n - p.t) * (tot.tsty - p.sty)
+                     - (tot.tst - p.st) * (tot.tsy - p.sy) AS DOUBLE)
+                * CAST((tot.n - p.t) * (tot.tsty - p.sty)
+                       - (tot.tst - p.st) * (tot.tsy - p.sy) AS DOUBLE)
+                / CAST((tot.n - p.t) * (tot.tstt - p.stt)
+                       - (tot.tst - p.st) * (tot.tst - p.st) AS DOUBLE))
+             / CAST(tot.n - p.t AS DOUBLE) AS sse2,
+             CAST(p.t * p.sty - p.st * p.sy AS DOUBLE)
+               / CAST(p.t * p.stt - p.st * p.st AS DOUBLE) AS sl,
+             CAST((tot.n - p.t) * (tot.tsty - p.sty)
+                  - (tot.tst - p.st) * (tot.tsy - p.sy) AS DOUBLE)
+               / CAST((tot.n - p.t) * (tot.tstt - p.stt)
+                      - (tot.tst - p.st) * (tot.tst - p.st) AS DOUBLE)
+               AS sr,
+             tot.tst, tot.tsy, tot.tstt, tot.tsty, tot.tsyy
+      FROM pre p JOIN tot ON p.s = tot.s
+      WHERE p.t >= 3 AND p.t <= tot.n - 3
+    ), best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY s
+                     ORDER BY sse2 ASC, t ASC) AS brk
+        FROM scored) z
+      WHERE brk = 1
+    ), fin AS (
+      SELECT *,
+             (CAST(n * tsyy - tsy * tsy AS DOUBLE)
+              - CAST(n * tsty - tst * tsy AS DOUBLE)
+                * CAST(n * tsty - tst * tsy AS DOUBLE)
+                / CAST(n * tstt - tst * tst AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS sse1
+      FROM best
+    )
+    SELECT s AS event_type, d AS breakpoint, CAST(n AS BIGINT) AS n_points,
+           round(sl, 6) AS slope_left, round(sr, 6) AS slope_right,
+           round(sse2, 4) AS sse_two, round(sse1, 4) AS sse_single,
+           round(CASE WHEN sse1 > 0.0 THEN (sse1 - sse2) / sse1
+                      ELSE 0.0 END, 6) AS rel_reduction
+    FROM fin ORDER BY event_type
+"""
+
+# The orders_survival_km KM shape over the funnel construction:
+# duration = first signup -> first subsequent purchase, censored at
+# the corpus max timestamp.
+ORACLES["events_conversion_km"] = """
+    WITH su AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), pu AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= su.t0
+      GROUP BY 1
+    ), mx AS (SELECT max(ts) AS gmax FROM events),
+    per_u AS (
+      SELECT CAST(date_diff('day', CAST(su.t0 AS DATE),
+                  CAST(coalesce(pu.tp, (SELECT gmax FROM mx)) AS DATE))
+                  AS BIGINT) AS t,
+             CASE WHEN pu.tp IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+    ), per_t AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS ends,
+             CAST(sum(conv) AS BIGINT) AS d
+      FROM per_u GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             CAST((SELECT sum(ends) FROM per_t)
+                  - coalesce(sum(ends) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS n_at_risk
+      FROM per_t
+    ), steps AS (
+      SELECT t, n_at_risk, d,
+             1.0 - CAST(d AS DOUBLE) / n_at_risk AS f
+      FROM risk WHERE d > 0
+    )
+    SELECT t AS duration_days, n_at_risk, d AS n_events,
+           round(list_reduce(list(f) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 (a, b) -> a * b), 6) AS survival
+    FROM steps ORDER BY duration_days
 """

@@ -237,6 +237,15 @@ BENCH_QUERIES = [
     "idle_rich_customers",
     "important_parts",
     "late_shipment_priority",
+    # round-9 batch (registered for the r10 window)
+    "docs_textrank_keywords",
+    "docs_textrank_phrases",
+    "orders_price_psi",
+    "revenue_hampel_outliers",
+    "events_user_overlap_setsketch",
+    "segment_holt",
+    "events_type_breakpoint",
+    "events_conversion_km",
 ]
 
 # Registry entries intentionally NOT benched (coverage is enforced by

@@ -800,3 +800,70 @@ def test_psi_edge_window_runs_on_distinct_value_aggregate(spark):
     assert i_win < i_agg < i_scan, plan
     # and the scan reads only the value column
     assert _read_schemas(plan) == ["o_totalprice:double"], plan
+
+
+def test_type_breakpoint_argmin_window_partitions_by_type(spark):
+    """segmented_trend_grouped's visible window (the per-group argmin
+    rank — the prefix-moment pass hides behind the lazy checkpoint)
+    must partition by event_type so no task holds more than one
+    type's candidate set."""
+    plan = _plan(spark, "events_type_breakpoint")
+    assert "event_type" in _window_partition_keys(plan), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_segment_holt_fold_is_grouped_no_cartesian(spark):
+    """holt_linear_grouped assembles each segment's ordered series
+    under its own groupBy key — one grouped aggregate, no window and
+    no cartesian anywhere (the scalar-frame crossJoins of other
+    queries don't exist here)."""
+    plan = _plan(spark, "segment_holt")
+    assert "CartesianProduct" not in plan
+    assert "sort_array" in plan  # the ordered-fold carrier
+    # the series fold happens inside a per-segment aggregate, not a
+    # single-partition window
+    assert "Window" not in plan
+
+
+def test_word_graph_windows_are_per_row(spark):
+    """word_graph's lead() pairing must partition by the per-row id —
+    a dropped partition clause would serialize the whole token stream
+    through one task (asserted on the operator's own pre-checkpoint
+    frame; the registry query hides it behind weighted_pagerank's
+    localCheckpoint)."""
+    from bangumi_notion_data_integration_project_spark.operators.textrank import (
+        word_graph,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    g = word_graph(docs, "doc_id", "text", window=2)
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    keys = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
+    # the duplicate-doc_id contract check windows on doc_id; the
+    # pairing windows on the per-row id — both keyed, neither global
+    assert keys == {"__rid", "doc_id"}, keys
+
+
+def test_set_sketch_window_partitions_by_key(spark):
+    """set_sketch's bottom-k cut partitions by the sketch key (the
+    registry query hides it behind a lazy checkpoint, so assert on
+    the operator's own frame); the scan prunes to the id + key
+    columns."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.setsketch import (
+        set_sketch,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type", "user_id", F.to_date("ts").alias("day")
+    )
+    sk = set_sketch(e, ["event_type"], ["user_id", "day"], k=512)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "event_type" in set(
+        re.findall(r"windowspecdefinition\((\w+)#", plan)
+    ), plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas == ["ts:timestamp_ntz,user_id:bigint,event_type:string"], schemas

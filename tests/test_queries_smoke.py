@@ -71,3 +71,64 @@ def test_zipf_and_seasonal_degenerate_inputs_ansi_safe(spark, tmp_path):
     ).write.parquet(os.path.join(d, "documents.parquet"))
     r = QUERIES["docs_zipf_fit"](spark, d).collect()
     assert r[0]["n_types"] == 2 and r[0]["slope"] == 0.0 and r[0]["r2"] is None
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_setsketch_overlap_self_validating_columns(spark, sf):
+    """events_user_overlap_setsketch is rows-only (DuckDB has no
+    Spark-compatible xxhash64), so its verdict lives in the tolerance
+    columns — every union_within_tol / intersection_within_tol must
+    read true, and below k the estimates must be EXACT (the KMV
+    complete-set guarantee; at sf0.001 the merged sets hold < 512
+    rows)."""
+    rows = QUERIES["events_user_overlap_setsketch"](spark, sf).collect()
+    assert len(rows) == 10  # C(5 event types, 2)
+    assert all(r["union_within_tol"] for r in rows)
+    assert all(r["intersection_within_tol"] for r in rows)
+    for r in rows:
+        if r["n_union_kept"] < 512:
+            assert r["est_union"] == r["exact_union"]
+            assert r["est_intersection"] == r["exact_intersection"]
+
+
+def test_conversion_km_censoring_semantics(spark, tmp_path):
+    """events_conversion_km's funnel construction: a purchase BEFORE
+    the first signup must not count (duration needs ts >= t0), a user
+    with no subsequent purchase is right-censored at the corpus max
+    timestamp, and converted users step the curve at their lag."""
+    import datetime
+    import os
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+
+    def ev(i, ts, user, typ):
+        return (i, ts, user, typ, 1.0, "{}")
+
+    t = lambda day, h=0: datetime.datetime(2024, 1, day, h)  # noqa: E731
+    rows = [
+        # user 1: signup d1, purchase d3 -> converted at t=2
+        ev(1, t(1), 1, "signup"),
+        ev(2, t(3), 1, "purchase"),
+        # user 2: purchase d1 BEFORE signup d2, none after -> censored
+        ev(3, t(1), 2, "purchase"),
+        ev(4, t(2), 2, "signup"),
+        # user 3: signup d1, never purchases -> censored at gmax (d5)
+        ev(5, t(1), 3, "signup"),
+        # corpus max timestamp carrier (no signup)
+        ev(6, t(5), 4, "view"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    km = {r["duration_days"]: r for r in QUERIES["events_conversion_km"](spark, d).collect()}
+    # only user 1 converts (t=2 with 2 still at risk: user 2 censored
+    # at t=3=gmax-signup, user 3 at t=4); S(2) = 1 - 1/3
+    assert list(km) == [2]
+    assert km[2]["n_at_risk"] == 3 and km[2]["n_events"] == 1
+    assert km[2]["survival"] == round(1.0 - 1.0 / 3.0, 6)
