@@ -802,3 +802,229 @@ def runs_test(df: DataFrame, order_col: str, x_col: str) -> DataFrame:
             ),
         ).alias("z"),
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Mann-Kendall trend test over an ordered integer series — the
+    standard nonparametric "is there a monotone trend?" companion to
+    the Wald-Wolfowitz randomness test:
+
+        S = Σ_{i<j} sign(x_j − x_i)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+        z = (S−1)/σ if S>0,  0 if S=0,  (S+1)/σ if S<0
+
+    (t = size of each tied-value group; the continuity-corrected
+    normal approximation).
+
+    Everything before the final z is exact integer work: S is an
+    integer sum of signs over the pairwise inequality self-join, n and
+    the tie terms are counts, and Var(S)'s numerator is one integer
+    expression — both engines produce identical bits. The input
+    contract is the km_survival/holt rule: feed the per-period
+    AGGREGATE, so the pairwise join is calendar-bounded (days², fixed
+    at any data volume — the revenue_acf precedent), never raw-row-
+    scaled. With ``group_cols`` the pair join equi-joins on the key
+    first. NULL x raises (the holt_linear convention)."""
+    groups = list(group_cols or [])
+    d = _trend_input(df, groups, order_col, x_col, "mann_kendall")
+    a = d.select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups],
+        F.col("__o").alias("__oa"),
+        F.col("__x").alias("__xa"),
+    )
+    b = d.select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups],
+        F.col("__o").alias("__ob"),
+        F.col("__x").alias("__xb"),
+    )
+    if groups:
+        cond = [f"__g_{g}" for g in groups]
+        pairs = a.join(b, cond).filter(F.col("__oa") < F.col("__ob"))
+    else:
+        pairs = a.join(
+            F.broadcast(b), F.col("__oa") < F.col("__ob"), "inner"
+        )
+    s = pairs.groupBy(*[f"__g_{g}" for g in groups]).agg(
+        F.sum(F.signum(F.col("__xb") - F.col("__xa")).cast("long"))
+        .cast("long")
+        .alias("s_stat")
+    )
+    ties = (
+        d.groupBy(*groups, "__x")
+        .agg(F.count("*").cast("long").alias("__t"))
+        .groupBy(*groups)
+        .agg(
+            F.count("*").cast("long").alias("__n_distinct"),
+            F.sum(
+                F.col("__t")
+                * (F.col("__t") - 1)
+                * (F.lit(2) * F.col("__t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term"),
+            F.sum("__t").cast("long").alias("n_points"),
+        )
+    )
+    if groups:
+        base = ties.join(
+            s.select(
+                *[F.col(f"__g_{g}").alias(g) for g in groups], "s_stat"
+            ),
+            groups,
+        )
+    else:
+        base = ties.crossJoin(F.broadcast(s))
+    n = F.col("n_points")
+    var_num = (
+        n * (n - 1) * (F.lit(2) * n + 5) - F.col("tie_term")
+    ).cast("long")
+    var_s = var_num.cast("double") / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    # ANSI: the division lives inside the var>0 VALUE branch (all-tied
+    # series and n<2 report NULL z, never DIVIDE_BY_ZERO or a fake 0)
+    z = F.when(
+        var_num > 0,
+        F.when(F.col("s_stat") > 0, (sd - 1.0) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (sd + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    out = base.select(
+        *groups,
+        "n_points",
+        "s_stat",
+        "tie_term",
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )
+    return out.orderBy(*groups) if groups else out
+
+
+def sen_slope(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Theil-Sen (Sen's slope) robust trend estimate: the median of
+    all pairwise slopes (x_j − x_i)/(j − i) over the rank-indexed
+    series (uniform spacing — the segmented_trend convention), with
+    the intercept the median of x_i − slope·i. The classic partner of
+    :func:`mann_kendall` (MK answers "is there a trend", Sen's slope
+    "how steep"), immune to the outliers that wreck OLS.
+
+    Both medians are LOWER order statistics at rank ceil(m/2) (the
+    runs_test convention — no interpolation): each pairwise slope is
+    ONE double division of exact integers, so both engines order
+    identical bits identically and pick the identical element. The
+    pair frame is calendar-bounded (days², fixed at any data volume),
+    and the single-partition rank windows run on it, never on raw
+    rows; with ``group_cols`` every window partitions by the key.
+    NULL x raises (the holt_linear convention)."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    d = _trend_input(df, groups, order_col, x_col, "sen_slope")
+    if groups:
+        w_t = Window.partitionBy(*groups).orderBy("__o")
+    else:
+        w_t = Window.orderBy("__o")
+    dt = d.withColumn("__t", F.row_number().over(w_t).cast("long"))
+    a = dt.select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups],
+        F.col("__t").alias("__ta"),
+        F.col("__x").alias("__xa"),
+    )
+    b = dt.select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups],
+        F.col("__t").alias("__tb"),
+        F.col("__x").alias("__xb"),
+    )
+    if groups:
+        pairs = a.join(b, [f"__g_{g}" for g in groups]).filter(
+            F.col("__ta") < F.col("__tb")
+        )
+    else:
+        pairs = a.join(
+            F.broadcast(b), F.col("__ta") < F.col("__tb"), "inner"
+        )
+    slope = (F.col("__xb") - F.col("__xa")).cast("double") / (
+        F.col("__tb") - F.col("__ta")
+    ).cast("double")
+    ps = pairs.select(
+        *[f"__g_{g}" for g in groups], slope.alias("__s"), "__ta", "__tb"
+    )
+    gcols = [f"__g_{g}" for g in groups]
+    if groups:
+        w_rk = Window.partitionBy(*gcols).orderBy("__s", "__ta", "__tb")
+        w_m = Window.partitionBy(*gcols)
+    else:
+        w_rk = Window.orderBy("__s", "__ta", "__tb")
+        w_m = Window.partitionBy()
+    med_slope = (
+        ps.withColumn("__rk", F.row_number().over(w_rk).cast("long"))
+        .withColumn("__m", F.count("*").over(w_m).cast("long"))
+        .filter(F.col("__rk") == F.expr("(__m + 1) div 2"))
+        .select(
+            *[F.col(f"__g_{g}").alias(g) for g in groups],
+            F.col("__s").alias("__slope"),
+            F.col("__m").alias("n_pairs"),
+        )
+    )
+    if groups:
+        resid = dt.join(med_slope, groups)
+    else:
+        resid = dt.crossJoin(F.broadcast(med_slope))
+    r = resid.withColumn(
+        "__res",
+        F.col("__x").cast("double")
+        - F.col("__slope") * F.col("__t").cast("double"),
+    )
+    if groups:
+        w_rr = Window.partitionBy(*groups).orderBy("__res", "__t")
+        w_rn = Window.partitionBy(*groups)
+    else:
+        w_rr = Window.orderBy("__res", "__t")
+        w_rn = Window.partitionBy()
+    out = (
+        r.withColumn("__rr", F.row_number().over(w_rr).cast("long"))
+        .withColumn("__n", F.count("*").over(w_rn).cast("long"))
+        .filter(F.col("__rr") == F.expr("(__n + 1) div 2"))
+        .select(
+            *groups,
+            F.col("__n").alias("n_points"),
+            "n_pairs",
+            F.round("__slope", 9).alias("sen_slope"),
+            F.round("__res", 4).alias("intercept"),
+        )
+    )
+    return out.orderBy(*groups) if groups else out
+
+
+def _trend_input(
+    df: DataFrame,
+    groups: "list[str]",
+    order_col: str,
+    x_col: str,
+    op_name: str,
+) -> DataFrame:
+    """Shared fail-loud projection for the trend tests: NULL x raises
+    with the offending period named (the holt_linear convention)."""
+    x_checked = F.when(
+        F.col(x_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op_name}: NULL x value at "),
+                F.col(order_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.col(x_col).cast("long"))
+    return df.select(
+        *groups, F.col(order_col).alias("__o"), x_checked.alias("__x")
+    )

@@ -1,0 +1,262 @@
+"""Mann-Kendall + Theil-Sen (operators/stats.py): python-reference
+differentials with ties, grouped isolation, degenerate inputs, and the
+cross-engine DuckDB oracle shapes pinned ahead of registration (the
+pacf/textrank/hampel/psi de-risk pattern)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from bangumi_notion_data_integration_project_spark.operators.stats import (
+    mann_kendall,
+    sen_slope,
+)
+
+
+def _py_mk(xs):
+    n = len(xs)
+    s = sum(
+        (xs[j] > xs[i]) - (xs[j] < xs[i])
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie_counts: dict[int, int] = {}
+    for x in xs:
+        tie_counts[x] = tie_counts.get(x, 0) + 1
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in tie_counts.values())
+    var_num = n * (n - 1) * (2 * n + 5) - tie_term
+    var_s = var_num / 18.0
+    if var_num > 0:
+        if s > 0:
+            z = (float(s) - 1.0) / math.sqrt(var_s)
+        elif s < 0:
+            z = (float(s) + 1.0) / math.sqrt(var_s)
+        else:
+            z = 0.0
+    else:
+        z = None
+    return n, s, tie_term, var_s, z
+
+
+def _py_sen(xs):
+    n = len(xs)
+    pairs = [
+        (float(xs[j] - xs[i]) / float(j - i), i + 1, j + 1)
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    pairs.sort()
+    m = len(pairs)
+    slope = pairs[(m + 1) // 2 - 1][0]
+    resid = sorted(
+        (float(x) - slope * float(t + 1), t + 1) for t, x in enumerate(xs)
+    )
+    intercept = resid[(n + 1) // 2 - 1][0]
+    return n, m, slope, intercept
+
+
+def _rnd(x, nd):
+    # Spark round() is half-away; inputs here never land on ties but
+    # keep the convention anyway
+    return math.copysign(
+        math.floor(abs(x) * 10**nd + 0.5) / 10**nd, x
+    )
+
+
+def test_mann_kendall_matches_python_reference(spark):
+    rng = random.Random(11)
+    xs = [rng.randrange(0, 40) + i for i in range(60)]  # ties + trend
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "d long, x long"
+    )
+    r = mann_kendall(df, "d", "x").collect()[0]
+    n, s, tie_term, var_s, z = _py_mk(xs)
+    assert (r["n_points"], r["s_stat"], r["tie_term"]) == (n, s, tie_term)
+    assert r["var_s"] == _rnd(var_s, 4)
+    assert r["z"] == _rnd(z, 6)
+    assert r["z"] > 3.0  # the planted trend is detected
+
+
+def test_sen_slope_matches_python_reference(spark):
+    rng = random.Random(12)
+    xs = [3 * i + rng.randrange(-5, 6) for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "d long, x long"
+    )
+    r = sen_slope(df, "d", "x").collect()[0]
+    n, m, slope, intercept = _py_sen(xs)
+    assert (r["n_points"], r["n_pairs"]) == (n, m)
+    assert r["sen_slope"] == _rnd(slope, 9)
+    assert r["intercept"] == _rnd(intercept, 4)
+    assert abs(r["sen_slope"] - 3.0) <= 0.2  # robust to the noise
+
+
+def test_sen_slope_robust_to_outliers_where_ols_is_not(spark):
+    xs = [10 * i for i in range(30)]
+    xs[7] = 10_000_000  # one wild point
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "d long, x long"
+    )
+    r = sen_slope(df, "d", "x").collect()[0]
+    assert r["sen_slope"] == 10.0  # the median slope shrugs it off
+
+
+def test_grouped_variants_isolate_keys(spark):
+    rng = random.Random(13)
+    rows = []
+    series = {}
+    for g in ("a", "b", "c"):
+        xs = [rng.randrange(0, 30) + (i if g == "a" else 0) for i in range(40)]
+        series[g] = xs
+        rows += [(g, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "g string, d long, x long")
+    mk = {r["g"]: r for r in mann_kendall(df, "d", "x", group_cols=["g"]).collect()}
+    sen = {r["g"]: r for r in sen_slope(df, "d", "x", group_cols=["g"]).collect()}
+    for g, xs in series.items():
+        n, s, tie_term, var_s, z = _py_mk(xs)
+        assert (mk[g]["n_points"], mk[g]["s_stat"], mk[g]["tie_term"]) == (
+            n,
+            s,
+            tie_term,
+        ), g
+        assert mk[g]["z"] == _rnd(z, 6), g
+        n, m, slope, intercept = _py_sen(xs)
+        assert sen[g]["sen_slope"] == _rnd(slope, 9), g
+        assert sen[g]["n_pairs"] == m, g
+
+
+def test_degenerate_inputs(spark):
+    # all-tied series: var_num = 0 -> NULL z, never DIVIDE_BY_ZERO
+    flat = spark.createDataFrame(
+        [(i, 7) for i in range(10)], "d long, x long"
+    )
+    r = mann_kendall(flat, "d", "x").collect()[0]
+    assert r["s_stat"] == 0 and r["z"] is None
+    # n=1 global: MK reports the point with NULL s/z; Sen has no pair
+    # -> empty frame (documented degenerates)
+    one = spark.createDataFrame([(1, 5)], "d long, x long")
+    r1 = mann_kendall(one, "d", "x").collect()[0]
+    assert r1["n_points"] == 1 and r1["s_stat"] is None and r1["z"] is None
+    assert sen_slope(one, "d", "x").collect() == []
+    # grouped: a 1-point group produces no row, others unaffected
+    gdf = spark.createDataFrame(
+        [("a", 1, 5), ("b", 1, 1), ("b", 2, 9)], "g string, d long, x long"
+    )
+    got = {r["g"]: r for r in sen_slope(gdf, "d", "x", group_cols=["g"]).collect()}
+    assert list(got) == ["b"] and got["b"]["sen_slope"] == 8.0
+
+
+def test_null_x_raises(spark):
+    df = spark.createDataFrame([(1, 4), (2, None)], "d long, x long")
+    with pytest.raises(Exception, match="mann_kendall: NULL x value at 2"):
+        mann_kendall(df, "d", "x").collect()
+    with pytest.raises(Exception, match="sen_slope: NULL x value at 2"):
+        sen_slope(df, "d", "x").collect()
+
+
+def test_trend_duckdb_oracle_shapes_cross_engine(spark):
+    """The DuckDB restatements — pairwise sign sum + tie aggregate for
+    MK, rank-extracted pairwise-slope and residual medians for Sen —
+    are bit-equal to the operators on the real daily revenue series:
+    the r11 registry oracles, pinned ahead of registration."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    got_mk = tuple(mann_kendall(daily, "d", "x").collect()[0])
+    got_sen = tuple(sen_slope(daily, "d", "x").collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS"
+        f" SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    want_mk = con.execute(
+        """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders GROUP BY 1
+        ), pairs AS (
+          SELECT CASE WHEN b.x > a.x THEN 1
+                      WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+          FROM daily a JOIN daily b ON a.d < b.d
+        ), s AS (
+          SELECT CAST(sum(sg) AS BIGINT) AS s_stat FROM pairs
+        ), ties AS (
+          SELECT CAST(sum(t) AS BIGINT) AS n_points,
+                 CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+          FROM (SELECT CAST(count(*) AS BIGINT) AS t
+                FROM daily GROUP BY x) z
+        )
+        SELECT n_points, s_stat, tie_term,
+               round(CAST(n_points * (n_points - 1) * (2 * n_points + 5)
+                          - tie_term AS DOUBLE) / 18.0, 4) AS var_s,
+               round(CASE WHEN n_points * (n_points - 1) * (2 * n_points + 5)
+                               - tie_term > 0 THEN
+                 CASE WHEN s_stat > 0
+                      THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                           / sqrt(CAST(n_points * (n_points - 1)
+                                       * (2 * n_points + 5) - tie_term
+                                  AS DOUBLE) / 18.0)
+                      WHEN s_stat < 0
+                      THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                           / sqrt(CAST(n_points * (n_points - 1)
+                                       * (2 * n_points + 5) - tie_term
+                                  AS DOUBLE) / 18.0)
+                      ELSE 0.0 END
+               END, 6) AS z
+        FROM ties, s
+        """
+    ).fetchall()[0]
+    assert got_mk == tuple(want_mk)
+
+    want_sen = con.execute(
+        """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders GROUP BY 1
+        ), dt AS (
+          SELECT x, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t
+          FROM daily
+        ), pairs AS (
+          SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s,
+                 a.t AS ta, b.t AS tb
+          FROM dt a JOIN dt b ON a.t < b.t
+        ), ranked AS (
+          SELECT s, row_number() OVER (ORDER BY s, ta, tb) AS rk,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM pairs
+        ), med AS (
+          SELECT s AS slope, m AS n_pairs FROM ranked
+          WHERE rk = (m + 1) // 2
+        ), resid AS (
+          SELECT CAST(dt.x AS DOUBLE) - med.slope * CAST(dt.t AS DOUBLE)
+                   AS res,
+                 dt.t, med.n_pairs, med.slope
+          FROM dt, med
+        ), rranked AS (
+          SELECT res, n_pairs, slope,
+                 row_number() OVER (ORDER BY res, t) AS rr,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+          FROM resid
+        )
+        SELECT n AS n_points, n_pairs,
+               round(slope, 9) AS sen_slope, round(res, 4) AS intercept
+        FROM rranked WHERE rr = (n + 1) // 2
+        """
+    ).fetchall()[0]
+    assert got_sen == tuple(want_sen)

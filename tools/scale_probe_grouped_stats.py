@@ -28,7 +28,9 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from bangumi_notion_data_integration_project_spark.operators.stats import (  # noqa: E402
     holt_linear_grouped,
+    mann_kendall,
     segmented_trend_grouped,
+    sen_slope,
 )
 from bangumi_notion_data_integration_project_spark.session import get_spark  # noqa: E402
 
@@ -93,6 +95,31 @@ def main() -> None:
     print(
         f"holt_linear_grouped:     1x {h1:.2f}s, 10x {h10:.2f}s,"
         f" ratio {h10 / h1:.1f}x"
+    )
+
+    # trend tests (r11 prep): the pairwise joins run on the calendar-
+    # bounded per-key aggregate — 10x keys should ride the slots too
+    def run_mk(df):
+        mann_kendall(df, "d", "x", group_cols=["g"]).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def run_sen(df):
+        sen_slope(df, "d", "x", group_cols=["g"]).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    m1 = timed(lambda: run_mk(one))
+    m10 = timed(lambda: run_mk(ten))
+    t1 = timed(lambda: run_sen(one))
+    t10 = timed(lambda: run_sen(ten))
+    print(
+        f"mann_kendall grouped:    1x {m1:.2f}s, 10x {m10:.2f}s,"
+        f" ratio {m10 / m1:.1f}x"
+    )
+    print(
+        f"sen_slope grouped:       1x {t1:.2f}s, 10x {t10:.2f}s,"
+        f" ratio {t10 / t1:.1f}x"
     )
 
     # correctness under grouping: each copy-0 group must equal the 1x run
