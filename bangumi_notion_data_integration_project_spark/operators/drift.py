@@ -33,6 +33,8 @@ edges and shares — drop or impute NULLs explicitly before monitoring.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -212,4 +214,155 @@ def psi(
             "psi",
         )
         .orderBy("bucket")
+    )
+
+
+def psi_grouped(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str | Column,
+    group_cols: "list[str]",
+    *,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-key PSI — one drift verdict per segment/type: the exact
+    :func:`psi` construction with every stage keyed by ``group_cols``
+    (edges are per-group order statistics of the group's OWN reference
+    distribution, the windows partition by the key, the bucketize join
+    adds the group equality to the range condition). Output is
+    ``psi``'s row shape prefixed by the group columns; a group present
+    only in ``cur`` produces no row (no reference ⇒ no edges — drift
+    against nothing is undefined, matching the global operator's
+    empty-ref degenerate). Differential-tested per group against the
+    global operator, which carries the cross-engine-pinned oracle."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    groups = list(group_cols)
+    if not groups:
+        raise ValueError("group_cols must name at least one column")
+    k = int(n_buckets)
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+
+    def ranked(df: DataFrame) -> DataFrame:
+        vc = (
+            df.select(*groups, _checked_long(v, "reference").alias("__v"))
+            .groupBy(*groups, "__v")
+            .agg(F.count("*").cast("long").alias("__c"))
+        )
+        w = Window.partitionBy(*groups).orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return vc.withColumn("__cum", F.sum("__c").over(w))
+
+    cum = ranked(ref).localCheckpoint(eager=False)
+    n_row = cum.groupBy(*groups).agg(
+        F.max("__cum").cast("long").alias("__n")
+    )
+    b = F.explode(F.sequence(F.lit(1), F.lit(k - 1))).alias("bucket")
+    targets = n_row.select(*groups, b, "__n").select(
+        *groups,
+        "bucket",
+        F.ceil(
+            F.col("bucket").cast("double")
+            * F.col("__n").cast("double")
+            / F.lit(float(k))
+        )
+        .cast("long")
+        .alias("__r"),
+    )
+    edges = (
+        cum.join(F.broadcast(targets), groups)
+        .filter(F.col("__cum") >= F.col("__r"))
+        .groupBy(*groups, "bucket")
+        .agg(F.min("__v").alias("edge"))
+    ).localCheckpoint(eager=False)  # bucketize both sides + output
+
+    def bucketize(df: DataFrame, where: str) -> DataFrame:
+        vc = (
+            df.select(*groups, _checked_long(v, where).alias("__v"))
+            .groupBy(*groups, "__v")
+            .agg(F.count("*").cast("long").alias("__cnt"))
+        )
+        e = edges.select(
+            *[F.col(g).alias(f"__eg_{g}") for g in groups],
+            F.col("edge").alias("__edge"),
+        )
+        cond = [F.col(g) == F.col(f"__eg_{g}") for g in groups] + [
+            F.col("__v") > F.col("__edge")
+        ]
+        j = vc.join(
+            F.broadcast(e), reduce(lambda a, c: a & c, cond), "left"
+        )
+        return (
+            j.groupBy(*groups, "__v", "__cnt")
+            .agg((F.lit(1) + F.count("__edge")).cast("int").alias("bucket"))
+            .groupBy(*groups, "bucket")
+            .agg(F.sum("__cnt").cast("long").alias("c"))
+        )
+
+    rc = bucketize(ref, "reference")
+    cc = bucketize(cur, "input")
+    nr = ref.select(*groups).groupBy(*groups).agg(
+        F.count("*").cast("long").alias("n_ref_total")
+    )
+    nc = cur.select(*groups).groupBy(*groups).agg(
+        F.count("*").cast("long").alias("n_cur_total")
+    )
+    grid = nr.select(*groups).crossJoin(
+        ref.sparkSession.range(1, k + 1).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+    )
+    base = (
+        grid.join(rc.withColumnRenamed("c", "n_ref"), [*groups, "bucket"], "left")
+        .join(cc.withColumnRenamed("c", "n_cur"), [*groups, "bucket"], "left")
+        .join(F.broadcast(nr), groups)
+        .join(F.broadcast(nc), groups)
+        .select(
+            *groups,
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+            "n_ref_total",
+            "n_cur_total",
+        )
+    )
+    q = (F.col("n_ref") + 1).cast("double") / (
+        F.col("n_ref_total") + F.lit(k)
+    ).cast("double")
+    p = (F.col("n_cur") + 1).cast("double") / (
+        F.col("n_cur_total") + F.lit(k)
+    ).cast("double")
+    term = (p - q) * F.log(p / q)
+    terms = base.select(
+        *groups,
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(q, 6).alias("ref_share"),
+        F.round(p, 6).alias("cur_share"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(term * F.lit(1000000000.0)).cast("long").alias("__tn"),
+    ).localCheckpoint(eager=False)
+    tot = terms.groupBy(*groups).agg(
+        F.round(
+            F.sum("__tn").cast("double") / F.lit(1000000000.0), 6
+        ).alias("psi")
+    )
+    return (
+        terms.join(F.broadcast(edges.select(*groups, "bucket", "edge")),
+                   [*groups, "bucket"], "left")
+        .join(F.broadcast(tot), groups)
+        .select(
+            *groups,
+            "bucket",
+            "edge",
+            "n_ref",
+            "n_cur",
+            "ref_share",
+            "cur_share",
+            "psi_term",
+            "psi",
+        )
+        .orderBy(*groups, "bucket")
     )

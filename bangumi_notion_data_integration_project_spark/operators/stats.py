@@ -1028,3 +1028,50 @@ def _trend_input(
     return df.select(
         *groups, F.col(order_col).alias("__o"), x_checked.alias("__x")
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    season_col: str,
+) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch & Slack): run the MK test WITHIN
+    each season (e.g. each day-of-week gets its own pairwise pass, so
+    a weekly cycle can't masquerade as trend), then combine
+
+        S = Σ_seasons S_g,   Var(S) = Σ_seasons Var_g(S)
+
+    and take the continuity-corrected z of the totals. Built on the
+    grouped :func:`mann_kendall` — the per-season S and tie terms are
+    exact integers, so the combined variance numerator is one integer
+    sum and the final z one double expression, identical across
+    engines. Returns one row: (n_seasons, n_points, s_stat, var_s, z).
+    Seasons with a single point contribute S = 0 and Var = 0, so the
+    grouped operator dropping them is exact."""
+    per = mann_kendall(df, order_col, x_col, group_cols=[season_col])
+    n = F.col("n_points")
+    var_num = (
+        n * (n - 1) * (F.lit(2) * n + 5) - F.col("tie_term")
+    ).cast("long")
+    agg = per.agg(
+        F.count("*").cast("long").alias("n_seasons"),
+        F.sum("n_points").cast("long").alias("n_points"),
+        F.sum("s_stat").cast("long").alias("s_stat"),
+        F.sum(var_num).cast("long").alias("__var_num"),
+    )
+    var_s = F.col("__var_num").cast("double") / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    z = F.when(
+        F.col("__var_num") > 0,
+        F.when(F.col("s_stat") > 0, (sd - 1.0) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (sd + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    return agg.select(
+        "n_seasons",
+        "n_points",
+        "s_stat",
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 6).alias("z"),
+    )

@@ -1263,3 +1263,68 @@ def start_streaming_dedup_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_streaming_cms(
+    stream: DataFrame,
+    cms_dir: str,
+    *,
+    item_cols: "list[str]",
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 2024,
+    checkpoint_dir: str,
+):
+    """Streaming count-min sketch (``operators/cms``): maintain the
+    depth×width frequency cells over everything delivered; serve point
+    estimates from ≤ depth·width stored rows via ``cms_lookup`` with
+    raw history never rescanned.
+
+    Exactly-once: the cell merge is a CELL-WISE SUM — a commutative
+    monoid, exact over disjoint batches, but NOT idempotent (unlike
+    the bottom-k/HLL/KMV semilattice twins a replayed batch would
+    double-count). So this twin sits on rung 2 of DEPLOYMENT.md's
+    state-algebra ladder: the table carries a ``__batch_id`` watermark
+    and a checkpoint-recovery re-delivery (``batch_id <= watermark``)
+    is skipped, the ``start_streaming_time_rollup`` guard verbatim.
+    Same CONTRACT too: ``cms_dir`` and ``checkpoint_dir`` live and die
+    together — a wiped checkpoint renumbers batches and the guard
+    would silently discard fresh input (the rollup twin's documented
+    trade; the partitioned rollup shows the identity-token upgrade
+    path if that ever matters here).
+
+    Per batch: one map-side-combinable (d, w) groupBy over the batch +
+    a ≤ 2·depth·width-row merge + a ≤ depth·width-row rewrite —
+    O(batch + depth·width) regardless of history.
+    """
+    from ..operators.cms import cms_build, cms_merge
+
+    wm: dict[str, int | None] = {"v": None}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = cms_build(
+            batch, item_cols, depth=depth, width=width, seed=seed
+        )
+        if recover_dir(cms_dir):
+            stored = spark.read.parquet(cms_dir)
+            bid = wm["v"]
+            if bid is None:  # cold cache → recovery path, read disk
+                bid = stored.agg(F.max("__batch_id")).first()[0]
+            if bid is not None and batch_id <= bid:
+                wm["v"] = bid
+                return  # checkpoint replay of an already-folded batch
+            delta = cms_merge([stored.drop("__batch_id"), delta])
+        tmp = staging_path(cms_dir)
+        delta.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        promote_dir(tmp, cms_dir)
+        wm["v"] = batch_id
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

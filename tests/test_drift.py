@@ -244,3 +244,52 @@ def test_null_value_raises_instead_of_bucket_one(spark):
         psi(ref, cur, "v", n_buckets=4).collect()
     with pytest.raises(Exception, match="psi: NULL value"):
         psi(cur, ref, "v", n_buckets=4).collect()
+
+
+def test_psi_grouped_matches_per_group_global(spark):
+    """psi_grouped must equal the global psi run per group (each key's
+    edges from its OWN reference distribution) — the km/segmented
+    grouped-vs-global differential; the global operator carries the
+    cross-engine-pinned oracle, so this transitively pins the grouped
+    arithmetic too. A group present only in cur produces no row."""
+    from bangumi_notion_data_integration_project_spark.operators.drift import (
+        psi_grouped,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderkey") % 2 == 0)
+    cur = o.filter(F.col("o_orderkey") % 2 == 1)
+    got = {
+        (r["o_orderpriority"], r["bucket"]): tuple(r)[2:]
+        for r in psi_grouped(
+            ref, cur, "x", ["o_orderpriority"], n_buckets=6
+        ).collect()
+    }
+    prios = sorted(
+        r["o_orderpriority"]
+        for r in ref.select("o_orderpriority").distinct().collect()
+    )
+    want = {}
+    for p in prios:
+        for r in psi(
+            ref.filter(F.col("o_orderpriority") == p).select("x"),
+            cur.filter(F.col("o_orderpriority") == p).select("x"),
+            "x",
+            n_buckets=6,
+        ).collect():
+            want[(p, r["bucket"])] = tuple(r)[1:]
+    assert got == want and len(got) == 6 * len(prios)
+
+    # a group only in cur yields no row
+    cur2 = cur.withColumn(
+        "o_orderpriority", F.lit("9-GHOST")
+    ).unionByName(cur)
+    out = psi_grouped(ref, cur2, "x", ["o_orderpriority"], n_buckets=6)
+    assert (
+        out.filter(F.col("o_orderpriority") == "9-GHOST").count() == 0
+    )

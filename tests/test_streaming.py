@@ -1963,3 +1963,96 @@ def test_streaming_dedup_index_matches_batch_lsh(spark, tmp_path):
     _write_batch(spark, inp, doc_rows(late))
     run()
     assert stored_pairs() == batch_pairs(docs + late)
+
+
+def test_streaming_cms_equals_batch_and_skips_replay(spark, tmp_path):
+    """CMS twin (rung 2 of the state-algebra ladder): after draining
+    3 batches the stored cells equal the batch cms_build over the
+    concatenated input; a checkpoint wipe re-delivers every batch with
+    batch_id <= the stored watermark and must be skipped (a cell-wise
+    SUM would double-count, unlike the semilattice twins); post-guard
+    NEW arrivals keep folding; lookups serve from the stored rows."""
+    import shutil
+
+    from bangumi_notion_data_integration_project_spark.operators.cms import (
+        cms_build,
+        cms_lookup,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_cms,
+    )
+
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 37, "e", 1.0) for i in range(600)
+    ]
+    inp = str(tmp_path / "in")
+    cms_dir = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in (rows[:200], rows[200:400], rows[400:]):
+        _write_batch(spark, inp, chunk)
+
+    def run():
+        q = start_streaming_cms(
+            read_event_stream(spark, inp, SCHEMA),
+            cms_dir,
+            item_cols=["user_id"],
+            depth=3,
+            width=64,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def stored_cells():
+        return {
+            (r["__d"], r["__w"]): r["cnt"]
+            for r in spark.read.parquet(cms_dir)
+            .drop("__batch_id")
+            .collect()
+        }
+
+    def direct_cells(rs):
+        return {
+            (r["__d"], r["__w"]): r["cnt"]
+            for r in cms_build(
+                _rows(spark, rs), ["user_id"], depth=3, width=64
+            ).collect()
+        }
+
+    run()
+    want = direct_cells(rows)
+    assert stored_cells() == want
+
+    # checkpoint wipe -> full re-delivery, watermark guard must skip
+    shutil.rmtree(ckpt)
+    run()
+    assert stored_cells() == want, "replayed batches double-counted"
+
+    # NOTE the guard's contract: after the wipe the re-run renumbered
+    # batches 0..2 (all <= watermark 2, skipped). The next arrival
+    # lands as batch 3 > watermark and folds normally.
+    extra = [
+        (1000 + i, "2024-01-02 00:00:00", 500 + i % 7, "e", 1.0)
+        for i in range(90)
+    ]
+    _write_batch(spark, inp, extra)
+    run()
+    assert stored_cells() == direct_cells(rows + extra)
+
+    # serving path: estimates from the stored table alone
+    probe = spark.createDataFrame(
+        [(u,) for u in (0, 36, 500, 999999)], "user_id long"
+    )
+    est = {
+        r["user_id"]: r["est"]
+        for r in cms_lookup(
+            spark.read.parquet(cms_dir).drop("__batch_id"),
+            probe,
+            ["user_id"],
+            depth=3,
+            width=64,
+        ).collect()
+    }
+    true = {u: sum(1 for r in rows + extra if r[2] == u) for u in (0, 36, 500)}
+    for u, t in true.items():
+        assert est[u] >= t
+    assert est[999999] >= 0

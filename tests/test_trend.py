@@ -260,3 +260,40 @@ def test_trend_duckdb_oracle_shapes_cross_engine(spark):
         """
     ).fetchall()[0]
     assert got_sen == tuple(want_sen)
+
+
+def test_seasonal_mann_kendall_matches_python(spark):
+    """Per-season S and variance sum exactly; a pure weekly cycle must
+    NOT register as trend (each season is constant -> S=0), while a
+    within-season trend must."""
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        seasonal_mann_kendall,
+    )
+
+    rng = random.Random(21)
+    # pure cycle: x depends only on d%7
+    cyc = [(i, (i % 7) * 100) for i in range(70)]
+    df = spark.createDataFrame(cyc, "d long, x long")
+    r = seasonal_mann_kendall(
+        df.withColumn("dow", df.d % 7), "d", "x", "dow"
+    ).collect()[0]
+    assert r["s_stat"] == 0 and r["z"] is None  # all-tied seasons: var 0
+
+    # trend + cycle + noise: detected
+    rows = [(i, (i % 7) * 100 + i + rng.randrange(0, 5)) for i in range(70)]
+    df2 = spark.createDataFrame(rows, "d long, x long")
+    r2 = seasonal_mann_kendall(
+        df2.withColumn("dow", df2.d % 7), "d", "x", "dow"
+    ).collect()[0]
+    # python replay: per-season MK summed
+    s_tot, var_tot, n_tot = 0, 0, 0
+    for g in range(7):
+        xs = [x for i, x in rows if i % 7 == g]
+        n, s, tie, _v, _z = _py_mk(xs)
+        s_tot += s
+        var_tot += n * (n - 1) * (2 * n + 5) - tie
+        n_tot += n
+    want_z = (float(s_tot) - 1.0) / math.sqrt(var_tot / 18.0)
+    assert (r2["n_seasons"], r2["n_points"], r2["s_stat"]) == (7, n_tot, s_tot)
+    assert r2["var_s"] == _rnd(var_tot / 18.0, 4)
+    assert r2["z"] == _rnd(want_z, 6) and r2["z"] > 3.0
