@@ -1075,3 +1075,98 @@ def seasonal_mann_kendall(
         F.round(var_s, 4).alias("var_s"),
         F.round(z, 6).alias("z"),
     )
+
+
+def cross_correlation(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation function between two integer series sharing
+    one date index — "does x lead y?" (lag k > 0 correlates x_t with
+    y at t+k; k < 0 means y leads):
+
+        ccf(k) = Σ_t Dx_t · Dy_{t+k} / sqrt(Σ Dx² · Σ Dy²)
+
+    with the revenue_acf exactness recipe doubled: Dx_t = n·x_t − Sx
+    and Dy_t = n·y_t − Sy are exact integers (n = rows, S = series
+    sum), the lag products and both denominators accumulate exactly in
+    DECIMAL(38,0) under any partitioning, and each ccf value is ONE
+    double expression ``num / sqrt(denx · deny)`` of those integers.
+    The input must already be the per-period aggregate with BOTH
+    series as columns (one row per day — the km_survival contract), so
+    the lag pairing is a broadcast calendar self-join, ~days² tiny.
+    NULL x/y raise (the holt_linear convention). Bound: n²·max|x·y|
+    must stay under 10³⁸ — daily cents at warehouse scale clears it by
+    nine digits."""
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+
+    def checked(c: str) -> Column:
+        return F.when(
+            F.col(c).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"cross_correlation: NULL {c} value at "),
+                    F.col(order_col).cast("string"),
+                )
+            ),
+        ).otherwise(F.col(c).cast("long"))
+
+    d = df.select(
+        F.col(order_col).alias("__o"),
+        checked(x_col).alias("__x"),
+        checked(y_col).alias("__y"),
+    )
+    tot = d.agg(
+        F.count("*").cast("long").alias("__n"),
+        F.sum("__x").cast("long").alias("__sx"),
+        F.sum("__y").cast("long").alias("__sy"),
+    )
+    n = F.col("__n").cast(_DEC)
+    dev = (
+        d.crossJoin(F.broadcast(tot))
+        .select(
+            "__o",
+            (n * F.col("__x") - F.col("__sx")).cast(_DEC).alias("__dx"),
+            (n * F.col("__y") - F.col("__sy")).cast(_DEC).alias("__dy"),
+        )
+        .localCheckpoint(eager=False)  # referenced three times below
+    )
+    den = dev.agg(
+        F.sum(F.col("__dx") * F.col("__dx")).cast(_DEC).alias("__denx"),
+        F.sum(F.col("__dy") * F.col("__dy")).cast(_DEC).alias("__deny"),
+    )
+    a, b = dev.alias("a"), dev.alias("b")
+    lag = F.datediff(F.col("b.__o"), F.col("a.__o"))
+    pairs = a.join(
+        F.broadcast(b), (lag >= -max_lag) & (lag <= max_lag)
+    ).select(
+        lag.cast("long").alias("lag"),
+        (F.col("a.__dx") * F.col("b.__dy")).alias("__prod"),
+    )
+    ccf = F.col("__num").cast("double") / F.sqrt(
+        F.col("__denx").cast("double") * F.col("__deny").cast("double")
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("__prod").cast(_DEC).alias("__num"),
+        )
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            # ANSI: a constant series zeroes its deviation sum — report
+            # NULL ccf, never DIVIDE_BY_ZERO (the zipf/runs convention)
+            F.when(
+                (F.col("__denx") > 0) & (F.col("__deny") > 0),
+                F.round(ccf, 6),
+            ).alias("ccf"),
+        )
+        .orderBy("lag")
+    )

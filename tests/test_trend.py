@@ -297,3 +297,162 @@ def test_seasonal_mann_kendall_matches_python(spark):
     assert (r2["n_seasons"], r2["n_points"], r2["s_stat"]) == (7, n_tot, s_tot)
     assert r2["var_s"] == _rnd(var_tot / 18.0, 4)
     assert r2["z"] == _rnd(want_z, 6) and r2["z"] > 3.0
+
+
+def _py_ccf(xs, ys, max_lag):
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    dx = [n * x - sx for x in xs]
+    dy = [n * y - sy for y in ys]
+    denx = sum(v * v for v in dx)
+    deny = sum(v * v for v in dy)
+    out = {}
+    for k in range(-max_lag, max_lag + 1):
+        num = sum(
+            dx[t] * dy[t + k] for t in range(n) if 0 <= t + k < n
+        )
+        npairs = sum(1 for t in range(n) if 0 <= t + k < n)
+        out[k] = (npairs, float(num) / math.sqrt(float(denx) * float(deny)))
+    return out
+
+
+def test_cross_correlation_matches_python_and_finds_planted_lead(spark):
+    import datetime
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        cross_correlation,
+    )
+
+    rng = random.Random(31)
+    xs = [rng.randrange(0, 1000) for _ in range(80)]
+    # y follows x by 3 days (plus noise): ccf peaks at lag +3
+    ys = [
+        (xs[i - 3] if i >= 3 else 500) * 2 + rng.randrange(0, 50)
+        for i in range(80)
+    ]
+    base = datetime.date(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (base + datetime.timedelta(days=i), x, y)
+            for i, (x, y) in enumerate(zip(xs, ys))
+        ],
+        "d date, x long, y long",
+    )
+    got = {
+        r["lag"]: (r["n_pairs"], r["ccf"])
+        for r in cross_correlation(df, "d", "x", "y", max_lag=5).collect()
+    }
+    want = _py_ccf(xs, ys, 5)
+    assert set(got) == set(want)
+    for k, (npairs, c) in want.items():
+        assert got[k][0] == npairs, k
+        assert got[k][1] == _rnd(c, 6), k
+    assert max(got, key=lambda k: got[k][1]) == 3  # the planted lead
+
+
+def test_cross_correlation_degenerates_and_nulls(spark):
+    import datetime
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        cross_correlation,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    flat = spark.createDataFrame(
+        [(base + datetime.timedelta(days=i), 5, i) for i in range(6)],
+        "d date, x long, y long",
+    )
+    rows = cross_correlation(flat, "d", "x", "y", max_lag=2).collect()
+    assert rows and all(r["ccf"] is None for r in rows)  # constant x
+    bad = spark.createDataFrame(
+        [(base, 1, 1), (base + datetime.timedelta(days=1), 2, None)],
+        "d date, x long, y long",
+    )
+    with pytest.raises(Exception, match="cross_correlation: NULL y value"):
+        cross_correlation(bad, "d", "x", "y").collect()
+
+
+def test_ccf_duckdb_oracle_shape_cross_engine(spark):
+    """The DuckDB restatement — the revenue_acf recipe with two
+    deviation columns and num/sqrt(denx·deny) in the identical op
+    order — is bit-equal to the operator on the real order-vs-shipped
+    revenue pair: the r11 registry oracle, pinned ahead of
+    registration."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        cross_correlation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    ox = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    sy = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    both = ox.join(sy, "d")
+    got = [
+        tuple(r)
+        for r in cross_correlation(both, "d", "x", "y", max_lag=7).collect()
+    ]
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+        WITH ox AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders GROUP BY 1
+        ), sy AS (
+          SELECT CAST(l_shipdate AS DATE) AS d,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM lineitem GROUP BY 1
+        ), xy AS (
+          SELECT ox.d, ox.x, sy.y FROM ox JOIN sy ON ox.d = sy.d
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(y) AS BIGINT) AS sy2
+          FROM xy
+        ), dev AS (
+          SELECT d, CAST(n AS HUGEINT) * x - sx AS dx,
+                 CAST(n AS HUGEINT) * y - sy2 AS dy
+          FROM xy, tot
+        ), den AS (
+          SELECT sum(dx * dx) AS denx, sum(dy * dy) AS deny FROM dev
+        ), pairs AS (
+          SELECT CAST(date_diff('day', a.d, b.d) AS BIGINT) AS lag,
+                 a.dx * b.dy AS prod
+          FROM dev a JOIN dev b
+            ON date_diff('day', a.d, b.d) BETWEEN -7 AND 7
+        )
+        SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+               CASE WHEN denx > 0 AND deny > 0 THEN
+                 round(CAST(sum(prod) AS DOUBLE)
+                       / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)),
+                       6)
+               END AS ccf
+        FROM pairs, den GROUP BY lag, denx, deny ORDER BY lag
+        """
+        ).fetchall()
+    ]
+    assert got == want
+    assert len(got) == 15
