@@ -122,6 +122,38 @@ def main() -> None:
         f" ratio {t10 / t1:.1f}x"
     )
 
+    # grouped PSI (r11 prep): per-key edges + keyed bucketize — the
+    # raw-row side is 10x here (each key gets the full row volume)
+    from bangumi_notion_data_integration_project_spark.operators.drift import (
+        psi_grouped,
+    )
+
+    def raw(copies: int):
+        d = e.withColumn(
+            "__copy", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+        )
+        return d.select(
+            F.concat_ws("#", "event_type", F.col("__copy")).alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+            (F.dayofmonth("ts") % 2).alias("__half"),
+        )
+
+    def run_psi(df):
+        psi_grouped(
+            df.filter(F.col("__half") == 0),
+            df.filter(F.col("__half") == 1),
+            "x",
+            ["g"],
+            n_buckets=10,
+        ).write.mode("overwrite").format("noop").save()
+
+    p1 = timed(lambda: run_psi(raw(1)))
+    p10 = timed(lambda: run_psi(raw(10)))
+    print(
+        f"psi_grouped:             1x {p1:.2f}s, 10x {p10:.2f}s,"
+        f" ratio {p10 / p1:.1f}x"
+    )
+
     # correctness under grouping: each copy-0 group must equal the 1x run
     got = {
         tuple(r)
