@@ -92,6 +92,14 @@ SHOWN = [
     ("docs_branching_entropy", "left/right branching entropy, broadcast top-25 cut"),
     ("events_value_quantiles_sketch", "grouped bottom-k sketch + per-group rank probe"),
     ("events_type_overlap_sketch", "HLL inclusion-exclusion overlap from stored sketches"),
+    ("docs_textrank_keywords", "TextRank keywords, 4 unrolled weighted-pagerank rounds"),
+    ("docs_textrank_phrases", "TextRank keyphrases, run-split + broadcast top-word scores"),
+    ("orders_price_psi", "PSI drift, distinct-value edges + broadcast range bucketize"),
+    ("revenue_hampel_outliers", "Hampel filter, plan-literal rank from sorted 7-day windows"),
+    ("events_user_overlap_setsketch", "KMV bottom-k overlap vs exact, broadcast k-row sketches"),
+    ("segment_holt", "per-segment Holt fold, grouped sort_array aggregate"),
+    ("events_type_breakpoint", "per-type changepoint, prefix-moment windows keyed on type"),
+    ("events_conversion_km", "funnel time-to-conversion KM, broadcast scalar max-date"),
 ]
 
 
