@@ -18,9 +18,9 @@ the second is the reported bound column.
 Merge is CELL-WISE SUM — a commutative monoid, so disjoint shards
 merge to exactly the direct build (coordination-free sharded builds at
 100 TB), but unlike the bottom-k/HLL/KMV semilattices a REPLAY is NOT
-idempotent: exactly-once for a streaming twin would need the
-__batch_id-watermark machinery (DEPLOYMENT.md ladder rung 2), which is
-why the batch operator ships first.
+idempotent: the streaming twin (``start_streaming_cms``) therefore
+carries the ``__batch_id``-watermark replay guard — rung 3 of
+DEPLOYMENT.md's state-algebra ladder, not rung 2.
 
 Scale shape: the build is one map-side-combinable groupBy on (d, w) —
 the shuffle carries ≤ depth·width rows per partition after partial
@@ -72,6 +72,17 @@ def cms_build(
         df.select(F.explode(cells).alias("__c"))
         .groupBy(F.col(f"__c.{_D}").alias(_D), F.col(f"__c.{_W}").alias(_W))
         .agg(F.count("*").cast("long").alias("cnt"))
+        # the parameters ride as columns so merge/lookup can fail loud
+        # on a mismatch instead of silently mis-aligning cells (an
+        # underestimate would break the est >= true guarantee)
+        .select(
+            _D,
+            _W,
+            "cnt",
+            F.lit(int(depth)).cast("int").alias("__depth"),
+            F.lit(int(width)).cast("int").alias("__width"),
+            F.lit(int(seed)).cast("long").alias("__seed"),
+        )
     )
 
 
@@ -84,7 +95,37 @@ def cms_merge(sketches: Sequence[DataFrame]) -> DataFrame:
     from functools import reduce
 
     u = reduce(DataFrame.unionByName, sketches)
-    return u.groupBy(_D, _W).agg(F.sum("cnt").cast("long").alias("cnt"))
+    # scalar gate (always one row): >1 distinct parameter triple means
+    # the inputs hash into DIFFERENT cell layouts — summing them would
+    # silently corrupt every estimate, so raise instead
+    pgate = (
+        u.select("__depth", "__width", "__seed")
+        .distinct()
+        .agg(
+            F.count("*").alias("__np"),
+            F.max("__depth").alias("__pd"),
+            F.max("__width").alias("__pw"),
+            F.max("__seed").alias("__ps"),
+        )
+    )
+    merged = u.groupBy(_D, _W).agg(F.sum("cnt").cast("long").alias("cnt"))
+    checked = F.when(
+        F.col("__np") > 1,
+        F.raise_error(
+            F.lit(
+                "cms_merge: sketches built with different"
+                " depth/width/seed cannot be merged"
+            )
+        ),
+    ).otherwise(F.col("cnt"))
+    return merged.crossJoin(F.broadcast(pgate)).select(
+        _D,
+        _W,
+        checked.cast("long").alias("cnt"),
+        F.col("__pd").alias("__depth"),
+        F.col("__pw").alias("__width"),
+        F.col("__ps").alias("__seed"),
+    )
 
 
 def cms_lookup(
@@ -103,27 +144,60 @@ def cms_lookup(
     cols = list(item_cols)
     its = [F.col(c) for c in cols]
     probes = items.select(*cols).distinct()
-    exploded = probes.select(
-        *cols,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).cast("int").alias(_D),
-                        F.pmod(
-                            F.xxhash64(*its, F.lit(int(seed) + d)),
-                            F.lit(width),
-                        )
-                        .cast("int")
-                        .alias(_W),
-                    )
-                    for d in range(int(depth))
-                ]
+    # scalar gate: the lookup's parameters must match the sketch's —
+    # probing a width-2048 sketch with width-256 hashes would miss
+    # cells and return underestimates the guarantee forbids. Empty
+    # sketch (nothing seen yet) passes: every estimate is honestly 0.
+    gate = sketch.agg(
+        F.count("*").alias("__nc"),
+        F.min("__depth").alias("__d0"),
+        F.max("__depth").alias("__d1"),
+        F.min("__width").alias("__w0"),
+        F.max("__width").alias("__w1"),
+        F.min("__seed").alias("__s0"),
+        F.max("__seed").alias("__s1"),
+    )
+    bad = (F.col("__nc") > 0) & (
+        (F.col("__d0") != int(depth))
+        | (F.col("__d1") != int(depth))
+        | (F.col("__w0") != int(width))
+        | (F.col("__w1") != int(width))
+        | (F.col("__s0") != int(seed))
+        | (F.col("__s1") != int(seed))
+    )
+    checked_w = lambda d: F.when(  # noqa: E731
+        bad,
+        F.raise_error(
+            F.lit(
+                "cms_lookup: depth/width/seed differ from the values"
+                " the sketch was built with"
             )
-        ).alias("__c"),
-    ).select(*cols, f"__c.{_D}", f"__c.{_W}")
+        ),
+    ).otherwise(
+        F.pmod(F.xxhash64(*its, F.lit(int(seed) + d)), F.lit(width))
+    )
+    exploded = (
+        probes.crossJoin(F.broadcast(gate))
+        .select(
+            *cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("int").alias(_D),
+                            checked_w(d).cast("int").alias(_W),
+                        )
+                        for d in range(int(depth))
+                    ]
+                )
+            ).alias("__c"),
+        )
+        .select(*cols, f"__c.{_D}", f"__c.{_W}")
+    )
     return (
-        exploded.join(F.broadcast(sketch), [_D, _W], "left")
+        exploded.join(
+            F.broadcast(sketch.select(_D, _W, "cnt")), [_D, _W], "left"
+        )
         .groupBy(*cols)
         .agg(
             F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est")

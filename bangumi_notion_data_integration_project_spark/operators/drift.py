@@ -26,9 +26,16 @@ TakeOrdered-class cut over the ranked aggregate); bucketing both sides
 is a broadcast range join against the k-row edge table; counts are
 map-side-combinable. Nothing data-scaled ever sits in one partition.
 
+Every function takes ``group_cols`` for the per-key variant — ONE
+shared implementation (the _km_steps/_holt_core/_segmented_core house
+pattern), so the global and grouped paths can never diverge on the
+edge/smoothing/term conventions; :func:`psi_grouped` is a thin alias.
+
 NULLs are fail-loud (the ``holt_linear`` convention): a NULL value in
-either snapshot raises at execution rather than silently biasing the
-edges and shares — drop or impute NULLs explicitly before monitoring.
+either snapshot — and, in the grouped variant, a NULL group key —
+raises at execution rather than silently biasing (or silently
+dropping) what the monitor reports. Drop or impute NULLs explicitly
+before monitoring.
 """
 
 from __future__ import annotations
@@ -55,22 +62,52 @@ def _checked_long(v: Column, where: str) -> Column:
     ).otherwise(v.cast("long"))
 
 
-def _ranked_distinct(ref: DataFrame, v: Column) -> DataFrame:
-    """``(__v, __c, __cum)`` — distinct values with counts and the
-    cumulative count under the value order. The ordered window runs on
-    this DISTINCT-VALUE aggregate, never on raw rows (the docstring
-    promise ``tests/test_plans.py`` pins): raw rows reduce map-side in
-    the groupBy first, so the single-partition sort the unpartitioned
-    window implies only ever sees O(distinct values) rows."""
+def _checked_keys(df: DataFrame, groups: "list[str]") -> DataFrame:
+    """Fail-loud NULL group keys: every join/groupBy below is
+    null-UNSAFE on the key, so a NULL-keyed row would silently vanish
+    from the grouped monitor while the global one counts it — raise
+    instead (same convention as the value check)."""
+    for g in groups:
+        df = df.withColumn(
+            g,
+            F.when(
+                F.col(g).isNull(),
+                F.raise_error(
+                    F.lit(
+                        f"psi: NULL group key in {g} — filter or"
+                        " impute NULL keys explicitly before grouped"
+                        " drift monitoring"
+                    )
+                ),
+            ).otherwise(F.col(g)),
+        )
+    return df
+
+
+def _ranked_distinct(
+    ref: DataFrame, v: Column, groups: "list[str]" = []
+) -> DataFrame:
+    """``(group..., __v, __c, __cum)`` — distinct values with counts
+    and the cumulative count under the value order (per group when
+    keyed). The ordered window runs on this DISTINCT-VALUE aggregate,
+    never on raw rows (the docstring promise ``tests/test_plans.py``
+    pins): raw rows reduce map-side in the groupBy first, so the sort
+    the window implies only ever sees O(distinct values) rows."""
     vc = (
-        ref.select(_checked_long(v, "reference").alias("__v"))
-        .groupBy("__v")
+        ref.select(*groups, _checked_long(v, "reference").alias("__v"))
+        .groupBy(*groups, "__v")
         .agg(F.count("*").cast("long").alias("__c"))
     )
-    w = Window.orderBy("__v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("__v")
+    else:
+        w = Window.orderBy("__v")
+    return vc.withColumn(
+        "__cum",
+        F.sum("__c").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
-    return vc.withColumn("__cum", F.sum("__c").over(w))
 
 
 def psi_buckets(
@@ -78,10 +115,12 @@ def psi_buckets(
     value_col: str | Column,
     *,
     n_buckets: int = 10,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
-    """The reference's bucket UPPER edges: ``(bucket 1..k-1, edge)``
-    — exact integer order statistics at ranks ``ceil(i·n/k)``. The
-    last bucket is unbounded above, so k-1 edges define k buckets.
+    """The reference's bucket UPPER edges: ``(group..., bucket 1..k-1,
+    edge)`` — exact integer order statistics at ranks ``ceil(i·n/k)``
+    (per group when keyed, of the group's OWN distribution). The last
+    bucket is unbounded above, so k-1 edges define k buckets.
 
     The edge at rank r is the smallest value whose cumulative count
     reaches r, so only the DISTINCT-VALUE aggregate is ever windowed —
@@ -92,15 +131,22 @@ def psi_buckets(
     works; this exact builder is the oracle-checkable path."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
+    groups = list(group_cols or [])
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    cum = _ranked_distinct(ref, v).localCheckpoint(
+    cum = _ranked_distinct(ref, v, groups).localCheckpoint(
         eager=False
     )  # reused: totals + the per-target min scan
-    n_row = cum.agg(F.max("__cum").cast("long").alias("__n"))
+    if groups:
+        n_row = cum.groupBy(*groups).agg(
+            F.max("__cum").cast("long").alias("__n")
+        )
+    else:
+        n_row = cum.agg(F.max("__cum").cast("long").alias("__n"))
     b = F.explode(
         F.sequence(F.lit(1), F.lit(int(n_buckets) - 1))
     ).alias("bucket")
-    targets = n_row.select(b, "__n").select(
+    targets = n_row.select(*groups, b, "__n").select(
+        *groups,
         "bucket",
         F.ceil(
             F.col("bucket").cast("double")
@@ -110,29 +156,48 @@ def psi_buckets(
         .cast("long")
         .alias("__r"),
     )
+    if groups:
+        joined = cum.join(F.broadcast(targets), groups)
+    else:
+        joined = cum.crossJoin(F.broadcast(targets))
     return (
-        cum.crossJoin(F.broadcast(targets))
-        .filter(F.col("__cum") >= F.col("__r"))
-        .groupBy("bucket")
+        joined.filter(F.col("__cum") >= F.col("__r"))
+        .groupBy(*groups, "bucket")
         .agg(F.min("__v").alias("edge"))
-        .orderBy("bucket")
+        .orderBy(*groups, "bucket")
     )
 
 
-def _bucketize(df: DataFrame, value, edges: DataFrame, n_buckets: int):
+def _bucketize(
+    df: DataFrame,
+    value,
+    edges: DataFrame,
+    n_buckets: int,
+    groups: "list[str]" = [],
+    where: str = "input",
+):
     v = _checked_long(
-        F.col(value) if isinstance(value, str) else value, "input"
+        F.col(value) if isinstance(value, str) else value, where
     )
     # reduce to distinct values map-side BEFORE the broadcast range
     # join: bucket = 1 + number of edges strictly below the value
-    vc = df.select(v.alias("__v")).groupBy("__v").agg(
+    vc = df.select(*groups, v.alias("__v")).groupBy(*groups, "__v").agg(
         F.count("*").cast("long").alias("__cnt")
     )
-    j = vc.join(F.broadcast(edges), F.col("__v") > F.col("edge"), "left")
+    e = edges.select(
+        *[F.col(g).alias(f"__eg_{g}") for g in groups],
+        F.col("edge").alias("__edge"),
+    )
+    cond = reduce(
+        lambda a, c: a & c,
+        [F.col(g) == F.col(f"__eg_{g}") for g in groups]
+        + [F.col("__v") > F.col("__edge")],
+    )
+    j = vc.join(F.broadcast(e), cond, "left")
     return (
-        j.groupBy("__v", "__cnt")
-        .agg((F.lit(1) + F.count("edge")).cast("int").alias("bucket"))
-        .groupBy("bucket")
+        j.groupBy(*groups, "__v", "__cnt")
+        .agg((F.lit(1) + F.count("__edge")).cast("int").alias("bucket"))
+        .groupBy(*groups, "bucket")
         .agg(F.sum("__cnt").cast("long").alias("c"))
     )
 
@@ -144,39 +209,87 @@ def psi(
     *,
     n_buckets: int = 10,
     edges: DataFrame | None = None,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
-    """One row per bucket plus the totals needed to recompute it:
-    ``(bucket, edge, n_ref, n_cur, ref_share, cur_share, psi_term)``
-    and an aggregate ``psi`` repeated on every row (so a single-pass
-    reader gets both the verdict and its decomposition). Shares are
-    Laplace-smoothed ``(c+1)/(n+k)``. Pass ``edges`` (any
-    ``(bucket, edge)`` table, e.g. quantile-sketch estimates) to skip
-    the exact edge build at scale."""
+    """One row per bucket (per group when keyed) plus the totals
+    needed to recompute it: ``(group..., bucket, edge, n_ref, n_cur,
+    ref_share, cur_share, psi_term)`` and an aggregate ``psi``
+    repeated on every row (so a single-pass reader gets both the
+    verdict and its decomposition). Shares are Laplace-smoothed
+    ``(c+1)/(n+k)``. Pass ``edges`` (any ``(group..., bucket, edge)``
+    table, e.g. quantile-sketch estimates) to skip the exact edge
+    build at scale.
+
+    Grouped asymmetries, both deliberate: a group present in ``ref``
+    but ABSENT from ``cur`` reports full rows with n_cur = 0 and
+    n_cur_total = 0 (cur_share = 1/(0+k) — maximal drift made loud,
+    exactly what the global operator reports for an empty cur); a
+    group present only in ``cur`` produces no row (no reference ⇒ no
+    edges — drift against nothing is undefined, matching the global
+    empty-ref degenerate)."""
     k = int(n_buckets)
+    groups = list(group_cols or [])
+    if groups:
+        ref = _checked_keys(ref, groups)
+        cur = _checked_keys(cur, groups)
     if edges is None:
-        edges = psi_buckets(ref, value_col, n_buckets=k)
+        edges = psi_buckets(
+            ref, value_col, n_buckets=k, group_cols=groups or None
+        )
     edges = edges.localCheckpoint(
         eager=False
     )  # reused: bucketize both sides + the output's edge column
-    rc = _bucketize(ref, value_col, edges, k)
-    cc = _bucketize(cur, value_col, edges, k)
-    nr = ref.agg(F.count("*").cast("long").alias("n_ref_total"))
-    nc = cur.agg(F.count("*").cast("long").alias("n_cur_total"))
-    grid = ref.sparkSession.range(1, k + 1).select(
-        F.col("id").cast("int").alias("bucket")
-    )
-    base = (
-        grid.join(rc.withColumnRenamed("c", "n_ref"), "bucket", "left")
-        .join(cc.withColumnRenamed("c", "n_cur"), "bucket", "left")
-        .crossJoin(F.broadcast(nr))
-        .crossJoin(F.broadcast(nc))
-        .select(
-            "bucket",
-            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
-            "n_ref_total",
-            "n_cur_total",
+    rc = _bucketize(ref, value_col, edges, k, groups, "reference")
+    cc = _bucketize(cur, value_col, edges, k, groups, "input")
+    if groups:
+        nr = ref.select(*groups).groupBy(*groups).agg(
+            F.count("*").cast("long").alias("n_ref_total")
         )
+        nc = cur.select(*groups).groupBy(*groups).agg(
+            F.count("*").cast("long").alias("n_cur_total")
+        )
+        grid = nr.select(*groups).crossJoin(
+            ref.sparkSession.range(1, k + 1).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+        base = (
+            grid.join(
+                rc.withColumnRenamed("c", "n_ref"),
+                [*groups, "bucket"],
+                "left",
+            )
+            .join(
+                cc.withColumnRenamed("c", "n_cur"),
+                [*groups, "bucket"],
+                "left",
+            )
+            .join(F.broadcast(nr), groups)
+            # LEFT: a group that vanished from cur is the loudest
+            # drift signal there is — it must keep its rows
+            .join(F.broadcast(nc), groups, "left")
+        )
+    else:
+        nr = ref.agg(F.count("*").cast("long").alias("n_ref_total"))
+        nc = cur.agg(F.count("*").cast("long").alias("n_cur_total"))
+        grid = ref.sparkSession.range(1, k + 1).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+        base = (
+            grid.join(rc.withColumnRenamed("c", "n_ref"), "bucket", "left")
+            .join(cc.withColumnRenamed("c", "n_cur"), "bucket", "left")
+            .crossJoin(F.broadcast(nr))
+            .crossJoin(F.broadcast(nc))
+        )
+    base = base.select(
+        *groups,
+        "bucket",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        "n_ref_total",
+        F.coalesce("n_cur_total", F.lit(0))
+        .cast("long")
+        .alias("n_cur_total"),
     )
     q = (F.col("n_ref") + 1).cast("double") / (
         F.col("n_ref_total") + F.lit(k)
@@ -186,6 +299,7 @@ def psi(
     ).cast("double")
     term = (p - q) * F.log(p / q)
     terms = base.select(
+        *groups,
         "bucket",
         "n_ref",
         "n_cur",
@@ -194,27 +308,37 @@ def psi(
         F.round(term, 6).alias("psi_term"),
         F.round(term * F.lit(1000000000.0)).cast("long").alias("__tn"),
     ).localCheckpoint(eager=False)  # referenced by the total AND the output
-    tot = terms.agg(F.sum("__tn").cast("long").alias("__s")).select(
-        F.round(F.col("__s").cast("double") / F.lit(1000000000.0), 6).alias(
-            "psi"
+    if groups:
+        tot = terms.groupBy(*groups).agg(
+            F.round(
+                F.sum("__tn").cast("double") / F.lit(1000000000.0), 6
+            ).alias("psi")
         )
-    )
-    upper = edges.select("bucket", "edge")
-    return (
-        terms.join(F.broadcast(upper), "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            "edge",
-            "n_ref",
-            "n_cur",
-            "ref_share",
-            "cur_share",
-            "psi_term",
-            "psi",
+        out = terms.join(
+            F.broadcast(edges.select(*groups, "bucket", "edge")),
+            [*groups, "bucket"],
+            "left",
+        ).join(F.broadcast(tot), groups)
+    else:
+        tot = terms.agg(F.sum("__tn").cast("long").alias("__s")).select(
+            F.round(
+                F.col("__s").cast("double") / F.lit(1000000000.0), 6
+            ).alias("psi")
         )
-        .orderBy("bucket")
-    )
+        out = terms.join(
+            F.broadcast(edges.select("bucket", "edge")), "bucket", "left"
+        ).crossJoin(F.broadcast(tot))
+    return out.select(
+        *groups,
+        "bucket",
+        "edge",
+        "n_ref",
+        "n_cur",
+        "ref_share",
+        "cur_share",
+        "psi_term",
+        "psi",
+    ).orderBy(*groups, "bucket")
 
 
 def psi_grouped(
@@ -225,144 +349,13 @@ def psi_grouped(
     *,
     n_buckets: int = 10,
 ) -> DataFrame:
-    """Per-key PSI — one drift verdict per segment/type: the exact
-    :func:`psi` construction with every stage keyed by ``group_cols``
-    (edges are per-group order statistics of the group's OWN reference
-    distribution, the windows partition by the key, the bucketize join
-    adds the group equality to the range condition). Output is
-    ``psi``'s row shape prefixed by the group columns; a group present
-    only in ``cur`` produces no row (no reference ⇒ no edges — drift
-    against nothing is undefined, matching the global operator's
-    empty-ref degenerate). Differential-tested per group against the
-    global operator, which carries the cross-engine-pinned oracle."""
-    if n_buckets < 2:
-        raise ValueError("n_buckets must be >= 2")
+    """Per-key PSI — :func:`psi` with ``group_cols`` (one shared
+    implementation; this alias only makes the keying mandatory).
+    Differential-tested per group against the global operator, which
+    carries the cross-engine-pinned oracle."""
     groups = list(group_cols)
     if not groups:
         raise ValueError("group_cols must name at least one column")
-    k = int(n_buckets)
-    v = F.col(value_col) if isinstance(value_col, str) else value_col
-
-    def ranked(df: DataFrame) -> DataFrame:
-        vc = (
-            df.select(*groups, _checked_long(v, "reference").alias("__v"))
-            .groupBy(*groups, "__v")
-            .agg(F.count("*").cast("long").alias("__c"))
-        )
-        w = Window.partitionBy(*groups).orderBy("__v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        return vc.withColumn("__cum", F.sum("__c").over(w))
-
-    cum = ranked(ref).localCheckpoint(eager=False)
-    n_row = cum.groupBy(*groups).agg(
-        F.max("__cum").cast("long").alias("__n")
-    )
-    b = F.explode(F.sequence(F.lit(1), F.lit(k - 1))).alias("bucket")
-    targets = n_row.select(*groups, b, "__n").select(
-        *groups,
-        "bucket",
-        F.ceil(
-            F.col("bucket").cast("double")
-            * F.col("__n").cast("double")
-            / F.lit(float(k))
-        )
-        .cast("long")
-        .alias("__r"),
-    )
-    edges = (
-        cum.join(F.broadcast(targets), groups)
-        .filter(F.col("__cum") >= F.col("__r"))
-        .groupBy(*groups, "bucket")
-        .agg(F.min("__v").alias("edge"))
-    ).localCheckpoint(eager=False)  # bucketize both sides + output
-
-    def bucketize(df: DataFrame, where: str) -> DataFrame:
-        vc = (
-            df.select(*groups, _checked_long(v, where).alias("__v"))
-            .groupBy(*groups, "__v")
-            .agg(F.count("*").cast("long").alias("__cnt"))
-        )
-        e = edges.select(
-            *[F.col(g).alias(f"__eg_{g}") for g in groups],
-            F.col("edge").alias("__edge"),
-        )
-        cond = [F.col(g) == F.col(f"__eg_{g}") for g in groups] + [
-            F.col("__v") > F.col("__edge")
-        ]
-        j = vc.join(
-            F.broadcast(e), reduce(lambda a, c: a & c, cond), "left"
-        )
-        return (
-            j.groupBy(*groups, "__v", "__cnt")
-            .agg((F.lit(1) + F.count("__edge")).cast("int").alias("bucket"))
-            .groupBy(*groups, "bucket")
-            .agg(F.sum("__cnt").cast("long").alias("c"))
-        )
-
-    rc = bucketize(ref, "reference")
-    cc = bucketize(cur, "input")
-    nr = ref.select(*groups).groupBy(*groups).agg(
-        F.count("*").cast("long").alias("n_ref_total")
-    )
-    nc = cur.select(*groups).groupBy(*groups).agg(
-        F.count("*").cast("long").alias("n_cur_total")
-    )
-    grid = nr.select(*groups).crossJoin(
-        ref.sparkSession.range(1, k + 1).select(
-            F.col("id").cast("int").alias("bucket")
-        )
-    )
-    base = (
-        grid.join(rc.withColumnRenamed("c", "n_ref"), [*groups, "bucket"], "left")
-        .join(cc.withColumnRenamed("c", "n_cur"), [*groups, "bucket"], "left")
-        .join(F.broadcast(nr), groups)
-        .join(F.broadcast(nc), groups)
-        .select(
-            *groups,
-            "bucket",
-            F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
-            "n_ref_total",
-            "n_cur_total",
-        )
-    )
-    q = (F.col("n_ref") + 1).cast("double") / (
-        F.col("n_ref_total") + F.lit(k)
-    ).cast("double")
-    p = (F.col("n_cur") + 1).cast("double") / (
-        F.col("n_cur_total") + F.lit(k)
-    ).cast("double")
-    term = (p - q) * F.log(p / q)
-    terms = base.select(
-        *groups,
-        "bucket",
-        "n_ref",
-        "n_cur",
-        F.round(q, 6).alias("ref_share"),
-        F.round(p, 6).alias("cur_share"),
-        F.round(term, 6).alias("psi_term"),
-        F.round(term * F.lit(1000000000.0)).cast("long").alias("__tn"),
-    ).localCheckpoint(eager=False)
-    tot = terms.groupBy(*groups).agg(
-        F.round(
-            F.sum("__tn").cast("double") / F.lit(1000000000.0), 6
-        ).alias("psi")
-    )
-    return (
-        terms.join(F.broadcast(edges.select(*groups, "bucket", "edge")),
-                   [*groups, "bucket"], "left")
-        .join(F.broadcast(tot), groups)
-        .select(
-            *groups,
-            "bucket",
-            "edge",
-            "n_ref",
-            "n_cur",
-            "ref_share",
-            "cur_share",
-            "psi_term",
-            "psi",
-        )
-        .orderBy(*groups, "bucket")
+    return psi(
+        ref, cur, value_col, n_buckets=n_buckets, group_cols=groups
     )

@@ -860,7 +860,6 @@ def mann_kendall(
         .agg(F.count("*").cast("long").alias("__t"))
         .groupBy(*groups)
         .agg(
-            F.count("*").cast("long").alias("__n_distinct"),
             F.sum(
                 F.col("__t")
                 * (F.col("__t") - 1)

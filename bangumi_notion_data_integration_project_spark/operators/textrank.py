@@ -57,19 +57,30 @@ def word_graph(
         raise ValueError("window must be >= 1")
     sw = [w.lower() for w in (stopwords or STOPWORDS_EN)]
     did = F.col(doc_id_col)
-    dup = F.count("*").over(Window.partitionBy(did)) > 1
+    # contract gate as a SCALAR aggregate (always exactly one row,
+    # __dup NULL when clean): a doc_id-only map-side groupBy, never a
+    # window over the text payload — the gate must not shuffle the
+    # corpus it guards
+    gate = (
+        df.groupBy(did.alias("__did"))
+        .agg(F.count("*").alias("__c"))
+        .agg(
+            F.max(F.when(F.col("__c") > 1, F.col("__did"))).alias("__dup")
+        )
+    )
     toks = (
-        df.select(
+        df.crossJoin(F.broadcast(gate))
+        .select(
             # per-ROW id: duplicate doc_id values must never interleave
             # token streams (the keywords.py lesson) — and the contract
             # check makes a duplicate loud instead of silently per-row
             F.monotonically_increasing_id().alias("__rid"),
             F.when(
-                dup,
+                F.col("__dup").isNotNull(),
                 F.raise_error(
                     F.concat(
                         F.lit("word_graph: duplicate doc_id "),
-                        did.cast("string"),
+                        F.col("__dup").cast("string"),
                         F.lit(" — the contract is one row per document"),
                     )
                 ),
@@ -321,12 +332,15 @@ def weighted_pagerank_unrolled_sql(
     base = repr(float(1.0 - damping))
     d = repr(float(damping))
     n = int(round_digits)
+    # __e/__sym/__wdeg are referenced from every unrolled iteration —
+    # without AS MATERIALIZED DuckDB inlines a fresh copy of the whole
+    # edge build per reference (the k-core/BPE oracle lesson)
     ctes = [
-        f"__e AS ({edges_sql})",
-        "__sym AS (SELECT w1 AS src, w2 AS dst, weight FROM __e"
+        f"__e AS MATERIALIZED ({edges_sql})",
+        "__sym AS MATERIALIZED (SELECT w1 AS src, w2 AS dst, weight FROM __e"
         " UNION ALL SELECT w2 AS src, w1 AS dst, weight FROM __e)",
-        "__wdeg AS (SELECT src, CAST(sum(weight) AS DOUBLE) AS wdeg"
-        " FROM __sym GROUP BY src)",
+        "__wdeg AS MATERIALIZED (SELECT src, CAST(sum(weight) AS DOUBLE)"
+        " AS wdeg FROM __sym GROUP BY src)",
         "__r0 AS (SELECT DISTINCT src AS node, 1.0 AS rank FROM __sym)",
     ]
     for i in range(1, iterations + 1):

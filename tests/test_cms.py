@@ -141,3 +141,32 @@ def test_state_size_is_bounded(spark):
     xs = [rng.randrange(0, 100000) for _ in range(30000)]
     sk = cms_build(_items_df(spark, xs), ["item"], depth=4, width=256)
     assert sk.count() <= 4 * 256
+
+
+def test_parameter_mismatch_fails_loud(spark):
+    """A sketch probed or merged under different depth/width/seed would
+    silently underestimate (cells misalign) — both paths must raise
+    instead; an EMPTY sketch passes the lookup gate with honest 0s."""
+    xs = [1, 1, 2]
+    sk = cms_build(_items_df(spark, xs), ["item"], depth=4, width=2048)
+    with pytest.raises(Exception, match="cms_lookup: depth/width/seed"):
+        cms_lookup(
+            sk, _items_df(spark, [1]), ["item"], depth=4, width=256
+        ).collect()
+    with pytest.raises(Exception, match="cms_lookup: depth/width/seed"):
+        cms_lookup(
+            sk, _items_df(spark, [1]), ["item"], depth=4, width=2048, seed=7
+        ).collect()
+    other = cms_build(_items_df(spark, xs), ["item"], depth=4, width=256)
+    with pytest.raises(Exception, match="cms_merge: sketches built"):
+        cms_merge([sk, other]).collect()
+    empty = cms_build(
+        spark.createDataFrame([], "item long"), ["item"], depth=2, width=64
+    )
+    est = {
+        r["item"]: r["est"]
+        for r in cms_lookup(
+            empty, _items_df(spark, [5]), ["item"], depth=2, width=64
+        ).collect()
+    }
+    assert est == {5: 0}

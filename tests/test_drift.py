@@ -293,3 +293,55 @@ def test_psi_grouped_matches_per_group_global(spark):
     assert (
         out.filter(F.col("o_orderpriority") == "9-GHOST").count() == 0
     )
+
+
+def test_psi_grouped_ref_only_group_reports_maximal_drift(spark):
+    # r9 review finding: a segment that VANISHED from cur is the
+    # loudest drift there is — it must keep its rows (n_cur_total=0,
+    # cur_share=1/(0+k)), matching the global operator on an empty cur
+    from bangumi_notion_data_integration_project_spark.operators.drift import (
+        psi_grouped,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", i) for i in range(40)] + [("gone", i) for i in range(40)],
+        "g string, v long",
+    )
+    cur = spark.createDataFrame(
+        [("a", i + 5) for i in range(40)], "g string, v long"
+    )
+    rows = psi_grouped(ref, cur, "v", ["g"], n_buckets=4).collect()
+    gone = [r for r in rows if r["g"] == "gone"]
+    assert len(gone) == 4
+    assert all(r["n_cur"] == 0 for r in gone)
+    want = {
+        r["bucket"]: tuple(r)[1:]
+        for r in psi(
+            ref.filter(F.col("g") == "gone").select("v"),
+            cur.filter(F.col("g") == "gone").select("v"),
+            "v",
+            n_buckets=4,
+        ).collect()
+    }
+    got = {r["bucket"]: tuple(r)[2:] for r in gone}
+    assert got == want
+
+
+def test_psi_grouped_null_group_key_raises(spark):
+    # NULL keys would silently vanish through the null-unsafe joins —
+    # the file convention is fail-loud (same as NULL values)
+    import pytest
+
+    from bangumi_notion_data_integration_project_spark.operators.drift import (
+        psi_grouped,
+    )
+
+    ref = spark.createDataFrame(
+        [("a", 1), (None, 2)] + [("a", i) for i in range(40)],
+        "g string, v long",
+    )
+    cur = spark.createDataFrame(
+        [("a", i) for i in range(40)], "g string, v long"
+    )
+    with pytest.raises(Exception, match="psi: NULL group key in g"):
+        psi_grouped(ref, cur, "v", ["g"], n_buckets=4).collect()

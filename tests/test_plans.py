@@ -841,9 +841,11 @@ def test_word_graph_windows_are_per_row(spark):
     g = word_graph(docs, "doc_id", "text", window=2)
     plan = g._jdf.queryExecution().executedPlan().toString()
     keys = set(re.findall(r"windowspecdefinition\((\w+)#", plan))
-    # the duplicate-doc_id contract check windows on doc_id; the
-    # pairing windows on the per-row id — both keyed, neither global
-    assert keys == {"__rid", "doc_id"}, keys
+    # the pairing windows key on the per-row id; the duplicate-doc_id
+    # contract gate is a broadcast scalar AGGREGATE (doc_id-only
+    # map-side groupBy), never a window over the text payload
+    assert keys == {"__rid"}, keys
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row gate join
 
 
 def test_set_sketch_window_partitions_by_key(spark):
