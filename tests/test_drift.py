@@ -345,3 +345,151 @@ def test_psi_grouped_null_group_key_raises(spark):
     )
     with pytest.raises(Exception, match="psi: NULL group key in g"):
         psi_grouped(ref, cur, "v", ["g"], n_buckets=4).collect()
+
+
+def test_psi_grouped_duckdb_oracle_shape_cross_engine(spark):
+    """The grouped-PSI DuckDB restatement — the pinned global chain
+    with the group key threaded through every CTE (per-group edges,
+    grouped bucketize join, per-group totals and psi sum) — is
+    bit-equal to psi_grouped on events value cents by type, split on
+    day parity: the r11 registry oracle, pinned ahead of
+    registration."""
+    import duckdb
+
+    from bangumi_notion_data_integration_project_spark.operators.drift import (
+        psi_grouped,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    ref = e.filter(F.col("dom") % 2 == 0).select("event_type", "x")
+    cur = e.filter(F.col("dom") % 2 == 1).select("event_type", "x")
+    got = [
+        tuple(r)
+        for r in psi_grouped(
+            ref, cur, "x", ["event_type"], n_buckets=6
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS"
+        f" SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+        WITH ref AS (
+          SELECT event_type AS s,
+                 CAST(round(value * 100) AS BIGINT) AS x
+          FROM events WHERE day(CAST(ts AS DATE)) % 2 = 0
+        ), cur AS (
+          SELECT event_type AS s,
+                 CAST(round(value * 100) AS BIGINT) AS x
+          FROM events WHERE day(CAST(ts AS DATE)) % 2 = 1
+        ), vc AS (
+          SELECT s, x AS v, CAST(count(*) AS BIGINT) AS c
+          FROM ref GROUP BY 1, 2
+        ), cum AS (
+          SELECT s, v, CAST(sum(c) OVER (PARTITION BY s ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum
+          FROM vc
+        ), nn AS (
+          SELECT s, CAST(max(cum) AS BIGINT) AS n FROM cum GROUP BY s
+        ), targets AS (
+          SELECT nn.s, b AS bucket,
+                 CAST(ceil(CAST(b AS DOUBLE) * CAST(n AS DOUBLE) / 6.0)
+                      AS BIGINT) AS r
+          FROM (SELECT unnest(range(1, 6)) AS b), nn
+        ), edges AS (
+          SELECT c.s, CAST(t.bucket AS INT) AS bucket, min(c.v) AS edge
+          FROM cum c JOIN targets t ON c.s = t.s
+          WHERE c.cum >= t.r GROUP BY c.s, t.bucket
+        ), rvc AS (
+          SELECT s, x AS v, CAST(count(*) AS BIGINT) AS cnt
+          FROM ref GROUP BY 1, 2
+        ), rbk AS (
+          SELECT r.s, r.v, r.cnt, CAST(1 + count(e.edge) AS INT) AS bucket
+          FROM rvc r LEFT JOIN edges e ON r.s = e.s AND r.v > e.edge
+          GROUP BY r.s, r.v, r.cnt
+        ), rcnt AS (
+          SELECT s, bucket, CAST(sum(cnt) AS BIGINT) AS c
+          FROM rbk GROUP BY 1, 2
+        ), cvc AS (
+          SELECT s, x AS v, CAST(count(*) AS BIGINT) AS cnt
+          FROM cur GROUP BY 1, 2
+        ), cbk AS (
+          SELECT r.s, r.v, r.cnt, CAST(1 + count(e.edge) AS INT) AS bucket
+          FROM cvc r LEFT JOIN edges e ON r.s = e.s AND r.v > e.edge
+          GROUP BY r.s, r.v, r.cnt
+        ), ccnt AS (
+          SELECT s, bucket, CAST(sum(cnt) AS BIGINT) AS c
+          FROM cbk GROUP BY 1, 2
+        ), nrt AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS n_ref_total
+          FROM ref GROUP BY s
+        ), nct AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS n_cur_total
+          FROM cur GROUP BY s
+        ), grid AS (
+          SELECT nrt.s, CAST(b AS INT) AS bucket
+          FROM (SELECT unnest(range(1, 7)) AS b), nrt
+        ), base AS (
+          SELECT g.s, g.bucket,
+                 CAST(coalesce(r.c, 0) AS BIGINT) AS n_ref,
+                 CAST(coalesce(c.c, 0) AS BIGINT) AS n_cur,
+                 nrt.n_ref_total,
+                 CAST(coalesce(nct.n_cur_total, 0) AS BIGINT)
+                   AS n_cur_total
+          FROM grid g
+          LEFT JOIN rcnt r ON g.s = r.s AND g.bucket = r.bucket
+          LEFT JOIN ccnt c ON g.s = c.s AND g.bucket = c.bucket
+          JOIN nrt ON g.s = nrt.s
+          LEFT JOIN nct ON g.s = nct.s
+        ), terms AS (
+          SELECT s, bucket, n_ref, n_cur,
+                 round(CAST(n_ref + 1 AS DOUBLE)
+                       / CAST(n_ref_total + 6 AS DOUBLE), 6) AS ref_share,
+                 round(CAST(n_cur + 1 AS DOUBLE)
+                       / CAST(n_cur_total + 6 AS DOUBLE), 6) AS cur_share,
+                 round((CAST(n_cur + 1 AS DOUBLE)
+                        / CAST(n_cur_total + 6 AS DOUBLE)
+                        - CAST(n_ref + 1 AS DOUBLE)
+                          / CAST(n_ref_total + 6 AS DOUBLE))
+                       * ln((CAST(n_cur + 1 AS DOUBLE)
+                             / CAST(n_cur_total + 6 AS DOUBLE))
+                            / (CAST(n_ref + 1 AS DOUBLE)
+                               / CAST(n_ref_total + 6 AS DOUBLE))), 6)
+                   AS psi_term,
+                 CAST(round((CAST(n_cur + 1 AS DOUBLE)
+                        / CAST(n_cur_total + 6 AS DOUBLE)
+                        - CAST(n_ref + 1 AS DOUBLE)
+                          / CAST(n_ref_total + 6 AS DOUBLE))
+                       * ln((CAST(n_cur + 1 AS DOUBLE)
+                             / CAST(n_cur_total + 6 AS DOUBLE))
+                            / (CAST(n_ref + 1 AS DOUBLE)
+                               / CAST(n_ref_total + 6 AS DOUBLE)))
+                       * 1000000000.0) AS BIGINT) AS tn
+          FROM base
+        ), tot AS (
+          SELECT s, round(CAST(sum(tn) AS DOUBLE) / 1000000000.0, 6)
+                   AS psi
+          FROM terms GROUP BY s
+        )
+        SELECT t.s AS event_type, t.bucket, e.edge, t.n_ref, t.n_cur,
+               t.ref_share, t.cur_share, t.psi_term, tot.psi
+        FROM terms t
+        LEFT JOIN edges e ON t.s = e.s AND t.bucket = e.bucket
+        JOIN tot ON t.s = tot.s
+        ORDER BY t.s, t.bucket
+        """
+        ).fetchall()
+    ]
+    assert got == want
+    assert len(got) == 6 * 5  # 6 buckets x 5 event types

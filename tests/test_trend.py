@@ -456,3 +456,151 @@ def test_ccf_duckdb_oracle_shape_cross_engine(spark):
     ]
     assert got == want
     assert len(got) == 15
+
+
+def test_seasonal_mk_duckdb_oracle_shape_cross_engine(spark):
+    """Seasonal MK on daily revenue with day-of-week seasons — the
+    r11 registry oracle pinned ahead of registration. The season key
+    is days-since-epoch-Monday mod 7 (datediff arithmetic, identical
+    integers in both engines — Spark dayofweek() is 1=Sunday..7 while
+    DuckDB's is 0=Sunday..6, so the builtin is NOT cross-engine
+    safe)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        seasonal_mann_kendall,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    dowd = daily.withColumn(
+        "dow",
+        (F.datediff("d", F.lit("1970-01-05").cast("date")) % 7).cast(
+            "long"
+        ),
+    )
+    got = tuple(seasonal_mann_kendall(dowd, "d", "x", "dow").collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS"
+        f" SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    want = con.execute(
+        """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders GROUP BY 1
+        ), dowd AS (
+          SELECT d, x,
+                 CAST(date_diff('day', DATE '1970-01-05', d) % 7
+                      AS BIGINT) AS g
+          FROM daily
+        ), pairs AS (
+          SELECT CASE WHEN b.x > a.x THEN 1
+                      WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+          FROM dowd a JOIN dowd b ON a.g = b.g AND a.d < b.d
+        ), s AS (
+          SELECT CAST(coalesce(sum(sg), 0) AS BIGINT) AS s_stat FROM pairs
+        ), per_g AS (
+          SELECT g, CAST(sum(t) AS BIGINT) AS n,
+                 CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+          FROM (SELECT g, CAST(count(*) AS BIGINT) AS t
+                FROM dowd GROUP BY g, x) z
+          GROUP BY g
+        ), comb AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_seasons,
+                 CAST(sum(n) AS BIGINT) AS n_points,
+                 CAST(sum(n * (n - 1) * (2 * n + 5) - tie) AS BIGINT)
+                   AS var_num
+          FROM per_g
+        )
+        SELECT n_seasons, n_points, s_stat,
+               round(CAST(var_num AS DOUBLE) / 18.0, 4) AS var_s,
+               round(CASE WHEN var_num > 0 THEN
+                 CASE WHEN s_stat > 0
+                      THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                           / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                      WHEN s_stat < 0
+                      THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                           / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                      ELSE 0.0 END
+               END, 6) AS z
+        FROM comb, s
+        """
+    ).fetchall()[0]
+    assert got == tuple(want)
+
+
+def test_monthly_sen_duckdb_oracle_shape_cross_engine(spark):
+    """Theil-Sen on MONTHLY revenue cents — the r11 registry grain
+    (the daily series' 2.9M-pair rank pass costs 4.3 s; ~80 months is
+    3160 pairs). Spark trunc(date, 'month') and DuckDB
+    date_trunc('month', date) agree; pinned ahead of registration."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    monthly = o.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    got = tuple(sen_slope(monthly, "m", "x").collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS"
+        f" SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    want = con.execute(
+        """
+        WITH monthly AS (
+          SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders GROUP BY 1
+        ), dt AS (
+          SELECT x, CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS t
+          FROM monthly
+        ), pairs AS (
+          SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s,
+                 a.t AS ta, b.t AS tb
+          FROM dt a JOIN dt b ON a.t < b.t
+        ), ranked AS (
+          SELECT s, row_number() OVER (ORDER BY s, ta, tb) AS rk,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM pairs
+        ), med AS (
+          SELECT s AS slope, m AS n_pairs FROM ranked
+          WHERE rk = (m + 1) // 2
+        ), resid AS (
+          SELECT CAST(dt.x AS DOUBLE) - med.slope * CAST(dt.t AS DOUBLE)
+                   AS res,
+                 dt.t, med.n_pairs, med.slope
+          FROM dt, med
+        ), rranked AS (
+          SELECT res, n_pairs, slope,
+                 row_number() OVER (ORDER BY res, t) AS rr,
+                 CAST(count(*) OVER () AS BIGINT) AS n
+          FROM resid
+        )
+        SELECT n AS n_points, n_pairs,
+               round(slope, 9) AS sen_slope, round(res, 4) AS intercept
+        FROM rranked WHERE rr = (n + 1) // 2
+        """
+    ).fetchall()[0]
+    assert got == tuple(want)
