@@ -1169,3 +1169,90 @@ def cross_correlation(
         )
         .orderBy("lag")
     )
+
+
+def ols_fit2(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Two-feature least squares ``y ~ b1·x1 + b2·x2 + a`` in closed
+    form — the multi-regressor member of the :func:`ols_fit` family.
+    One grouped aggregate accumulates the nine EXACT integer moments
+    (n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y) in
+    DECIMAL(38,0); the normal equations solve by Cramer's rule on the
+    CENTERED 2×2 system,
+
+        A11·b1 + A12·b2 = C1        A11 = n·Σx1² − (Σx1)²   (etc.)
+        A12·b1 + A22·b2 = C2        det = A11·A22 − A12²
+
+    with every A/C one exact integer and b1/b2/intercept/r² each ONE
+    double expression of those integers in a fixed op order — both
+    engines agree bit-for-bit (the segmented_trend recipe). Collinear
+    inputs (det = 0) and zero-variance y report NULL coefficients /
+    NULL r² under the ANSI guard, never DIVIDE_BY_ZERO.
+
+    Returns one row per group: ``(group..., n, b1, b2, intercept,
+    r2)``. Overflow bound: each A/C term is ≤ n²·max|x·y| and the
+    integer arithmetic stops there — the det and SSE products are
+    evaluated in DOUBLE — so daily-cents-scale inputs clear
+    DECIMAL(38,0) by many digits.
+    """
+    groups = list(group_cols or [])
+    x1 = F.col(x1_col).cast(_DEC)
+    x2 = F.col(x2_col).cast(_DEC)
+    y = F.col(y_col).cast(_DEC)
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    agg = df.groupBy(*groups).agg(
+        F.count("*").cast("long").alias("n"),
+        dec(F.sum(x1)).alias("s1"),
+        dec(F.sum(x2)).alias("s2"),
+        dec(F.sum(y)).alias("sy"),
+        dec(F.sum(x1 * x1)).alias("s11"),
+        dec(F.sum(x2 * x2)).alias("s22"),
+        dec(F.sum(x1 * x2)).alias("s12"),
+        dec(F.sum(x1 * y)).alias("s1y"),
+        dec(F.sum(x2 * y)).alias("s2y"),
+        dec(F.sum(y * y)).alias("syy"),
+    )
+    n = F.col("n").cast(_DEC)
+    a11 = dec(n * F.col("s11") - F.col("s1") * F.col("s1"))
+    a22 = dec(n * F.col("s22") - F.col("s2") * F.col("s2"))
+    a12 = dec(n * F.col("s12") - F.col("s1") * F.col("s2"))
+    c1 = dec(n * F.col("s1y") - F.col("s1") * F.col("sy"))
+    c2 = dec(n * F.col("s2y") - F.col("s2") * F.col("sy"))
+    syy_c = dec(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    det = a11.cast("double") * a22.cast("double") - a12.cast(
+        "double"
+    ) * a12.cast("double")
+    b1 = (
+        c1.cast("double") * a22.cast("double")
+        - c2.cast("double") * a12.cast("double")
+    ) / det
+    b2 = (
+        a11.cast("double") * c2.cast("double")
+        - a12.cast("double") * c1.cast("double")
+    ) / det
+    intercept = (
+        F.col("sy").cast("double")
+        - b1 * F.col("s1").cast("double")
+        - b2 * F.col("s2").cast("double")
+    ) / F.col("n").cast("double")
+    # centered R² = (b1·C1 + b2·C2) / SYYc — one double expression of
+    # the same integers (SSR/SST on the n-scaled centered system)
+    r2 = (b1 * c1.cast("double") + b2 * c2.cast("double")) / syy_c.cast(
+        "double"
+    )
+    ok = det != 0.0
+    out = agg.select(
+        *groups,
+        "n",
+        F.when(ok, F.round(b1, 9)).alias("b1"),
+        F.when(ok, F.round(b2, 9)).alias("b2"),
+        F.when(ok, F.round(intercept, 4)).alias("intercept"),
+        F.when(ok & (syy_c > 0), F.round(r2, 6)).alias("r2"),
+    )
+    return out.orderBy(*groups) if groups else out

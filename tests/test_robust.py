@@ -189,3 +189,68 @@ def test_null_x_inside_window_reports_null_not_shifted_ranks(spark):
         assert by_d[d]["med"] is None and by_d[d]["is_outlier"] is None
     # the first window clear of the NULL is centered at d=7 (4..10)
     assert by_d[7]["med"] == 107 and by_d[7]["is_outlier"] is False
+
+
+def test_hampel_grouped_duckdb_oracle_shape_cross_engine(spark):
+    """The pinned hampel SQL with PARTITION BY threaded through the
+    window — bit-equal to the grouped operator on per-event-type daily
+    value cents: the r11 registry oracle (events_type_hampel), pinned
+    ahead of registration."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    daily = e.groupBy(
+        F.col("event_type").alias("g"), F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    got = [
+        tuple(r)
+        for r in hampel_outliers(
+            daily, "d", "x", group_cols=["g"], half_window=3, n_mads=3
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS"
+        f" SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = [
+        tuple(r)
+        for r in con.execute(
+            """
+        WITH daily AS (
+          SELECT event_type AS g, CAST(ts AS DATE) AS d,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM events GROUP BY 1, 2
+        ), win AS (
+          SELECT g, d, x,
+                 CASE WHEN count(x) OVER w7 = 7
+                      THEN list_sort(list(x) OVER w7) END AS warr
+          FROM daily
+          WINDOW w7 AS (PARTITION BY g ORDER BY d
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        )
+        SELECT g, d, x,
+               CAST(warr[4] AS BIGINT) AS med,
+               CAST(list_sort(
+                      list_transform(warr, v -> abs(v - warr[4])))[4]
+                    AS BIGINT) AS mad,
+               CAST(abs(x - warr[4]) AS BIGINT) AS deviation,
+               CASE WHEN warr IS NOT NULL
+                    THEN abs(x - warr[4]) > 3 * list_sort(
+                      list_transform(warr, v -> abs(v - warr[4])))[4]
+               END AS is_outlier
+        FROM win ORDER BY g, d
+        """
+        ).fetchall()
+    ]
+    assert got == want
+    assert len({g for g, *_ in got}) == 5  # all five event types

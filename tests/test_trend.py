@@ -604,3 +604,136 @@ def test_monthly_sen_duckdb_oracle_shape_cross_engine(spark):
         """
     ).fetchall()[0]
     assert got == tuple(want)
+
+
+def test_ols_fit2_matches_numpy_and_degenerates(spark):
+    """Two-feature closed-form OLS: coefficients match numpy lstsq on
+    a planted-plane + noise input; collinear x2 = 2*x1 reports NULL
+    coefficients (det = 0) under the ANSI guard."""
+    import numpy as np
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        ols_fit2,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    for i in range(200):
+        x1 = rng.randrange(0, 100)
+        x2 = rng.randrange(0, 50)
+        ynoise = 7 * x1 - 3 * x2 + 40 + rng.randrange(-4, 5)
+        rows.append((i, x1, x2, ynoise))
+    df = spark.createDataFrame(rows, "i long, x1 long, x2 long, y long")
+    r = ols_fit2(df, "x1", "x2", "y").collect()[0]
+    a = np.array([[x1, x2, 1.0] for _, x1, x2, _ in rows])
+    b = np.array([float(y) for *_, y in rows])
+    coef, res, _, _ = np.linalg.lstsq(a, b, rcond=None)
+    assert abs(r["b1"] - coef[0]) < 1e-6
+    assert abs(r["b2"] - coef[1]) < 1e-6
+    assert abs(r["intercept"] - coef[2]) < 1e-3
+    sst = float(((b - b.mean()) ** 2).sum())
+    assert abs(r["r2"] - (1.0 - float(res[0]) / sst)) < 1e-6
+    assert r["r2"] > 0.99
+
+    col = spark.createDataFrame(
+        [(i, i, 2 * i, 3 * i + 1) for i in range(20)],
+        "i long, x1 long, x2 long, y long",
+    )
+    rc = ols_fit2(col, "x1", "x2", "y").collect()[0]
+    assert rc["b1"] is None and rc["b2"] is None and rc["r2"] is None
+
+
+def test_ols_fit2_grouped_isolates_keys(spark):
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        ols_fit2,
+    )
+
+    rows = []
+    for g, (w1, w2, c) in {"a": (2, 5, 10), "b": (-1, 3, 0)}.items():
+        for i in range(60):
+            x1, x2 = (i * 13) % 37, (i * 7) % 23
+            rows.append((g, x1, x2, w1 * x1 + w2 * x2 + c))
+    df = spark.createDataFrame(rows, "g string, x1 long, x2 long, y long")
+    got = {r["g"]: r for r in ols_fit2(df, "x1", "x2", "y", group_cols=["g"]).collect()}
+    assert got["a"]["b1"] == 2.0 and got["a"]["b2"] == 5.0
+    assert got["a"]["intercept"] == 10.0
+    assert got["b"]["b1"] == -1.0 and got["b"]["b2"] == 3.0
+    # exact fit: SSR == SST -> r2 = 1
+    assert got["a"]["r2"] == 1.0 and got["b"]["r2"] == 1.0
+
+
+def test_ols2_duckdb_oracle_shape_cross_engine(spark):
+    """The DuckDB restatement — HUGEINT moments, the identical Cramer
+    double expressions — is bit-equal to ols_fit2 on real lineitem
+    (price cents ~ quantity + discount bp): the r11 registry oracle,
+    pinned ahead of registration."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        ols_fit2,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("disc_bp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    got = tuple(ols_fit2(li, "q", "disc_bp", "cents").collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS"
+        f" SELECT * FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    want = con.execute(
+        """
+        WITH d AS (
+          SELECT CAST(l_quantity AS HUGEINT) AS x1,
+                 CAST(round(l_discount * 10000) AS HUGEINT) AS x2,
+                 CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+          FROM lineitem
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+                 sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+                 sum(x1 * x2) AS s12, sum(x1 * y) AS s1y,
+                 sum(x2 * y) AS s2y, sum(y * y) AS syy
+          FROM d
+        ), c AS (
+          SELECT n,
+                 n * s11 - s1 * s1 AS a11,
+                 n * s22 - s2 * s2 AS a22,
+                 n * s12 - s1 * s2 AS a12,
+                 n * s1y - s1 * sy AS c1,
+                 n * s2y - s2 * sy AS c2,
+                 n * syy - sy * sy AS syyc,
+                 s1, s2, sy
+          FROM m
+        ), f AS (
+          SELECT n, s1, s2, sy, c1, c2, syyc,
+                 CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                   - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE) AS det,
+                 (CAST(c1 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                   - CAST(c2 AS DOUBLE) * CAST(a12 AS DOUBLE)) AS b1n,
+                 (CAST(a11 AS DOUBLE) * CAST(c2 AS DOUBLE)
+                   - CAST(a12 AS DOUBLE) * CAST(c1 AS DOUBLE)) AS b2n
+          FROM c
+        )
+        SELECT n,
+               CASE WHEN det <> 0.0 THEN round(b1n / det, 9) END AS b1,
+               CASE WHEN det <> 0.0 THEN round(b2n / det, 9) END AS b2,
+               CASE WHEN det <> 0.0 THEN round(
+                 (CAST(sy AS DOUBLE) - (b1n / det) * CAST(s1 AS DOUBLE)
+                  - (b2n / det) * CAST(s2 AS DOUBLE))
+                 / CAST(n AS DOUBLE), 4) END AS intercept,
+               CASE WHEN det <> 0.0 AND syyc > 0 THEN round(
+                 ((b1n / det) * CAST(c1 AS DOUBLE)
+                  + (b2n / det) * CAST(c2 AS DOUBLE))
+                 / CAST(syyc AS DOUBLE), 6) END AS r2
+        FROM f
+        """
+    ).fetchall()[0]
+    assert got == tuple(want)
