@@ -1083,6 +1083,7 @@ def cross_correlation(
     y_col: str,
     *,
     max_lag: int = 7,
+    group_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """Cross-correlation function between two integer series sharing
     one date index — "does x lead y?" (lag k > 0 correlates x_t with
@@ -1100,9 +1101,13 @@ def cross_correlation(
     the lag pairing is a broadcast calendar self-join, ~days² tiny.
     NULL x/y raise (the holt_linear convention). Bound: n²·max|x·y|
     must stay under 10³⁸ — daily cents at warehouse scale clears it by
-    nine digits."""
+    nine digits. With ``group_cols`` every stage keys on the group
+    (ONE shared implementation — the _km_steps/psi house pattern):
+    per-key moments, per-key deviations, the pair join adds the group
+    equality, and the output carries one (group, lag) row each."""
     if max_lag < 1:
         raise ValueError("max_lag must be >= 1")
+    groups = list(group_cols or [])
 
     def checked(c: str) -> Column:
         return F.when(
@@ -1116,59 +1121,83 @@ def cross_correlation(
         ).otherwise(F.col(c).cast("long"))
 
     d = df.select(
+        *groups,
         F.col(order_col).alias("__o"),
         checked(x_col).alias("__x"),
         checked(y_col).alias("__y"),
     )
-    tot = d.agg(
-        F.count("*").cast("long").alias("__n"),
-        F.sum("__x").cast("long").alias("__sx"),
-        F.sum("__y").cast("long").alias("__sy"),
-    )
-    n = F.col("__n").cast(_DEC)
-    dev = (
-        d.crossJoin(F.broadcast(tot))
-        .select(
-            "__o",
-            (n * F.col("__x") - F.col("__sx")).cast(_DEC).alias("__dx"),
-            (n * F.col("__y") - F.col("__sy")).cast(_DEC).alias("__dy"),
+    if groups:
+        tot = d.groupBy(*groups).agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum("__x").cast("long").alias("__sx"),
+            F.sum("__y").cast("long").alias("__sy"),
         )
-        .localCheckpoint(eager=False)  # referenced three times below
+        based = d.join(F.broadcast(tot), groups)
+    else:
+        tot = d.agg(
+            F.count("*").cast("long").alias("__n"),
+            F.sum("__x").cast("long").alias("__sx"),
+            F.sum("__y").cast("long").alias("__sy"),
+        )
+        based = d.crossJoin(F.broadcast(tot))
+    n = F.col("__n").cast(_DEC)
+    dev = based.select(
+        *groups,
+        "__o",
+        (n * F.col("__x") - F.col("__sx")).cast(_DEC).alias("__dx"),
+        (n * F.col("__y") - F.col("__sy")).cast(_DEC).alias("__dy"),
+    ).localCheckpoint(eager=False)  # referenced three times below
+    if groups:
+        den = dev.groupBy(*groups).agg(
+            F.sum(F.col("__dx") * F.col("__dx")).cast(_DEC).alias("__denx"),
+            F.sum(F.col("__dy") * F.col("__dy")).cast(_DEC).alias("__deny"),
+        )
+    else:
+        den = dev.agg(
+            F.sum(F.col("__dx") * F.col("__dx")).cast(_DEC).alias("__denx"),
+            F.sum(F.col("__dy") * F.col("__dy")).cast(_DEC).alias("__deny"),
+        )
+    a = dev.select(
+        *[F.col(g).alias(f"__ga_{g}") for g in groups],
+        F.col("__o").alias("__oa"),
+        F.col("__dx").alias("__dxa"),
     )
-    den = dev.agg(
-        F.sum(F.col("__dx") * F.col("__dx")).cast(_DEC).alias("__denx"),
-        F.sum(F.col("__dy") * F.col("__dy")).cast(_DEC).alias("__deny"),
+    b = dev.select(
+        *[F.col(g).alias(f"__gb_{g}") for g in groups],
+        F.col("__o").alias("__ob"),
+        F.col("__dy").alias("__dyb"),
     )
-    a, b = dev.alias("a"), dev.alias("b")
-    lag = F.datediff(F.col("b.__o"), F.col("a.__o"))
-    pairs = a.join(
-        F.broadcast(b), (lag >= -max_lag) & (lag <= max_lag)
-    ).select(
+    lag = F.datediff(F.col("__ob"), F.col("__oa"))
+    cond = (lag >= -max_lag) & (lag <= max_lag)
+    for g in groups:
+        cond = (F.col(f"__ga_{g}") == F.col(f"__gb_{g}")) & cond
+    pairs = a.join(F.broadcast(b), cond).select(
+        *[F.col(f"__ga_{g}").alias(g) for g in groups],
         lag.cast("long").alias("lag"),
-        (F.col("a.__dx") * F.col("b.__dy")).alias("__prod"),
+        (F.col("__dxa") * F.col("__dyb")).alias("__prod"),
     )
     ccf = F.col("__num").cast("double") / F.sqrt(
         F.col("__denx").cast("double") * F.col("__deny").cast("double")
     )
-    return (
-        pairs.groupBy("lag")
-        .agg(
-            F.count("*").cast("long").alias("n_pairs"),
-            F.sum("__prod").cast(_DEC).alias("__num"),
-        )
-        .crossJoin(F.broadcast(den))
-        .select(
-            "lag",
-            "n_pairs",
-            # ANSI: a constant series zeroes its deviation sum — report
-            # NULL ccf, never DIVIDE_BY_ZERO (the zipf/runs convention)
-            F.when(
-                (F.col("__denx") > 0) & (F.col("__deny") > 0),
-                F.round(ccf, 6),
-            ).alias("ccf"),
-        )
-        .orderBy("lag")
+    agged = pairs.groupBy(*groups, "lag").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("__prod").cast(_DEC).alias("__num"),
     )
+    if groups:
+        joined = agged.join(F.broadcast(den), groups)
+    else:
+        joined = agged.crossJoin(F.broadcast(den))
+    return joined.select(
+        *groups,
+        "lag",
+        "n_pairs",
+        # ANSI: a constant series zeroes its deviation sum — report
+        # NULL ccf, never DIVIDE_BY_ZERO (the zipf/runs convention)
+        F.when(
+            (F.col("__denx") > 0) & (F.col("__deny") > 0),
+            F.round(ccf, 6),
+        ).alias("ccf"),
+    ).orderBy(*groups, "lag")
 
 
 def ols_fit2(

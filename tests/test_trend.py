@@ -737,3 +737,40 @@ def test_ols2_duckdb_oracle_shape_cross_engine(spark):
         """
     ).fetchall()[0]
     assert got == tuple(want)
+
+
+def test_cross_correlation_grouped_isolates_keys(spark):
+    import datetime
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        cross_correlation,
+    )
+
+    rng = random.Random(51)
+    base = datetime.date(2024, 1, 1)
+    rows, series = [], {}
+    for g, lead in (("a", 2), ("b", 4)):
+        xs = [rng.randrange(0, 500) for _ in range(60)]
+        ys = [
+            (xs[i - lead] if i >= lead else 250) * 3 + rng.randrange(0, 20)
+            for i in range(60)
+        ]
+        series[g] = (xs, ys)
+        rows += [
+            (g, base + datetime.timedelta(days=i), x, y)
+            for i, (x, y) in enumerate(zip(xs, ys))
+        ]
+    df = spark.createDataFrame(rows, "g string, d date, x long, y long")
+    got = {}
+    for r in cross_correlation(
+        df, "d", "x", "y", max_lag=5, group_cols=["g"]
+    ).collect():
+        got.setdefault(r["g"], {})[r["lag"]] = (r["n_pairs"], r["ccf"])
+    for g, (xs, ys) in series.items():
+        want = _py_ccf(xs, ys, 5)
+        assert set(got[g]) == set(want), g
+        for k, (npairs, c) in want.items():
+            assert got[g][k] == (npairs, _rnd(c, 6)), (g, k)
+    # each group's planted lead is found at its own lag
+    assert max(got["a"], key=lambda k: got["a"][k][1]) == 2
+    assert max(got["b"], key=lambda k: got["b"][k][1]) == 4
