@@ -94,7 +94,9 @@ def cms_merge(sketches: Sequence[DataFrame]) -> DataFrame:
         raise ValueError("need at least one sketch")
     from functools import reduce
 
-    u = reduce(DataFrame.unionByName, sketches)
+    u = reduce(DataFrame.unionByName, sketches).localCheckpoint(
+        eager=False
+    )  # referenced by the param gate AND the cell sum
     # scalar gate (always one row): >1 distinct parameter triple means
     # the inputs hash into DIFFERENT cell layouts — summing them would
     # silently corrupt every estimate, so raise instead
@@ -144,6 +146,9 @@ def cms_lookup(
     cols = list(item_cols)
     its = [F.col(c) for c in cols]
     probes = items.select(*cols).distinct()
+    sketch = sketch.localCheckpoint(
+        eager=False
+    )  # referenced by the param gate AND the probe join
     # scalar gate: the lookup's parameters must match the sketch's —
     # probing a width-2048 sketch with width-256 hashes would miss
     # cells and return underestimates the guarantee forbids. Empty

@@ -85,7 +85,7 @@ def _checked_keys(df: DataFrame, groups: "list[str]") -> DataFrame:
 
 
 def _ranked_distinct(
-    ref: DataFrame, v: Column, groups: "list[str]" = []
+    ref: DataFrame, v: Column, groups: "list[str] | None" = None
 ) -> DataFrame:
     """``(group..., __v, __c, __cum)`` — distinct values with counts
     and the cumulative count under the value order (per group when
@@ -93,6 +93,7 @@ def _ranked_distinct(
     never on raw rows (the docstring promise ``tests/test_plans.py``
     pins): raw rows reduce map-side in the groupBy first, so the sort
     the window implies only ever sees O(distinct values) rows."""
+    groups = list(groups or [])
     vc = (
         ref.select(*groups, _checked_long(v, "reference").alias("__v"))
         .groupBy(*groups, "__v")
@@ -132,6 +133,10 @@ def psi_buckets(
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     groups = list(group_cols or [])
+    if groups:
+        # direct callers (the sketch-fed-edges path) get the same
+        # fail-loud NULL-key promise the psi() wrapper enforces
+        ref = _checked_keys(ref, groups)
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     cum = _ranked_distinct(ref, v, groups).localCheckpoint(
         eager=False
@@ -173,9 +178,10 @@ def _bucketize(
     value,
     edges: DataFrame,
     n_buckets: int,
-    groups: "list[str]" = [],
+    groups: "list[str] | None" = None,
     where: str = "input",
 ):
+    groups = list(groups or [])
     v = _checked_long(
         F.col(value) if isinstance(value, str) else value, where
     )

@@ -1108,6 +1108,13 @@ def cross_correlation(
     if max_lag < 1:
         raise ValueError("max_lag must be >= 1")
     groups = list(group_cols or [])
+    if groups:
+        # the group joins below are null-unsafe — a NULL-keyed row
+        # would silently vanish from the monitor (the psi convention:
+        # raise instead)
+        from .drift import _checked_keys
+
+        df = _checked_keys(df, groups)
 
     def checked(c: str) -> Column:
         return F.when(

@@ -65,7 +65,13 @@ def word_graph(
         df.groupBy(did.alias("__did"))
         .agg(F.count("*").alias("__c"))
         .agg(
-            F.max(F.when(F.col("__c") > 1, F.col("__did"))).alias("__dup")
+            # boolean sentinel, NOT the key itself: max(NULL key) would
+            # read as "no duplicates" and let duplicated NULL doc_ids
+            # slip through the fail-loud contract
+            F.max(F.when(F.col("__c") > 1, F.lit(True))).alias("__dup"),
+            F.max(
+                F.when(F.col("__c") > 1, F.col("__did").cast("string"))
+            ).alias("__dup_key"),
         )
     )
     toks = (
@@ -80,7 +86,7 @@ def word_graph(
                 F.raise_error(
                     F.concat(
                         F.lit("word_graph: duplicate doc_id "),
-                        F.col("__dup").cast("string"),
+                        F.coalesce(F.col("__dup_key"), F.lit("NULL")),
                         F.lit(" — the contract is one row per document"),
                     )
                 ),

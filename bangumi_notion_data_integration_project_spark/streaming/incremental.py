@@ -1283,8 +1283,10 @@ def start_streaming_cms(
     Exactly-once: the cell merge is a CELL-WISE SUM — a commutative
     monoid, exact over disjoint batches, but NOT idempotent (unlike
     the bottom-k/HLL/KMV semilattice twins a replayed batch would
-    double-count). So this twin sits on rung 2 of DEPLOYMENT.md's
-    state-algebra ladder: the table carries a ``__batch_id`` watermark
+    double-count). So this twin sits on rung 3 of DEPLOYMENT.md's
+    state-algebra ladder (non-idempotent folds — rung 2 is the
+    semilattices that need no guard): the table carries a
+    ``__batch_id`` watermark
     and a checkpoint-recovery re-delivery (``batch_id <= watermark``)
     is skipped, the ``start_streaming_time_rollup`` guard verbatim.
     Same CONTRACT too: ``cms_dir`` and ``checkpoint_dir`` live and die
@@ -1308,6 +1310,19 @@ def start_streaming_cms(
         )
         if recover_dir(cms_dir):
             stored = spark.read.parquet(cms_dir)
+            # state written before the sketch carried its parameters
+            # as columns: adopt the stream's configured params (the
+            # twin has always required them to be fixed for the life
+            # of the checkpoint — same contract, now explicit) instead
+            # of crashing the unionByName on the missing columns
+            if "__depth" not in stored.columns:
+                stored = (
+                    stored.withColumn(
+                        "__depth", F.lit(int(depth)).cast("int")
+                    )
+                    .withColumn("__width", F.lit(int(width)).cast("int"))
+                    .withColumn("__seed", F.lit(int(seed)).cast("long"))
+                )
             bid = wm["v"]
             if bid is None:  # cold cache → recovery path, read disk
                 bid = stored.agg(F.max("__batch_id")).first()[0]

@@ -2056,3 +2056,66 @@ def test_streaming_cms_equals_batch_and_skips_replay(spark, tmp_path):
     for u, t in true.items():
         assert est[u] >= t
     assert est[999999] >= 0
+
+
+def test_streaming_cms_adopts_pre_param_column_state(spark, tmp_path):
+    """Second-review finding: stored sketch state written before the
+    parameter columns existed must be adopted (with the stream's
+    configured params), not crash the unionByName. Simulated as a
+    faithful upgrade: the stream runs, its state is rewritten to the
+    legacy (param-less) layout, the SAME checkpoint continues with a
+    new batch."""
+    from bangumi_notion_data_integration_project_spark.operators.cms import (
+        cms_build,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_cms,
+    )
+
+    rows1 = [(i, "2024-01-01 00:00:00", i % 11, "e", 1.0) for i in range(200)]
+    rows2 = [
+        (500 + i, "2024-01-02 00:00:00", i % 13, "e", 1.0) for i in range(150)
+    ]
+    inp = str(tmp_path / "in")
+    cms_dir = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = start_streaming_cms(
+            read_event_stream(spark, inp, SCHEMA),
+            cms_dir,
+            item_cols=["user_id"],
+            depth=3,
+            width=64,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    _write_batch(spark, inp, rows1)
+    run()
+
+    # downgrade the stored layout in place (what pre-upgrade code had
+    # written), keeping the checkpoint — the live-upgrade scenario
+    legacy = (
+        spark.read.parquet(cms_dir)
+        .drop("__depth", "__width", "__seed")
+        .localCheckpoint(eager=True)
+    )
+    import shutil
+
+    shutil.rmtree(cms_dir)
+    legacy.write.parquet(cms_dir)
+
+    _write_batch(spark, inp, rows2)
+    run()
+    got = {
+        (r["__d"], r["__w"]): r["cnt"]
+        for r in spark.read.parquet(cms_dir).drop("__batch_id").collect()
+    }
+    want = {
+        (r["__d"], r["__w"]): r["cnt"]
+        for r in cms_build(
+            _rows(spark, rows1 + rows2), ["user_id"], depth=3, width=64
+        ).collect()
+    }
+    assert got == want

@@ -279,3 +279,16 @@ def test_duplicate_doc_id_raises(spark):
     )
     with pytest.raises(Exception, match="duplicate doc_id"):
         word_graph(d, "doc_id", "text", window=2).collect()
+
+
+def test_duplicate_null_doc_id_also_raises(spark):
+    # second-review finding: max(NULL key) read as "no duplicates" —
+    # the sentinel gate must catch duplicated NULL ids too
+    import pytest
+
+    d = spark.createDataFrame(
+        [(None, "alpha beta"), (None, "beta gamma")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(Exception, match="duplicate doc_id NULL"):
+        word_graph(d, "doc_id", "text", window=2).collect()

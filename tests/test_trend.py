@@ -774,3 +774,18 @@ def test_cross_correlation_grouped_isolates_keys(spark):
     # each group's planted lead is found at its own lag
     assert max(got["a"], key=lambda k: got["a"][k][1]) == 2
     assert max(got["b"], key=lambda k: got["b"][k][1]) == 4
+
+
+def test_cross_correlation_null_group_key_raises(spark):
+    import datetime
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        cross_correlation,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = [("a", base + datetime.timedelta(days=i), i, i) for i in range(5)]
+    rows.append((None, base, 1, 1))
+    df = spark.createDataFrame(rows, "g string, d date, x long, y long")
+    with pytest.raises(Exception, match="NULL group key in g"):
+        cross_correlation(df, "d", "x", "y", group_cols=["g"]).collect()
