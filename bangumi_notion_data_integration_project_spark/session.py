@@ -40,6 +40,14 @@ def get_spark(app_name: str = "bangumi_spark_engine", master: str | None = None)
         # making time predicates prunable on files this engine writes
         # (measured in tools/bench_zorder.py / SCALING.md).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # The default 100-entry generated-class cache evicts constantly
+        # in any long-lived session running a diverse workload (the 212
+        # bench queries compile ~1.5k codegen stages per sweep, so a
+        # query's second visit recompiled everything — measured ~+8%
+        # across the board as the registry grew). A long-lived cluster
+        # sizes this to its workload; 5000 entries ≈ tens of MB of
+        # compiled classes.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
