@@ -32,11 +32,28 @@ from __future__ import annotations
 
 from collections.abc import Iterable, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _D = "__d"
 _W = "__w"
+
+
+def _checked_item(c: str, op_name: str) -> Column:
+    """Fail-loud NULL items (the psi/hampel/trend convention): Spark's
+    ``xxhash64`` SKIPS null arguments, so ('a', NULL) and (NULL, 'a')
+    would hash to the same cells and silently conflate their counts —
+    raise instead, and let the caller filter or impute NULLs
+    explicitly."""
+    return F.when(
+        F.col(c).isNull(),
+        F.raise_error(
+            F.lit(
+                f"{op_name}: NULL item value in {c} — filter or impute"
+                " NULL items explicitly before sketching"
+            )
+        ),
+    ).otherwise(F.col(c))
 
 
 def cms_build(
@@ -52,7 +69,7 @@ def cms_build(
     to be merged must share depth/width/seed."""
     if depth < 1 or width < 2:
         raise ValueError("depth >= 1 and width >= 2 required")
-    items = [F.col(c) for c in item_cols]
+    items = [_checked_item(c, "cms_build") for c in item_cols]
     if not items:
         raise ValueError("item_cols must name at least one column")
     cells = F.array(
@@ -144,7 +161,7 @@ def cms_lookup(
     cell ⇒ 0 ⇒ the item was never seen). The sketch (≤ depth·width
     rows) broadcasts; raw data is never touched."""
     cols = list(item_cols)
-    its = [F.col(c) for c in cols]
+    its = [_checked_item(c, "cms_lookup") for c in cols]
     probes = items.select(*cols).distinct()
     sketch = sketch.localCheckpoint(
         eager=False

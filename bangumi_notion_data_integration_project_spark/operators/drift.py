@@ -62,11 +62,15 @@ def _checked_long(v: Column, where: str) -> Column:
     ).otherwise(v.cast("long"))
 
 
-def _checked_keys(df: DataFrame, groups: "list[str]") -> DataFrame:
+def _checked_keys(
+    df: DataFrame, groups: "list[str]", op_name: str = "psi"
+) -> DataFrame:
     """Fail-loud NULL group keys: every join/groupBy below is
     null-UNSAFE on the key, so a NULL-keyed row would silently vanish
     from the grouped monitor while the global one counts it — raise
-    instead (same convention as the value check)."""
+    instead (same convention as the value check). ``op_name`` names the
+    calling operator in the error (shared with cross_correlation — a
+    CCF caller must not be told to fix its "psi" inputs)."""
     for g in groups:
         df = df.withColumn(
             g,
@@ -74,9 +78,9 @@ def _checked_keys(df: DataFrame, groups: "list[str]") -> DataFrame:
                 F.col(g).isNull(),
                 F.raise_error(
                     F.lit(
-                        f"psi: NULL group key in {g} — filter or"
+                        f"{op_name}: NULL group key in {g} — filter or"
                         " impute NULL keys explicitly before grouped"
-                        " drift monitoring"
+                        f" {op_name} monitoring"
                     )
                 ),
             ).otherwise(F.col(g)),

@@ -830,7 +830,10 @@ def mann_kendall(
     AGGREGATE, so the pairwise join is calendar-bounded (days², fixed
     at any data volume — the revenue_acf precedent), never raw-row-
     scaled. With ``group_cols`` the pair join equi-joins on the key
-    first. NULL x raises (the holt_linear convention)."""
+    first; every group reports a row — pairless groups (single point,
+    or all order values duplicated) carry S = 0 and NULL z via the
+    var_num guard, never silently vanish. NULL x raises (the
+    holt_linear convention)."""
     groups = list(group_cols or [])
     d = _trend_input(df, groups, order_col, x_col, "mann_kendall")
     a = d.select(
@@ -871,14 +874,24 @@ def mann_kendall(
         )
     )
     if groups:
+        # LEFT join + coalesce: a single-point group (or one whose
+        # order values are all duplicated) produces no pair rows, so an
+        # inner join would silently drop it from the monitor — report
+        # it with S = 0 instead (z comes out NULL via the var_num
+        # guard), and seasonal_mann_kendall's n_seasons/n_points then
+        # count every season, matching its pinned oracle
         base = ties.join(
             s.select(
                 *[F.col(f"__g_{g}").alias(g) for g in groups], "s_stat"
             ),
             groups,
+            "left",
         )
     else:
         base = ties.crossJoin(F.broadcast(s))
+    base = base.withColumn(
+        "s_stat", F.coalesce(F.col("s_stat"), F.lit(0)).cast("long")
+    )
     n = F.col("n_points")
     var_num = (
         n * (n - 1) * (F.lit(2) * n + 5) - F.col("tie_term")
@@ -1046,8 +1059,10 @@ def seasonal_mann_kendall(
     exact integers, so the combined variance numerator is one integer
     sum and the final z one double expression, identical across
     engines. Returns one row: (n_seasons, n_points, s_stat, var_s, z).
-    Seasons with a single point contribute S = 0 and Var = 0, so the
-    grouped operator dropping them is exact."""
+    Seasons with a single point contribute S = 0 and Var = 0 and ARE
+    counted in n_seasons/n_points (the grouped operator reports every
+    group — matching the pinned oracle's per_g chain, which aggregates
+    the tie table over all seasons)."""
     per = mann_kendall(df, order_col, x_col, group_cols=[season_col])
     n = F.col("n_points")
     var_num = (
@@ -1114,7 +1129,7 @@ def cross_correlation(
         # raise instead)
         from .drift import _checked_keys
 
-        df = _checked_keys(df, groups)
+        df = _checked_keys(df, groups, op_name="cross_correlation")
 
     def checked(c: str) -> Column:
         return F.when(
@@ -1228,8 +1243,13 @@ def ols_fit2(
     with every A/C one exact integer and b1/b2/intercept/r² each ONE
     double expression of those integers in a fixed op order — both
     engines agree bit-for-bit (the segmented_trend recipe). Collinear
-    inputs (det = 0) and zero-variance y report NULL coefficients /
-    NULL r² under the ANSI guard, never DIVIDE_BY_ZERO.
+    and NEAR-collinear inputs report NULL coefficients / NULL r²: the
+    guard is RELATIVE, ``|det| > 1e-12 · A11 · A22`` (A11·A22 ≥ det ≥ 0
+    for any real input, so this is 1 − ρ₁₂² > 1e-12) — an exact
+    ``det != 0`` compare would let double rounding of huge exact
+    integers wave numerically explosive coefficients through (the r9
+    ADVICE find). Zero-variance y likewise reports NULL r², never
+    DIVIDE_BY_ZERO.
 
     Returns one row per group: ``(group..., n, b1, b2, intercept,
     r2)``. Overflow bound: each A/C term is ≤ n²·max|x·y| and the
@@ -1282,7 +1302,13 @@ def ols_fit2(
     r2 = (b1 * c1.cast("double") + b2 * c2.cast("double")) / syy_c.cast(
         "double"
     )
-    ok = det != 0.0
+    # relative collinearity guard: det/(A11·A22) = 1 − ρ₁₂², so this
+    # NULLs groups whose features are >99.9999999999% correlated (and
+    # any zero-variance feature, where A11·A22 = 0) instead of trusting
+    # a rounding-level det
+    ok = F.abs(det) > F.lit(1e-12) * a11.cast("double") * a22.cast(
+        "double"
+    )
     out = agg.select(
         *groups,
         "n",

@@ -1274,6 +1274,7 @@ def start_streaming_cms(
     width: int = 2048,
     seed: int = 2024,
     checkpoint_dir: str,
+    adopt_legacy_params: bool = False,
 ):
     """Streaming count-min sketch (``operators/cms``): maintain the
     depth×width frequency cells over everything delivered; serve point
@@ -1311,11 +1312,40 @@ def start_streaming_cms(
         if recover_dir(cms_dir):
             stored = spark.read.parquet(cms_dir)
             # state written before the sketch carried its parameters
-            # as columns: adopt the stream's configured params (the
-            # twin has always required them to be fixed for the life
-            # of the checkpoint — same contract, now explicit) instead
-            # of crashing the unionByName on the missing columns
+            # as columns has NO verifiable depth/width/seed — stamping
+            # the stream's CURRENT config onto it would bypass the
+            # cms_merge mismatch gate exactly where it cannot be
+            # checked (a reconfigured job would silently corrupt every
+            # estimate). So the migration is an explicit one-time
+            # opt-in: the operator certifies the params are unchanged
+            # since the state was built, and the adoption is logged
+            # loudly so it leaves a trace (the r9 ADVICE find).
             if "__depth" not in stored.columns:
+                if not adopt_legacy_params:
+                    raise RuntimeError(
+                        "start_streaming_cms: stored state at"
+                        f" {cms_dir!r} predates the parameter columns"
+                        " and cannot be verified against this stream's"
+                        " depth/width/seed. If (and only if) the"
+                        " parameters are unchanged since the state was"
+                        " built, restart once with"
+                        " adopt_legacy_params=True to migrate it;"
+                        " otherwise wipe cms_dir AND checkpoint_dir"
+                        " together and rebuild."
+                    )
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "start_streaming_cms: adopting legacy (param-less)"
+                    " sketch state at %s with depth=%d width=%d seed=%d"
+                    " — UNVERIFIED: correctness rests on the operator's"
+                    " certification that these match the build-time"
+                    " parameters. Future state carries them as columns.",
+                    cms_dir,
+                    int(depth),
+                    int(width),
+                    int(seed),
+                )
                 stored = (
                     stored.withColumn(
                         "__depth", F.lit(int(depth)).cast("int")

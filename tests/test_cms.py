@@ -136,6 +136,24 @@ def test_parameter_validation(spark):
         cms_merge([])
 
 
+def test_null_item_fails_loud_in_build_and_lookup(spark):
+    # r9 ADVICE: xxhash64 SKIPS null arguments, so ('a', NULL) and
+    # (NULL, 'a') hash identically and conflate counts — NULL items
+    # raise (the psi/hampel/trend convention) instead
+    rows = [("a", None), (None, "a"), ("a", "b")]
+    df = spark.createDataFrame(rows, "k1 string, k2 string")
+    with pytest.raises(Exception, match="cms_build: NULL item value"):
+        cms_build(df, ["k1", "k2"], depth=2, width=16).collect()
+    sk = cms_build(
+        df.filter("k1 IS NOT NULL AND k2 IS NOT NULL"),
+        ["k1", "k2"],
+        depth=2,
+        width=16,
+    )
+    with pytest.raises(Exception, match="cms_lookup: NULL item value"):
+        cms_lookup(sk, df, ["k1", "k2"], depth=2, width=16).collect()
+
+
 def test_state_size_is_bounded(spark):
     rng = random.Random(8)
     xs = [rng.randrange(0, 100000) for _ in range(30000)]

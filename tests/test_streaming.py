@@ -2059,12 +2059,14 @@ def test_streaming_cms_equals_batch_and_skips_replay(spark, tmp_path):
 
 
 def test_streaming_cms_adopts_pre_param_column_state(spark, tmp_path):
-    """Second-review finding: stored sketch state written before the
-    parameter columns existed must be adopted (with the stream's
-    configured params), not crash the unionByName. Simulated as a
-    faithful upgrade: the stream runs, its state is rewritten to the
-    legacy (param-less) layout, the SAME checkpoint continues with a
-    new batch."""
+    """Legacy (param-less) sketch state is migrated only through the
+    explicit ``adopt_legacy_params=True`` opt-in — stamping the
+    stream's current config silently would bypass the cms_merge
+    mismatch gate exactly where it cannot be verified (the r9 ADVICE
+    find). Without the flag the fold fails loud; with it, the SAME
+    checkpoint continues exactly. Simulated as a faithful upgrade: the
+    stream runs, its state is rewritten to the legacy layout, a new
+    batch arrives."""
     from bangumi_notion_data_integration_project_spark.operators.cms import (
         cms_build,
     )
@@ -2080,7 +2082,7 @@ def test_streaming_cms_adopts_pre_param_column_state(spark, tmp_path):
     cms_dir = str(tmp_path / "cms")
     ckpt = str(tmp_path / "ckpt")
 
-    def run():
+    def run(adopt=False):
         q = start_streaming_cms(
             read_event_stream(spark, inp, SCHEMA),
             cms_dir,
@@ -2088,8 +2090,10 @@ def test_streaming_cms_adopts_pre_param_column_state(spark, tmp_path):
             depth=3,
             width=64,
             checkpoint_dir=ckpt,
+            adopt_legacy_params=adopt,
         )
         q.awaitTermination(180)
+        return q
 
     _write_batch(spark, inp, rows1)
     run()
@@ -2107,7 +2111,13 @@ def test_streaming_cms_adopts_pre_param_column_state(spark, tmp_path):
     legacy.write.parquet(cms_dir)
 
     _write_batch(spark, inp, rows2)
-    run()
+    # without the opt-in the fold refuses to guess the legacy params
+    with pytest.raises(Exception, match="adopt_legacy_params"):
+        run(adopt=False)
+    # stored state untouched by the refused fold: still param-less
+    assert "__depth" not in spark.read.parquet(cms_dir).columns
+
+    run(adopt=True)
     got = {
         (r["__d"], r["__w"]): r["cnt"]
         for r in spark.read.parquet(cms_dir).drop("__batch_id").collect()

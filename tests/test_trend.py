@@ -135,18 +135,38 @@ def test_degenerate_inputs(spark):
     )
     r = mann_kendall(flat, "d", "x").collect()[0]
     assert r["s_stat"] == 0 and r["z"] is None
-    # n=1 global: MK reports the point with NULL s/z; Sen has no pair
-    # -> empty frame (documented degenerates)
+    # n=1 global: MK reports the point with S=0 / NULL z; Sen has no
+    # pair -> empty frame (documented degenerates)
     one = spark.createDataFrame([(1, 5)], "d long, x long")
     r1 = mann_kendall(one, "d", "x").collect()[0]
-    assert r1["n_points"] == 1 and r1["s_stat"] is None and r1["z"] is None
+    assert r1["n_points"] == 1 and r1["s_stat"] == 0 and r1["z"] is None
     assert sen_slope(one, "d", "x").collect() == []
-    # grouped: a 1-point group produces no row, others unaffected
+    # grouped Sen: a 1-point group produces no row, others unaffected
     gdf = spark.createDataFrame(
         [("a", 1, 5), ("b", 1, 1), ("b", 2, 9)], "g string, d long, x long"
     )
     got = {r["g"]: r for r in sen_slope(gdf, "d", "x", group_cols=["g"]).collect()}
     assert list(got) == ["b"] and got["b"]["sen_slope"] == 8.0
+    # grouped MK: every group reports a row — the pairless 1-point
+    # group carries S=0 / NULL z instead of silently vanishing (the
+    # r9 ADVICE find), and a group whose order values are all
+    # duplicated (no a.d < b.d pair) likewise
+    gmk = {
+        r["g"]: r
+        for r in mann_kendall(gdf, "d", "x", group_cols=["g"]).collect()
+    }
+    assert set(gmk) == {"a", "b"}
+    assert gmk["a"]["n_points"] == 1 and gmk["a"]["s_stat"] == 0
+    assert gmk["a"]["z"] is None
+    assert gmk["b"]["s_stat"] == 1
+    dup = spark.createDataFrame(
+        [("c", 1, 5), ("c", 1, 9)], "g string, d long, x long"
+    )
+    rdup = mann_kendall(dup, "d", "x", group_cols=["g"]).collect()[0]
+    # two distinct x at one order value: no pair -> S = 0; tie_term = 0
+    # so var_num = 2*1*9 = 18 > 0 and the S = 0 branch reports z = 0.0
+    assert rdup["n_points"] == 2 and rdup["s_stat"] == 0
+    assert rdup["z"] == 0.0
 
 
 def test_null_x_raises(spark):
@@ -716,6 +736,8 @@ def test_ols2_duckdb_oracle_shape_cross_engine(spark):
           SELECT n, s1, s2, sy, c1, c2, syyc,
                  CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
                    - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE) AS det,
+                 1e-12 * CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                   AS det_eps,
                  (CAST(c1 AS DOUBLE) * CAST(a22 AS DOUBLE)
                    - CAST(c2 AS DOUBLE) * CAST(a12 AS DOUBLE)) AS b1n,
                  (CAST(a11 AS DOUBLE) * CAST(c2 AS DOUBLE)
@@ -723,13 +745,15 @@ def test_ols2_duckdb_oracle_shape_cross_engine(spark):
           FROM c
         )
         SELECT n,
-               CASE WHEN det <> 0.0 THEN round(b1n / det, 9) END AS b1,
-               CASE WHEN det <> 0.0 THEN round(b2n / det, 9) END AS b2,
-               CASE WHEN det <> 0.0 THEN round(
+               CASE WHEN abs(det) > det_eps
+                    THEN round(b1n / det, 9) END AS b1,
+               CASE WHEN abs(det) > det_eps
+                    THEN round(b2n / det, 9) END AS b2,
+               CASE WHEN abs(det) > det_eps THEN round(
                  (CAST(sy AS DOUBLE) - (b1n / det) * CAST(s1 AS DOUBLE)
                   - (b2n / det) * CAST(s2 AS DOUBLE))
                  / CAST(n AS DOUBLE), 4) END AS intercept,
-               CASE WHEN det <> 0.0 AND syyc > 0 THEN round(
+               CASE WHEN abs(det) > det_eps AND syyc > 0 THEN round(
                  ((b1n / det) * CAST(c1 AS DOUBLE)
                   + (b2n / det) * CAST(c2 AS DOUBLE))
                  / CAST(syyc AS DOUBLE), 6) END AS r2
