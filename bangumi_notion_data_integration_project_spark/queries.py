@@ -6803,29 +6803,408 @@ def q_events_conversion_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_survival(per_u, "duration_days", "converted")
 
 
+def _daily_revenue_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day order revenue in exact cents — the shared trend-battery
+    input (the km_survival/holt contract: feed the per-period
+    aggregate so every pairwise/window stage is calendar-bounded)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+
+
+def q_revenue_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily revenue cents
+    (operators/stats.mann_kendall): S is the exact integer sign sum
+    over the calendar-bounded pairwise join (days², fixed at any fact
+    volume), the tie-corrected variance numerator is one integer
+    expression, and the continuity-corrected z is ONE double — both
+    engines agree bit-for-bit (chain pinned cross-engine in
+    tests/test_trend.py). Completes the randomness/trend battery:
+    runs_test asks "is it random", this asks "is it monotone", Sen's
+    slope (revenue_sen_trend) asks "how steep"."""
+    from .operators.stats import mann_kendall
+
+    return mann_kendall(_daily_revenue_cents(spark, sf_dir), "d", "x")
+
+
+def q_orders_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch-Slack) on daily revenue with
+    day-of-week seasons (operators/stats.seasonal_mann_kendall): MK
+    runs WITHIN each dow so the weekly cycle cannot masquerade as
+    trend; S and Var(S) sum across seasons. The season key is
+    days-since-epoch-Monday mod 7 via datediff arithmetic — Spark's
+    dayofweek() is 1=Sunday..7 while DuckDB's is 0=Sunday..6, so the
+    builtin is NOT cross-engine safe (the pinned trap,
+    tests/test_trend.py)."""
+    from .operators.stats import seasonal_mann_kendall
+
+    daily = _daily_revenue_cents(spark, sf_dir)
+    dowd = daily.withColumn(
+        "dow",
+        (F.datediff("d", F.lit("1970-01-05").cast("date")) % 7).cast(
+            "long"
+        ),
+    )
+    return seasonal_mann_kendall(dowd, "d", "x", "dow")
+
+
+def q_revenue_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of MONTHLY revenue cents
+    (operators/stats.sen_slope): the median of all pairwise slopes
+    over the rank-indexed series, immune to the outliers that wreck
+    OLS. Monthly grain is the deliberate registry choice — the daily
+    series' 2.9M-pair single-partition rank pass measured 4.3 s, while
+    ~80 months is 3160 pairs (the grain IS the scale story: Sen is
+    quadratic in periods, so you pick the period, not the row count).
+    Both medians are LOWER order statistics of exact integer-ratio
+    doubles — bit-equal across engines (pinned in
+    tests/test_trend.py)."""
+    from .operators.stats import sen_slope
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("m")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return sen_slope(monthly, "m", "x")
+
+
+def q_revenue_ship_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation (±7-day lags) between daily ORDER revenue and
+    daily SHIPPED revenue (operators/stats.cross_correlation) — "how
+    long after ordering does revenue ship?": deviations are exact
+    integers (n·x − Σx), lag products and both denominators accumulate
+    exactly in DECIMAL(38,0) under any partitioning, each ccf is ONE
+    double expression. The lag pairing is a broadcast calendar
+    self-join on the per-day aggregate — days², never raw-row-scaled
+    (chain pinned cross-engine in tests/test_trend.py)."""
+    from .operators.stats import cross_correlation
+
+    ox = _daily_revenue_cents(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    sy = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    both = ox.join(sy, "d")
+    return cross_correlation(both, "d", "x", "y", max_lag=7)
+
+
+def q_events_type_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type PSI drift monitor (operators/drift.psi_grouped —
+    ONE shared implementation with the global psi): events value cents
+    split on day-of-month parity, 6 buckets per type. The group key
+    threads through every stage — per-group exact order-statistic
+    edges built on the DISTINCT-VALUE aggregate (plan-pinned, never
+    raw rows), grouped bucketize join, per-group Laplace-smoothed
+    shares, per-group 1e-9-rounded integer term sum. NULL keys raise
+    (fail-loud, never silently vanish from the monitor). Chain pinned
+    cross-engine in tests/test_drift.py."""
+    from .operators.drift import psi_grouped
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth("ts").alias("dom"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    ref = e.filter(F.col("dom") % 2 == 0).select("event_type", "x")
+    cur = e.filter(F.col("dom") % 2 == 1).select("event_type", "x")
+    return psi_grouped(ref, cur, "x", ["event_type"], n_buckets=6)
+
+
+def q_events_type_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Hampel filter over per-event-type daily value cents
+    (operators/robust.hampel_outliers with group_cols): every rolling
+    window partitions by the type, so one spiky type can't pollute
+    another's median/MAD. Exact integer order statistics end to end
+    (lower-median at plan-literal rank 4 of the sorted 7-day window);
+    edge rows and NULL-containing windows report NULL via the count(x)
+    fullness gate. Chain pinned cross-engine in tests/test_robust.py."""
+    from .operators.robust import hampel_outliers
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return hampel_outliers(
+        daily, "d", "x", group_cols=["event_type"], half_window=3, n_mads=3
+    )
+
+
+def q_lineitem_ols2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature closed-form OLS — lineitem price cents on quantity
+    and discount basis points (operators/stats.ols_fit2): nine exact
+    integer moments in ONE map-side-combinable aggregate (the only
+    shuffle carries one row), Cramer's rule on the centered 2×2
+    system, b1/b2/intercept/r² each ONE double expression of exact
+    integers. Collinearity guard is RELATIVE (|det| > 1e-12·A11·A22);
+    chain pinned cross-engine in tests/test_trend.py."""
+    from .operators.stats import ols_fit2
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_discount") * 10000).cast("long").alias("disc_bp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return ols_fit2(li, "q", "disc_bp", "cents")
+
+
+def q_events_type_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Mann-Kendall — one trend verdict per event type over
+    its daily value-cents series (operators/stats.mann_kendall with
+    group_cols): the pairwise sign join adds the type equality, so
+    each group's S/ties/z are computed in isolation; every group
+    reports a row (a pairless group carries S = 0 and NULL z — the
+    left-join fix from the r9 ADVICE). The per-group chain is the
+    pinned global MK SQL with the key threaded through (the
+    psi_grouped/hampel-grouped house pattern)."""
+    from .operators.stats import mann_kendall
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return mann_kendall(daily, "d", "x", group_cols=["event_type"])
+
+
+def q_events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order event-type Markov chain — how
+    predictable is the next step given the current one. Builds on the
+    events_markov transition counts (same user-day lag window): per
+    current-state entropy H(cur) = −Σ p·log₂p over its outgoing
+    transition probabilities, stationary weight π(cur) = n_out/Σn_out
+    (the empirical visit share), and rate = Σ π·H. Float sums are made
+    ORDER-FREE by the psi trick: each p·log₂p term (and each π·H
+    contribution) is rounded at 1e-9, cast to integer, and
+    integer-summed — so the Σ is identical under any partitioning and
+    across engines. One row per state with the global rate repeated
+    (the psi single-pass-reader convention)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", F.to_date("ts")).orderBy(
+        "ts", "event_id"
+    )
+    counts = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), "next_type")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+    )
+    totals = counts.groupBy("cur").agg(
+        F.sum("n_pairs").cast("long").alias("n_out")
+    )
+    p = F.col("n_pairs").cast("double") / F.col("n_out").cast("double")
+    terms = counts.join(totals, "cur").select(
+        "cur",
+        "n_out",
+        F.round(p * F.log2(p) * F.lit(1000000000.0))
+        .cast("long")
+        .alias("__tn"),
+    )
+    hper = terms.groupBy("cur", "n_out").agg(
+        (
+            -(F.sum("__tn").cast("double") / F.lit(1000000000.0))
+        ).alias("__h_raw")
+    )
+    gt = hper.agg(F.sum("n_out").cast("long").alias("__n_total"))
+    pi = F.col("n_out").cast("double") / F.col("__n_total").cast("double")
+    contrib = hper.crossJoin(F.broadcast(gt)).select(
+        "cur",
+        "n_out",
+        "__h_raw",
+        pi.alias("__pi_raw"),
+        F.round(pi * F.col("__h_raw") * F.lit(1000000000.0))
+        .cast("long")
+        .alias("__cn"),
+    )
+    rate = contrib.agg(
+        F.round(
+            F.sum("__cn").cast("double") / F.lit(1000000000.0), 6
+        ).alias("entropy_rate")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(rate))
+        .select(
+            "cur",
+            "n_out",
+            F.round("__pi_raw", 6).alias("pi"),
+            F.round("__h_raw", 6).alias("h_bits"),
+            "entropy_rate",
+        )
+        .orderBy("cur")
+    )
+
+
+def q_parts_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-frequency estimates from a count-min sketch
+    (operators/cms): depth=4 × width=4096 integer cells are the ONLY
+    state (constant-size at any fact volume; the build is one
+    map-side-combinable (d,w) groupBy), probed for the top-25 parts by
+    exact lineitem count. Self-validating rows-only (DuckDB has no
+    Spark-compatible xxhash64): est_ge_exact must ALWAYS read true
+    (the deterministic CM guarantee — est ≥ true), and within_bound
+    checks est ≤ exact + ceil(e/width·N), the w.p. ≥ 1−e⁻⁴ ceiling —
+    verified true at sf0.001/0.01/0.1 (seeded hashes → the estimates
+    are a fixed function of the data, not of the run)."""
+    import math
+
+    from .operators.cms import cms_build, cms_lookup
+
+    depth, width = 4, 4096
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    sketch = cms_build(li, ["l_partkey"], depth=depth, width=width)
+    exact = li.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("exact")
+    )
+    top = exact.orderBy(
+        F.col("exact").desc(), F.col("l_partkey").asc()
+    ).limit(25)
+    est = cms_lookup(sketch, top, ["l_partkey"], depth=depth, width=width)
+    n_total = li.agg(F.count("*").cast("long").alias("__n"))
+    bound = F.ceil(
+        F.lit(math.e / float(width)) * F.col("__n").cast("double")
+    ).cast("long")
+    return (
+        top.join(F.broadcast(est), "l_partkey")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "l_partkey",
+            "exact",
+            "est",
+            bound.alias("err_bound"),
+            (F.col("est") >= F.col("exact")).alias("est_ge_exact"),
+            (F.col("est") <= F.col("exact") + bound).alias("within_bound"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks a
-# strict 50-entry prefix of this dict. The round-9 window carries, in
-# order: (a) the 9 queries built in round 8 and never driver-checked —
-# new queries outrank every refresh; (b) the 12 r4-vintage rows that
-# spilled from the r8 window (the registry's stalest driver evidence —
-# this retires the r4 debt entirely); (c) the 29 stalest r5-vintage
-# refreshes, kept in their prior relative order (the rotation note
-# said 28 + fill the last slot with the stalest remaining r5 row —
-# ann_ivf_recall). No registered query's code path changed this round
-# (the ADVICE fixes touch drift/robust/textrank, first registered at
-# positions 51-58 below, outside this window).
+# strict 50-entry prefix of this dict. The round-10 window carries, in
+# order: (a) the 8 queries built in r8/r9 and never driver-checked —
+# new queries outrank every refresh; (b) the 15 r5-vintage rows (the
+# registry's stalest driver evidence — this retires the r5 debt
+# entirely, vintage floor becomes r6); (c) the 27 stalest r6-vintage
+# refreshes in their prior relative order. No in-window query's code
+# path changed this round (the r9 ADVICE fixes touch mann_kendall/
+# cross_correlation/ols_fit2/cms — all first registered at positions
+# 51-60 below, outside this window — plus the psi/hampel NULL-key
+# error TEXT, which no in-window input triggers).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- NEW for r9 (built in r8, never driver-checked): Durbin-
-    # --    Levinson PACF (machine-generated unrolled oracle), Holt linear
-    # --    smoothing (recursive-CTE oracle), Wald-Wolfowitz runs test,
-    # --    two-segment changepoint fit, per-segment Kaplan-Meier churn,
-    # --    RAKE keywords, branching entropy; rows-only self-validating:
-    # --    grouped sketch quantiles with per-group rank bound, HLL
-    # --    audience overlap with exact-intersection tolerance check
+    # -- the 8 queries built in r8/r9 and never driver-checked — new
+    # -- queries outrank every refresh (the standing rotation rule):
+    # -- TextRank keywords + keyphrases, PSI price-drift monitor,
+    # -- Hampel rolling-median/MAD outliers, KMV audience overlap
+    # -- (rows-only self-validating), per-segment Holt, per-type
+    # -- changepoint, funnel time-to-conversion KM
+    "docs_textrank_keywords": q_docs_textrank_keywords,
+    "docs_textrank_phrases": q_docs_textrank_phrases,
+    "orders_price_psi": q_orders_price_psi,
+    "revenue_hampel_outliers": q_revenue_hampel_outliers,
+    "events_user_overlap_setsketch": q_events_user_overlap_setsketch,
+    "segment_holt": q_segment_holt,
+    "events_type_breakpoint": q_events_type_breakpoint,
+    "events_conversion_km": q_events_conversion_km,
+    # -- the 15 r5-vintage rows (the registry's stalest driver
+    # -- evidence — this retires the r5 debt entirely; vintage floor
+    # -- becomes r6)
+    "event_sliding_window": q_event_sliding_window,
+    "orders_scd2": q_orders_scd2,
+    "dedup_components": q_dedup_components,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "purchases_after_click": q_purchases_after_click,
+    "filtered_revenue": q_filtered_revenue,
+    "docs_pii_scrub": q_docs_pii_scrub,
+    "salted_skew_join": q_salted_skew_join,
+    "name_edit_distance": q_name_edit_distance,
+    "price_percentiles": q_price_percentiles,
+    "summary_grouping_sets": q_summary_grouping_sets,
+    "docs_hash_sample": q_docs_hash_sample,
+    "docs_group_quota": q_docs_group_quota,
+    "docs_quality_bins": q_docs_quality_bins,
+    "vocab_topk": q_vocab_topk,
+    # -- the 27 stalest r6-vintage refreshes in prior relative order
+    "events_time_rollup_refresh": q_events_time_rollup_refresh,
+    "docs_bpe_merges_batched": q_docs_bpe_merges_batched,
+    "embedding_near_dup_topk": q_embedding_near_dup_topk,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
+    "supplier_lead_times": q_supplier_lead_times,
+    "docs_token_coverage": q_docs_token_coverage,
+    "docs_winnowing": q_docs_winnowing,
+    "orders_chi2_cells": q_orders_chi2_cells,
+    "segment_share_yoy": q_segment_share_yoy,
+    "lineitem_weighted_median": q_lineitem_weighted_median,
+    "events_user_quantiles": q_events_user_quantiles,
+    "orders_gap_stats": q_orders_gap_stats,
+    "docs_ngram_novelty": q_docs_ngram_novelty,
+    "docs_setsim_prefix": q_docs_setsim_prefix,
+    "docs_containment": q_docs_containment,
+    "brand_monthly_trend": q_brand_monthly_trend,
+    "docs_bigram_logprob": q_docs_bigram_logprob,
+    "docs_bpe_merges": q_docs_bpe_merges,
+    "events_time_rollup": q_events_time_rollup,
+    "embedding_near_dup": q_embedding_near_dup,
+    "orders_above_cust_avg": q_orders_above_cust_avg,
+    "customers_without_orders": q_customers_without_orders,
+    "lineitem_unpivot": q_lineitem_unpivot,
+    "suppliers_per_region": q_suppliers_per_region,
+    "image_resize": q_image_resize,
+    "video_frame_sample": q_video_frame_sample,
+    "decontaminate_overlap": q_decontaminate_overlap,
+    # --------- driver checked-window boundary (position 50) ---------
+    # ROUND-11 ROTATION NOTE: after r10 lands, the vintage floor is r6
+    # (15 r5 rows retired above) and the stalest evidence is the 23
+    # remaining r6 rows at the registry tail (parts_skyline ..
+    # late_shipment_priority) followed by the 50 r7-vintage rows.
+    # Rotate the r11 window onto the 10 r11-new queries below
+    # (positions 51-60, never driver-checked) + those 23 r6 rows + the
+    # 17 most user-critical r7 rows, FLAGSHIP FAMILY FIRST so the
+    # reference-parity anchors never age past 4 rounds:
+    # category_summary, global_summary, revenue_by_nation,
+    # project_truncate, filter_nonempty, timestamp_parse, json_extract,
+    # map_multikey, token_pivot, merge_inserts, merge_deletes,
+    # merge_full_sync, merge_upsert, dedup_exact, orders_asof_join,
+    # then fuzzy_name_blocking + events_twap (the stalest two by
+    # position). Displaces the other 33 r7 rows to r12. Do NOT
+    # register more new queries than the window budget (~10).
+    # -- NEW for r11 (operators built r9, registered r10, oracles
+    # -- cross-engine pinned in tests/test_trend.py, test_drift.py,
+    # -- test_robust.py BEFORE registration — the house de-risk
+    # -- pattern): Mann-Kendall + seasonal (dow) MK + grouped
+    # -- (per-type) MK, monthly Theil-Sen, order-vs-ship CCF, grouped
+    # -- PSI, grouped Hampel, two-feature OLS, Markov entropy rate;
+    # -- rows-only self-validating: count-min sketch frequency
+    # -- estimates with est>=exact (deterministic guarantee) and
+    # -- e/width*N bound columns
+    "revenue_mann_kendall": q_revenue_mann_kendall,
+    "orders_seasonal_mk": q_orders_seasonal_mk,
+    "revenue_sen_trend": q_revenue_sen_trend,
+    "revenue_ship_ccf": q_revenue_ship_ccf,
+    "events_type_psi": q_events_type_psi,
+    "events_type_hampel": q_events_type_hampel,
+    "lineitem_ols2": q_lineitem_ols2,
+    "events_type_mk": q_events_type_mk,
+    "events_markov_entropy": q_events_markov_entropy,
+    "parts_freq_cms": q_parts_freq_cms,
+    # -- displaced r10: the r9 window, every row green in r9
     "revenue_pacf": q_revenue_pacf,
     "revenue_holt": q_revenue_holt,
     "revenue_runs_test": q_revenue_runs_test,
@@ -6835,7 +7214,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_branching_entropy": q_docs_branching_entropy,
     "events_value_quantiles_sketch": q_events_value_quantiles_sketch,
     "events_type_overlap_sketch": q_events_type_overlap_sketch,
-    # -- the 12 r4-vintage spills from r8 (stalest driver rows)
     "ann_pq_recall": q_ann_pq_recall,
     "customer_set_ops": q_customer_set_ops,
     "dedup_bow": q_dedup_bow,
@@ -6848,7 +7226,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_max_concurrency_2p": q_events_max_concurrency_2p,
     "lineitem_correlations": q_lineitem_correlations,
     "merge_updates": q_merge_updates,
-    # -- 29 stalest r5-vintage refreshes in prior relative order
     "events_markov": q_events_markov,
     "revenue_gini": q_revenue_gini,
     "docs_lang_confusion": q_docs_lang_confusion,
@@ -6878,33 +7255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
-    # --------- driver checked-window boundary (position 50) ---------
-    # ROUND-10 ROTATION NOTE: after r9 lands, every driver row is r5+
-    # (the r4 debt is retired this round) and the stalest evidence is
-    # the 15 r5-vintage rows at the registry tail (event_sliding_window
-    # .. vocab_topk) followed by the 50 r6-vintage rows. Rotate the r10
-    # window onto the 8 r10-new queries below (positions 51-58, never
-    # driver-checked) + those 15 r5 rows + the 27 stalest r6 rows in
-    # their prior relative order (events_time_rollup_refresh ..
-    # docs_bpe_merges at minimum; changed-code refreshes first as
-    # usual), displacing the remaining 23 r6 rows to r11. Do NOT
-    # register more new queries than the window budget (~10).
-    # -- NEW for r10 (built in r8/r9, never driver-checked):
-    # --    TextRank keywords + keyphrases (unrolled weighted-pagerank
-    # --    oracle, per-iteration 1e-9 re-snap), PSI price-drift monitor,
-    # --    Hampel rolling-median/MAD outliers, per-segment Holt, per-type
-    # --    changepoint, funnel time-to-conversion KM; rows-only
-    # --    self-validating: KMV bottom-k overlap vs exact with 2.7-sigma
-    # --    tolerance columns
-    "docs_textrank_keywords": q_docs_textrank_keywords,
-    "docs_textrank_phrases": q_docs_textrank_phrases,
-    "orders_price_psi": q_orders_price_psi,
-    "revenue_hampel_outliers": q_revenue_hampel_outliers,
-    "events_user_overlap_setsketch": q_events_user_overlap_setsketch,
-    "segment_holt": q_segment_holt,
-    "events_type_breakpoint": q_events_type_breakpoint,
-    "events_conversion_km": q_events_conversion_km,
-    # -- displaced r9: the r8 window, every row green in r8
+    # -- r8-vintage rows in their prior order
     "lineitem_quantile_sketch": q_lineitem_quantile_sketch,
     "lineitem_sketch_merge": q_lineitem_sketch_merge,
     "events_weekly_users_sketch": q_events_weekly_users_sketch,
@@ -7006,34 +7357,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_parts_per_brand": q_top_parts_per_brand,
     "merge_inserts": q_merge_inserts,
     "merge_deletes": q_merge_deletes,
-    # -- r6-vintage rows in their prior order
-    "events_time_rollup_refresh": q_events_time_rollup_refresh,
-    "docs_bpe_merges_batched": q_docs_bpe_merges_batched,
-    "embedding_near_dup_topk": q_embedding_near_dup_topk,
-    "orders_cohort_ltv": q_orders_cohort_ltv,
-    "supplier_lead_times": q_supplier_lead_times,
-    "docs_token_coverage": q_docs_token_coverage,
-    "docs_winnowing": q_docs_winnowing,
-    "orders_chi2_cells": q_orders_chi2_cells,
-    "segment_share_yoy": q_segment_share_yoy,
-    "lineitem_weighted_median": q_lineitem_weighted_median,
-    "events_user_quantiles": q_events_user_quantiles,
-    "orders_gap_stats": q_orders_gap_stats,
-    "docs_ngram_novelty": q_docs_ngram_novelty,
-    "docs_setsim_prefix": q_docs_setsim_prefix,
-    "docs_containment": q_docs_containment,
-    "brand_monthly_trend": q_brand_monthly_trend,
-    "docs_bigram_logprob": q_docs_bigram_logprob,
-    "docs_bpe_merges": q_docs_bpe_merges,
-    "events_time_rollup": q_events_time_rollup,
-    "embedding_near_dup": q_embedding_near_dup,
-    "orders_above_cust_avg": q_orders_above_cust_avg,
-    "customers_without_orders": q_customers_without_orders,
-    "lineitem_unpivot": q_lineitem_unpivot,
-    "suppliers_per_region": q_suppliers_per_region,
-    "image_resize": q_image_resize,
-    "video_frame_sample": q_video_frame_sample,
-    "decontaminate_overlap": q_decontaminate_overlap,
+    # -- the 23 r6-vintage rows displaced to r11 (stalest evidence
+    # -- after this round — first in line per the rotation note above)
     "parts_skyline": q_parts_skyline,
     "incremental_agg_merge": q_incremental_agg_merge,
     "events_retention": q_events_retention,
@@ -7057,23 +7382,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_share": q_market_share,
     "important_parts": q_important_parts,
     "late_shipment_priority": q_late_shipment_priority,
-    # -- the 15 r5-vintage rows that spill to r10 (refresh first)
-    "event_sliding_window": q_event_sliding_window,
-    "orders_scd2": q_orders_scd2,
-    "dedup_components": q_dedup_components,
-    "embedding_dup_pairs": q_embedding_dup_pairs,
-    "purchases_after_click": q_purchases_after_click,
-    "filtered_revenue": q_filtered_revenue,
-    "docs_pii_scrub": q_docs_pii_scrub,
-    "salted_skew_join": q_salted_skew_join,
-    "name_edit_distance": q_name_edit_distance,
-    "price_percentiles": q_price_percentiles,
-    "summary_grouping_sets": q_summary_grouping_sets,
-    "docs_hash_sample": q_docs_hash_sample,
-    "docs_group_quota": q_docs_group_quota,
-    "docs_quality_bins": q_docs_quality_bins,
-    "vocab_topk": q_vocab_topk,
 }
+
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
 _TOKS = "string_split_regex(trim(text), '\\s+')"
@@ -11252,4 +11562,448 @@ ORACLES["events_conversion_km"] = """
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                  (a, b) -> a * b), 6) AS survival
     FROM steps ORDER BY duration_days
+"""
+
+# --- r11-batch oracles: copied verbatim from the cross-engine pins in
+# tests/test_trend.py / test_drift.py / test_robust.py (the house
+# de-risk pattern — oracle SQL is pinned bit-equal to the operator
+# BEFORE registration). parts_freq_cms is rows-only self-validating
+# (Spark-seeded xxhash64 has no DuckDB twin).
+
+ORACLES["revenue_mann_kendall"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), pairs AS (
+      SELECT CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+      FROM daily a JOIN daily b ON a.d < b.d
+    ), s AS (
+      SELECT CAST(coalesce(sum(sg), 0) AS BIGINT) AS s_stat FROM pairs
+    ), ties AS (
+      SELECT CAST(sum(t) AS BIGINT) AS n_points,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY x) z
+    )
+    SELECT n_points, s_stat, tie_term,
+           round(CAST(n_points * (n_points - 1) * (2 * n_points + 5)
+                      - tie_term AS DOUBLE) / 18.0, 4) AS var_s,
+           round(CASE WHEN n_points * (n_points - 1) * (2 * n_points + 5)
+                           - tie_term > 0 THEN
+             CASE WHEN s_stat > 0
+                  THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                       / sqrt(CAST(n_points * (n_points - 1)
+                                   * (2 * n_points + 5) - tie_term
+                              AS DOUBLE) / 18.0)
+                  WHEN s_stat < 0
+                  THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                       / sqrt(CAST(n_points * (n_points - 1)
+                                   * (2 * n_points + 5) - tie_term
+                              AS DOUBLE) / 18.0)
+                  ELSE 0.0 END
+           END, 6) AS z
+    FROM ties, s
+"""
+
+# Season key: days-since-epoch-Monday mod 7 — Spark dayofweek() is
+# 1=Sunday..7 while DuckDB's is 0=Sunday..6, so the builtin is NOT
+# cross-engine safe (the pinned dow trap, tests/test_trend.py).
+ORACLES["orders_seasonal_mk"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), dowd AS (
+      SELECT d, x,
+             CAST(date_diff('day', DATE '1970-01-05', d) % 7
+                  AS BIGINT) AS g
+      FROM daily
+    ), pairs AS (
+      SELECT CASE WHEN b.x > a.x THEN 1
+                  WHEN b.x < a.x THEN -1 ELSE 0 END AS sg
+      FROM dowd a JOIN dowd b ON a.g = b.g AND a.d < b.d
+    ), s AS (
+      SELECT CAST(coalesce(sum(sg), 0) AS BIGINT) AS s_stat FROM pairs
+    ), per_g AS (
+      SELECT g, CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+      FROM (SELECT g, CAST(count(*) AS BIGINT) AS t
+            FROM dowd GROUP BY g, x) z
+      GROUP BY g
+    ), comb AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_seasons,
+             CAST(sum(n) AS BIGINT) AS n_points,
+             CAST(sum(n * (n - 1) * (2 * n + 5) - tie) AS BIGINT)
+               AS var_num
+      FROM per_g
+    )
+    SELECT n_seasons, n_points, s_stat,
+           round(CAST(var_num AS DOUBLE) / 18.0, 4) AS var_s,
+           round(CASE WHEN var_num > 0 THEN
+             CASE WHEN s_stat > 0
+                  THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                       / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                  WHEN s_stat < 0
+                  THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                       / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                  ELSE 0.0 END
+           END, 6) AS z
+    FROM comb, s
+"""
+
+ORACLES["revenue_sen_trend"] = """
+    WITH monthly AS (
+      SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), dt AS (
+      SELECT x, CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS t
+      FROM monthly
+    ), pairs AS (
+      SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS s,
+             a.t AS ta, b.t AS tb
+      FROM dt a JOIN dt b ON a.t < b.t
+    ), ranked AS (
+      SELECT s, row_number() OVER (ORDER BY s, ta, tb) AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pairs
+    ), med AS (
+      SELECT s AS slope, m AS n_pairs FROM ranked
+      WHERE rk = (m + 1) // 2
+    ), resid AS (
+      SELECT CAST(dt.x AS DOUBLE) - med.slope * CAST(dt.t AS DOUBLE)
+               AS res,
+             dt.t, med.n_pairs, med.slope
+      FROM dt, med
+    ), rranked AS (
+      SELECT res, n_pairs, slope,
+             row_number() OVER (ORDER BY res, t) AS rr,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM resid
+    )
+    SELECT n AS n_points, n_pairs,
+           round(slope, 9) AS sen_slope, round(res, 4) AS intercept
+    FROM rranked WHERE rr = (n + 1) // 2
+"""
+
+ORACLES["revenue_ship_ccf"] = """
+    WITH ox AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), sy AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ), xy AS (
+      SELECT ox.d, ox.x, sy.y FROM ox JOIN sy ON ox.d = sy.d
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy2
+      FROM xy
+    ), dev AS (
+      SELECT d, CAST(n AS HUGEINT) * x - sx AS dx,
+             CAST(n AS HUGEINT) * y - sy2 AS dy
+      FROM xy, tot
+    ), den AS (
+      SELECT sum(dx * dx) AS denx, sum(dy * dy) AS deny FROM dev
+    ), pairs AS (
+      SELECT CAST(date_diff('day', a.d, b.d) AS BIGINT) AS lag,
+             a.dx * b.dy AS prod
+      FROM dev a JOIN dev b
+        ON date_diff('day', a.d, b.d) BETWEEN -7 AND 7
+    )
+    SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           CASE WHEN denx > 0 AND deny > 0 THEN
+             round(CAST(sum(prod) AS DOUBLE)
+                   / sqrt(CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)),
+                   6)
+           END AS ccf
+    FROM pairs, den GROUP BY lag, denx, deny ORDER BY lag
+"""
+
+ORACLES["events_type_psi"] = """
+    WITH ref AS (
+      SELECT event_type AS s,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE day(CAST(ts AS DATE)) % 2 = 0
+    ), cur AS (
+      SELECT event_type AS s,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE day(CAST(ts AS DATE)) % 2 = 1
+    ), vc AS (
+      SELECT s, x AS v, CAST(count(*) AS BIGINT) AS c
+      FROM ref GROUP BY 1, 2
+    ), cum AS (
+      SELECT s, v, CAST(sum(c) OVER (PARTITION BY s ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+      FROM vc
+    ), nn AS (
+      SELECT s, CAST(max(cum) AS BIGINT) AS n FROM cum GROUP BY s
+    ), targets AS (
+      SELECT nn.s, b AS bucket,
+             CAST(ceil(CAST(b AS DOUBLE) * CAST(n AS DOUBLE) / 6.0)
+                  AS BIGINT) AS r
+      FROM (SELECT unnest(range(1, 6)) AS b), nn
+    ), edges AS (
+      SELECT c.s, CAST(t.bucket AS INT) AS bucket, min(c.v) AS edge
+      FROM cum c JOIN targets t ON c.s = t.s
+      WHERE c.cum >= t.r GROUP BY c.s, t.bucket
+    ), rvc AS (
+      SELECT s, x AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM ref GROUP BY 1, 2
+    ), rbk AS (
+      SELECT r.s, r.v, r.cnt, CAST(1 + count(e.edge) AS INT) AS bucket
+      FROM rvc r LEFT JOIN edges e ON r.s = e.s AND r.v > e.edge
+      GROUP BY r.s, r.v, r.cnt
+    ), rcnt AS (
+      SELECT s, bucket, CAST(sum(cnt) AS BIGINT) AS c
+      FROM rbk GROUP BY 1, 2
+    ), cvc AS (
+      SELECT s, x AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM cur GROUP BY 1, 2
+    ), cbk AS (
+      SELECT r.s, r.v, r.cnt, CAST(1 + count(e.edge) AS INT) AS bucket
+      FROM cvc r LEFT JOIN edges e ON r.s = e.s AND r.v > e.edge
+      GROUP BY r.s, r.v, r.cnt
+    ), ccnt AS (
+      SELECT s, bucket, CAST(sum(cnt) AS BIGINT) AS c
+      FROM cbk GROUP BY 1, 2
+    ), nrt AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n_ref_total
+      FROM ref GROUP BY s
+    ), nct AS (
+      SELECT s, CAST(count(*) AS BIGINT) AS n_cur_total
+      FROM cur GROUP BY s
+    ), grid AS (
+      SELECT nrt.s, CAST(b AS INT) AS bucket
+      FROM (SELECT unnest(range(1, 7)) AS b), nrt
+    ), base AS (
+      SELECT g.s, g.bucket,
+             CAST(coalesce(r.c, 0) AS BIGINT) AS n_ref,
+             CAST(coalesce(c.c, 0) AS BIGINT) AS n_cur,
+             nrt.n_ref_total,
+             CAST(coalesce(nct.n_cur_total, 0) AS BIGINT)
+               AS n_cur_total
+      FROM grid g
+      LEFT JOIN rcnt r ON g.s = r.s AND g.bucket = r.bucket
+      LEFT JOIN ccnt c ON g.s = c.s AND g.bucket = c.bucket
+      JOIN nrt ON g.s = nrt.s
+      LEFT JOIN nct ON g.s = nct.s
+    ), terms AS (
+      SELECT s, bucket, n_ref, n_cur,
+             round(CAST(n_ref + 1 AS DOUBLE)
+                   / CAST(n_ref_total + 6 AS DOUBLE), 6) AS ref_share,
+             round(CAST(n_cur + 1 AS DOUBLE)
+                   / CAST(n_cur_total + 6 AS DOUBLE), 6) AS cur_share,
+             round((CAST(n_cur + 1 AS DOUBLE)
+                    / CAST(n_cur_total + 6 AS DOUBLE)
+                    - CAST(n_ref + 1 AS DOUBLE)
+                      / CAST(n_ref_total + 6 AS DOUBLE))
+                   * ln((CAST(n_cur + 1 AS DOUBLE)
+                         / CAST(n_cur_total + 6 AS DOUBLE))
+                        / (CAST(n_ref + 1 AS DOUBLE)
+                           / CAST(n_ref_total + 6 AS DOUBLE))), 6)
+               AS psi_term,
+             CAST(round((CAST(n_cur + 1 AS DOUBLE)
+                    / CAST(n_cur_total + 6 AS DOUBLE)
+                    - CAST(n_ref + 1 AS DOUBLE)
+                      / CAST(n_ref_total + 6 AS DOUBLE))
+                   * ln((CAST(n_cur + 1 AS DOUBLE)
+                         / CAST(n_cur_total + 6 AS DOUBLE))
+                        / (CAST(n_ref + 1 AS DOUBLE)
+                           / CAST(n_ref_total + 6 AS DOUBLE)))
+                   * 1000000000.0) AS BIGINT) AS tn
+      FROM base
+    ), tot AS (
+      SELECT s, round(CAST(sum(tn) AS DOUBLE) / 1000000000.0, 6)
+               AS psi
+      FROM terms GROUP BY s
+    )
+    SELECT t.s AS event_type, t.bucket, e.edge, t.n_ref, t.n_cur,
+           t.ref_share, t.cur_share, t.psi_term, tot.psi
+    FROM terms t
+    LEFT JOIN edges e ON t.s = e.s AND t.bucket = e.bucket
+    JOIN tot ON t.s = tot.s
+    ORDER BY t.s, t.bucket
+"""
+
+ORACLES["events_type_hampel"] = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, d, x,
+             CASE WHEN count(x) OVER w7 = 7
+                  THEN list_sort(list(x) OVER w7) END AS warr
+      FROM daily
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    )
+    SELECT event_type, d, x,
+           CAST(warr[4] AS BIGINT) AS med,
+           CAST(list_sort(
+                  list_transform(warr, v -> abs(v - warr[4])))[4]
+                AS BIGINT) AS mad,
+           CAST(abs(x - warr[4]) AS BIGINT) AS deviation,
+           CASE WHEN warr IS NOT NULL
+                THEN abs(x - warr[4]) > 3 * list_sort(
+                  list_transform(warr, v -> abs(v - warr[4])))[4]
+           END AS is_outlier
+    FROM win ORDER BY event_type, d
+"""
+
+ORACLES["lineitem_ols2"] = """
+    WITH d AS (
+      SELECT CAST(l_quantity AS HUGEINT) AS x1,
+             CAST(round(l_discount * 10000) AS HUGEINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+             sum(x1 * x2) AS s12, sum(x1 * y) AS s1y,
+             sum(x2 * y) AS s2y, sum(y * y) AS syy
+      FROM d
+    ), c AS (
+      SELECT n,
+             n * s11 - s1 * s1 AS a11,
+             n * s22 - s2 * s2 AS a22,
+             n * s12 - s1 * s2 AS a12,
+             n * s1y - s1 * sy AS c1,
+             n * s2y - s2 * sy AS c2,
+             n * syy - sy * sy AS syyc,
+             s1, s2, sy
+      FROM m
+    ), f AS (
+      SELECT n, s1, s2, sy, c1, c2, syyc,
+             CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
+               - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE) AS det,
+             1e-12 * CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
+               AS det_eps,
+             (CAST(c1 AS DOUBLE) * CAST(a22 AS DOUBLE)
+               - CAST(c2 AS DOUBLE) * CAST(a12 AS DOUBLE)) AS b1n,
+             (CAST(a11 AS DOUBLE) * CAST(c2 AS DOUBLE)
+               - CAST(a12 AS DOUBLE) * CAST(c1 AS DOUBLE)) AS b2n
+      FROM c
+    )
+    SELECT n,
+           CASE WHEN abs(det) > det_eps
+                THEN round(b1n / det, 9) END AS b1,
+           CASE WHEN abs(det) > det_eps
+                THEN round(b2n / det, 9) END AS b2,
+           CASE WHEN abs(det) > det_eps THEN round(
+             (CAST(sy AS DOUBLE) - (b1n / det) * CAST(s1 AS DOUBLE)
+              - (b2n / det) * CAST(s2 AS DOUBLE))
+             / CAST(n AS DOUBLE), 4) END AS intercept,
+           CASE WHEN abs(det) > det_eps AND syyc > 0 THEN round(
+             ((b1n / det) * CAST(c1 AS DOUBLE)
+              + (b2n / det) * CAST(c2 AS DOUBLE))
+             / CAST(syyc AS DOUBLE), 6) END AS r2
+    FROM f
+"""
+
+# The pinned global MK chain with the group key threaded through every
+# CTE (the psi_grouped/hampel-grouped house pattern); LEFT JOIN +
+# coalesce so a pairless group reports S = 0 instead of vanishing —
+# matching the operator's left-join fix.
+ORACLES["events_type_mk"] = """
+    WITH daily AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.g,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON a.g = b.g AND a.d < b.d
+      GROUP BY a.g
+    ), ties AS (
+      SELECT g, CAST(sum(t) AS BIGINT) AS n_points,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY g, x) z
+      GROUP BY g
+    ), base AS (
+      SELECT ties.g, n_points,
+             CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat, tie_term
+      FROM ties LEFT JOIN s ON ties.g = s.g
+    )
+    SELECT g AS event_type, n_points, s_stat, tie_term,
+           round(CAST(n_points * (n_points - 1) * (2 * n_points + 5)
+                      - tie_term AS DOUBLE) / 18.0, 4) AS var_s,
+           round(CASE WHEN n_points * (n_points - 1) * (2 * n_points + 5)
+                           - tie_term > 0 THEN
+             CASE WHEN s_stat > 0
+                  THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                       / sqrt(CAST(n_points * (n_points - 1)
+                                   * (2 * n_points + 5) - tie_term
+                              AS DOUBLE) / 18.0)
+                  WHEN s_stat < 0
+                  THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                       / sqrt(CAST(n_points * (n_points - 1)
+                                   * (2 * n_points + 5) - tie_term
+                              AS DOUBLE) / 18.0)
+                  ELSE 0.0 END
+           END, 6) AS z
+    FROM base ORDER BY event_type
+"""
+
+# Per-term and per-contribution 1e-9 rounding + integer sums make the
+# float Σs order-free (the psi tn trick) — identical under any
+# partitioning and across engines.
+ORACLES["events_markov_entropy"] = """
+    WITH pairs AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), counts AS (
+      SELECT cur, next_type, CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs WHERE next_type IS NOT NULL GROUP BY cur, next_type
+    ), totals AS (
+      SELECT cur, CAST(sum(n_pairs) AS BIGINT) AS n_out
+      FROM counts GROUP BY cur
+    ), terms AS (
+      SELECT c.cur, t.n_out,
+             CAST(round((CAST(c.n_pairs AS DOUBLE)
+                         / CAST(t.n_out AS DOUBLE))
+                   * log2(CAST(c.n_pairs AS DOUBLE)
+                          / CAST(t.n_out AS DOUBLE))
+                   * 1000000000.0) AS BIGINT) AS tn
+      FROM counts c JOIN totals t ON c.cur = t.cur
+    ), hper AS (
+      SELECT cur, n_out,
+             -(CAST(sum(tn) AS DOUBLE) / 1000000000.0) AS h_raw
+      FROM terms GROUP BY cur, n_out
+    ), gt AS (
+      SELECT CAST(sum(n_out) AS BIGINT) AS n_total FROM hper
+    ), contrib AS (
+      SELECT cur, n_out, h_raw,
+             CAST(n_out AS DOUBLE) / CAST(n_total AS DOUBLE) AS pi_raw,
+             CAST(round((CAST(n_out AS DOUBLE) / CAST(n_total AS DOUBLE))
+                        * h_raw * 1000000000.0) AS BIGINT) AS cn
+      FROM hper, gt
+    ), rate AS (
+      SELECT round(CAST(sum(cn) AS DOUBLE) / 1000000000.0, 6)
+               AS entropy_rate
+      FROM contrib
+    )
+    SELECT cur, n_out, round(pi_raw, 6) AS pi, round(h_raw, 6) AS h_bits,
+           entropy_rate
+    FROM contrib, rate ORDER BY cur
 """

@@ -246,6 +246,17 @@ BENCH_QUERIES = [
     "segment_holt",
     "events_type_breakpoint",
     "events_conversion_km",
+    # round-10 batch (registered for the r11 window)
+    "revenue_mann_kendall",
+    "orders_seasonal_mk",
+    "revenue_sen_trend",
+    "revenue_ship_ccf",
+    "events_type_psi",
+    "events_type_hampel",
+    "lineitem_ols2",
+    "events_type_mk",
+    "events_markov_entropy",
+    "parts_freq_cms",
 ]
 
 # Registry entries intentionally NOT benched (coverage is enforced by
@@ -271,6 +282,21 @@ BENCH_SKIP: dict[str, str] = {
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
+    # A 200+-query sweep compiles ~1.5k whole-stage classes; the 100-
+    # entry default cache recompiles on every pass-2 visit (+20% whole-
+    # bench, diagnosed r9 — SCALING.md "Bench notes"). get_spark sizes
+    # it, but getActiveSession() can hand back a FOREIGN session (a
+    # future harness change that builds its own) — fail loud rather
+    # than silently re-paying the regression.
+    cache_entries = int(
+        spark.conf.get("spark.sql.codegen.cache.maxEntries", "100")
+    )
+    assert cache_entries >= 1000, (
+        f"bench session has spark.sql.codegen.cache.maxEntries="
+        f"{cache_entries} (< 1000): a foreign SparkSession is active and"
+        " the whole-bench numbers would regress ~20% from codegen-cache"
+        " thrash — size the cache to the workload (session.py does)"
+    )
     timings: dict[str, float] = {}
 
     # Warm the JVM, parquet footers, the noop-sink write path, and the

@@ -36,3 +36,18 @@ def test_bench_lists_are_well_formed():
     assert not overlap, f"both benched and skip-listed: {overlap}"
     for q, reason in bench.BENCH_SKIP.items():
         assert isinstance(reason, str) and len(reason) >= 10, q
+
+
+def test_bench_asserts_codegen_cache_sized(spark):
+    # The r9 codegen-cache diagnosis (+20% whole-bench from the 100-
+    # entry default) must stay guarded: the bench session's cache is
+    # sized, and bench.main() carries a startup assert so a foreign
+    # session would fail loud instead of silently regressing.
+    assert (
+        int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1000
+    )
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "spark.sql.codegen.cache.maxEntries" in src
+    assert "cache_entries >= 1000" in src

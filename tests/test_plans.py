@@ -802,6 +802,60 @@ def test_psi_edge_window_runs_on_distinct_value_aggregate(spark):
     assert _read_schemas(plan) == ["o_totalprice:double"], plan
 
 
+def test_km_fold_windows_run_on_duration_aggregate(spark):
+    """The bench tail's `WindowExec: No Partition Defined` warnings
+    cluster on the KM family — km_survival's ordered at-risk/fold
+    windows ARE unpartitioned by design, but only because their child
+    is the per-duration aggregate (O(distinct durations), calendar-
+    bounded), never raw subject rows. Pin that claim with the PSI-pin
+    technique so the warning stays provably benign and a regression
+    that ranks raw rows fails here, not in a 100 TB job."""
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        km_survival,
+    )
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    per_subject = o.select(
+        (F.dayofmonth("o_orderdate") % 20).cast("long").alias("dur"),
+        (F.col("o_orderkey") % 2).cast("long").alias("ev"),
+    )
+    plan = (
+        km_survival(per_subject, "dur", "ev")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    i_win = next(i for i, l in enumerate(lines) if "Window" in l)
+    # the per-duration groupBy keyed on __t sits in the window's child
+    # chain (root-at-top tree: window ABOVE aggregate ABOVE scan)
+    i_agg = next(
+        i
+        for i, l in enumerate(lines)
+        if "HashAggregate" in l and "__t" in l
+    )
+    i_scan = next(i for i, l in enumerate(lines) if "Scan parquet" in l)
+    assert i_win < i_agg < i_scan, plan
+
+
+def test_conversion_km_windows_sit_above_duration_aggregate(spark):
+    """Same pin on the registered funnel variant: every Window node in
+    events_conversion_km's executed plan must sit above the
+    per-duration HashAggregate — the unpartitioned fold only ever sees
+    the day-bounded step table."""
+    df = QUERIES["events_conversion_km"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert wins, plan
+    i_agg = next(
+        i
+        for i, l in enumerate(lines)
+        if "HashAggregate" in l and "__t" in l
+    )
+    assert all(i < i_agg for i in wins), plan
+
+
 def test_type_breakpoint_argmin_window_partitions_by_type(spark):
     """segmented_trend_grouped's visible window (the per-group argmin
     rank — the prefix-moment pass hides behind the lazy checkpoint)
