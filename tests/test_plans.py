@@ -856,6 +856,65 @@ def test_conversion_km_windows_sit_above_duration_aggregate(spark):
     assert all(i < i_agg for i in wins), plan
 
 
+R11_BATCH = [
+    "revenue_mann_kendall",
+    "orders_seasonal_mk",
+    "revenue_sen_trend",
+    "revenue_ship_ccf",
+    "events_type_psi",
+    "events_type_hampel",
+    "lineitem_ols2",
+    "events_type_mk",
+    "events_markov_entropy",
+    "parts_freq_cms",
+]
+
+
+@pytest.mark.parametrize("name", R11_BATCH)
+def test_r11_batch_no_cartesian(spark, name):
+    """None of the r10-registered queries may go cartesian on a
+    data-scaled frame — every nested-loop join in these plans is a
+    broadcast of a 1-row aggregate / bounded calendar frame (the
+    aggregate-not-filter house pattern)."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_type_hampel_windows_partition_by_type(spark):
+    """Grouped Hampel's rolling windows must partition by event_type —
+    a dropped partition clause would serialize every type's series
+    into one task."""
+    plan = _plan(spark, "events_type_hampel")
+    assert _window_partition_keys(plan) == {"event_type"}, plan
+
+
+def test_ols2_is_one_aggregate_no_joins(spark):
+    """ols_fit2 is one map-side-combinable nine-moment aggregate plus
+    a scalar Cramer solve: no join of any kind in the plan, and the
+    scan reads exactly the three feature columns."""
+    plan = _plan(spark, "lineitem_ols2")
+    assert "Join" not in plan, plan
+    cols = {c.split(":")[0] for c in _read_schemas(plan)[0].split(",")}
+    assert cols == {"l_quantity", "l_discount", "l_extendedprice"}, plan
+
+
+def test_ccf_lag_pairing_all_broadcast(spark):
+    """cross_correlation's lag pairing and scalar joins all broadcast
+    (the deviation frame is the calendar-bounded day aggregate) — a
+    SortMergeJoin here would mean a data-scaled shuffle crept in."""
+    plan = _plan(spark, "revenue_ship_ccf")
+    assert not re.findall(r"\(\d+\) SortMergeJoin", plan), plan
+
+
+def test_parts_freq_cms_sketch_lookup_broadcasts(spark):
+    """The CMS probe path broadcasts the <= depth*width-row sketch and
+    the 1-row gates; no shuffle join anywhere (the only shuffles are
+    the build's (d,w) groupBy and the exact top-k aggregate)."""
+    plan = _plan(spark, "parts_freq_cms")
+    assert not re.findall(r"\(\d+\) SortMergeJoin", plan), plan
+    assert "CartesianProduct" not in plan
+
+
 def test_type_breakpoint_argmin_window_partitions_by_type(spark):
     """segmented_trend_grouped's visible window (the per-group argmin
     rank — the prefix-moment pass hides behind the lazy checkpoint)
