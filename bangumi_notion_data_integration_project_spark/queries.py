@@ -7093,6 +7093,66 @@ def q_parts_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_price_psi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB PSI edges path made registry-visible: the SAME
+    psi() as orders_price_psi but with bucket edges estimated from the
+    mergeable bottom-k quantile sketch (operators/quantile_sketch,
+    k=1024) instead of the exact order-statistic build — at warehouse
+    scale the sketch is built shard-local and merged, so the edge pass
+    never sorts distinct values. Self-validating rows-only (seeded
+    xxhash64 sampling → deterministic, but no DuckDB twin): the
+    exact-edge sibling PSI rides alongside as one broadcast 1-row
+    aggregate, and within_tol checks |psi_sketch − psi_exact| ≤
+    max(20% of exact, 0.02) — the regime-equivalence bound
+    tests/test_drift.py::test_sketch_fed_edges_path pins on planted
+    drift. Verified true at sf0.001/0.01/0.1."""
+    from .operators.drift import psi
+    from .operators.quantile_sketch import quantile_sketch, sketch_quantiles
+
+    nb = 10
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey", "x"
+    )
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    sk = quantile_sketch(ref, "x", ["o_orderkey"], k=1024)
+    edges = sketch_quantiles(sk, [i / nb for i in range(1, nb)]).select(
+        F.round(F.col("prob") * nb).cast("int").alias("bucket"),
+        F.col("est").cast("long").alias("edge"),
+    )
+    approx = psi(ref.select("x"), cur, "x", n_buckets=nb, edges=edges)
+    exact = (
+        psi(ref.select("x"), cur, "x", n_buckets=nb)
+        # scalar sibling: aggregate, not filter — always exactly 1 row
+        .agg(F.max("psi").alias("psi_exact"))
+    )
+    err = F.abs(F.col("psi_sketch") - F.col("psi_exact"))
+    return (
+        approx.withColumnRenamed("psi", "psi_sketch")
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "bucket",
+            "edge",
+            "n_ref",
+            "n_cur",
+            "psi_sketch",
+            "psi_exact",
+            F.round(err, 6).alias("abs_err"),
+            (
+                err
+                <= F.greatest(
+                    F.lit(0.2) * F.col("psi_exact"), F.lit(0.02)
+                )
+            ).alias("within_tol"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -7174,16 +7234,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (15 r5 rows retired above) and the stalest evidence is the 23
     # remaining r6 rows at the registry tail (parts_skyline ..
     # late_shipment_priority) followed by the 50 r7-vintage rows.
-    # Rotate the r11 window onto the 10 r11-new queries below
-    # (positions 51-60, never driver-checked) + those 23 r6 rows + the
-    # 17 most user-critical r7 rows, FLAGSHIP FAMILY FIRST so the
+    # Rotate the r11 window onto the 11 r11-new queries below
+    # (positions 51-61, never driver-checked) + those 23 r6 rows + the
+    # 16 most user-critical r7 rows, FLAGSHIP FAMILY FIRST so the
     # reference-parity anchors never age past 4 rounds:
     # category_summary, global_summary, revenue_by_nation,
     # project_truncate, filter_nonempty, timestamp_parse, json_extract,
     # map_multikey, token_pivot, merge_inserts, merge_deletes,
     # merge_full_sync, merge_upsert, dedup_exact, orders_asof_join,
-    # then fuzzy_name_blocking + events_twap (the stalest two by
-    # position). Displaces the other 33 r7 rows to r12. Do NOT
+    # then fuzzy_name_blocking (the stalest by position). Displaces
+    # the other 34 r7 rows to r12. Do NOT
     # register more new queries than the window budget (~10).
     # -- NEW for r11 (operators built r9, registered r10, oracles
     # -- cross-engine pinned in tests/test_trend.py, test_drift.py,
@@ -7193,7 +7253,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- PSI, grouped Hampel, two-feature OLS, Markov entropy rate;
     # -- rows-only self-validating: count-min sketch frequency
     # -- estimates with est>=exact (deterministic guarantee) and
-    # -- e/width*N bound columns
+    # -- e/width*N bound columns; sketch-fed PSI edges vs the exact
+    # -- sibling with a regime-equivalence tolerance column
     "revenue_mann_kendall": q_revenue_mann_kendall,
     "orders_seasonal_mk": q_orders_seasonal_mk,
     "revenue_sen_trend": q_revenue_sen_trend,
@@ -7204,6 +7265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_type_mk": q_events_type_mk,
     "events_markov_entropy": q_events_markov_entropy,
     "parts_freq_cms": q_parts_freq_cms,
+    "orders_price_psi_sketch": q_orders_price_psi_sketch,
     # -- displaced r10: the r9 window, every row green in r9
     "revenue_pacf": q_revenue_pacf,
     "revenue_holt": q_revenue_holt,

@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "events_type_mk",
     "events_markov_entropy",
     "parts_freq_cms",
+    "orders_price_psi_sketch",
 ]
 
 # Registry entries intentionally NOT benched (coverage is enforced by
