@@ -1318,3 +1318,340 @@ def ols_fit2(
         F.when(ok & (syy_c > 0), F.round(r2, 6)).alias("r2"),
     )
     return out.orderBy(*groups) if groups else out
+
+
+def _dual_series_input(
+    df: DataFrame,
+    groups: "list[str]",
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    op_name: str,
+) -> DataFrame:
+    """Shared fail-loud projection for the two-series rank statistics
+    (the _trend_input convention doubled): NULL x/y raise with the
+    offending period named; NULL group keys raise (the psi
+    convention)."""
+    if groups:
+        from .drift import _checked_keys
+
+        df = _checked_keys(df, groups, op_name=op_name)
+
+    def checked(c: str) -> Column:
+        return F.when(
+            F.col(c).isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op_name}: NULL {c} value at "),
+                    F.col(order_col).cast("string"),
+                )
+            ),
+        ).otherwise(F.col(c).cast("long"))
+
+    return df.select(
+        *groups,
+        F.col(order_col).alias("__o"),
+        checked(x_col).alias("__x"),
+        checked(y_col).alias("__y"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation between two integer series on
+    one index — the two-series member of the Mann-Kendall family (MK
+    IS Kendall tau of x against time):
+
+        C − D = Σ_{i<j} sign(x_j − x_i) · sign(y_j − y_i)
+        tau_b = (C − D) / sqrt((n0 − n1) · (n0 − n2))
+
+    with n0 = n(n−1)/2 and n1/n2 the Σ t(t−1)/2 tie corrections of
+    each series. Everything before tau is exact integer work over the
+    pairwise join (concordant minus discordant is one integer sum;
+    the tie terms are counts), and tau is ONE double expression — both
+    engines agree bit-for-bit. Input contract: the per-period
+    aggregate with both series as columns (the cross_correlation
+    contract), so the pair join is calendar-bounded (days², fixed at
+    any data volume). With ``group_cols`` every stage keys on the
+    group; every group reports a row (pairless or fully-tied groups
+    carry NULL tau under the denominator guard). NULL x/y/keys raise.
+    Returns ``(group..., n_points, concordant_minus_discordant,
+    tie_term_x, tie_term_y, tau_b)``."""
+    groups = list(group_cols or [])
+    d = _dual_series_input(df, groups, order_col, x_col, y_col, "kendall_tau")
+    a = d.select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups],
+        F.col("__o").alias("__oa"),
+        F.col("__x").alias("__xa"),
+        F.col("__y").alias("__ya"),
+    )
+    b = d.select(
+        *[F.col(g).alias(f"__g_{g}") for g in groups],
+        F.col("__o").alias("__ob"),
+        F.col("__x").alias("__xb"),
+        F.col("__y").alias("__yb"),
+    )
+    if groups:
+        pairs = a.join(b, [f"__g_{g}" for g in groups]).filter(
+            F.col("__oa") < F.col("__ob")
+        )
+    else:
+        pairs = a.join(F.broadcast(b), F.col("__oa") < F.col("__ob"), "inner")
+    s = pairs.groupBy(*[f"__g_{g}" for g in groups]).agg(
+        F.sum(
+            F.signum(F.col("__xb") - F.col("__xa")).cast("long")
+            * F.signum(F.col("__yb") - F.col("__ya")).cast("long")
+        )
+        .cast("long")
+        .alias("cd")
+    )
+
+    def tie_sum(col: str, alias: str) -> DataFrame:
+        return (
+            d.groupBy(*groups, col)
+            .agg(F.count("*").cast("long").alias("__t"))
+            .groupBy(*groups)
+            .agg(
+                F.sum(F.col("__t") * (F.col("__t") - 1))
+                .cast("long")
+                .alias(alias)
+            )
+        )
+
+    n_pts = d.groupBy(*groups).agg(
+        F.count("*").cast("long").alias("n_points")
+    )
+    tx = tie_sum("__x", "__tx2")
+    ty = tie_sum("__y", "__ty2")
+    if groups:
+        base = (
+            n_pts.join(tx, groups)
+            .join(ty, groups)
+            .join(
+                s.select(
+                    *[F.col(f"__g_{g}").alias(g) for g in groups], "cd"
+                ),
+                groups,
+                "left",  # pairless groups report a row (the MK rule)
+            )
+        )
+    else:
+        base = (
+            n_pts.crossJoin(F.broadcast(tx))
+            .crossJoin(F.broadcast(ty))
+            .crossJoin(F.broadcast(s))
+        )
+    base = base.withColumn(
+        "cd", F.coalesce(F.col("cd"), F.lit(0)).cast("long")
+    )
+    n = F.col("n_points")
+    # doubled to stay integer: 2·n0 = n(n−1), 2·n1 = Σt(t−1) (tie_sum
+    # already returns the doubled form)
+    den_x = (n * (n - 1) - F.col("__tx2")).cast("long")
+    den_y = (n * (n - 1) - F.col("__ty2")).cast("long")
+    tau = (F.lit(2.0) * F.col("cd").cast("double")) / F.sqrt(
+        den_x.cast("double") * den_y.cast("double")
+    )
+    out = base.select(
+        *groups,
+        "n_points",
+        F.col("cd").alias("concordant_minus_discordant"),
+        (F.col("__tx2") / 2).cast("long").alias("tie_term_x"),
+        (F.col("__ty2") / 2).cast("long").alias("tie_term_y"),
+        # ANSI: an all-tied series zeroes its denominator — NULL tau,
+        # never DIVIDE_BY_ZERO (the MK var_num guard convention)
+        F.when((den_x > 0) & (den_y > 0), F.round(tau, 6)).alias("tau_b"),
+    )
+    return out.orderBy(*groups) if groups else out
+
+
+def pettitt_test(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Pettitt's nonparametric changepoint test — WHERE does the
+    distribution shift, rank-based (the robust companion to the
+    OLS-scored ``segmented_trend``):
+
+        U_t = Σ_{i≤t} Σ_{j>t} sign(x_j − x_i),   K = max_t |U_t|
+        p ≈ 2·exp(−6K² / (n³ + n²))
+
+    Computed in O(n log n), not O(n²) pairs: the per-row sign mass
+    V_t = Σ_{j≠t} sign(x_j − x_t) = (n − #{x ≤ x_t}) − #{x < x_t}
+    comes from two cumulative-count windows over the VALUE order, and
+    U_t is the running sum of V over the TIME order (the recurrence
+    U_t = U_{t−1} + V_t) — all exact integers on the per-period
+    aggregate (both windows see O(days) rows; the km_survival bounded-
+    window argument), and the approximate p-value is ONE double.
+    Ties contribute sign 0 exactly. With ``group_cols`` both windows
+    partition by the key. Returns one row per group:
+    ``(group..., n_points, k_stat, change_point, p_approx)`` with
+    change_point the FIRST period attaining |U| = K (deterministic
+    tie-break on the order column)."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    d = _trend_input(df, groups, order_col, x_col, "pettitt_test")
+    if groups:
+        w_le = (
+            Window.partitionBy(*groups)
+            .orderBy("__x")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_lt = (
+            Window.partitionBy(*groups)
+            .orderBy("__x")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_n = Window.partitionBy(*groups)
+        w_time = (
+            Window.partitionBy(*groups)
+            .orderBy("__o")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w_le = Window.orderBy("__x").rangeBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_lt = Window.orderBy("__x").rangeBetween(
+            Window.unboundedPreceding, -1
+        )
+        w_n = Window.partitionBy()
+        w_time = Window.orderBy("__o").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    ranked = d.select(
+        *groups,
+        "__o",
+        (
+            F.count("*").over(w_n).cast("long")
+            - F.count("*").over(w_le).cast("long")
+            - F.coalesce(F.count("*").over(w_lt).cast("long"), F.lit(0))
+        ).alias("__v"),
+        F.count("*").over(w_n).cast("long").alias("__n"),
+    )
+    u = ranked.select(
+        *groups,
+        "__o",
+        "__n",
+        F.sum("__v").over(w_time).cast("long").alias("__u"),
+    )
+    # argmax |U| with first-period tie-break: one grouped min over the
+    # (−|U|, order) struct — no second pass over the series
+    agg = u.groupBy(*groups).agg(
+        F.max("__n").alias("n_points"),
+        F.max(F.abs("__u")).cast("long").alias("k_stat"),
+        F.min(
+            F.struct(
+                (-F.abs(F.col("__u"))).alias("__negk"),
+                F.col("__o").alias("__cp"),
+            )
+        ).alias("__arg"),
+    )
+    n = F.col("n_points").cast("double")
+    p = F.lit(2.0) * F.exp(
+        F.lit(-6.0)
+        * F.col("k_stat").cast("double")
+        * F.col("k_stat").cast("double")
+        / (n * n * n + n * n)
+    )
+    out = agg.select(
+        *groups,
+        "n_points",
+        "k_stat",
+        F.col("__arg.__cp").alias("change_point"),
+        # p can exceed 1 for tiny K — clamp like the textbook does
+        F.round(F.least(p, F.lit(1.0)), 6).alias("p_approx"),
+    )
+    return out.orderBy(*groups) if groups else out
+
+
+def spearman_rho(
+    df: DataFrame,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Spearman rank correlation with tie-average ranks — Pearson on
+    the rank transform, the monotone-association companion to
+    :func:`kendall_tau`. Average ranks are kept EXACT by doubling:
+    2·avgrank(x_t) = 2·#{x < x_t} + #{x = x_t} + 1, an integer from
+    two cumulative windows over the value order; the Pearson moments
+    of the doubled ranks accumulate in DECIMAL(38,0) (the factor 2
+    cancels in ρ), and ρ is ONE double expression of exact integers —
+    bit-equal across engines. Both windows run on the per-period
+    aggregate (O(days) rows). With ``group_cols`` everything keys on
+    the group. Returns ``(group..., n_points, rho)`` with NULL rho
+    when either series is constant (zero rank variance — the ANSI
+    guard)."""
+    from pyspark.sql import Window
+
+    groups = list(group_cols or [])
+    d = _dual_series_input(
+        df, groups, order_col, x_col, y_col, "spearman_rho"
+    )
+
+    def dbl_rank(col: str, alias: str):
+        if groups:
+            w_lt = (
+                Window.partitionBy(*groups)
+                .orderBy(col)
+                .rangeBetween(Window.unboundedPreceding, -1)
+            )
+            w_le = (
+                Window.partitionBy(*groups)
+                .orderBy(col)
+                .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        else:
+            w_lt = Window.orderBy(col).rangeBetween(
+                Window.unboundedPreceding, -1
+            )
+            w_le = Window.orderBy(col).rangeBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        lt = F.coalesce(F.count("*").over(w_lt).cast("long"), F.lit(0))
+        le = F.count("*").over(w_le).cast("long")
+        # 2·avg = 2·lt + (le − lt) + 1 = lt + le + 1
+        return (lt + le + 1).cast("long").alias(alias)
+
+    r = d.select(
+        *groups,
+        dbl_rank("__x", "__rx"),
+        dbl_rank("__y", "__ry"),
+    )
+    rx = F.col("__rx").cast(_DEC)
+    ry = F.col("__ry").cast(_DEC)
+    dec = lambda c: c.cast(_DEC)  # noqa: E731
+    agg = r.groupBy(*groups).agg(
+        F.count("*").cast("long").alias("n_points"),
+        dec(F.sum(rx)).alias("sx"),
+        dec(F.sum(ry)).alias("sy"),
+        dec(F.sum(rx * rx)).alias("sxx"),
+        dec(F.sum(ry * ry)).alias("syy"),
+        dec(F.sum(rx * ry)).alias("sxy"),
+    )
+    n = F.col("n_points").cast(_DEC)
+    num = dec(n * F.col("sxy") - F.col("sx") * F.col("sy"))
+    vx = dec(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = dec(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    rho = num.cast("double") / F.sqrt(
+        vx.cast("double") * vy.cast("double")
+    )
+    out = agg.select(
+        *groups,
+        "n_points",
+        F.when((vx > 0) & (vy > 0), F.round(rho, 6)).alias("rho"),
+    )
+    return out.orderBy(*groups) if groups else out
