@@ -46,17 +46,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _checked_long(v: Column, where: str) -> Column:
+def _checked_long(v: Column, where: str, op_name: str = "psi") -> Column:
     """Fail-loud NULL handling (the ``holt_linear`` convention): a NULL
     value would otherwise land silently in bucket 1 (``v > edge`` never
     matches, count(edge) = 0) and skew every share — raise instead, and
-    let the caller filter NULLs explicitly if that is what they mean."""
+    let the caller filter NULLs explicitly if that is what they mean.
+    ``op_name`` names the calling operator in the error (shared with
+    the two-sample tests — same rule as ``_checked_keys``)."""
     return F.when(
         v.isNull(),
         F.raise_error(
             F.lit(
-                f"psi: NULL value in {where} — filter NULLs out "
-                "explicitly before computing drift"
+                f"{op_name}: NULL value in {where} — filter NULLs out "
+                "explicitly before computing the statistic"
             )
         ),
     ).otherwise(v.cast("long"))

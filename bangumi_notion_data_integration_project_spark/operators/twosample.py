@@ -1,0 +1,256 @@
+"""Two-sample distribution tests — Mann-Whitney U (with the AUC
+reading) and Kolmogorov-Smirnov — the significance companions to the
+PSI drift monitor (PSI says HOW FAR apart two eras are; these say
+whether the separation is real, and MWU's U/(n₁n₂) IS the ROC AUC of
+the value as a classifier between the sides, the standard quality-
+score evaluation in a training-data pipeline).
+
+Scale shape (the psi/_ranked_distinct contract): every rank/ECDF
+quantity is computed on the DISTINCT-VALUE aggregate — raw rows
+reduce map-side in a (group, value, side) count first, so the ordered
+windows only ever see O(distinct values) rows at any fact volume.
+
+Exactness: average ranks are kept integer by doubling (2·avgrank =
+2·prior_total + cnt + 1), the rank sum / U statistic / tie terms are
+exact integer sums, the KS numerator max|cum₁·n₂ − cum₂·n₁| is an
+exact integer max — each final statistic is ONE double expression of
+exact integers, so engines agree bit-for-bit. The MWU z feeds
+``stats.normal_p_two_sided`` (the A&S polynomial), which carries the
+ln/exp round-at-≤9dp oracle contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _sided_counts(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    groups: "list[str]",
+    op_name: str,
+) -> DataFrame:
+    """``(group..., __v, __c1, __c2)`` distinct combined values with
+    per-side counts — the shared map-side reduction both tests rank
+    over. NULL values and NULL group keys raise (the psi convention)."""
+    from .drift import _checked_keys, _checked_long
+
+    if groups:
+        ref = _checked_keys(ref, groups, op_name=op_name)
+        cur = _checked_keys(cur, groups, op_name=op_name)
+    a = ref.select(
+        *groups,
+        _checked_long(F.col(value_col), "reference", op_name).alias("__v"),
+    ).withColumn("__s", F.lit(1))
+    b = cur.select(
+        *groups,
+        _checked_long(F.col(value_col), "input", op_name).alias("__v"),
+    ).withColumn("__s", F.lit(2))
+    return (
+        a.unionByName(b)
+        .groupBy(*groups, "__v")
+        .agg(
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("__c1"),
+            F.sum(F.when(F.col("__s") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("__c2"),
+        )
+    )
+
+
+def mann_whitney_u(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between ``ref`` and ``cur``:
+
+        U₁ = R₁ − n₁(n₁+1)/2          (R₁ = ref's average-rank sum)
+        auc = U₁ / (n₁·n₂)            (P(ref value > cur value) + ½ties)
+        z = (U₁ − n₁n₂/2 ∓ ½) / sqrt(n₁n₂/12·[(n+1) − Σ(t³−t)/(n(n−1))])
+
+    with the tie-corrected variance and a continuity correction toward
+    the mean. Doubled ranks keep everything integer until the final
+    expressions: per distinct value, 2·avgrank = 2·prior + cnt + 1
+    from ONE cumulative window over the (value, side-counts) aggregate;
+    2R₁ accumulates in DECIMAL(38,0). Returns one row per group:
+    ``(group..., n_ref, n_cur, u_stat, auc, tie_term, z, p_value)``
+    where u_stat is 2·U₁ halved exactly (U₁ can be half-integer under
+    ties, so u_stat is reported as a double of the exact 2U₁/2), and
+    p_value is the two-sided normal tail via the A&S polynomial
+    (round-at-≤9dp oracle contract). All-tied inputs (zero variance)
+    report NULL z/p under the ANSI guard."""
+    from .stats import normal_p_two_sided
+
+    groups = list(group_cols or [])
+    vc = _sided_counts(ref, cur, value_col, groups, "mann_whitney_u")
+    if groups:
+        w_prior = (
+            Window.partitionBy(*groups)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        w_prior = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    cnt = F.col("__c1") + F.col("__c2")
+    prior = F.coalesce(
+        F.sum(cnt).over(w_prior).cast("long"), F.lit(0)
+    )
+    ranked = vc.withColumn(
+        "__2r", (F.lit(2) * prior + cnt + 1).cast("long")
+    )
+    agg = ranked.groupBy(*groups).agg(
+        F.sum("__c1").cast("long").alias("n_ref"),
+        F.sum("__c2").cast("long").alias("n_cur"),
+        F.sum(F.col("__c1").cast(_DEC) * F.col("__2r"))
+        .cast(_DEC)
+        .alias("__2r1"),
+        F.sum(cnt.cast(_DEC) * cnt * cnt - cnt)
+        .cast(_DEC)
+        .alias("tie_term"),  # Σ(t³ − t) over combined tied groups
+    )
+    n1 = F.col("n_ref").cast(_DEC)
+    n2 = F.col("n_cur").cast(_DEC)
+    n = n1 + n2
+    two_u1 = (F.col("__2r1") - n1 * (n1 + 1)).cast(_DEC)  # 2·U₁ exact
+    u1 = two_u1.cast("double") / F.lit(2.0)
+    auc = two_u1.cast("double") / (
+        F.lit(2.0) * n1.cast("double") * n2.cast("double")
+    )
+    # Var(U)·(n(n−1))·12 kept integer: v_num = n₁n₂·[(n+1)n(n−1) − Σ(t³−t)]
+    v_num = (n1 * n2 * ((n + 1) * n * (n - 1) - F.col("tie_term"))).cast(
+        _DEC
+    )
+    var_u = v_num.cast("double") / (
+        F.lit(12.0) * n.cast("double") * (n.cast("double") - 1.0)
+    )
+    mean_u = n1.cast("double") * n2.cast("double") / F.lit(2.0)
+    # continuity correction toward the mean: shrink |U − mean| by ½
+    diff = u1 - mean_u
+    z = F.when(
+        v_num > 0,
+        F.when(diff > 0, (diff - 0.5) / F.sqrt(var_u))
+        .when(diff < 0, (diff + 0.5) / F.sqrt(var_u))
+        .otherwise(F.lit(0.0)),
+    )
+    out = agg.select(
+        *groups,
+        "n_ref",
+        "n_cur",
+        F.round(u1, 1).alias("u_stat"),
+        F.round(auc, 6).alias("auc"),
+        F.col("tie_term").cast("long").alias("tie_term"),
+        F.round(z, 6).alias("z"),
+        F.round(normal_p_two_sided(z), 9).alias("p_value"),
+    )
+    return out.orderBy(*groups) if groups else out
+
+
+def ks_two_sample(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic D = sup|F₁ − F₂| with
+    the asymptotic p-value:
+
+        D = max over distinct v of |cum₁(v)·n₂ − cum₂(v)·n₁| / (n₁n₂)
+        λ = (√nₑ + 0.12 + 0.11/√nₑ)·D,   nₑ = n₁n₂/(n₁+n₂)
+        p ≈ 2·Σ_{k=1..16} (−1)^{k−1} e^{−2k²λ²}   for λ ≥ 0.2
+        p = 1                                      for λ < 0.2
+
+    The numerator max is an exact integer (both ECDFs step only at
+    combined distinct values, so the sup is attained there); D is ONE
+    division, and the 16-term Smirnov series is a FIXED unrolled
+    expression — identical op order in both engines (truncation error
+    e^(−578λ²) < 1e-10 at λ = 0.2). Below λ = 0.2 the alternating
+    series needs more terms than any fixed unroll while the true
+    Q(λ) > 0.9999997 — so that branch reports 1 exactly, the
+    Numerical-Recipes probks convention, and the λ-compare branches
+    identically in both engines. ``location`` is the smallest value
+    attaining the max (struct-min tie-break — deterministic). Returns
+    one row per group: ``(group..., n_ref, n_cur, d_stat, location,
+    p_approx)``."""
+    groups = list(group_cols or [])
+    vc = _sided_counts(ref, cur, value_col, groups, "ks_two_sample")
+    if groups:
+        w_cum = (
+            Window.partitionBy(*groups)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w_cum = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    cum = vc.select(
+        *groups,
+        "__v",
+        F.sum("__c1").over(w_cum).cast("long").alias("__m1"),
+        F.sum("__c2").over(w_cum).cast("long").alias("__m2"),
+    )
+    totals = cum.groupBy(*groups).agg(
+        F.max("__m1").cast("long").alias("n_ref"),
+        F.max("__m2").cast("long").alias("n_cur"),
+    )
+    if groups:
+        based = cum.join(F.broadcast(totals), groups)
+    else:
+        based = cum.crossJoin(F.broadcast(totals))
+    num = F.abs(
+        F.col("__m1").cast(_DEC) * F.col("n_cur")
+        - F.col("__m2").cast(_DEC) * F.col("n_ref")
+    ).cast(_DEC)
+    scored = based.select(
+        *groups,
+        "n_ref",
+        "n_cur",
+        "__v",
+        num.alias("__num"),
+    )
+    agg = scored.groupBy(*groups).agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.max("__num").cast(_DEC).alias("__maxnum"),
+        F.min(
+            F.struct(
+                (-F.col("__num").cast("double")).alias("__neg"),
+                F.col("__v").alias("__loc"),
+            )
+        ).alias("__arg"),
+    )
+    n1d = F.col("n_ref").cast("double")
+    n2d = F.col("n_cur").cast("double")
+    d = F.col("__maxnum").cast("double") / (n1d * n2d)
+    ne = n1d * n2d / (n1d + n2d)
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d
+    series = None
+    for k in range(1, 17):
+        term = (F.lit(1.0) if k % 2 == 1 else F.lit(-1.0)) * F.exp(
+            F.lit(-2.0 * k * k) * lam * lam
+        )
+        series = term if series is None else series + term
+    p = F.when(lam < 0.2, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(2.0) * series))
+    )
+    out = agg.select(
+        *groups,
+        "n_ref",
+        "n_cur",
+        F.round(d, 6).alias("d_stat"),
+        F.col("__arg.__loc").alias("location"),
+        F.round(p, 9).alias("p_approx"),
+    )
+    return out.orderBy(*groups) if groups else out

@@ -1,0 +1,359 @@
+"""Mann-Whitney U / AUC + two-sample KS (operators/twosample.py, the
+r12-prep drift-significance batch): python-reference differentials
+with ties, grouped isolation, degenerate inputs, planted shifts, and
+the cross-engine DuckDB oracle shapes pinned ahead of registration."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from bangumi_notion_data_integration_project_spark.operators.twosample import (
+    ks_two_sample,
+    mann_whitney_u,
+)
+
+
+def _rnd(x, nd):
+    return math.copysign(math.floor(abs(x) * 10**nd + 0.5) / 10**nd, x)
+
+
+def _py_norm_p(z):
+    x = abs(z) / math.sqrt(2.0)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    )
+    return poly * math.exp(-(x * x))
+
+
+def _py_mwu(xs, ys):
+    comb = sorted(xs + ys)
+    n1, n2, n = len(xs), len(ys), len(xs) + len(ys)
+
+    def dbl_rank(v):
+        lt = sum(1 for w in comb if w < v)
+        eq = sum(1 for w in comb if w == v)
+        return 2 * lt + eq + 1
+
+    two_r1 = sum(dbl_rank(v) for v in xs)
+    two_u1 = two_r1 - n1 * (n1 + 1)
+    u1 = two_u1 / 2.0
+    auc = two_u1 / (2.0 * n1 * n2)
+    ties: dict[int, int] = {}
+    for v in comb:
+        ties[v] = ties.get(v, 0) + 1
+    tie_term = sum(t**3 - t for t in ties.values())
+    v_num = n1 * n2 * ((n + 1) * n * (n - 1) - tie_term)
+    if v_num <= 0:
+        return n1, n2, u1, auc, tie_term, None, None
+    var_u = v_num / (12.0 * n * (n - 1))
+    mean_u = n1 * n2 / 2.0
+    diff = u1 - mean_u
+    if diff > 0:
+        z = (diff - 0.5) / math.sqrt(var_u)
+    elif diff < 0:
+        z = (diff + 0.5) / math.sqrt(var_u)
+    else:
+        z = 0.0
+    return n1, n2, u1, auc, tie_term, z, _py_norm_p(z)
+
+
+def _py_ks(xs, ys):
+    n1, n2 = len(xs), len(ys)
+    vals = sorted(set(xs + ys))
+    best, loc = -1, None
+    for v in vals:
+        m1 = sum(1 for w in xs if w <= v)
+        m2 = sum(1 for w in ys if w <= v)
+        num = abs(m1 * n2 - m2 * n1)
+        if num > best:
+            best, loc = num, v
+    d = best / (n1 * n2)
+    ne = n1 * n2 / (n1 + n2)
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+    if lam < 0.2:
+        return n1, n2, d, loc, 1.0
+    s = sum(
+        (1.0 if k % 2 == 1 else -1.0) * math.exp(-2.0 * k * k * lam * lam)
+        for k in range(1, 17)
+    )
+    p = min(1.0, max(0.0, 2.0 * s))
+    return n1, n2, d, loc, p
+
+
+def _two_dfs(spark, xs, ys):
+    a = spark.createDataFrame([(x,) for x in xs], "v long")
+    b = spark.createDataFrame([(y,) for y in ys], "v long")
+    return a, b
+
+
+def test_mwu_matches_python_with_ties_and_detects_shift(spark):
+    rng = random.Random(81)
+    xs = [rng.randrange(0, 60) for _ in range(120)]       # heavy ties
+    ys = [rng.randrange(0, 60) + 15 for _ in range(90)]   # shifted up
+    a, b = _two_dfs(spark, xs, ys)
+    r = mann_whitney_u(a, b, "v").collect()[0]
+    n1, n2, u1, auc, tie, z, p = _py_mwu(xs, ys)
+    assert (r["n_ref"], r["n_cur"], r["tie_term"]) == (n1, n2, tie)
+    assert r["u_stat"] == _rnd(u1, 1)
+    assert r["auc"] == _rnd(auc, 6)
+    assert r["z"] == _rnd(z, 6)
+    assert r["p_value"] == _rnd(p, 9)
+    assert r["p_value"] < 1e-6 and r["auc"] < 0.5  # shift detected
+    # identical distributions: auc ~ 0.5, p large
+    ys2 = [rng.randrange(0, 60) for _ in range(100)]
+    a2, b2 = _two_dfs(spark, xs, ys2)
+    r2 = mann_whitney_u(a2, b2, "v").collect()[0]
+    assert abs(r2["auc"] - 0.5) < 0.1 and r2["p_value"] > 0.01
+
+
+def test_mwu_auc_is_roc_auc_and_degenerates(spark):
+    # perfectly separated: every ref value above every cur -> AUC = 1
+    a, b = _two_dfs(spark, [10, 11, 12], [1, 2, 3, 4])
+    r = mann_whitney_u(a, b, "v").collect()[0]
+    assert r["auc"] == 1.0 and r["u_stat"] == 12.0
+    # all-tied: zero variance -> NULL z/p under the ANSI guard
+    a2, b2 = _two_dfs(spark, [5, 5], [5, 5, 5])
+    r2 = mann_whitney_u(a2, b2, "v").collect()[0]
+    assert r2["auc"] == 0.5 and r2["z"] is None and r2["p_value"] is None
+    # NULL value raises with the right op name
+    bad = spark.createDataFrame([(1,), (None,)], "v long")
+    with pytest.raises(Exception, match="mann_whitney_u: NULL value"):
+        mann_whitney_u(bad, b, "v").collect()
+
+
+def test_mwu_grouped_isolates_keys(spark):
+    rng = random.Random(82)
+    rows_r, rows_c, series = [], [], {}
+    for g, shift in (("a", 20), ("b", 0)):
+        xs = [rng.randrange(0, 50) for _ in range(80)]
+        ys = [rng.randrange(0, 50) + shift for _ in range(70)]
+        series[g] = (xs, ys)
+        rows_r += [(g, x) for x in xs]
+        rows_c += [(g, y) for y in ys]
+    ref = spark.createDataFrame(rows_r, "g string, v long")
+    cur = spark.createDataFrame(rows_c, "g string, v long")
+    got = {
+        r["g"]: r
+        for r in mann_whitney_u(ref, cur, "v", group_cols=["g"]).collect()
+    }
+    for g, (xs, ys) in series.items():
+        n1, n2, u1, auc, tie, z, p = _py_mwu(xs, ys)
+        assert got[g]["auc"] == _rnd(auc, 6), g
+        assert got[g]["z"] == _rnd(z, 6), g
+    assert got["a"]["p_value"] < 1e-6 and got["b"]["p_value"] > 0.001
+
+
+def test_ks_matches_python_and_detects_shift(spark):
+    rng = random.Random(83)
+    xs = [rng.randrange(0, 1000) for _ in range(150)]
+    ys = [rng.randrange(0, 1000) + 300 for _ in range(130)]
+    a, b = _two_dfs(spark, xs, ys)
+    r = ks_two_sample(a, b, "v").collect()[0]
+    n1, n2, d, loc, p = _py_ks(xs, ys)
+    assert (r["n_ref"], r["n_cur"]) == (n1, n2)
+    assert r["d_stat"] == _rnd(d, 6)
+    assert r["location"] == loc
+    assert r["p_approx"] == _rnd(p, 9)
+    assert r["p_approx"] < 1e-6  # the planted shift
+    # identical samples: D = 0, p = 1 (the clamp)
+    r0 = ks_two_sample(a, a, "v").collect()[0]
+    assert r0["d_stat"] == 0.0 and r0["p_approx"] == 1.0
+
+
+def test_ks_grouped_and_location_tiebreak(spark):
+    rng = random.Random(84)
+    rows_r, rows_c, series = [], [], {}
+    for g, shift in (("a", 400), ("b", 0)):
+        xs = [rng.randrange(0, 1000) for _ in range(90)]
+        ys = [rng.randrange(0, 1000) + shift for _ in range(80)]
+        series[g] = (xs, ys)
+        rows_r += [(g, x) for x in xs]
+        rows_c += [(g, y) for y in ys]
+    ref = spark.createDataFrame(rows_r, "g string, v long")
+    cur = spark.createDataFrame(rows_c, "g string, v long")
+    got = {
+        r["g"]: r
+        for r in ks_two_sample(ref, cur, "v", group_cols=["g"]).collect()
+    }
+    for g, (xs, ys) in series.items():
+        n1, n2, d, loc, p = _py_ks(xs, ys)
+        assert got[g]["d_stat"] == _rnd(d, 6), g
+        assert got[g]["location"] == loc, g
+        assert got[g]["p_approx"] == _rnd(p, 9), g
+    assert got["a"]["p_approx"] < 1e-6
+    # location tie-break: equal numerators pick the SMALLEST value
+    a = spark.createDataFrame([(1,), (2,)], "v long")
+    b = spark.createDataFrame([(3,), (4,)], "v long")
+    rt = ks_two_sample(a, b, "v").collect()[0]
+    assert rt["d_stat"] == 1.0 and rt["location"] == 2  # first sup point
+
+
+def test_twosample_duckdb_oracle_shapes_cross_engine(spark):
+    """The DuckDB restatements — the doubled-rank cumulative window
+    for MWU (with the A&S p polynomial in op-order lockstep) and the
+    integer ECDF-numerator max for KS — are bit-equal to the operators
+    on the real early-vs-late order price split: the r12 registry
+    oracles, pinned ahead of registration."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    got_mwu = tuple(mann_whitney_u(ref, cur, "x").collect()[0])
+    got_ks = tuple(ks_two_sample(ref, cur, "x").collect()[0])
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        NORMAL_P_TWO_SIDED_SQL,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS"
+        f" SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    p_expr = NORMAL_P_TWO_SIDED_SQL.format(z="z")
+    want_mwu = con.execute(
+        f"""
+        WITH sides AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN 1 ELSE 2 END AS s
+          FROM orders
+        ), vc AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+                 CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+          FROM sides GROUP BY v
+        ), rk AS (
+          SELECT c1, c2,
+                 CAST(2 * coalesce(sum(c1 + c2) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) + (c1 + c2) + 1 AS BIGINT) AS r2x
+          FROM vc
+        ), agg AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2,
+                 CAST(sum(CAST(c1 AS HUGEINT) * r2x) AS HUGEINT) AS tr1,
+                 CAST(sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                          - (c1 + c2)) AS HUGEINT) AS tie
+          FROM rk
+        ), f AS (
+          SELECT n1, n2, tie,
+                 CAST(tr1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS HUGEINT)
+                   AS two_u1,
+                 CAST(n1 AS HUGEINT) * n2
+                   * ((CAST(n1 + n2 AS HUGEINT) + 1) * (n1 + n2)
+                      * (CAST(n1 + n2 AS HUGEINT) - 1) - tie) AS v_num
+          FROM agg
+        ), zc AS (
+          SELECT n1, n2, tie, two_u1, v_num,
+                 CAST(two_u1 AS DOUBLE) / 2.0
+                   - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0
+                   AS diff,
+                 sqrt(CAST(v_num AS DOUBLE)
+                      / (12.0 * CAST(n1 + n2 AS DOUBLE)
+                         * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS sd
+          FROM f
+        ), zz AS (
+          SELECT n1, n2, tie, two_u1,
+                 CASE WHEN v_num > 0 THEN
+                   CASE WHEN diff > 0 THEN (diff - 0.5) / sd
+                        WHEN diff < 0 THEN (diff + 0.5) / sd
+                        ELSE 0.0 END
+                 END AS z
+          FROM zc
+        )
+        SELECT n1 AS n_ref, n2 AS n_cur,
+               round(CAST(two_u1 AS DOUBLE) / 2.0, 1) AS u_stat,
+               round(CAST(two_u1 AS DOUBLE)
+                     / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)),
+                     6) AS auc,
+               tie AS tie_term,
+               round(z, 6) AS z,
+               round({p_expr}, 9) AS p_value
+        FROM zz
+        """
+    ).fetchall()[0]
+    assert got_mwu == tuple(want_mwu)
+
+    want_ks = con.execute(
+        """
+        WITH sides AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN 1 ELSE 2 END AS s
+          FROM orders
+        ), vc AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+                 CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+          FROM sides GROUP BY v
+        ), cum AS (
+          SELECT v,
+                 CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS m1,
+                 CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS m2
+          FROM vc
+        ), tot AS (
+          SELECT CAST(max(m1) AS BIGINT) AS n1,
+                 CAST(max(m2) AS BIGINT) AS n2
+          FROM cum
+        ), scored AS (
+          SELECT v, n1, n2,
+                 abs(CAST(m1 AS HUGEINT) * n2 - CAST(m2 AS HUGEINT) * n1)
+                   AS num
+          FROM cum, tot
+        ), agg AS (
+          SELECT max(n1) AS n1, max(n2) AS n2,
+                 max(num) AS maxnum,
+                 min(CASE WHEN num = (SELECT max(num) FROM scored)
+                          THEN v END) AS loc
+          FROM scored
+        ), d AS (
+          SELECT n1, n2, loc,
+                 CAST(maxnum AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS dd,
+                 CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS ne
+          FROM agg
+        ), lamt AS (
+          SELECT n1, n2, loc, dd,
+                 (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * dd AS lam
+          FROM d
+        )
+        SELECT n1 AS n_ref, n2 AS n_cur, round(dd, 6) AS d_stat,
+               loc AS location,
+               round(CASE WHEN lam < 0.2 THEN 1.0
+                     ELSE least(1.0, greatest(0.0, 2.0 * (
+                   exp(-2.0 * lam * lam) - exp(-8.0 * lam * lam)
+                 + exp(-18.0 * lam * lam) - exp(-32.0 * lam * lam)
+                 + exp(-50.0 * lam * lam) - exp(-72.0 * lam * lam)
+                 + exp(-98.0 * lam * lam) - exp(-128.0 * lam * lam)
+                 + exp(-162.0 * lam * lam) - exp(-200.0 * lam * lam)
+                 + exp(-242.0 * lam * lam) - exp(-288.0 * lam * lam)
+                 + exp(-338.0 * lam * lam) - exp(-392.0 * lam * lam)
+                 + exp(-450.0 * lam * lam) - exp(-512.0 * lam * lam)
+               ))) END, 9) AS p_approx
+        FROM lamt
+        """
+    ).fetchall()[0]
+    assert got_ks == tuple(want_ks)

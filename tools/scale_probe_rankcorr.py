@@ -99,5 +99,59 @@ def main() -> None:
     print("copy-0 differentials: identical")
 
 
+def probe_twosample() -> None:
+    """10x probe for the two-sample tests (MWU/KS run on the distinct-
+    value aggregate — the raw-row side scales, the ranked side is
+    O(distinct values) per key)."""
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        ks_two_sample,
+        mann_whitney_u,
+    )
+
+    spark = get_spark("scale_probe_twosample")
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    def raw(copies: int):
+        d = e.withColumn(
+            "__copy", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+        )
+        return d.select(
+            F.concat_ws("#", "event_type", F.col("__copy")).alias("g"),
+            F.round(F.col("value") * 100).cast("long").alias("x"),
+            (F.dayofmonth("ts") % 2).alias("__half"),
+        )
+
+    def split(df):
+        return (
+            df.filter(F.col("__half") == 0).select("g", "x"),
+            df.filter(F.col("__half") == 1).select("g", "x"),
+        )
+
+    one, ten = raw(1).localCheckpoint(), raw(10).localCheckpoint()
+    for name, fn in (
+        ("mann_whitney_u grouped", mann_whitney_u),
+        ("ks_two_sample grouped", ks_two_sample),
+    ):
+        r1, c1 = split(one)
+        r10, c10 = split(ten)
+        t1 = timed(
+            lambda: fn(r1, c1, "x", group_cols=["g"]).write.mode(
+                "overwrite"
+            ).format("noop").save()
+        )
+        t10 = timed(
+            lambda: fn(r10, c10, "x", group_cols=["g"]).write.mode(
+                "overwrite"
+            ).format("noop").save()
+        )
+        print(
+            f"{name}: 1x {t1:.2f}s, 10x keys*rows {t10:.2f}s,"
+            f" ratio {t10 / t1:.1f}x"
+        )
+
+
 if __name__ == "__main__":
-    main()
+    if "--twosample" in sys.argv:
+        probe_twosample()
+    else:
+        main()
