@@ -293,6 +293,20 @@ def psi(
             .crossJoin(F.broadcast(nr))
             .crossJoin(F.broadcast(nc))
         )
+    return _psi_from_base(base, edges, groups, k)
+
+
+def _psi_from_base(
+    base: DataFrame, edges: DataFrame, groups: "list[str]", k: int
+) -> DataFrame:
+    """Shared PSI formula tail — Laplace-smoothed shares and the
+    1e-9-rounded integer term sums — over a ``(group..., bucket,
+    n_ref, n_cur, n_ref_total, n_cur_total)`` frame (NULL holes
+    coalesced here). ONE implementation serves the batch operator AND
+    the streaming twin (``streaming.start_streaming_psi`` folds bucket
+    counts into exactly this frame shape), so the formula can never
+    diverge between them — the psi_grouped house rule applied across
+    the batch/streaming boundary."""
     base = base.select(
         *groups,
         "bucket",

@@ -1373,3 +1373,110 @@ def start_streaming_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_streaming_psi(
+    stream: DataFrame,
+    psi_dir: str,
+    *,
+    value_col: str,
+    ref: DataFrame,
+    n_buckets: int = 10,
+    checkpoint_dir: str,
+):
+    """Streaming PSI drift monitor (``operators/drift.psi``): bucket
+    edges are frozen ONCE from the reference distribution at start
+    (exact order-statistic build on the distinct-value aggregate — or
+    at warehouse scale pass a pre-bucketized ref through the same
+    shapes), then every micro-batch folds its bucket counts into the
+    stored current-side state and rewrites the k-row serving table
+    ``(bucket, edge, n_ref, n_cur, ref_share, cur_share, psi_term,
+    psi)`` — the batch operator's exact output schema, produced by the
+    SAME formula tail (``drift._psi_from_base``), so a dashboard reads
+    one tiny table and the streamed verdict can never diverge from
+    what batch psi() would say about the union of delivered batches
+    (the differential the tests pin).
+
+    Exactly-once: bucket counts are a SUM-fold — monoid, not
+    idempotent — so this twin sits on rung 3 of DEPLOYMENT.md's
+    state-algebra ladder and carries the rollup twin's ``__batch_id``
+    watermark verbatim (a checkpoint-recovery re-delivery is skipped).
+    Same CONTRACT: ``psi_dir`` and ``checkpoint_dir`` live and die
+    together. The reference side (edges, per-bucket ref counts, ref
+    total) is computed eagerly here and pinned via localCheckpoint —
+    after a driver restart the caller passes the same ``ref`` again
+    and gets the identical integer edges (exact order statistics of
+    the same data), so the frozen-edges contract survives restarts
+    without storing the reference.
+
+    Per batch: one map-side distinct-value reduction + broadcast range
+    join against k−1 edges + a ≤ k-row state merge and rewrite —
+    O(batch + k) regardless of history. NULL stream values raise (the
+    psi fail-loud convention).
+    """
+    from ..operators.drift import _bucketize, _psi_from_base, psi_buckets
+
+    k = int(n_buckets)
+    edges = psi_buckets(ref, value_col, n_buckets=k).localCheckpoint(
+        eager=True
+    )
+    ref_counts = (
+        _bucketize(ref, value_col, edges, k, [], "reference")
+        .withColumnRenamed("c", "n_ref")
+        .localCheckpoint(eager=True)
+    )
+    ref_total = (
+        ref.agg(F.count("*").cast("long").alias("n_ref_total"))
+        .localCheckpoint(eager=True)
+    )
+    wm: dict[str, int | None] = {"v": None}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        old_cur = None
+        if recover_dir(psi_dir):
+            stored = spark.read.parquet(psi_dir)
+            bid = wm["v"]
+            if bid is None:  # cold cache → recovery path, read disk
+                bid = stored.agg(F.max("__batch_id")).first()[0]
+            if bid is not None and batch_id <= bid:
+                wm["v"] = bid
+                return  # checkpoint replay of an already-folded batch
+            old_cur = stored.select("bucket", "n_cur")
+        delta = _bucketize(batch, value_col, edges, k, [], "input")
+        if old_cur is not None:
+            merged = (
+                old_cur.unionByName(
+                    delta.withColumnRenamed("c", "n_cur")
+                )
+                .groupBy("bucket")
+                .agg(F.sum("n_cur").cast("long").alias("n_cur"))
+            )
+        else:
+            merged = delta.withColumnRenamed("c", "n_cur")
+        grid = spark.range(1, k + 1).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+        cur_total = merged.agg(
+            F.sum("n_cur").cast("long").alias("n_cur_total")
+        )
+        base = (
+            grid.join(F.broadcast(ref_counts), "bucket", "left")
+            .join(F.broadcast(merged), "bucket", "left")
+            .crossJoin(F.broadcast(ref_total))
+            .crossJoin(F.broadcast(cur_total))
+        )
+        out = _psi_from_base(base, edges, [], k)
+        tmp = staging_path(psi_dir)
+        out.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        promote_dir(tmp, psi_dir)
+        wm["v"] = batch_id
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

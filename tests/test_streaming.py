@@ -2129,3 +2129,130 @@ def test_streaming_cms_adopts_pre_param_column_state(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_psi_equals_batch_and_skips_replay(spark, tmp_path):
+    """PSI twin (rung 3, sum-fold bucket counts): after draining 3
+    batches the stored k-row serving table equals the batch psi() of
+    the reference against the concatenated delivered input — the
+    shared-formula guarantee (drift._psi_from_base) made observable; a
+    checkpoint wipe re-delivers every batch and the __batch_id guard
+    must skip them (double-counted buckets would shift every share);
+    post-guard NEW arrivals keep folding; edges stay FROZEN from the
+    reference (never recomputed from the stream)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.drift import psi
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_psi,
+    )
+
+    rng = __import__("random").Random(91)
+    ref_rows = [
+        (10_000 + i, "2024-01-01 00:00:00", 1, "ref", float(rng.randrange(0, 500)))
+        for i in range(400)
+    ]
+    ref_df = _rows(spark, ref_rows).select(
+        F.round(F.col("value")).cast("long").alias("x")
+    )
+    # the stream drifts upward batch by batch
+    batches = [
+        [
+            (b * 1000 + i, "2024-01-02 00:00:00", 2, "cur",
+             float(rng.randrange(0, 500) + b * 120))
+            for i in range(150)
+        ]
+        for b in range(3)
+    ]
+    inp = str(tmp_path / "in")
+    psi_dir = str(tmp_path / "psi")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in batches:
+        _write_batch(spark, inp, chunk)
+
+    def run():
+        q = start_streaming_psi(
+            read_event_stream(spark, inp, SCHEMA).select(
+                F.round(F.col("value")).cast("long").alias("x"),
+                F.col("ts"),
+            ),
+            psi_dir,
+            value_col="x",
+            ref=ref_df,
+            n_buckets=8,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def stored():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(psi_dir)
+            .drop("__batch_id")
+            .collect()
+        )
+
+    def direct(delivered):
+        cur = _rows(spark, delivered).select(
+            F.round(F.col("value")).cast("long").alias("x")
+        )
+        return sorted(
+            tuple(r) for r in psi(ref_df, cur, "x", n_buckets=8).collect()
+        )
+
+    run()
+    want = direct([r for b in batches for r in b])
+    assert stored() == want
+    # the drifted stream actually registers
+    assert stored()[0][-1] > 0.1
+
+    # checkpoint wipe -> renumbered re-delivery, guard must skip all
+    shutil.rmtree(ckpt)
+    run()
+    assert stored() == want, "replayed batches double-counted buckets"
+
+    # a genuinely new batch (id 3 > watermark 2) folds normally, and
+    # the serving table still matches batch psi on the full union
+    extra = [
+        (9000 + i, "2024-01-03 00:00:00", 3, "cur", float(rng.randrange(800, 1200)))
+        for i in range(120)
+    ]
+    _write_batch(spark, inp, extra)
+    run()
+    assert stored() == direct([r for b in batches for r in b] + extra)
+
+
+def test_streaming_psi_null_value_fails_loud(spark, tmp_path):
+    """A NULL stream value must crash the fold (the psi fail-loud
+    convention), never land silently in bucket 1."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_psi,
+    )
+
+    ref_df = _rows(
+        spark,
+        [(i, "2024-01-01 00:00:00", 1, "r", float(i % 50)) for i in range(100)],
+    ).select(F.round(F.col("value")).cast("long").alias("x"))
+    inp = str(tmp_path / "in")
+    _write_batch(
+        spark,
+        inp,
+        [(1, "2024-01-02 00:00:00", 2, "c", 5.0),
+         (2, "2024-01-02 00:00:00", 2, "c", None)],
+    )
+    q = start_streaming_psi(
+        read_event_stream(spark, inp, SCHEMA).select(
+            F.col("value").cast("long").alias("x"), F.col("ts")
+        ),
+        str(tmp_path / "psi"),
+        value_col="x",
+        ref=ref_df,
+        n_buckets=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="psi: NULL value"):
+        q.awaitTermination(180)
