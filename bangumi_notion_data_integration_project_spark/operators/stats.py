@@ -1028,7 +1028,15 @@ def _trend_input(
     op_name: str,
 ) -> DataFrame:
     """Shared fail-loud projection for the trend tests: NULL x raises
-    with the offending period named (the holt_linear convention)."""
+    with the offending period named (the holt_linear convention), and
+    NULL group keys raise (the psi convention) — the grouped pair
+    joins below are null-UNSAFE, so a NULL-keyed group would form
+    zero pairs and, after the left-join fix, report a confident
+    S = 0 verdict computed from nothing."""
+    if groups:
+        from .drift import _checked_keys
+
+        df = _checked_keys(df, groups, op_name=op_name)
     x_checked = F.when(
         F.col(x_col).isNull(),
         F.raise_error(
@@ -1124,30 +1132,8 @@ def cross_correlation(
     if max_lag < 1:
         raise ValueError("max_lag must be >= 1")
     groups = list(group_cols or [])
-    if groups:
-        # the group joins below are null-unsafe — a NULL-keyed row
-        # would silently vanish from the monitor (the psi convention:
-        # raise instead)
-        from .drift import _checked_keys
-
-        df = _checked_keys(df, groups, op_name="cross_correlation")
-
-    def checked(c: str) -> Column:
-        return F.when(
-            F.col(c).isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit(f"cross_correlation: NULL {c} value at "),
-                    F.col(order_col).cast("string"),
-                )
-            ),
-        ).otherwise(F.col(c).cast("long"))
-
-    d = df.select(
-        *groups,
-        F.col(order_col).alias("__o"),
-        checked(x_col).alias("__x"),
-        checked(y_col).alias("__y"),
+    d = _dual_series_input(
+        df, groups, order_col, x_col, y_col, "cross_correlation"
     )
     if groups:
         tot = d.groupBy(*groups).agg(
@@ -1745,14 +1731,19 @@ def bh_select(
     )
     m = ranked.agg(F.count("*").cast("long").alias("m_tests"))
     based = ranked.crossJoin(F.broadcast(m))
-    thresh = (
+    # the comparison uses the SAME round(·,9) form the output column
+    # publishes (and that p-values carry under the ln/exp contract) —
+    # comparing unrounded internally while publishing rounded could
+    # emit a row showing p <= bh_threshold with selected = false, and
+    # a consumer recomputing the step-up rule from the published
+    # columns would contradict the verdict
+    thresh = F.round(
         F.col("p_rank").cast("double")
         * F.lit(float(alpha))
-        / F.col("m_tests").cast("double")
+        / F.col("m_tests").cast("double"),
+        9,
     )
-    scored = based.withColumn(
-        "bh_threshold", F.round(thresh, 9)
-    ).withColumn(
+    scored = based.withColumn("bh_threshold", thresh).withColumn(
         "__hit",
         F.when(F.col(p_col) <= thresh, F.col("p_rank")).otherwise(
             F.lit(None)

@@ -86,8 +86,19 @@ def mann_whitney_u(
     where u_stat is 2·U₁ halved exactly (U₁ can be half-integer under
     ties, so u_stat is reported as a double of the exact 2U₁/2), and
     p_value is the two-sided normal tail via the A&S polynomial
-    (round-at-≤9dp oracle contract). All-tied inputs (zero variance)
-    report NULL z/p under the ANSI guard."""
+    (round-at-≤9dp oracle contract).
+
+    Degenerates are explicit, never NaN: a group present in only ONE
+    input (no two-sample test exists) reports NULL u_stat/auc/z/p with
+    its counts — the psi one-sided-group asymmetry made visible rather
+    than a 0/0; all-tied inputs report NULL z/p under an EXACT
+    integer zero-variance guard ((n+1)n(n−1) = Σ(t³−t), DECIMAL —
+    never the rounded double). Overflow bounds: the exact integer work
+    tops out at n³ (guard) — fine past 10¹² rows per group — and the
+    variance itself is computed in DOUBLE (an integer n⁵ product would
+    overflow DECIMAL(38,0) near 4·10⁷ rows; the ols_fit2 det
+    precedent). The LONG output cast of tie_term fails loud under ANSI
+    if a single value repeats > ~2.1M times in one group."""
     from .stats import normal_p_two_sided
 
     groups = list(group_cols or [])
@@ -120,25 +131,30 @@ def mann_whitney_u(
         .alias("tie_term"),  # Σ(t³ − t) over combined tied groups
     )
     n1 = F.col("n_ref").cast(_DEC)
-    n2 = F.col("n_cur").cast(_DEC)
-    n = n1 + n2
+    n = (F.col("n_ref") + F.col("n_cur")).cast(_DEC)
     two_u1 = (F.col("__2r1") - n1 * (n1 + 1)).cast(_DEC)  # 2·U₁ exact
+    # one-sided group: no two-sample test exists — NULL stats, not 0/0
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    # exact integer zero-variance guard: Var = 0 iff every combined
+    # value is tied, i.e. (n+1)n(n−1) == Σ(t³−t) — n³-scaled DECIMAL,
+    # safe past 10¹² rows/group (an n⁵ product would not be)
+    var_pos = ((n + 1) * n * (n - 1) - F.col("tie_term")) > 0
+    n1d = F.col("n_ref").cast("double")
+    n2d = F.col("n_cur").cast("double")
+    nd = n1d + n2d
     u1 = two_u1.cast("double") / F.lit(2.0)
-    auc = two_u1.cast("double") / (
-        F.lit(2.0) * n1.cast("double") * n2.cast("double")
+    auc = two_u1.cast("double") / (F.lit(2.0) * n1d * n2d)
+    # tie-corrected Var(U) in DOUBLE (the ols_fit2 det precedent):
+    # n₁n₂/12 · [(n+1) − Σ(t³−t)/(n(n−1))]
+    var_u = (n1d * n2d / F.lit(12.0)) * (
+        (nd + F.lit(1.0))
+        - F.col("tie_term").cast("double") / (nd * (nd - F.lit(1.0)))
     )
-    # Var(U)·(n(n−1))·12 kept integer: v_num = n₁n₂·[(n+1)n(n−1) − Σ(t³−t)]
-    v_num = (n1 * n2 * ((n + 1) * n * (n - 1) - F.col("tie_term"))).cast(
-        _DEC
-    )
-    var_u = v_num.cast("double") / (
-        F.lit(12.0) * n.cast("double") * (n.cast("double") - 1.0)
-    )
-    mean_u = n1.cast("double") * n2.cast("double") / F.lit(2.0)
+    mean_u = n1d * n2d / F.lit(2.0)
     # continuity correction toward the mean: shrink |U − mean| by ½
     diff = u1 - mean_u
     z = F.when(
-        v_num > 0,
+        both & var_pos,
         F.when(diff > 0, (diff - 0.5) / F.sqrt(var_u))
         .when(diff < 0, (diff + 0.5) / F.sqrt(var_u))
         .otherwise(F.lit(0.0)),
@@ -147,8 +163,8 @@ def mann_whitney_u(
         *groups,
         "n_ref",
         "n_cur",
-        F.round(u1, 1).alias("u_stat"),
-        F.round(auc, 6).alias("auc"),
+        F.when(both, F.round(u1, 1)).alias("u_stat"),
+        F.when(both, F.round(auc, 6)).alias("auc"),
         F.col("tie_term").cast("long").alias("tie_term"),
         F.round(z, 6).alias("z"),
         F.round(normal_p_two_sided(z), 9).alias("p_value"),
@@ -180,9 +196,11 @@ def ks_two_sample(
     Q(λ) > 0.9999997 — so that branch reports 1 exactly, the
     Numerical-Recipes probks convention, and the λ-compare branches
     identically in both engines. ``location`` is the smallest value
-    attaining the max (struct-min tie-break — deterministic). Returns
-    one row per group: ``(group..., n_ref, n_cur, d_stat, location,
-    p_approx)``."""
+    attaining the max (struct-min on the EXACT decimal key —
+    deterministic at any scale). Returns one row per group:
+    ``(group..., n_ref, n_cur, d_stat, location, p_approx)``; a group
+    present in only one input reports NULL stats with its counts (the
+    MWU/psi one-sided convention, never a 0/0 NaN)."""
     groups = list(group_cols or [])
     vc = _sided_counts(ref, cur, value_col, groups, "ks_two_sample")
     if groups:
@@ -224,13 +242,18 @@ def ks_two_sample(
         F.max("n_ref").alias("n_ref"),
         F.max("n_cur").alias("n_cur"),
         F.max("__num").cast(_DEC).alias("__maxnum"),
+        # argmin key stays EXACT decimal — a double cast would collapse
+        # numerators differing by 1 above 2^53 and pick a wrong location
         F.min(
             F.struct(
-                (-F.col("__num").cast("double")).alias("__neg"),
+                (-F.col("__num")).cast(_DEC).alias("__neg"),
                 F.col("__v").alias("__loc"),
             )
         ).alias("__arg"),
     )
+    # one-sided group: D = sup|F1 − F2| is undefined without both
+    # samples — NULL stats, not a 0/0 NaN (the MWU/psi convention)
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
     n1d = F.col("n_ref").cast("double")
     n2d = F.col("n_cur").cast("double")
     d = F.col("__maxnum").cast("double") / (n1d * n2d)
@@ -249,8 +272,8 @@ def ks_two_sample(
         *groups,
         "n_ref",
         "n_cur",
-        F.round(d, 6).alias("d_stat"),
-        F.col("__arg.__loc").alias("location"),
-        F.round(p, 9).alias("p_approx"),
+        F.when(both, F.round(d, 6)).alias("d_stat"),
+        F.when(both, F.col("__arg.__loc")).alias("location"),
+        F.when(both, F.round(p, 9)).alias("p_approx"),
     )
     return out.orderBy(*groups) if groups else out

@@ -1402,7 +1402,13 @@ def start_streaming_psi(
     state-algebra ladder and carries the rollup twin's ``__batch_id``
     watermark verbatim (a checkpoint-recovery re-delivery is skipped).
     Same CONTRACT: ``psi_dir`` and ``checkpoint_dir`` live and die
-    together. The reference side (edges, per-bucket ref counts, ref
+    together — the guard cannot distinguish a replayed batch from
+    genuinely NEW input renumbered 0..k after a checkpoint wipe, so
+    wiping the checkpoint while keeping psi_dir silently discards
+    fresh low-numbered batches (the rollup twin's documented trade;
+    the partitioned rollup's checkpoint-identity token is the upgrade
+    path if that ever matters here). The reference side (edges,
+    per-bucket ref counts, ref
     total) is computed eagerly here and pinned via localCheckpoint —
     after a driver restart the caller passes the same ``ref`` again
     and gets the identical integer edges (exact order statistics of

@@ -867,6 +867,7 @@ R11_BATCH = [
     "events_type_mk",
     "events_markov_entropy",
     "parts_freq_cms",
+    "orders_price_psi_sketch",
 ]
 
 

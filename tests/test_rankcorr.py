@@ -394,20 +394,7 @@ def test_rankcorr_duckdb_oracle_shapes_cross_engine(spark):
     assert got_rho == tuple(want_rho)
 
 
-def _py_norm_p(z):
-    # the same A&S 7.1.26 polynomial the operator evaluates
-    x = abs(z) / math.sqrt(2.0)
-    t = 1.0 / (1.0 + 0.3275911 * x)
-    # repeated multiplication, NOT pow — t**3 can differ from t*t*t by
-    # an ulp, and the bit-equality claim is about the exact op sequence
-    poly = (
-        0.254829592 * t
-        - 0.284496736 * t * t
-        + 1.421413741 * t * t * t
-        - 1.453152027 * t * t * t * t
-        + 1.061405429 * t * t * t * t * t
-    )
-    return poly * math.exp(-(x * x))
+from conftest import py_norm_p as _py_norm_p  # noqa: E402
 
 
 def test_normal_p_matches_exact_tail_within_as_bound(spark):

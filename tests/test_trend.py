@@ -177,6 +177,25 @@ def test_null_x_raises(spark):
         sen_slope(df, "d", "x").collect()
 
 
+def test_null_group_key_raises_in_trend_family(spark):
+    # a NULL-keyed group forms zero pairs in the null-unsafe equi-join
+    # and (post left-join fix) would report a confident S = 0 verdict
+    # computed from nothing — _trend_input raises instead (the psi
+    # convention, r10 review find)
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        pettitt_test,
+    )
+
+    rows = [("a", 1, 5), ("a", 2, 7), (None, 1, 3), (None, 2, 9)]
+    df = spark.createDataFrame(rows, "g string, d long, x long")
+    with pytest.raises(Exception, match="mann_kendall: NULL group key"):
+        mann_kendall(df, "d", "x", group_cols=["g"]).collect()
+    with pytest.raises(Exception, match="sen_slope: NULL group key"):
+        sen_slope(df, "d", "x", group_cols=["g"]).collect()
+    with pytest.raises(Exception, match="pettitt_test: NULL group key"):
+        pettitt_test(df, "d", "x", group_cols=["g"]).collect()
+
+
 def test_trend_duckdb_oracle_shapes_cross_engine(spark):
     """The DuckDB restatements — pairwise sign sum + tie aggregate for
     MK, rank-extracted pairwise-slope and residual medians for Sen —

@@ -20,17 +20,7 @@ def _rnd(x, nd):
     return math.copysign(math.floor(abs(x) * 10**nd + 0.5) / 10**nd, x)
 
 
-def _py_norm_p(z):
-    x = abs(z) / math.sqrt(2.0)
-    t = 1.0 / (1.0 + 0.3275911 * x)
-    poly = (
-        0.254829592 * t
-        - 0.284496736 * t * t
-        + 1.421413741 * t * t * t
-        - 1.453152027 * t * t * t * t
-        + 1.061405429 * t * t * t * t * t
-    )
-    return poly * math.exp(-(x * x))
+from conftest import py_norm_p as _py_norm_p  # noqa: E402
 
 
 def _py_mwu(xs, ys):
@@ -50,11 +40,16 @@ def _py_mwu(xs, ys):
     for v in comb:
         ties[v] = ties.get(v, 0) + 1
     tie_term = sum(t**3 - t for t in ties.values())
-    v_num = n1 * n2 * ((n + 1) * n * (n - 1) - tie_term)
-    if v_num <= 0:
+    if n1 == 0 or n2 == 0:
+        return n1, n2, None, None, tie_term, None, None
+    if (n + 1) * n * (n - 1) - tie_term <= 0:
         return n1, n2, u1, auc, tie_term, None, None
-    var_u = v_num / (12.0 * n * (n - 1))
-    mean_u = n1 * n2 / 2.0
+    n1d, n2d = float(n1), float(n2)
+    nd = n1d + n2d
+    var_u = (n1d * n2d / 12.0) * (
+        (nd + 1.0) - tie_term / (nd * (nd - 1.0))
+    )
+    mean_u = n1d * n2d / 2.0
     diff = u1 - mean_u
     if diff > 0:
         z = (diff - 0.5) / math.sqrt(var_u)
@@ -149,6 +144,41 @@ def test_mwu_grouped_isolates_keys(spark):
         assert got[g]["auc"] == _rnd(auc, 6), g
         assert got[g]["z"] == _rnd(z, 6), g
     assert got["a"]["p_value"] < 1e-6 and got["b"]["p_value"] > 0.001
+
+
+def test_one_sided_groups_report_null_not_nan(spark):
+    """A group present in only one input has no two-sample test: both
+    operators must report the row with NULL statistics (the psi
+    one-sided asymmetry made visible) — NEVER an IEEE 0/0 NaN, which
+    would silently poison hashes and dashboards."""
+    ref = spark.createDataFrame(
+        [("both", 1), ("both", 2), ("refonly", 5)], "g string, v long"
+    )
+    cur = spark.createDataFrame(
+        [("both", 3), ("both", 4), ("curonly", 7)], "g string, v long"
+    )
+    mwu = {
+        r["g"]: r
+        for r in mann_whitney_u(ref, cur, "v", group_cols=["g"]).collect()
+    }
+    assert set(mwu) == {"both", "refonly", "curonly"}
+    for g in ("refonly", "curonly"):
+        r = mwu[g]
+        assert r["u_stat"] is None and r["auc"] is None, g
+        assert r["z"] is None and r["p_value"] is None, g
+    assert (mwu["refonly"]["n_ref"], mwu["refonly"]["n_cur"]) == (1, 0)
+    assert (mwu["curonly"]["n_ref"], mwu["curonly"]["n_cur"]) == (0, 1)
+    assert mwu["both"]["auc"] == 0.0  # ref strictly below cur
+
+    ks = {
+        r["g"]: r
+        for r in ks_two_sample(ref, cur, "v", group_cols=["g"]).collect()
+    }
+    for g in ("refonly", "curonly"):
+        r = ks[g]
+        assert r["d_stat"] is None and r["location"] is None, g
+        assert r["p_approx"] is None, g
+    assert ks["both"]["d_stat"] == 1.0
 
 
 def test_ks_matches_python_and_detects_shift(spark):
@@ -257,22 +287,24 @@ def test_twosample_duckdb_oracle_shapes_cross_engine(spark):
           SELECT n1, n2, tie,
                  CAST(tr1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS HUGEINT)
                    AS two_u1,
-                 CAST(n1 AS HUGEINT) * n2
-                   * ((CAST(n1 + n2 AS HUGEINT) + 1) * (n1 + n2)
-                      * (CAST(n1 + n2 AS HUGEINT) - 1) - tie) AS v_num
+                 (CAST(n1 + n2 AS HUGEINT) + 1) * (n1 + n2)
+                   * (CAST(n1 + n2 AS HUGEINT) - 1) - tie AS var_num3
           FROM agg
         ), zc AS (
-          SELECT n1, n2, tie, two_u1, v_num,
+          SELECT n1, n2, tie, two_u1, var_num3,
                  CAST(two_u1 AS DOUBLE) / 2.0
                    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0
                    AS diff,
-                 sqrt(CAST(v_num AS DOUBLE)
-                      / (12.0 * CAST(n1 + n2 AS DOUBLE)
-                         * (CAST(n1 + n2 AS DOUBLE) - 1.0))) AS sd
+                 sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                      * (((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0)
+                         - CAST(tie AS DOUBLE)
+                           / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                              * ((CAST(n1 AS DOUBLE)
+                                  + CAST(n2 AS DOUBLE)) - 1.0)))) AS sd
           FROM f
         ), zz AS (
           SELECT n1, n2, tie, two_u1,
-                 CASE WHEN v_num > 0 THEN
+                 CASE WHEN var_num3 > 0 THEN
                    CASE WHEN diff > 0 THEN (diff - 0.5) / sd
                         WHEN diff < 0 THEN (diff + 0.5) / sd
                         ELSE 0.0 END
