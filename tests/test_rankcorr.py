@@ -394,7 +394,7 @@ def test_rankcorr_duckdb_oracle_shapes_cross_engine(spark):
     assert got_rho == tuple(want_rho)
 
 
-from conftest import py_norm_p as _py_norm_p  # noqa: E402
+from _helpers import py_norm_p as _py_norm_p  # noqa: E402
 
 
 def test_normal_p_matches_exact_tail_within_as_bound(spark):

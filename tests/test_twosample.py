@@ -20,7 +20,7 @@ def _rnd(x, nd):
     return math.copysign(math.floor(abs(x) * 10**nd + 0.5) / 10**nd, x)
 
 
-from conftest import py_norm_p as _py_norm_p  # noqa: E402
+from _helpers import py_norm_p as _py_norm_p  # noqa: E402
 
 
 def _py_mwu(xs, ys):
@@ -32,16 +32,17 @@ def _py_mwu(xs, ys):
         eq = sum(1 for w in comb if w == v)
         return 2 * lt + eq + 1
 
-    two_r1 = sum(dbl_rank(v) for v in xs)
-    two_u1 = two_r1 - n1 * (n1 + 1)
-    u1 = two_u1 / 2.0
-    auc = two_u1 / (2.0 * n1 * n2)
     ties: dict[int, int] = {}
     for v in comb:
         ties[v] = ties.get(v, 0) + 1
     tie_term = sum(t**3 - t for t in ties.values())
+    # one-sided guard BEFORE u1/auc: 2*n1*n2 is zero there (review find)
     if n1 == 0 or n2 == 0:
         return n1, n2, None, None, tie_term, None, None
+    two_r1 = sum(dbl_rank(v) for v in xs)
+    two_u1 = two_r1 - n1 * (n1 + 1)
+    u1 = two_u1 / 2.0
+    auc = two_u1 / (2.0 * n1 * n2)
     if (n + 1) * n * (n - 1) - tie_term <= 0:
         return n1, n2, u1, auc, tie_term, None, None
     n1d, n2d = float(n1), float(n2)
