@@ -277,3 +277,106 @@ def ks_two_sample(
         F.when(both, F.round(p, 9)).alias("p_approx"),
     )
     return out.orderBy(*groups) if groups else out
+
+
+def two_proportion_ztest(
+    ref: DataFrame,
+    cur: DataFrame,
+    success_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Two-proportion z-test (pooled, with continuity correction) —
+    the categorical member of the drift-significance family: MWU/KS
+    ask whether a VALUE distribution moved, this asks whether a RATE
+    did (conversion, defect, return — any 0/1 column):
+
+        p̂ = (s₁+s₂)/(n₁+n₂)
+        z = (p₁ − p₂ ∓ cc) / sqrt(p̂(1−p̂)(1/n₁+1/n₂)),  cc = ½(1/n₁+1/n₂)
+
+    Everything before z is four exact integer counts from ONE
+    map-side-combinable aggregate per side (the only shuffle carries
+    one row per group); z is one double expression of those integers
+    and the p-value rides the shared A&S polynomial (round-at-≤9dp
+    oracle contract). ``success_col`` must be 0/1 — other values
+    raise (fail-loud, the NULL-value convention: a 2 silently summed
+    into successes would corrupt the rate). Returns one row per
+    group: ``(group..., n_ref, s_ref, n_cur, s_cur, rate_ref,
+    rate_cur, z, p_value)``; one-sided groups and all-same pooled
+    rates (p̂ ∈ {0,1} ⇒ zero variance) report NULL z/p under exact
+    integer guards."""
+    from .stats import normal_p_two_sided
+
+    groups = list(group_cols or [])
+
+    def counted(df: DataFrame, tag: str, op: str) -> DataFrame:
+        if groups:
+            from .drift import _checked_keys
+
+            df = _checked_keys(df, groups, op_name=op)
+        s = F.col(success_col)
+        checked = F.when(
+            s.isNull() | ~s.cast("long").isin(0, 1),
+            F.raise_error(
+                F.lit(
+                    f"{op}: {success_col} must be 0/1 in the {tag}"
+                    " input — cast or filter explicitly"
+                )
+            ),
+        ).otherwise(s.cast("long"))
+        return df.select(*groups, checked.alias("__s")).groupBy(
+            *groups
+        ).agg(
+            F.count("*").cast("long").alias(f"n_{tag}"),
+            F.sum("__s").cast("long").alias(f"s_{tag}"),
+        )
+
+    op = "two_proportion_ztest"
+    a = counted(ref, "ref", op)
+    b = counted(cur, "cur", op)
+    if groups:
+        base = a.join(b, groups, "full")
+    else:
+        base = a.crossJoin(F.broadcast(b))
+    base = base.select(
+        *groups,
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("s_ref", F.lit(0)).cast("long").alias("s_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+        F.coalesce("s_cur", F.lit(0)).cast("long").alias("s_cur"),
+    )
+    n1d = F.col("n_ref").cast("double")
+    n2d = F.col("n_cur").cast("double")
+    p1 = F.col("s_ref").cast("double") / n1d
+    p2 = F.col("s_cur").cast("double") / n2d
+    pool = (F.col("s_ref") + F.col("s_cur")).cast("double") / (
+        n1d + n2d
+    )
+    inv = F.lit(1.0) / n1d + F.lit(1.0) / n2d
+    sd = F.sqrt(pool * (F.lit(1.0) - pool) * inv)
+    cc = F.lit(0.5) * inv
+    diff = p1 - p2
+    # exact integer guards: both sides present, and the pooled rate is
+    # strictly interior (0 < s1+s2 < n1+n2) — otherwise variance is 0
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    interior = (
+        (F.col("s_ref") + F.col("s_cur")) > 0
+    ) & ((F.col("s_ref") + F.col("s_cur")) < (F.col("n_ref") + F.col("n_cur")))
+    z = F.when(
+        both & interior,
+        F.when(diff > cc, (diff - cc) / sd)
+        .when(diff < -cc, (diff + cc) / sd)
+        .otherwise(F.lit(0.0)),
+    )
+    out = base.select(
+        *groups,
+        "n_ref",
+        "s_ref",
+        "n_cur",
+        "s_cur",
+        F.when(both, F.round(p1, 6)).alias("rate_ref"),
+        F.when(both, F.round(p2, 6)).alias("rate_cur"),
+        F.round(z, 6).alias("z"),
+        F.round(normal_p_two_sided(z), 9).alias("p_value"),
+    )
+    return out.orderBy(*groups) if groups else out

@@ -390,3 +390,179 @@ def test_twosample_duckdb_oracle_shapes_cross_engine(spark):
         """
     ).fetchall()[0]
     assert got_ks == tuple(want_ks)
+
+
+def _py_prop_z(s1, n1, s2, n2):
+    if n1 == 0 or n2 == 0:
+        return None, None
+    if s1 + s2 <= 0 or s1 + s2 >= n1 + n2:
+        return None, None
+    p1, p2 = s1 / n1, s2 / n2
+    pool = (s1 + s2) / (n1 + n2)
+    inv = 1.0 / n1 + 1.0 / n2
+    sd = math.sqrt(pool * (1.0 - pool) * inv)
+    cc = 0.5 * inv
+    diff = p1 - p2
+    if diff > cc:
+        z = (diff - cc) / sd
+    elif diff < -cc:
+        z = (diff + cc) / sd
+    else:
+        z = 0.0
+    return z, _py_norm_p(z)
+
+
+def test_prop_ztest_matches_python_and_detects_rate_shift(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        two_proportion_ztest,
+    )
+
+    rng = random.Random(85)
+    xs = [1 if rng.random() < 0.30 else 0 for _ in range(800)]
+    ys = [1 if rng.random() < 0.38 else 0 for _ in range(700)]
+    a = spark.createDataFrame([(v,) for v in xs], "ok long")
+    b = spark.createDataFrame([(v,) for v in ys], "ok long")
+    r = two_proportion_ztest(a, b, "ok").collect()[0]
+    s1, s2 = sum(xs), sum(ys)
+    assert (r["n_ref"], r["s_ref"], r["n_cur"], r["s_cur"]) == (
+        800, s1, 700, s2,
+    )
+    assert r["rate_ref"] == _rnd(s1 / 800, 6)
+    z, p = _py_prop_z(s1, 800, s2, 700)
+    assert r["z"] == _rnd(z, 6) and r["p_value"] == _rnd(p, 9)
+    assert r["p_value"] < 0.05  # the planted 8-point rate shift
+    # identical rates: |diff| <= cc -> z = 0; the A&S polynomial's
+    # value AT zero is exactly 0.999999999 (inside its 1.5e-7 bound)
+    r0 = two_proportion_ztest(a, a, "ok").collect()[0]
+    assert r0["z"] == 0.0 and r0["p_value"] == 0.999999999
+
+
+def test_prop_ztest_guards_and_grouped(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        two_proportion_ztest,
+    )
+
+    # all-zero pooled rate: zero variance -> NULL z/p (exact guard)
+    a = spark.createDataFrame([(0,), (0,)], "ok long")
+    b = spark.createDataFrame([(0,), (0,), (0,)], "ok long")
+    r = two_proportion_ztest(a, b, "ok").collect()[0]
+    assert r["z"] is None and r["p_value"] is None
+    assert r["rate_ref"] == 0.0 and r["rate_cur"] == 0.0
+    # non-binary success value fails loud
+    bad = spark.createDataFrame([(2,)], "ok long")
+    with pytest.raises(Exception, match="must be 0/1"):
+        two_proportion_ztest(bad, b, "ok").collect()
+    with pytest.raises(Exception, match="must be 0/1"):
+        two_proportion_ztest(
+            a, spark.createDataFrame([(None,)], "ok long"), "ok"
+        ).collect()
+    # grouped: per-key isolation + one-sided groups report NULL stats
+    rng = random.Random(86)
+    rows_r = [("a", 1 if rng.random() < 0.2 else 0) for _ in range(300)]
+    rows_r += [("b", 1 if rng.random() < 0.5 else 0) for _ in range(300)]
+    rows_r += [("refonly", 1)]
+    rows_c = [("a", 1 if rng.random() < 0.6 else 0) for _ in range(250)]
+    rows_c += [("b", 1 if rng.random() < 0.5 else 0) for _ in range(250)]
+    rows_c += [("curonly", 0)]
+    ref = spark.createDataFrame(rows_r, "g string, ok long")
+    cur = spark.createDataFrame(rows_c, "g string, ok long")
+    got = {
+        r["g"]: r
+        for r in two_proportion_ztest(
+            ref, cur, "ok", group_cols=["g"]
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "refonly", "curonly"}
+    for g in ("a", "b"):
+        s1 = sum(v for gg, v in rows_r if gg == g)
+        n1 = sum(1 for gg, _ in rows_r if gg == g)
+        s2 = sum(v for gg, v in rows_c if gg == g)
+        n2 = sum(1 for gg, _ in rows_c if gg == g)
+        z, p = _py_prop_z(s1, n1, s2, n2)
+        assert got[g]["z"] == _rnd(z, 6), g
+        assert got[g]["p_value"] == _rnd(p, 9), g
+    assert got["a"]["p_value"] < 1e-6 and got["b"]["p_value"] > 0.01
+    for g in ("refonly", "curonly"):
+        assert got[g]["z"] is None and got[g]["rate_ref"] is None, g
+
+
+def test_prop_ztest_duckdb_oracle_shape_cross_engine(spark):
+    """The DuckDB restatement — four integer counts, the identical
+    pooled/cc double expressions, the lockstep A&S p — bit-equal to
+    the operator on a real rate: lineitem return-flag share, early vs
+    late ship era (the r13 registry oracle, pinned ahead of
+    registration)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        NORMAL_P_TWO_SIDED_SQL,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        two_proportion_ztest,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_shipdate",
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    ref = li.filter(F.col("l_shipdate") < "1996-01-01").select("ret")
+    cur = li.filter(F.col("l_shipdate") >= "1996-01-01").select("ret")
+    got = tuple(two_proportion_ztest(ref, cur, "ret").collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS"
+        f" SELECT * FROM read_parquet('{sf}/lineitem.parquet')"
+    )
+    p_expr = NORMAL_P_TWO_SIDED_SQL.format(z="z")
+    want = con.execute(
+        f"""
+        WITH a AS (
+          SELECT CAST(count(*) AS BIGINT) AS n1,
+                 CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS s1
+          FROM lineitem
+          WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        ), b AS (
+          SELECT CAST(count(*) AS BIGINT) AS n2,
+                 CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS s2
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        ), f AS (
+          SELECT n1, s1, n2, s2,
+                 CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS diff,
+                 sqrt((CAST(s1 + s2 AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                      * (1.0 - CAST(s1 + s2 AS DOUBLE)
+                         / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                      * (1.0 / CAST(n1 AS DOUBLE)
+                         + 1.0 / CAST(n2 AS DOUBLE))) AS sd,
+                 0.5 * (1.0 / CAST(n1 AS DOUBLE)
+                        + 1.0 / CAST(n2 AS DOUBLE)) AS cc
+          FROM a, b
+        ), zz AS (
+          SELECT n1, s1, n2, s2,
+                 CASE WHEN n1 > 0 AND n2 > 0 AND s1 + s2 > 0
+                           AND s1 + s2 < n1 + n2 THEN
+                   CASE WHEN diff > cc THEN (diff - cc) / sd
+                        WHEN diff < -cc THEN (diff + cc) / sd
+                        ELSE 0.0 END
+                 END AS z
+          FROM f
+        )
+        SELECT n1 AS n_ref, s1 AS s_ref, n2 AS n_cur, s2 AS s_cur,
+               round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+                 AS rate_ref,
+               round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+                 AS rate_cur,
+               round(z, 6) AS z,
+               round({p_expr}, 9) AS p_value
+        FROM zz
+        """
+    ).fetchall()[0]
+    assert got == tuple(want)
