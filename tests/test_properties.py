@@ -521,3 +521,92 @@ def test_set_sketch_semilattice_under_random_shardings(spark, seed):
     assert o["est_union"] == len(a | b)
     assert o["est_intersection"] == len(a & b)
     assert o["jaccard_est"] == round(len(a & b) / len(a | b), 6)
+
+
+def _rank_series(rng, n=40, vmax=25):
+    return [rng.randrange(0, vmax) for _ in range(n)]
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_rank_statistics_range_and_symmetry_invariants(spark, seed):
+    """Structural invariants of the r12 rank battery on random tied
+    data: tau/rho in [-1,1] and sign-flip antisymmetric under y -> -y;
+    Pettitt K <= n^2/4 with the first-attaining change point; MWU AUC
+    in [0,1] with auc(ref,cur) + auc(cur,ref) == 1 (the ROC identity,
+    exact because both read the same 2U integer); KS D in [0,1] and
+    symmetric under side swap."""
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        kendall_tau,
+        pettitt_test,
+        spearman_rho,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        ks_two_sample,
+        mann_whitney_u,
+    )
+
+    rng = random.Random(seed)
+    xs = _rank_series(rng)
+    ys = _rank_series(rng)
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(zip(xs, ys))],
+        "d long, x long, y long",
+    )
+    neg = df.select("d", "x", (-F.col("y")).alias("y"))
+    tau = kendall_tau(df, "d", "x", "y").collect()[0]["tau_b"]
+    tau_n = kendall_tau(neg, "d", "x", "y").collect()[0]["tau_b"]
+    assert -1.0 <= tau <= 1.0
+    assert abs(tau + tau_n) <= 1.1e-6  # antisymmetry, 6dp rounding
+    rho = spearman_rho(df, "d", "x", "y").collect()[0]["rho"]
+    rho_n = spearman_rho(neg, "d", "x", "y").collect()[0]["rho"]
+    assert -1.0 <= rho <= 1.0
+    assert abs(rho + rho_n) <= 1.1e-6
+
+    pet = pettitt_test(df, "d", "x").collect()[0]
+    n = pet["n_points"]
+    assert 0 <= pet["k_stat"] <= n * n // 4 + n  # U_t bound (loose)
+    assert 0.0 <= pet["p_approx"] <= 1.0
+
+    a = spark.createDataFrame([(v,) for v in xs], "v long")
+    b = spark.createDataFrame([(v,) for v in ys], "v long")
+    m_ab = mann_whitney_u(a, b, "v").collect()[0]
+    m_ba = mann_whitney_u(b, a, "v").collect()[0]
+    assert 0.0 <= m_ab["auc"] <= 1.0
+    # exact ROC identity: both sides read the same integer 2U mass
+    assert abs(m_ab["auc"] + m_ba["auc"] - 1.0) <= 1.1e-6
+    assert m_ab["tie_term"] == m_ba["tie_term"]
+    k_ab = ks_two_sample(a, b, "v").collect()[0]
+    k_ba = ks_two_sample(b, a, "v").collect()[0]
+    assert 0.0 <= k_ab["d_stat"] <= 1.0
+    assert k_ab["d_stat"] == k_ba["d_stat"]  # |F1-F2| is symmetric
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bh_select_monotone_in_alpha_and_bounded(spark, seed):
+    """BH structural invariants: the selected set only grows with
+    alpha; selection is always a prefix of the p-ranking; nothing
+    selects at alpha=0-adjacent tiny levels unless p is tiny too."""
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        bh_select,
+    )
+
+    rng = random.Random(seed)
+    ps = sorted(round(rng.random(), 6) for _ in range(25))
+    ps[0] = 1e-6  # ensure at least one plausible discovery
+    rows = [(f"g{i}", p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "g string, p double")
+    prev: set[str] = set()
+    for alpha in (0.01, 0.05, 0.2, 0.5):
+        got = {
+            r["g"]
+            for r in bh_select(df, "p", alpha=alpha, tie_cols=["g"]).collect()
+            if r["selected"]
+        }
+        assert prev <= got, f"selection shrank when alpha rose to {alpha}"
+        prev = got
+        sel_ranks = sorted(
+            r["p_rank"]
+            for r in bh_select(df, "p", alpha=alpha, tie_cols=["g"]).collect()
+            if r["selected"]
+        )
+        assert sel_ranks == list(range(1, len(sel_ranks) + 1))  # prefix
