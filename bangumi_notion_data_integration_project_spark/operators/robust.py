@@ -90,3 +90,104 @@ def hampel_outliers(
             F.col("__w").isNotNull(), dev > F.lit(int(n_mads)) * mad
         ).alias("is_outlier"),
     ).orderBy(*groups, order_col)
+
+
+def trimmed_mean(
+    df: DataFrame,
+    x_col: str,
+    *,
+    trim: float = 0.1,
+    winsorize: bool = False,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Exact trimmed (or winsorized) mean over an integer column — the
+    robust location estimate that pairs with the Hampel filter's
+    robust outlier test (quality-score aggregation that one viral
+    garbage document cannot drag):
+
+        k = floor(trim · n)   (cut from EACH tail)
+        trimmed:    mean of the values ranked k+1 .. n−k
+        winsorized: tails are CLAMPED to the boundary order statistics
+                    instead of dropped, then averaged over all n
+
+    Everything is exact integer work on the DISTINCT-VALUE aggregate
+    (the psi/_ranked_distinct scale contract — raw rows reduce
+    map-side first, so the single ordered window sees O(distinct
+    values) rows at any fact volume): per value, the kept mass is the
+    overlap of its cumulative rank span [cum−c+1, cum] with the kept
+    interval [k+1, n−k] (plus, when winsorizing, clamped tail mass at
+    the two boundary values), and the numerator Σ v·kept accumulates
+    in DECIMAL(38,0). The mean is ONE double division — bit-equal
+    across engines. Returns one row per group: ``(group..., n_points,
+    n_trimmed_each, mean)``. The kept interval n − 2·floor(trim·n) is
+    ≥ 1 for every trim < ½, so the mean is always defined (the
+    __kept > 0 guard is belt-and-braces). ``trim`` must be in
+    [0, 0.5); NULL x and NULL group keys raise (the psi convention)."""
+    if not (0.0 <= float(trim) < 0.5):
+        raise ValueError("trim must be in [0, 0.5)")
+    from .drift import _checked_keys, _checked_long
+
+    groups = list(group_cols or [])
+    op = "winsorized_mean" if winsorize else "trimmed_mean"
+    if groups:
+        df = _checked_keys(df, groups, op_name=op)
+    vc = (
+        df.select(*groups, _checked_long(F.col(x_col), "input", op).alias("__v"))
+        .groupBy(*groups, "__v")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+    if groups:
+        w_cum = (
+            Window.partitionBy(*groups)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_n = Window.partitionBy(*groups)
+    else:
+        w_cum = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_n = Window.partitionBy()
+    cum = vc.select(
+        *groups,
+        "__v",
+        "__c",
+        F.sum("__c").over(w_cum).cast("long").alias("__cum"),
+        F.sum("__c").over(w_n).cast("long").alias("__n"),
+    )
+    n = F.col("__n")
+    k = F.floor(F.lit(float(trim)) * n.cast("double")).cast("long")
+    lo, hi = k + 1, n - k  # kept rank interval, inclusive
+    span_lo = F.col("__cum") - F.col("__c") + 1
+    span_hi = F.col("__cum")
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(span_hi, hi) - F.greatest(span_lo, lo) + 1,
+    ).cast("long")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    if winsorize:
+        # tail mass clamps to the boundary order statistics: the value
+        # at rank lo absorbs the k low ranks, the value at rank hi the
+        # k high ranks (exact per-value membership tests on the span)
+        is_lo_bound = (span_lo <= lo) & (span_hi >= lo)
+        is_hi_bound = (span_lo <= hi) & (span_hi >= hi)
+        extra = F.when(is_lo_bound, k).otherwise(F.lit(0)).cast(
+            "long"
+        ) + F.when(is_hi_bound, k).otherwise(F.lit(0)).cast("long")
+        mass = (kept + extra).cast("long")
+    else:
+        mass = kept
+    agg = cum.groupBy(*groups).agg(
+        F.max("__n").alias("n_points"),
+        F.max(k).cast("long").alias("n_trimmed_each"),
+        dec(F.sum(dec(F.col("__v")) * mass)).alias("__num"),
+        F.sum(mass).cast("long").alias("__kept"),
+    )
+    mean = F.col("__num").cast("double") / F.col("__kept").cast("double")
+    out = agg.select(
+        *groups,
+        "n_points",
+        "n_trimmed_each",
+        F.when(F.col("__kept") > 0, F.round(mean, 6)).alias("mean"),
+    )
+    return out.orderBy(*groups) if groups else out

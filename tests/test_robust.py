@@ -254,3 +254,133 @@ def test_hampel_grouped_duckdb_oracle_shape_cross_engine(spark):
     ]
     assert got == want
     assert len({g for g, *_ in got}) == 5  # all five event types
+
+
+def _py_trimmed(xs, trim, winsorize=False):
+    n = len(xs)
+    k = int(trim * n)
+    s = sorted(xs)
+    if winsorize:
+        w = [s[k]] * k + s[k : n - k] + [s[n - k - 1]] * k
+        return n, k, sum(w) / len(w)
+    kept = s[k : n - k]
+    return n, k, sum(kept) / len(kept)
+
+
+def test_trimmed_and_winsorized_mean_match_python(spark):
+    import random
+
+    from bangumi_notion_data_integration_project_spark.operators.robust import (
+        trimmed_mean,
+    )
+
+    rng = random.Random(95)
+    xs = [rng.randrange(0, 40) for _ in range(73)]  # odd n, heavy ties
+    xs[5] = 100000  # outlier the trim must shrug off
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    for wz in (False, True):
+        r = trimmed_mean(df, "x", trim=0.1, winsorize=wz).collect()[0]
+        n, k, want = _py_trimmed(xs, 0.1, winsorize=wz)
+        assert (r["n_points"], r["n_trimmed_each"]) == (n, k), wz
+        assert r["mean"] == round(want, 6) or abs(r["mean"] - want) < 1e-6, wz
+    # the outlier moved the raw mean but not the trimmed one much
+    raw = sum(xs) / len(xs)
+    t = trimmed_mean(df, "x", trim=0.1).collect()[0]["mean"]
+    assert abs(t - 20) < 5 and raw > 1000
+    # trim=0 is the plain mean
+    r0 = trimmed_mean(df, "x", trim=0.0).collect()[0]
+    assert abs(r0["mean"] - raw) < 1e-6
+
+
+def test_trimmed_mean_grouped_and_validation(spark):
+    import pytest as _pytest
+
+    from bangumi_notion_data_integration_project_spark.operators.robust import (
+        trimmed_mean,
+    )
+
+    import random
+
+    rng = random.Random(96)
+    rows, series = [], {}
+    for g in ("a", "b"):
+        xs = [rng.randrange(0, 30) + (500 if g == "b" else 0) for _ in range(40)]
+        series[g] = xs
+        rows += [(g, x) for x in xs]
+    df = spark.createDataFrame(rows, "g string, x long")
+    got = {
+        r["g"]: r
+        for r in trimmed_mean(df, "x", trim=0.2, group_cols=["g"]).collect()
+    }
+    for g, xs in series.items():
+        n, k, want = _py_trimmed(xs, 0.2)
+        assert abs(got[g]["mean"] - want) < 1e-6, g
+        assert got[g]["n_trimmed_each"] == k, g
+    with _pytest.raises(ValueError, match="trim"):
+        trimmed_mean(df, "x", trim=0.5)
+    bad = spark.createDataFrame([("a", None)], "g string, x long")
+    with _pytest.raises(Exception, match="trimmed_mean: NULL value"):
+        trimmed_mean(bad, "x", group_cols=["g"]).collect()
+
+
+def test_trimmed_mean_duckdb_oracle_shape_cross_engine(spark):
+    """DuckDB restatement — the identical distinct-value span-overlap
+    chain — bit-equal on real daily revenue cents (the r13 registry
+    oracle, pinned ahead of registration)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.robust import (
+        trimmed_mean,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    got = tuple(trimmed_mean(daily, "x", trim=0.1).collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS"
+        f" SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    want = con.execute(
+        """
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS x
+          FROM orders GROUP BY 1
+        ), vc AS (
+          SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+          FROM daily GROUP BY 1
+        ), cum AS (
+          SELECT v, c,
+                 CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+                 CAST(sum(c) OVER () AS BIGINT) AS n
+          FROM vc
+        ), spans AS (
+          SELECT v, c, cm, n,
+                 CAST(floor(0.1 * CAST(n AS DOUBLE)) AS BIGINT) AS k
+          FROM cum
+        ), kept AS (
+          SELECT n, k,
+                 CAST(greatest(0, least(cm, n - k)
+                      - greatest(cm - c + 1, k + 1) + 1) AS BIGINT)
+                   AS m,
+                 v
+          FROM spans
+        )
+        SELECT max(n) AS n_points, max(k) AS n_trimmed_each,
+               round(CAST(sum(CAST(v AS HUGEINT) * m) AS DOUBLE)
+                     / CAST(sum(m) AS DOUBLE), 6) AS mean
+        FROM kept
+        """
+    ).fetchall()[0]
+    assert got == tuple(want)
