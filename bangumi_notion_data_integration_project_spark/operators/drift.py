@@ -91,17 +91,26 @@ def _checked_keys(
 
 
 def _ranked_distinct(
-    ref: DataFrame, v: Column, groups: "list[str] | None" = None
+    ref: DataFrame,
+    v: Column,
+    groups: "list[str] | None" = None,
+    *,
+    where: str = "reference",
+    op_name: str = "psi",
 ) -> DataFrame:
     """``(group..., __v, __c, __cum)`` — distinct values with counts
     and the cumulative count under the value order (per group when
     keyed). The ordered window runs on this DISTINCT-VALUE aggregate,
     never on raw rows (the docstring promise ``tests/test_plans.py``
     pins): raw rows reduce map-side in the groupBy first, so the sort
-    the window implies only ever sees O(distinct values) rows."""
+    the window implies only ever sees O(distinct values) rows. Shared
+    with ``robust.trimmed_mean`` (``op_name`` names the caller in the
+    fail-loud NULL error, the ``_checked_keys`` rule)."""
     groups = list(groups or [])
     vc = (
-        ref.select(*groups, _checked_long(v, "reference").alias("__v"))
+        ref.select(
+            *groups, _checked_long(v, where, op_name).alias("__v")
+        )
         .groupBy(*groups, "__v")
         .agg(F.count("*").cast("long").alias("__c"))
     )

@@ -105,7 +105,11 @@ def trimmed_mean(
     robust outlier test (quality-score aggregation that one viral
     garbage document cannot drag):
 
-        k = floor(trim · n)   (cut from EACH tail)
+        k = floor(trim · n)   (cut from EACH tail; computed in EXACT
+                               integer arithmetic — trim scales to
+                               parts-per-million on the driver, so the
+                               IEEE product 0.29·100 = 28.999…96 can
+                               never under-trim)
         trimmed:    mean of the values ranked k+1 .. n−k
         winsorized: tails are CLAMPED to the boundary order statistics
                     instead of dropped, then averaged over all n
@@ -125,38 +129,40 @@ def trimmed_mean(
     [0, 0.5); NULL x and NULL group keys raise (the psi convention)."""
     if not (0.0 <= float(trim) < 0.5):
         raise ValueError("trim must be in [0, 0.5)")
-    from .drift import _checked_keys, _checked_long
+    from .drift import _checked_keys, _ranked_distinct
 
     groups = list(group_cols or [])
     op = "winsorized_mean" if winsorize else "trimmed_mean"
     if groups:
         df = _checked_keys(df, groups, op_name=op)
-    vc = (
-        df.select(*groups, _checked_long(F.col(x_col), "input", op).alias("__v"))
-        .groupBy(*groups, "__v")
-        .agg(F.count("*").cast("long").alias("__c"))
+    # the SHARED distinct-value + cumulative-rank chain (drift.
+    # _ranked_distinct) — one implementation carries the O(distinct-
+    # values) window promise and its plan pin for both psi and this
+    ranked = _ranked_distinct(
+        df, F.col(x_col), groups or None, where="input", op_name=op
     )
     if groups:
-        w_cum = (
-            Window.partitionBy(*groups)
-            .orderBy("__v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
         w_n = Window.partitionBy(*groups)
     else:
-        w_cum = Window.orderBy("__v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
         w_n = Window.partitionBy()
-    cum = vc.select(
-        *groups,
-        "__v",
-        "__c",
-        F.sum("__c").over(w_cum).cast("long").alias("__cum"),
-        F.sum("__c").over(w_n).cast("long").alias("__n"),
-    )
+    cum = ranked.withColumn(
+        "__n", F.sum("__c").over(w_n).cast("long")
+    ).withColumn("__cum", F.col("__cum").cast("long"))
     n = F.col("__n")
-    k = F.floor(F.lit(float(trim)) * n.cast("double")).cast("long")
+    # k = floor(trim·n) in EXACT integer arithmetic: the double product
+    # trim*n can round just below an integral value (0.29*100 =
+    # 28.999999999999996 → k=28, silently under-trimming — the review
+    # find). trim is scaled to parts-per-million on the driver, so
+    # k = (t6·n) div 10⁶ is exact for any 6-decimal trim; bound: t6·n
+    # < 2⁶³ holds past 10¹³ rows per group.
+    t6 = int(round(float(trim) * 1_000_000))
+    k = (
+        F.floor(
+            (F.lit(t6) * n).cast("decimal(38,0)")
+            / F.lit(1_000_000).cast("decimal(7,0)")
+        )
+        .cast("long")
+    )
     lo, hi = k + 1, n - k  # kept rank interval, inclusive
     span_lo = F.col("__cum") - F.col("__c") + 1
     span_hi = F.col("__cum")

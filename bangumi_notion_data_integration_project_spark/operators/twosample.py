@@ -304,7 +304,8 @@ def two_proportion_ztest(
     group: ``(group..., n_ref, s_ref, n_cur, s_cur, rate_ref,
     rate_cur, z, p_value)``; one-sided groups and all-same pooled
     rates (p̂ ∈ {0,1} ⇒ zero variance) report NULL z/p under exact
-    integer guards."""
+    integer guards, while each rate stays populated whenever its own
+    side has data."""
     from .stats import normal_p_two_sided
 
     groups = list(group_cols or [])
@@ -315,8 +316,12 @@ def two_proportion_ztest(
 
             df = _checked_keys(df, groups, op_name=op)
         s = F.col(success_col)
+        # validate the RAW column, not its long-cast: 0.9 must raise,
+        # not truncate to a counted failure, and a value whose cast is
+        # NULL must not slip through as a NULL the sum silently skips
+        # while count(*) still counts the row (the review find)
         checked = F.when(
-            s.isNull() | ~s.cast("long").isin(0, 1),
+            s.isNull() | ~s.isin(0, 1),
             F.raise_error(
                 F.lit(
                     f"{op}: {success_col} must be 0/1 in the {tag}"
@@ -374,8 +379,11 @@ def two_proportion_ztest(
         "s_ref",
         "n_cur",
         "s_cur",
-        F.when(both, F.round(p1, 6)).alias("rate_ref"),
-        F.when(both, F.round(p2, 6)).alias("rate_cur"),
+        # each rate is defined whenever ITS side has data — a one-sided
+        # group (the newly-appearing segment, exactly the row worth
+        # looking at) keeps its populated rate and NULLs only the test
+        F.when(F.col("n_ref") > 0, F.round(p1, 6)).alias("rate_ref"),
+        F.when(F.col("n_cur") > 0, F.round(p2, 6)).alias("rate_cur"),
         F.round(z, 6).alias("z"),
         F.round(normal_p_two_sided(z), 9).alias("p_value"),
     )

@@ -597,16 +597,9 @@ def test_bh_select_monotone_in_alpha_and_bounded(spark, seed):
     df = spark.createDataFrame(rows, "g string, p double")
     prev: set[str] = set()
     for alpha in (0.01, 0.05, 0.2, 0.5):
-        got = {
-            r["g"]
-            for r in bh_select(df, "p", alpha=alpha, tie_cols=["g"]).collect()
-            if r["selected"]
-        }
+        rows_out = bh_select(df, "p", alpha=alpha, tie_cols=["g"]).collect()
+        got = {r["g"] for r in rows_out if r["selected"]}
         assert prev <= got, f"selection shrank when alpha rose to {alpha}"
         prev = got
-        sel_ranks = sorted(
-            r["p_rank"]
-            for r in bh_select(df, "p", alpha=alpha, tie_cols=["g"]).collect()
-            if r["selected"]
-        )
+        sel_ranks = sorted(r["p_rank"] for r in rows_out if r["selected"])
         assert sel_ranks == list(range(1, len(sel_ranks) + 1))  # prefix

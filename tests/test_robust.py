@@ -258,7 +258,7 @@ def test_hampel_grouped_duckdb_oracle_shape_cross_engine(spark):
 
 def _py_trimmed(xs, trim, winsorize=False):
     n = len(xs)
-    k = int(trim * n)
+    k = (int(round(trim * 1_000_000)) * n) // 1_000_000  # exact floor
     s = sorted(xs)
     if winsorize:
         w = [s[k]] * k + s[k : n - k] + [s[n - k - 1]] * k
@@ -290,6 +290,13 @@ def test_trimmed_and_winsorized_mean_match_python(spark):
     # trim=0 is the plain mean
     r0 = trimmed_mean(df, "x", trim=0.0).collect()[0]
     assert abs(r0["mean"] - raw) < 1e-6
+    # exact-floor regression (review find): 0.29*100 = 28.999...96 in
+    # IEEE double; k must still be 29, not 28
+    df100 = spark.createDataFrame([(i,) for i in range(100)], "x long")
+    r29 = trimmed_mean(df100, "x", trim=0.29).collect()[0]
+    assert r29["n_trimmed_each"] == 29
+    n, k, want = _py_trimmed(list(range(100)), 0.29)
+    assert k == 29 and abs(r29["mean"] - want) < 1e-6
 
 
 def test_trimmed_mean_grouped_and_validation(spark):
@@ -367,7 +374,7 @@ def test_trimmed_mean_duckdb_oracle_shape_cross_engine(spark):
           FROM vc
         ), spans AS (
           SELECT v, c, cm, n,
-                 CAST(floor(0.1 * CAST(n AS DOUBLE)) AS BIGINT) AS k
+                 CAST((100000 * n) // 1000000 AS BIGINT) AS k
           FROM cum
         ), kept AS (
           SELECT n, k,

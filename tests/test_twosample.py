@@ -482,8 +482,14 @@ def test_prop_ztest_guards_and_grouped(spark):
         assert got[g]["z"] == _rnd(z, 6), g
         assert got[g]["p_value"] == _rnd(p, 9), g
     assert got["a"]["p_value"] < 1e-6 and got["b"]["p_value"] > 0.01
+    # one-sided groups: the test is NULL but the populated side's rate
+    # stays defined (the newly-appearing segment is worth looking at)
     for g in ("refonly", "curonly"):
-        assert got[g]["z"] is None and got[g]["rate_ref"] is None, g
+        assert got[g]["z"] is None and got[g]["p_value"] is None, g
+    assert got["refonly"]["rate_ref"] == 1.0
+    assert got["refonly"]["rate_cur"] is None
+    assert got["curonly"]["rate_cur"] == 0.0
+    assert got["curonly"]["rate_ref"] is None
 
 
 def test_prop_ztest_duckdb_oracle_shape_cross_engine(spark):
