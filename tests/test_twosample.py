@@ -629,7 +629,7 @@ def test_drift_playbook_end_to_end(spark):
     # injected drift: one type's cur values shifted up decisively (a
     # 1.4x scale moves AUC only to ~0.47 at n~100/side on this wide
     # distribution — an honest reminder that small-sample rank tests
-    # need a real effect; the flat +1000-cent shift is unambiguous)
+    # need a real effect; the flat +100000-cent shift is unambiguous)
     cur_shift = cur.withColumn(
         "x",
         F.when(
