@@ -99,10 +99,19 @@ def mann_whitney_u(
     overflow DECIMAL(38,0) near 4·10⁷ rows; the ols_fit2 det
     precedent). The LONG output cast of tie_term fails loud under ANSI
     if a single value repeats > ~2.1M times in one group."""
-    from .stats import normal_p_two_sided
-
     groups = list(group_cols or [])
     vc = _sided_counts(ref, cur, value_col, groups, "mann_whitney_u")
+    return _mwu_from_counts(vc, groups)
+
+
+def _mwu_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
+    """Shared MWU formula tail over a ``(group..., __v, __c1, __c2)``
+    sided-counts frame. ONE implementation serves the batch operator
+    AND the streaming twin (``streaming.start_streaming_mwu`` stores
+    exactly this frame as its state), so the statistic can never
+    diverge between them — the ``_psi_from_base`` rule."""
+    from .stats import normal_p_two_sided
+
     if groups:
         w_prior = (
             Window.partitionBy(*groups)

@@ -1486,3 +1486,120 @@ def start_streaming_psi(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_streaming_mwu(
+    stream: DataFrame,
+    mwu_dir: str,
+    *,
+    value_col: str,
+    ref: DataFrame,
+    checkpoint_dir: str,
+):
+    """Streaming Mann-Whitney U drift monitor — the SIGNIFICANCE leg
+    of continuous monitoring next to :func:`start_streaming_psi`'s
+    magnitude leg: the reference side's distinct-value counts are
+    frozen ONCE at start, every micro-batch folds its own value counts
+    into the stored current side, and the one-row verdict
+    ``(n_ref, n_cur, u_stat, auc, tie_term, z, p_value)`` is served by
+    :func:`read_streaming_mwu` through the SAME formula tail as the
+    batch operator (``twosample._mwu_from_counts``), so the streamed
+    statistic equals batch ``mann_whitney_u(ref, union-of-batches)``
+    exactly — the ``_psi_from_base`` shared-formula rule.
+
+    State is the sided-counts frame itself: one row per distinct value
+    ``(__v, __c1, __c2, __batch_id)`` with the ref side carried
+    through unchanged. That is O(distinct values) — NOT fixed-size
+    like the PSI twin's k buckets — so the operator contract is the
+    two-sample module's: the caller controls value cardinality (cents,
+    or pre-bucketed/rounded values at warehouse scale).
+
+    Exactly-once: the cur-side count fold is a SUM — monoid, not
+    idempotent — rung 3 of DEPLOYMENT.md's ladder, carrying the rollup
+    twin's ``__batch_id`` watermark verbatim; ``mwu_dir`` and
+    ``checkpoint_dir`` live and die together (a wiped checkpoint
+    renumbers batches and the guard silently discards fresh
+    low-numbered input — the documented trade). NULL stream values
+    raise (the module's fail-loud convention).
+    """
+    from ..operators.drift import _checked_long
+
+    ref_counts = (
+        ref.select(
+            _checked_long(
+                F.col(value_col), "reference", "mann_whitney_u"
+            ).alias("__v")
+        )
+        .groupBy("__v")
+        .agg(F.count("*").cast("long").alias("__c1"))
+        .localCheckpoint(eager=True)
+    )
+    wm: dict[str, int | None] = {"v": None}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        stored = None
+        if recover_dir(mwu_dir):
+            stored = spark.read.parquet(mwu_dir)
+            bid = wm["v"]
+            if bid is None:  # cold cache → recovery path, read disk
+                bid = stored.agg(F.max("__batch_id")).first()[0]
+            if bid is not None and batch_id <= bid:
+                wm["v"] = bid
+                return  # checkpoint replay of an already-folded batch
+        delta = (
+            batch.select(
+                _checked_long(
+                    F.col(value_col), "input", "mann_whitney_u"
+                ).alias("__v")
+            )
+            .groupBy("__v")
+            .agg(F.count("*").cast("long").alias("__c2"))
+        )
+        if stored is not None:
+            merged = (
+                stored.select("__v", "__c1", "__c2")
+                .unionByName(
+                    delta.withColumn("__c1", F.lit(0).cast("long"))
+                )
+                .groupBy("__v")
+                .agg(
+                    F.sum("__c1").cast("long").alias("__c1"),
+                    F.sum("__c2").cast("long").alias("__c2"),
+                )
+            )
+        else:
+            merged = (
+                ref_counts.withColumn("__c2", F.lit(0).cast("long"))
+                .unionByName(
+                    delta.withColumn("__c1", F.lit(0).cast("long"))
+                )
+                .groupBy("__v")
+                .agg(
+                    F.sum("__c1").cast("long").alias("__c1"),
+                    F.sum("__c2").cast("long").alias("__c2"),
+                )
+            )
+        tmp = staging_path(mwu_dir)
+        merged.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        promote_dir(tmp, mwu_dir)
+        wm["v"] = batch_id
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_streaming_mwu(spark: SparkSession, mwu_dir: str) -> DataFrame:
+    """The one-row MWU verdict from the stored sided-counts state —
+    the serving path of :func:`start_streaming_mwu`, computed by the
+    identical formula tail as the batch operator."""
+    from ..operators.twosample import _mwu_from_counts
+
+    vc = spark.read.parquet(mwu_dir).select("__v", "__c1", "__c2")
+    return _mwu_from_counts(vc, [])

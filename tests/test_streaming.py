@@ -2256,3 +2256,115 @@ def test_streaming_psi_null_value_fails_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="psi: NULL value"):
         q.awaitTermination(180)
+
+
+def test_streaming_mwu_equals_batch_and_skips_replay(spark, tmp_path):
+    """MWU twin (rung 3, sided-count sum-fold): after draining 3
+    drifting batches, read_streaming_mwu equals the batch operator on
+    ref vs the concatenated delivered input EXACTLY (the shared
+    _mwu_from_counts guarantee); a checkpoint wipe re-delivers every
+    batch and the __batch_id guard must skip them; a genuinely new
+    batch keeps folding."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        mann_whitney_u,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        read_streaming_mwu,
+        start_streaming_mwu,
+    )
+
+    rng = __import__("random").Random(97)
+    ref_rows = [
+        (10_000 + i, "2024-01-01 00:00:00", 1, "r", float(rng.randrange(0, 300)))
+        for i in range(300)
+    ]
+    ref_df = _rows(spark, ref_rows).select(
+        F.round(F.col("value")).cast("long").alias("x")
+    )
+    batches = [
+        [
+            (b * 1000 + i, "2024-01-02 00:00:00", 2, "c",
+             float(rng.randrange(0, 300) + b * 40))
+            for i in range(120)
+        ]
+        for b in range(3)
+    ]
+    inp = str(tmp_path / "in")
+    mwu_dir = str(tmp_path / "mwu")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in batches:
+        _write_batch(spark, inp, chunk)
+
+    def run():
+        q = start_streaming_mwu(
+            read_event_stream(spark, inp, SCHEMA).select(
+                F.round(F.col("value")).cast("long").alias("x"),
+                F.col("ts"),
+            ),
+            mwu_dir,
+            value_col="x",
+            ref=ref_df,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def stored():
+        return tuple(read_streaming_mwu(spark, mwu_dir).collect()[0])
+
+    def direct(delivered):
+        cur = _rows(spark, delivered).select(
+            F.round(F.col("value")).cast("long").alias("x")
+        )
+        return tuple(mann_whitney_u(ref_df, cur, "x").collect()[0])
+
+    run()
+    want = direct([r for b in batches for r in b])
+    assert stored() == want
+    assert stored()[6] < 0.01  # the drifted stream registers (p_value)
+
+    shutil.rmtree(ckpt)
+    run()
+    assert stored() == want, "replayed batches double-counted values"
+
+    extra = [
+        (9000 + i, "2024-01-03 00:00:00", 3, "c", float(rng.randrange(400, 900)))
+        for i in range(100)
+    ]
+    _write_batch(spark, inp, extra)
+    run()
+    assert stored() == direct([r for b in batches for r in b] + extra)
+
+
+def test_streaming_mwu_null_value_fails_loud(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_mwu,
+    )
+
+    ref_df = _rows(
+        spark,
+        [(i, "2024-01-01 00:00:00", 1, "r", float(i % 40)) for i in range(80)],
+    ).select(F.round(F.col("value")).cast("long").alias("x"))
+    inp = str(tmp_path / "in")
+    _write_batch(
+        spark,
+        inp,
+        [(1, "2024-01-02 00:00:00", 2, "c", 5.0),
+         (2, "2024-01-02 00:00:00", 2, "c", None)],
+    )
+    q = start_streaming_mwu(
+        read_event_stream(spark, inp, SCHEMA).select(
+            F.col("value").cast("long").alias("x"), F.col("ts")
+        ),
+        str(tmp_path / "mwu"),
+        value_col="x",
+        ref=ref_df,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="mann_whitney_u: NULL value"):
+        q.awaitTermination(180)
