@@ -1449,8 +1449,11 @@ def kendall_tau(
         *groups,
         "n_points",
         F.col("cd").alias("concordant_minus_discordant"),
-        (F.col("__tx2") / 2).cast("long").alias("tie_term_x"),
-        (F.col("__ty2") / 2).cast("long").alias("tie_term_y"),
+        # exact integer halving of the (even, nonnegative) doubled tie
+        # sums — a `/ 2` would route through DOUBLE and silently round
+        # above 2^53, breaking the module's exact-integer doctrine
+        F.shiftright(F.col("__tx2"), 1).alias("tie_term_x"),
+        F.shiftright(F.col("__ty2"), 1).alias("tie_term_y"),
         # ANSI: an all-tied series zeroes its denominator — NULL tau,
         # never DIVIDE_BY_ZERO (the MK var_num guard convention)
         F.when((den_x > 0) & (den_y > 0), F.round(tau, 6)).alias("tau_b"),
@@ -1716,11 +1719,15 @@ def bh_select(
     One ordered rank window over the PER-KEY TEST RESULTS (O(groups)
     rows — the km_survival bounded-window argument: the fact table
     collapsed long before this) + one scalar max aggregate, broadcast
-    back. ``tie_cols`` break p ties deterministically (default: every
-    other column is ignored for ranking but the rank window needs a
-    total order — pass the group key). NULL p (degenerate tests)
-    never selects and does not count toward m. Returns the input rows
-    plus ``(p_rank, m_tests, bh_threshold, selected)``."""
+    back. ``tie_cols`` break p ties deterministically (the rank
+    window needs a TOTAL order — pass the group key). Omitting
+    ``tie_cols`` is only valid when the p-values are all distinct:
+    tied p with no tie key makes ``p_rank`` (and ``selected`` near
+    the cutoff) depend on partitioning, so that case FAILS LOUD at
+    evaluation time rather than returning run-to-run-nondeterministic
+    ranks (the module's determinism doctrine). NULL p (degenerate
+    tests) never selects and does not count toward m. Returns the
+    input rows plus ``(p_rank, m_tests, bh_threshold, selected)``."""
     from pyspark.sql import Window
 
     ties = list(tie_cols or [])
@@ -1729,8 +1736,36 @@ def bh_select(
     ranked = nn.withColumn(
         "p_rank", F.row_number().over(w_rk).cast("long")
     )
-    m = ranked.agg(F.count("*").cast("long").alias("m_tests"))
+    m_agg = [F.count("*").cast("long").alias("m_tests")]
+    if not ties:
+        # no tie key given: assert the ordering is total. The check is
+        # one extra countDistinct on the O(groups)-row test frame; the
+        # raise is plan-embedded (bh_select is lazy) and fires only on
+        # the offending input.
+        m_agg.append(
+            (F.count(p_col) - F.count_distinct(F.col(p_col)))
+            .cast("long")
+            .alias("__p_dups")
+        )
+    m = ranked.agg(*m_agg)
     based = ranked.crossJoin(F.broadcast(m))
+    if not ties:
+        based = based.withColumn(
+            "p_rank",
+            F.when(
+                F.col("__p_dups") > 0,
+                F.raise_error(
+                    F.lit(
+                        "bh_select: tied p-values with no tie_cols —"
+                        " the rank ordering is not total, so p_rank"
+                        " and the step-up selection near the cutoff"
+                        " would be nondeterministic. Pass tie_cols"
+                        " (e.g. the group key) to break ties"
+                        " deterministically."
+                    )
+                ).cast("long"),
+            ).otherwise(F.col("p_rank")),
+        ).drop("__p_dups")
     # the comparison uses the SAME round(·,9) form the output column
     # publishes (and that p-values carry under the ln/exp contract) —
     # comparing unrounded internally while publishing rounded could

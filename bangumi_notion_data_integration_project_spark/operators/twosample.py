@@ -129,15 +129,23 @@ def _mwu_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
     ranked = vc.withColumn(
         "__2r", (F.lit(2) * prior + cnt + 1).cast("long")
     )
+    # counts coalesce to 0 so the ungrouped both-empty degenerate
+    # reports (0, 0, NULL stats) like two_proportion_ztest, not a row
+    # of NULL counts (a global agg of zero rows sums to NULL)
     agg = ranked.groupBy(*groups).agg(
-        F.sum("__c1").cast("long").alias("n_ref"),
-        F.sum("__c2").cast("long").alias("n_cur"),
+        F.coalesce(F.sum("__c1").cast("long"), F.lit(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.coalesce(F.sum("__c2").cast("long"), F.lit(0))
+        .cast("long")
+        .alias("n_cur"),
         F.sum(F.col("__c1").cast(_DEC) * F.col("__2r"))
         .cast(_DEC)
         .alias("__2r1"),
-        F.sum(cnt.cast(_DEC) * cnt * cnt - cnt)
-        .cast(_DEC)
-        .alias("tie_term"),  # Σ(t³ − t) over combined tied groups
+        F.coalesce(
+            F.sum(cnt.cast(_DEC) * cnt * cnt - cnt).cast(_DEC),
+            F.lit(0).cast(_DEC),
+        ).alias("tie_term"),  # Σ(t³ − t) over combined tied groups
     )
     n1 = F.col("n_ref").cast(_DEC)
     n = (F.col("n_ref") + F.col("n_cur")).cast(_DEC)
@@ -247,9 +255,11 @@ def ks_two_sample(
         "__v",
         num.alias("__num"),
     )
+    # coalesce to 0 so the ungrouped both-empty degenerate reports
+    # counts like two_proportion_ztest (the MWU fix, same rationale)
     agg = scored.groupBy(*groups).agg(
-        F.max("n_ref").alias("n_ref"),
-        F.max("n_cur").alias("n_cur"),
+        F.coalesce(F.max("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.max("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
         F.max("__num").cast(_DEC).alias("__maxnum"),
         # argmin key stays EXACT decimal — a double cast would collapse
         # numerators differing by 1 above 2^53 and pick a wrong location

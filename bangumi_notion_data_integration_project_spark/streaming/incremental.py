@@ -1375,6 +1375,65 @@ def start_streaming_cms(
     )
 
 
+def _verify_state_params(
+    stored: DataFrame,
+    expected: "dict[str, int]",
+    *,
+    op: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    adopt_legacy: bool,
+) -> None:
+    """The CMS twin's parameter gate, generalized: stored drift-monitor
+    state must carry its build parameters as constant columns and they
+    must MATCH this stream's configuration — a restart with different
+    params would silently fold incompatible counts together (the
+    unverifiable-state corruption class). Param-less legacy state is
+    an explicit one-time ``adopt_legacy=True`` migration, loudly
+    logged; a present-but-different fingerprint always raises (there
+    is no safe adoption of a contradicting state). One ≤ k-row
+    ``first()`` per process start — never per batch."""
+    missing = [c for c in expected if c not in stored.columns]
+    if missing:
+        if not adopt_legacy:
+            raise RuntimeError(
+                f"{op}: stored state at {state_dir!r} predates the"
+                f" parameter columns {sorted(expected)} and cannot be"
+                " verified against this stream's configuration. If"
+                " (and only if) the parameters are unchanged since the"
+                " state was built, restart once with"
+                " adopt_legacy_params=True to migrate it; otherwise"
+                f" wipe {state_dir!r} AND {checkpoint_dir!r} together"
+                " and rebuild."
+            )
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "%s: adopting legacy (param-less) state at %s with %s —"
+            " UNVERIFIED: correctness rests on the operator's"
+            " certification that these match the build-time"
+            " parameters. Future state carries them as columns.",
+            op,
+            state_dir,
+            expected,
+        )
+        return
+    row = stored.select(*sorted(expected)).first()
+    if row is None:  # zero-row state: nothing to contradict
+        return
+    got = {c: int(row[c]) for c in sorted(expected)}
+    bad = {c: v for c, v in got.items() if v != int(expected[c])}
+    if bad:
+        raise RuntimeError(
+            f"{op}: stored state at {state_dir!r} was built with"
+            f" {got} but this stream is configured with"
+            f" {dict(expected)} — folding new counts into it would"
+            " silently corrupt the monitor. Wipe"
+            f" {state_dir!r} AND {checkpoint_dir!r} together and"
+            " rebuild, or restart with the original configuration."
+        )
+
+
 def start_streaming_psi(
     stream: DataFrame,
     psi_dir: str,
@@ -1383,6 +1442,7 @@ def start_streaming_psi(
     ref: DataFrame,
     n_buckets: int = 10,
     checkpoint_dir: str,
+    adopt_legacy_params: bool = False,
 ):
     """Streaming PSI drift monitor (``operators/drift.psi``): bucket
     edges are frozen ONCE from the reference distribution at start
@@ -1415,6 +1475,18 @@ def start_streaming_psi(
     the same data), so the frozen-edges contract survives restarts
     without storing the reference.
 
+    The restart contract is VERIFIED, not just documented (the CMS
+    twin's param-column gate): state carries ``__n_buckets`` and
+    ``__edges_fp`` (order-independent xxhash fingerprint of the
+    frozen (bucket, edge) table — and the edges being exact order
+    statistics makes that a fingerprint of the reference
+    distribution itself), and the fold FAILS LOUD if a restart
+    changed either — folding new bucket counts into
+    incompatibly-bucketed stored state would silently corrupt every
+    share. State written before these columns existed needs the
+    one-time explicit ``adopt_legacy_params=True`` migration
+    (loudly logged), the CMS twin's contract verbatim.
+
     Per batch: one map-side distinct-value reduction + broadcast range
     join against k−1 edges + a ≤ k-row state merge and rewrite —
     O(batch + k) regardless of history. NULL stream values raise (the
@@ -1425,6 +1497,17 @@ def start_streaming_psi(
     k = int(n_buckets)
     edges = psi_buckets(ref, value_col, n_buckets=k).localCheckpoint(
         eager=True
+    )
+    # order-independent fingerprint of the frozen bucketing: XOR of
+    # per-row hashes over the ≤ k−1 distinct (bucket, edge) rows (no
+    # duplicate rows, so XOR cancellation is impossible); empty edges
+    # (degenerate single-value ref) coalesce to 0
+    edges_fp = int(
+        edges.agg(
+            F.coalesce(
+                F.bit_xor(F.xxhash64("bucket", "edge")), F.lit(0)
+            )
+        ).first()[0]
     )
     ref_counts = (
         _bucketize(ref, value_col, edges, k, [], "reference")
@@ -1442,6 +1525,15 @@ def start_streaming_psi(
         old_cur = None
         if recover_dir(psi_dir):
             stored = spark.read.parquet(psi_dir)
+            if wm["v"] is None:  # first touch this process: verify
+                _verify_state_params(
+                    stored,
+                    {"__n_buckets": k, "__edges_fp": edges_fp},
+                    op="start_streaming_psi",
+                    state_dir=psi_dir,
+                    checkpoint_dir=checkpoint_dir,
+                    adopt_legacy=adopt_legacy_params,
+                )
             bid = wm["v"]
             if bid is None:  # cold cache → recovery path, read disk
                 bid = stored.agg(F.max("__batch_id")).first()[0]
@@ -1474,7 +1566,11 @@ def start_streaming_psi(
         )
         out = _psi_from_base(base, edges, [], k)
         tmp = staging_path(psi_dir)
-        out.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+        out.withColumn("__batch_id", F.lit(batch_id)).withColumn(
+            "__n_buckets", F.lit(k).cast("int")
+        ).withColumn(
+            "__edges_fp", F.lit(edges_fp).cast("long")
+        ).write.mode(
             "overwrite"
         ).parquet(tmp)
         promote_dir(tmp, psi_dir)
@@ -1495,6 +1591,7 @@ def start_streaming_mwu(
     value_col: str,
     ref: DataFrame,
     checkpoint_dir: str,
+    adopt_legacy_params: bool = False,
 ):
     """Streaming Mann-Whitney U drift monitor — the SIGNIFICANCE leg
     of continuous monitoring next to :func:`start_streaming_psi`'s
@@ -1521,6 +1618,15 @@ def start_streaming_mwu(
     renumbers batches and the guard silently discards fresh
     low-numbered input — the documented trade). NULL stream values
     raise (the module's fail-loud convention).
+
+    The frozen-reference contract is VERIFIED on restart (the CMS/PSI
+    param gate): once state exists the fold never looks at ``ref``
+    again, so state carries ``__ref_fp`` — an order-independent
+    xxhash fingerprint of the frozen reference distinct-value counts
+    — and the fold FAILS LOUD if a restart passed a DIFFERENT ref
+    (which would otherwise be silently ignored). Param-less legacy
+    state needs the one-time explicit ``adopt_legacy_params=True``
+    migration, loudly logged.
     """
     from ..operators.drift import _checked_long
 
@@ -1534,6 +1640,16 @@ def start_streaming_mwu(
         .agg(F.count("*").cast("long").alias("__c1"))
         .localCheckpoint(eager=True)
     )
+    # order-independent fingerprint of the frozen reference side: XOR
+    # of per-row hashes over distinct (__v, __c1) rows (distinct by
+    # __v, so XOR cancellation is impossible); empty ref → 0
+    ref_fp = int(
+        ref_counts.agg(
+            F.coalesce(
+                F.bit_xor(F.xxhash64("__v", "__c1")), F.lit(0)
+            )
+        ).first()[0]
+    )
     wm: dict[str, int | None] = {"v": None}
 
     def fold(batch: DataFrame, batch_id: int) -> None:
@@ -1541,6 +1657,15 @@ def start_streaming_mwu(
         stored = None
         if recover_dir(mwu_dir):
             stored = spark.read.parquet(mwu_dir)
+            if wm["v"] is None:  # first touch this process: verify
+                _verify_state_params(
+                    stored,
+                    {"__ref_fp": ref_fp},
+                    op="start_streaming_mwu",
+                    state_dir=mwu_dir,
+                    checkpoint_dir=checkpoint_dir,
+                    adopt_legacy=adopt_legacy_params,
+                )
             bid = wm["v"]
             if bid is None:  # cold cache → recovery path, read disk
                 bid = stored.agg(F.max("__batch_id")).first()[0]
@@ -1581,7 +1706,9 @@ def start_streaming_mwu(
                 )
             )
         tmp = staging_path(mwu_dir)
-        merged.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+        merged.withColumn("__batch_id", F.lit(batch_id)).withColumn(
+            "__ref_fp", F.lit(ref_fp).cast("long")
+        ).write.mode(
             "overwrite"
         ).parquet(tmp)
         promote_dir(tmp, mwu_dir)

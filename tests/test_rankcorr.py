@@ -530,3 +530,62 @@ def test_bh_over_grouped_mk_pipeline(spark):
     assert {g for g, s in sel.items() if s} >= trendy
     # no more than one noise key sneaks through at FDR 0.05
     assert len([g for g, s in sel.items() if s and g.startswith("n")]) <= 1
+
+
+def test_bh_select_requires_tie_cols_on_tied_p(spark):
+    """Tied p-values with no tie_cols make the rank window's ordering
+    non-total — bh_select must FAIL LOUD (plan-embedded raise) rather
+    than return run-dependent p_rank/selected; distinct p-values need
+    no tie key."""
+    import pytest
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        bh_select,
+    )
+
+    tied = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.01), ("c", 0.2)], "g string, p double"
+    )
+    with pytest.raises(Exception, match="tied p-values with no tie_cols"):
+        bh_select(tied, "p", alpha=0.05).collect()
+    # the same input with a tie key is fine and deterministic
+    got = {
+        r["g"]: r["p_rank"]
+        for r in bh_select(tied, "p", alpha=0.05, tie_cols=["g"]).collect()
+    }
+    assert got == {"a": 1, "b": 2, "c": 3}
+
+    distinct = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.2)], "g string, p double"
+    )
+    got2 = {
+        r["g"]: r["p_rank"]
+        for r in bh_select(distinct, "p", alpha=0.05).collect()
+    }
+    assert got2 == {"a": 1, "b": 2, "c": 3}
+    # NULL p rows don't count toward m and don't trip the dup check
+    withnull = spark.createDataFrame(
+        [("a", 0.01), ("b", None), ("c", None)], "g string, p double"
+    )
+    rows = bh_select(withnull, "p", alpha=0.05).collect()
+    assert {r["g"]: r["selected"] for r in rows} == {
+        "a": True, "b": False, "c": False,
+    }
+
+
+def test_kendall_tie_terms_exact_integer_halving(spark):
+    """tie_term_x/y come from shiftright on the doubled (even) sums —
+    spot-check the exact values on a series with known tie structure."""
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        kendall_tau,
+    )
+
+    # x ties: one group of 3 and one of 2 → Σt(t−1)/2 = 3 + 1 = 4
+    # y ties: one pair → 1
+    rows = [
+        (1, 10.0, 1.0), (2, 10.0, 2.0), (3, 10.0, 3.0),
+        (4, 20.0, 4.0), (5, 20.0, 5.0), (6, 30.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "i long, x double, y double")
+    r = kendall_tau(df, "i", "x", "y").collect()[0]
+    assert (r["tie_term_x"], r["tie_term_y"]) == (4, 1)

@@ -2190,7 +2190,7 @@ def test_streaming_psi_equals_batch_and_skips_replay(spark, tmp_path):
         return sorted(
             tuple(r)
             for r in spark.read.parquet(psi_dir)
-            .drop("__batch_id")
+            .drop("__batch_id", "__n_buckets", "__edges_fp")
             .collect()
         )
 
@@ -2368,3 +2368,144 @@ def test_streaming_mwu_null_value_fails_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="mann_whitney_u: NULL value"):
         q.awaitTermination(180)
+
+
+def test_streaming_psi_param_gate(spark, tmp_path):
+    """The PSI twin's restart-contract gate (the CMS param-column
+    pattern): state built with one (n_buckets, ref) must refuse a
+    restart with a different n_buckets OR a different ref — either
+    would silently fold new bucket counts into incompatibly-bucketed
+    state. Legacy (param-less) state raises without the explicit
+    one-time adopt_legacy_params=True migration and folds normally
+    with it."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_psi,
+    )
+
+    rng = __import__("random").Random(7)
+    ref_df = _rows(
+        spark,
+        [(i, "2024-01-01 00:00:00", 1, "r", float(rng.randrange(0, 200)))
+         for i in range(200)],
+    ).select(F.round(F.col("value")).cast("long").alias("x"))
+    inp = str(tmp_path / "in")
+    psi_dir = str(tmp_path / "psi")
+    _write_batch(
+        spark,
+        inp,
+        [(i, "2024-01-02 00:00:00", 2, "c", float(rng.randrange(0, 200)))
+         for i in range(80)],
+    )
+
+    def run(ref, k, ckpt, adopt=False):
+        q = start_streaming_psi(
+            read_event_stream(spark, inp, SCHEMA).select(
+                F.round(F.col("value")).cast("long").alias("x"),
+                F.col("ts"),
+            ),
+            psi_dir,
+            value_col="x",
+            ref=ref,
+            n_buckets=k,
+            checkpoint_dir=str(tmp_path / ckpt),
+            adopt_legacy_params=adopt,
+        )
+        q.awaitTermination(180)
+
+    run(ref_df, 8, "ckpt")
+    stored = spark.read.parquet(psi_dir)
+    assert {"__n_buckets", "__edges_fp"} <= set(stored.columns)
+
+    # changed n_buckets → fail loud (fresh checkpoint = renumbered
+    # batches, so the fold actually runs and must hit the gate)
+    _write_batch(
+        spark, inp,
+        [(900, "2024-01-03 00:00:00", 2, "c", 5.0)],
+    )
+    with pytest.raises(Exception, match="start_streaming_psi.*built with"):
+        run(ref_df, 6, "ckpt2")
+
+    # changed reference (different edges fingerprint) → fail loud
+    ref2 = ref_df.withColumn("x", F.col("x") * 3 + 1)
+    with pytest.raises(Exception, match="start_streaming_psi.*built with"):
+        run(ref2, 8, "ckpt3")
+
+    # legacy state (no param columns): refuse, then adopt explicitly.
+    # __batch_id is lowered to -1 so the adopt run's (renumbered)
+    # batch 0 clears the watermark guard and actually folds/rewrites.
+    legacy = stored.drop("__n_buckets", "__edges_fp").withColumn(
+        "__batch_id", F.lit(-1).cast("long")
+    )
+    legacy_pd = legacy.toPandas()
+    shutil.rmtree(psi_dir)
+    spark.createDataFrame(legacy_pd, schema=legacy.schema).write.parquet(
+        psi_dir
+    )
+    with pytest.raises(
+        Exception, match="start_streaming_psi.*predates the"
+    ):
+        run(ref_df, 8, "ckpt4")
+    run(ref_df, 8, "ckpt5", adopt=True)  # explicit one-time migration
+    # post-adoption state carries the params again
+    assert {"__n_buckets", "__edges_fp"} <= set(
+        spark.read.parquet(psi_dir).columns
+    )
+
+
+def test_streaming_mwu_ref_gate(spark, tmp_path):
+    """The MWU twin ignores ``ref`` once state exists — so a restart
+    with a DIFFERENT ref must fail loud via the stored __ref_fp
+    fingerprint instead of silently reporting a verdict against a
+    reference the caller no longer intends."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_mwu,
+    )
+
+    rng = __import__("random").Random(11)
+    ref_df = _rows(
+        spark,
+        [(i, "2024-01-01 00:00:00", 1, "r", float(rng.randrange(0, 150)))
+         for i in range(150)],
+    ).select(F.round(F.col("value")).cast("long").alias("x"))
+    inp = str(tmp_path / "in")
+    mwu_dir = str(tmp_path / "mwu")
+    _write_batch(
+        spark,
+        inp,
+        [(i, "2024-01-02 00:00:00", 2, "c", float(rng.randrange(0, 150)))
+         for i in range(60)],
+    )
+
+    def run(ref, ckpt):
+        q = start_streaming_mwu(
+            read_event_stream(spark, inp, SCHEMA).select(
+                F.round(F.col("value")).cast("long").alias("x"),
+                F.col("ts"),
+            ),
+            mwu_dir,
+            value_col="x",
+            ref=ref,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(180)
+
+    run(ref_df, "ckpt")
+    assert "__ref_fp" in spark.read.parquet(mwu_dir).columns
+
+    # same ref restarts fine (fresh checkpoint renumbers; the guard
+    # skips the replay but the param check runs first and passes)
+    run(ref_df, "ckpt2")
+
+    ref2 = ref_df.withColumn("x", F.col("x") + 1000)
+    _write_batch(
+        spark, inp,
+        [(900, "2024-01-03 00:00:00", 2, "c", 5.0)],
+    )
+    with pytest.raises(Exception, match="start_streaming_mwu.*built with"):
+        run(ref2, "ckpt3")

@@ -657,3 +657,26 @@ def test_drift_playbook_end_to_end(spark):
         ).collect()
     }
     assert ks2["purchase"] < 1e-4
+
+
+def test_mwu_ks_empty_inputs_report_zero_counts(spark):
+    """Both-empty ungrouped inputs report (0, 0, NULL stats) like
+    two_proportion_ztest — never a row of NULL counts (a global agg
+    of zero rows sums to NULL without the coalesce)."""
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        ks_two_sample,
+        mann_whitney_u,
+    )
+
+    empty = spark.createDataFrame([], "x long")
+    m = mann_whitney_u(empty, empty, "x").collect()
+    assert len(m) == 1
+    r = m[0]
+    assert (r["n_ref"], r["n_cur"], r["tie_term"]) == (0, 0, 0)
+    assert r["u_stat"] is None and r["z"] is None and r["p_value"] is None
+
+    k = ks_two_sample(empty, empty, "x").collect()
+    assert len(k) == 1
+    r = k[0]
+    assert (r["n_ref"], r["n_cur"]) == (0, 0)
+    assert r["d_stat"] is None and r["p_approx"] is None
