@@ -7169,12 +7169,83 @@ def q_orders_price_psi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 51-60 below, outside this window — plus the psi/hampel NULL-key
 # error TEXT, which no in-window input triggers).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- the 8 queries built in r8/r9 and never driver-checked — new
-    # -- queries outrank every refresh (the standing rotation rule):
-    # -- TextRank keywords + keyphrases, PSI price-drift monitor,
-    # -- Hampel rolling-median/MAD outliers, KMV audience overlap
-    # -- (rows-only self-validating), per-segment Holt, per-type
-    # -- changepoint, funnel time-to-conversion KM
+    # -- the 11 r11-batch queries (registered r10, never
+    # -- driver-checked — new queries outrank every refresh, the
+    # -- standing rotation rule): Mann-Kendall + seasonal (dow) +
+    # -- grouped (per-type) MK, monthly Theil-Sen, order-vs-ship
+    # -- CCF, grouped PSI, grouped Hampel, two-feature OLS, Markov
+    # -- entropy rate; rows-only self-validating: count-min
+    # -- frequency estimates, sketch-fed PSI edges vs the exact
+    # -- sibling
+    "revenue_mann_kendall": q_revenue_mann_kendall,
+    "orders_seasonal_mk": q_orders_seasonal_mk,
+    "revenue_sen_trend": q_revenue_sen_trend,
+    "revenue_ship_ccf": q_revenue_ship_ccf,
+    "events_type_psi": q_events_type_psi,
+    "events_type_hampel": q_events_type_hampel,
+    "lineitem_ols2": q_lineitem_ols2,
+    "events_type_mk": q_events_type_mk,
+    "events_markov_entropy": q_events_markov_entropy,
+    "parts_freq_cms": q_parts_freq_cms,
+    "orders_price_psi_sketch": q_orders_price_psi_sketch,
+    # -- the 23 r6-vintage rows (the stalest driver evidence —
+    # -- this retires the r6 debt entirely; vintage floor becomes
+    # -- r7 after the driver runs)
+    "parts_skyline": q_parts_skyline,
+    "incremental_agg_merge": q_incremental_agg_merge,
+    "events_retention": q_events_retention,
+    "docs_char_entropy": q_docs_char_entropy,
+    "coalesce_display": q_coalesce_display,
+    "orders_top_unshipped": q_orders_top_unshipped,
+    "order_priority_counts": q_order_priority_counts,
+    "docs_unigram_logprob": q_docs_unigram_logprob,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_mixture_weights": q_docs_mixture_weights,
+    "volume_shipping": q_volume_shipping,
+    "product_profit": q_product_profit,
+    "returned_top_customers": q_returned_top_customers,
+    "promo_revenue": q_promo_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "brand_disc_revenue": q_brand_disc_revenue,
+    "top_revenue_suppliers": q_top_revenue_suppliers,
+    "small_qty_revenue": q_small_qty_revenue,
+    "idle_rich_customers": q_idle_rich_customers,
+    "min_cost_supplier": q_min_cost_supplier,
+    "market_share": q_market_share,
+    "important_parts": q_important_parts,
+    "late_shipment_priority": q_late_shipment_priority,
+    # -- 16 r7-vintage rows, FLAGSHIP FAMILY FIRST: the
+    # -- reference-parity anchors (grouped summary, the P/J
+    # -- projection/semistructured quartet, the M merge family)
+    # -- are what a reference user hits first — their evidence
+    # -- must never age past 4 rounds
+    "category_summary": q_category_summary,
+    "global_summary": q_global_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "project_truncate": q_project_truncate,
+    "filter_nonempty": q_filter_nonempty,
+    "timestamp_parse": q_timestamp_parse,
+    "json_extract": q_json_extract,
+    "map_multikey": q_map_multikey,
+    "token_pivot": q_token_pivot,
+    "merge_inserts": q_merge_inserts,
+    "merge_deletes": q_merge_deletes,
+    "merge_full_sync": q_merge_full_sync,
+    "merge_upsert": q_merge_upsert,
+    "dedup_exact": q_dedup_exact,
+    "orders_asof_join": q_orders_asof_join,
+    "fuzzy_name_blocking": q_fuzzy_name_blocking,
+    # --------- driver checked-window boundary (position 50) ---------
+    # ROUND-12 ROTATION NOTE: after r11 lands, the vintage floor
+    # is r7 and the stalest evidence is the 34 remaining r7 rows
+    # (events_twap .. merge_partition_scoped block below, in
+    # registry order). Rotate the r12 window onto the new r12
+    # queries just below this comment (positions 51+, never
+    # driver-checked) + all 34 r7 rows + the stalest r8 rows up
+    # to the 50 budget. Do NOT register more new queries than the
+    # window budget (~10) per round.
+    # -- displaced r10: the r9 window + later sections, every row
+    # -- green in its latest driver round, prior order preserved
     "docs_textrank_keywords": q_docs_textrank_keywords,
     "docs_textrank_phrases": q_docs_textrank_phrases,
     "orders_price_psi": q_orders_price_psi,
@@ -7183,9 +7254,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_holt": q_segment_holt,
     "events_type_breakpoint": q_events_type_breakpoint,
     "events_conversion_km": q_events_conversion_km,
-    # -- the 15 r5-vintage rows (the registry's stalest driver
-    # -- evidence — this retires the r5 debt entirely; vintage floor
-    # -- becomes r6)
     "event_sliding_window": q_event_sliding_window,
     "orders_scd2": q_orders_scd2,
     "dedup_components": q_dedup_components,
@@ -7201,7 +7269,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_group_quota": q_docs_group_quota,
     "docs_quality_bins": q_docs_quality_bins,
     "vocab_topk": q_vocab_topk,
-    # -- the 27 stalest r6-vintage refreshes in prior relative order
     "events_time_rollup_refresh": q_events_time_rollup_refresh,
     "docs_bpe_merges_batched": q_docs_bpe_merges_batched,
     "embedding_near_dup_topk": q_embedding_near_dup_topk,
@@ -7229,44 +7296,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
     "decontaminate_overlap": q_decontaminate_overlap,
-    # --------- driver checked-window boundary (position 50) ---------
-    # ROUND-11 ROTATION NOTE: after r10 lands, the vintage floor is r6
-    # (15 r5 rows retired above) and the stalest evidence is the 23
-    # remaining r6 rows at the registry tail (parts_skyline ..
-    # late_shipment_priority) followed by the 50 r7-vintage rows.
-    # Rotate the r11 window onto the 11 r11-new queries below
-    # (positions 51-61, never driver-checked) + those 23 r6 rows + the
-    # 16 most user-critical r7 rows, FLAGSHIP FAMILY FIRST so the
-    # reference-parity anchors never age past 4 rounds:
-    # category_summary, global_summary, revenue_by_nation,
-    # project_truncate, filter_nonempty, timestamp_parse, json_extract,
-    # map_multikey, token_pivot, merge_inserts, merge_deletes,
-    # merge_full_sync, merge_upsert, dedup_exact, orders_asof_join,
-    # then fuzzy_name_blocking (the stalest by position). Displaces
-    # the other 34 r7 rows to r12. Do NOT
-    # register more new queries than the window budget (~10).
-    # -- NEW for r11 (operators built r9, registered r10, oracles
-    # -- cross-engine pinned in tests/test_trend.py, test_drift.py,
-    # -- test_robust.py BEFORE registration — the house de-risk
-    # -- pattern): Mann-Kendall + seasonal (dow) MK + grouped
-    # -- (per-type) MK, monthly Theil-Sen, order-vs-ship CCF, grouped
-    # -- PSI, grouped Hampel, two-feature OLS, Markov entropy rate;
-    # -- rows-only self-validating: count-min sketch frequency
-    # -- estimates with est>=exact (deterministic guarantee) and
-    # -- e/width*N bound columns; sketch-fed PSI edges vs the exact
-    # -- sibling with a regime-equivalence tolerance column
-    "revenue_mann_kendall": q_revenue_mann_kendall,
-    "orders_seasonal_mk": q_orders_seasonal_mk,
-    "revenue_sen_trend": q_revenue_sen_trend,
-    "revenue_ship_ccf": q_revenue_ship_ccf,
-    "events_type_psi": q_events_type_psi,
-    "events_type_hampel": q_events_type_hampel,
-    "lineitem_ols2": q_lineitem_ols2,
-    "events_type_mk": q_events_type_mk,
-    "events_markov_entropy": q_events_markov_entropy,
-    "parts_freq_cms": q_parts_freq_cms,
-    "orders_price_psi_sketch": q_orders_price_psi_sketch,
-    # -- displaced r10: the r9 window, every row green in r9
     "revenue_pacf": q_revenue_pacf,
     "revenue_holt": q_revenue_holt,
     "revenue_runs_test": q_revenue_runs_test,
@@ -7317,7 +7346,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
-    # -- r8-vintage rows in their prior order
     "lineitem_quantile_sketch": q_lineitem_quantile_sketch,
     "lineitem_sketch_merge": q_lineitem_sketch_merge,
     "events_weekly_users_sketch": q_events_weekly_users_sketch,
@@ -7368,8 +7396,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_kcore": q_parts_kcore,
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
-    # -- r7-vintage rows in their prior order
-    "fuzzy_name_blocking": q_fuzzy_name_blocking,
     "events_twap": q_events_twap,
     "orders_dow_profile": q_orders_dow_profile,
     "docs_quality_joint_hist": q_docs_quality_joint_hist,
@@ -7396,54 +7422,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "audio_segments": q_audio_segments,
     "docs_temperature_mix": q_docs_temperature_mix,
-    "category_summary": q_category_summary,
-    "revenue_by_nation": q_revenue_by_nation,
-    "orders_asof_join": q_orders_asof_join,
-    "merge_full_sync": q_merge_full_sync,
-    "merge_upsert": q_merge_upsert,
-    "dedup_exact": q_dedup_exact,
     "docs_filter_pipeline": q_docs_filter_pipeline,
     "jaccard_top_pairs": q_jaccard_top_pairs,
     "multimodal_features": q_multimodal_features,
     "event_window_agg": q_event_window_agg,
-    "global_summary": q_global_summary,
     "pivot_status": q_pivot_status,
     "rollup_summary": q_rollup_summary,
-    "project_truncate": q_project_truncate,
-    "filter_nonempty": q_filter_nonempty,
-    "timestamp_parse": q_timestamp_parse,
-    "json_extract": q_json_extract,
-    "map_multikey": q_map_multikey,
-    "token_pivot": q_token_pivot,
     "order_top_parts": q_order_top_parts,
     "top_parts_per_brand": q_top_parts_per_brand,
-    "merge_inserts": q_merge_inserts,
-    "merge_deletes": q_merge_deletes,
-    # -- the 23 r6-vintage rows displaced to r11 (stalest evidence
-    # -- after this round — first in line per the rotation note above)
-    "parts_skyline": q_parts_skyline,
-    "incremental_agg_merge": q_incremental_agg_merge,
-    "events_retention": q_events_retention,
-    "docs_char_entropy": q_docs_char_entropy,
-    "coalesce_display": q_coalesce_display,
-    "orders_top_unshipped": q_orders_top_unshipped,
-    "order_priority_counts": q_order_priority_counts,
-    "docs_unigram_logprob": q_docs_unigram_logprob,
-    "docs_stratified_sample": q_docs_stratified_sample,
-    "docs_mixture_weights": q_docs_mixture_weights,
-    "volume_shipping": q_volume_shipping,
-    "product_profit": q_product_profit,
-    "returned_top_customers": q_returned_top_customers,
-    "promo_revenue": q_promo_revenue,
-    "large_volume_customers": q_large_volume_customers,
-    "brand_disc_revenue": q_brand_disc_revenue,
-    "top_revenue_suppliers": q_top_revenue_suppliers,
-    "small_qty_revenue": q_small_qty_revenue,
-    "idle_rich_customers": q_idle_rich_customers,
-    "min_cost_supplier": q_min_cost_supplier,
-    "market_share": q_market_share,
-    "important_parts": q_important_parts,
-    "late_shipment_priority": q_late_shipment_priority,
 }
 
 
