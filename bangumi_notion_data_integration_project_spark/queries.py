@@ -7154,20 +7154,287 @@ def q_orders_price_psi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r12 batch: the drift-significance playbook (operators built r10,
+# oracles cross-engine pinned in tests/test_twosample.py,
+# tests/test_rankcorr.py, tests/test_robust.py BEFORE registration —
+# the house de-risk pattern)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_price_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / rank-sum significance of the order-price era
+    drift — the SIGNIFICANCE sibling of ``orders_price_psi`` (same
+    early-vs-late split: PSI reports how BIG the shift is, this
+    reports whether it is statistically REAL, plus the effect size as
+    ROC-AUC = P(early price > late price) + ½ties). Doubled-rank
+    exact-integer cumulative window over the DISTINCT-VALUE aggregate
+    (O(distinct prices) windowed rows at any fact volume — the psi
+    scale contract), tie-corrected variance in DOUBLE under the exact
+    n³ zero-variance guard, continuity-corrected z, A&S polynomial p
+    (operators/twosample.mann_whitney_u; oracle pinned cross-engine in
+    tests/test_twosample.py before registration; 10× probe in
+    SCALING.md)."""
+    from .operators.twosample import mann_whitney_u
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    return mann_whitney_u(ref, cur, "x")
+
+
+def q_orders_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov on the same order-price era split
+    — the shape-sensitive member of the drift-significance family
+    (MWU sees location shifts; KS sees ANY ECDF divergence, with
+    ``location`` naming the price where the distributions part
+    furthest). The sup|F₁−F₂| numerator is an exact integer attained
+    at combined distinct values, the argmin location rides an exact
+    DECIMAL struct-min, and the 16-term Smirnov tail is a fixed
+    unrolled expression identical in both engines, with the λ<0.2 →
+    p=1 probks branch (operators/twosample.ks_two_sample; oracle
+    pinned in tests/test_twosample.py)."""
+    from .operators.twosample import ks_two_sample
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    return ks_two_sample(ref, cur, "x")
+
+
+def q_events_type_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Mann-Whitney U — one drift-significance verdict per
+    event type over its value-cents distribution, first half of the
+    month vs second (the grouped twin of ``orders_price_mwu`` and the
+    significance sibling of ``events_type_psi``). Every rank is
+    computed per type on the per-type DISTINCT-VALUE aggregate (the
+    cumulative window partitions by the group key, so skew stays
+    bounded by a type's distinct values, not its row count); one-sided
+    groups report NULL stats with their counts (the psi asymmetry
+    convention)."""
+    from .operators.twosample import mann_whitney_u
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    ref = e.filter(F.col("ts") < "2024-01-16").select("event_type", "x")
+    cur = e.filter(F.col("ts") >= "2024-01-16").select("event_type", "x")
+    return mann_whitney_u(ref, cur, "x", group_cols=["event_type"])
+
+
+def q_events_type_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped two-sample KS per event type on the same half-month
+    split as ``events_type_mwu`` — the pair completes the per-segment
+    drift dashboard row: PSI magnitude (events_type_psi), MWU
+    location significance, KS shape significance. Per-group ECDFs
+    step only at the type's own distinct values; the integer
+    numerator max and its argmin location are exact per group."""
+    from .operators.twosample import ks_two_sample
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    ref = e.filter(F.col("ts") < "2024-01-16").select("event_type", "x")
+    cur = e.filter(F.col("ts") >= "2024-01-16").select("event_type", "x")
+    return ks_two_sample(ref, cur, "x", group_cols=["event_type"])
+
+
+def q_revenue_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between daily ORDERED revenue
+    and daily SHIPPED revenue (joined on calendar day) — monotone
+    association robust to outliers, with tau-b's tie normalization.
+    The concordant-minus-discordant sum is exact integer work on the
+    calendar-bounded day frame (O(days²) pairs on ~2.4k days — the
+    seasonal-MK quadratic-axis precedent: the axis is calendar length,
+    never fact rows), tie terms are exact integer halves (shiftright
+    on the doubled sums; operators/stats.kendall_tau, oracle pinned in
+    tests/test_rankcorr.py)."""
+    from .operators.stats import kendall_tau
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ox = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    sy = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    # the operator reads the day frame five times (pair sides, both
+    # tie sums, n) — pin the calendar-bounded aggregate so the fact
+    # scans happen once (the setsketch reuse pattern)
+    both = ox.join(sy, "d").localCheckpoint(eager=False)
+    return kendall_tau(both, "d", "x", "y")
+
+
+def q_revenue_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation on the same daily ordered-vs-shipped
+    revenue pair — Pearson on the tie-averaged rank transform, the
+    O(n log n) companion to ``revenue_kendall_tau``. Average ranks
+    stay EXACT by doubling (2·avgrank is an integer from two
+    cumulative windows over the value order) and the Pearson moments
+    of the doubled ranks accumulate in DECIMAL(38,0); ρ is one double
+    expression of exact integers, bit-equal across engines
+    (operators/stats.spearman_rho, oracle pinned in
+    tests/test_rankcorr.py)."""
+    from .operators.stats import spearman_rho
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ox = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    sy = li.groupBy(F.to_date("l_shipdate").alias("d")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    return spearman_rho(ox.join(sy, "d"), "d", "x", "y")
+
+
+def q_revenue_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test on daily revenue cents — WHERE does
+    the distribution shift, rank-based (the robust companion to the
+    OLS-scored breakpoint queries): U_t from two cumulative-count
+    windows over the VALUE order plus one running sum over the TIME
+    order — O(n log n) on the calendar-bounded day frame, never the
+    O(n²) textbook double sum — with K = max|U_t|, the earliest
+    attaining day as the changepoint, and the 2·exp(−6K²/(n³+n²))
+    approximate p (operators/stats.pettitt_test, oracle pinned in
+    tests/test_rankcorr.py)."""
+    from .operators.stats import pettitt_test
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return pettitt_test(daily, "d", "x")
+
+
+def q_segment_mk_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiple-testing capstone of the trend battery: grouped
+    Mann-Kendall per market segment over its MONTHLY-revenue series →
+    two-sided p via the shared A&S polynomial (computed from the
+    published 6dp z, the documented oracle contract) → Benjamini-
+    Hochberg step-up selection at FDR α=0.05 with the segment as the
+    deterministic tie key (bh_select fails loud without one). Testing
+    many segments at raw α manufactures false trends; this is the
+    corrected verdict a dashboard should show. Monthly grain is the
+    deliberate registry choice (the revenue_sen_trend precedent: MK's
+    pairwise axis is quadratic in PERIODS, so you pick the period —
+    5 segments × ~80 months is 16k pairs, vs 14.5M for daily);
+    everything after the per-segment MK collapse is O(segments)
+    rows."""
+    from .operators.stats import bh_select, mann_kendall, normal_p_two_sided
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_mktsegment",
+            F.trunc(F.to_date("o_orderdate"), "month").alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        # MK reads the month frame four times (pair sides, ties, n) —
+        # pin the segment×calendar-bounded aggregate so the
+        # orders⋈customer scan happens once (the setsketch pattern)
+        .localCheckpoint(eager=False)
+    )
+    mk = mann_kendall(monthly, "m", "x", group_cols=["c_mktsegment"])
+    scored = (
+        mk.select("c_mktsegment", "n_points", "s_stat", "z")
+        .withColumn("p", F.round(normal_p_two_sided(F.col("z")), 9))
+        # bh_select reads its input four times (rank, m, step-up max,
+        # NULL-p branch) — pin the O(segments)-row test frame so the
+        # MK chain runs once
+        .localCheckpoint(eager=False)
+    )
+    return bh_select(
+        scored, "p", alpha=0.05, tie_cols=["c_mktsegment"]
+    ).orderBy("c_mktsegment")
+
+
+def q_lineitem_returns_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on the lineitem RETURN RATE, early vs
+    late ship era — the categorical member of the drift-significance
+    family (MWU/KS ask whether a value distribution moved; this asks
+    whether a RATE did). Four exact integer counts from one map-side
+    aggregate per side (the only shuffle carries one row), pooled-
+    variance continuity-corrected z as one double expression, A&S p;
+    non-0/1 successes fail loud (operators/twosample.
+    two_proportion_ztest, oracle pinned in tests/test_twosample.py)."""
+    from .operators.twosample import two_proportion_ztest
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate",
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    ref = li.filter(F.col("l_shipdate") < "1996-01-01").select("ret")
+    cur = li.filter(F.col("l_shipdate") >= "1996-01-01").select("ret")
+    return two_proportion_ztest(ref, cur, "ret")
+
+
+def q_revenue_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean of daily revenue cents — the robust
+    location estimate that one viral day cannot drag (pairs with the
+    Hampel outlier queries). k = floor(0.1·n) cut from each tail in
+    EXACT integer arithmetic (trim scales to parts-per-million on the
+    driver so IEEE 0.1·n can never under-trim); the kept mass per
+    distinct value is a span-overlap of integer ranks, so the whole
+    computation is one ordered window over the DISTINCT-VALUE
+    aggregate plus exact integer sums (operators/robust.trimmed_mean,
+    oracle pinned in tests/test_robust.py)."""
+    from .operators.robust import trimmed_mean
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return trimmed_mean(daily, "x", trim=0.1)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks a
-# strict 50-entry prefix of this dict. The round-10 window carries, in
-# order: (a) the 8 queries built in r8/r9 and never driver-checked —
-# new queries outrank every refresh; (b) the 15 r5-vintage rows (the
-# registry's stalest driver evidence — this retires the r5 debt
-# entirely, vintage floor becomes r6); (c) the 27 stalest r6-vintage
-# refreshes in their prior relative order. No in-window query's code
-# path changed this round (the r9 ADVICE fixes touch mann_kendall/
-# cross_correlation/ols_fit2/cms — all first registered at positions
-# 51-60 below, outside this window — plus the psi/hampel NULL-key
-# error TEXT, which no in-window input triggers).
+# strict 50-entry prefix of this dict. The round-11 window carries, in
+# order: (a) the 11 r11-batch queries registered r10 and never
+# driver-checked — new queries outrank every refresh; (b) the 23
+# remaining r6-vintage rows (the registry's stalest driver evidence —
+# this retires the r6 debt entirely, vintage floor becomes r7);
+# (c) 16 r7-vintage rows FLAGSHIP FAMILY FIRST (the reference-parity
+# anchors a reference user hits first — category_summary,
+# global_summary, the P/J/M front section — must never age past 4
+# rounds). No in-window query's code path changed this round (the r10
+# ADVICE fixes touch bh_select/kendall_tau/mann_whitney_u/
+# ks_two_sample and the streaming PSI/MWU twins — all first registered
+# at positions 51-60 below, outside this window, or not registered at
+# all).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- the 11 r11-batch queries (registered r10, never
     # -- driver-checked — new queries outrank every refresh, the
@@ -7244,6 +7511,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-checked) + all 34 r7 rows + the stalest r8 rows up
     # to the 50 budget. Do NOT register more new queries than the
     # window budget (~10) per round.
+    # -- NEW for r12 (operators built r10, registered r11, oracles
+    # -- cross-engine pinned in tests/test_twosample.py,
+    # -- test_rankcorr.py, test_robust.py BEFORE registration — the
+    # -- house de-risk pattern): the drift-significance playbook —
+    # -- MWU + KS era drift (global on order price, grouped per event
+    # -- type), Kendall tau-b + Spearman on daily ordered-vs-shipped
+    # -- revenue, Pettitt changepoint, BH-corrected grouped MK per
+    # -- market segment, two-proportion z on the return rate, exact
+    # -- trimmed mean of daily revenue
+    "orders_price_mwu": q_orders_price_mwu,
+    "orders_price_ks": q_orders_price_ks,
+    "events_type_mwu": q_events_type_mwu,
+    "events_type_ks": q_events_type_ks,
+    "revenue_kendall_tau": q_revenue_kendall_tau,
+    "revenue_spearman": q_revenue_spearman,
+    "revenue_pettitt": q_revenue_pettitt,
+    "segment_mk_bh": q_segment_mk_bh,
+    "lineitem_returns_ztest": q_lineitem_returns_ztest,
+    "revenue_trimmed_mean": q_revenue_trimmed_mean,
     # -- displaced r10: the r9 window + later sections, every row
     # -- green in its latest driver round, prior order preserved
     "docs_textrank_keywords": q_docs_textrank_keywords,
@@ -12054,4 +12340,538 @@ ORACLES["events_markov_entropy"] = """
     SELECT cur, n_out, round(pi_raw, 6) AS pi, round(h_raw, 6) AS h_bits,
            entropy_rate
     FROM contrib, rate ORDER BY cur
+"""
+
+# -- r12 batch oracles: composed with the shared A&S p polynomial in
+# -- exact op-order lockstep (NORMAL_P_TWO_SIDED_SQL; p rounded at 9dp,
+# -- the documented oracle contract), pinned cross-engine in
+# -- tests/test_twosample.py / test_rankcorr.py / test_robust.py
+from .operators.stats import NORMAL_P_TWO_SIDED_SQL as _NP_SQL  # noqa: E402
+
+_P_Z = _NP_SQL.format(z="z")
+
+ORACLES["orders_price_mwu"] = f"""
+    WITH sides AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 1 ELSE 2 END AS s
+      FROM orders
+    ), vc AS (
+      SELECT v,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM sides GROUP BY v
+    ), rk AS (
+      SELECT c1, c2,
+             CAST(2 * coalesce(sum(c1 + c2) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + (c1 + c2) + 1 AS BIGINT) AS r2x
+      FROM vc
+    ), agg AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(CAST(c1 AS HUGEINT) * r2x) AS HUGEINT) AS tr1,
+             CAST(sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                      - (c1 + c2)) AS HUGEINT) AS tie
+      FROM rk
+    ), f AS (
+      SELECT n1, n2, tie,
+             CAST(tr1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS HUGEINT)
+               AS two_u1,
+             (CAST(n1 + n2 AS HUGEINT) + 1) * (n1 + n2)
+               * (CAST(n1 + n2 AS HUGEINT) - 1) - tie AS var_num3
+      FROM agg
+    ), zc AS (
+      SELECT n1, n2, tie, two_u1, var_num3,
+             CAST(two_u1 AS DOUBLE) / 2.0
+               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0
+               AS diff,
+             sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                  * (((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0)
+                     - CAST(tie AS DOUBLE)
+                       / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                          * ((CAST(n1 AS DOUBLE)
+                              + CAST(n2 AS DOUBLE)) - 1.0)))) AS sd
+      FROM f
+    ), zz AS (
+      SELECT n1, n2, tie, two_u1,
+             CASE WHEN var_num3 > 0 THEN
+               CASE WHEN diff > 0 THEN (diff - 0.5) / sd
+                    WHEN diff < 0 THEN (diff + 0.5) / sd
+                    ELSE 0.0 END
+             END AS z
+      FROM zc
+    )
+    SELECT n1 AS n_ref, n2 AS n_cur,
+           round(CAST(two_u1 AS DOUBLE) / 2.0, 1) AS u_stat,
+           round(CAST(two_u1 AS DOUBLE)
+                 / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)),
+                 6) AS auc,
+           CAST(tie AS BIGINT) AS tie_term,
+           round(z, 6) AS z,
+           round({_P_Z}, 9) AS p_value
+    FROM zz
+"""
+
+ORACLES["orders_price_ks"] = """
+    WITH sides AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 1 ELSE 2 END AS s
+      FROM orders
+    ), vc AS (
+      SELECT v,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM sides GROUP BY v
+    ), cum AS (
+      SELECT v,
+             CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS m1,
+             CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS m2
+      FROM vc
+    ), tot AS (
+      SELECT CAST(max(m1) AS BIGINT) AS n1,
+             CAST(max(m2) AS BIGINT) AS n2
+      FROM cum
+    ), scored AS (
+      SELECT v, n1, n2,
+             abs(CAST(m1 AS HUGEINT) * n2 - CAST(m2 AS HUGEINT) * n1)
+               AS num
+      FROM cum, tot
+    ), agg AS (
+      SELECT max(n1) AS n1, max(n2) AS n2,
+             max(num) AS maxnum,
+             min(CASE WHEN num = (SELECT max(num) FROM scored)
+                      THEN v END) AS loc
+      FROM scored
+    ), d AS (
+      SELECT n1, n2, loc,
+             CAST(maxnum AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS dd,
+             CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS ne
+      FROM agg
+    ), lamt AS (
+      SELECT n1, n2, loc, dd,
+             (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * dd AS lam
+      FROM d
+    )
+    SELECT n1 AS n_ref, n2 AS n_cur, round(dd, 6) AS d_stat,
+           loc AS location,
+           round(CASE WHEN lam < 0.2 THEN 1.0
+                 ELSE least(1.0, greatest(0.0, 2.0 * (
+               exp(-2.0 * lam * lam) - exp(-8.0 * lam * lam)
+             + exp(-18.0 * lam * lam) - exp(-32.0 * lam * lam)
+             + exp(-50.0 * lam * lam) - exp(-72.0 * lam * lam)
+             + exp(-98.0 * lam * lam) - exp(-128.0 * lam * lam)
+             + exp(-162.0 * lam * lam) - exp(-200.0 * lam * lam)
+             + exp(-242.0 * lam * lam) - exp(-288.0 * lam * lam)
+             + exp(-338.0 * lam * lam) - exp(-392.0 * lam * lam)
+             + exp(-450.0 * lam * lam) - exp(-512.0 * lam * lam)
+           ))) END, 9) AS p_approx
+    FROM lamt
+"""
+
+ORACLES["events_type_mwu"] = f"""
+    WITH sides AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 2 END AS s
+      FROM events
+    ), vc AS (
+      SELECT g, v,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM sides GROUP BY g, v
+    ), rk AS (
+      SELECT g, c1, c2,
+             CAST(2 * coalesce(sum(c1 + c2) OVER (PARTITION BY g
+                    ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) + (c1 + c2) + 1 AS BIGINT) AS r2x
+      FROM vc
+    ), agg AS (
+      SELECT g, CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(sum(CAST(c1 AS HUGEINT) * r2x) AS HUGEINT) AS tr1,
+             CAST(sum(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                      - (c1 + c2)) AS HUGEINT) AS tie
+      FROM rk GROUP BY g
+    ), f AS (
+      SELECT g, n1, n2, tie,
+             CAST(tr1 - CAST(n1 AS HUGEINT) * (n1 + 1) AS HUGEINT)
+               AS two_u1,
+             (CAST(n1 + n2 AS HUGEINT) + 1) * (n1 + n2)
+               * (CAST(n1 + n2 AS HUGEINT) - 1) - tie AS var_num3
+      FROM agg
+    ), zc AS (
+      SELECT g, n1, n2, tie, two_u1, var_num3,
+             CAST(two_u1 AS DOUBLE) / 2.0
+               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0
+               AS diff,
+             sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                  * (((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0)
+                     - CAST(tie AS DOUBLE)
+                       / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                          * ((CAST(n1 AS DOUBLE)
+                              + CAST(n2 AS DOUBLE)) - 1.0)))) AS sd
+      FROM f
+    ), zz AS (
+      SELECT g, n1, n2, tie, two_u1,
+             CASE WHEN n1 > 0 AND n2 > 0 AND var_num3 > 0 THEN
+               CASE WHEN diff > 0 THEN (diff - 0.5) / sd
+                    WHEN diff < 0 THEN (diff + 0.5) / sd
+                    ELSE 0.0 END
+             END AS z
+      FROM zc
+    )
+    SELECT g AS event_type, n1 AS n_ref, n2 AS n_cur,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             round(CAST(two_u1 AS DOUBLE) / 2.0, 1) END AS u_stat,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             round(CAST(two_u1 AS DOUBLE)
+                   / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)),
+                   6) END AS auc,
+           CAST(tie AS BIGINT) AS tie_term,
+           round(z, 6) AS z,
+           round({_P_Z}, 9) AS p_value
+    FROM zz ORDER BY event_type
+"""
+
+ORACLES["events_type_ks"] = """
+    WITH sides AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 2 END AS s
+      FROM events
+    ), vc AS (
+      SELECT g, v,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM sides GROUP BY g, v
+    ), cum AS (
+      SELECT g, v,
+             CAST(sum(c1) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m1,
+             CAST(sum(c2) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m2
+      FROM vc
+    ), tot AS (
+      SELECT g, CAST(max(m1) AS BIGINT) AS n1,
+             CAST(max(m2) AS BIGINT) AS n2
+      FROM cum GROUP BY g
+    ), scored AS (
+      SELECT c.g, t.n1, t.n2, c.v,
+             abs(CAST(c.m1 AS HUGEINT) * t.n2
+                 - CAST(c.m2 AS HUGEINT) * t.n1) AS num
+      FROM cum c JOIN tot t ON c.g = t.g
+    ), mx AS (
+      SELECT g, max(num) AS maxnum FROM scored GROUP BY g
+    ), agg AS (
+      SELECT s.g, max(s.n1) AS n1, max(s.n2) AS n2,
+             max(s.num) AS maxnum,
+             min(CASE WHEN s.num = m.maxnum THEN s.v END) AS loc
+      FROM scored s JOIN mx m ON s.g = m.g GROUP BY s.g
+    ), d AS (
+      SELECT g, n1, n2, loc,
+             CAST(maxnum AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS dd,
+             CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) AS ne
+      FROM agg
+    ), lamt AS (
+      SELECT g, n1, n2, loc, dd,
+             (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * dd AS lam
+      FROM d
+    )
+    SELECT g AS event_type, n1 AS n_ref, n2 AS n_cur,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN round(dd, 6) END AS d_stat,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN loc END AS location,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             round(CASE WHEN lam < 0.2 THEN 1.0
+                   ELSE least(1.0, greatest(0.0, 2.0 * (
+                 exp(-2.0 * lam * lam) - exp(-8.0 * lam * lam)
+               + exp(-18.0 * lam * lam) - exp(-32.0 * lam * lam)
+               + exp(-50.0 * lam * lam) - exp(-72.0 * lam * lam)
+               + exp(-98.0 * lam * lam) - exp(-128.0 * lam * lam)
+               + exp(-162.0 * lam * lam) - exp(-200.0 * lam * lam)
+               + exp(-242.0 * lam * lam) - exp(-288.0 * lam * lam)
+               + exp(-338.0 * lam * lam) - exp(-392.0 * lam * lam)
+               + exp(-450.0 * lam * lam) - exp(-512.0 * lam * lam)
+             ))) END, 9) END AS p_approx
+    FROM lamt ORDER BY event_type
+"""
+
+ORACLES["revenue_kendall_tau"] = """
+    WITH ox AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), sy AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ), xy AS (
+      SELECT ox.d, ox.x, sy.y FROM ox JOIN sy ON ox.d = sy.d
+    ), s AS (
+      SELECT CAST(coalesce(sum(
+               (CASE WHEN b.x > a.x THEN 1
+                     WHEN b.x < a.x THEN -1 ELSE 0 END)
+               * (CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END)), 0)
+             AS BIGINT) AS cd
+      FROM xy a JOIN xy b ON a.d < b.d
+    ), tx AS (
+      SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS tx2
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM xy GROUP BY x) z
+    ), ty AS (
+      SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS ty2
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM xy GROUP BY y) z
+    ), np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xy)
+    SELECT n AS n_points, cd AS concordant_minus_discordant,
+           tx2 // 2 AS tie_term_x, ty2 // 2 AS tie_term_y,
+           CASE WHEN n * (n - 1) - tx2 > 0
+                 AND n * (n - 1) - ty2 > 0 THEN
+             round((2.0 * CAST(cd AS DOUBLE))
+                   / sqrt(CAST(n * (n - 1) - tx2 AS DOUBLE)
+                          * CAST(n * (n - 1) - ty2 AS DOUBLE)), 6)
+           END AS tau_b
+    FROM np, s, tx, ty
+"""
+
+ORACLES["revenue_spearman"] = """
+    WITH ox AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), sy AS (
+      SELECT CAST(l_shipdate AS DATE) AS d,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM lineitem GROUP BY 1
+    ), xy AS (
+      SELECT ox.d, ox.x, sy.y FROM ox JOIN sy ON ox.d = sy.d
+    ), rk AS (
+      SELECT CAST(coalesce(count(*) OVER (ORDER BY x RANGE BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + count(*) OVER (ORDER BY x RANGE BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+             AS HUGEINT) AS rx,
+             CAST(coalesce(count(*) OVER (ORDER BY y RANGE BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + count(*) OVER (ORDER BY y RANGE BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+             AS HUGEINT) AS ry
+      FROM xy
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(rx) AS sx, sum(ry) AS sy2,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+             sum(rx * ry) AS sxy
+      FROM rk
+    )
+    SELECT n AS n_points,
+           CASE WHEN n * sxx - sx * sx > 0
+                 AND n * syy - sy2 * sy2 > 0 THEN
+             round(CAST(n * sxy - sx * sy2 AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy2 * sy2 AS DOUBLE)), 6)
+           END AS rho
+    FROM m
+"""
+
+ORACLES["revenue_pettitt"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT d,
+             CAST(count(*) OVER () AS BIGINT)
+               - CAST(count(*) OVER (ORDER BY x RANGE BETWEEN
+                   UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               - CAST(coalesce(count(*) OVER (ORDER BY x
+                   RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS v,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ), u AS (
+      SELECT d, n,
+             CAST(sum(v) OVER (ORDER BY d ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS uu
+      FROM ranked
+    ), agg AS (
+      SELECT max(n) AS n_points,
+             CAST(max(abs(uu)) AS BIGINT) AS k_stat,
+             min(CASE WHEN abs(uu) = (SELECT max(abs(uu)) FROM u)
+                      THEN d END) AS change_point
+      FROM u
+    )
+    SELECT n_points, k_stat, change_point,
+           round(least(2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE)
+                   * CAST(k_stat AS DOUBLE)
+                   / (CAST(n_points AS DOUBLE) * n_points * n_points
+                      + CAST(n_points AS DOUBLE) * n_points)),
+                 1.0), 6) AS p_approx
+    FROM agg
+"""
+
+ORACLES["segment_mk_bh"] = f"""
+    WITH monthly AS (
+      SELECT c_mktsegment AS g,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT a.g,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM monthly a JOIN monthly b ON a.g = b.g AND a.m < b.m
+      GROUP BY a.g
+    ), ties AS (
+      SELECT g, CAST(sum(t) AS BIGINT) AS n_points,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS t
+            FROM monthly GROUP BY g, x) z
+      GROUP BY g
+    ), base AS (
+      SELECT ties.g, n_points,
+             CAST(coalesce(s.s_stat, 0) AS BIGINT) AS s_stat, tie_term
+      FROM ties LEFT JOIN s ON ties.g = s.g
+    ), mk AS (
+      SELECT g, n_points, s_stat,
+             round(CASE WHEN n_points * (n_points - 1)
+                             * (2 * n_points + 5) - tie_term > 0 THEN
+               CASE WHEN s_stat > 0
+                    THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                         / sqrt(CAST(n_points * (n_points - 1)
+                                     * (2 * n_points + 5) - tie_term
+                                AS DOUBLE) / 18.0)
+                    WHEN s_stat < 0
+                    THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                         / sqrt(CAST(n_points * (n_points - 1)
+                                     * (2 * n_points + 5) - tie_term
+                                AS DOUBLE) / 18.0)
+                    ELSE 0.0 END
+             END, 6) AS z
+      FROM base
+    ), scored AS (
+      SELECT g, n_points, s_stat, z,
+             round({_P_Z}, 9) AS p
+      FROM mk
+    ), nn AS (
+      SELECT g, n_points, s_stat, z, p,
+             CAST(row_number() OVER (ORDER BY p, g) AS BIGINT) AS p_rank,
+             CAST(count(*) OVER () AS BIGINT) AS m_tests
+      FROM scored WHERE p IS NOT NULL
+    ), th AS (
+      SELECT *, round(CAST(p_rank AS DOUBLE) * 0.05
+                      / CAST(m_tests AS DOUBLE), 9) AS bh_threshold
+      FROM nn
+    ), im AS (
+      SELECT CAST(coalesce(max(CASE WHEN p <= bh_threshold
+                                    THEN p_rank END), 0) AS BIGINT)
+               AS imax
+      FROM th
+    )
+    SELECT g AS c_mktsegment, n_points, s_stat, z, p,
+           p_rank, m_tests, bh_threshold,
+           p_rank <= imax AS selected
+    FROM th, im
+    UNION ALL
+    SELECT g, n_points, s_stat, z, p,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), FALSE
+    FROM scored WHERE p IS NULL
+    ORDER BY c_mktsegment
+"""
+
+ORACLES["lineitem_returns_ztest"] = f"""
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s1
+      FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    ), b AS (
+      SELECT CAST(count(*) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s2
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    ), f AS (
+      SELECT n1, s1, n2, s2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS diff,
+             sqrt((CAST(s1 + s2 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                  * (1.0 - CAST(s1 + s2 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                  * (1.0 / CAST(n1 AS DOUBLE)
+                     + 1.0 / CAST(n2 AS DOUBLE))) AS sd,
+             0.5 * (1.0 / CAST(n1 AS DOUBLE)
+                    + 1.0 / CAST(n2 AS DOUBLE)) AS cc
+      FROM a, b
+    ), zz AS (
+      SELECT n1, s1, n2, s2,
+             CASE WHEN n1 > 0 AND n2 > 0 AND s1 + s2 > 0
+                       AND s1 + s2 < n1 + n2 THEN
+               CASE WHEN diff > cc THEN (diff - cc) / sd
+                    WHEN diff < -cc THEN (diff + cc) / sd
+                    ELSE 0.0 END
+             END AS z
+      FROM f
+    )
+    SELECT n1 AS n_ref, s1 AS s_ref, n2 AS n_cur, s2 AS s_cur,
+           round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+             AS rate_ref,
+           round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+             AS rate_cur,
+           round(z, 6) AS z,
+           round({_P_Z}, 9) AS p_value
+    FROM zz
+"""
+
+ORACLES["revenue_trimmed_mean"] = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), vc AS (
+      SELECT x AS v, CAST(count(*) AS BIGINT) AS c
+      FROM daily GROUP BY 1
+    ), cum AS (
+      SELECT v, c,
+             CAST(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM vc
+    ), spans AS (
+      SELECT v, c, cm, n,
+             CAST((100000 * n) // 1000000 AS BIGINT) AS k
+      FROM cum
+    ), kept AS (
+      SELECT n, k,
+             CAST(greatest(0, least(cm, n - k)
+                  - greatest(cm - c + 1, k + 1) + 1) AS BIGINT)
+               AS m,
+             v
+      FROM spans
+    )
+    SELECT max(n) AS n_points, max(k) AS n_trimmed_each,
+           round(CAST(sum(CAST(v AS HUGEINT) * m) AS DOUBLE)
+                 / CAST(sum(m) AS DOUBLE), 6) AS mean
+    FROM kept
 """

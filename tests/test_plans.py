@@ -983,3 +983,122 @@ def test_set_sketch_window_partitions_by_key(spark):
     ), plan
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     assert schemas == ["ts:timestamp_ntz,user_id:bigint,event_type:string"], schemas
+
+
+R12_BATCH = [
+    "orders_price_mwu",
+    "orders_price_ks",
+    "events_type_mwu",
+    "events_type_ks",
+    "revenue_kendall_tau",
+    "revenue_spearman",
+    "revenue_pettitt",
+    "segment_mk_bh",
+    "lineitem_returns_ztest",
+    "revenue_trimmed_mean",
+]
+
+
+@pytest.mark.parametrize("name", R12_BATCH)
+def test_r12_batch_no_cartesian(spark, name):
+    """None of the r11-registered drift-significance queries may go
+    cartesian on a data-scaled frame — every nested-loop join in these
+    plans is a broadcast of a 1-row aggregate / calendar-bounded frame
+    (the aggregate-not-filter house pattern; kendall's pair join
+    broadcasts the day aggregate)."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_mwu_ks_fold_windows_run_on_distinct_value_aggregate(spark):
+    """The global MWU/KS rank and ECDF windows ARE unpartitioned by
+    design — but only because their child is the distinct-value
+    sided-counts aggregate (keys=[__v]), never raw order rows: the
+    psi/KM pin pattern, per-query for each new unpartitioned-fold
+    registration (the standing house rule). The trimmed mean's span
+    window rides the same contract. (executedPlan().toString() like
+    the KM pin — formatted explain hides aggregate keys in the
+    details section.)"""
+    for name in ("orders_price_mwu", "orders_price_ks",
+                 "revenue_trimmed_mean"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        wins = [i for i, l in enumerate(lines) if "Window" in l]
+        aggs = [
+            i
+            for i, l in enumerate(lines)
+            if "HashAggregate(keys=[__v" in l
+        ]
+        assert wins and aggs, name
+        # root-at-top tree: every window must have the distinct-value
+        # aggregate somewhere below it in its child chain
+        for w in wins:
+            assert any(a > w for a in aggs), (name, plan)
+
+
+def test_grouped_mwu_ks_windows_partition_by_type(spark):
+    """The grouped twins' cumulative windows must partition by the
+    group key — a dropped partition clause would serialize every
+    type's distinct values through one task."""
+    for name in ("events_type_mwu", "events_type_ks"):
+        plan = _plan(spark, name)
+        assert _window_partition_keys(plan) == {"event_type"}, name
+
+
+def test_rankcorr_windows_sit_above_day_aggregate(spark):
+    """Spearman's two rank windows and Pettitt's three fold windows
+    are unpartitioned by design — their children are the calendar-
+    bounded daily aggregate, so the single partition holds O(days)
+    rows at any fact volume (the KM pin): every Window node sits
+    ABOVE a grouped HashAggregate which sits above the scan."""
+    for name in ("revenue_spearman", "revenue_pettitt"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        wins = [i for i, l in enumerate(lines) if "Window" in l]
+        # the daily groupBy (to_date alias) shows as a grouped
+        # aggregate — any keyed HashAggregate below the deepest window
+        # and above a scan proves the windows rank aggregated rows
+        aggs = [
+            i
+            for i, l in enumerate(lines)
+            if "HashAggregate(keys=[" in l
+            and "HashAggregate(keys=[]" not in l
+        ]
+        scans = [i for i, l in enumerate(lines) if "Scan parquet" in l]
+        assert wins and aggs and scans, name
+        assert any(max(wins) < a < max(scans) for a in aggs), (name, plan)
+
+
+def test_kendall_pair_join_broadcasts_day_aggregate(spark):
+    """kendall_tau's pairwise concordance join must broadcast the
+    calendar-bounded day frame — a SortMergeJoin here would mean the
+    range condition shuffled a data-scaled frame; no window at all
+    (the concordance sum is a plain aggregate)."""
+    plan = _plan(spark, "revenue_kendall_tau")
+    assert not re.findall(r"\(\d+\) SortMergeJoin", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_returns_ztest_is_counts_only_no_window_no_shuffle_join(spark):
+    """The two-proportion z-test is four integer counts + one scalar
+    expression: no window and no shuffle join anywhere; the scan reads
+    exactly the flag and era columns."""
+    plan = _plan(spark, "lineitem_returns_ztest")
+    assert "Window" not in plan, plan
+    assert not re.findall(r"\(\d+\) SortMergeJoin", plan), plan
+    cols = {c.split(":")[0] for c in _read_schemas(plan)[0].split(",")}
+    assert cols == {"l_returnflag", "l_shipdate"}, plan
+
+
+def test_segment_mk_bh_rank_window_sits_on_segment_aggregate(spark):
+    """The BH rank window is unpartitioned by design — its child is
+    the per-segment MK collapse (O(segments) rows; the monthly MK
+    chain hides behind the lazy localCheckpoint, pinned by
+    events_type_mk's own plan tests). The customer dim join must
+    broadcast."""
+    plan = _plan(spark, "segment_mk_bh")
+    assert "CartesianProduct" not in plan
+    assert not re.findall(r"\(\d+\) SortMergeJoin", plan), plan
