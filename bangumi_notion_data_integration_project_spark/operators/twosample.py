@@ -220,6 +220,15 @@ def ks_two_sample(
     MWU/psi one-sided convention, never a 0/0 NaN)."""
     groups = list(group_cols or [])
     vc = _sided_counts(ref, cur, value_col, groups, "ks_two_sample")
+    return _ks_from_counts(vc, groups)
+
+
+def _ks_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
+    """Shared KS formula tail over a ``(group..., __v, __c1, __c2)``
+    sided-counts frame. ONE implementation serves the batch operator
+    AND the streaming twin (``streaming.start_streaming_ks`` stores
+    exactly this frame as its state), so the statistic can never
+    diverge between them — the ``_mwu_from_counts`` rule."""
     if groups:
         w_cum = (
             Window.partitionBy(*groups)

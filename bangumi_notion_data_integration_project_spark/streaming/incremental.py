@@ -1628,12 +1628,74 @@ def start_streaming_mwu(
     state needs the one-time explicit ``adopt_legacy_params=True``
     migration, loudly logged.
     """
+    return _start_streaming_sided_counts(
+        stream,
+        mwu_dir,
+        value_col=value_col,
+        ref=ref,
+        checkpoint_dir=checkpoint_dir,
+        adopt_legacy_params=adopt_legacy_params,
+        op="start_streaming_mwu",
+        check_op="mann_whitney_u",
+    )
+
+
+def start_streaming_ks(
+    stream: DataFrame,
+    ks_dir: str,
+    *,
+    value_col: str,
+    ref: DataFrame,
+    checkpoint_dir: str,
+    adopt_legacy_params: bool = False,
+):
+    """Streaming two-sample KS drift monitor — the SHAPE-sensitive leg
+    completing the streaming drift playbook next to
+    :func:`start_streaming_psi` (magnitude) and
+    :func:`start_streaming_mwu` (location significance): identical
+    sided-counts state and fold (one builder serves both rank twins —
+    the state IS ``_sided_counts``), with the verdict served by
+    :func:`read_streaming_ks` through the batch operator's exact
+    formula tail (``twosample._ks_from_counts``), so the streamed
+    D/location/p equal batch ``ks_two_sample(ref, union-of-batches)``
+    bit-for-bit. All the MWU twin's contracts apply verbatim:
+    O(distinct values) state (caller controls value cardinality),
+    rung-3 ``__batch_id`` replay guard, dirs live and die together,
+    ``__ref_fp`` restart verification, fail-loud NULLs."""
+    return _start_streaming_sided_counts(
+        stream,
+        ks_dir,
+        value_col=value_col,
+        ref=ref,
+        checkpoint_dir=checkpoint_dir,
+        adopt_legacy_params=adopt_legacy_params,
+        op="start_streaming_ks",
+        check_op="ks_two_sample",
+    )
+
+
+def _start_streaming_sided_counts(
+    stream: DataFrame,
+    state_dir: str,
+    *,
+    value_col: str,
+    ref: DataFrame,
+    checkpoint_dir: str,
+    adopt_legacy_params: bool,
+    op: str,
+    check_op: str,
+):
+    """The shared fold behind the MWU and KS streaming twins: both
+    statistics are pure functions of the SAME ``(__v, __c1, __c2)``
+    sided-counts frame, so the state, the replay guard, and the
+    reference fingerprint are one implementation with only the
+    serving-time formula tail differing."""
     from ..operators.drift import _checked_long
 
     ref_counts = (
         ref.select(
             _checked_long(
-                F.col(value_col), "reference", "mann_whitney_u"
+                F.col(value_col), "reference", check_op
             ).alias("__v")
         )
         .groupBy("__v")
@@ -1655,14 +1717,14 @@ def start_streaming_mwu(
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         stored = None
-        if recover_dir(mwu_dir):
-            stored = spark.read.parquet(mwu_dir)
+        if recover_dir(state_dir):
+            stored = spark.read.parquet(state_dir)
             if wm["v"] is None:  # first touch this process: verify
                 _verify_state_params(
                     stored,
                     {"__ref_fp": ref_fp},
-                    op="start_streaming_mwu",
-                    state_dir=mwu_dir,
+                    op=op,
+                    state_dir=state_dir,
                     checkpoint_dir=checkpoint_dir,
                     adopt_legacy=adopt_legacy_params,
                 )
@@ -1675,7 +1737,7 @@ def start_streaming_mwu(
         delta = (
             batch.select(
                 _checked_long(
-                    F.col(value_col), "input", "mann_whitney_u"
+                    F.col(value_col), "input", check_op
                 ).alias("__v")
             )
             .groupBy("__v")
@@ -1705,13 +1767,13 @@ def start_streaming_mwu(
                     F.sum("__c2").cast("long").alias("__c2"),
                 )
             )
-        tmp = staging_path(mwu_dir)
+        tmp = staging_path(state_dir)
         merged.withColumn("__batch_id", F.lit(batch_id)).withColumn(
             "__ref_fp", F.lit(ref_fp).cast("long")
         ).write.mode(
             "overwrite"
         ).parquet(tmp)
-        promote_dir(tmp, mwu_dir)
+        promote_dir(tmp, state_dir)
         wm["v"] = batch_id
 
     return (
@@ -1730,3 +1792,13 @@ def read_streaming_mwu(spark: SparkSession, mwu_dir: str) -> DataFrame:
 
     vc = spark.read.parquet(mwu_dir).select("__v", "__c1", "__c2")
     return _mwu_from_counts(vc, [])
+
+
+def read_streaming_ks(spark: SparkSession, ks_dir: str) -> DataFrame:
+    """The one-row KS verdict from the stored sided-counts state —
+    the serving path of :func:`start_streaming_ks`, computed by the
+    identical formula tail as the batch operator."""
+    from ..operators.twosample import _ks_from_counts
+
+    vc = spark.read.parquet(ks_dir).select("__v", "__c1", "__c2")
+    return _ks_from_counts(vc, [])

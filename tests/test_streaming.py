@@ -2509,3 +2509,150 @@ def test_streaming_mwu_ref_gate(spark, tmp_path):
     )
     with pytest.raises(Exception, match="start_streaming_mwu.*built with"):
         run(ref2, "ckpt3")
+
+
+def test_streaming_ks_equals_batch_and_skips_replay(spark, tmp_path):
+    """KS twin (rung 3, shared sided-counts fold with the MWU twin):
+    after draining drifting batches, read_streaming_ks equals the
+    batch operator on ref vs the concatenated delivered input EXACTLY
+    (the shared _ks_from_counts guarantee); a checkpoint wipe
+    re-delivers every batch and the __batch_id guard must skip them;
+    a genuinely new batch keeps folding."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        ks_two_sample,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        read_streaming_ks,
+        start_streaming_ks,
+    )
+
+    rng = __import__("random").Random(101)
+    ref_rows = [
+        (10_000 + i, "2024-01-01 00:00:00", 1, "r", float(rng.randrange(0, 300)))
+        for i in range(300)
+    ]
+    ref_df = _rows(spark, ref_rows).select(
+        F.round(F.col("value")).cast("long").alias("x")
+    )
+    batches = [
+        [
+            (b * 1000 + i, "2024-01-02 00:00:00", 2, "c",
+             float(rng.randrange(0, 300) + b * 60))
+            for i in range(120)
+        ]
+        for b in range(3)
+    ]
+    inp = str(tmp_path / "in")
+    ks_dir = str(tmp_path / "ks")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in batches:
+        _write_batch(spark, inp, chunk)
+
+    def run():
+        q = start_streaming_ks(
+            read_event_stream(spark, inp, SCHEMA).select(
+                F.round(F.col("value")).cast("long").alias("x"),
+                F.col("ts"),
+            ),
+            ks_dir,
+            value_col="x",
+            ref=ref_df,
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def stored():
+        return tuple(read_streaming_ks(spark, ks_dir).collect()[0])
+
+    def direct(delivered):
+        cur = _rows(spark, delivered).select(
+            F.round(F.col("value")).cast("long").alias("x")
+        )
+        return tuple(ks_two_sample(ref_df, cur, "x").collect()[0])
+
+    run()
+    want = direct([r for b in batches for r in b])
+    assert stored() == want
+    assert stored()[4] < 0.01  # the drifted stream registers (p_approx)
+
+    shutil.rmtree(ckpt)
+    run()
+    assert stored() == want, "replayed batches double-counted values"
+
+    extra = [
+        (9000 + i, "2024-01-03 00:00:00", 3, "c", float(rng.randrange(500, 900)))
+        for i in range(100)
+    ]
+    _write_batch(spark, inp, extra)
+    run()
+    assert stored() == direct([r for b in batches for r in b] + extra)
+
+
+def test_streaming_ks_ref_gate_and_null_fail_loud(spark, tmp_path):
+    """The KS twin carries the MWU twin's __ref_fp restart gate and
+    fail-loud NULL convention with its own op names."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_ks,
+    )
+
+    rng = __import__("random").Random(13)
+    ref_df = _rows(
+        spark,
+        [(i, "2024-01-01 00:00:00", 1, "r", float(rng.randrange(0, 100)))
+         for i in range(100)],
+    ).select(F.round(F.col("value")).cast("long").alias("x"))
+    inp = str(tmp_path / "in")
+    ks_dir = str(tmp_path / "ks")
+    _write_batch(
+        spark,
+        inp,
+        [(i, "2024-01-02 00:00:00", 2, "c", float(rng.randrange(0, 100)))
+         for i in range(50)],
+    )
+
+    def run(ref, ckpt):
+        q = start_streaming_ks(
+            read_event_stream(spark, inp, SCHEMA).select(
+                F.round(F.col("value")).cast("long").alias("x"),
+                F.col("ts"),
+            ),
+            ks_dir,
+            value_col="x",
+            ref=ref,
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(180)
+
+    run(ref_df, "ckpt")
+    assert "__ref_fp" in spark.read.parquet(ks_dir).columns
+    _write_batch(
+        spark, inp,
+        [(900, "2024-01-03 00:00:00", 2, "c", 5.0)],
+    )
+    with pytest.raises(Exception, match="start_streaming_ks.*built with"):
+        run(ref_df.withColumn("x", F.col("x") + 777), "ckpt2")
+
+    # NULL stream value crashes the fold with the KS op name
+    inp2 = str(tmp_path / "in2")
+    _write_batch(
+        spark, inp2,
+        [(1, "2024-01-02 00:00:00", 2, "c", 5.0),
+         (2, "2024-01-02 00:00:00", 2, "c", None)],
+    )
+    q = start_streaming_ks(
+        read_event_stream(spark, inp2, SCHEMA).select(
+            F.col("value").cast("long").alias("x"), F.col("ts")
+        ),
+        str(tmp_path / "ks2"),
+        value_col="x",
+        ref=ref_df,
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+    )
+    with pytest.raises(Exception, match="ks_two_sample: NULL value"):
+        q.awaitTermination(180)
