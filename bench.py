@@ -258,6 +258,17 @@ BENCH_QUERIES = [
     "events_markov_entropy",
     "parts_freq_cms",
     "orders_price_psi_sketch",
+    # r11-registered (the r12 driver batch): drift-significance playbook
+    "orders_price_mwu",
+    "orders_price_ks",
+    "events_type_mwu",
+    "events_type_ks",
+    "revenue_kendall_tau",
+    "revenue_spearman",
+    "revenue_pettitt",
+    "segment_mk_bh",
+    "lineitem_returns_ztest",
+    "revenue_trimmed_mean",
 ]
 
 # Registry entries intentionally NOT benched (coverage is enforced by
