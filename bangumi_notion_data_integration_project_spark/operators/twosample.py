@@ -416,3 +416,316 @@ def two_proportion_ztest(
         F.round(normal_p_two_sided(z), 9).alias("p_value"),
     )
     return out.orderBy(*groups) if groups else out
+
+
+def wasserstein_1(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Two-sample 1-Wasserstein (earth-mover) distance on an integer
+    column — the L1 drift MAGNITUDE in the value's own units (cents
+    moved per row), completing the metric family: KS is the sup of
+    |F₁−F₂|, Cramér-von Mises its L2, W₁ its L1 scaled by the value
+    axis:
+
+        W₁ = ∫ |F₁(v) − F₂(v)| dv
+           = Σ over consecutive distinct values |F₁(vᵢ) − F₂(vᵢ)| · (vᵢ₊₁ − vᵢ)
+
+    Unlike PSI, W₁ needs no bucketing choice and carries units a
+    dashboard can read ("the typical order moved $14.30"); unlike
+    KS/MWU p-values it says how FAR, not how sure. The integer core
+    |m₁·n₂ − m₂·n₁| · gap accumulates exactly in DECIMAL(38,0) over
+    the DISTINCT-VALUE aggregate (one cumulative window + one lead —
+    O(distinct values) windowed rows at any fact volume, the
+    _sided_counts contract); W₁ is ONE final division. Returns one row
+    per group: ``(group..., n_ref, n_cur, w1)``; one-sided groups
+    report NULL w1 with their counts (the psi asymmetry convention);
+    both-empty ungrouped inputs report (0, 0, NULL). NULL values
+    raise (fail-loud)."""
+    groups = list(group_cols or [])
+    vc = _sided_counts(ref, cur, value_col, groups, "wasserstein_1")
+    if groups:
+        w_cum = (
+            Window.partitionBy(*groups)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_lead = Window.partitionBy(*groups).orderBy("__v")
+    else:
+        w_cum = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        w_lead = Window.orderBy("__v")
+    cum = vc.select(
+        *groups,
+        "__v",
+        F.sum("__c1").over(w_cum).cast("long").alias("__m1"),
+        F.sum("__c2").over(w_cum).cast("long").alias("__m2"),
+        F.lead("__v").over(w_lead).alias("__vnext"),
+    )
+    totals = cum.groupBy(*groups).agg(
+        F.max("__m1").cast("long").alias("n_ref"),
+        F.max("__m2").cast("long").alias("n_cur"),
+    )
+    if groups:
+        based = cum.join(F.broadcast(totals), groups)
+    else:
+        based = cum.crossJoin(F.broadcast(totals))
+    # the last distinct value has no successor — its ECDF gap spans no
+    # axis length, so the lead-NULL term is correctly zero
+    term = (
+        F.abs(
+            F.col("__m1").cast(_DEC) * F.col("n_cur")
+            - F.col("__m2").cast(_DEC) * F.col("n_ref")
+        )
+        * F.coalesce(
+            (F.col("__vnext") - F.col("__v")).cast(_DEC),
+            F.lit(0).cast(_DEC),
+        )
+    ).cast(_DEC)
+    agg = based.groupBy(*groups).agg(
+        F.coalesce(F.max("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.max("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        F.coalesce(
+            F.sum(term).cast(_DEC), F.lit(0).cast(_DEC)
+        ).alias("__num"),
+    )
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    w1 = F.col("__num").cast("double") / (
+        F.col("n_ref").cast("double") * F.col("n_cur").cast("double")
+    )
+    out = agg.select(
+        *groups,
+        "n_ref",
+        "n_cur",
+        F.when(both, F.round(w1, 6)).alias("w1"),
+    )
+    return out.orderBy(*groups) if groups else out
+
+
+def cramer_von_mises(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion — the L2 ECDF divergence
+    (the integral sibling of KS's sup, more sensitive to distributed
+    shape differences than to one sharp gap):
+
+        T = n₁n₂/N² · Σ over all N sample points (F₁(x) − F₂(x))²
+          = Σ over distinct v (c₁+c₂)(m₁n₂ − m₂n₁)² / (N²·n₁n₂)
+
+    with Anderson's exact small-sample moments under H₀ for a
+    standardized reading:
+
+        E[T]   = 1/6 + 1/(6N)
+        Var[T] = (N+1)/(45N²) · (4n₁n₂N − 3(n₁²+n₂²) − 2n₁n₂)/(4n₁n₂)
+
+    The integer core (c₁+c₂)(m₁n₂−m₂n₁)² accumulates exactly in
+    DECIMAL(38,0) over the DISTINCT-VALUE aggregate; T and the
+    moments are final double expressions. Returns one row per group:
+    ``(group..., n_ref, n_cur, t_stat, t_expected, t_std)`` where
+    t_std = (T − E[T])/√Var[T] is the standardized drift score
+    (≈ N(0,1)-ish far in the tail but the limiting law is NOT normal —
+    compare t_stat against tabulated CvM quantiles for calibrated
+    significance, or let the MWU/KS p-values make the call; this
+    operator contributes the L2 magnitude reading). One-sided groups
+    report NULL stats with counts; NULL values raise."""
+    groups = list(group_cols or [])
+    vc = _sided_counts(ref, cur, value_col, groups, "cramer_von_mises")
+    if groups:
+        w_cum = (
+            Window.partitionBy(*groups)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w_cum = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    cum = vc.select(
+        *groups,
+        (F.col("__c1") + F.col("__c2")).cast("long").alias("__w"),
+        F.sum("__c1").over(w_cum).cast("long").alias("__m1"),
+        F.sum("__c2").over(w_cum).cast("long").alias("__m2"),
+    )
+    totals = cum.groupBy(*groups).agg(
+        F.max("__m1").cast("long").alias("n_ref"),
+        F.max("__m2").cast("long").alias("n_cur"),
+    )
+    if groups:
+        based = cum.join(F.broadcast(totals), groups)
+    else:
+        based = cum.crossJoin(F.broadcast(totals))
+    diff = (
+        F.col("__m1").cast(_DEC) * F.col("n_cur")
+        - F.col("__m2").cast(_DEC) * F.col("n_ref")
+    ).cast(_DEC)
+    agg = based.groupBy(*groups).agg(
+        F.coalesce(F.max("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.max("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        F.coalesce(
+            F.sum((F.col("__w").cast(_DEC) * diff * diff).cast(_DEC)).cast(
+                _DEC
+            ),
+            F.lit(0).cast(_DEC),
+        ).alias("__num"),
+    )
+    n1d = F.col("n_ref").cast("double")
+    n2d = F.col("n_cur").cast("double")
+    nd = n1d + n2d
+    t = F.col("__num").cast("double") / (nd * nd * n1d * n2d)
+    et = F.lit(1.0) / 6.0 + F.lit(1.0) / (F.lit(6.0) * nd)
+    vart = (
+        (nd + F.lit(1.0))
+        / (F.lit(45.0) * nd * nd)
+        * (
+            F.lit(4.0) * n1d * n2d * nd
+            - F.lit(3.0) * (n1d * n1d + n2d * n2d)
+            - F.lit(2.0) * n1d * n2d
+        )
+        / (F.lit(4.0) * n1d * n2d)
+    )
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    # Var is 0 only in sub-2-point degenerates; guard the division
+    var_pos = both & (vart > 0)
+    out = agg.select(
+        *groups,
+        "n_ref",
+        "n_cur",
+        F.when(both, F.round(t, 9)).alias("t_stat"),
+        F.when(both, F.round(et, 9)).alias("t_expected"),
+        F.when(var_pos, F.round((t - et) / F.sqrt(vart), 6)).alias(
+            "t_std"
+        ),
+    )
+    return out.orderBy(*groups) if groups else out
+
+
+def mood_median_test(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Mood's median test — did the MEDIAN move: the blunt, maximally
+    robust member of the drift-significance family (cares only about
+    which side of the pooled median each row lands on, so a handful of
+    extreme values cannot move it at all; less powerful than MWU when
+    distributions are well-behaved, trustworthy when they are not):
+
+        med = pooled lower median (smallest v with 2·cum ≥ N)
+        2×2 table: aᵢ = #side i above med, (nᵢ − aᵢ) = at-or-below
+        χ² (Yates) = N·(|a₁(n₂−a₂) − a₂(n₁−a₁)| − N/2)²
+                     / (n₁·n₂·A·(N−A)),  A = a₁+a₂
+        p = 2(1 − Φ(√χ²))   [χ²₁ tail via the shared A&S polynomial]
+
+    Everything through the table is exact integer work on the
+    DISTINCT-VALUE aggregate (the pooled median is one cumulative
+    window + a conditional min — the psi_buckets order-statistic
+    shape); χ² is one double expression and p rides
+    ``normal_p_two_sided`` (round-at-≤9dp oracle contract). Returns
+    one row per group: ``(group..., n_ref, n_cur, median,
+    n_ref_above, n_cur_above, chi2, p_value)``. Degenerate marginals
+    (nobody above the median, or everybody) zero the denominator —
+    NULL chi2/p under an exact integer guard; one-sided groups report
+    NULL stats with counts; NULL values raise."""
+    from .stats import normal_p_two_sided
+
+    groups = list(group_cols or [])
+    vc = _sided_counts(ref, cur, value_col, groups, "mood_median_test")
+    if groups:
+        w_cum = (
+            Window.partitionBy(*groups)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w_cum = Window.orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+    cum = vc.select(
+        *groups,
+        "__v",
+        F.sum("__c1").over(w_cum).cast("long").alias("__m1"),
+        F.sum("__c2").over(w_cum).cast("long").alias("__m2"),
+    )
+    # counts coalesce to 0 so the ungrouped both-empty degenerate
+    # reports (0, 0, NULL stats) — mood publishes THESE totals
+    # directly, unlike W1/CvM whose final aggregates re-coalesce
+    totals = cum.groupBy(*groups).agg(
+        F.coalesce(F.max("__m1"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.max("__m2"), F.lit(0)).cast("long").alias("n_cur"),
+    )
+    if groups:
+        based = cum.join(F.broadcast(totals), groups)
+    else:
+        based = cum.crossJoin(F.broadcast(totals))
+    # pooled lower median: smallest v whose combined cum count reaches
+    # ceil(N/2) ⇔ 2·(m1+m2) ≥ n1+n2 (integer-exact, no division)
+    med_rows = based.filter(
+        F.lit(2) * (F.col("__m1") + F.col("__m2"))
+        >= F.col("n_ref") + F.col("n_cur")
+    )
+    med = med_rows.groupBy(*groups).agg(
+        F.min(
+            F.struct(F.col("__v"), F.col("__m1"), F.col("__m2"))
+        ).alias("__at_med")
+    )
+    if groups:
+        j = totals.join(med, groups, "left")
+    else:
+        j = totals.crossJoin(F.broadcast(med))
+    a1 = (F.col("n_ref") - F.col("__at_med.__m1")).cast("long")
+    a2 = (F.col("n_cur") - F.col("__at_med.__m2")).cast("long")
+    base = j.select(
+        *groups,
+        "n_ref",
+        "n_cur",
+        F.col("__at_med.__v").alias("median"),
+        a1.alias("n_ref_above"),
+        a2.alias("n_cur_above"),
+    )
+    n1 = F.col("n_ref").cast(_DEC)
+    n2 = F.col("n_cur").cast(_DEC)
+    nn = n1 + n2
+    aa1 = F.col("n_ref_above").cast(_DEC)
+    aa2 = F.col("n_cur_above").cast(_DEC)
+    at = aa1 + aa2  # A: combined above-count
+    # exact integer cross-product difference and Yates correction kept
+    # in DECIMAL; doubled to avoid the N/2 half-integer (the MWU
+    # doubled-rank trick): χ² = N·(2|ad−bc| − N)² / (4·n₁n₂A(N−A))
+    cross2 = F.lit(2) * F.abs(
+        aa1 * (n2 - aa2) - aa2 * (n1 - aa1)
+    ).cast(_DEC)
+    yates2 = F.greatest(
+        (cross2 - nn).cast(_DEC), F.lit(0).cast(_DEC)
+    )  # |diff| smaller than the correction clamps to 0, the scipy rule
+    den = (n1 * n2 * at * (nn - at)).cast(_DEC)
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    ok = both & (den > 0)
+    chi2 = (
+        nn.cast("double")
+        * yates2.cast("double")
+        * yates2.cast("double")
+        / (F.lit(4.0) * den.cast("double"))
+    )
+    out = base.select(
+        *groups,
+        "n_ref",
+        "n_cur",
+        F.when(both, F.col("median")).alias("median"),
+        F.when(both, F.col("n_ref_above")).alias("n_ref_above"),
+        F.when(both, F.col("n_cur_above")).alias("n_cur_above"),
+        F.when(ok, F.round(chi2, 6)).alias("chi2"),
+        F.round(
+            normal_p_two_sided(F.when(ok, F.sqrt(chi2))), 9
+        ).alias("p_value"),
+    )
+    return out.orderBy(*groups) if groups else out

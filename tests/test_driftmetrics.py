@@ -1,0 +1,353 @@
+"""Wasserstein-1, Cramér-von Mises, and Mood's median test — the r13
+drift-metric completions (W1 = L1 magnitude in value units, CvM = L2
+shape, Mood = maximally-robust median shift). Oracles pinned here
+cross-engine BEFORE registration, the house de-risk pattern."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from _helpers import py_norm_p as _py_norm_p  # noqa: F401
+
+
+def _rnd(v, nd):
+    return None if v is None else round(v, nd)
+
+
+def _two_dfs(spark, xs, ys):
+    a = spark.createDataFrame([(int(x),) for x in xs], "v long")
+    b = spark.createDataFrame([(int(y),) for y in ys], "v long")
+    return a, b
+
+
+def _py_w1(xs, ys):
+    vs = sorted(set(xs) | set(ys))
+    n1, n2 = len(xs), len(ys)
+    m1 = m2 = 0
+    tot = 0
+    for v, vn in zip(vs, vs[1:]):
+        m1 += sum(1 for x in xs if x == v)
+        m2 += sum(1 for y in ys if y == v)
+        tot += abs(m1 * n2 - m2 * n1) * (vn - v)
+    return tot / (n1 * n2)
+
+
+def _py_cvm(xs, ys):
+    n1, n2 = len(xs), len(ys)
+    nn = n1 + n2
+    vs = sorted(set(xs) | set(ys))
+    m1 = m2 = 0
+    num = 0
+    for v in vs:
+        c1 = sum(1 for x in xs if x == v)
+        c2 = sum(1 for y in ys if y == v)
+        m1 += c1
+        m2 += c2
+        num += (c1 + c2) * (m1 * n2 - m2 * n1) ** 2
+    t = num / (nn * nn * n1 * n2)
+    et = 1.0 / 6.0 + 1.0 / (6.0 * nn)
+    vart = ((nn + 1.0) / (45.0 * nn * nn)) * (
+        4.0 * n1 * n2 * nn - 3.0 * (n1 * n1 + n2 * n2) - 2.0 * n1 * n2
+    ) / (4.0 * n1 * n2)
+    return t, et, (t - et) / math.sqrt(vart)
+
+
+def _py_mood(xs, ys):
+    n1, n2 = len(xs), len(ys)
+    nn = n1 + n2
+    allv = sorted(xs + ys)
+    med = allv[(nn + 1) // 2 - 1]  # lower median: 2*rank >= N
+    a1 = sum(1 for x in xs if x > med)
+    a2 = sum(1 for y in ys if y > med)
+    at = a1 + a2
+    if n1 == 0 or n2 == 0 or at == 0 or at == nn:
+        return med, a1, a2, None, None
+    cross2 = 2 * abs(a1 * (n2 - a2) - a2 * (n1 - a1))
+    yates2 = max(cross2 - nn, 0)
+    chi2 = nn * yates2 * yates2 / (4.0 * n1 * n2 * at * (nn - at))
+    return med, a1, a2, chi2, _py_norm_p(math.sqrt(chi2))
+
+
+def test_w1_matches_python_and_units(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        wasserstein_1,
+    )
+
+    rng = random.Random(5)
+    xs = [rng.randrange(0, 200) for _ in range(150)]
+    ys = [rng.randrange(0, 200) + 40 for _ in range(130)]
+    a, b = _two_dfs(spark, xs, ys)
+    r = wasserstein_1(a, b, "v").collect()[0]
+    assert (r["n_ref"], r["n_cur"]) == (150, 130)
+    assert r["w1"] == _rnd(_py_w1(xs, ys), 6)
+    # a flat +40 shift of an identical sample has W1 exactly 40
+    c, d = _two_dfs(spark, xs, [x + 40 for x in xs])
+    assert wasserstein_1(c, d, "v").collect()[0]["w1"] == 40.0
+    # identical samples: 0
+    e, f = _two_dfs(spark, xs, xs)
+    assert wasserstein_1(e, f, "v").collect()[0]["w1"] == 0.0
+
+
+def test_cvm_matches_python_and_detects_shift(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        cramer_von_mises,
+    )
+
+    rng = random.Random(6)
+    xs = [rng.randrange(0, 100) for _ in range(120)]
+    ys = [rng.randrange(0, 100) + 25 for _ in range(110)]
+    a, b = _two_dfs(spark, xs, ys)
+    r = cramer_von_mises(a, b, "v").collect()[0]
+    t, et, tstd = _py_cvm(xs, ys)
+    assert r["t_stat"] == _rnd(t, 9)
+    assert r["t_expected"] == _rnd(et, 9)
+    assert r["t_std"] == _rnd(tstd, 6)
+    assert r["t_std"] > 3.0  # the shift registers
+    # identical distributions: T near its H0 expectation
+    ys2 = [rng.randrange(0, 100) for _ in range(110)]
+    a2, b2 = _two_dfs(spark, xs, ys2)
+    r2 = cramer_von_mises(a2, b2, "v").collect()[0]
+    assert abs(r2["t_std"]) < 3.0
+
+
+def test_mood_matches_python_and_guards(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        mood_median_test,
+    )
+
+    rng = random.Random(7)
+    xs = [rng.randrange(0, 100) for _ in range(140)]
+    ys = [rng.randrange(0, 100) + 30 for _ in range(120)]
+    a, b = _two_dfs(spark, xs, ys)
+    r = mood_median_test(a, b, "v").collect()[0]
+    med, a1, a2, chi2, p = _py_mood(xs, ys)
+    assert r["median"] == med
+    assert (r["n_ref_above"], r["n_cur_above"]) == (a1, a2)
+    assert r["chi2"] == _rnd(chi2, 6)
+    assert r["p_value"] == _rnd(p, 9)
+    assert r["p_value"] < 0.01  # Mood is deliberately blunt — a +30
+    # shift on range-100 uniforms lands ~2e-4, not MWU's 1e-12
+    # all values equal: everybody at-or-below the median -> NULL chi2/p
+    c, d = _two_dfs(spark, [5, 5, 5], [5, 5])
+    r2 = mood_median_test(c, d, "v").collect()[0]
+    assert r2["median"] == 5 and r2["chi2"] is None and r2["p_value"] is None
+
+
+def test_driftmetrics_grouped_isolate_and_one_sided(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        cramer_von_mises,
+        mood_median_test,
+        wasserstein_1,
+    )
+
+    rng = random.Random(8)
+    rows_r, rows_c, series = [], [], {}
+    for g, shift in (("a", 50), ("b", 0)):
+        xs = [rng.randrange(0, 80) for _ in range(90)]
+        ys = [rng.randrange(0, 80) + shift for _ in range(85)]
+        series[g] = (xs, ys)
+        rows_r += [(g, x) for x in xs]
+        rows_c += [(g, y) for y in ys]
+    rows_r += [("refonly", 7)]
+    ref = spark.createDataFrame(rows_r, "g string, v long")
+    cur = spark.createDataFrame(rows_c, "g string, v long")
+
+    w = {r["g"]: r for r in wasserstein_1(ref, cur, "v", group_cols=["g"]).collect()}
+    for g, (xs, ys) in series.items():
+        assert w[g]["w1"] == _rnd(_py_w1(xs, ys), 6), g
+    assert w["refonly"]["w1"] is None and w["refonly"]["n_cur"] == 0
+
+    c = {r["g"]: r for r in cramer_von_mises(ref, cur, "v", group_cols=["g"]).collect()}
+    for g, (xs, ys) in series.items():
+        assert c[g]["t_stat"] == _rnd(_py_cvm(xs, ys)[0], 9), g
+    assert c["refonly"]["t_stat"] is None
+
+    m = {r["g"]: r for r in mood_median_test(ref, cur, "v", group_cols=["g"]).collect()}
+    for g, (xs, ys) in series.items():
+        pm = _py_mood(xs, ys)
+        assert (m[g]["median"], m[g]["chi2"]) == (pm[0], _rnd(pm[3], 6)), g
+    assert m["refonly"]["chi2"] is None
+
+    # NULL value fails loud with each op's name
+    bad = spark.createDataFrame([(1,), (None,)], "v long")
+    good = spark.createDataFrame([(1,)], "v long")
+    for fn, nm in (
+        (wasserstein_1, "wasserstein_1"),
+        (cramer_von_mises, "cramer_von_mises"),
+        (mood_median_test, "mood_median_test"),
+    ):
+        with pytest.raises(Exception, match=f"{nm}: NULL value"):
+            fn(bad, good, "v").collect()
+
+
+def test_driftmetrics_empty_inputs_report_zero_counts(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        cramer_von_mises,
+        mood_median_test,
+        wasserstein_1,
+    )
+
+    empty = spark.createDataFrame([], "v long")
+    r = wasserstein_1(empty, empty, "v").collect()[0]
+    assert (r["n_ref"], r["n_cur"], r["w1"]) == (0, 0, None)
+    r = cramer_von_mises(empty, empty, "v").collect()[0]
+    assert (r["n_ref"], r["n_cur"], r["t_stat"]) == (0, 0, None)
+    # mood's median frame is empty-join-left: counts survive, stats NULL
+    rows = mood_median_test(empty, empty, "v").collect()
+    assert len(rows) == 1
+    assert (rows[0]["n_ref"], rows[0]["n_cur"]) == (0, 0)
+    assert rows[0]["chi2"] is None and rows[0]["p_value"] is None
+
+
+def test_driftmetrics_duckdb_oracle_shapes_cross_engine(spark):
+    """The DuckDB restatements — cumulative sided counts with the lead
+    gap for W1, the weighted squared-difference sum with Anderson's
+    moments for CvM, the order-statistic median + Yates 2x2 for Mood
+    (p via the lockstep A&S polynomial) — bit-equal to the operators
+    on the real early-vs-late order price split: the r13 registry
+    oracles, pinned ahead of registration."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        NORMAL_P_TWO_SIDED_SQL,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        cramer_von_mises,
+        mood_median_test,
+        wasserstein_1,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    got_w1 = tuple(wasserstein_1(ref, cur, "x").collect()[0])
+    got_cvm = tuple(cramer_von_mises(ref, cur, "x").collect()[0])
+    got_mood = tuple(mood_median_test(ref, cur, "x").collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS"
+        f" SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    sides = """
+        WITH sides AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN 1 ELSE 2 END AS s
+          FROM orders
+        ), vc AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+                 CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+          FROM sides GROUP BY v
+        ), cum AS (
+          SELECT v, c1, c2,
+                 CAST(sum(c1) OVER w AS BIGINT) AS m1,
+                 CAST(sum(c2) OVER w AS BIGINT) AS m2,
+                 lead(v) OVER (ORDER BY v) AS vnext
+          FROM vc
+          WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW)
+        ), tot AS (
+          SELECT CAST(max(m1) AS BIGINT) AS n1,
+                 CAST(max(m2) AS BIGINT) AS n2
+          FROM cum
+        )
+    """
+    want_w1 = con.execute(
+        sides
+        + """
+        SELECT n1 AS n_ref, n2 AS n_cur,
+               round(CAST(sum(abs(CAST(m1 AS HUGEINT) * n2
+                                  - CAST(m2 AS HUGEINT) * n1)
+                              * coalesce(vnext - v, 0)) AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+                 AS w1
+        FROM cum, tot GROUP BY n1, n2
+        """
+    ).fetchall()[0]
+    assert got_w1 == tuple(want_w1)
+
+    want_cvm = con.execute(
+        sides
+        + """
+        , agg AS (
+          SELECT max(n1) AS n1, max(n2) AS n2,
+                 sum(CAST(c1 + c2 AS HUGEINT)
+                     * (CAST(m1 AS HUGEINT) * n2 - CAST(m2 AS HUGEINT) * n1)
+                     * (CAST(m1 AS HUGEINT) * n2 - CAST(m2 AS HUGEINT) * n1))
+                   AS num
+          FROM cum, tot
+        ), f AS (
+          SELECT n1, n2,
+                 CAST(num AS DOUBLE)
+                   / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
+                      * CAST(n1 AS DOUBLE) * n2) AS t,
+                 1.0 / 6.0 + 1.0 / (6.0 * (CAST(n1 AS DOUBLE) + n2)) AS et,
+                 ((CAST(n1 AS DOUBLE) + n2 + 1.0)
+                  / (45.0 * (CAST(n1 AS DOUBLE) + n2)
+                     * (CAST(n1 AS DOUBLE) + n2)))
+                 * (4.0 * n1 * n2 * (CAST(n1 AS DOUBLE) + n2)
+                    - 3.0 * (CAST(n1 AS DOUBLE) * n1 + CAST(n2 AS DOUBLE) * n2)
+                    - 2.0 * CAST(n1 AS DOUBLE) * n2)
+                 / (4.0 * CAST(n1 AS DOUBLE) * n2) AS vart
+          FROM agg
+        )
+        SELECT n1 AS n_ref, n2 AS n_cur, round(t, 9) AS t_stat,
+               round(et, 9) AS t_expected,
+               round((t - et) / sqrt(vart), 6) AS t_std
+        FROM f
+        """
+    ).fetchall()[0]
+    assert got_cvm == tuple(want_cvm)
+
+    p_expr = NORMAL_P_TWO_SIDED_SQL.format(z="sqrt(chi2)")
+    want_mood = con.execute(
+        sides
+        + f"""
+        , med AS (
+          SELECT min(v) AS median
+          FROM cum, tot WHERE 2 * (m1 + m2) >= n1 + n2
+        ), atmed AS (
+          SELECT c.m1, c.m2
+          FROM cum c, med WHERE c.v = med.median
+        ), tab AS (
+          SELECT n1, n2, median,
+                 CAST(n1 - m1 AS BIGINT) AS a1,
+                 CAST(n2 - m2 AS BIGINT) AS a2
+          FROM tot, med, atmed
+        ), f AS (
+          SELECT n1, n2, median, a1, a2,
+                 greatest(2 * abs(CAST(a1 AS HUGEINT) * (n2 - a2)
+                                  - CAST(a2 AS HUGEINT) * (n1 - a1))
+                          - (n1 + n2), 0) AS yates2,
+                 CAST(n1 AS HUGEINT) * n2 * (a1 + a2)
+                   * (n1 + n2 - a1 - a2) AS den
+          FROM tab
+        ), zc AS (
+          SELECT n1, n2, median, a1, a2,
+                 CASE WHEN den > 0 THEN
+                   (CAST(n1 + n2 AS DOUBLE) * CAST(yates2 AS DOUBLE)
+                    * CAST(yates2 AS DOUBLE)) / (4.0 * CAST(den AS DOUBLE))
+                 END AS chi2
+          FROM f
+        )
+        SELECT n1 AS n_ref, n2 AS n_cur, median,
+               a1 AS n_ref_above, a2 AS n_cur_above,
+               round(chi2, 6) AS chi2,
+               round({p_expr}, 9) AS p_value
+        FROM zc
+        """
+    ).fetchall()[0]
+    assert got_mood == tuple(want_mood)
