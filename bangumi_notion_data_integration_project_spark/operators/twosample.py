@@ -447,6 +447,15 @@ def wasserstein_1(
     raise (fail-loud)."""
     groups = list(group_cols or [])
     vc = _sided_counts(ref, cur, value_col, groups, "wasserstein_1")
+    return _w1_from_counts(vc, groups)
+
+
+def _w1_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
+    """Shared W1 formula tail over a sided-counts frame — serves the
+    batch operator AND ``streaming.read_streaming_w1`` (the
+    ``_mwu_from_counts`` rule: the drift monitors' stored sided-counts
+    state is ONE table that serves every member of the two-sample
+    family)."""
     if groups:
         w_cum = (
             Window.partitionBy(*groups)
@@ -538,6 +547,12 @@ def cramer_von_mises(
     report NULL stats with counts; NULL values raise."""
     groups = list(group_cols or [])
     vc = _sided_counts(ref, cur, value_col, groups, "cramer_von_mises")
+    return _cvm_from_counts(vc, groups)
+
+
+def _cvm_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
+    """Shared CvM formula tail over a sided-counts frame — serves the
+    batch operator AND ``streaming.read_streaming_cvm``."""
     if groups:
         w_cum = (
             Window.partitionBy(*groups)
@@ -636,10 +651,16 @@ def mood_median_test(
     (nobody above the median, or everybody) zero the denominator —
     NULL chi2/p under an exact integer guard; one-sided groups report
     NULL stats with counts; NULL values raise."""
-    from .stats import normal_p_two_sided
-
     groups = list(group_cols or [])
     vc = _sided_counts(ref, cur, value_col, groups, "mood_median_test")
+    return _mood_from_counts(vc, groups)
+
+
+def _mood_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
+    """Shared Mood formula tail over a sided-counts frame — serves the
+    batch operator AND ``streaming.read_streaming_mood``."""
+    from .stats import normal_p_two_sided
+
     if groups:
         w_cum = (
             Window.partitionBy(*groups)

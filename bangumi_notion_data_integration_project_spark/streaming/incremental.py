@@ -1802,3 +1802,33 @@ def read_streaming_ks(spark: SparkSession, ks_dir: str) -> DataFrame:
 
     vc = spark.read.parquet(ks_dir).select("__v", "__c1", "__c2")
     return _ks_from_counts(vc, [])
+
+
+def read_streaming_w1(spark: SparkSession, state_dir: str) -> DataFrame:
+    """1-Wasserstein verdict from ANY stored sided-counts state
+    (``start_streaming_mwu`` or ``start_streaming_ks`` — the state is
+    identical): the whole two-sample family are pure functions of one
+    table, so one streaming fold serves five batch-exact verdicts
+    (MWU, KS, W1, CvM, Mood) with zero extra state or fold code."""
+    from ..operators.twosample import _w1_from_counts
+
+    vc = spark.read.parquet(state_dir).select("__v", "__c1", "__c2")
+    return _w1_from_counts(vc, [])
+
+
+def read_streaming_cvm(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Cramér-von Mises verdict from any stored sided-counts state
+    (see :func:`read_streaming_w1`)."""
+    from ..operators.twosample import _cvm_from_counts
+
+    vc = spark.read.parquet(state_dir).select("__v", "__c1", "__c2")
+    return _cvm_from_counts(vc, [])
+
+
+def read_streaming_mood(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Mood median-test verdict from any stored sided-counts state
+    (see :func:`read_streaming_w1`)."""
+    from ..operators.twosample import _mood_from_counts
+
+    vc = spark.read.parquet(state_dir).select("__v", "__c1", "__c2")
+    return _mood_from_counts(vc, [])

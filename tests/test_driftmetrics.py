@@ -351,3 +351,83 @@ def test_driftmetrics_duckdb_oracle_shapes_cross_engine(spark):
         """
     ).fetchall()[0]
     assert got_mood == tuple(want_mood)
+
+
+def test_one_sided_counts_state_serves_all_five_verdicts(spark, tmp_path):
+    """The two-sample family are pure functions of one sided-counts
+    table: after draining a stream through start_streaming_mwu, the
+    SAME stored state serves W1/CvM/Mood (and MWU) verdicts equal to
+    the batch operators on ref vs the delivered union — the
+    shared-formula-tail rule made observable across the whole
+    family."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        cramer_von_mises,
+        mann_whitney_u,
+        mood_median_test,
+        wasserstein_1,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        read_event_stream,
+        read_streaming_cvm,
+        read_streaming_mood,
+        read_streaming_mwu,
+        read_streaming_w1,
+        start_streaming_mwu,
+    )
+
+    rng = random.Random(31)
+    SCHEMA = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long,"
+            " event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    ref_rows = [
+        (10_000 + i, "2024-01-01 00:00:00", 1, "r",
+         float(rng.randrange(0, 200)))
+        for i in range(200)
+    ]
+    ref_df = rows_df(ref_rows).select(
+        F.round(F.col("value")).cast("long").alias("x")
+    )
+    batches = [
+        [(b * 1000 + i, "2024-01-02 00:00:00", 2, "c",
+          float(rng.randrange(0, 200) + b * 30))
+         for i in range(90)]
+        for b in range(2)
+    ]
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    for chunk in batches:
+        rows_df(chunk).coalesce(1).write.mode("append").parquet(inp)
+    q = start_streaming_mwu(
+        read_event_stream(spark, inp, SCHEMA).select(
+            F.round(F.col("value")).cast("long").alias("x"), F.col("ts")
+        ),
+        state,
+        value_col="x",
+        ref=ref_df,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    cur = rows_df([r for b in batches for r in b]).select(
+        F.round(F.col("value")).cast("long").alias("x")
+    )
+    for read_fn, batch_fn in (
+        (read_streaming_mwu, mann_whitney_u),
+        (read_streaming_w1, wasserstein_1),
+        (read_streaming_cvm, cramer_von_mises),
+        (read_streaming_mood, mood_median_test),
+    ):
+        got = tuple(read_fn(spark, state).collect()[0])
+        want = tuple(batch_fn(ref_df, cur, "x").collect()[0])
+        assert got == want, read_fn.__name__
