@@ -223,36 +223,57 @@ def ks_two_sample(
     return _ks_from_counts(vc, groups)
 
 
-def _ks_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
-    """Shared KS formula tail over a ``(group..., __v, __c1, __c2)``
-    sided-counts frame. ONE implementation serves the batch operator
-    AND the streaming twin (``streaming.start_streaming_ks`` stores
-    exactly this frame as its state), so the statistic can never
-    diverge between them — the ``_mwu_from_counts`` rule."""
+def _ecdf_base(
+    vc: DataFrame, groups: "list[str]", *, lead: bool = False
+) -> DataFrame:
+    """Shared cumulative-ECDF preamble for the KS/W1/CvM/Mood formula
+    tails: per-side cumulative counts over the value order (one window,
+    partitioned by the group key when grouped), per-group totals
+    (coalesced to 0 so the ungrouped both-empty degenerate keeps
+    integer counts — the two_proportion_ztest convention), broadcast
+    back onto the distinct-value rows. Returns ``(group..., __v, __c1,
+    __c2, __m1, __m2[, __vnext], n_ref, n_cur)`` — carrying the
+    distinct-value-window scale contract ONCE for the whole family,
+    the way ``_sided_counts`` centralizes the input reduction."""
     if groups:
         w_cum = (
             Window.partitionBy(*groups)
             .orderBy("__v")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        w_lead = Window.partitionBy(*groups).orderBy("__v")
     else:
         w_cum = Window.orderBy("__v").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-    cum = vc.select(
+        w_lead = Window.orderBy("__v")
+    cols = [
         *groups,
         "__v",
+        "__c1",
+        "__c2",
         F.sum("__c1").over(w_cum).cast("long").alias("__m1"),
         F.sum("__c2").over(w_cum).cast("long").alias("__m2"),
-    )
+    ]
+    if lead:
+        cols.append(F.lead("__v").over(w_lead).alias("__vnext"))
+    cum = vc.select(*cols)
     totals = cum.groupBy(*groups).agg(
-        F.max("__m1").cast("long").alias("n_ref"),
-        F.max("__m2").cast("long").alias("n_cur"),
+        F.coalesce(F.max("__m1"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.max("__m2"), F.lit(0)).cast("long").alias("n_cur"),
     )
     if groups:
-        based = cum.join(F.broadcast(totals), groups)
-    else:
-        based = cum.crossJoin(F.broadcast(totals))
+        return cum.join(F.broadcast(totals), groups)
+    return cum.crossJoin(F.broadcast(totals))
+
+
+def _ks_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
+    """Shared KS formula tail over a ``(group..., __v, __c1, __c2)``
+    sided-counts frame. ONE implementation serves the batch operator
+    AND the streaming twin (``streaming.start_streaming_ks`` stores
+    exactly this frame as its state), so the statistic can never
+    diverge between them — the ``_mwu_from_counts`` rule."""
+    based = _ecdf_base(vc, groups)
     num = F.abs(
         F.col("__m1").cast(_DEC) * F.col("n_cur")
         - F.col("__m2").cast(_DEC) * F.col("n_ref")
@@ -456,42 +477,19 @@ def _w1_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
     ``_mwu_from_counts`` rule: the drift monitors' stored sided-counts
     state is ONE table that serves every member of the two-sample
     family)."""
-    if groups:
-        w_cum = (
-            Window.partitionBy(*groups)
-            .orderBy("__v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        w_lead = Window.partitionBy(*groups).orderBy("__v")
-    else:
-        w_cum = Window.orderBy("__v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        w_lead = Window.orderBy("__v")
-    cum = vc.select(
-        *groups,
-        "__v",
-        F.sum("__c1").over(w_cum).cast("long").alias("__m1"),
-        F.sum("__c2").over(w_cum).cast("long").alias("__m2"),
-        F.lead("__v").over(w_lead).alias("__vnext"),
-    )
-    totals = cum.groupBy(*groups).agg(
-        F.max("__m1").cast("long").alias("n_ref"),
-        F.max("__m2").cast("long").alias("n_cur"),
-    )
-    if groups:
-        based = cum.join(F.broadcast(totals), groups)
-    else:
-        based = cum.crossJoin(F.broadcast(totals))
+    based = _ecdf_base(vc, groups, lead=True)
     # the last distinct value has no successor — its ECDF gap spans no
-    # axis length, so the lead-NULL term is correctly zero
+    # axis length, so the lead-NULL term is correctly zero. The gap is
+    # subtracted in DECIMAL (the KS-numerator pattern): a long
+    # subtraction would ARITHMETIC_OVERFLOW on value spans wider than
+    # 2^63 instead of accumulating exactly.
     term = (
         F.abs(
             F.col("__m1").cast(_DEC) * F.col("n_cur")
             - F.col("__m2").cast(_DEC) * F.col("n_ref")
         )
         * F.coalesce(
-            (F.col("__vnext") - F.col("__v")).cast(_DEC),
+            F.col("__vnext").cast(_DEC) - F.col("__v").cast(_DEC),
             F.lit(0).cast(_DEC),
         )
     ).cast(_DEC)
@@ -535,9 +533,16 @@ def cramer_von_mises(
         E[T]   = 1/6 + 1/(6N)
         Var[T] = (N+1)/(45N²) · (4n₁n₂N − 3(n₁²+n₂²) − 2n₁n₂)/(4n₁n₂)
 
-    The integer core (c₁+c₂)(m₁n₂−m₂n₁)² accumulates exactly in
-    DECIMAL(38,0) over the DISTINCT-VALUE aggregate; T and the
-    moments are final double expressions. Returns one row per group:
+    The ECDF difference m₁n₂−m₂n₁ is exact DECIMAL(38,0); each
+    term's normalized contribution (c₁+c₂)·diff²/(N²n₁n₂) ∈ [0, N/4]
+    is ONE double expression of those exact integers, quantized at
+    1e-12 and integer-summed so the Σ is ORDER-FREE and identical
+    across engines at any scale (the psi/markov-entropy tn trick —
+    an exact integer w·diff² sum would overflow DECIMAL(38,0) near
+    4·10⁷ rows per side, the documented MWU n⁵ ceiling). The
+    quantization bias is ≤ 5e-13·distinct-values — far below the
+    statistic's own sampling noise — and both engines compute the
+    identical quantized value, which is what the oracle hash checks. Returns one row per group:
     ``(group..., n_ref, n_cur, t_stat, t_expected, t_std)`` where
     t_std = (T − E[T])/√Var[T] is the standardized drift score
     (≈ N(0,1)-ish far in the tail but the limiting law is NOT normal —
@@ -553,48 +558,42 @@ def cramer_von_mises(
 def _cvm_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
     """Shared CvM formula tail over a sided-counts frame — serves the
     batch operator AND ``streaming.read_streaming_cvm``."""
-    if groups:
-        w_cum = (
-            Window.partitionBy(*groups)
-            .orderBy("__v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    else:
-        w_cum = Window.orderBy("__v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-    cum = vc.select(
-        *groups,
-        (F.col("__c1") + F.col("__c2")).cast("long").alias("__w"),
-        F.sum("__c1").over(w_cum).cast("long").alias("__m1"),
-        F.sum("__c2").over(w_cum).cast("long").alias("__m2"),
-    )
-    totals = cum.groupBy(*groups).agg(
-        F.max("__m1").cast("long").alias("n_ref"),
-        F.max("__m2").cast("long").alias("n_cur"),
-    )
-    if groups:
-        based = cum.join(F.broadcast(totals), groups)
-    else:
-        based = cum.crossJoin(F.broadcast(totals))
-    diff = (
+    based = _ecdf_base(vc, groups)
+    # per-term normalized contribution in DOUBLE of the exact DECIMAL
+    # ECDF difference, quantized at 1e-12 and integer-summed: order-
+    # free under any partitioning, engine-identical, and free of the
+    # DECIMAL(38,0) overflow an exact w·diff² sum hits near 4e7 rows
+    # per side (see docstring)
+    r_n1d = F.col("n_ref").cast("double")
+    r_n2d = F.col("n_cur").cast("double")
+    r_nd = r_n1d + r_n2d
+    diffd = (
         F.col("__m1").cast(_DEC) * F.col("n_cur")
         - F.col("__m2").cast(_DEC) * F.col("n_ref")
-    ).cast(_DEC)
+    ).cast("double")
+    term = (
+        (F.col("__c1") + F.col("__c2")).cast("double")
+        * diffd
+        * diffd
+        / (r_nd * r_nd * r_n1d * r_n2d)
+    )
+    # one-sided groups divide by n₁n₂ = 0 — ANSI would raise before
+    # the output guard ever sees the row; their t_stat is NULL anyway
+    tn = F.when(
+        (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
+        F.round(term * F.lit(1000000000000.0)),
+    ).otherwise(F.lit(0)).cast(_DEC)
     agg = based.groupBy(*groups).agg(
         F.coalesce(F.max("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
         F.coalesce(F.max("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
         F.coalesce(
-            F.sum((F.col("__w").cast(_DEC) * diff * diff).cast(_DEC)).cast(
-                _DEC
-            ),
-            F.lit(0).cast(_DEC),
-        ).alias("__num"),
+            F.sum(tn).cast(_DEC), F.lit(0).cast(_DEC)
+        ).alias("__tq"),
     )
     n1d = F.col("n_ref").cast("double")
     n2d = F.col("n_cur").cast("double")
     nd = n1d + n2d
-    t = F.col("__num").cast("double") / (nd * nd * n1d * n2d)
+    t = F.col("__tq").cast("double") / F.lit(1000000000000.0)
     et = F.lit(1.0) / 6.0 + F.lit(1.0) / (F.lit(6.0) * nd)
     vart = (
         (nd + F.lit(1.0))
@@ -644,7 +643,10 @@ def mood_median_test(
     Everything through the table is exact integer work on the
     DISTINCT-VALUE aggregate (the pooled median is one cumulative
     window + a conditional min — the psi_buckets order-statistic
-    shape); χ² is one double expression and p rides
+    shape; the Yates numerator stays DECIMAL-exact to ~10¹⁸ rows per
+    side, while the denominator is DOUBLE — an exact n₁n₂A(N−A)
+    product would overflow DECIMAL(38,0) near 3·10⁹ rows per side);
+    χ² is one double expression and p rides
     ``normal_p_two_sided`` (round-at-≤9dp oracle contract). Returns
     one row per group: ``(group..., n_ref, n_cur, median,
     n_ref_above, n_cur_above, chi2, p_value)``. Degenerate marginals
@@ -661,33 +663,11 @@ def _mood_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
     batch operator AND ``streaming.read_streaming_mood``."""
     from .stats import normal_p_two_sided
 
-    if groups:
-        w_cum = (
-            Window.partitionBy(*groups)
-            .orderBy("__v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    else:
-        w_cum = Window.orderBy("__v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-    cum = vc.select(
-        *groups,
-        "__v",
-        F.sum("__c1").over(w_cum).cast("long").alias("__m1"),
-        F.sum("__c2").over(w_cum).cast("long").alias("__m2"),
+    based = _ecdf_base(vc, groups)
+    totals = based.groupBy(*groups).agg(
+        F.coalesce(F.max("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.max("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
     )
-    # counts coalesce to 0 so the ungrouped both-empty degenerate
-    # reports (0, 0, NULL stats) — mood publishes THESE totals
-    # directly, unlike W1/CvM whose final aggregates re-coalesce
-    totals = cum.groupBy(*groups).agg(
-        F.coalesce(F.max("__m1"), F.lit(0)).cast("long").alias("n_ref"),
-        F.coalesce(F.max("__m2"), F.lit(0)).cast("long").alias("n_cur"),
-    )
-    if groups:
-        based = cum.join(F.broadcast(totals), groups)
-    else:
-        based = cum.crossJoin(F.broadcast(totals))
     # pooled lower median: smallest v whose combined cum count reaches
     # ceil(N/2) ⇔ 2·(m1+m2) ≥ n1+n2 (integer-exact, no division)
     med_rows = based.filter(
@@ -718,24 +698,32 @@ def _mood_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
     nn = n1 + n2
     aa1 = F.col("n_ref_above").cast(_DEC)
     aa2 = F.col("n_cur_above").cast(_DEC)
-    at = aa1 + aa2  # A: combined above-count
     # exact integer cross-product difference and Yates correction kept
-    # in DECIMAL; doubled to avoid the N/2 half-integer (the MWU
-    # doubled-rank trick): χ² = N·(2|ad−bc| − N)² / (4·n₁n₂A(N−A))
+    # in DECIMAL (cross2 ≤ 2·n₁n₂ — safe past 10¹⁸ rows per side);
+    # doubled to avoid the N/2 half-integer (the MWU doubled-rank
+    # trick): χ² = N·(2|ad−bc| − N)² / (4·n₁n₂A(N−A))
     cross2 = F.lit(2) * F.abs(
         aa1 * (n2 - aa2) - aa2 * (n1 - aa1)
     ).cast(_DEC)
     yates2 = F.greatest(
         (cross2 - nn).cast(_DEC), F.lit(0).cast(_DEC)
     )  # |diff| smaller than the correction clamps to 0, the scipy rule
-    den = (n1 * n2 * at * (nn - at)).cast(_DEC)
     both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
-    ok = both & (den > 0)
+    # degenerate-marginal guard on exact integers (A = 0 or A = N);
+    # the DENOMINATOR itself is computed in DOUBLE — an exact
+    # n₁n₂A(N−A) DECIMAL product would overflow (38,0) near 3e9 rows
+    # per side (the MWU n⁵/ols_fit2 det precedent)
+    at_l = F.col("n_ref_above") + F.col("n_cur_above")
+    ok = both & (at_l > 0) & (at_l < F.col("n_ref") + F.col("n_cur"))
+    n1d = F.col("n_ref").cast("double")
+    n2d = F.col("n_cur").cast("double")
+    nnd = n1d + n2d
+    atd = at_l.cast("double")
     chi2 = (
-        nn.cast("double")
+        nnd
         * yates2.cast("double")
         * yates2.cast("double")
-        / (F.lit(4.0) * den.cast("double"))
+        / (F.lit(4.0) * (n1d * n2d * atd * (nnd - atd)))
     )
     out = base.select(
         *groups,

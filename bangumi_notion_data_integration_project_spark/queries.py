@@ -12403,10 +12403,12 @@ ORACLES["orders_price_mwu"] = f"""
       FROM zc
     )
     SELECT n1 AS n_ref, n2 AS n_cur,
-           round(CAST(two_u1 AS DOUBLE) / 2.0, 1) AS u_stat,
-           round(CAST(two_u1 AS DOUBLE)
-                 / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)),
-                 6) AS auc,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             round(CAST(two_u1 AS DOUBLE) / 2.0, 1) END AS u_stat,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             round(CAST(two_u1 AS DOUBLE)
+                   / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)),
+                   6) END AS auc,
            CAST(tie AS BIGINT) AS tie_term,
            round(z, 6) AS z,
            round({_P_Z}, 9) AS p_value
@@ -12458,19 +12460,21 @@ ORACLES["orders_price_ks"] = """
              (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * dd AS lam
       FROM d
     )
-    SELECT n1 AS n_ref, n2 AS n_cur, round(dd, 6) AS d_stat,
-           loc AS location,
-           round(CASE WHEN lam < 0.2 THEN 1.0
-                 ELSE least(1.0, greatest(0.0, 2.0 * (
-               exp(-2.0 * lam * lam) - exp(-8.0 * lam * lam)
-             + exp(-18.0 * lam * lam) - exp(-32.0 * lam * lam)
-             + exp(-50.0 * lam * lam) - exp(-72.0 * lam * lam)
-             + exp(-98.0 * lam * lam) - exp(-128.0 * lam * lam)
-             + exp(-162.0 * lam * lam) - exp(-200.0 * lam * lam)
-             + exp(-242.0 * lam * lam) - exp(-288.0 * lam * lam)
-             + exp(-338.0 * lam * lam) - exp(-392.0 * lam * lam)
-             + exp(-450.0 * lam * lam) - exp(-512.0 * lam * lam)
-           ))) END, 9) AS p_approx
+    SELECT n1 AS n_ref, n2 AS n_cur,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN round(dd, 6) END AS d_stat,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN loc END AS location,
+           CASE WHEN n1 > 0 AND n2 > 0 THEN
+             round(CASE WHEN lam < 0.2 THEN 1.0
+                   ELSE least(1.0, greatest(0.0, 2.0 * (
+                 exp(-2.0 * lam * lam) - exp(-8.0 * lam * lam)
+               + exp(-18.0 * lam * lam) - exp(-32.0 * lam * lam)
+               + exp(-50.0 * lam * lam) - exp(-72.0 * lam * lam)
+               + exp(-98.0 * lam * lam) - exp(-128.0 * lam * lam)
+               + exp(-162.0 * lam * lam) - exp(-200.0 * lam * lam)
+               + exp(-242.0 * lam * lam) - exp(-288.0 * lam * lam)
+               + exp(-338.0 * lam * lam) - exp(-392.0 * lam * lam)
+               + exp(-450.0 * lam * lam) - exp(-512.0 * lam * lam)
+             ))) END, 9) END AS p_approx
     FROM lamt
 """
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..atomic import promote_dir, recover_dir, staging_path
@@ -1383,7 +1383,7 @@ def _verify_state_params(
     state_dir: str,
     checkpoint_dir: str,
     adopt_legacy: bool,
-) -> None:
+) -> bool:
     """The CMS twin's parameter gate, generalized: stored drift-monitor
     state must carry its build parameters as constant columns and they
     must MATCH this stream's configuration — a restart with different
@@ -1392,7 +1392,13 @@ def _verify_state_params(
     an explicit one-time ``adopt_legacy=True`` migration, loudly
     logged; a present-but-different fingerprint always raises (there
     is no safe adoption of a contradicting state). One ≤ k-row
-    ``first()`` per process start — never per batch."""
+    ``first()`` per process start — never per batch. Returns True when
+    a legacy adoption happened — the CALLER must then persist the
+    stamped parameters immediately (``_persist_param_stamp``): waiting
+    for a fold to rewrite the state would leave it param-less forever
+    whenever the replay guard skips every delivered batch (a fresh
+    checkpoint renumbers from 0, a no-new-data restart delivers
+    nothing), silently breaking the 'one-time' promise."""
     missing = [c for c in expected if c not in stored.columns]
     if missing:
         if not adopt_legacy:
@@ -1412,15 +1418,16 @@ def _verify_state_params(
             "%s: adopting legacy (param-less) state at %s with %s —"
             " UNVERIFIED: correctness rests on the operator's"
             " certification that these match the build-time"
-            " parameters. Future state carries them as columns.",
+            " parameters. The migrated state is persisted NOW and"
+            " carries them as columns.",
             op,
             state_dir,
             expected,
         )
-        return
+        return True
     row = stored.select(*sorted(expected)).first()
     if row is None:  # zero-row state: nothing to contradict
-        return
+        return False
     got = {c: int(row[c]) for c in sorted(expected)}
     bad = {c: v for c, v in got.items() if v != int(expected[c])}
     if bad:
@@ -1432,6 +1439,26 @@ def _verify_state_params(
             f" {state_dir!r} AND {checkpoint_dir!r} together and"
             " rebuild, or restart with the original configuration."
         )
+    return False
+
+
+def _persist_param_stamp(
+    spark: SparkSession,
+    stored: DataFrame,
+    state_dir: str,
+    cols: "dict[str, Column]",
+) -> DataFrame:
+    """Complete a legacy-state adoption by writing the stamped
+    parameter columns back to disk immediately (staging + atomic
+    promote, the fold's own write pattern), then re-read — the caller
+    must not keep using the pre-promote frame, whose lazy plan still
+    points at the replaced files."""
+    for name, col in cols.items():
+        stored = stored.withColumn(name, col)
+    tmp = staging_path(state_dir)
+    stored.write.mode("overwrite").parquet(tmp)
+    promote_dir(tmp, state_dir)
+    return spark.read.parquet(state_dir)
 
 
 def start_streaming_psi(
@@ -1526,14 +1553,23 @@ def start_streaming_psi(
         if recover_dir(psi_dir):
             stored = spark.read.parquet(psi_dir)
             if wm["v"] is None:  # first touch this process: verify
-                _verify_state_params(
+                if _verify_state_params(
                     stored,
                     {"__n_buckets": k, "__edges_fp": edges_fp},
                     op="start_streaming_psi",
                     state_dir=psi_dir,
                     checkpoint_dir=checkpoint_dir,
                     adopt_legacy=adopt_legacy_params,
-                )
+                ):
+                    stored = _persist_param_stamp(
+                        spark,
+                        stored,
+                        psi_dir,
+                        {
+                            "__n_buckets": F.lit(k).cast("int"),
+                            "__edges_fp": F.lit(edges_fp).cast("long"),
+                        },
+                    )
             bid = wm["v"]
             if bid is None:  # cold cache → recovery path, read disk
                 bid = stored.agg(F.max("__batch_id")).first()[0]
@@ -1720,14 +1756,20 @@ def _start_streaming_sided_counts(
         if recover_dir(state_dir):
             stored = spark.read.parquet(state_dir)
             if wm["v"] is None:  # first touch this process: verify
-                _verify_state_params(
+                if _verify_state_params(
                     stored,
                     {"__ref_fp": ref_fp},
                     op=op,
                     state_dir=state_dir,
                     checkpoint_dir=checkpoint_dir,
                     adopt_legacy=adopt_legacy_params,
-                )
+                ):
+                    stored = _persist_param_stamp(
+                        spark,
+                        stored,
+                        state_dir,
+                        {"__ref_fp": F.lit(ref_fp).cast("long")},
+                    )
             bid = wm["v"]
             if bid is None:  # cold cache → recovery path, read disk
                 bid = stored.agg(F.max("__batch_id")).first()[0]

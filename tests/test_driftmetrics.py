@@ -40,14 +40,20 @@ def _py_cvm(xs, ys):
     nn = n1 + n2
     vs = sorted(set(xs) | set(ys))
     m1 = m2 = 0
-    num = 0
+    tq = 0
+    n1d, n2d = float(n1), float(n2)
+    nd = n1d + n2d
     for v in vs:
         c1 = sum(1 for x in xs if x == v)
         c2 = sum(1 for y in ys if y == v)
         m1 += c1
         m2 += c2
-        num += (c1 + c2) * (m1 * n2 - m2 * n1) ** 2
-    t = num / (nn * nn * n1 * n2)
+        diffd = float(m1 * n2 - m2 * n1)
+        # mirror the operator's per-term double op order + 1e-12
+        # quantization (order-free, engine-identical)
+        term = float(c1 + c2) * diffd * diffd / (nd * nd * n1d * n2d)
+        tq += math.floor(term * 1000000000000.0 + 0.5)
+    t = tq / 1000000000000.0
     et = 1.0 / 6.0 + 1.0 / (6.0 * nn)
     vart = ((nn + 1.0) / (45.0 * nn * nn)) * (
         4.0 * n1 * n2 * nn - 3.0 * (n1 * n1 + n2 * n2) - 2.0 * n1 * n2
@@ -67,7 +73,12 @@ def _py_mood(xs, ys):
         return med, a1, a2, None, None
     cross2 = 2 * abs(a1 * (n2 - a2) - a2 * (n1 - a1))
     yates2 = max(cross2 - nn, 0)
-    chi2 = nn * yates2 * yates2 / (4.0 * n1 * n2 * at * (nn - at))
+    n1d, n2d, atd = float(n1), float(n2), float(at)
+    nnd = n1d + n2d
+    chi2 = (
+        nnd * float(yates2) * float(yates2)
+        / (4.0 * (n1d * n2d * atd * (nnd - atd)))
+    )
     return med, a1, a2, chi2, _py_norm_p(math.sqrt(chi2))
 
 
@@ -271,7 +282,9 @@ def test_driftmetrics_duckdb_oracle_shapes_cross_engine(spark):
         SELECT n1 AS n_ref, n2 AS n_cur,
                round(CAST(sum(abs(CAST(m1 AS HUGEINT) * n2
                                   - CAST(m2 AS HUGEINT) * n1)
-                              * coalesce(vnext - v, 0)) AS DOUBLE)
+                              * coalesce(CAST(vnext AS HUGEINT)
+                                         - CAST(v AS HUGEINT), 0))
+                          AS DOUBLE)
                      / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
                  AS w1
         FROM cum, tot GROUP BY n1, n2
@@ -284,16 +297,22 @@ def test_driftmetrics_duckdb_oracle_shapes_cross_engine(spark):
         + """
         , agg AS (
           SELECT max(n1) AS n1, max(n2) AS n2,
-                 sum(CAST(c1 + c2 AS HUGEINT)
-                     * (CAST(m1 AS HUGEINT) * n2 - CAST(m2 AS HUGEINT) * n1)
-                     * (CAST(m1 AS HUGEINT) * n2 - CAST(m2 AS HUGEINT) * n1))
-                   AS num
+                 sum(CASE WHEN n1 > 0 AND n2 > 0 THEN
+                   CAST(round(
+                   CAST(c1 + c2 AS DOUBLE)
+                   * CAST(CAST(m1 AS HUGEINT) * n2
+                          - CAST(m2 AS HUGEINT) * n1 AS DOUBLE)
+                   * CAST(CAST(m1 AS HUGEINT) * n2
+                          - CAST(m2 AS HUGEINT) * n1 AS DOUBLE)
+                   / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                      * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                      * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                   * 1000000000000.0) AS HUGEINT)
+                   ELSE 0 END) AS tq
           FROM cum, tot
         ), f AS (
           SELECT n1, n2,
-                 CAST(num AS DOUBLE)
-                   / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
-                      * CAST(n1 AS DOUBLE) * n2) AS t,
+                 CAST(tq AS DOUBLE) / 1000000000000.0 AS t,
                  1.0 / 6.0 + 1.0 / (6.0 * (CAST(n1 AS DOUBLE) + n2)) AS et,
                  ((CAST(n1 AS DOUBLE) + n2 + 1.0)
                   / (45.0 * (CAST(n1 AS DOUBLE) + n2)
@@ -331,15 +350,17 @@ def test_driftmetrics_duckdb_oracle_shapes_cross_engine(spark):
           SELECT n1, n2, median, a1, a2,
                  greatest(2 * abs(CAST(a1 AS HUGEINT) * (n2 - a2)
                                   - CAST(a2 AS HUGEINT) * (n1 - a1))
-                          - (n1 + n2), 0) AS yates2,
-                 CAST(n1 AS HUGEINT) * n2 * (a1 + a2)
-                   * (n1 + n2 - a1 - a2) AS den
+                          - (n1 + n2), 0) AS yates2
           FROM tab
         ), zc AS (
           SELECT n1, n2, median, a1, a2,
-                 CASE WHEN den > 0 THEN
-                   (CAST(n1 + n2 AS DOUBLE) * CAST(yates2 AS DOUBLE)
-                    * CAST(yates2 AS DOUBLE)) / (4.0 * CAST(den AS DOUBLE))
+                 CASE WHEN a1 + a2 > 0 AND a1 + a2 < n1 + n2 THEN
+                   (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                   * CAST(yates2 AS DOUBLE) * CAST(yates2 AS DOUBLE)
+                   / (4.0 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                             * CAST(a1 + a2 AS DOUBLE)
+                             * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                - CAST(a1 + a2 AS DOUBLE))))
                  END AS chi2
           FROM f
         )
@@ -431,3 +452,49 @@ def test_one_sided_counts_state_serves_all_five_verdicts(spark, tmp_path):
         got = tuple(read_fn(spark, state).collect()[0])
         want = tuple(batch_fn(ref_df, cur, "x").collect()[0])
         assert got == want, read_fn.__name__
+
+
+def test_driftmetrics_overflow_regressions(spark):
+    """The review-confirmed crash inputs, fed straight into the formula
+    tails as synthetic sided-counts frames (no giant data needed):
+    CvM at ~1e8 rows/side used to NUMERIC_VALUE_OUT_OF_RANGE on the
+    exact DECIMAL w·diff² sum; W1 on a value span wider than 2^63 used
+    to ARITHMETIC_OVERFLOW in the long gap subtraction; Mood at ~4e9
+    rows/side used to overflow the exact DECIMAL denominator. All now
+    return finite statistics."""
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        _cvm_from_counts,
+        _mood_from_counts,
+        _w1_from_counts,
+    )
+
+    # CvM: three distinct values, tens of millions per cell
+    vc = spark.createDataFrame(
+        [(1, 40_000_000, 10_000_000),
+         (2, 30_000_000, 30_000_000),
+         (3, 10_000_000, 40_000_000)],
+        "__v long, __c1 long, __c2 long",
+    )
+    r = _cvm_from_counts(vc, []).collect()[0]
+    assert r["n_ref"] == 80_000_000 and r["t_stat"] is not None
+    assert r["t_stat"] > 0 and r["t_std"] > 0
+
+    # W1: value span wider than 2^63
+    vc2 = spark.createDataFrame(
+        [(-(2**62), 3, 1), (2**62, 1, 3)],
+        "__v long, __c1 long, __c2 long",
+    )
+    r2 = _w1_from_counts(vc2, []).collect()[0]
+    # |F1-F2| = |3*4 - 1*4|/16 = 0.5 over a 2^63 span
+    assert r2["w1"] == round(0.5 * 2.0**63, 6)
+
+    # Mood: ~4e9 per side (den ~ 2.6e38 would overflow DECIMAL(38,0))
+    vc3 = spark.createDataFrame(
+        [(1, 2_000_000_000, 1_000_000_000),
+         (2, 1_000_000_000, 1_500_000_000),
+         (3, 1_000_000_000, 1_500_000_000)],
+        "__v long, __c1 long, __c2 long",
+    )
+    r3 = _mood_from_counts(vc3, []).collect()[0]
+    assert r3["chi2"] is not None and r3["chi2"] > 0
+    assert r3["p_value"] is not None

@@ -2435,11 +2435,12 @@ def test_streaming_psi_param_gate(spark, tmp_path):
         run(ref2, 8, "ckpt3")
 
     # legacy state (no param columns): refuse, then adopt explicitly.
-    # __batch_id is lowered to -1 so the adopt run's (renumbered)
-    # batch 0 clears the watermark guard and actually folds/rewrites.
-    legacy = stored.drop("__n_buckets", "__edges_fp").withColumn(
-        "__batch_id", F.lit(-1).cast("long")
-    )
+    # The stored __batch_id stays UNTOUCHED and the adopt run uses a
+    # fresh checkpoint, so the replay guard skips every delivered
+    # batch — the migration must persist anyway (the eager
+    # _persist_param_stamp; a fold-dependent stamp would silently
+    # leave the state param-less forever, the review-confirmed gap).
+    legacy = stored.drop("__n_buckets", "__edges_fp")
     legacy_pd = legacy.toPandas()
     shutil.rmtree(psi_dir)
     spark.createDataFrame(legacy_pd, schema=legacy.schema).write.parquet(
@@ -2449,11 +2450,22 @@ def test_streaming_psi_param_gate(spark, tmp_path):
         Exception, match="start_streaming_psi.*predates the"
     ):
         run(ref_df, 8, "ckpt4")
-    run(ref_df, 8, "ckpt5", adopt=True)  # explicit one-time migration
-    # post-adoption state carries the params again
-    assert {"__n_buckets", "__edges_fp"} <= set(
-        spark.read.parquet(psi_dir).columns
+    before = sorted(
+        tuple(r)
+        for r in spark.read.parquet(psi_dir)
+        .select("bucket", "n_cur")
+        .collect()
     )
+    run(ref_df, 8, "ckpt5", adopt=True)  # explicit one-time migration
+    # post-adoption state carries the params — even though every
+    # replayed batch was skipped (counts unchanged)
+    migrated = spark.read.parquet(psi_dir)
+    assert {"__n_buckets", "__edges_fp"} <= set(migrated.columns)
+    assert before == sorted(
+        tuple(r) for r in migrated.select("bucket", "n_cur").collect()
+    )
+    # and the NEXT restart needs no flag: the params verify cleanly
+    run(ref_df, 8, "ckpt6")
 
 
 def test_streaming_mwu_ref_gate(spark, tmp_path):
