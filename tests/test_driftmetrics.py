@@ -498,3 +498,216 @@ def test_driftmetrics_overflow_regressions(spark):
     r3 = _mood_from_counts(vc3, []).collect()[0]
     assert r3["chi2"] is not None and r3["chi2"] > 0
     assert r3["p_value"] is not None
+
+
+def _py_kw(data):
+    """Python reference mirroring the operator's quantized op order."""
+    from collections import Counter
+
+    allv = [v for xs in data.values() for v in xs]
+    n = len(allv)
+    cnt = Counter(allv)
+    r2 = {}
+    acc = 0
+    for v in sorted(cnt):
+        r2[v] = 2 * acc + cnt[v] + 1
+        acc += cnt[v]
+    hq = 0
+    for xs in data.values():
+        two_r = sum(r2[x] for x in xs)
+        term = (
+            float(two_r) * float(two_r) / float(len(xs))
+            / (float(n) * (float(n) + 1.0)) * 1e9
+        )
+        hq += math.floor(term + 0.5)
+    h = 3.0 * (hq / 1e9) - 3.0 * (float(n) + 1.0)
+    tie = sum(t**3 - t for t in cnt.values())
+    c = 1.0 - float(tie) / (float(n) ** 3 - float(n))
+    hc = h / c
+    k = len(data)
+    dfree = float(k - 1)
+    z = (
+        (hc / dfree) ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dfree))
+    ) / math.sqrt(2.0 / (9.0 * dfree))
+    np2 = _py_norm_p(z)
+    p = np2 / 2.0 if z >= 0 else 1.0 - np2 / 2.0
+    return n, k, h, tie, hc, z, p
+
+
+def test_kruskal_wallis_matches_python_and_detects_drift(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        kruskal_wallis,
+    )
+
+    rng = random.Random(3)
+    data = {
+        g: [rng.randrange(0, 100) + s for _ in range(120)]
+        for g, s in (("a", 0), ("b", 0), ("c", 25))
+    }
+    rows = [(g, x) for g, xs in data.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    n, k, h, tie, hc, z, p = _py_kw(data)
+    assert (r["n_total"], r["k_groups"], r["tie_term"]) == (n, k, tie)
+    assert r["h_stat"] == _rnd(h, 6)
+    assert r["h_corrected"] == _rnd(hc, 6)
+    assert r["z_wh"] == _rnd(z, 6)
+    assert r["p_value"] == _rnd(p, 9)
+    assert r["p_value"] < 1e-4  # the shifted group registers
+
+    # no drift: identical distributions, large p
+    data2 = {
+        g: [rng.randrange(0, 100) for _ in range(110)]
+        for g in ("a", "b", "c", "d")
+    }
+    df2 = spark.createDataFrame(
+        [(g, x) for g, xs in data2.items() for x in xs],
+        "g string, v long",
+    )
+    r2 = kruskal_wallis(df2, "g", "v").collect()[0]
+    assert r2["p_value"] > 0.01
+    assert r2["deg_f"] == 3
+
+
+def test_kruskal_wallis_degenerates_and_outer_groups(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        kruskal_wallis,
+    )
+
+    # single group: no between-group test exists
+    one = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    r = kruskal_wallis(one, "g", "v").collect()[0]
+    assert r["k_groups"] == 1
+    assert r["h_stat"] is None and r["p_value"] is None
+
+    # all-tied pool: exact N^3-N == tie guard -> NULL stats
+    tied = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5)], "g string, v long"
+    )
+    r2 = kruskal_wallis(tied, "g", "v").collect()[0]
+    assert r2["tie_term"] == 24 and r2["h_stat"] is None
+
+    # outer groups isolate: a drifting region next to a flat one
+    rng = random.Random(9)
+    rows = []
+    for region, shift in (("east", 40), ("west", 0)):
+        for g in ("a", "b"):
+            s = shift if g == "b" else 0
+            rows += [
+                (region, g, rng.randrange(0, 80) + s) for _ in range(100)
+            ]
+    df = spark.createDataFrame(rows, "region string, g string, v long")
+    got = {
+        r["region"]: r
+        for r in kruskal_wallis(
+            df, "g", "v", outer_group_cols=["region"]
+        ).collect()
+    }
+    assert got["east"]["p_value"] < 1e-4
+    assert got["west"]["p_value"] > 0.01
+
+    # NULL group key / value fail loud
+    import pytest as _pytest
+
+    badv = spark.createDataFrame([("a", 1), ("a", None)], "g string, v long")
+    with _pytest.raises(Exception, match="kruskal_wallis: NULL value"):
+        kruskal_wallis(badv, "g", "v").collect()
+    badg = spark.createDataFrame([("a", 1), (None, 2)], "g string, v long")
+    with _pytest.raises(Exception, match="kruskal_wallis"):
+        kruskal_wallis(badg, "g", "v").collect()
+
+
+def test_kruskal_wallis_duckdb_oracle_shape_cross_engine(spark):
+    """The DuckDB restatement — pooled doubled ranks from two RANGE
+    windows over the (group, value) count aggregate, quantized
+    per-group H contributions, Wilson-Hilferty z through the lockstep
+    A&S polynomial — bit-equal on the real per-type event values (the
+    r13 registry oracle, pinned ahead of registration)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        NORMAL_P_TWO_SIDED_SQL,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        kruskal_wallis,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    got = tuple(kruskal_wallis(e, "event_type", "x").collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS"
+        f" SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    p_expr = NORMAL_P_TWO_SIDED_SQL.format(z="z")
+    want = con.execute(
+        f"""
+        WITH vals AS (
+          SELECT event_type AS g,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events
+        ), vc AS (
+          SELECT g, v, CAST(count(*) AS BIGINT) AS c
+          FROM vals GROUP BY g, v
+        ), rk AS (
+          SELECT g, c,
+                 CAST(coalesce(sum(c) OVER (ORDER BY v RANGE BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS lt,
+                 CAST(sum(c) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS le
+          FROM vc
+        ), rr AS (
+          SELECT g, c, (le - lt) AS t,
+                 CAST(2 * lt + (le - lt) + 1 AS BIGINT) AS r2
+          FROM rk
+        ), pg AS (
+          SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+                 CAST(sum(CAST(c AS HUGEINT) * r2) AS HUGEINT) AS r2g,
+                 CAST(sum(CAST(c AS HUGEINT)
+                          * (CAST(t AS HUGEINT) * t - 1)) AS HUGEINT)
+                   AS tie_g
+          FROM rr GROUP BY g
+        ), tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(tie_g) AS BIGINT) AS tie
+          FROM pg
+        ), hq AS (
+          SELECT CAST(sum(CAST(round(
+                   CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+                   / CAST(n_g AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                   * 1000000000.0) AS HUGEINT)) AS HUGEINT) AS hqv
+          FROM pg, tot
+        ), f AS (
+          SELECT n, k, tie,
+                 3.0 * (CAST(hqv AS DOUBLE) / 1000000000.0)
+                   - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+                 1.0 - CAST(tie AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS c_corr
+          FROM tot, hq
+        ), zc AS (
+          SELECT n, k, tie, h, h / c_corr AS hc,
+                 (cbrt(h / c_corr / CAST(k - 1 AS DOUBLE))
+                  - (1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE))))
+                 / sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))) AS z
+          FROM f
+        )
+        SELECT n AS n_total, k AS k_groups, round(h, 6) AS h_stat,
+               tie AS tie_term, round(hc, 6) AS h_corrected,
+               CAST(k - 1 AS BIGINT) AS deg_f, round(z, 6) AS z_wh,
+               round(CASE WHEN z >= 0 THEN ({p_expr}) / 2.0
+                     ELSE 1.0 - ({p_expr}) / 2.0 END, 9) AS p_value
+        FROM zc
+        """
+    ).fetchall()[0]
+    assert got == tuple(want)

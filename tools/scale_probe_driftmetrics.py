@@ -19,6 +19,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from bangumi_notion_data_integration_project_spark.operators.twosample import (  # noqa: E402
     cramer_von_mises,
+    kruskal_wallis,
     mood_median_test,
     wasserstein_1,
 )
@@ -87,7 +88,9 @@ def main() -> None:
             cramer_von_mises(ref, cur, "x", group_cols=["event_type"])))
         t_m = timed(lambda: noop(
             mood_median_test(ref, cur, "x", group_cols=["event_type"])))
-        print(f"events grouped {tag}: w1={t_w:.2f}s cvm={t_c:.2f}s mood={t_m:.2f}s")
+        t_kw = timed(lambda: noop(kruskal_wallis(big, "event_type", "x")))
+        print(f"events grouped {tag}: w1={t_w:.2f}s cvm={t_c:.2f}s"
+              f" mood={t_m:.2f}s kw(k-sample)={t_kw:.2f}s")
         big.unpersist()
 
 
