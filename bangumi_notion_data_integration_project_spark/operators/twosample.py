@@ -231,10 +231,12 @@ def _ecdf_base(
     partitioned by the group key when grouped), per-group totals
     (coalesced to 0 so the ungrouped both-empty degenerate keeps
     integer counts — the two_proportion_ztest convention), broadcast
-    back onto the distinct-value rows. Returns ``(group..., __v, __c1,
-    __c2, __m1, __m2[, __vnext], n_ref, n_cur)`` — carrying the
-    distinct-value-window scale contract ONCE for the whole family,
-    the way ``_sided_counts`` centralizes the input reduction."""
+    back onto the distinct-value rows. Returns ``(based, totals)`` —
+    based: ``(group..., __v, __c1, __c2, __m1, __m2[, __vnext], n_ref,
+    n_cur)``; totals: the O(groups)-row count frame (Mood publishes it
+    directly) — carrying the distinct-value-window scale contract ONCE
+    for the whole family, the way ``_sided_counts`` centralizes the
+    input reduction."""
     if groups:
         w_cum = (
             Window.partitionBy(*groups)
@@ -263,8 +265,10 @@ def _ecdf_base(
         F.coalesce(F.max("__m2"), F.lit(0)).cast("long").alias("n_cur"),
     )
     if groups:
-        return cum.join(F.broadcast(totals), groups)
-    return cum.crossJoin(F.broadcast(totals))
+        based = cum.join(F.broadcast(totals), groups)
+    else:
+        based = cum.crossJoin(F.broadcast(totals))
+    return based, totals
 
 
 def _ks_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
@@ -273,7 +277,7 @@ def _ks_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
     AND the streaming twin (``streaming.start_streaming_ks`` stores
     exactly this frame as its state), so the statistic can never
     diverge between them — the ``_mwu_from_counts`` rule."""
-    based = _ecdf_base(vc, groups)
+    based, _ = _ecdf_base(vc, groups)
     num = F.abs(
         F.col("__m1").cast(_DEC) * F.col("n_cur")
         - F.col("__m2").cast(_DEC) * F.col("n_ref")
@@ -477,7 +481,7 @@ def _w1_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
     ``_mwu_from_counts`` rule: the drift monitors' stored sided-counts
     state is ONE table that serves every member of the two-sample
     family)."""
-    based = _ecdf_base(vc, groups, lead=True)
+    based, _ = _ecdf_base(vc, groups, lead=True)
     # the last distinct value has no successor — its ECDF gap spans no
     # axis length, so the lead-NULL term is correctly zero. The gap is
     # subtracted in DECIMAL (the KS-numerator pattern): a long
@@ -539,10 +543,13 @@ def cramer_von_mises(
     1e-12 and integer-summed so the Σ is ORDER-FREE and identical
     across engines at any scale (the psi/markov-entropy tn trick —
     an exact integer w·diff² sum would overflow DECIMAL(38,0) near
-    4·10⁷ rows per side, the documented MWU n⁵ ceiling). The
-    quantization bias is ≤ 5e-13·distinct-values — far below the
-    statistic's own sampling noise — and both engines compute the
-    identical quantized value, which is what the oracle hash checks. Returns one row per group:
+    4·10⁷ rows per side, the documented MWU n⁵ ceiling). Accuracy is
+    dominated by the per-term DOUBLE representation once contributions
+    exceed 2⁵³/1e12 (absolute error ~term·2⁻⁵² per term, the same
+    honest ~N·2⁻⁵² ceiling the KW docstring states; below that scale
+    the half-up quantization bias is ≤ 5e-13·distinct-values) — and
+    BOTH engines compute the identical quantized value at any scale,
+    which is what the oracle hash checks. Returns one row per group:
     ``(group..., n_ref, n_cur, t_stat, t_expected, t_std)`` where
     t_std = (T − E[T])/√Var[T] is the standardized drift score
     (≈ N(0,1)-ish far in the tail but the limiting law is NOT normal —
@@ -558,7 +565,7 @@ def cramer_von_mises(
 def _cvm_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
     """Shared CvM formula tail over a sided-counts frame — serves the
     batch operator AND ``streaming.read_streaming_cvm``."""
-    based = _ecdf_base(vc, groups)
+    based, _ = _ecdf_base(vc, groups)
     # per-term normalized contribution in DOUBLE of the exact DECIMAL
     # ECDF difference, quantized at 1e-12 and integer-summed: order-
     # free under any partitioning, engine-identical, and free of the
@@ -663,11 +670,7 @@ def _mood_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
     batch operator AND ``streaming.read_streaming_mood``."""
     from .stats import normal_p_two_sided
 
-    based = _ecdf_base(vc, groups)
-    totals = based.groupBy(*groups).agg(
-        F.coalesce(F.max("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
-        F.coalesce(F.max("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
-    )
+    based, totals = _ecdf_base(vc, groups)
     # pooled lower median: smallest v whose combined cum count reaches
     # ceil(N/2) ⇔ 2·(m1+m2) ≥ n1+n2 (integer-exact, no division)
     med_rows = based.filter(
@@ -796,38 +799,35 @@ def kruskal_wallis(
         .agg(F.count("*").cast("long").alias("__c"))
     )
     if outer:
-        w_lt = (
-            Window.partitionBy(*outer)
-            .orderBy("__v")
-            .rangeBetween(Window.unboundedPreceding, -1)
-        )
         w_le = (
             Window.partitionBy(*outer)
             .orderBy("__v")
-            .rangeBetween(Window.unboundedPreceding, 0)
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        w_peer = Window.partitionBy(*outer, "__v")
     else:
-        w_lt = Window.orderBy("__v").rangeBetween(
-            Window.unboundedPreceding, -1
-        )
         w_le = Window.orderBy("__v").rangeBetween(
-            Window.unboundedPreceding, 0
+            Window.unboundedPreceding, Window.currentRow
         )
-    # pooled prior/total per value via RANGE frames on the (group,
-    # value) aggregate — peers (same __v, other groups) land in the
-    # same range bucket, so no per-value pre-aggregation or join
-    prior = F.coalesce(F.sum("__c").over(w_lt).cast("long"), F.lit(0))
+        w_peer = Window.partitionBy("__v")
+    # pooled ≤-cumulative via one RANGE frame (currentRow bound — no
+    # frame arithmetic, so __v = Long.MIN cannot overflow the way a
+    # rangeBetween(…, -1) bound's v + (-1) does under ANSI) and the
+    # pooled per-value tie size via an unordered peer partition;
+    # strictly-less = le − t. Peers (same __v, other groups) land in
+    # the same bucket, so no per-value pre-aggregation or join.
     le = F.sum("__c").over(w_le).cast("long")
+    tot = F.sum("__c").over(w_peer).cast("long")
     ranked = vc.select(
         *keys,
         "__c",
-        prior.alias("__lt"),
         le.alias("__le"),
+        tot.alias("__t"),  # pooled tie size at this value
     ).select(
         *keys,
         "__c",
-        ((F.col("__le") - F.col("__lt"))).alias("__t"),  # pooled tie size
-        (F.lit(2) * F.col("__lt") + (F.col("__le") - F.col("__lt")) + 1)
+        "__t",
+        (F.lit(2) * (F.col("__le") - F.col("__t")) + F.col("__t") + 1)
         .cast("long")
         .alias("__2r"),
     )
@@ -856,8 +856,13 @@ def kruskal_wallis(
     agg = per_g.groupBy(*outer).agg(
         F.coalesce(F.max("__N"), F.lit(0)).cast("long").alias("n_total"),
         F.count("*").cast("long").alias("k_groups"),
+        # tie_term stays DECIMAL(38,0): the pooled Σ(t³−t) passes 2⁶³
+        # around 2M repeats per value across the whole pool — a LONG
+        # output cast would crash the omnibus gate exactly at the
+        # scale it exists for (the CvM/W1/Mood overflow class; canon
+        # strs integral decimals identically to ints, so oracle hashes
+        # are unaffected)
         F.coalesce(F.sum("__tie_g").cast(_DEC), F.lit(0).cast(_DEC))
-        .cast("long")
         .alias("tie_term"),
         F.coalesce(
             F.sum(

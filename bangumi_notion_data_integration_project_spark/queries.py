@@ -12395,7 +12395,7 @@ ORACLES["orders_price_mwu"] = f"""
       FROM f
     ), zz AS (
       SELECT n1, n2, tie, two_u1,
-             CASE WHEN var_num3 > 0 THEN
+             CASE WHEN n1 > 0 AND n2 > 0 AND var_num3 > 0 THEN
                CASE WHEN diff > 0 THEN (diff - 0.5) / sd
                     WHEN diff < 0 THEN (diff + 0.5) / sd
                     ELSE 0.0 END

@@ -1399,6 +1399,27 @@ def _verify_state_params(
     whenever the replay guard skips every delivered batch (a fresh
     checkpoint renumbers from 0, a no-new-data restart delivers
     nothing), silently breaking the 'one-time' promise."""
+    # verify whatever IS present first: a half-stamped state with a
+    # CONTRADICTING fingerprint must raise, never be silently adopted
+    # and durably re-stamped over (the present-but-different promise)
+    present = [c for c in sorted(expected) if c in stored.columns]
+    if present:
+        row = stored.select(*present).first()
+        if row is not None:
+            got_p = {c: int(row[c]) for c in present}
+            bad_p = {
+                c: v for c, v in got_p.items() if v != int(expected[c])
+            }
+            if bad_p:
+                raise RuntimeError(
+                    f"{op}: stored state at {state_dir!r} was built"
+                    f" with {got_p} but this stream is configured with"
+                    f" { {c: expected[c] for c in present} } — folding"
+                    " new counts into it would silently corrupt the"
+                    f" monitor. Wipe {state_dir!r} AND"
+                    f" {checkpoint_dir!r} together and rebuild, or"
+                    " restart with the original configuration."
+                )
     missing = [c for c in expected if c not in stored.columns]
     if missing:
         if not adopt_legacy:
@@ -1425,20 +1446,6 @@ def _verify_state_params(
             expected,
         )
         return True
-    row = stored.select(*sorted(expected)).first()
-    if row is None:  # zero-row state: nothing to contradict
-        return False
-    got = {c: int(row[c]) for c in sorted(expected)}
-    bad = {c: v for c, v in got.items() if v != int(expected[c])}
-    if bad:
-        raise RuntimeError(
-            f"{op}: stored state at {state_dir!r} was built with"
-            f" {got} but this stream is configured with"
-            f" {dict(expected)} — folding new counts into it would"
-            " silently corrupt the monitor. Wipe"
-            f" {state_dir!r} AND {checkpoint_dir!r} together and"
-            " rebuild, or restart with the original configuration."
-        )
     return False
 
 

@@ -711,3 +711,32 @@ def test_kruskal_wallis_duckdb_oracle_shape_cross_engine(spark):
         """
     ).fetchall()[0]
     assert got == tuple(want)
+
+
+def test_kruskal_wallis_long_min_and_decimal_tie_term(spark):
+    """Two review-confirmed crash classes: a Long.MIN value used to
+    overflow the rangeBetween(…, -1) frame bound arithmetic (the rank
+    windows now use a currentRow RANGE + an unordered peer partition);
+    and tie_term is published as exact DECIMAL(38,0) — a LONG cast
+    would crash the omnibus gate once the pooled Σ(t³−t) passes 2⁶³
+    (~2M repeats per value)."""
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        kruskal_wallis,
+    )
+
+    df = spark.createDataFrame(
+        [("a", -(2**63)), ("a", 5), ("b", 5), ("b", 7)],
+        "g string, v long",
+    )
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert r["n_total"] == 4 and r["k_groups"] == 2
+    assert r["tie_term"] == Decimal(6)  # one pooled pair: 2^3 - 2
+    out_schema = {
+        f.name: f.dataType
+        for f in kruskal_wallis(df, "g", "v").schema.fields
+    }
+    assert isinstance(out_schema["tie_term"], DecimalType)

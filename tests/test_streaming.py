@@ -2668,3 +2668,67 @@ def test_streaming_ks_ref_gate_and_null_fail_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="ks_two_sample: NULL value"):
         q.awaitTermination(180)
+
+
+def test_streaming_param_gate_rejects_half_stamped_contradiction(
+    spark, tmp_path
+):
+    """A half-stamped state (one param column present but
+    CONTRADICTING, the other missing) must raise even under
+    adopt_legacy_params=True — silently adopting and durably
+    re-stamping over a contradicting fingerprint is exactly the
+    corruption the gate exists to block (review finding)."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_psi,
+    )
+
+    rng = __import__("random").Random(17)
+    ref_df = _rows(
+        spark,
+        [(i, "2024-01-01 00:00:00", 1, "r", float(rng.randrange(0, 100)))
+         for i in range(120)],
+    ).select(F.round(F.col("value")).cast("long").alias("x"))
+    inp = str(tmp_path / "in")
+    psi_dir = str(tmp_path / "psi")
+    _write_batch(
+        spark, inp,
+        [(i, "2024-01-02 00:00:00", 2, "c", float(rng.randrange(0, 100)))
+         for i in range(50)],
+    )
+
+    def run(ckpt, adopt):
+        q = start_streaming_psi(
+            read_event_stream(spark, inp, SCHEMA).select(
+                F.round(F.col("value")).cast("long").alias("x"),
+                F.col("ts"),
+            ),
+            psi_dir,
+            value_col="x",
+            ref=ref_df,
+            n_buckets=6,
+            checkpoint_dir=str(tmp_path / ckpt),
+            adopt_legacy_params=adopt,
+        )
+        q.awaitTermination(180)
+
+    run("ckpt", False)
+    stored = spark.read.parquet(psi_dir)
+    # half-stamp with a WRONG fingerprint: drop __n_buckets, corrupt
+    # __edges_fp
+    half = stored.drop("__n_buckets").withColumn(
+        "__edges_fp", F.lit(12345).cast("long")
+    )
+    pdf = half.toPandas()
+    import shutil
+
+    shutil.rmtree(psi_dir)
+    spark.createDataFrame(pdf, schema=half.schema).write.parquet(psi_dir)
+    _write_batch(
+        spark, inp, [(900, "2024-01-03 00:00:00", 2, "c", 5.0)]
+    )
+    with pytest.raises(
+        Exception, match="start_streaming_psi.*built"
+    ):
+        run("ckpt2", True)  # adopt flag must NOT bypass the check
