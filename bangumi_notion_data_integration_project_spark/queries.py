@@ -7436,14 +7436,81 @@ def q_revenue_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at positions 51-60 below, outside this window, or not registered at
 # all).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- the 11 r11-batch queries (registered r10, never
+    # -- the 10 r12-batch queries (registered r11, never
     # -- driver-checked — new queries outrank every refresh, the
-    # -- standing rotation rule): Mann-Kendall + seasonal (dow) +
-    # -- grouped (per-type) MK, monthly Theil-Sen, order-vs-ship
-    # -- CCF, grouped PSI, grouped Hampel, two-feature OLS, Markov
-    # -- entropy rate; rows-only self-validating: count-min
-    # -- frequency estimates, sketch-fed PSI edges vs the exact
-    # -- sibling
+    # -- standing rotation rule): the drift-significance playbook —
+    # -- MWU + KS era drift (global on order price, grouped per
+    # -- event type), Kendall tau-b + Spearman on daily
+    # -- ordered-vs-shipped revenue, Pettitt changepoint,
+    # -- BH-corrected grouped MK per market segment, two-proportion
+    # -- z on the return rate, exact trimmed mean of daily revenue
+    "orders_price_mwu": q_orders_price_mwu,
+    "orders_price_ks": q_orders_price_ks,
+    "events_type_mwu": q_events_type_mwu,
+    "events_type_ks": q_events_type_ks,
+    "revenue_kendall_tau": q_revenue_kendall_tau,
+    "revenue_spearman": q_revenue_spearman,
+    "revenue_pettitt": q_revenue_pettitt,
+    "segment_mk_bh": q_segment_mk_bh,
+    "lineitem_returns_ztest": q_lineitem_returns_ztest,
+    "revenue_trimmed_mean": q_revenue_trimmed_mean,
+    # -- the 34 remaining r7-vintage rows (the stalest driver
+    # -- evidence — this retires the r7 debt entirely; vintage
+    # -- floor becomes r8 after the driver runs)
+    "events_twap": q_events_twap,
+    "orders_dow_profile": q_orders_dow_profile,
+    "docs_quality_joint_hist": q_docs_quality_joint_hist,
+    "docs_lang_topk_tokens": q_docs_lang_topk_tokens,
+    "orders_running_backlog": q_orders_running_backlog,
+    "docs_tokenizer_fertility": q_docs_tokenizer_fertility,
+    "events_seasonal_zscore": q_events_seasonal_zscore,
+    "docs_vocab_growth": q_docs_vocab_growth,
+    "events_debounce": q_events_debounce,
+    "customer_order_distribution": q_customer_order_distribution,
+    "supplier_part_variety": q_supplier_part_variety,
+    "excess_share_suppliers": q_excess_share_suppliers,
+    "waiting_suppliers": q_waiting_suppliers,
+    "docs_dup_spans": q_docs_dup_spans,
+    "docs_length_histogram": q_docs_length_histogram,
+    "docs_chunks": q_docs_chunks,
+    "customer_balance_ranks": q_customer_balance_ranks,
+    "events_session_window": q_events_session_window,
+    "events_zorder_stats": q_events_zorder_stats,
+    "events_sessionize": q_events_sessionize,
+    "docs_train_test_split": q_docs_train_test_split,
+    "dq_report": q_dq_report,
+    "merge_partition_scoped": q_merge_partition_scoped,
+    "docs_epoch_shuffle": q_docs_epoch_shuffle,
+    "audio_segments": q_audio_segments,
+    "docs_temperature_mix": q_docs_temperature_mix,
+    "docs_filter_pipeline": q_docs_filter_pipeline,
+    "jaccard_top_pairs": q_jaccard_top_pairs,
+    "multimodal_features": q_multimodal_features,
+    "event_window_agg": q_event_window_agg,
+    "pivot_status": q_pivot_status,
+    "rollup_summary": q_rollup_summary,
+    "order_top_parts": q_order_top_parts,
+    "top_parts_per_brand": q_top_parts_per_brand,
+    # -- the 6 stalest r8 rows (registry order) filling the 50
+    # -- budget
+    "lineitem_quantile_sketch": q_lineitem_quantile_sketch,
+    "lineitem_sketch_merge": q_lineitem_sketch_merge,
+    "events_weekly_users_sketch": q_events_weekly_users_sketch,
+    "orders_survival_km": q_orders_survival_km,
+    "revenue_acf": q_revenue_acf,
+    "docs_pmi_collocations": q_docs_pmi_collocations,
+    # -- displaced r11 window (11 r11-batch + 23 retired-r6 +
+    # -- flagship family), every row green in its latest driver
+    # -- round, prior order preserved
+    # --------- driver checked-window boundary (position 50) ---------
+    # ROUND-13 ROTATION NOTE: after r12 lands, the vintage floor is
+    # r8 and the stalest evidence is the remaining r8 rows
+    # (docs_zipf_fit .. docs_frequent_tokens, registry order below).
+    # Rotate the r13 window onto the new r13 queries just below this
+    # comment (positions 51+, never driver-checked) + the remaining
+    # r8 rows + the stalest r9 rows up to the 50 budget. Do NOT
+    # register more new queries than the window budget (~10) per
+    # round.
     "revenue_mann_kendall": q_revenue_mann_kendall,
     "orders_seasonal_mk": q_orders_seasonal_mk,
     "revenue_sen_trend": q_revenue_sen_trend,
@@ -7455,9 +7522,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_markov_entropy": q_events_markov_entropy,
     "parts_freq_cms": q_parts_freq_cms,
     "orders_price_psi_sketch": q_orders_price_psi_sketch,
-    # -- the 23 r6-vintage rows (the stalest driver evidence —
-    # -- this retires the r6 debt entirely; vintage floor becomes
-    # -- r7 after the driver runs)
     "parts_skyline": q_parts_skyline,
     "incremental_agg_merge": q_incremental_agg_merge,
     "events_retention": q_events_retention,
@@ -7481,11 +7545,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "market_share": q_market_share,
     "important_parts": q_important_parts,
     "late_shipment_priority": q_late_shipment_priority,
-    # -- 16 r7-vintage rows, FLAGSHIP FAMILY FIRST: the
-    # -- reference-parity anchors (grouped summary, the P/J
-    # -- projection/semistructured quartet, the M merge family)
-    # -- are what a reference user hits first — their evidence
-    # -- must never age past 4 rounds
     "category_summary": q_category_summary,
     "global_summary": q_global_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -7502,36 +7561,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "orders_asof_join": q_orders_asof_join,
     "fuzzy_name_blocking": q_fuzzy_name_blocking,
-    # --------- driver checked-window boundary (position 50) ---------
-    # ROUND-12 ROTATION NOTE: after r11 lands, the vintage floor
-    # is r7 and the stalest evidence is the 34 remaining r7 rows
-    # (events_twap .. merge_partition_scoped block below, in
-    # registry order). Rotate the r12 window onto the new r12
-    # queries just below this comment (positions 51+, never
-    # driver-checked) + all 34 r7 rows + the stalest r8 rows up
-    # to the 50 budget. Do NOT register more new queries than the
-    # window budget (~10) per round.
-    # -- NEW for r12 (operators built r10, registered r11, oracles
-    # -- cross-engine pinned in tests/test_twosample.py,
-    # -- test_rankcorr.py, test_robust.py BEFORE registration — the
-    # -- house de-risk pattern): the drift-significance playbook —
-    # -- MWU + KS era drift (global on order price, grouped per event
-    # -- type), Kendall tau-b + Spearman on daily ordered-vs-shipped
-    # -- revenue, Pettitt changepoint, BH-corrected grouped MK per
-    # -- market segment, two-proportion z on the return rate, exact
-    # -- trimmed mean of daily revenue
-    "orders_price_mwu": q_orders_price_mwu,
-    "orders_price_ks": q_orders_price_ks,
-    "events_type_mwu": q_events_type_mwu,
-    "events_type_ks": q_events_type_ks,
-    "revenue_kendall_tau": q_revenue_kendall_tau,
-    "revenue_spearman": q_revenue_spearman,
-    "revenue_pettitt": q_revenue_pettitt,
-    "segment_mk_bh": q_segment_mk_bh,
-    "lineitem_returns_ztest": q_lineitem_returns_ztest,
-    "revenue_trimmed_mean": q_revenue_trimmed_mean,
-    # -- displaced r10: the r9 window + later sections, every row
-    # -- green in its latest driver round, prior order preserved
+    # -- remainder of the registry, prior order preserved
     "docs_textrank_keywords": q_docs_textrank_keywords,
     "docs_textrank_phrases": q_docs_textrank_phrases,
     "orders_price_psi": q_orders_price_psi,
@@ -7632,12 +7662,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
-    "lineitem_quantile_sketch": q_lineitem_quantile_sketch,
-    "lineitem_sketch_merge": q_lineitem_sketch_merge,
-    "events_weekly_users_sketch": q_events_weekly_users_sketch,
-    "orders_survival_km": q_orders_survival_km,
-    "revenue_acf": q_revenue_acf,
-    "docs_pmi_collocations": q_docs_pmi_collocations,
     "docs_zipf_fit": q_docs_zipf_fit,
     "events_user_coverage": q_events_user_coverage,
     "orders_seasonal_decompose": q_orders_seasonal_decompose,
@@ -7682,40 +7706,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "parts_kcore": q_parts_kcore,
     "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
-    "events_twap": q_events_twap,
-    "orders_dow_profile": q_orders_dow_profile,
-    "docs_quality_joint_hist": q_docs_quality_joint_hist,
-    "docs_lang_topk_tokens": q_docs_lang_topk_tokens,
-    "orders_running_backlog": q_orders_running_backlog,
-    "docs_tokenizer_fertility": q_docs_tokenizer_fertility,
-    "events_seasonal_zscore": q_events_seasonal_zscore,
-    "docs_vocab_growth": q_docs_vocab_growth,
-    "events_debounce": q_events_debounce,
-    "customer_order_distribution": q_customer_order_distribution,
-    "supplier_part_variety": q_supplier_part_variety,
-    "excess_share_suppliers": q_excess_share_suppliers,
-    "waiting_suppliers": q_waiting_suppliers,
-    "docs_dup_spans": q_docs_dup_spans,
-    "docs_length_histogram": q_docs_length_histogram,
-    "docs_chunks": q_docs_chunks,
-    "customer_balance_ranks": q_customer_balance_ranks,
-    "events_session_window": q_events_session_window,
-    "events_zorder_stats": q_events_zorder_stats,
-    "events_sessionize": q_events_sessionize,
-    "docs_train_test_split": q_docs_train_test_split,
-    "dq_report": q_dq_report,
-    "merge_partition_scoped": q_merge_partition_scoped,
-    "docs_epoch_shuffle": q_docs_epoch_shuffle,
-    "audio_segments": q_audio_segments,
-    "docs_temperature_mix": q_docs_temperature_mix,
-    "docs_filter_pipeline": q_docs_filter_pipeline,
-    "jaccard_top_pairs": q_jaccard_top_pairs,
-    "multimodal_features": q_multimodal_features,
-    "event_window_agg": q_event_window_agg,
-    "pivot_status": q_pivot_status,
-    "rollup_summary": q_rollup_summary,
-    "order_top_parts": q_order_top_parts,
-    "top_parts_per_brand": q_top_parts_per_brand,
 }
 
 
