@@ -7418,6 +7418,183 @@ def q_revenue_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r13 batch: the drift playbook's magnitude + omnibus rungs (operators
+# built r11, oracles cross-engine pinned in tests/test_driftmetrics.py,
+# tests/test_twosample.py, tests/test_robust.py BEFORE registration —
+# the house de-risk pattern)
+# ---------------------------------------------------------------------------
+
+
+def q_orders_price_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-Wasserstein (earth-mover) distance on the order-price era
+    split — the L1 drift MAGNITUDE in cents ("the typical order moved
+    $X"), completing the metric family next to ``orders_price_psi``
+    (bucketed magnitude), ``orders_price_mwu`` (location
+    significance) and ``orders_price_ks`` (shape significance). The
+    |m₁n₂ − m₂n₁|·gap core accumulates exactly in DECIMAL(38,0) over
+    the DISTINCT-VALUE aggregate — one cumulative window + one lead,
+    O(distinct prices) windowed rows at any fact volume
+    (operators/twosample.wasserstein_1; oracle pinned cross-engine in
+    tests/test_driftmetrics.py before registration; 10× probe in
+    SCALING.md "r13-prep")."""
+    from .operators.twosample import wasserstein_1
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    return wasserstein_1(ref, cur, "x")
+
+
+def q_orders_price_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion on the same order-price
+    era split — the L2 ECDF divergence (more sensitive to distributed
+    shape differences than KS's single sharp sup), standardized
+    against Anderson's exact small-sample H₀ moments. Each term's
+    normalized contribution is one double of exact DECIMAL integers,
+    quantized at 1e-12 and integer-summed so the Σ is order-free and
+    engine-identical at any scale (operators/twosample.
+    cramer_von_mises; oracle pinned in tests/test_driftmetrics.py)."""
+    from .operators.twosample import cramer_von_mises
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    return cramer_von_mises(ref, cur, "x")
+
+
+def q_orders_price_mood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test on the same order-price era split — did the
+    MEDIAN move: the blunt, maximally robust family member (only which
+    side of the pooled median a row lands on matters, so a handful of
+    extreme prices cannot move the verdict at all). Pooled median via
+    one cumulative window over the distinct-value aggregate, exact
+    integer 2×2 table, Yates-corrected χ²₁, A&S p
+    (operators/twosample.mood_median_test; oracle pinned in
+    tests/test_driftmetrics.py)."""
+    from .operators.twosample import mood_median_test
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    return mood_median_test(ref, cur, "x")
+
+
+def q_events_type_kw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H over event types on value cents — the
+    k-sample omnibus FRONT GATE of the drift playbook ("did ANY
+    type's value distribution differ"), run BEFORE the per-type
+    MWU/KS battery so k segments are charged one test until something
+    actually moves. Pooled doubled ranks from two RANGE windows over
+    the per-(type, value) count aggregate — no join, O(k·distinct
+    values) windowed rows at any fact volume; exact-integer 2R_g and
+    tie terms, quantized order-free H contributions, Wilson-Hilferty
+    χ²_{k−1} tail through the shared A&S polynomial
+    (operators/twosample.kruskal_wallis; oracle pinned in
+    tests/test_driftmetrics.py; 10× probe in SCALING.md)."""
+    from .operators.twosample import kruskal_wallis
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return kruskal_wallis(e, "event_type", "x")
+
+
+def q_events_type_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped 1-Wasserstein per event type on the half-month split —
+    the unit-bearing magnitude column of the per-type drift dashboard
+    row (events_type_psi says how big in bucket mass, events_type_mwu
+    /_ks say how sure; this says how FAR in value cents). Every
+    cumulative window partitions by the type key over the per-type
+    distinct-value aggregate, so skew stays bounded by a type's
+    distinct values, never its row count; one-sided types report NULL
+    w1 with their counts (the psi asymmetry convention)."""
+    from .operators.twosample import wasserstein_1
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    ref = e.filter(F.col("ts") < "2024-01-16").select("event_type", "x")
+    cur = e.filter(F.col("ts") >= "2024-01-16").select("event_type", "x")
+    return wasserstein_1(ref, cur, "x", group_cols=["event_type"])
+
+
+def q_segment_returns_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on the lineitem RETURN RATE per market
+    segment, early vs late ship era — the segment-grain twin of
+    ``lineitem_returns_ztest`` (a fleet-wide rate can hold steady
+    while one segment's return rate quietly doubles; this is the
+    dashboard row that catches it). The lineitem⋈orders key join is
+    the only data-scaled shuffle; the customer dim broadcasts (the
+    segment_mk_bh precedent) and the per-side aggregate is map-side
+    combinable — the final shuffle carries one row per segment
+    (operators/twosample.two_proportion_ztest, grouped; ungrouped
+    oracle pinned in tests/test_twosample.py)."""
+    from .operators.twosample import two_proportion_ztest
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "l_shipdate", "ret")
+    )
+    ref = j.filter(F.col("l_shipdate") < "1996-01-01").select(
+        "c_mktsegment", "ret"
+    )
+    cur = j.filter(F.col("l_shipdate") >= "1996-01-01").select(
+        "c_mktsegment", "ret"
+    )
+    return two_proportion_ztest(ref, cur, "ret", group_cols=["c_mktsegment"])
+
+
+def q_segment_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed mean of daily revenue cents PER market
+    segment — the robust per-segment location estimate one viral day
+    cannot drag (the grouped twin of ``revenue_trimmed_mean``; pairs
+    with segment_mk_bh on the same orders⋈broadcast-customer spine).
+    The span-overlap window partitions by segment over the per-segment
+    distinct-value aggregate of the segment×day rollup — O(segments ×
+    distinct daily totals) windowed rows at any fact volume
+    (operators/robust.trimmed_mean, grouped; ungrouped oracle pinned
+    in tests/test_robust.py)."""
+    from .operators.robust import trimmed_mean
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    return trimmed_mean(daily, "x", trim=0.1, group_cols=["c_mktsegment"])
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -7499,9 +7676,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_survival_km": q_orders_survival_km,
     "revenue_acf": q_revenue_acf,
     "docs_pmi_collocations": q_docs_pmi_collocations,
-    # -- displaced r11 window (11 r11-batch + 23 retired-r6 +
-    # -- flagship family), every row green in its latest driver
-    # -- round, prior order preserved
     # --------- driver checked-window boundary (position 50) ---------
     # ROUND-13 ROTATION NOTE: after r12 lands, the vintage floor is
     # r8 and the stalest evidence is the remaining r8 rows
@@ -7511,6 +7685,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r8 rows + the stalest r9 rows up to the 50 budget. Do NOT
     # register more new queries than the window budget (~10) per
     # round.
+    # -- NEW for r13 (operators built r11, oracles cross-engine
+    # -- pinned in tests/test_driftmetrics.py, test_twosample.py,
+    # -- test_robust.py BEFORE registration — the house de-risk
+    # -- pattern): the playbook's magnitude + omnibus rungs — W1 /
+    # -- CvM / Mood on the order-price era split (the MWU/KS
+    # -- siblings), the Kruskal-Wallis omnibus front gate over event
+    # -- types, grouped W1 per type, and the segment-grain return-rate
+    # -- z-test + trimmed daily revenue
+    "orders_price_w1": q_orders_price_w1,
+    "orders_price_cvm": q_orders_price_cvm,
+    "orders_price_mood": q_orders_price_mood,
+    "events_type_kw": q_events_type_kw,
+    "events_type_w1": q_events_type_w1,
+    "segment_returns_ztest": q_segment_returns_ztest,
+    "segment_trimmed_mean": q_segment_trimmed_mean,
+    # -- displaced r11 window (11 r11-batch + 23 retired-r6 +
+    # -- flagship family), every row green in its latest driver
+    # -- round, prior order preserved
     "revenue_mann_kendall": q_revenue_mann_kendall,
     "orders_seasonal_mk": q_orders_seasonal_mk,
     "revenue_sen_trend": q_revenue_sen_trend,
@@ -12868,4 +13060,350 @@ ORACLES["revenue_trimmed_mean"] = """
            round(CAST(sum(CAST(v AS HUGEINT) * m) AS DOUBLE)
                  / CAST(sum(m) AS DOUBLE), 6) AS mean
     FROM kept
+"""
+
+# -- r13 batch oracles: W1/CvM/Mood/KW copied verbatim from the
+# -- cross-engine pins in tests/test_driftmetrics.py (the house
+# -- de-risk pattern); the grouped W1 / segment z-test / segment
+# -- trimmed mean extend the pinned ungrouped shapes with the same
+# -- PARTITION BY-per-group windows the grouped MWU/KS oracles use.
+# -- p-values ride the shared A&S polynomial in exact op-order
+# -- lockstep (NORMAL_P_TWO_SIDED_SQL, rounded at 9dp).
+
+ORACLES["orders_price_w1"] = """
+    WITH sides AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 1 ELSE 2 END AS s
+      FROM orders
+    ), vc AS (
+      SELECT v,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM sides GROUP BY v
+    ), cum AS (
+      SELECT v, c1, c2,
+             CAST(sum(c1) OVER w AS BIGINT) AS m1,
+             CAST(sum(c2) OVER w AS BIGINT) AS m2,
+             lead(v) OVER (ORDER BY v) AS vnext
+      FROM vc
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), tot AS (
+      SELECT CAST(max(m1) AS BIGINT) AS n1,
+             CAST(max(m2) AS BIGINT) AS n2
+      FROM cum
+    )
+    SELECT n1 AS n_ref, n2 AS n_cur,
+           round(CAST(sum(abs(CAST(m1 AS HUGEINT) * n2
+                              - CAST(m2 AS HUGEINT) * n1)
+                          * coalesce(CAST(vnext AS HUGEINT)
+                                     - CAST(v AS HUGEINT), 0))
+                      AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6)
+             AS w1
+    FROM cum, tot GROUP BY n1, n2
+"""
+
+ORACLES["orders_price_cvm"] = """
+    WITH sides AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 1 ELSE 2 END AS s
+      FROM orders
+    ), vc AS (
+      SELECT v,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM sides GROUP BY v
+    ), cum AS (
+      SELECT v, c1, c2,
+             CAST(sum(c1) OVER w AS BIGINT) AS m1,
+             CAST(sum(c2) OVER w AS BIGINT) AS m2
+      FROM vc
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), tot AS (
+      SELECT CAST(max(m1) AS BIGINT) AS n1,
+             CAST(max(m2) AS BIGINT) AS n2
+      FROM cum
+    ), agg AS (
+      SELECT max(n1) AS n1, max(n2) AS n2,
+             sum(CASE WHEN n1 > 0 AND n2 > 0 THEN
+               CAST(round(
+               CAST(c1 + c2 AS DOUBLE)
+               * CAST(CAST(m1 AS HUGEINT) * n2
+                      - CAST(m2 AS HUGEINT) * n1 AS DOUBLE)
+               * CAST(CAST(m1 AS HUGEINT) * n2
+                      - CAST(m2 AS HUGEINT) * n1 AS DOUBLE)
+               / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                  * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                  * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+               * 1000000000000.0) AS HUGEINT)
+               ELSE 0 END) AS tq
+      FROM cum, tot
+    ), f AS (
+      SELECT n1, n2,
+             CAST(tq AS DOUBLE) / 1000000000000.0 AS t,
+             1.0 / 6.0 + 1.0 / (6.0 * (CAST(n1 AS DOUBLE) + n2)) AS et,
+             ((CAST(n1 AS DOUBLE) + n2 + 1.0)
+              / (45.0 * (CAST(n1 AS DOUBLE) + n2)
+                 * (CAST(n1 AS DOUBLE) + n2)))
+             * (4.0 * n1 * n2 * (CAST(n1 AS DOUBLE) + n2)
+                - 3.0 * (CAST(n1 AS DOUBLE) * n1 + CAST(n2 AS DOUBLE) * n2)
+                - 2.0 * CAST(n1 AS DOUBLE) * n2)
+             / (4.0 * CAST(n1 AS DOUBLE) * n2) AS vart
+      FROM agg
+    )
+    SELECT n1 AS n_ref, n2 AS n_cur, round(t, 9) AS t_stat,
+           round(et, 9) AS t_expected,
+           round((t - et) / sqrt(vart), 6) AS t_std
+    FROM f
+"""
+
+_P_SQRT_CHI2 = _NP_SQL.format(z="sqrt(chi2)")
+
+ORACLES["orders_price_mood"] = f"""
+    WITH sides AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 1 ELSE 2 END AS s
+      FROM orders
+    ), vc AS (
+      SELECT v,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM sides GROUP BY v
+    ), cum AS (
+      SELECT v, c1, c2,
+             CAST(sum(c1) OVER w AS BIGINT) AS m1,
+             CAST(sum(c2) OVER w AS BIGINT) AS m2
+      FROM vc
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ), tot AS (
+      SELECT CAST(max(m1) AS BIGINT) AS n1,
+             CAST(max(m2) AS BIGINT) AS n2
+      FROM cum
+    ), med AS (
+      SELECT min(v) AS median
+      FROM cum, tot WHERE 2 * (m1 + m2) >= n1 + n2
+    ), atmed AS (
+      SELECT c.m1, c.m2
+      FROM cum c, med WHERE c.v = med.median
+    ), tab AS (
+      SELECT n1, n2, median,
+             CAST(n1 - m1 AS BIGINT) AS a1,
+             CAST(n2 - m2 AS BIGINT) AS a2
+      FROM tot, med, atmed
+    ), f AS (
+      SELECT n1, n2, median, a1, a2,
+             greatest(2 * abs(CAST(a1 AS HUGEINT) * (n2 - a2)
+                              - CAST(a2 AS HUGEINT) * (n1 - a1))
+                      - (n1 + n2), 0) AS yates2
+      FROM tab
+    ), zc AS (
+      SELECT n1, n2, median, a1, a2,
+             CASE WHEN a1 + a2 > 0 AND a1 + a2 < n1 + n2 THEN
+               (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+               * CAST(yates2 AS DOUBLE) * CAST(yates2 AS DOUBLE)
+               / (4.0 * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         * CAST(a1 + a2 AS DOUBLE)
+                         * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                            - CAST(a1 + a2 AS DOUBLE))))
+             END AS chi2
+      FROM f
+    )
+    SELECT n1 AS n_ref, n2 AS n_cur, median,
+           a1 AS n_ref_above, a2 AS n_cur_above,
+           round(chi2, 6) AS chi2,
+           round({_P_SQRT_CHI2}, 9) AS p_value
+    FROM zc
+"""
+
+ORACLES["events_type_kw"] = f"""
+    WITH vals AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ), vc AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      FROM vals GROUP BY g, v
+    ), rk AS (
+      SELECT g, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY v RANGE BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS lt,
+             CAST(sum(c) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS le
+      FROM vc
+    ), rr AS (
+      SELECT g, c, (le - lt) AS t,
+             CAST(2 * lt + (le - lt) + 1 AS BIGINT) AS r2
+      FROM rk
+    ), pg AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+             CAST(sum(CAST(c AS HUGEINT) * r2) AS HUGEINT) AS r2g,
+             CAST(sum(CAST(c AS HUGEINT)
+                      * (CAST(t AS HUGEINT) * t - 1)) AS HUGEINT)
+               AS tie_g
+      FROM rr GROUP BY g
+    ), tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(tie_g) AS BIGINT) AS tie
+      FROM pg
+    ), hq AS (
+      SELECT CAST(sum(CAST(round(
+               CAST(r2g AS DOUBLE) * CAST(r2g AS DOUBLE)
+               / CAST(n_g AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               * 1000000000.0) AS HUGEINT)) AS HUGEINT) AS hqv
+      FROM pg, tot
+    ), f AS (
+      SELECT n, k, tie,
+             3.0 * (CAST(hqv AS DOUBLE) / 1000000000.0)
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h,
+             1.0 - CAST(tie AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS c_corr
+      FROM tot, hq
+    ), zc AS (
+      SELECT n, k, tie, h, h / c_corr AS hc,
+             (cbrt(h / c_corr / CAST(k - 1 AS DOUBLE))
+              - (1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE))))
+             / sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))) AS z
+      FROM f
+    )
+    SELECT n AS n_total, k AS k_groups, round(h, 6) AS h_stat,
+           tie AS tie_term, round(hc, 6) AS h_corrected,
+           CAST(k - 1 AS BIGINT) AS deg_f, round(z, 6) AS z_wh,
+           round(CASE WHEN z >= 0 THEN ({_P_Z}) / 2.0
+                 ELSE 1.0 - ({_P_Z}) / 2.0 END, 9) AS p_value
+    FROM zc
+"""
+
+ORACLES["events_type_w1"] = """
+    WITH sides AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 2 END AS s
+      FROM events
+    ), vc AS (
+      SELECT g, v,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM sides GROUP BY g, v
+    ), cum AS (
+      SELECT g, v, c1, c2,
+             CAST(sum(c1) OVER w AS BIGINT) AS m1,
+             CAST(sum(c2) OVER w AS BIGINT) AS m2,
+             lead(v) OVER (PARTITION BY g ORDER BY v) AS vnext
+      FROM vc
+      WINDOW w AS (PARTITION BY g ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW)
+    ), tot AS (
+      SELECT g, CAST(max(m1) AS BIGINT) AS n1,
+             CAST(max(m2) AS BIGINT) AS n2
+      FROM cum GROUP BY g
+    )
+    SELECT c.g AS event_type, t.n1 AS n_ref, t.n2 AS n_cur,
+           CASE WHEN t.n1 > 0 AND t.n2 > 0 THEN
+             round(CAST(sum(abs(CAST(c.m1 AS HUGEINT) * t.n2
+                                - CAST(c.m2 AS HUGEINT) * t.n1)
+                            * coalesce(CAST(c.vnext AS HUGEINT)
+                                       - CAST(c.v AS HUGEINT), 0))
+                        AS DOUBLE)
+                   / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)), 6)
+           END AS w1
+    FROM cum c JOIN tot t ON c.g = t.g
+    GROUP BY c.g, t.n1, t.n2 ORDER BY c.g
+"""
+
+ORACLES["segment_returns_ztest"] = f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS g,
+             CASE WHEN l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+                  THEN 1 ELSE 2 END AS s,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+    ), agg AS (
+      SELECT g,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN s = 1 THEN ret ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN s = 2 THEN ret ELSE 0 END) AS BIGINT) AS s2
+      FROM j GROUP BY g
+    ), f AS (
+      SELECT g, n1, s1, n2, s2,
+             CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS diff,
+             sqrt((CAST(s1 + s2 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                  * (1.0 - CAST(s1 + s2 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+                  * (1.0 / CAST(n1 AS DOUBLE)
+                     + 1.0 / CAST(n2 AS DOUBLE))) AS sd,
+             0.5 * (1.0 / CAST(n1 AS DOUBLE)
+                    + 1.0 / CAST(n2 AS DOUBLE)) AS cc
+      FROM agg
+    ), zz AS (
+      SELECT g, n1, s1, n2, s2,
+             CASE WHEN n1 > 0 AND n2 > 0 AND s1 + s2 > 0
+                       AND s1 + s2 < n1 + n2 THEN
+               CASE WHEN diff > cc THEN (diff - cc) / sd
+                    WHEN diff < -cc THEN (diff + cc) / sd
+                    ELSE 0.0 END
+             END AS z
+      FROM f
+    )
+    SELECT g AS c_mktsegment, n1 AS n_ref, s1 AS s_ref,
+           n2 AS n_cur, s2 AS s_cur,
+           CASE WHEN n1 > 0 THEN
+             round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+           END AS rate_ref,
+           CASE WHEN n2 > 0 THEN
+             round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+           END AS rate_cur,
+           round(z, 6) AS z,
+           round({_P_Z}, 9) AS p_value
+    FROM zz ORDER BY c_mktsegment
+"""
+
+ORACLES["segment_trimmed_mean"] = """
+    WITH daily AS (
+      SELECT c.c_mktsegment AS g, CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), vc AS (
+      SELECT g, x AS v, CAST(count(*) AS BIGINT) AS c
+      FROM daily GROUP BY 1, 2
+    ), cum AS (
+      SELECT g, v, c,
+             CAST(sum(c) OVER (PARTITION BY g ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cm,
+             CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM vc
+    ), spans AS (
+      SELECT g, v, c, cm, n,
+             CAST((100000 * n) // 1000000 AS BIGINT) AS k
+      FROM cum
+    ), kept AS (
+      SELECT g, n, k,
+             CAST(greatest(0, least(cm, n - k)
+                  - greatest(cm - c + 1, k + 1) + 1) AS BIGINT)
+               AS m,
+             v
+      FROM spans
+    )
+    SELECT g AS c_mktsegment, max(n) AS n_points,
+           max(k) AS n_trimmed_each,
+           round(CAST(sum(CAST(v AS HUGEINT) * m) AS DOUBLE)
+                 / CAST(sum(m) AS DOUBLE), 6) AS mean
+    FROM kept GROUP BY g ORDER BY g
 """
