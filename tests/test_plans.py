@@ -1102,3 +1102,108 @@ def test_segment_mk_bh_rank_window_sits_on_segment_aggregate(spark):
     plan = _plan(spark, "segment_mk_bh")
     assert "CartesianProduct" not in plan
     assert not re.findall(r"\(\d+\) SortMergeJoin", plan), plan
+
+
+R13_BATCH = [
+    "orders_price_w1",
+    "orders_price_cvm",
+    "orders_price_mood",
+    "events_type_kw",
+    "events_type_w1",
+    "segment_returns_ztest",
+    "segment_trimmed_mean",
+]
+
+
+@pytest.mark.parametrize("name", R13_BATCH)
+def test_r13_batch_no_cartesian(spark, name):
+    """None of the r12-registered playbook queries may go cartesian on
+    a data-scaled frame — the only joins are the segment queries'
+    key joins (customer dim broadcast, the segment_mk_bh precedent)
+    and the grouped W1 totals join on the group key."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_w1_cvm_mood_fold_windows_run_on_distinct_value_aggregate(spark):
+    """The ungrouped W1/CvM/Mood ECDF windows ARE unpartitioned by
+    design — but only because their child is the distinct-value
+    sided-counts aggregate (keys=[__v]), never raw order rows: the
+    psi/KM pin pattern, per-query for each new unpartitioned-fold
+    registration (the standing house rule)."""
+    for name in ("orders_price_w1", "orders_price_cvm",
+                 "orders_price_mood"):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        lines = plan.splitlines()
+        wins = [i for i, l in enumerate(lines) if "Window" in l]
+        aggs = [
+            i
+            for i, l in enumerate(lines)
+            if "HashAggregate(keys=[__v" in l
+        ]
+        assert wins and aggs, name
+        for w in wins:
+            assert any(a > w for a in aggs), (name, plan)
+
+
+def test_kw_rank_windows_run_on_type_value_aggregate(spark):
+    """The omnibus gate's two RANGE windows (pooled ≤-cumulative +
+    the __v peer partition) are unpartitioned-or-value-partitioned by
+    design — but only because their child is the per-(type, value)
+    count aggregate, so the fold sees O(k·distinct values) rows at
+    any fact volume (the VERDICT-r11 standing rule: pin the KW plan
+    at registration time)."""
+    df = QUERIES["events_type_kw"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    aggs = [
+        i
+        for i, l in enumerate(lines)
+        if "HashAggregate(keys=[event_type" in l and ", __v" in l
+    ]
+    assert wins and aggs, plan
+    for w in wins:
+        assert any(a > w for a in aggs), plan
+    # the scan reads exactly the type key and the value column
+    schemas = set(_read_schemas(plan))
+    assert schemas == {"event_type:string,value:double"}, plan
+
+
+def test_grouped_w1_and_segment_trim_windows_partition_by_key(spark):
+    """The grouped twins' cumulative windows must partition by their
+    group key — a dropped partition clause would serialize every
+    key's distinct values through one task."""
+    assert _window_partition_keys(
+        _plan(spark, "events_type_w1")
+    ) == {"event_type"}
+    assert _window_partition_keys(
+        _plan(spark, "segment_trimmed_mean")
+    ) == {"c_mktsegment"}
+
+
+def test_segment_ztest_is_counts_only_no_window(spark):
+    """The segment-grain z-test is one keyed count aggregate per side
+    on top of the lineitem⋈orders key join (broadcast at test SF,
+    shuffle-hash at scale — either is fine; a cartesian is not) with
+    the customer dim broadcast; no window anywhere, and every scan
+    reads only the join keys, the era column, and the flag."""
+    plan = _plan(spark, "segment_returns_ztest")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    schemas = set(_read_schemas(plan))
+    assert schemas == {
+        "l_orderkey:bigint,l_returnflag:string,l_shipdate:timestamp_ntz",
+        "o_orderkey:bigint,o_custkey:bigint",
+        "c_custkey:bigint,c_mktsegment:string",
+    }, plan
+
+
+def test_segment_trimmed_mean_broadcasts_customer_dim(spark):
+    """The segment daily rollup joins orders to the customer dim via
+    an explicit broadcast (the segment_mk_bh precedent) — an SMJ here
+    would shuffle the fact table on c_custkey for a 5-value label."""
+    plan = _plan(spark, "segment_trimmed_mean")
+    assert not re.findall(r"\(\d+\) SortMergeJoin", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
