@@ -377,14 +377,15 @@ def test_driftmetrics_duckdb_oracle_shapes_cross_engine(spark):
 def test_one_sided_counts_state_serves_all_five_verdicts(spark, tmp_path):
     """The two-sample family are pure functions of one sided-counts
     table: after draining a stream through start_streaming_mwu, the
-    SAME stored state serves W1/CvM/Mood (and MWU) verdicts equal to
-    the batch operators on ref vs the delivered union — the
-    shared-formula-tail rule made observable across the whole
-    family."""
+    SAME stored state serves all five verdicts — MWU, KS, W1, CvM,
+    Mood — equal to the batch operators on ref vs the delivered union
+    ("one fold, five verdicts", the DEPLOYMENT.md dashboard-contract
+    claim as a single executable assertion)."""
     from pyspark.sql import functions as F
 
     from bangumi_notion_data_integration_project_spark.operators.twosample import (
         cramer_von_mises,
+        ks_two_sample,
         mann_whitney_u,
         mood_median_test,
         wasserstein_1,
@@ -392,6 +393,7 @@ def test_one_sided_counts_state_serves_all_five_verdicts(spark, tmp_path):
     from bangumi_notion_data_integration_project_spark.streaming.incremental import (
         read_event_stream,
         read_streaming_cvm,
+        read_streaming_ks,
         read_streaming_mood,
         read_streaming_mwu,
         read_streaming_w1,
@@ -445,6 +447,7 @@ def test_one_sided_counts_state_serves_all_five_verdicts(spark, tmp_path):
     )
     for read_fn, batch_fn in (
         (read_streaming_mwu, mann_whitney_u),
+        (read_streaming_ks, ks_two_sample),
         (read_streaming_w1, wasserstein_1),
         (read_streaming_cvm, cramer_von_mises),
         (read_streaming_mood, mood_median_test),
