@@ -743,56 +743,35 @@ def _mood_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
     return out.orderBy(*groups) if groups else out
 
 
-def kruskal_wallis(
+def _kw_per_group(
     df: DataFrame,
     group_col: str,
     value_col: str,
-    *,
-    outer_group_cols: "list[str] | None" = None,
+    outer: "list[str]",
+    op_name: str,
 ) -> DataFrame:
-    """Kruskal-Wallis H — the k-sample generalization of Mann-Whitney
-    ("did ANY group's value distribution move"): the omnibus gate a
-    dashboard runs BEFORE the per-group battery (grouped MWU → BH), so
-    k segments are charged ONE test until something actually differs:
+    """Shared pooled-doubled-rank aggregate for the k-sample family —
+    one O(k)-row frame per outer key carrying ``(__n_g, __2rg,
+    __tie_g, __N)``: group size, exact-integer doubled rank sum
+    2R_g, the group's share of the pooled tie term Σ(t³−t), and the
+    pooled N. Serves :func:`kruskal_wallis` (the omnibus gate) and
+    :func:`dunn_test` (its post-hoc) from the identical rank fold —
+    the ``_mwu_from_counts`` rule applied to the k-sample rung.
 
-        2·avgrank(v) = 2·#{pooled < v} + #{pooled = v} + 1
-        H  = 3/(N(N+1)) · Σ_g (2R_g)²/n_g − 3(N+1)
-        C  = 1 − Σ(t³−t)/(N³−N)              (tie correction)
-        p ≈ upper χ²_{k−1} tail of H/C via Wilson-Hilferty:
-            z = ((H_c/ν)^⅓ − (1 − 2/9ν)) / √(2/9ν),  p = 1 − Φ(z)
-
-    Scale shape: pooled doubled ranks come from two RANGE windows over
-    the per-(group, value) count aggregate — no join, O(k·distinct
-    values) windowed rows at any fact volume — and the tie term needs
-    no per-value dedup (Σ_rows c·(t²−1) = Σ_v t³−t exactly, since
-    Σ_g c = t). 2R_g and the tie term are exact integers
-    (DECIMAL(38,0)); each group's (2R_g)²/n_g/(N(N+1)) contribution is
-    one double expression quantized at 1e-9 and integer-summed (the
-    CvM tn trick — order-free, engine-identical). H's classic form
-    subtracts two ~N-sized quantities, so its absolute error is
-    ~N·2⁻⁵² — negligible below 10¹² rows, documented rather than
-    hidden. The Wilson-Hilferty z feeds the shared A&S polynomial:
-    p = np/2 for z ≥ 0, else 1 − np/2 (the χ² tail is one-sided).
-
-    Returns one row (per outer group): ``(outer..., n_total, k_groups,
-    h_stat, tie_term, h_corrected, deg_f, z_wh, p_value)``. Degenerates
-    are explicit: k < 2 groups or an all-tied pool (C ≤ 0 under the
-    exact N³−N = Σ(t³−t) integer test) report NULL h/z/p with their
-    counts. NULL group keys or values raise (fail-loud).
-
-    With ``outer_group_cols`` every stage keys on the outer group —
-    one independent omnibus verdict per outer key."""
+    Scale shape: pooled doubled ranks come from two RANGE windows
+    over the per-(group, value) count aggregate — no join,
+    O(k·distinct values) windowed rows at any fact volume — and the
+    tie term needs no per-value dedup (Σ_rows c·(t²−1) = Σ_v t³−t
+    exactly, since Σ_g c = t)."""
     from .drift import _checked_keys, _checked_long
-    from .stats import normal_p_two_sided
 
-    outer = list(outer_group_cols or [])
     keys = [*outer, group_col]
-    d = _checked_keys(df, keys, op_name="kruskal_wallis")
+    d = _checked_keys(df, keys, op_name=op_name)
     vc = (
         d.select(
             *keys,
             _checked_long(
-                F.col(value_col), "input", "kruskal_wallis"
+                F.col(value_col), "input", op_name
             ).alias("__v"),
         )
         .groupBy(*keys, "__v")
@@ -848,9 +827,54 @@ def kruskal_wallis(
     # pooled N per outer key stamped onto the O(k)-row group frame
     # FIRST (a window cannot nest inside the aggregate that needs it)
     w_all = Window.partitionBy(*outer) if outer else Window.partitionBy()
-    per_g = per_g.withColumn(
+    return per_g.withColumn(
         "__N", F.sum("__n_g").over(w_all).cast("long")
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    outer_group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Kruskal-Wallis H — the k-sample generalization of Mann-Whitney
+    ("did ANY group's value distribution move"): the omnibus gate a
+    dashboard runs BEFORE the per-group battery (grouped MWU → BH), so
+    k segments are charged ONE test until something actually differs:
+
+        2·avgrank(v) = 2·#{pooled < v} + #{pooled = v} + 1
+        H  = 3/(N(N+1)) · Σ_g (2R_g)²/n_g − 3(N+1)
+        C  = 1 − Σ(t³−t)/(N³−N)              (tie correction)
+        p ≈ upper χ²_{k−1} tail of H/C via Wilson-Hilferty:
+            z = ((H_c/ν)^⅓ − (1 − 2/9ν)) / √(2/9ν),  p = 1 − Φ(z)
+
+    Scale shape: pooled doubled ranks come from two RANGE windows over
+    the per-(group, value) count aggregate — no join, O(k·distinct
+    values) windowed rows at any fact volume — and the tie term needs
+    no per-value dedup (Σ_rows c·(t²−1) = Σ_v t³−t exactly, since
+    Σ_g c = t). 2R_g and the tie term are exact integers
+    (DECIMAL(38,0)); each group's (2R_g)²/n_g/(N(N+1)) contribution is
+    one double expression quantized at 1e-9 and integer-summed (the
+    CvM tn trick — order-free, engine-identical). H's classic form
+    subtracts two ~N-sized quantities, so its absolute error is
+    ~N·2⁻⁵² — negligible below 10¹² rows, documented rather than
+    hidden. The Wilson-Hilferty z feeds the shared A&S polynomial:
+    p = np/2 for z ≥ 0, else 1 − np/2 (the χ² tail is one-sided).
+
+    Returns one row (per outer group): ``(outer..., n_total, k_groups,
+    h_stat, tie_term, h_corrected, deg_f, z_wh, p_value)``. Degenerates
+    are explicit: k < 2 groups or an all-tied pool (C ≤ 0 under the
+    exact N³−N = Σ(t³−t) integer test) report NULL h/z/p with their
+    counts. NULL group keys or values raise (fail-loud).
+
+    With ``outer_group_cols`` every stage keys on the outer group —
+    one independent omnibus verdict per outer key."""
+    from .stats import normal_p_two_sided
+
+    outer = list(outer_group_cols or [])
+    per_g = _kw_per_group(df, group_col, value_col, outer, "kruskal_wallis")
     nd_g = F.col("__N").cast("double")
     # per-group normalized H contribution, quantized (order-free sum)
     agg = per_g.groupBy(*outer).agg(
@@ -913,3 +937,117 @@ def kruskal_wallis(
         F.when(ok, F.round(p, 9)).alias("p_value"),
     )
     return out.orderBy(*outer) if outer else out
+
+
+def dunn_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.05,
+    outer_group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Dunn's post-hoc test — after :func:`kruskal_wallis` says "SOME
+    group moved", this says WHICH: pairwise z-comparisons of mean
+    pooled ranks, BH-corrected across the k(k−1)/2 pairs via
+    :func:`~..stats.bh_select` (the playbook's omnibus→post-hoc rung:
+    raw pairwise MWUs after a KW rejection re-manufacture the
+    multiple-testing problem the omnibus existed to prevent, and they
+    re-rank every pair; Dunn reuses the ONE pooled ranking KW already
+    computed):
+
+        R̄_g  = (2R_g / n_g) / 2            (exact-integer 2R_g)
+        σ²ᵢⱼ = (N(N+1)/12 − Σ(t³−t)/(12(N−1))) · (1/nᵢ + 1/nⱼ)
+        zᵢⱼ  = (R̄ᵢ − R̄ⱼ) / σᵢⱼ,   p = 2(1 − Φ(|z|))   [A&S]
+        then Benjamini-Hochberg at FDR ``alpha`` over all pairs.
+
+    Scale shape: the pooled doubled ranks come from the SAME
+    two-RANGE-window fold over the per-(group, value) count aggregate
+    as the omnibus (``_kw_per_group`` — O(k·distinct values) windowed
+    rows at any fact volume); the pair frame is a broadcast self-join
+    of the O(k)-row group aggregate (k(k−1)/2 rows — pairs of GROUPS,
+    never of fact rows), and BH's rank window rides that same bounded
+    frame. 2R_g and Σ(t³−t) are exact integers (DECIMAL(38,0)); z is
+    one double expression of them.
+
+    Returns one row per unordered group pair, ``group_a < group_b``:
+    ``(outer..., group_a, group_b, n_a, n_b, mean_rank_a,
+    mean_rank_b, z, p_value, p_rank, m_tests, bh_threshold,
+    selected)``. Degenerates are explicit: an all-tied pool (σ² = 0
+    under the exact integer test N³−N ≤ Σ(t³−t)) or N < 2 reports
+    NULL z/p — and NULL p never selects nor counts toward m (the
+    bh_select contract). NULL group keys or values raise
+    (fail-loud)."""
+    from .stats import bh_select, normal_p_two_sided
+
+    outer = list(outer_group_cols or [])
+    per_g = _kw_per_group(df, group_col, value_col, outer, "dunn_test")
+    # pooled tie term stamped like __N (same O(k)-row window)
+    w_all = Window.partitionBy(*outer) if outer else Window.partitionBy()
+    per_g = per_g.withColumn(
+        "__tie", F.coalesce(F.sum("__tie_g").over(w_all), F.lit(0)).cast(_DEC)
+    )
+    a = per_g.select(
+        *outer,
+        F.col(group_col).alias("group_a"),
+        F.col("__n_g").alias("__n_a"),
+        F.col("__2rg").alias("__2r_a"),
+        F.col("__N").alias("__N"),
+        F.col("__tie").alias("__tie"),
+    )
+    b = per_g.select(
+        *[F.col(k).alias(f"__o_{k}") for k in outer],
+        F.col(group_col).alias("group_b"),
+        F.col("__n_g").alias("__n_b"),
+        F.col("__2rg").alias("__2r_b"),
+    )
+    cond = F.col("group_a") < F.col("group_b")
+    for k in outer:
+        cond = cond & (F.col(k) == F.col(f"__o_{k}"))
+    # pairs of GROUPS: both sides are the O(k)-row aggregate, so the
+    # broadcast inequality join is bounded by construction (the
+    # aggregate-not-filter crossJoin rule); outer keys equi-match via
+    # the renamed right-side copies, dropped after the join
+    pairs = a.join(F.broadcast(b), cond).drop(
+        *[f"__o_{k}" for k in outer]
+    )
+    nd = F.col("__N").cast("double")
+    mean_a = F.col("__2r_a").cast("double") / (
+        F.lit(2.0) * F.col("__n_a").cast("double")
+    )
+    mean_b = F.col("__2r_b").cast("double") / (
+        F.lit(2.0) * F.col("__n_b").cast("double")
+    )
+    # exact all-tied / tiny-pool guard: σ² > 0 ⟺ N³ − N > Σ(t³−t)
+    n_dec = F.col("__N").cast(_DEC)
+    ok = (
+        (F.col("__N") >= 2)
+        & ((n_dec * n_dec * n_dec - n_dec) > F.col("__tie"))
+    )
+    var = (
+        nd * (nd + F.lit(1.0)) / F.lit(12.0)
+        - F.col("__tie").cast("double")
+        / (F.lit(12.0) * (nd - F.lit(1.0)))
+    ) * (
+        F.lit(1.0) / F.col("__n_a").cast("double")
+        + F.lit(1.0) / F.col("__n_b").cast("double")
+    )
+    z = (mean_a - mean_b) / F.sqrt(var)
+    scored = pairs.select(
+        *outer,
+        "group_a",
+        "group_b",
+        F.col("__n_a").cast("long").alias("n_a"),
+        F.col("__n_b").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_rank_a"),
+        F.round(mean_b, 6).alias("mean_rank_b"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, F.round(normal_p_two_sided(z), 9)).alias("p_value"),
+    )
+    out = bh_select(
+        scored,
+        "p_value",
+        alpha=alpha,
+        tie_cols=[*outer, "group_a", "group_b"],
+    )
+    return out.orderBy(*outer, "group_a", "group_b")

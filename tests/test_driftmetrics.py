@@ -743,3 +743,259 @@ def test_kruskal_wallis_long_min_and_decimal_tie_term(spark):
         for f in kruskal_wallis(df, "g", "v").schema.fields
     }
     assert isinstance(out_schema["tie_term"], DecimalType)
+
+
+def _py_dunn(data):
+    """Python reference mirroring the operator's exact double op
+    order: doubled pooled ranks, exact tie term, pairwise z."""
+    from collections import Counter
+
+    allv = [v for xs in data.values() for v in xs]
+    n = len(allv)
+    cnt = Counter(allv)
+    r2 = {}
+    acc = 0
+    for v in sorted(cnt):
+        r2[v] = 2 * acc + cnt[v] + 1
+        acc += cnt[v]
+    tie = sum(t**3 - t for t in cnt.values())
+    res = {}
+    ga = sorted(data)
+    nd = float(n)
+    for i in range(len(ga)):
+        for j in range(i + 1, len(ga)):
+            gi, gj = ga[i], ga[j]
+            ni, nj = len(data[gi]), len(data[gj])
+            mi = float(sum(r2[x] for x in data[gi])) / (2.0 * float(ni))
+            mj = float(sum(r2[x] for x in data[gj])) / (2.0 * float(nj))
+            if n < 2 or (n**3 - n) <= tie:
+                res[(gi, gj)] = (ni, nj, mi, mj, None, None)
+                continue
+            var = (
+                nd * (nd + 1.0) / 12.0
+                - float(tie) / (12.0 * (nd - 1.0))
+            ) * (1.0 / float(ni) + 1.0 / float(nj))
+            z = (mi - mj) / math.sqrt(var)
+            res[(gi, gj)] = (ni, nj, mi, mj, z, _py_norm_p(z))
+    return n, tie, res
+
+
+def test_dunn_matches_python_and_names_the_moved_group(spark):
+    """Planted shift in ONE group: Dunn's BH-selected pairs are
+    exactly the two involving the shifted group, with z/p matching the
+    Python reference bit-for-bit."""
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        dunn_test,
+    )
+
+    rng = random.Random(7)
+    data = {
+        g: [rng.randrange(0, 100) + s for _ in range(150)]
+        for g, s in (("a", 0), ("b", 0), ("c", 35))
+    }
+    rows = [(g, x) for g, xs in data.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in dunn_test(df, "g", "v").collect()
+    }
+    n, tie, want = _py_dunn(data)
+    assert set(got) == set(want)
+    for pair, (ni, nj, mi, mj, z, p) in want.items():
+        r = got[pair]
+        assert (r["n_a"], r["n_b"]) == (ni, nj)
+        assert r["mean_rank_a"] == _rnd(mi, 6)
+        assert r["mean_rank_b"] == _rnd(mj, 6)
+        assert r["z"] == _rnd(z, 6)
+        assert r["p_value"] == _rnd(p, 9)
+    assert {p for p, r in got.items() if r["selected"]} == {
+        ("a", "c"),
+        ("b", "c"),
+    }
+    assert all(r["m_tests"] == 3 for r in got.values())
+
+
+def test_dunn_degenerates_and_outer_groups(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        dunn_test,
+    )
+
+    # all-tied pool: exact N^3-N <= tie guard -> NULL z/p, never
+    # selected, not counted toward m (the bh_select NULL-p contract)
+    tied = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5)], "g string, v long"
+    )
+    r = dunn_test(tied, "g", "v").collect()[0]
+    assert r["z"] is None and r["p_value"] is None
+    assert not r["selected"] and r["p_rank"] is None
+
+    # outer groups isolate: the shifted pair selects only in the
+    # drifting region
+    rng = random.Random(11)
+    rows = []
+    for region, shift in (("east", 45), ("west", 0)):
+        for g, s in (("a", 0), ("b", shift)):
+            rows += [
+                (region, g, rng.randrange(0, 80) + s) for _ in range(120)
+            ]
+    df = spark.createDataFrame(rows, "region string, g string, v long")
+    got = {
+        r["region"]: r
+        for r in dunn_test(
+            df, "g", "v", outer_group_cols=["region"]
+        ).collect()
+    }
+    assert got["east"]["selected"] and got["east"]["p_value"] < 1e-4
+    assert not got["west"]["selected"]
+
+    # NULL group key / value fail loud
+    badv = spark.createDataFrame([("a", 1), ("a", None)], "g string, v long")
+    with pytest.raises(Exception, match="dunn_test: NULL value"):
+        dunn_test(badv, "g", "v").collect()
+
+
+def test_dunn_reuses_the_kw_rank_fold_verdict_consistency(spark):
+    """Omnibus→post-hoc consistency on the same input: when KW
+    rejects, at least one Dunn pair selects; when KW retains at a
+    loose α, no pair's raw p beats the omnibus signal by orders of
+    magnitude (both read the SAME pooled doubled ranks, so a
+    contradiction would mean the folds diverged)."""
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        dunn_test,
+        kruskal_wallis,
+    )
+
+    rng = random.Random(13)
+    data = {
+        g: [rng.randrange(0, 100) + s for _ in range(130)]
+        for g, s in (("a", 0), ("b", 0), ("c", 30), ("d", 0))
+    }
+    rows = [(g, x) for g, xs in data.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    kw = kruskal_wallis(df, "g", "v").collect()[0]
+    pairs = dunn_test(df, "g", "v").collect()
+    assert kw["p_value"] < 0.05
+    sel = {(r["group_a"], r["group_b"]) for r in pairs if r["selected"]}
+    # every pair involving the planted group selects; the step-up rule
+    # may additionally pull in a borderline null pair whose rank falls
+    # under i_max (correct BH behavior, not asserted either way)
+    assert {("a", "c"), ("b", "c"), ("c", "d")} <= sel
+    # and the planted pairs carry the smallest p-values
+    by_p = sorted(pairs, key=lambda r: r["p_value"])
+    assert all("c" in (r["group_a"], r["group_b"]) for r in by_p[:3])
+
+
+def test_dunn_duckdb_oracle_shape_cross_engine(spark):
+    """The DuckDB restatement — the identical pooled-doubled-rank
+    CTEs as the KW oracle, a pairwise self-join of the O(k)-row group
+    frame, the lockstep A&S p, and the BH step-up restated relationally
+    — bit-equal on the real per-type event values (the r14 registry
+    oracle, pinned ahead of registration)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        NORMAL_P_TWO_SIDED_SQL,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        dunn_test,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    got = [tuple(r) for r in dunn_test(e, "event_type", "x").collect()]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS"
+        f" SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    p_expr = NORMAL_P_TWO_SIDED_SQL.format(z="z")
+    want = con.execute(
+        f"""
+        WITH vals AS (
+          SELECT event_type AS g,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events
+        ), vc AS (
+          SELECT g, v, CAST(count(*) AS BIGINT) AS c
+          FROM vals GROUP BY g, v
+        ), rk AS (
+          SELECT g, c,
+                 CAST(coalesce(sum(c) OVER (ORDER BY v RANGE BETWEEN
+                      UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS lt,
+                 CAST(sum(c) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS le
+          FROM vc
+        ), rr AS (
+          SELECT g, c, (le - lt) AS t,
+                 CAST(2 * lt + (le - lt) + 1 AS BIGINT) AS r2
+          FROM rk
+        ), pg AS (
+          SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+                 CAST(sum(CAST(c AS HUGEINT) * r2) AS HUGEINT) AS r2g,
+                 CAST(sum(CAST(c AS HUGEINT)
+                          * (CAST(t AS HUGEINT) * t - 1)) AS HUGEINT)
+                   AS tie_g
+          FROM rr GROUP BY g
+        ), tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(sum(tie_g) AS HUGEINT) AS tie
+          FROM pg
+        ), pairs AS (
+          SELECT a.g AS ga, b.g AS gb, a.n_g AS na, b.n_g AS nb,
+                 a.r2g AS ra, b.r2g AS rb
+          FROM pg a JOIN pg b ON a.g < b.g
+        ), f AS (
+          SELECT ga, gb, na, nb, n, tie,
+                 CAST(ra AS DOUBLE) / (2.0 * CAST(na AS DOUBLE)) AS ma,
+                 CAST(rb AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE)) AS mb,
+                 (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+                  - CAST(tie AS DOUBLE)
+                    / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+                 * (1.0 / CAST(na AS DOUBLE)
+                    + 1.0 / CAST(nb AS DOUBLE)) AS var
+          FROM pairs, tot
+        ), zz AS (
+          SELECT ga, gb, na, nb, ma, mb,
+                 CASE WHEN n >= 2 AND (CAST(n AS HUGEINT) * n * n - n)
+                           > tie
+                      THEN (ma - mb) / sqrt(var) END AS z
+          FROM f
+        ), scored AS (
+          SELECT ga, gb, na, nb,
+                 round(ma, 6) AS mean_rank_a,
+                 round(mb, 6) AS mean_rank_b,
+                 round(z, 6) AS zr,
+                 round({p_expr}, 9) AS p
+          FROM zz
+        ), nn AS (
+          SELECT *,
+                 CAST(row_number() OVER (ORDER BY p, ga, gb) AS BIGINT)
+                   AS p_rank,
+                 CAST(count(*) OVER () AS BIGINT) AS m_tests
+          FROM scored WHERE p IS NOT NULL
+        ), th AS (
+          SELECT *, round(CAST(p_rank AS DOUBLE) * 0.05
+                          / CAST(m_tests AS DOUBLE), 9) AS bh_threshold
+          FROM nn
+        ), im AS (
+          SELECT CAST(coalesce(max(CASE WHEN p <= bh_threshold
+                                        THEN p_rank END), 0) AS BIGINT)
+                   AS imax
+          FROM th
+        )
+        SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
+               mean_rank_a, mean_rank_b, zr AS z, p AS p_value,
+               p_rank, m_tests, bh_threshold,
+               p_rank <= imax AS selected
+        FROM th, im
+        ORDER BY group_a, group_b
+        """
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
