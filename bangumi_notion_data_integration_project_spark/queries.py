@@ -7099,13 +7099,16 @@ def q_orders_price_psi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeable bottom-k quantile sketch (operators/quantile_sketch,
     k=1024) instead of the exact order-statistic build — at warehouse
     scale the sketch is built shard-local and merged, so the edge pass
-    never sorts distinct values. Self-validating rows-only (seeded
-    xxhash64 sampling → deterministic, but no DuckDB twin): the
-    exact-edge sibling PSI rides alongside as one broadcast 1-row
-    aggregate, and within_tol checks |psi_sketch − psi_exact| ≤
-    max(20% of exact, 0.02) — the regime-equivalence bound
-    tests/test_drift.py::test_sketch_fed_edges_path pins on planted
-    drift. Verified true at sf0.001/0.01/0.1."""
+    never sorts distinct values. Rows-only (seeded xxhash64 sampling
+    → deterministic, but no DuckDB twin). This is the SERVING path
+    only (the r11 verdict's bench remediation: the query had doubled
+    to >10 s because it also computed the exact-edge sibling PSI for
+    in-query self-validation); the |psi_sketch − psi_exact| ≤
+    max(20% of exact, 0.02) regime-equivalence check now lives in
+    tests/test_quantile_sketch.py::
+    test_registry_psi_sketch_matches_exact_sibling (real testdata,
+    both SFs) alongside tests/test_drift.py::
+    test_sketch_fed_edges_path's planted-drift bound."""
     from .operators.drift import psi
     from .operators.quantile_sketch import quantile_sketch, sketch_quantiles
 
@@ -7124,31 +7127,10 @@ def q_orders_price_psi_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("prob") * nb).cast("int").alias("bucket"),
         F.col("est").cast("long").alias("edge"),
     )
-    approx = psi(ref.select("x"), cur, "x", n_buckets=nb, edges=edges)
-    exact = (
-        psi(ref.select("x"), cur, "x", n_buckets=nb)
-        # scalar sibling: aggregate, not filter — always exactly 1 row
-        .agg(F.max("psi").alias("psi_exact"))
-    )
-    err = F.abs(F.col("psi_sketch") - F.col("psi_exact"))
     return (
-        approx.withColumnRenamed("psi", "psi_sketch")
-        .crossJoin(F.broadcast(exact))
-        .select(
-            "bucket",
-            "edge",
-            "n_ref",
-            "n_cur",
-            "psi_sketch",
-            "psi_exact",
-            F.round(err, 6).alias("abs_err"),
-            (
-                err
-                <= F.greatest(
-                    F.lit(0.2) * F.col("psi_exact"), F.lit(0.02)
-                )
-            ).alias("within_tol"),
-        )
+        psi(ref.select("x"), cur, "x", n_buckets=nb, edges=edges)
+        .withColumnRenamed("psi", "psi_sketch")
+        .select("bucket", "edge", "n_ref", "n_cur", "psi_sketch")
         .orderBy("bucket")
     )
 

@@ -269,6 +269,14 @@ BENCH_QUERIES = [
     "segment_mk_bh",
     "lineitem_returns_ztest",
     "revenue_trimmed_mean",
+    # r12-registered (the r13 driver batch): magnitude + omnibus rungs
+    "orders_price_w1",
+    "orders_price_cvm",
+    "orders_price_mood",
+    "events_type_kw",
+    "events_type_w1",
+    "segment_returns_ztest",
+    "segment_trimmed_mean",
 ]
 
 # Registry entries intentionally NOT benched (coverage is enforced by

@@ -212,3 +212,52 @@ def test_serving_path_answers_from_persisted_sketch_alone(spark, lineitem, tmp_p
     for p in probs:
         rank = lineitem.filter(F.col("l_extendedprice") <= got[p]).count() / n
         assert abs(rank - p) <= rank_error_bound(k, p)
+
+
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_registry_psi_sketch_matches_exact_sibling(spark, sf_dir):
+    """The regime-equivalence bound the registered
+    ``orders_price_psi_sketch`` used to compute in-query (the r11
+    verdict's bench remediation demoted it here: the registered query
+    is now the k-row serving path alone): sketch-fed decile-edge PSI
+    within max(20% of exact, 0.02) of the exact-edge sibling on the
+    REAL registry input at both test SFs."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.drift import psi
+    from bangumi_notion_data_integration_project_spark.operators.quantile_sketch import (
+        quantile_sketch,
+        sketch_quantiles,
+    )
+    from bangumi_notion_data_integration_project_spark.queries import QUERIES
+
+    nb = 10
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderdate",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey", "x"
+    )
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    sk = quantile_sketch(ref, "x", ["o_orderkey"], k=1024)
+    edges = sketch_quantiles(sk, [i / nb for i in range(1, nb)]).select(
+        F.round(F.col("prob") * nb).cast("int").alias("bucket"),
+        F.col("est").cast("long").alias("edge"),
+    )
+    approx = psi(ref.select("x"), cur, "x", n_buckets=nb, edges=edges)
+    psi_sketch = approx.agg(F.max("psi")).collect()[0][0]
+    psi_exact = (
+        psi(ref.select("x"), cur, "x", n_buckets=nb)
+        .agg(F.max("psi"))
+        .collect()[0][0]
+    )
+    assert abs(psi_sketch - psi_exact) <= max(0.2 * psi_exact, 0.02)
+
+    # and the registered serving path reports exactly the sketch PSI
+    got = QUERIES["orders_price_psi_sketch"](spark, sf_dir).collect()
+    assert {r["psi_sketch"] for r in got} == {psi_sketch}
+    assert len(got) == nb
