@@ -743,6 +743,33 @@ def _mood_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
     return out.orderBy(*groups) if groups else out
 
 
+def _kw_value_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    outer: "list[str]",
+    op_name: str,
+) -> DataFrame:
+    """Per-(outer..., group, value) count aggregate — the k-sample
+    family's map-side reduction (the ``_sided_counts`` analogue) and
+    the EXACT frame the streaming KW twin stores as its state. NULL
+    group keys and values raise (the psi convention)."""
+    from .drift import _checked_keys, _checked_long
+
+    keys = [*outer, group_col]
+    d = _checked_keys(df, keys, op_name=op_name)
+    return (
+        d.select(
+            *keys,
+            _checked_long(
+                F.col(value_col), "input", op_name
+            ).alias("__v"),
+        )
+        .groupBy(*keys, "__v")
+        .agg(F.count("*").cast("long").alias("__c"))
+    )
+
+
 def _kw_per_group(
     df: DataFrame,
     group_col: str,
@@ -763,20 +790,18 @@ def _kw_per_group(
     O(k·distinct values) windowed rows at any fact volume — and the
     tie term needs no per-value dedup (Σ_rows c·(t²−1) = Σ_v t³−t
     exactly, since Σ_g c = t)."""
-    from .drift import _checked_keys, _checked_long
+    vc = _kw_value_counts(df, group_col, value_col, outer, op_name)
+    return _kw_per_group_from_counts(vc, group_col, outer)
 
+
+def _kw_per_group_from_counts(
+    vc: DataFrame, group_col: str, outer: "list[str]"
+) -> DataFrame:
+    """The rank fold over a ``(outer..., group, __v, __c)`` count
+    frame — split out so the streaming KW twin can serve from its
+    stored state through the identical expressions (the
+    ``_mwu_from_counts`` rule)."""
     keys = [*outer, group_col]
-    d = _checked_keys(df, keys, op_name=op_name)
-    vc = (
-        d.select(
-            *keys,
-            _checked_long(
-                F.col(value_col), "input", op_name
-            ).alias("__v"),
-        )
-        .groupBy(*keys, "__v")
-        .agg(F.count("*").cast("long").alias("__c"))
-    )
     if outer:
         w_le = (
             Window.partitionBy(*outer)
@@ -871,10 +896,18 @@ def kruskal_wallis(
 
     With ``outer_group_cols`` every stage keys on the outer group —
     one independent omnibus verdict per outer key."""
-    from .stats import normal_p_two_sided
-
     outer = list(outer_group_cols or [])
     per_g = _kw_per_group(df, group_col, value_col, outer, "kruskal_wallis")
+    return _kw_from_per_group(per_g, outer)
+
+
+def _kw_from_per_group(per_g: DataFrame, outer: "list[str]") -> DataFrame:
+    """The KW formula tail over the shared per-group rank aggregate —
+    serves the batch operator AND ``streaming.read_streaming_kw``
+    (one implementation, so the streamed omnibus verdict can never
+    diverge from the batch one)."""
+    from .stats import normal_p_two_sided
+
     nd_g = F.col("__N").cast("double")
     # per-group normalized H contribution, quantized (order-free sum)
     agg = per_g.groupBy(*outer).agg(
@@ -978,10 +1011,22 @@ def dunn_test(
     NULL z/p — and NULL p never selects nor counts toward m (the
     bh_select contract). NULL group keys or values raise
     (fail-loud)."""
-    from .stats import bh_select, normal_p_two_sided
-
     outer = list(outer_group_cols or [])
     per_g = _kw_per_group(df, group_col, value_col, outer, "dunn_test")
+    return _dunn_from_per_group(per_g, group_col, outer, alpha)
+
+
+def _dunn_from_per_group(
+    per_g: DataFrame,
+    group_col: str,
+    outer: "list[str]",
+    alpha: float,
+) -> DataFrame:
+    """The Dunn formula tail over the shared per-group rank aggregate
+    — serves the batch operator AND ``streaming.read_streaming_dunn``
+    (the k-sample rung's "one fold, two verdicts" rule)."""
+    from .stats import bh_select, normal_p_two_sided
+
     # pooled tie term stamped like __N (same O(k)-row window)
     w_all = Window.partitionBy(*outer) if outer else Window.partitionBy()
     per_g = per_g.withColumn(

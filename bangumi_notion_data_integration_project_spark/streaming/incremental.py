@@ -1881,3 +1881,156 @@ def read_streaming_mood(spark: SparkSession, state_dir: str) -> DataFrame:
 
     vc = spark.read.parquet(state_dir).select("__v", "__c1", "__c2")
     return _mood_from_counts(vc, [])
+
+
+def start_streaming_kw(
+    stream: DataFrame,
+    state_dir: str,
+    *,
+    group_col: str,
+    value_col: str,
+    checkpoint_dir: str,
+    adopt_legacy_params: bool = False,
+):
+    """Streaming Kruskal-Wallis omnibus monitor — the k-sample rung of
+    the drift dashboard streamed ("did ANY group's value distribution
+    differ ACROSS groups in what has arrived so far"): unlike the
+    two-sample twins there is no frozen reference side — the k groups
+    are compared against each other within the delivered union — so
+    the state is the per-(group, value) count frame itself
+    ``(__g, __v, __c, __batch_id)``, the EXACT aggregate the batch
+    operator folds over (``twosample._kw_value_counts``). The verdict
+    is served by :func:`read_streaming_kw` through the batch formula
+    tail (``_kw_per_group_from_counts`` → ``_kw_from_per_group``), so
+    the streamed H/p equal batch ``kruskal_wallis(union-of-batches)``
+    bit-for-bit — and the SAME stored state also serves
+    :func:`read_streaming_dunn`'s post-hoc pair verdicts ("one fold,
+    two verdicts", the k-sample analogue of the sided-counts family's
+    five).
+
+    State is O(k·distinct values) — NOT fixed-size — so the operator
+    contract is the two-sample module's: the caller controls value
+    cardinality (cents, or pre-bucketed values at warehouse scale).
+    Exactly-once: the count fold is a SUM — monoid, not idempotent —
+    rung 3 of DEPLOYMENT.md's ladder with the rollup twin's
+    ``__batch_id`` replay guard verbatim; ``state_dir`` and
+    ``checkpoint_dir`` live and die together. The column contract is
+    VERIFIED on restart (the CMS/PSI param gate): state carries
+    ``__cols_fp`` — a fingerprint of (group_col, value_col) — and the
+    fold FAILS LOUD if a restart re-pointed the monitor at different
+    columns (folding apples-counts into oranges-state would silently
+    corrupt every rank). Param-less legacy state needs the one-time
+    explicit ``adopt_legacy_params=True`` migration, loudly logged.
+    NULL group keys or stream values raise (the fail-loud
+    convention)."""
+    from ..operators.drift import _checked_keys, _checked_long
+
+    cols_fp = int(
+        stream.sparkSession.range(1)
+        .select(F.xxhash64(F.lit(group_col), F.lit(value_col)))
+        .first()[0]
+    )
+    wm: dict[str, int | None] = {"v": None}
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        stored = None
+        if recover_dir(state_dir):
+            stored = spark.read.parquet(state_dir)
+            if wm["v"] is None:  # first touch this process: verify
+                if _verify_state_params(
+                    stored,
+                    {"__cols_fp": cols_fp},
+                    op="start_streaming_kw",
+                    state_dir=state_dir,
+                    checkpoint_dir=checkpoint_dir,
+                    adopt_legacy=adopt_legacy_params,
+                ):
+                    stored = _persist_param_stamp(
+                        spark,
+                        stored,
+                        state_dir,
+                        {"__cols_fp": F.lit(cols_fp).cast("long")},
+                    )
+            bid = wm["v"]
+            if bid is None:  # cold cache → recovery path, read disk
+                bid = stored.agg(F.max("__batch_id")).first()[0]
+            if bid is not None and batch_id <= bid:
+                wm["v"] = bid
+                return  # checkpoint replay of an already-folded batch
+        checked = _checked_keys(
+            batch.select(
+                F.col(group_col).alias("__g"),
+                F.col(value_col).alias("__x"),
+            ),
+            ["__g"],
+            op_name="kruskal_wallis",
+        )
+        delta = (
+            checked.select(
+                "__g",
+                _checked_long(
+                    F.col("__x"), "input", "kruskal_wallis"
+                ).alias("__v"),
+            )
+            .groupBy("__g", "__v")
+            .agg(F.count("*").cast("long").alias("__c"))
+        )
+        if stored is not None:
+            merged = (
+                stored.select("__g", "__v", "__c")
+                .unionByName(delta)
+                .groupBy("__g", "__v")
+                .agg(F.sum("__c").cast("long").alias("__c"))
+            )
+        else:
+            merged = delta
+        tmp = staging_path(state_dir)
+        merged.withColumn("__batch_id", F.lit(batch_id)).withColumn(
+            "__cols_fp", F.lit(cols_fp).cast("long")
+        ).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        promote_dir(tmp, state_dir)
+        wm["v"] = batch_id
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_streaming_kw(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The one-row Kruskal-Wallis omnibus verdict from the stored
+    (group, value) count state — the serving path of
+    :func:`start_streaming_kw`, computed by the identical formula
+    tail as the batch operator."""
+    from ..operators.twosample import (
+        _kw_from_per_group,
+        _kw_per_group_from_counts,
+    )
+
+    vc = spark.read.parquet(state_dir).select("__g", "__v", "__c")
+    return _kw_from_per_group(
+        _kw_per_group_from_counts(vc, "__g", []), []
+    )
+
+
+def read_streaming_dunn(
+    spark: SparkSession, state_dir: str, *, alpha: float = 0.05
+) -> DataFrame:
+    """Dunn post-hoc pair verdicts from the SAME stored KW state —
+    WHICH group moved, BH-corrected, batch-exact (the k-sample "one
+    fold, two verdicts" serving path; pair columns come back as
+    ``group_a``/``group_b``)."""
+    from ..operators.twosample import (
+        _dunn_from_per_group,
+        _kw_per_group_from_counts,
+    )
+
+    vc = spark.read.parquet(state_dir).select("__g", "__v", "__c")
+    return _dunn_from_per_group(
+        _kw_per_group_from_counts(vc, "__g", []), "__g", [], alpha
+    )

@@ -2732,3 +2732,185 @@ def test_streaming_param_gate_rejects_half_stamped_contradiction(
         Exception, match="start_streaming_psi.*built"
     ):
         run("ckpt2", True)  # adopt flag must NOT bypass the check
+
+
+def test_streaming_kw_equals_batch_and_serves_dunn(spark, tmp_path):
+    """The k-sample rung streamed (rung 3, per-(group, value) count
+    state): after draining batches where one event type drifts,
+    read_streaming_kw equals batch kruskal_wallis on the concatenated
+    delivered input EXACTLY (the shared _kw_from_per_group
+    guarantee), read_streaming_dunn serves the batch dunn_test pair
+    verdicts from the SAME stored state ("one fold, two verdicts"),
+    a checkpoint wipe re-delivers every batch and the __batch_id
+    guard must skip them, and a genuinely new batch keeps folding."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        dunn_test,
+        kruskal_wallis,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        read_streaming_dunn,
+        read_streaming_kw,
+        start_streaming_kw,
+    )
+
+    rng = __import__("random").Random(103)
+    # three event types; type "c" drifts upward batch over batch
+    batches = [
+        [
+            (b * 1000 + i, "2024-01-02 00:00:00", 2, g,
+             float(rng.randrange(0, 200) + (b * 50 if g == "c" else 0)))
+            for i in range(40)
+            for g in ("a", "b", "c")
+        ]
+        for b in range(3)
+    ]
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "kw")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in batches:
+        _write_batch(spark, inp, chunk)
+
+    def run():
+        q = start_streaming_kw(
+            read_event_stream(spark, inp, SCHEMA).select(
+                F.col("event_type"),
+                F.round(F.col("value")).cast("long").alias("x"),
+                F.col("ts"),
+            ),
+            state,
+            group_col="event_type",
+            value_col="x",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def stored_kw():
+        return tuple(read_streaming_kw(spark, state).collect()[0])
+
+    def stored_dunn():
+        return [
+            tuple(r) for r in read_streaming_dunn(spark, state).collect()
+        ]
+
+    def direct(delivered):
+        df = _rows(spark, delivered).select(
+            "event_type",
+            F.round(F.col("value")).cast("long").alias("x"),
+        )
+        return (
+            tuple(kruskal_wallis(df, "event_type", "x").collect()[0]),
+            [tuple(r) for r in dunn_test(df, "event_type", "x").collect()],
+        )
+
+    run()
+    want_kw, want_dunn = direct([r for b in batches for r in b])
+    assert stored_kw() == want_kw
+    assert stored_kw()[7] < 0.01  # the drifted type registers (p_value)
+    assert stored_dunn() == want_dunn
+    sel = {
+        (r[0], r[1]) for r in stored_dunn() if r[-1]
+    }
+    assert sel and all("c" in p for p in sel)  # Dunn names the mover
+
+    shutil.rmtree(ckpt)
+    run()
+    assert stored_kw() == want_kw, "replayed batches double-counted"
+
+    extra = [
+        (9000 + i, "2024-01-03 00:00:00", 3, "c",
+         float(rng.randrange(400, 700)))
+        for i in range(60)
+    ]
+    _write_batch(spark, inp, extra)
+    run()
+    want_kw2, want_dunn2 = direct([r for b in batches for r in b] + extra)
+    assert stored_kw() == want_kw2
+    assert stored_dunn() == want_dunn2
+
+
+def test_streaming_kw_cols_gate_and_null_fail_loud(spark, tmp_path):
+    """The KW twin's restart contract: state carries __cols_fp and a
+    restart that re-points the monitor at different columns FAILS
+    LOUD (folding apples-counts into oranges-state would corrupt
+    every rank); NULL group keys and values crash the fold with the
+    batch op's name."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_kw,
+    )
+
+    rng = __import__("random").Random(17)
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "kw")
+    _write_batch(
+        spark,
+        inp,
+        [(i, "2024-01-02 00:00:00", 2, ("a", "b")[i % 2],
+          float(rng.randrange(0, 100)))
+         for i in range(60)],
+    )
+
+    def run(value_expr, ckpt):
+        q = start_streaming_kw(
+            read_event_stream(spark, inp, SCHEMA).select(
+                F.col("event_type"),
+                value_expr.alias("x"),
+                F.col("ts"),
+            ),
+            state,
+            group_col="event_type",
+            value_col="x",
+            checkpoint_dir=str(tmp_path / ckpt),
+        )
+        q.awaitTermination(180)
+
+    run(F.round(F.col("value")).cast("long"), "ckpt")
+    assert "__cols_fp" in spark.read.parquet(state).columns
+
+    # restart pointing the same state at a different value column name
+    _write_batch(
+        spark, inp, [(900, "2024-01-03 00:00:00", 2, "a", 5.0)]
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        start_streaming_kw as _kw,
+    )
+
+    q = _kw(
+        read_event_stream(spark, inp, SCHEMA).select(
+            F.col("event_type"),
+            F.round(F.col("value")).cast("long").alias("y"),
+            F.col("ts"),
+        ),
+        state,
+        group_col="event_type",
+        value_col="y",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    with pytest.raises(Exception, match="start_streaming_kw.*built with"):
+        q.awaitTermination(180)
+
+    # NULL stream value crashes the fold with the batch op name
+    inp2 = str(tmp_path / "in2")
+    _write_batch(
+        spark, inp2,
+        [(1, "2024-01-02 00:00:00", 2, "a", 5.0),
+         (2, "2024-01-02 00:00:00", 2, "a", None)],
+    )
+    q2 = start_streaming_kw(
+        read_event_stream(spark, inp2, SCHEMA).select(
+            F.col("event_type"),
+            F.col("value").cast("long").alias("x"),
+            F.col("ts"),
+        ),
+        str(tmp_path / "kw2"),
+        group_col="event_type",
+        value_col="x",
+        checkpoint_dir=str(tmp_path / "ckpt3"),
+    )
+    with pytest.raises(Exception, match="kruskal_wallis: NULL value"):
+        q2.awaitTermination(180)
