@@ -857,6 +857,133 @@ def _kw_per_group_from_counts(
     )
 
 
+def ansari_bradley(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Ansari-Bradley two-sample scale test — the DISPERSION leg of
+    the drift playbook (MWU/Mood ask whether the LOCATION moved, KS/
+    CvM whether the SHAPE did, W1/PSI how FAR; this asks whether the
+    SPREAD changed — a model's input can keep its median while its
+    tails quietly widen, and no other member of the family is built
+    to page on that). Rank-based and distribution-free: pooled values
+    are scored from both ends inward,
+
+        s(i)  = min(i, N+1−i)            (tie blocks take the block
+                                          average score)
+        T     = Σ over ref values s̄(v)   (small T ⟺ ref sits in the
+                                          tails ⟺ ref MORE dispersed)
+        E[T]  = n₁·ā,  ā = Σᵢ s(i) / N
+        Var[T]= n₁n₂/(N(N−1)) · (Σ_v t·s̄² − N·ā²)   (tie-exact)
+        z     = (T − E)/√Var,  p = 2(1 − Φ(|z|))     [A&S]
+
+    Caveat the dashboard must respect (documented, not hidden): AB
+    assumes the two locations are ALIGNED — a large median shift
+    masquerades as a scale change; run Mood first, and center per
+    side (subtract each side's median) when locations differ.
+
+    Exactness/scale shape (the _sided_counts contract): the doubled
+    block score sum 2S over a tie block's rank span [m−t+1, m] has a
+    closed form from the pooled cumulative counts — two consecutive-
+    integer sums split at the fold point h = ⌊(N+1)/2⌋ — so the whole
+    statistic computes on the DISTINCT-VALUE aggregate with ONE
+    cumulative window (O(distinct values) windowed rows at any fact
+    volume), 2S exact in DECIMAL(38,0), and the rational per-value
+    terms c₁·2S/(2t) and (2S)²/(4t) quantized at 1e-9 and integer-
+    summed (the CvM/KW tn trick — order-free, engine-identical; the
+    per-term double representation error is the documented ~N·2⁻⁵²
+    ceiling). Returns one row per group: ``(group..., n_ref, n_cur,
+    ab_stat, ab_expected, z, p_value)``; one-sided groups report NULL
+    stats with their counts, an all-tied pool (zero score variance)
+    reports NULL z/p, NULL values raise (fail-loud). No continuity
+    correction (the scipy.stats.ansari normal-approximation
+    convention)."""
+    groups = list(group_cols or [])
+    vc = _sided_counts(ref, cur, value_col, groups, "ansari_bradley")
+    return _ab_from_counts(vc, groups)
+
+
+def _ab_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
+    """Shared Ansari-Bradley formula tail over a sided-counts frame —
+    serves the batch operator AND ``streaming.read_streaming_ab`` (the
+    ``_mwu_from_counts`` rule: one stored state, now SIX batch-exact
+    verdicts)."""
+    from .stats import normal_p_two_sided
+
+    based, _ = _ecdf_base(vc, groups)
+    t = (F.col("__c1") + F.col("__c2")).cast("long")
+    m = (F.col("__m1") + F.col("__m2")).cast("long")
+    n_tot = (F.col("n_ref") + F.col("n_cur")).cast("long")
+    a = (m - t + F.lit(1)).cast("long")
+    b = m
+    # fold point: scores rise 1..h then fall back; ⌊(N+1)/2⌋ via
+    # shiftright (nonnegative, so it IS the floor division)
+    h = F.shiftright(n_tot + F.lit(1), 1)
+    lo_hi = F.least(b, h)
+    up_lo = F.greatest(a, h + F.lit(1))
+    # doubled consecutive-integer sums (always even before doubling,
+    # so 2S needs no halving): 2·Σ_{a..lo_hi} i  and
+    # 2·Σ_{up_lo..b} (N+1−i)
+    s2_lo = F.when(
+        a <= lo_hi,
+        (lo_hi + a).cast(_DEC) * (lo_hi - a + F.lit(1)),
+    ).otherwise(F.lit(0)).cast(_DEC)
+    s2_hi = F.when(
+        b >= up_lo,
+        (F.lit(2) * n_tot + F.lit(2) - up_lo - b).cast(_DEC)
+        * (b - up_lo + F.lit(1)),
+    ).otherwise(F.lit(0)).cast(_DEC)
+    s2 = (s2_lo + s2_hi).cast(_DEC)
+    td = t.cast("double")
+    s2d = s2.cast("double")
+    # per-value rational terms, 1e-9-quantized (order-free sums)
+    term_t = F.round(
+        F.col("__c1").cast("double") * s2d / (F.lit(2.0) * td)
+        * F.lit(1000000000.0)
+    ).cast(_DEC)
+    term_ss = F.round(
+        s2d * s2d / (F.lit(4.0) * td) * F.lit(1000000000.0)
+    ).cast(_DEC)
+    agg = based.groupBy(*groups).agg(
+        F.coalesce(F.max("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.max("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        F.coalesce(F.sum(term_t).cast(_DEC), F.lit(0).cast(_DEC))
+        .alias("__qt"),
+        F.coalesce(F.sum(term_ss).cast(_DEC), F.lit(0).cast(_DEC))
+        .alias("__qss"),
+        # Σ_v 2S is exactly 2·Σᵢ s(i) — the exact integer total
+        F.coalesce(F.sum(s2).cast(_DEC), F.lit(0).cast(_DEC))
+        .alias("__s2tot"),
+    )
+    n1d = F.col("n_ref").cast("double")
+    n2d = F.col("n_cur").cast("double")
+    nd = n1d + n2d
+    t_stat = F.col("__qt").cast("double") / F.lit(1000000000.0)
+    abar = F.col("__s2tot").cast("double") / (F.lit(2.0) * nd)
+    e_t = n1d * abar
+    varsum = (
+        F.col("__qss").cast("double") / F.lit(1000000000.0)
+        - nd * abar * abar
+    )
+    var = n1d * n2d / (nd * (nd - F.lit(1.0))) * varsum
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    ok = both & (F.col("n_ref") + F.col("n_cur") >= 2) & (var > 0)
+    z = (t_stat - e_t) / F.sqrt(var)
+    out = agg.select(
+        *groups,
+        "n_ref",
+        "n_cur",
+        F.when(both, F.round(t_stat, 6)).alias("ab_stat"),
+        F.when(both, F.round(e_t, 6)).alias("ab_expected"),
+        F.when(ok, F.round(z, 6)).alias("z"),
+        F.when(ok, F.round(normal_p_two_sided(z), 9)).alias("p_value"),
+    )
+    return out.orderBy(*groups) if groups else out
+
+
 def kruskal_wallis(
     df: DataFrame,
     group_col: str,

@@ -2034,3 +2034,14 @@ def read_streaming_dunn(
     return _dunn_from_per_group(
         _kw_per_group_from_counts(vc, "__g", []), "__g", [], alpha
     )
+
+
+def read_streaming_ab(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Ansari-Bradley scale verdict from any stored sided-counts state
+    (see :func:`read_streaming_w1`): the dispersion leg served from
+    the SAME fold — one stored state, six batch-exact verdicts (MWU,
+    KS, W1, CvM, Mood, AB)."""
+    from ..operators.twosample import _ab_from_counts
+
+    vc = spark.read.parquet(state_dir).select("__v", "__c1", "__c2")
+    return _ab_from_counts(vc, [])

@@ -377,13 +377,14 @@ def test_driftmetrics_duckdb_oracle_shapes_cross_engine(spark):
 def test_one_sided_counts_state_serves_all_five_verdicts(spark, tmp_path):
     """The two-sample family are pure functions of one sided-counts
     table: after draining a stream through start_streaming_mwu, the
-    SAME stored state serves all five verdicts — MWU, KS, W1, CvM,
-    Mood — equal to the batch operators on ref vs the delivered union
-    ("one fold, five verdicts", the DEPLOYMENT.md dashboard-contract
-    claim as a single executable assertion)."""
+    SAME stored state serves all six verdicts — MWU, KS, W1, CvM,
+    Mood, AB — equal to the batch operators on ref vs the delivered
+    union ("one fold, six verdicts", the DEPLOYMENT.md
+    dashboard-contract claim as a single executable assertion)."""
     from pyspark.sql import functions as F
 
     from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        ansari_bradley,
         cramer_von_mises,
         ks_two_sample,
         mann_whitney_u,
@@ -392,6 +393,7 @@ def test_one_sided_counts_state_serves_all_five_verdicts(spark, tmp_path):
     )
     from bangumi_notion_data_integration_project_spark.streaming.incremental import (
         read_event_stream,
+        read_streaming_ab,
         read_streaming_cvm,
         read_streaming_ks,
         read_streaming_mood,
@@ -451,6 +453,7 @@ def test_one_sided_counts_state_serves_all_five_verdicts(spark, tmp_path):
         (read_streaming_w1, wasserstein_1),
         (read_streaming_cvm, cramer_von_mises),
         (read_streaming_mood, mood_median_test),
+        (read_streaming_ab, ansari_bradley),
     ):
         got = tuple(read_fn(spark, state).collect()[0])
         want = tuple(batch_fn(ref_df, cur, "x").collect()[0])
@@ -999,3 +1002,231 @@ def test_dunn_duckdb_oracle_shape_cross_engine(spark):
         """
     ).fetchall()
     assert got == [tuple(w) for w in want]
+
+
+def _py_ab(xs, ys):
+    """Python Ansari-Bradley mirroring the operator's doubled block
+    scores and quantized double op order."""
+    from collections import Counter
+
+    n1, n2 = len(xs), len(ys)
+    nn = n1 + n2
+    c1 = Counter(xs)
+    c2 = Counter(ys)
+    h = (nn + 1) // 2
+    m = qt = qss = s2tot = 0
+    for v in sorted(set(xs) | set(ys)):
+        t = c1[v] + c2[v]
+        m += t
+        a_, b_ = m - t + 1, m
+        lo = min(b_, h)
+        s2 = (lo + a_) * (lo - a_ + 1) if a_ <= lo else 0
+        up = max(a_, h + 1)
+        if b_ >= up:
+            s2 += (2 * nn + 2 - up - b_) * (b_ - up + 1)
+        qt += math.floor(
+            float(c1[v]) * float(s2) / (2.0 * float(t)) * 1e9 + 0.5
+        )
+        qss += math.floor(
+            float(s2) * float(s2) / (4.0 * float(t)) * 1e9 + 0.5
+        )
+        s2tot += s2
+    t_stat = qt / 1e9
+    abar = float(s2tot) / (2.0 * float(nn))
+    e_t = float(n1) * abar
+    varsum = qss / 1e9 - float(nn) * abar * abar
+    var = float(n1) * float(n2) / (float(nn) * (float(nn) - 1.0)) * varsum
+    if n1 == 0 or n2 == 0 or nn < 2 or var <= 0:
+        return t_stat, e_t, None, None
+    z = (t_stat - e_t) / math.sqrt(var)
+    return t_stat, e_t, z, _py_norm_p(z)
+
+
+def test_ab_matches_python_and_detects_scale_drift(spark):
+    """Dispersion leg: same center, 3× the spread → AB pages; same
+    distribution → it does not; statistics match the Python reference
+    bit-for-bit. Textbook anchor: untied 1..4 pooled scores are
+    (1,2,2,1), so an even ref/cur split has E[T] = n₁·6/4."""
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        ansari_bradley,
+    )
+
+    rng = random.Random(5)
+    xs = [rng.randrange(-50, 51) for _ in range(200)]
+    ys = [3 * rng.randrange(-50, 51) for _ in range(180)]
+    a, b = _two_dfs(spark, xs, ys)
+    r = ansari_bradley(a, b, "v").collect()[0]
+    t, e, z, p = _py_ab(xs, ys)
+    assert (r["n_ref"], r["n_cur"]) == (200, 180)
+    assert r["ab_stat"] == _rnd(t, 6)
+    assert r["ab_expected"] == _rnd(e, 6)
+    assert r["z"] == _rnd(z, 6)
+    assert r["p_value"] == _rnd(p, 9)
+    assert r["z"] > 3.0 and r["p_value"] < 1e-4  # wider cur ⇒ ref central
+
+    ys2 = [rng.randrange(-50, 51) for _ in range(180)]
+    a2, b2 = _two_dfs(spark, xs, ys2)
+    r2 = ansari_bradley(a2, b2, "v").collect()[0]
+    assert r2["p_value"] > 0.05
+
+    # the 4-point anchor: scores 1,2,2,1; ref={1,4} takes the tails
+    c, d = _two_dfs(spark, [1, 4], [2, 3])
+    r3 = ansari_bradley(c, d, "v").collect()[0]
+    assert r3["ab_stat"] == 2.0 and r3["ab_expected"] == 3.0
+
+
+def test_ab_grouped_one_sided_tied_and_null(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        ansari_bradley,
+    )
+
+    rng = random.Random(6)
+    rows_r, rows_c, series = [], [], {}
+    for g, scale in (("a", 3), ("b", 1)):
+        xs = [rng.randrange(-40, 41) for _ in range(120)]
+        ys = [scale * rng.randrange(-40, 41) for _ in range(110)]
+        series[g] = (xs, ys)
+        rows_r += [(g, x) for x in xs]
+        rows_c += [(g, y) for y in ys]
+    rows_r += [("refonly", 7)]
+    ref = spark.createDataFrame(rows_r, "g string, v long")
+    cur = spark.createDataFrame(rows_c, "g string, v long")
+    got = {
+        r["g"]: r
+        for r in ansari_bradley(ref, cur, "v", group_cols=["g"]).collect()
+    }
+    for g, (xs, ys) in series.items():
+        t, e, z, p = _py_ab(xs, ys)
+        assert got[g]["ab_stat"] == _rnd(t, 6), g
+        assert got[g]["z"] == _rnd(z, 6), g
+    assert got["a"]["p_value"] < 1e-4  # the scaled group pages
+    assert got["b"]["p_value"] > 0.05  # the flat one does not
+    assert got["refonly"]["ab_stat"] is None
+    assert got["refonly"]["n_cur"] == 0
+
+    # all-tied pool: every score equal -> zero variance -> NULL z/p
+    c, d = _two_dfs(spark, [5, 5], [5])
+    r = ansari_bradley(c, d, "v").collect()[0]
+    assert r["ab_stat"] is not None and r["z"] is None
+
+    bad = spark.createDataFrame([(1,), (None,)], "v long")
+    good = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(Exception, match="ansari_bradley: NULL value"):
+        ansari_bradley(bad, good, "v").collect()
+
+
+def test_ab_duckdb_oracle_shape_cross_engine(spark):
+    """The DuckDB restatement — identical doubled block-score closed
+    forms from the pooled cumulative counts, identical 1e-9-quantized
+    terms, the lockstep A&S p — bit-equal on the real order-price era
+    split (the r14 registry oracle, pinned ahead of registration)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        NORMAL_P_TWO_SIDED_SQL,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        ansari_bradley,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    got = tuple(ansari_bradley(ref, cur, "x").collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS"
+        f" SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    p_expr = NORMAL_P_TWO_SIDED_SQL.format(z="z")
+    want = con.execute(
+        f"""
+        WITH sides AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN 1 ELSE 2 END AS s
+          FROM orders
+        ), vc AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+                 CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+          FROM sides GROUP BY v
+        ), cum AS (
+          SELECT v, c1, c2, c1 + c2 AS t,
+                 CAST(sum(c1 + c2) OVER (ORDER BY v ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS m,
+                 CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS m1
+          FROM vc
+        ), tot AS (
+          SELECT CAST(max(m1) AS BIGINT) AS n1,
+                 CAST(max(m) - max(m1) AS BIGINT) AS n2,
+                 CAST(max(m) AS BIGINT) AS n
+          FROM cum
+        ), scored AS (
+          SELECT c1, t,
+                 (CASE WHEN m - t + 1 <= least(m, (n + 1) // 2)
+                       THEN CAST(least(m, (n + 1) // 2) + (m - t + 1)
+                                 AS HUGEINT)
+                            * (least(m, (n + 1) // 2) - (m - t + 1) + 1)
+                       ELSE 0 END
+                  + CASE WHEN m >= greatest(m - t + 1, (n + 1) // 2 + 1)
+                         THEN CAST(2 * n + 2
+                                   - greatest(m - t + 1, (n + 1) // 2 + 1)
+                                   - m AS HUGEINT)
+                              * (m - greatest(m - t + 1,
+                                              (n + 1) // 2 + 1) + 1)
+                         ELSE 0 END) AS s2
+          FROM cum, tot
+        ), agg AS (
+          SELECT max(n1) AS n1, max(n2) AS n2,
+                 sum(CAST(round(CAST(c1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                / (2.0 * CAST(t AS DOUBLE))
+                                * 1000000000.0) AS HUGEINT)) AS qt,
+                 sum(CAST(round(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                                / (4.0 * CAST(t AS DOUBLE))
+                                * 1000000000.0) AS HUGEINT)) AS qss,
+                 sum(s2) AS s2tot
+          FROM scored, tot
+        ), f AS (
+          SELECT n1, n2,
+                 CAST(qt AS DOUBLE) / 1000000000.0 AS t_stat,
+                 CAST(s2tot AS DOUBLE)
+                   / (2.0 * (CAST(n1 AS DOUBLE) + n2)) AS abar,
+                 CAST(qss AS DOUBLE) / 1000000000.0 AS ss
+          FROM agg
+        ), zc AS (
+          SELECT n1, n2, t_stat,
+                 CAST(n1 AS DOUBLE) * abar AS e_t,
+                 CAST(n1 AS DOUBLE) * n2
+                   / ((CAST(n1 AS DOUBLE) + n2)
+                      * ((CAST(n1 AS DOUBLE) + n2) - 1.0))
+                   * (ss - (CAST(n1 AS DOUBLE) + n2) * abar * abar)
+                   AS var
+          FROM f
+        ), zz AS (
+          SELECT n1, n2, t_stat, e_t,
+                 CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 >= 2
+                           AND var > 0
+                      THEN (t_stat - e_t) / sqrt(var) END AS z
+          FROM zc
+        )
+        SELECT n1 AS n_ref, n2 AS n_cur,
+               round(t_stat, 6) AS ab_stat,
+               round(e_t, 6) AS ab_expected,
+               round(z, 6) AS z,
+               round({p_expr}, 9) AS p_value
+        FROM zz
+        """
+    ).fetchall()[0]
+    assert got == tuple(want)
