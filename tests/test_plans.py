@@ -1207,3 +1207,59 @@ def test_segment_trimmed_mean_broadcasts_customer_dim(spark):
     plan = _plan(spark, "segment_trimmed_mean")
     assert not re.findall(r"\(\d+\) SortMergeJoin", plan), plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_r14_ready_dunn_and_ab_plan_shapes(spark):
+    """Plan pins for the r14-ready operators ahead of registration
+    (the standing rule, applied early): Dunn's rank windows sit on the
+    per-(group, value) count aggregate and its pair join is a
+    broadcast of the O(k)-row group frame (BroadcastNestedLoopJoin on
+    AGGREGATES — the aggregate-not-filter rule — never a cartesian of
+    fact rows); Ansari-Bradley's fold window sits on the
+    distinct-value sided-counts aggregate with a two-column read
+    schema."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        ansari_bradley,
+        dunn_test,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    plan = dunn_test(e, "event_type", "x")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    lines = plan.splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    aggs = [
+        i
+        for i, l in enumerate(lines)
+        if "HashAggregate(keys=[event_type" in l and ", __v" in l
+    ]
+    assert wins and aggs, plan
+    for w in wins:
+        assert any(a > w for a in aggs), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    plan2 = ansari_bradley(ref, cur, "x")._jdf.queryExecution(
+    ).executedPlan().toString()
+    lines2 = plan2.splitlines()
+    wins2 = [i for i, l in enumerate(lines2) if "Window" in l]
+    aggs2 = [
+        i for i, l in enumerate(lines2)
+        if "HashAggregate(keys=[__v" in l
+    ]
+    assert wins2 and aggs2, plan2
+    for w in wins2:
+        assert any(a > w for a in aggs2), plan2
+    schemas = set(_read_schemas(plan2))
+    assert schemas == {"o_totalprice:double,o_orderdate:timestamp_ntz"}, plan2
