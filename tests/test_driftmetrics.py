@@ -196,6 +196,7 @@ def test_driftmetrics_grouped_isolate_and_one_sided(spark):
 
 def test_driftmetrics_empty_inputs_report_zero_counts(spark):
     from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        ansari_bradley,
         cramer_von_mises,
         mood_median_test,
         wasserstein_1,
@@ -206,6 +207,10 @@ def test_driftmetrics_empty_inputs_report_zero_counts(spark):
     assert (r["n_ref"], r["n_cur"], r["w1"]) == (0, 0, None)
     r = cramer_von_mises(empty, empty, "v").collect()[0]
     assert (r["n_ref"], r["n_cur"], r["t_stat"]) == (0, 0, None)
+    r = ansari_bradley(empty, empty, "v").collect()[0]
+    assert (r["n_ref"], r["n_cur"], r["ab_stat"], r["z"]) == (
+        0, 0, None, None,
+    )
     # mood's median frame is empty-join-left: counts survive, stats NULL
     rows = mood_median_test(empty, empty, "v").collect()
     assert len(rows) == 1
