@@ -970,7 +970,12 @@ def _ab_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
     )
     var = n1d * n2d / (nd * (nd - F.lit(1.0))) * varsum
     both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
-    ok = both & (F.col("n_ref") + F.col("n_cur") >= 2) & (var > 0)
+    # the var > 0 test must live INSIDE a `both & N ≥ 2` CASE branch:
+    # a flat conjunction evaluates var (divisions by nd, nd−1) even
+    # for the empty/one-sided rows it is meant to exclude, and ANSI
+    # raises DIVIDE_BY_ZERO on N = 0 (the MWU/Mood guards are
+    # division-free for the same reason; CASE short-circuits)
+    ok = both & (F.col("n_ref") + F.col("n_cur") >= 2)
     z = (t_stat - e_t) / F.sqrt(var)
     out = agg.select(
         *groups,
@@ -978,8 +983,11 @@ def _ab_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
         "n_cur",
         F.when(both, F.round(t_stat, 6)).alias("ab_stat"),
         F.when(both, F.round(e_t, 6)).alias("ab_expected"),
-        F.when(ok, F.round(z, 6)).alias("z"),
-        F.when(ok, F.round(normal_p_two_sided(z), 9)).alias("p_value"),
+        F.when(ok, F.when(var > 0, F.round(z, 6))).alias("z"),
+        F.when(
+            ok,
+            F.when(var > 0, F.round(normal_p_two_sided(z), 9)),
+        ).alias("p_value"),
     )
     return out.orderBy(*groups) if groups else out
 
