@@ -2045,3 +2045,15 @@ def read_streaming_ab(spark: SparkSession, state_dir: str) -> DataFrame:
 
     vc = spark.read.parquet(state_dir).select("__v", "__c1", "__c2")
     return _ab_from_counts(vc, [])
+
+
+def read_streaming_jt(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend verdict from the stored KW
+    (group, value) count state (see :func:`read_streaming_kw`): the
+    k-sample rung's third batch-exact verdict from one fold — KW
+    "did ANY group move", Dunn "WHICH", JT "is it MONOTONE in the
+    group order"."""
+    from ..operators.twosample import _jt_from_counts
+
+    vc = spark.read.parquet(state_dir).select("__g", "__v", "__c")
+    return _jt_from_counts(vc, "__g", [])

@@ -1235,3 +1235,253 @@ def test_ab_duckdb_oracle_shape_cross_engine(spark):
         """
     ).fetchall()[0]
     assert got == tuple(want)
+
+
+def _py_jt(data):
+    """Brute-force Jonckheere-Terpstra with the tie-exact variance."""
+    from collections import Counter
+
+    ga = sorted(data)
+    n_g = {g: len(data[g]) for g in ga}
+    nn = sum(n_g.values())
+    j2 = 0  # doubled J
+    for i in range(len(ga)):
+        for j in range(i + 1, len(ga)):
+            for x in data[ga[i]]:
+                for y in data[ga[j]]:
+                    if x < y:
+                        j2 += 2
+                    elif x == y:
+                        j2 += 1
+    j = j2 / 2.0
+    e = (nn * nn - sum(n * n for n in n_g.values())) / 4.0
+    cnt = Counter(v for xs in data.values() for v in xs)
+    g1 = sum(n * (n - 1) * (2 * n + 5) for n in n_g.values())
+    g2 = sum(n * (n - 1) * (n - 2) for n in n_g.values())
+    g3 = sum(n * (n - 1) for n in n_g.values())
+    t1 = sum(t * (t - 1) * (2 * t + 5) for t in cnt.values())
+    t2 = sum(t * (t - 1) * (t - 2) for t in cnt.values())
+    t3 = sum(t * (t - 1) for t in cnt.values())
+    nd = float(nn)
+    var = (
+        float(nn * (nn - 1) * (2 * nn + 5) - g1 - t1) / 72.0
+        + float(g2) * float(t2) / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+        + float(g3) * float(t3) / (8.0 * nd * (nd - 1.0))
+    )
+    if len(data) < 2 or nn < 3 or var <= 0:
+        return j, e, None, None
+    z = (j - e) / math.sqrt(var)
+    return j, e, z, _py_norm_p(z)
+
+
+def test_jt_matches_python_and_detects_ordered_trend(spark):
+    """Ordered-trend leg: values rising monotonically across the
+    group sort order page JT (z > 0, tiny p); the same values under a
+    shuffled assignment do not; statistics match the brute-force
+    Python reference bit-for-bit (ties included)."""
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        jonckheere_terpstra,
+    )
+
+    rng = random.Random(23)
+    data = {
+        g: [rng.randrange(0, 60) + s for _ in range(50)]
+        for g, s in (("1_early", 0), ("2_mid", 12), ("3_late", 25))
+    }
+    rows = [(g, x) for g, xs in data.items() for x in xs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = jonckheere_terpstra(df, "g", "v").collect()[0]
+    j, e, z, p = _py_jt(data)
+    assert (r["n_total"], r["k_groups"]) == (150, 3)
+    assert r["jt_stat"] == _rnd(j, 1)
+    assert r["jt_expected"] == _rnd(e, 2)
+    assert r["z"] == _rnd(z, 6)
+    assert r["p_value"] == _rnd(p, 9)
+    assert r["z"] > 3.0 and r["p_value"] < 1e-4
+
+    # same values, group labels shuffled: no ordered trend
+    allv = [x for xs in data.values() for x in xs]
+    rng.shuffle(allv)
+    data2 = {
+        "1_early": allv[:50], "2_mid": allv[50:100], "3_late": allv[100:],
+    }
+    df2 = spark.createDataFrame(
+        [(g, x) for g, xs in data2.items() for x in xs],
+        "g string, v long",
+    )
+    r2 = jonckheere_terpstra(df2, "g", "v").collect()[0]
+    assert r2["p_value"] == _rnd(_py_jt(data2)[3], 9)
+    assert r2["p_value"] > 0.01
+
+    # a DECREASING trend registers with z < 0 (two-sided p symmetric)
+    data3 = {g: data[g2] for g, g2 in
+             (("1_early", "3_late"), ("2_mid", "2_mid"),
+              ("3_late", "1_early"))}
+    df3 = spark.createDataFrame(
+        [(g, x) for g, xs in data3.items() for x in xs],
+        "g string, v long",
+    )
+    r3 = jonckheere_terpstra(df3, "g", "v").collect()[0]
+    assert r3["z"] < -3.0
+
+
+def test_jt_degenerates_outer_groups_and_null(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        jonckheere_terpstra,
+    )
+
+    # single group / all-tied pool: NULL z/p with counts
+    one = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    r = jonckheere_terpstra(one, "g", "v").collect()[0]
+    assert r["k_groups"] == 1 and r["z"] is None
+    tied = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5)], "g string, v long"
+    )
+    r2 = jonckheere_terpstra(tied, "g", "v").collect()[0]
+    assert r2["jt_stat"] is not None and r2["z"] is None
+
+    # outer groups isolate: trending region pages, flat one does not
+    rng = random.Random(29)
+    rows = []
+    for region, slope in (("east", 20), ("west", 0)):
+        for gi, g in enumerate(("1_a", "2_b", "3_c")):
+            rows += [
+                (region, g, rng.randrange(0, 50) + slope * gi)
+                for _ in range(60)
+            ]
+    df = spark.createDataFrame(rows, "region string, g string, v long")
+    got = {
+        r["region"]: r
+        for r in jonckheere_terpstra(
+            df, "g", "v", outer_group_cols=["region"]
+        ).collect()
+    }
+    assert got["east"]["p_value"] < 1e-4
+    assert got["west"]["p_value"] > 0.01
+
+    badv = spark.createDataFrame([("a", 1), ("a", None)], "g string, v long")
+    with pytest.raises(Exception, match="jonckheere_terpstra: NULL value"):
+        jonckheere_terpstra(badv, "g", "v").collect()
+
+
+def test_jt_duckdb_oracle_shape_cross_engine(spark):
+    """The DuckDB restatement — the identical dense (group × pooled
+    distinct values) grid, the same two windows (per-group strict
+    cumulative + per-value group-order prefix), exact HUGEINT 2J and
+    variance pieces, the lockstep A&S p — bit-equal on the real
+    per-type event values (the r15 registry oracle, pinned ahead of
+    registration)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        NORMAL_P_TWO_SIDED_SQL,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        jonckheere_terpstra,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    got = tuple(jonckheere_terpstra(e, "event_type", "x").collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS"
+        f" SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    p_expr = NORMAL_P_TWO_SIDED_SQL.format(z="z")
+    want = con.execute(
+        f"""
+        WITH vals AS (
+          SELECT event_type AS g,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events
+        ), vc AS (
+          SELECT g, v, CAST(count(*) AS BIGINT) AS c
+          FROM vals GROUP BY g, v
+        ), grid AS (
+          SELECT dg.g, dv.v
+          FROM (SELECT DISTINCT g FROM vc) dg
+               CROSS JOIN (SELECT DISTINCT v FROM vc) dv
+        ), dense AS (
+          SELECT grid.g, grid.v,
+                 CAST(coalesce(vc.c, 0) AS BIGINT) AS c
+          FROM grid LEFT JOIN vc
+               ON grid.g = vc.g AND grid.v = vc.v
+        ), mb AS (
+          SELECT g, v, c,
+                 CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS m_below
+          FROM dense
+        ), pre AS (
+          SELECT g, v, c,
+                 coalesce(sum(CAST(m_below AS HUGEINT)) OVER (
+                   PARTITION BY v ORDER BY g ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) AS pm,
+                 coalesce(sum(CAST(c AS HUGEINT)) OVER (
+                   PARTITION BY v ORDER BY g ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND 1 PRECEDING), 0) AS pc
+          FROM mb
+        ), pg AS (
+          SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+                 CAST(sum(CAST(c AS HUGEINT) * (2 * pm + pc))
+                      AS HUGEINT) AS j2g
+          FROM pre GROUP BY g
+        ), gagg AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(j2g) AS HUGEINT) AS j2,
+                 CAST(sum(CAST(n_g AS HUGEINT) * n_g) AS HUGEINT)
+                   AS sn2,
+                 CAST(sum(CAST(n_g AS HUGEINT) * (n_g - 1)
+                          * (2 * n_g + 5)) AS HUGEINT) AS g1,
+                 CAST(sum(CAST(n_g AS HUGEINT) * (n_g - 1)
+                          * (n_g - 2)) AS HUGEINT) AS g2,
+                 CAST(sum(CAST(n_g AS HUGEINT) * (n_g - 1))
+                      AS HUGEINT) AS g3
+          FROM pg
+        ), tv AS (
+          SELECT v, CAST(sum(c) AS BIGINT) AS t
+          FROM vc GROUP BY v
+        ), tagg AS (
+          SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                      AS HUGEINT) AS t1,
+                 CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2))
+                      AS HUGEINT) AS t2,
+                 CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT)
+                   AS t3
+          FROM tv
+        ), f AS (
+          SELECT n, k,
+                 CAST(j2 AS DOUBLE) / 2.0 AS j,
+                 CAST(CAST(n AS HUGEINT) * n - sn2 AS DOUBLE) / 4.0
+                   AS e,
+                 CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                      - g1 - t1 AS DOUBLE) / 72.0
+                 + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                   / (36.0 * CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - 1.0)
+                      * (CAST(n AS DOUBLE) - 2.0))
+                 + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                   / (8.0 * CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - 1.0)) AS var
+          FROM gagg, tagg
+        ), zz AS (
+          SELECT n, k, j, e,
+                 CASE WHEN k >= 2 AND n >= 3 AND var > 0
+                      THEN (j - e) / sqrt(var) END AS z
+          FROM f
+        )
+        SELECT n AS n_total, k AS k_groups,
+               round(j, 1) AS jt_stat, round(e, 2) AS jt_expected,
+               round(z, 6) AS z, round({p_expr}, 9) AS p_value
+        FROM zz
+        """
+    ).fetchall()[0]
+    assert got == tuple(want)

@@ -1263,3 +1263,35 @@ def test_r14_ready_dunn_and_ab_plan_shapes(spark):
         assert any(a > w for a in aggs2), plan2
     schemas = set(_read_schemas(plan2))
     assert schemas == {"o_totalprice:double,o_orderdate:timestamp_ntz"}, plan2
+
+
+def test_r15_ready_jt_plan_shape(spark):
+    """JT's dense (group × pooled distinct values) grid is a
+    BROADCAST nested-loop of two aggregates (k-row group frame onto
+    the distinct-value frame — the aggregate-not-filter rule), never
+    a CartesianProduct or an SMJ of fact rows; both windows sit above
+    keyed aggregates and the distinct-frame scans prune to single
+    columns."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        jonckheere_terpstra,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    plan = jonckheere_terpstra(e, "event_type", "x")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert not _re.findall(r"\(\d+\) SortMergeJoin", plan), plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    schemas = set(_read_schemas(plan))
+    assert schemas <= {
+        "event_type:string",
+        "value:double",
+        "event_type:string,value:double",
+    }, plan

@@ -2739,8 +2739,9 @@ def test_streaming_kw_equals_batch_and_serves_dunn(spark, tmp_path):
     state): after draining batches where one event type drifts,
     read_streaming_kw equals batch kruskal_wallis on the concatenated
     delivered input EXACTLY (the shared _kw_from_per_group
-    guarantee), read_streaming_dunn serves the batch dunn_test pair
-    verdicts from the SAME stored state ("one fold, two verdicts"),
+    guarantee), read_streaming_dunn and read_streaming_jt serve the
+    batch dunn_test pair verdicts and jonckheere_terpstra trend
+    verdict from the SAME stored state ("one fold, three verdicts"),
     a checkpoint wipe re-delivers every batch and the __batch_id
     guard must skip them, and a genuinely new batch keeps folding."""
     import shutil
@@ -2749,10 +2750,12 @@ def test_streaming_kw_equals_batch_and_serves_dunn(spark, tmp_path):
 
     from bangumi_notion_data_integration_project_spark.operators.twosample import (
         dunn_test,
+        jonckheere_terpstra,
         kruskal_wallis,
     )
     from bangumi_notion_data_integration_project_spark.streaming.incremental import (
         read_streaming_dunn,
+        read_streaming_jt,
         read_streaming_kw,
         start_streaming_kw,
     )
@@ -2796,6 +2799,9 @@ def test_streaming_kw_equals_batch_and_serves_dunn(spark, tmp_path):
             tuple(r) for r in read_streaming_dunn(spark, state).collect()
         ]
 
+    def stored_jt():
+        return tuple(read_streaming_jt(spark, state).collect()[0])
+
     def direct(delivered):
         df = _rows(spark, delivered).select(
             "event_type",
@@ -2804,13 +2810,17 @@ def test_streaming_kw_equals_batch_and_serves_dunn(spark, tmp_path):
         return (
             tuple(kruskal_wallis(df, "event_type", "x").collect()[0]),
             [tuple(r) for r in dunn_test(df, "event_type", "x").collect()],
+            tuple(
+                jonckheere_terpstra(df, "event_type", "x").collect()[0]
+            ),
         )
 
     run()
-    want_kw, want_dunn = direct([r for b in batches for r in b])
+    want_kw, want_dunn, want_jt = direct([r for b in batches for r in b])
     assert stored_kw() == want_kw
     assert stored_kw()[7] < 0.01  # the drifted type registers (p_value)
     assert stored_dunn() == want_dunn
+    assert stored_jt() == want_jt
     sel = {
         (r[0], r[1]) for r in stored_dunn() if r[-1]
     }
@@ -2827,9 +2837,12 @@ def test_streaming_kw_equals_batch_and_serves_dunn(spark, tmp_path):
     ]
     _write_batch(spark, inp, extra)
     run()
-    want_kw2, want_dunn2 = direct([r for b in batches for r in b] + extra)
+    want_kw2, want_dunn2, want_jt2 = direct(
+        [r for b in batches for r in b] + extra
+    )
     assert stored_kw() == want_kw2
     assert stored_dunn() == want_dunn2
+    assert stored_jt() == want_jt2
 
 
 def test_streaming_kw_cols_gate_and_null_fail_loud(spark, tmp_path):
