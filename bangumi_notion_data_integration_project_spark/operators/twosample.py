@@ -1148,7 +1148,12 @@ def dunn_test(
     (fail-loud)."""
     outer = list(outer_group_cols or [])
     per_g = _kw_per_group(df, group_col, value_col, outer, "dunn_test")
-    return _dunn_from_per_group(per_g, group_col, outer, alpha)
+    # the pair tail reads the O(k)-row group frame three times (both
+    # join sides + the pooled-tie window) — pin it so the rank fold
+    # over the fact table runs once (the kendall reuse pattern)
+    return _dunn_from_per_group(
+        per_g.localCheckpoint(eager=False), group_col, outer, alpha
+    )
 
 
 def _dunn_from_per_group(
@@ -1281,7 +1286,11 @@ def jonckheere_terpstra(
     vc = _kw_value_counts(
         df, group_col, value_col, outer, "jonckheere_terpstra"
     )
-    return _jt_from_counts(vc, group_col, outer)
+    # the formula tail reads the count aggregate four times (grid
+    # values, grid groups, the dense join, the tie sizes) — pin the
+    # O(k·distinct)-row frame so the fact scan happens once (the
+    # kendall/setsketch reuse pattern)
+    return _jt_from_counts(vc.localCheckpoint(eager=False), group_col, outer)
 
 
 def _jt_from_counts(

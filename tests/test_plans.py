@@ -1232,17 +1232,27 @@ def test_r14_ready_dunn_and_ab_plan_shapes(spark):
     plan = dunn_test(e, "event_type", "x")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    lines = plan.splitlines()
-    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the rank fold hides behind the lazy localCheckpoint pin (the
+    # kendall precedent) — pin its shape directly on the shared
+    # per-group aggregate both Dunn and the registered events_type_kw
+    # ride (the KW registration pin covers the same fold end-to-end)
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        _kw_per_group,
+    )
+
+    fold = _kw_per_group(e, "event_type", "x", [], "dunn_test")
+    fplan = fold._jdf.queryExecution().executedPlan().toString()
+    flines = fplan.splitlines()
+    wins = [i for i, l in enumerate(flines) if "Window" in l]
     aggs = [
         i
-        for i, l in enumerate(lines)
+        for i, l in enumerate(flines)
         if "HashAggregate(keys=[event_type" in l and ", __v" in l
     ]
-    assert wins and aggs, plan
+    assert wins and aggs, fplan
     for w in wins:
-        assert any(a > w for a in aggs), plan
-    assert "BroadcastNestedLoopJoin" in plan, plan
+        assert any(a > w for a in aggs), fplan
 
     o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
         "o_orderdate",
