@@ -1448,3 +1448,119 @@ def _jt_from_counts(
         ).alias("p_value"),
     )
     return out.orderBy(*outer) if outer else out
+
+
+def chi2_homogeneity(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """Chi-square homogeneity test on a CATEGORICAL column — the
+    categorical member of the drift-significance family ("did the
+    category MIX shift between the eras, and is it real"):
+    ``two_proportion_ztest`` handles a binary rate, this handles the
+    k-category composition (event-type mix, language mix, source
+    mix), pairing a p-value with the magnitude-only divergence
+    readings (JSD/PSI-style shares):
+
+        2×k table of per-side category counts
+        χ² = (1/(n₁n₂)) · Σ_c d_c²/t_c,   d_c = c₁n₂ − c₂n₁,
+                                           t_c = c₁ + c₂
+        (the algebraic collapse of Σ (o−e)²/e over both rows)
+        p ≈ upper χ²_{k−1} tail via Wilson-Hilferty (the KW tail)
+
+    Scale shape: one map-side count aggregate per side over the
+    category key (O(categories) rows — the z-test cost shape, never
+    the fact volume), a keyed merge, and a scalar fold. d_c is exact
+    DECIMAL(38,0); each category's d²/(n₁n₂t) contribution is one
+    double expression of exact integers quantized at 1e-9 and
+    integer-summed (the KW tn trick — order-free, engine-identical).
+    Returns one row per group: ``(group..., n_ref, n_cur,
+    k_categories, chi2, deg_f, z_wh, p_value)``. Degenerates are
+    explicit: a one-sided group or k < 2 categories reports NULL
+    chi2/z/p with its counts. NULL categories raise (fail-loud — a
+    NULL silently pooled into its own category would hide an
+    encoding bug)."""
+    from .drift import _checked_keys
+    from .stats import normal_p_two_sided
+
+    groups = list(group_cols or [])
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        d = _checked_keys(
+            df.select(*groups, F.col(cat_col).alias("__cat")),
+            [*groups, "__cat"],
+            op_name="chi2_homogeneity",
+        )
+        return d.groupBy(*groups, "__cat").agg(
+            F.count("*").cast("long").alias(tag)
+        )
+    a = side(ref, "__c1")
+    b = side(cur, "__c2")
+    vc = (
+        a.join(b, [*groups, "__cat"], "full")
+        .select(
+            *groups,
+            "__cat",
+            F.coalesce(F.col("__c1"), F.lit(0)).cast("long").alias("__c1"),
+            F.coalesce(F.col("__c2"), F.lit(0)).cast("long").alias("__c2"),
+        )
+    )
+    d_dec = (
+        F.col("__c1").cast(_DEC) * F.col("__n2")
+        - F.col("__c2").cast(_DEC) * F.col("__n1")
+    ).cast(_DEC)
+    t_d = (F.col("__c1") + F.col("__c2")).cast("double")
+    # totals stamped first (the window-inside-aggregate rule), then
+    # the quantized per-category fold
+    w_all = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    based = vc.withColumn(
+        "__n1", F.sum("__c1").over(w_all).cast("long")
+    ).withColumn("__n2", F.sum("__c2").over(w_all).cast("long"))
+    term = F.round(
+        d_dec.cast("double") * d_dec.cast("double")
+        / (
+            F.col("__n1").cast("double")
+            * F.col("__n2").cast("double")
+            * t_d
+        )
+        * F.lit(1000000000.0)
+    ).cast(_DEC)
+    agg = based.groupBy(*groups).agg(
+        F.coalesce(F.max("__n1"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.max("__n2"), F.lit(0)).cast("long").alias("n_cur"),
+        F.count("*").cast("long").alias("k_categories"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("__n1") > 0) & (F.col("__n2") > 0), term
+                )
+            ).cast(_DEC),
+            F.lit(0).cast(_DEC),
+        ).alias("__q"),
+    )
+    both = (F.col("n_ref") > 0) & (F.col("n_cur") > 0)
+    ok = both & (F.col("k_categories") >= 2)
+    chi2 = F.col("__q").cast("double") / F.lit(1000000000.0)
+    dfree = (F.col("k_categories") - 1).cast("double")
+    z = (
+        F.cbrt(chi2 / dfree)
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfree))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfree))
+    np2 = normal_p_two_sided(z)
+    p = F.when(z >= 0, np2 / F.lit(2.0)).otherwise(
+        F.lit(1.0) - np2 / F.lit(2.0)
+    )
+    out = agg.select(
+        *groups,
+        "n_ref",
+        "n_cur",
+        "k_categories",
+        F.when(ok, F.round(chi2, 6)).alias("chi2"),
+        (F.col("k_categories") - 1).cast("long").alias("deg_f"),
+        F.when(ok, F.round(z, 6)).alias("z_wh"),
+        F.when(ok, F.round(p, 9)).alias("p_value"),
+    )
+    return out.orderBy(*groups) if groups else out

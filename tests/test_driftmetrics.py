@@ -1485,3 +1485,202 @@ def test_jt_duckdb_oracle_shape_cross_engine(spark):
         """
     ).fetchall()[0]
     assert got == tuple(want)
+
+
+def _py_chi2_mix(xs, ys):
+    """Direct Σ(o−e)²/e chi-square over the 2×k table, mirrored to
+    the operator's collapsed quantized form for exact equality."""
+    from collections import Counter
+
+    c1 = Counter(xs)
+    c2 = Counter(ys)
+    n1, n2 = len(xs), len(ys)
+    cats = sorted(set(xs) | set(ys))
+    q = 0
+    for c in cats:
+        d = c1[c] * n2 - c2[c] * n1
+        t = c1[c] + c2[c]
+        q += math.floor(
+            float(d) * float(d)
+            / (float(n1) * float(n2) * float(t)) * 1e9 + 0.5
+        )
+    chi2 = q / 1e9
+    k = len(cats)
+    if n1 == 0 or n2 == 0 or k < 2:
+        return chi2, k, None, None
+    dfree = float(k - 1)
+    z = (
+        (chi2 / dfree) ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dfree))
+    ) / math.sqrt(2.0 / (9.0 * dfree))
+    np2 = _py_norm_p(z)
+    p = np2 / 2.0 if z >= 0 else 1.0 - np2 / 2.0
+    # sanity: the collapsed form equals the textbook Σ(o−e)²/e
+    direct = 0.0
+    nn = n1 + n2
+    for c in cats:
+        t = c1[c] + c2[c]
+        for o, nside in ((c1[c], n1), (c2[c], n2)):
+            e = nside * t / nn
+            direct += (o - e) ** 2 / e
+    assert abs(direct - chi2) < 1e-6 * max(1.0, direct)
+    return chi2, k, z, p
+
+
+def test_chi2_homogeneity_matches_python_and_detects_mix_shift(spark):
+    """Categorical drift leg: a planted category-mix shift pages the
+    test; the same mix does not; the collapsed d²/(n₁n₂t) form equals
+    the textbook Σ(o−e)²/e and the operator matches the reference
+    bit-for-bit."""
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        chi2_homogeneity,
+    )
+
+    rng = random.Random(31)
+    mix_a = ["click"] * 50 + ["view"] * 35 + ["buy"] * 15
+    mix_b = ["click"] * 30 + ["view"] * 50 + ["buy"] * 20
+    xs = [rng.choice(mix_a) for _ in range(400)]
+    ys = [rng.choice(mix_b) for _ in range(350)]
+    a = spark.createDataFrame([(x,) for x in xs], "cat string")
+    b = spark.createDataFrame([(y,) for y in ys], "cat string")
+    r = chi2_homogeneity(a, b, "cat").collect()[0]
+    chi2, k, z, p = _py_chi2_mix(xs, ys)
+    assert (r["n_ref"], r["n_cur"], r["k_categories"]) == (400, 350, k)
+    assert r["chi2"] == _rnd(chi2, 6)
+    assert r["z_wh"] == _rnd(z, 6)
+    assert r["p_value"] == _rnd(p, 9)
+    assert r["p_value"] < 1e-4  # the mix shift registers
+
+    ys2 = [rng.choice(mix_a) for _ in range(350)]
+    b2 = spark.createDataFrame([(y,) for y in ys2], "cat string")
+    r2 = chi2_homogeneity(a, b2, "cat").collect()[0]
+    assert r2["p_value"] == _rnd(_py_chi2_mix(xs, ys2)[3], 9)
+    assert r2["p_value"] > 0.01
+
+
+def test_chi2_homogeneity_grouped_degenerates_and_null(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        chi2_homogeneity,
+    )
+
+    rng = random.Random(37)
+    rows_r, rows_c = [], []
+    for g, shifted in (("east", True), ("west", False)):
+        for _ in range(300):
+            rows_r.append((g, rng.choice("aab")))
+            rows_c.append(
+                (g, rng.choice("abb" if shifted else "aab"))
+            )
+    ref = spark.createDataFrame(rows_r, "g string, cat string")
+    cur = spark.createDataFrame(rows_c, "g string, cat string")
+    got = {
+        r["g"]: r
+        for r in chi2_homogeneity(
+            ref, cur, "cat", group_cols=["g"]
+        ).collect()
+    }
+    assert got["east"]["p_value"] < 1e-4
+    assert got["west"]["p_value"] > 0.01
+
+    # one-sided group: NULL stats with counts
+    ref2 = spark.createDataFrame(
+        [("only", "a"), ("only", "b")], "g string, cat string"
+    )
+    cur2 = spark.createDataFrame([], "g string, cat string")
+    r = chi2_homogeneity(ref2, cur2, "cat", group_cols=["g"]).collect()[0]
+    assert (r["n_ref"], r["n_cur"]) == (2, 0)
+    assert r["chi2"] is None and r["p_value"] is None
+
+    # single category: no mix to test
+    one = spark.createDataFrame([("a",)], "cat string")
+    r2 = chi2_homogeneity(one, one, "cat").collect()[0]
+    assert r2["k_categories"] == 1 and r2["chi2"] is None
+
+    # NULL category fails loud
+    bad = spark.createDataFrame([("a",), (None,)], "cat string")
+    good = spark.createDataFrame([("a",)], "cat string")
+    with pytest.raises(Exception, match="chi2_homogeneity"):
+        chi2_homogeneity(bad, good, "cat").collect()
+
+
+def test_chi2_homogeneity_duckdb_oracle_shape_cross_engine(spark):
+    """The DuckDB restatement — per-side category counts, the
+    identical collapsed quantized d²/(n₁n₂t) terms, the
+    Wilson-Hilferty z through the lockstep A&S polynomial — bit-equal
+    on the real event-type mix, first half-month vs second (the r14
+    registry oracle, pinned ahead of registration)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        NORMAL_P_TWO_SIDED_SQL,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        chi2_homogeneity,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet")
+    ref = e.filter(F.col("ts") < "2024-01-16").select("event_type")
+    cur = e.filter(F.col("ts") >= "2024-01-16").select("event_type")
+    got = tuple(chi2_homogeneity(ref, cur, "event_type").collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS"
+        f" SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    p_expr = NORMAL_P_TWO_SIDED_SQL.format(z="z")
+    want = con.execute(
+        f"""
+        WITH sides AS (
+          SELECT event_type AS cat,
+                 CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                      THEN 1 ELSE 2 END AS s
+          FROM events
+        ), vc AS (
+          SELECT cat,
+                 CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+                 CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+          FROM sides GROUP BY cat
+        ), tot AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM vc
+        ), q AS (
+          SELECT max(n1) AS n1, max(n2) AS n2, max(k) AS k,
+                 sum(CASE WHEN n1 > 0 AND n2 > 0 THEN
+                   CAST(round(
+                     CAST(CAST(c1 AS HUGEINT) * n2
+                          - CAST(c2 AS HUGEINT) * n1 AS DOUBLE)
+                     * CAST(CAST(c1 AS HUGEINT) * n2
+                            - CAST(c2 AS HUGEINT) * n1 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * CAST(c1 + c2 AS DOUBLE))
+                     * 1000000000.0) AS HUGEINT)
+                   ELSE 0 END) AS qsum
+          FROM vc, tot
+        ), f AS (
+          SELECT n1, n2, k,
+                 CAST(qsum AS DOUBLE) / 1000000000.0 AS chi2
+          FROM q
+        ), zc AS (
+          SELECT n1, n2, k, chi2,
+                 (cbrt(chi2 / CAST(k - 1 AS DOUBLE))
+                  - (1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE))))
+                 / sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))) AS z
+          FROM f
+        )
+        SELECT n1 AS n_ref, n2 AS n_cur, k AS k_categories,
+               round(chi2, 6) AS chi2,
+               CAST(k - 1 AS BIGINT) AS deg_f,
+               round(z, 6) AS z_wh,
+               round(CASE WHEN z >= 0 THEN ({p_expr}) / 2.0
+                     ELSE 1.0 - ({p_expr}) / 2.0 END, 9) AS p_value
+        FROM zc
+        """
+    ).fetchall()[0]
+    assert got == tuple(want)

@@ -1305,3 +1305,34 @@ def test_r15_ready_jt_plan_shape(spark):
         "value:double",
         "event_type:string,value:double",
     }, plan
+
+
+def test_r14_ready_chi2_homogeneity_plan_shape(spark):
+    """The categorical-mix test is two keyed count aggregates merged
+    on the category key: its only window (the totals stamp) sits on
+    the O(categories) merged count frame, never raw fact rows, and
+    there is no cartesian."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        chi2_homogeneity,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ref = e.filter(F.col("ts") < "2024-01-16").select("event_type")
+    cur = e.filter(F.col("ts") >= "2024-01-16").select("event_type")
+    plan = chi2_homogeneity(ref, cur, "event_type")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    lines = plan.splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    aggs = [
+        i for i, l in enumerate(lines)
+        if "HashAggregate(keys=[__cat" in l
+        or "HashAggregate(keys=[event_type" in l
+    ]
+    assert wins and aggs, plan
+    for w in wins:
+        assert any(a > w for a in aggs), plan
+    schemas = set(_read_schemas(plan))
+    assert schemas == {"ts:timestamp_ntz,event_type:string"}, plan
