@@ -1,9 +1,13 @@
-"""Two-sample distribution tests — Mann-Whitney U (with the AUC
-reading) and Kolmogorov-Smirnov — the significance companions to the
-PSI drift monitor (PSI says HOW FAR apart two eras are; these say
-whether the separation is real, and MWU's U/(n₁n₂) IS the ROC AUC of
-the value as a classifier between the sides, the standard quality-
-score evaluation in a training-data pipeline).
+"""Two-sample and k-sample distribution tests — the significance
+companions to the PSI drift monitor (PSI says HOW FAR apart two eras
+are; these say whether the separation is REAL, and along which axis):
+Mann-Whitney U (location, with the ROC-AUC effect size),
+Kolmogorov-Smirnov (any shape), Wasserstein-1 (L1 magnitude in value
+units), Cramér-von Mises (L2 shape), Mood's median (robust location),
+Ansari-Bradley (dispersion), the two-proportion z-test (binary rate),
+chi-square homogeneity (categorical mix), and the k-sample rung —
+Kruskal-Wallis (omnibus), Dunn (post-hoc pairs), Jonckheere-Terpstra
+(ordered trend).
 
 Scale shape (the psi/_ranked_distinct contract): every rank/ECDF
 quantity is computed on the DISTINCT-VALUE aggregate — raw rows
