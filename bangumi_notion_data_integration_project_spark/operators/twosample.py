@@ -1148,8 +1148,11 @@ def dunn_test(
     selected)``. Degenerates are explicit: an all-tied pool (σ² = 0
     under the exact integer test N³−N ≤ Σ(t³−t)) or N < 2 reports
     NULL z/p — and NULL p never selects nor counts toward m (the
-    bh_select contract). NULL group keys or values raise
-    (fail-loud)."""
+    bh_select contract); a key with k < 2 groups has no pairs, so it
+    emits ONE degenerate row (``group_a`` = the lone group if any,
+    ``group_b``/stats NULL, ``selected`` false) instead of silently
+    vanishing from the output — the KW explicit-degenerate
+    convention. NULL group keys or values raise (fail-loud)."""
     outer = list(outer_group_cols or [])
     per_g = _kw_per_group(df, group_col, value_col, outer, "dunn_test")
     # the pair tail reads the O(k)-row group frame three times (both
@@ -1239,6 +1242,34 @@ def _dunn_from_per_group(
         alpha=alpha,
         tie_cols=[*outer, "group_a", "group_b"],
     )
+    # k < 2 keys produce no pairs — emit one explicit degenerate row
+    # per such key (the KW convention; a one-group region must not
+    # silently vanish). The frame is the O(k)-row group aggregate
+    # again, so the scan+filter is bounded; ungrouped inputs get one
+    # global row (including the empty-input case, where the lone
+    # group itself is NULL).
+    g_type = per_g.schema[group_col].dataType
+    lone = per_g.groupBy(*outer).agg(
+        F.count("*").cast("long").alias("__k"),
+        F.max(group_col).alias("__lone_g"),
+        F.max("__n_g").cast("long").alias("__lone_n"),
+    ).where(F.col("__k") < 2)
+    degen = lone.select(
+        *outer,
+        F.col("__lone_g").alias("group_a"),
+        F.lit(None).cast(g_type).alias("group_b"),
+        F.col("__lone_n").alias("n_a"),
+        F.lit(None).cast("long").alias("n_b"),
+        F.lit(None).cast("double").alias("mean_rank_a"),
+        F.lit(None).cast("double").alias("mean_rank_b"),
+        F.lit(None).cast("double").alias("z"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(None).cast("long").alias("p_rank"),
+        F.lit(None).cast("long").alias("m_tests"),
+        F.lit(None).cast("double").alias("bh_threshold"),
+        F.lit(False).alias("selected"),
+    )
+    out = out.unionByName(degen)
     return out.orderBy(*outer, "group_a", "group_b")
 
 
@@ -1281,8 +1312,10 @@ def jonckheere_terpstra(
     N³-scale MWU guard class; the 72/36/8 divisions happen once in
     DOUBLE). Returns one row (per outer group): ``(outer...,
     n_total, k_groups, jt_stat, jt_expected, z, p_value)``;
-    degenerates (k < 2, N < 3, or an all-tied pool under the exact
-    zero-variance test) report NULL z/p with their counts; NULL group
+    degenerates (k < 2, N < 3, or an all-tied pool — one distinct
+    pooled value, the exact integer zero-variance witness, never the
+    three rounded var terms alone) report NULL z/p with their
+    counts; NULL group
     keys or values raise (fail-loud). Streaming: served batch-exact
     from the stored KW state by ``streaming.read_streaming_jt`` —
     one fold, THREE verdicts (KW omnibus, Dunn post-hoc, JT trend)."""
@@ -1393,6 +1426,13 @@ def _jt_from_counts(
     )
     t_dec = F.col("__t").cast(_DEC)
     t_agg = tv.groupBy(*outer).agg(
+        # distinct pooled values — the EXACT zero-variance witness:
+        # with k ≥ 2 non-empty groups, Var(J) = 0 ⟺ the pool is one
+        # tie block (__nv = 1); the three rounded double var terms
+        # only cancel to 0 mathematically, so testing `var > 0` alone
+        # could leave a few ulps and publish z=0/p≈1 instead of the
+        # documented NULL (the KW/Dunn N³−N integer-guard convention)
+        F.count("*").cast("long").alias("__nv"),
         F.coalesce(
             F.sum(t_dec * (t_dec - 1) * (2 * t_dec + 5)).cast(_DEC),
             F.lit(0).cast(_DEC),
@@ -1435,6 +1475,10 @@ def _jt_from_counts(
     )
     ok_basic = (F.col("k_groups") >= 2) & (F.col("n_total") >= 3)
     var = term1 + term2 + term3
+    # exact all-tied guard: __nv ≥ 2 (integer witness), with var > 0
+    # kept only as the FP-pathology belt (a mathematically positive
+    # var that rounds non-positive must publish NULL, never NaN)
+    ok_var = (F.col("__nv") >= 2) & (var > 0)
     z = (j_stat - e_stat) / F.sqrt(var)
     out = agg.select(
         *outer,
@@ -1442,13 +1486,13 @@ def _jt_from_counts(
         "k_groups",
         F.when(ok_basic, F.round(j_stat, 1)).alias("jt_stat"),
         F.when(ok_basic, F.round(e_stat, 2)).alias("jt_expected"),
-        # the var > 0 test nests INSIDE the division-free branch so the
-        # N<3 degenerates never evaluate term2/term3's divisions (the
-        # AB empty-input ANSI lesson)
-        F.when(ok_basic, F.when(var > 0, F.round(z, 6))).alias("z"),
+        # the variance tests nest INSIDE the division-free branch so
+        # the N<3 degenerates never evaluate term2/term3's divisions
+        # (the AB empty-input ANSI lesson)
+        F.when(ok_basic, F.when(ok_var, F.round(z, 6))).alias("z"),
         F.when(
             ok_basic,
-            F.when(var > 0, F.round(normal_p_two_sided(z), 9)),
+            F.when(ok_var, F.round(normal_p_two_sided(z), 9)),
         ).alias("p_value"),
     )
     return out.orderBy(*outer) if outer else out
@@ -1474,6 +1518,9 @@ def chi2_homogeneity(
                                            t_c = c₁ + c₂
         (the algebraic collapse of Σ (o−e)²/e over both rows)
         p ≈ upper χ²_{k−1} tail via Wilson-Hilferty (the KW tail)
+        for k ≥ 3; for k = 2 (deg_f = 1) the tail is EXACT:
+        p = 2(1 − Φ(√χ²)) — the Mood path — because WH carries ~5%
+        relative error near p = 0.05 at one degree of freedom
 
     Scale shape: one map-side count aggregate per side over the
     category key (O(categories) rows — the z-test cost shape, never
@@ -1482,11 +1529,15 @@ def chi2_homogeneity(
     double expression of exact integers quantized at 1e-9 and
     integer-summed (the KW tn trick — order-free, engine-identical).
     Returns one row per group: ``(group..., n_ref, n_cur,
-    k_categories, chi2, deg_f, z_wh, p_value)``. Degenerates are
-    explicit: a one-sided group or k < 2 categories reports NULL
-    chi2/z/p with its counts. NULL categories raise (fail-loud — a
-    NULL silently pooled into its own category would hide an
-    encoding bug)."""
+    k_categories, chi2, deg_f, z_wh, p_value)``. ``z_wh`` is the
+    normal deviate whose tail yields ``p_value``: √χ² when
+    deg_f = 1 (exact), the Wilson-Hilferty deviate otherwise — so a
+    consumer recomputing p from the published columns never
+    contradicts the verdict (the bh_threshold published-consistency
+    rule). Degenerates are explicit: a one-sided group or k < 2
+    categories reports NULL chi2/z/p with its counts. NULL
+    categories raise (fail-loud — a NULL silently pooled into its
+    own category would hide an encoding bug)."""
     from .drift import _checked_keys
     from .stats import normal_p_two_sided
 
@@ -1549,13 +1600,19 @@ def chi2_homogeneity(
     ok = both & (F.col("k_categories") >= 2)
     chi2 = F.col("__q").cast("double") / F.lit(1000000000.0)
     dfree = (F.col("k_categories") - 1).cast("double")
-    z = (
+    z_wh = (
         F.cbrt(chi2 / dfree)
         - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfree))
     ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfree))
+    # deg_f = 1: the χ²₁ upper tail is exactly 2(1 − Φ(√χ²)) (the
+    # mood_median_test path) — WH is kept only for deg_f ≥ 2 where
+    # its error is small (the KW convention)
+    z = F.when(F.col("k_categories") == 2, F.sqrt(chi2)).otherwise(z_wh)
     np2 = normal_p_two_sided(z)
-    p = F.when(z >= 0, np2 / F.lit(2.0)).otherwise(
-        F.lit(1.0) - np2 / F.lit(2.0)
+    p = F.when(F.col("k_categories") == 2, np2).otherwise(
+        F.when(z >= 0, np2 / F.lit(2.0)).otherwise(
+            F.lit(1.0) - np2 / F.lit(2.0)
+        )
     )
     out = agg.select(
         *groups,

@@ -7595,14 +7595,82 @@ def q_segment_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at positions 51-60 below, outside this window, or not registered at
 # all).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- the 10 r12-batch queries (registered r11, never
+    # -- the 7 r13-batch queries (registered r12, never
     # -- driver-checked — new queries outrank every refresh, the
-    # -- standing rotation rule): the drift-significance playbook —
-    # -- MWU + KS era drift (global on order price, grouped per
-    # -- event type), Kendall tau-b + Spearman on daily
-    # -- ordered-vs-shipped revenue, Pettitt changepoint,
-    # -- BH-corrected grouped MK per market segment, two-proportion
-    # -- z on the return rate, exact trimmed mean of daily revenue
+    # -- standing rotation rule): the drift playbook's magnitude +
+    # -- omnibus rungs — W1/CvM/Mood on the order-price era split,
+    # -- the Kruskal-Wallis omnibus over event types, grouped W1 per
+    # -- type, segment-grain return-rate z + trimmed daily revenue
+    "orders_price_w1": q_orders_price_w1,
+    "orders_price_cvm": q_orders_price_cvm,
+    "orders_price_mood": q_orders_price_mood,
+    "events_type_kw": q_events_type_kw,
+    "events_type_w1": q_events_type_w1,
+    "segment_returns_ztest": q_segment_returns_ztest,
+    "segment_trimmed_mean": q_segment_trimmed_mean,
+    # -- the 43 stalest latest-row-r8 entries (registry order; all
+    # -- of the r8 vintage except embedding_kmeans, which r14 takes
+    # -- — see the boundary-note correction)
+    "docs_zipf_fit": q_docs_zipf_fit,
+    "events_user_coverage": q_events_user_coverage,
+    "orders_seasonal_decompose": q_orders_seasonal_decompose,
+    "docs_source_jsd": q_docs_source_jsd,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_docs": q_simhash_docs,
+    "sketch_distinct_counts": q_sketch_distinct_counts,
+    "dedup_near_pipeline": q_dedup_near_pipeline,
+    "docs_tfidf_topk": q_docs_tfidf_topk,
+    "minhash_lsh_verified": q_minhash_lsh_verified,
+    "embedding_pca_variance": q_embedding_pca_variance,
+    "orders_window_battery": q_orders_window_battery,
+    "orders_scd2_asof": q_orders_scd2_asof,
+    "dedup_keep_best": q_dedup_keep_best,
+    "supplier_wilson": q_supplier_wilson,
+    "revenue_pareto": q_revenue_pareto,
+    "orders_benford": q_orders_benford,
+    "events_ewma": q_events_ewma,
+    "docs_frequent_tokens": q_docs_frequent_tokens,
+    "similarity_bruteforce": q_similarity_bruteforce,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "events_max_concurrency": q_events_max_concurrency,
+    "events_funnel": q_events_funnel,
+    "events_conversion_lag": q_events_conversion_lag,
+    "events_gap_fill": q_events_gap_fill,
+    "events_anomaly": q_events_anomaly,
+    "snapshot_diff_orders": q_snapshot_diff,
+    "parts_pagerank": q_parts_pagerank,
+    "part_pairs_lift": q_part_pairs_lift,
+    "embedding_quantize_stats": q_embedding_quantize_stats,
+    "ann_pq_topk": q_ann_pq_topk,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "docs_line_scrub": q_docs_line_scrub,
+    "docs_bm25_topk": q_docs_bm25_topk,
+    "events_attribution": q_events_attribution,
+    "parts_triangles": q_parts_triangles,
+    "cdc_apply_orders": q_cdc_apply_orders,
+    "lineitem_regression": q_lineitem_regression,
+    "events_top_paths": q_events_top_paths,
+    "customer_rfm": q_customer_rfm,
+    "parts_kcore": q_parts_kcore,
+    "top_parts_salted": q_top_parts_salted,
+    # -- displaced r12 window (10 r12-batch + 34 retired-r7 + 6 r8
+    # -- sketch/survival rows), every row green in its latest driver
+    # -- round, prior order preserved
+    # --------- driver checked-window boundary (position 50) ---------
+    # ROUND-14 ROTATION NOTE: after r13 lands, the stalest evidence
+    # is embedding_kmeans (the ONE remaining latest-row-r8 entry; the
+    # r12 note's "19 remaining r8 rows" was a miscount — vintage_
+    # report.py shows 44, r13 re-checked 43), then the 50 r9 rows
+    # (revenue_pacf .. ann_ivf_recall, registry order). Rotate
+    # the r14 window onto the r14 batch just below this comment
+    # (positions 51+, never driver-checked) + embedding_kmeans + the
+    # stalest r9 rows up to the 50 budget. The flagship/parity family
+    # (category_summary, global_summary, P/J/M anchors) carries r11
+    # rows and must re-enter the window by r15 (never-age-past-4) —
+    # plan r15 = remaining r9 + those anchors first among refreshes.
+    # Do NOT register more new queries than the window budget (~10)
+    # per round.
     "orders_price_mwu": q_orders_price_mwu,
     "orders_price_ks": q_orders_price_ks,
     "events_type_mwu": q_events_type_mwu,
@@ -7613,9 +7681,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "segment_mk_bh": q_segment_mk_bh,
     "lineitem_returns_ztest": q_lineitem_returns_ztest,
     "revenue_trimmed_mean": q_revenue_trimmed_mean,
-    # -- the 34 remaining r7-vintage rows (the stalest driver
-    # -- evidence — this retires the r7 debt entirely; vintage
-    # -- floor becomes r8 after the driver runs)
     "events_twap": q_events_twap,
     "orders_dow_profile": q_orders_dow_profile,
     "docs_quality_joint_hist": q_docs_quality_joint_hist,
@@ -7650,41 +7715,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_summary": q_rollup_summary,
     "order_top_parts": q_order_top_parts,
     "top_parts_per_brand": q_top_parts_per_brand,
-    # -- the 6 stalest r8 rows (registry order) filling the 50
-    # -- budget
     "lineitem_quantile_sketch": q_lineitem_quantile_sketch,
     "lineitem_sketch_merge": q_lineitem_sketch_merge,
     "events_weekly_users_sketch": q_events_weekly_users_sketch,
     "orders_survival_km": q_orders_survival_km,
     "revenue_acf": q_revenue_acf,
     "docs_pmi_collocations": q_docs_pmi_collocations,
-    # --------- driver checked-window boundary (position 50) ---------
-    # ROUND-13 ROTATION NOTE: after r12 lands, the vintage floor is
-    # r8 and the stalest evidence is the remaining r8 rows
-    # (docs_zipf_fit .. docs_frequent_tokens, registry order below).
-    # Rotate the r13 window onto the new r13 queries just below this
-    # comment (positions 51+, never driver-checked) + the remaining
-    # r8 rows + the stalest r9 rows up to the 50 budget. Do NOT
-    # register more new queries than the window budget (~10) per
-    # round.
-    # -- NEW for r13 (operators built r11, oracles cross-engine
-    # -- pinned in tests/test_driftmetrics.py, test_twosample.py,
-    # -- test_robust.py BEFORE registration — the house de-risk
-    # -- pattern): the playbook's magnitude + omnibus rungs — W1 /
-    # -- CvM / Mood on the order-price era split (the MWU/KS
-    # -- siblings), the Kruskal-Wallis omnibus front gate over event
-    # -- types, grouped W1 per type, and the segment-grain return-rate
-    # -- z-test + trimmed daily revenue
-    "orders_price_w1": q_orders_price_w1,
-    "orders_price_cvm": q_orders_price_cvm,
-    "orders_price_mood": q_orders_price_mood,
-    "events_type_kw": q_events_type_kw,
-    "events_type_w1": q_events_type_w1,
-    "segment_returns_ztest": q_segment_returns_ztest,
-    "segment_trimmed_mean": q_segment_trimmed_mean,
-    # -- displaced r11 window (11 r11-batch + 23 retired-r6 +
-    # -- flagship family), every row green in its latest driver
-    # -- round, prior order preserved
+    # -- remainder of the registry, prior order preserved
     "revenue_mann_kendall": q_revenue_mann_kendall,
     "orders_seasonal_mk": q_orders_seasonal_mk,
     "revenue_sen_trend": q_revenue_sen_trend,
@@ -7735,7 +7772,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "orders_asof_join": q_orders_asof_join,
     "fuzzy_name_blocking": q_fuzzy_name_blocking,
-    # -- remainder of the registry, prior order preserved
     "docs_textrank_keywords": q_docs_textrank_keywords,
     "docs_textrank_phrases": q_docs_textrank_phrases,
     "orders_price_psi": q_orders_price_psi,
@@ -7836,49 +7872,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
-    "docs_zipf_fit": q_docs_zipf_fit,
-    "events_user_coverage": q_events_user_coverage,
-    "orders_seasonal_decompose": q_orders_seasonal_decompose,
-    "docs_source_jsd": q_docs_source_jsd,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "simhash_docs": q_simhash_docs,
-    "sketch_distinct_counts": q_sketch_distinct_counts,
-    "dedup_near_pipeline": q_dedup_near_pipeline,
-    "docs_tfidf_topk": q_docs_tfidf_topk,
-    "minhash_lsh_verified": q_minhash_lsh_verified,
-    "embedding_pca_variance": q_embedding_pca_variance,
-    "orders_window_battery": q_orders_window_battery,
-    "orders_scd2_asof": q_orders_scd2_asof,
-    "dedup_keep_best": q_dedup_keep_best,
-    "supplier_wilson": q_supplier_wilson,
-    "revenue_pareto": q_revenue_pareto,
-    "orders_benford": q_orders_benford,
-    "events_ewma": q_events_ewma,
-    "docs_frequent_tokens": q_docs_frequent_tokens,
-    "similarity_bruteforce": q_similarity_bruteforce,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "events_max_concurrency": q_events_max_concurrency,
-    "events_funnel": q_events_funnel,
-    "events_conversion_lag": q_events_conversion_lag,
-    "events_gap_fill": q_events_gap_fill,
-    "events_anomaly": q_events_anomaly,
-    "snapshot_diff_orders": q_snapshot_diff,
-    "parts_pagerank": q_parts_pagerank,
-    "part_pairs_lift": q_part_pairs_lift,
-    "embedding_quantize_stats": q_embedding_quantize_stats,
-    "ann_pq_topk": q_ann_pq_topk,
-    "decontaminate_bloom": q_decontaminate_bloom,
-    "docs_line_scrub": q_docs_line_scrub,
-    "docs_bm25_topk": q_docs_bm25_topk,
-    "events_attribution": q_events_attribution,
-    "parts_triangles": q_parts_triangles,
-    "cdc_apply_orders": q_cdc_apply_orders,
-    "lineitem_regression": q_lineitem_regression,
-    "events_top_paths": q_events_top_paths,
-    "customer_rfm": q_customer_rfm,
-    "parts_kcore": q_parts_kcore,
-    "top_parts_salted": q_top_parts_salted,
     "embedding_kmeans": q_embedding_kmeans,
 }
 

@@ -837,6 +837,36 @@ def test_dunn_degenerates_and_outer_groups(spark):
     assert r["z"] is None and r["p_value"] is None
     assert not r["selected"] and r["p_rank"] is None
 
+    # k < 2 groups: ONE explicit NULL-pair degenerate row (the KW
+    # convention), never a silently empty result — ungrouped lone
+    # group, ungrouped empty input, and a mixed grouped frame where
+    # only the one-group key degenerates
+    one = spark.createDataFrame([("a", 1), ("a", 2)], "g string, v long")
+    rows1 = dunn_test(one, "g", "v").collect()
+    assert len(rows1) == 1
+    r1 = rows1[0]
+    assert (r1["group_a"], r1["group_b"], r1["n_a"]) == ("a", None, 2)
+    assert r1["z"] is None and r1["p_value"] is None
+    assert not r1["selected"]
+    empty = spark.createDataFrame([], "g string, v long")
+    rows0 = dunn_test(empty, "g", "v").collect()
+    assert len(rows0) == 1 and rows0[0]["group_a"] is None
+    assert not rows0[0]["selected"]
+    mixed = spark.createDataFrame(
+        [("r1", "a", 1), ("r1", "b", 2), ("r1", "a", 3), ("r1", "b", 5),
+         ("r2", "only", 7)],
+        "region string, g string, v long",
+    )
+    got_m = {
+        r["region"]: r
+        for r in dunn_test(
+            mixed, "g", "v", outer_group_cols=["region"]
+        ).collect()
+    }
+    assert got_m["r1"]["group_b"] == "b"  # the real pair survives
+    assert (got_m["r2"]["group_a"], got_m["r2"]["group_b"]) == ("only", None)
+    assert got_m["r2"]["n_a"] == 1 and got_m["r2"]["p_value"] is None
+
     # outer groups isolate: the shifted pair selects only in the
     # drifting region
     rng = random.Random(11)
@@ -1450,7 +1480,8 @@ def test_jt_duckdb_oracle_shape_cross_engine(spark):
           SELECT v, CAST(sum(c) AS BIGINT) AS t
           FROM vc GROUP BY v
         ), tagg AS (
-          SELECT CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+          SELECT CAST(count(*) AS BIGINT) AS nv,
+                 CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
                       AS HUGEINT) AS t1,
                  CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2))
                       AS HUGEINT) AS t2,
@@ -1458,7 +1489,7 @@ def test_jt_duckdb_oracle_shape_cross_engine(spark):
                    AS t3
           FROM tv
         ), f AS (
-          SELECT n, k,
+          SELECT n, k, nv,
                  CAST(j2 AS DOUBLE) / 2.0 AS j,
                  CAST(CAST(n AS HUGEINT) * n - sn2 AS DOUBLE) / 4.0
                    AS e,
@@ -1474,7 +1505,7 @@ def test_jt_duckdb_oracle_shape_cross_engine(spark):
           FROM gagg, tagg
         ), zz AS (
           SELECT n, k, j, e,
-                 CASE WHEN k >= 2 AND n >= 3 AND var > 0
+                 CASE WHEN k >= 2 AND n >= 3 AND nv >= 2 AND var > 0
                       THEN (j - e) / sqrt(var) END AS z
           FROM f
         )
@@ -1508,12 +1539,18 @@ def _py_chi2_mix(xs, ys):
     k = len(cats)
     if n1 == 0 or n2 == 0 or k < 2:
         return chi2, k, None, None
-    dfree = float(k - 1)
-    z = (
-        (chi2 / dfree) ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dfree))
-    ) / math.sqrt(2.0 / (9.0 * dfree))
-    np2 = _py_norm_p(z)
-    p = np2 / 2.0 if z >= 0 else 1.0 - np2 / 2.0
+    if k == 2:
+        # deg_f = 1: exact χ²₁ tail, z carries √χ² (the Mood path)
+        z = math.sqrt(chi2)
+        p = _py_norm_p(z)
+        # sanity on the collapsed form below still applies
+    else:
+        dfree = float(k - 1)
+        z = (
+            (chi2 / dfree) ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dfree))
+        ) / math.sqrt(2.0 / (9.0 * dfree))
+        np2 = _py_norm_p(z)
+        p = np2 / 2.0 if z >= 0 else 1.0 - np2 / 2.0
     # sanity: the collapsed form equals the textbook Σ(o−e)²/e
     direct = 0.0
     nn = n1 + n2
@@ -1555,6 +1592,32 @@ def test_chi2_homogeneity_matches_python_and_detects_mix_shift(spark):
     r2 = chi2_homogeneity(a, b2, "cat").collect()[0]
     assert r2["p_value"] == _rnd(_py_chi2_mix(xs, ys2)[3], 9)
     assert r2["p_value"] > 0.01
+
+    # k = 2 (deg_f = 1): the EXACT χ²₁ tail p = 2(1 − Φ(√χ²)), not
+    # Wilson-Hilferty (which carries ~5% relative error at df=1 near
+    # p = 0.05); z_wh carries √χ², the deviate whose two-sided tail
+    # IS the published p (published-consistency rule)
+    xs2 = ["hit"] * 60 + ["miss"] * 340
+    ys3 = ["hit"] * 85 + ["miss"] * 265
+    a2 = spark.createDataFrame([(x,) for x in xs2], "cat string")
+    b3 = spark.createDataFrame([(y,) for y in ys3], "cat string")
+    r3 = chi2_homogeneity(a2, b3, "cat").collect()[0]
+    chi2_2, k2, z2, p2 = _py_chi2_mix(xs2, ys3)
+    assert k2 == 2 and r3["deg_f"] == 1
+    assert r3["chi2"] == _rnd(chi2_2, 6)
+    assert r3["z_wh"] == _rnd(z2, 6)  # √χ², the exact deviate
+    assert r3["p_value"] == _rnd(p2, 9)
+    assert r3["p_value"] == _rnd(_py_norm_p(math.sqrt(chi2_2)), 9)
+    # and WH at df=1 would have disagreed measurably (the fix's point)
+    z_wh1 = (
+        chi2_2 ** (1.0 / 3.0) - (1.0 - 2.0 / 9.0)
+    ) / math.sqrt(2.0 / 9.0)
+    p_wh = (
+        _py_norm_p(z_wh1) / 2.0
+        if z_wh1 >= 0
+        else 1.0 - _py_norm_p(z_wh1) / 2.0
+    )
+    assert abs(p_wh - p2) > 1e-4 * p2
 
 
 def test_chi2_homogeneity_grouped_degenerates_and_null(spark):
@@ -1669,16 +1732,19 @@ def test_chi2_homogeneity_duckdb_oracle_shape_cross_engine(spark):
           FROM q
         ), zc AS (
           SELECT n1, n2, k, chi2,
-                 (cbrt(chi2 / CAST(k - 1 AS DOUBLE))
-                  - (1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE))))
-                 / sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE))) AS z
+                 CASE WHEN k = 2 THEN sqrt(chi2)
+                      ELSE (cbrt(chi2 / CAST(k - 1 AS DOUBLE))
+                            - (1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE))))
+                           / sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE)))
+                 END AS z
           FROM f
         )
         SELECT n1 AS n_ref, n2 AS n_cur, k AS k_categories,
                round(chi2, 6) AS chi2,
                CAST(k - 1 AS BIGINT) AS deg_f,
                round(z, 6) AS z_wh,
-               round(CASE WHEN z >= 0 THEN ({p_expr}) / 2.0
+               round(CASE WHEN k = 2 THEN ({p_expr})
+                     WHEN z >= 0 THEN ({p_expr}) / 2.0
                      ELSE 1.0 - ({p_expr}) / 2.0 END, 9) AS p_value
         FROM zc
         """
