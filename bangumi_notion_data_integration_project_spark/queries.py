@@ -7577,6 +7577,191 @@ def q_segment_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r14 batch: the playbook's post-hoc, dispersion, ordered-trend and
+# categorical-mix rungs plus the grouped rank-correlation variants
+# (operators built r12, oracles cross-engine pinned in
+# tests/test_driftmetrics.py and tests/test_rankcorr.py BEFORE
+# registration — the house de-risk pattern)
+# ---------------------------------------------------------------------------
+
+
+def q_events_type_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's post-hoc over event types on value cents — after
+    ``events_type_kw`` says SOME type's value distribution moved,
+    this names WHICH pairs differ, BH-corrected at FDR 0.05 across
+    the k(k−1)/2 comparisons (raw pairwise MWUs after a KW rejection
+    would re-manufacture the multiple-testing problem the omnibus
+    prevented). Reuses the SAME pooled doubled-rank fold as the
+    omnibus (O(k·distinct values) windowed rows at any fact volume,
+    pinned via lazy localCheckpoint); the pair frame is a broadcast
+    self-join of the O(k)-row group aggregate — pairs of GROUPS,
+    never fact rows (operators/twosample.dunn_test; oracle pinned in
+    tests/test_driftmetrics.py; plan pin tests/test_plans.py)."""
+    from .operators.twosample import dunn_test
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return dunn_test(e, "event_type", "x")
+
+
+def q_orders_price_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley scale test on the order-price era split — the
+    DISPERSION leg of the drift playbook (MWU asks did the CENTER
+    move, KS/CvM ask did the SHAPE, this asks did the SPREAD: a
+    price distribution can hold its median while its tails fan out,
+    and only a rank-scale statistic is robust to that without moment
+    assumptions). Doubled block scores in closed form from the pooled
+    cumulative counts over the DISTINCT-VALUE sided-counts aggregate
+    — the same one-window fold MWU/KS/W1/CvM/Mood ride, O(distinct
+    prices) windowed rows at any fact volume; exact integers until
+    the one quantized double fold (operators/twosample.ansari_bradley;
+    oracle pinned in tests/test_driftmetrics.py)."""
+    from .operators.twosample import ansari_bradley
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    return ansari_bradley(ref, cur, "x")
+
+
+def q_events_type_jt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-trend test over event types on
+    value cents — the k-sample Mann-Kendall: where Kruskal-Wallis
+    asks "did ANY type differ", JT asks "do the types TREND in their
+    label order", which is the right question for ordered segments
+    (funnel stages, quality tiers, severity levels). One pass over
+    the dense (group × pooled distinct values) grid — a broadcast
+    nested-loop of two AGGREGATES — with exact DECIMAL 2J and the
+    Hollander-Wolfe tie-exact variance; the all-tied degenerate is
+    guarded by the exact distinct-value witness, never the rounded
+    var terms (operators/twosample.jonckheere_terpstra; oracle pinned
+    in tests/test_driftmetrics.py; plan pin tests/test_plans.py)."""
+    from .operators.twosample import jonckheere_terpstra
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return jonckheere_terpstra(e, "event_type", "x")
+
+
+def q_events_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity on the event-type MIX, first half-month
+    vs second — the categorical member of the drift-significance
+    family ("did the composition shift, and is it real"), pairing a
+    p-value with the magnitude-only divergence readings
+    (events_type_psi / docs_source_jsd). One map-side count aggregate
+    per side on the category key (O(categories) rows at any fact
+    volume), a keyed merge, a scalar fold; exact DECIMAL d_c with the
+    1e-9-quantized order-free sum; the χ²₁ tail is EXACT for k = 2
+    (operators/twosample.chi2_homogeneity; oracle pinned in
+    tests/test_driftmetrics.py; plan pin tests/test_plans.py)."""
+    from .operators.twosample import chi2_homogeneity
+
+    e = load_table(spark, sf_dir, "events")
+    ref = e.filter(F.col("ts") < "2024-01-16").select("event_type")
+    cur = e.filter(F.col("ts") >= "2024-01-16").select("event_type")
+    return chi2_homogeneity(ref, cur, "event_type")
+
+
+def q_events_type_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint PER EVENT TYPE on the daily value-cents
+    sum — the grouped twin of ``revenue_pettitt`` ("which day did
+    THIS type's level break, and is the break significant"): a
+    fleet-wide series can look stable while one type steps; this is
+    the per-type dashboard row that catches the step and dates it.
+    Both value-order cumulative windows and the time-order running
+    sum partition by the type key over the per-type DAILY aggregate —
+    O(types × days) windowed rows at any fact volume, the
+    calendar-bounded contract (operators/stats.pettitt_test, grouped;
+    grouped behavior pinned vs python in tests/test_rankcorr.py, the
+    ungrouped oracle pinned cross-engine there)."""
+    from .operators.stats import pettitt_test
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    return pettitt_test(daily, "d", "x", group_cols=["event_type"])
+
+
+def q_segment_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b PER MARKET SEGMENT between daily order volume
+    and daily revenue cents — the grouped twin of
+    ``revenue_kendall_tau`` ("does more orders mean more revenue in
+    THIS segment, monotonically"): a segment whose volume-revenue
+    concordance decays is shifting toward smaller baskets even when
+    both marginals trend up. The pairwise sign-product join keys on
+    the segment over the per-segment DAILY aggregate — days² pairs
+    per segment, calendar-bounded at any fact volume; exact integer
+    C−D and tie terms, one double tau (operators/stats.kendall_tau,
+    grouped; grouped behavior pinned vs python in
+    tests/test_rankcorr.py, the ungrouped oracle pinned there)."""
+    from .operators.stats import kendall_tau
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    # the operator reads the day frame five times (pair sides, both
+    # tie sums, n) — pin the calendar-bounded aggregate so the fact
+    # scans happen once (the revenue_kendall_tau reuse pattern)
+    return kendall_tau(
+        daily.localCheckpoint(eager=False),
+        "d", "x", "y", group_cols=["c_mktsegment"],
+    )
+
+
+def q_segment_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho PER MARKET SEGMENT on the same daily
+    volume-vs-revenue pair — tau's companion reading (tau counts
+    concordant pairs, rho is the Pearson of tie-averaged ranks; they
+    disagree exactly when a few extreme days dominate, which is the
+    signal worth a dashboard row). Doubled tie-average ranks from two
+    RANGE windows partitioned by segment over the per-segment daily
+    aggregate, HUGEINT-exact Pearson moments, one double rho
+    (operators/stats.spearman_rho, grouped; grouped behavior pinned
+    vs python in tests/test_rankcorr.py, the ungrouped oracle pinned
+    there)."""
+    from .operators.stats import spearman_rho
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count("*").cast("long").alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    return spearman_rho(daily, "d", "x", "y", group_cols=["c_mktsegment"])
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -7654,9 +7839,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm": q_customer_rfm,
     "parts_kcore": q_parts_kcore,
     "top_parts_salted": q_top_parts_salted,
-    # -- displaced r12 window (10 r12-batch + 34 retired-r7 + 6 r8
-    # -- sketch/survival rows), every row green in its latest driver
-    # -- round, prior order preserved
     # --------- driver checked-window boundary (position 50) ---------
     # ROUND-14 ROTATION NOTE: after r13 lands, the stalest evidence
     # is embedding_kmeans (the ONE remaining latest-row-r8 entry; the
@@ -7671,6 +7853,26 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # plan r15 = remaining r9 + those anchors first among refreshes.
     # Do NOT register more new queries than the window budget (~10)
     # per round.
+    # -- NEW for r14 (operators built r12, oracles cross-engine
+    # -- pinned in tests/test_driftmetrics.py / test_rankcorr.py
+    # -- BEFORE registration — the house de-risk pattern): the
+    # -- playbook's post-hoc + dispersion + ordered-trend +
+    # -- categorical-mix rungs — Dunn's BH-corrected pairs after the
+    # -- events_type_kw omnibus, Ansari-Bradley spread on the
+    # -- order-price era split, Jonckheere-Terpstra ordered trend
+    # -- over event types, χ² homogeneity on the event-type mix —
+    # -- plus the grouped rank-correlation variants (per-type Pettitt
+    # -- changepoint, per-segment volume-revenue tau-b and rho)
+    "events_type_dunn": q_events_type_dunn,
+    "orders_price_ab": q_orders_price_ab,
+    "events_type_jt": q_events_type_jt,
+    "events_mix_chi2": q_events_mix_chi2,
+    "events_type_pettitt": q_events_type_pettitt,
+    "segment_kendall": q_segment_kendall,
+    "segment_spearman": q_segment_spearman,
+    # -- displaced r12 window (10 r12-batch + 34 retired-r7 + 6 r8
+    # -- sketch/survival rows), every row green in its latest driver
+    # -- round, prior order preserved
     "orders_price_mwu": q_orders_price_mwu,
     "orders_price_ks": q_orders_price_ks,
     "events_type_mwu": q_events_type_mwu,
@@ -13381,4 +13583,445 @@ ORACLES["segment_trimmed_mean"] = """
            round(CAST(sum(CAST(v AS HUGEINT) * m) AS DOUBLE)
                  / CAST(sum(m) AS DOUBLE), 6) AS mean
     FROM kept GROUP BY g ORDER BY g
+"""
+
+# -- r14 batch oracles: Dunn/AB/JT/chi2 copied verbatim from the
+# -- cross-engine pins in tests/test_driftmetrics.py (the house
+# -- de-risk pattern); the grouped Pettitt/tau/rho extend the pinned
+# -- ungrouped shapes in tests/test_rankcorr.py with the same
+# -- PARTITION BY-per-group windows the grouped MWU/KS oracles use.
+# -- p-values ride the shared A&S polynomial in exact op-order
+# -- lockstep (NORMAL_P_TWO_SIDED_SQL, rounded at 9dp).
+
+ORACLES["events_type_dunn"] = f"""
+    WITH vals AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ), vc AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      FROM vals GROUP BY g, v
+    ), rk AS (
+      SELECT g, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY v RANGE BETWEEN
+                  UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS lt,
+             CAST(sum(c) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS le
+      FROM vc
+    ), rr AS (
+      SELECT g, c, (le - lt) AS t,
+             CAST(2 * lt + (le - lt) + 1 AS BIGINT) AS r2
+      FROM rk
+    ), pg AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+             CAST(sum(CAST(c AS HUGEINT) * r2) AS HUGEINT) AS r2g,
+             CAST(sum(CAST(c AS HUGEINT)
+                      * (CAST(t AS HUGEINT) * t - 1)) AS HUGEINT)
+               AS tie_g
+      FROM rr GROUP BY g
+    ), tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(tie_g) AS HUGEINT) AS tie
+      FROM pg
+    ), pairs AS (
+      SELECT a.g AS ga, b.g AS gb, a.n_g AS na, b.n_g AS nb,
+             a.r2g AS ra, b.r2g AS rb
+      FROM pg a JOIN pg b ON a.g < b.g
+    ), f AS (
+      SELECT ga, gb, na, nb, n, tie,
+             CAST(ra AS DOUBLE) / (2.0 * CAST(na AS DOUBLE)) AS ma,
+             CAST(rb AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE)) AS mb,
+             (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 12.0
+              - CAST(tie AS DOUBLE)
+                / (12.0 * (CAST(n AS DOUBLE) - 1.0)))
+             * (1.0 / CAST(na AS DOUBLE)
+                + 1.0 / CAST(nb AS DOUBLE)) AS var
+      FROM pairs, tot
+    ), zz AS (
+      SELECT ga, gb, na, nb, ma, mb,
+             CASE WHEN n >= 2 AND (CAST(n AS HUGEINT) * n * n - n)
+                       > tie
+                  THEN (ma - mb) / sqrt(var) END AS z
+      FROM f
+    ), scored AS (
+      SELECT ga, gb, na, nb,
+             round(ma, 6) AS mean_rank_a,
+             round(mb, 6) AS mean_rank_b,
+             round(z, 6) AS zr,
+             round({_P_Z}, 9) AS p
+      FROM zz
+    ), nn AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY p, ga, gb) AS BIGINT)
+               AS p_rank,
+             CAST(count(*) OVER () AS BIGINT) AS m_tests
+      FROM scored WHERE p IS NOT NULL
+    ), th AS (
+      SELECT *, round(CAST(p_rank AS DOUBLE) * 0.05
+                      / CAST(m_tests AS DOUBLE), 9) AS bh_threshold
+      FROM nn
+    ), im AS (
+      SELECT CAST(coalesce(max(CASE WHEN p <= bh_threshold
+                                    THEN p_rank END), 0) AS BIGINT)
+               AS imax
+      FROM th
+    )
+    SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
+           mean_rank_a, mean_rank_b, zr AS z, p AS p_value,
+           p_rank, m_tests, bh_threshold,
+           p_rank <= imax AS selected
+    FROM th, im
+    ORDER BY group_a, group_b
+"""
+
+ORACLES["orders_price_ab"] = f"""
+    WITH sides AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN 1 ELSE 2 END AS s
+      FROM orders
+    ), vc AS (
+      SELECT v,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2
+      FROM sides GROUP BY v
+    ), cum AS (
+      SELECT v, c1, c2, c1 + c2 AS t,
+             CAST(sum(c1 + c2) OVER (ORDER BY v ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS m,
+             CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) AS BIGINT) AS m1
+      FROM vc
+    ), tot AS (
+      SELECT CAST(max(m1) AS BIGINT) AS n1,
+             CAST(max(m) - max(m1) AS BIGINT) AS n2,
+             CAST(max(m) AS BIGINT) AS n
+      FROM cum
+    ), scored AS (
+      SELECT c1, t,
+             (CASE WHEN m - t + 1 <= least(m, (n + 1) // 2)
+                   THEN CAST(least(m, (n + 1) // 2) + (m - t + 1)
+                             AS HUGEINT)
+                        * (least(m, (n + 1) // 2) - (m - t + 1) + 1)
+                   ELSE 0 END
+              + CASE WHEN m >= greatest(m - t + 1, (n + 1) // 2 + 1)
+                     THEN CAST(2 * n + 2
+                               - greatest(m - t + 1, (n + 1) // 2 + 1)
+                               - m AS HUGEINT)
+                          * (m - greatest(m - t + 1,
+                                          (n + 1) // 2 + 1) + 1)
+                     ELSE 0 END) AS s2
+      FROM cum, tot
+    ), agg AS (
+      SELECT max(n1) AS n1, max(n2) AS n2,
+             sum(CAST(round(CAST(c1 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                            / (2.0 * CAST(t AS DOUBLE))
+                            * 1000000000.0) AS HUGEINT)) AS qt,
+             sum(CAST(round(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+                            / (4.0 * CAST(t AS DOUBLE))
+                            * 1000000000.0) AS HUGEINT)) AS qss,
+             sum(s2) AS s2tot
+      FROM scored, tot
+    ), f AS (
+      SELECT n1, n2,
+             CAST(qt AS DOUBLE) / 1000000000.0 AS t_stat,
+             CAST(s2tot AS DOUBLE)
+               / (2.0 * (CAST(n1 AS DOUBLE) + n2)) AS abar,
+             CAST(qss AS DOUBLE) / 1000000000.0 AS ss
+      FROM agg
+    ), zc AS (
+      SELECT n1, n2, t_stat,
+             CAST(n1 AS DOUBLE) * abar AS e_t,
+             CAST(n1 AS DOUBLE) * n2
+               / ((CAST(n1 AS DOUBLE) + n2)
+                  * ((CAST(n1 AS DOUBLE) + n2) - 1.0))
+               * (ss - (CAST(n1 AS DOUBLE) + n2) * abar * abar)
+               AS var
+      FROM f
+    ), zz AS (
+      SELECT n1, n2, t_stat, e_t,
+             CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 >= 2
+                       AND var > 0
+                  THEN (t_stat - e_t) / sqrt(var) END AS z
+      FROM zc
+    )
+    SELECT n1 AS n_ref, n2 AS n_cur,
+           round(t_stat, 6) AS ab_stat,
+           round(e_t, 6) AS ab_expected,
+           round(z, 6) AS z,
+           round({_P_Z}, 9) AS p_value
+    FROM zz
+"""
+
+ORACLES["events_type_jt"] = f"""
+    WITH vals AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ), vc AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      FROM vals GROUP BY g, v
+    ), grid AS (
+      SELECT dg.g, dv.v
+      FROM (SELECT DISTINCT g FROM vc) dg
+           CROSS JOIN (SELECT DISTINCT v FROM vc) dv
+    ), dense AS (
+      SELECT grid.g, grid.v,
+             CAST(coalesce(vc.c, 0) AS BIGINT) AS c
+      FROM grid LEFT JOIN vc
+           ON grid.g = vc.g AND grid.v = vc.v
+    ), mb AS (
+      SELECT g, v, c,
+             CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS m_below
+      FROM dense
+    ), pre AS (
+      SELECT g, v, c,
+             coalesce(sum(CAST(m_below AS HUGEINT)) OVER (
+               PARTITION BY v ORDER BY g ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS pm,
+             coalesce(sum(CAST(c AS HUGEINT)) OVER (
+               PARTITION BY v ORDER BY g ROWS BETWEEN UNBOUNDED
+               PRECEDING AND 1 PRECEDING), 0) AS pc
+      FROM mb
+    ), pg AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+             CAST(sum(CAST(c AS HUGEINT) * (2 * pm + pc))
+                  AS HUGEINT) AS j2g
+      FROM pre GROUP BY g
+    ), gagg AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(j2g) AS HUGEINT) AS j2,
+             CAST(sum(CAST(n_g AS HUGEINT) * n_g) AS HUGEINT)
+               AS sn2,
+             CAST(sum(CAST(n_g AS HUGEINT) * (n_g - 1)
+                      * (2 * n_g + 5)) AS HUGEINT) AS g1,
+             CAST(sum(CAST(n_g AS HUGEINT) * (n_g - 1)
+                      * (n_g - 2)) AS HUGEINT) AS g2,
+             CAST(sum(CAST(n_g AS HUGEINT) * (n_g - 1))
+                  AS HUGEINT) AS g3
+      FROM pg
+    ), tv AS (
+      SELECT v, CAST(sum(c) AS BIGINT) AS t
+      FROM vc GROUP BY v
+    ), tagg AS (
+      SELECT CAST(count(*) AS BIGINT) AS nv,
+             CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+                  AS HUGEINT) AS t1,
+             CAST(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2))
+                  AS HUGEINT) AS t2,
+             CAST(sum(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT)
+               AS t3
+      FROM tv
+    ), f AS (
+      SELECT n, k, nv,
+             CAST(j2 AS DOUBLE) / 2.0 AS j,
+             CAST(CAST(n AS HUGEINT) * n - sn2 AS DOUBLE) / 4.0
+               AS e,
+             CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5)
+                  - g1 - t1 AS DOUBLE) / 72.0
+             + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+               / (36.0 * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) - 1.0)
+                  * (CAST(n AS DOUBLE) - 2.0))
+             + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+               / (8.0 * CAST(n AS DOUBLE)
+                  * (CAST(n AS DOUBLE) - 1.0)) AS var
+      FROM gagg, tagg
+    ), zz AS (
+      SELECT n, k, j, e,
+             CASE WHEN k >= 2 AND n >= 3 AND nv >= 2 AND var > 0
+                  THEN (j - e) / sqrt(var) END AS z
+      FROM f
+    )
+    SELECT n AS n_total, k AS k_groups,
+           round(j, 1) AS jt_stat, round(e, 2) AS jt_expected,
+           round(z, 6) AS z, round({_P_Z}, 9) AS p_value
+    FROM zz
+"""
+
+ORACLES["events_mix_chi2"] = f"""
+    WITH sides AS (
+      SELECT event_type AS cat,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 2 END AS s
+      FROM events
+    ), vc AS (
+      SELECT cat,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2
+      FROM sides GROUP BY cat
+    ), tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(c2) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS k
+      FROM vc
+    ), q AS (
+      SELECT max(n1) AS n1, max(n2) AS n2, max(k) AS k,
+             sum(CASE WHEN n1 > 0 AND n2 > 0 THEN
+               CAST(round(
+                 CAST(CAST(c1 AS HUGEINT) * n2
+                      - CAST(c2 AS HUGEINT) * n1 AS DOUBLE)
+                 * CAST(CAST(c1 AS HUGEINT) * n2
+                        - CAST(c2 AS HUGEINT) * n1 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                    * CAST(c1 + c2 AS DOUBLE))
+                 * 1000000000.0) AS HUGEINT)
+               ELSE 0 END) AS qsum
+      FROM vc, tot
+    ), f AS (
+      SELECT n1, n2, k,
+             CAST(qsum AS DOUBLE) / 1000000000.0 AS chi2
+      FROM q
+    ), zc AS (
+      SELECT n1, n2, k, chi2,
+             CASE WHEN k = 2 THEN sqrt(chi2)
+                  ELSE (cbrt(chi2 / CAST(k - 1 AS DOUBLE))
+                        - (1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE))))
+                       / sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE)))
+             END AS z
+      FROM f
+    )
+    SELECT n1 AS n_ref, n2 AS n_cur, k AS k_categories,
+           round(chi2, 6) AS chi2,
+           CAST(k - 1 AS BIGINT) AS deg_f,
+           round(z, 6) AS z_wh,
+           round(CASE WHEN k = 2 THEN ({_P_Z})
+                 WHEN z >= 0 THEN ({_P_Z}) / 2.0
+                 ELSE 1.0 - ({_P_Z}) / 2.0 END, 9) AS p_value
+    FROM zc
+"""
+
+ORACLES["events_type_pettitt"] = """
+    WITH daily AS (
+      SELECT event_type AS g, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT g, d,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT)
+               - CAST(count(*) OVER (PARTITION BY g ORDER BY x
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT)
+               - CAST(coalesce(count(*) OVER (PARTITION BY g ORDER BY x
+                   RANGE BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS v,
+             CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM daily
+    ), u AS (
+      SELECT g, d, n,
+             CAST(sum(v) OVER (PARTITION BY g ORDER BY d ROWS BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS uu
+      FROM ranked
+    ), mx AS (
+      SELECT g, CAST(max(abs(uu)) AS BIGINT) AS k_stat FROM u GROUP BY g
+    ), agg AS (
+      SELECT u.g, max(u.n) AS n_points, max(m.k_stat) AS k_stat,
+             min(CASE WHEN abs(u.uu) = m.k_stat THEN u.d END)
+               AS change_point
+      FROM u JOIN mx m ON u.g = m.g GROUP BY u.g
+    )
+    SELECT g AS event_type, n_points, k_stat, change_point,
+           round(least(2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE)
+                   * CAST(k_stat AS DOUBLE)
+                   / (CAST(n_points AS DOUBLE) * n_points * n_points
+                      + CAST(n_points AS DOUBLE) * n_points)),
+                 1.0), 6) AS p_approx
+    FROM agg ORDER BY event_type
+"""
+
+ORACLES["segment_kendall"] = """
+    WITH xy AS (
+      SELECT c.c_mktsegment AS g, CAST(o.o_orderdate AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), s AS (
+      SELECT a.g,
+             CAST(coalesce(sum(
+               (CASE WHEN b.x > a.x THEN 1
+                     WHEN b.x < a.x THEN -1 ELSE 0 END)
+               * (CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END)), 0)
+             AS BIGINT) AS cd
+      FROM xy a JOIN xy b ON a.g = b.g AND a.d < b.d
+      GROUP BY a.g
+    ), tx AS (
+      SELECT g, CAST(sum(t * (t - 1)) AS BIGINT) AS tx2
+      FROM (SELECT g, CAST(count(*) AS BIGINT) AS t
+            FROM xy GROUP BY g, x) z
+      GROUP BY g
+    ), ty AS (
+      SELECT g, CAST(sum(t * (t - 1)) AS BIGINT) AS ty2
+      FROM (SELECT g, CAST(count(*) AS BIGINT) AS t
+            FROM xy GROUP BY g, y) z
+      GROUP BY g
+    ), np AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n FROM xy GROUP BY g
+    )
+    SELECT np.g AS c_mktsegment, np.n AS n_points,
+           CAST(coalesce(s.cd, 0) AS BIGINT)
+             AS concordant_minus_discordant,
+           tx.tx2 // 2 AS tie_term_x, ty.ty2 // 2 AS tie_term_y,
+           CASE WHEN np.n * (np.n - 1) - tx.tx2 > 0
+                 AND np.n * (np.n - 1) - ty.ty2 > 0 THEN
+             round((2.0 * CAST(coalesce(s.cd, 0) AS DOUBLE))
+                   / sqrt(CAST(np.n * (np.n - 1) - tx.tx2 AS DOUBLE)
+                          * CAST(np.n * (np.n - 1) - ty.ty2
+                                 AS DOUBLE)), 6)
+           END AS tau_b
+    FROM np
+    JOIN tx ON np.g = tx.g
+    JOIN ty ON np.g = ty.g
+    LEFT JOIN s ON np.g = s.g
+    ORDER BY c_mktsegment
+"""
+
+ORACLES["segment_spearman"] = """
+    WITH xy AS (
+      SELECT c.c_mktsegment AS g, CAST(o.o_orderdate AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT g,
+             CAST(coalesce(count(*) OVER (PARTITION BY g ORDER BY x
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + count(*) OVER (PARTITION BY g ORDER BY x RANGE BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+             AS HUGEINT) AS rx,
+             CAST(coalesce(count(*) OVER (PARTITION BY g ORDER BY y
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + count(*) OVER (PARTITION BY g ORDER BY y RANGE BETWEEN
+               UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+             AS HUGEINT) AS ry
+      FROM xy
+    ), m AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(rx) AS sx, sum(ry) AS sy2,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+             sum(rx * ry) AS sxy
+      FROM rk GROUP BY g
+    )
+    SELECT g AS c_mktsegment, n AS n_points,
+           CASE WHEN n * sxx - sx * sx > 0
+                 AND n * syy - sy2 * sy2 > 0 THEN
+             round(CAST(n * sxy - sx * sy2 AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy2 * sy2 AS DOUBLE)), 6)
+           END AS rho
+    FROM m ORDER BY c_mktsegment
 """

@@ -277,6 +277,15 @@ BENCH_QUERIES = [
     "events_type_w1",
     "segment_returns_ztest",
     "segment_trimmed_mean",
+    # r13-registered (the r14 driver batch): post-hoc / dispersion /
+    # ordered-trend / categorical-mix + grouped rank correlation
+    "events_type_dunn",
+    "orders_price_ab",
+    "events_type_jt",
+    "events_mix_chi2",
+    "events_type_pettitt",
+    "segment_kendall",
+    "segment_spearman",
 ]
 
 # Registry entries intentionally NOT benched (coverage is enforced by

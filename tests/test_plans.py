@@ -1336,3 +1336,101 @@ def test_r14_ready_chi2_homogeneity_plan_shape(spark):
         assert any(a > w for a in aggs), plan
     schemas = set(_read_schemas(plan))
     assert schemas == {"ts:timestamp_ntz,event_type:string"}, plan
+
+
+R14_BATCH = [
+    "events_type_dunn",
+    "orders_price_ab",
+    "events_type_jt",
+    "events_mix_chi2",
+    "events_type_pettitt",
+    "segment_kendall",
+    "segment_spearman",
+]
+
+
+@pytest.mark.parametrize("name", R14_BATCH)
+def test_r14_batch_no_cartesian(spark, name):
+    """None of the r13-registered playbook queries may go cartesian
+    on a data-scaled frame — Dunn's pair join and JT's dense grid are
+    broadcast nested-loops of AGGREGATES (pinned separately below and
+    in the r14-ready operator pins), the segment queries' only joins
+    are the orders⋈broadcast-customer key join and the per-segment
+    pairwise join over the calendar-bounded daily aggregate."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_r14_grouped_rankcorr_windows_partition_by_key(spark):
+    """The grouped Pettitt/Spearman registrations must partition every
+    window by their group key over the per-key DAILY aggregate — a
+    dropped partition clause would serialize all keys through one
+    task (the grouped-W1 pin precedent)."""
+    assert _window_partition_keys(
+        _plan(spark, "events_type_pettitt")
+    ) == {"event_type"}
+    assert _window_partition_keys(
+        _plan(spark, "segment_spearman")
+    ) == {"c_mktsegment"}
+
+
+def test_r14_segment_queries_broadcast_customer_dim(spark):
+    """The segment daily rollup joins orders to the customer dim via
+    an explicit broadcast (the segment_mk_bh precedent) and its scans
+    read only the join key, the date, the price, and the segment
+    label. segment_spearman exposes the join in its own plan;
+    segment_kendall hides it behind the lazy localCheckpoint pin (the
+    revenue_kendall_tau precedent), so the shared daily-frame shape
+    is pinned directly."""
+    from pyspark.sql import functions as F
+
+    plan = _plan(spark, "segment_spearman")
+    assert "BroadcastHashJoin" in plan, plan
+    schemas = set(_read_schemas(plan))
+    assert schemas == {
+        "o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp_ntz",
+        "c_custkey:bigint,c_mktsegment:string",
+    }, plan
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", F.to_date("o_orderdate").alias("d"))
+        .agg(F.count("*").alias("x"))
+    )
+    dplan = daily._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in dplan, dplan
+    assert not re.findall(r"\(\d+\) SortMergeJoin", dplan), dplan
+
+
+def test_r14_kendall_pair_join_keys_on_segment_over_daily_aggregate(spark):
+    """segment_kendall's pairwise sign-product join must be a KEYED
+    join on the segment (days² pairs PER SEGMENT over the bounded
+    daily aggregate), never an unkeyed nested-loop of the whole daily
+    frame against itself."""
+    plan = _plan(spark, "segment_kendall")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_r14_registered_dunn_jt_ride_the_checkpointed_fold(spark):
+    """Registry-level twins of the r14-ready operator pins (which
+    assert the rank fold / dense grid sit on the per-(type, value)
+    count aggregate): the REGISTERED queries hide that fold behind
+    the lazy localCheckpoint pin, so here we assert exactly that —
+    the plan reads the pinned frame (ExistingRDD), every raw events
+    scan prunes to the two working columns, and nothing goes
+    cartesian or SMJ on fact rows."""
+    for name in ("events_type_dunn", "events_type_jt"):
+        plan = _plan(spark, name)
+        assert "ExistingRDD" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        schemas = set(_read_schemas(plan))
+        assert schemas <= {
+            "event_type:string",
+            "value:double",
+            "event_type:string,value:double",
+        }, (name, plan)
