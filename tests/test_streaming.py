@@ -2927,3 +2927,104 @@ def test_streaming_kw_cols_gate_and_null_fail_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="kruskal_wallis: NULL value"):
         q2.awaitTermination(180)
+
+
+def test_streaming_kw_checkpoint_relocation_resumes_exactly(spark, tmp_path):
+    """The recovery contract's third leg for the k-sample state (the
+    rollup twins' precedent): a checkpoint directory MOVED to a new
+    path (a legitimate ops action — volume migration, rename) must
+    resume as a CONTINUATION, not a replay — Spark's offset tracking
+    travels with the directory, so only genuinely new batches deliver,
+    batch numbering continues, and every verdict stays equal to the
+    batch operator on the concatenated input. This is the complement
+    of the wipe case (renumbered re-delivery, __batch_id guard skips)
+    and the cols-gate case (foreign columns fail loud)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        dunn_test,
+        jonckheere_terpstra,
+        kruskal_wallis,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        read_streaming_dunn,
+        read_streaming_jt,
+        read_streaming_kw,
+        start_streaming_kw,
+    )
+
+    rng = __import__("random").Random(211)
+    batches = [
+        [
+            (b * 1000 + i, "2024-01-02 00:00:00", 2, g,
+             float(rng.randrange(0, 150) + (b * 40 if g == "c" else 0)))
+            for i in range(30)
+            for g in ("a", "b", "c")
+        ]
+        for b in range(2)
+    ]
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "kw")
+    ckpt_old = str(tmp_path / "ckpt_old")
+    ckpt_new = str(tmp_path / "ckpt_new")
+    for chunk in batches:
+        _write_batch(spark, inp, chunk)
+
+    def run(ckpt):
+        q = start_streaming_kw(
+            read_event_stream(spark, inp, SCHEMA).select(
+                F.col("event_type"),
+                F.round(F.col("value")).cast("long").alias("x"),
+                F.col("ts"),
+            ),
+            state,
+            group_col="event_type",
+            value_col="x",
+            checkpoint_dir=ckpt,
+        )
+        q.awaitTermination(180)
+
+    def direct(delivered):
+        df = _rows(spark, delivered).select(
+            "event_type",
+            F.round(F.col("value")).cast("long").alias("x"),
+        )
+        return (
+            tuple(kruskal_wallis(df, "event_type", "x").collect()[0]),
+            [tuple(r) for r in dunn_test(df, "event_type", "x").collect()],
+            tuple(jonckheere_terpstra(df, "event_type", "x").collect()[0]),
+        )
+
+    run(ckpt_old)
+    want = direct([r for b in batches for r in b])
+    assert tuple(read_streaming_kw(spark, state).collect()[0]) == want[0]
+    bid_before = (
+        spark.read.parquet(state).agg(F.max("__batch_id")).first()[0]
+    )
+
+    # relocate the checkpoint, deliver one new batch, resume at the
+    # NEW path: continuation, not replay
+    shutil.move(ckpt_old, ckpt_new)
+    extra = [
+        (9000 + i, "2024-01-03 00:00:00", 3, "c",
+         float(rng.randrange(300, 500)))
+        for i in range(45)
+    ]
+    _write_batch(spark, inp, extra)
+    run(ckpt_new)
+
+    want2 = direct([r for b in batches for r in b] + extra)
+    assert tuple(read_streaming_kw(spark, state).collect()[0]) == want2[0]
+    assert [
+        tuple(r) for r in read_streaming_dunn(spark, state).collect()
+    ] == want2[1]
+    assert tuple(read_streaming_jt(spark, state).collect()[0]) == want2[2]
+    # batch numbering CONTINUED across the move (exactly one new fold);
+    # a renumbered re-delivery would have been skipped by the guard and
+    # the verdicts above would have missed the new batch
+    bid_after = (
+        spark.read.parquet(state).agg(F.max("__batch_id")).first()[0]
+    )
+    assert bid_after == bid_before + 1
