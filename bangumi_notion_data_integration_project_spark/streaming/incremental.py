@@ -2047,6 +2047,31 @@ def read_streaming_ab(spark: SparkSession, state_dir: str) -> DataFrame:
     return _ab_from_counts(vc, [])
 
 
+def read_streaming_bm(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Brunner-Munzel verdict from any stored sided-counts state (see
+    :func:`read_streaming_w1`): the unequal-variance location leg
+    served from the SAME fold — one stored state, SEVEN batch-exact
+    verdicts (MWU, KS, W1, CvM, Mood, AB, BM)."""
+    from ..operators.twosample import _bm_from_counts
+
+    vc = spark.read.parquet(state_dir).select("__v", "__c1", "__c2")
+    return _bm_from_counts(vc, [])
+
+
+def read_streaming_median_k(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Brown-Mood k-sample median verdict from the stored KW
+    (group, value) count state (see :func:`read_streaming_kw`): the
+    k-sample rung's FOURTH batch-exact verdict from one fold — KW
+    "did ANY group move", Dunn "WHICH", JT "is it MONOTONE", median
+    "did a MEDIAN move" (the robust gate when tails are wild)."""
+    from ..operators.twosample import _medk_from_counts
+
+    vc = spark.read.parquet(state_dir).select("__g", "__v", "__c")
+    return _medk_from_counts(vc, "__g", [])
+
+
 def read_streaming_jt(spark: SparkSession, state_dir: str) -> DataFrame:
     """Jonckheere-Terpstra ordered-trend verdict from the stored KW
     (group, value) count state (see :func:`read_streaming_kw`): the

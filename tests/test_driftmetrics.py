@@ -382,14 +382,15 @@ def test_driftmetrics_duckdb_oracle_shapes_cross_engine(spark):
 def test_one_sided_counts_state_serves_all_five_verdicts(spark, tmp_path):
     """The two-sample family are pure functions of one sided-counts
     table: after draining a stream through start_streaming_mwu, the
-    SAME stored state serves all six verdicts — MWU, KS, W1, CvM,
-    Mood, AB — equal to the batch operators on ref vs the delivered
-    union ("one fold, six verdicts", the DEPLOYMENT.md
+    SAME stored state serves all seven verdicts — MWU, KS, W1, CvM,
+    Mood, AB, BM — equal to the batch operators on ref vs the
+    delivered union ("one fold, seven verdicts", the DEPLOYMENT.md
     dashboard-contract claim as a single executable assertion)."""
     from pyspark.sql import functions as F
 
     from bangumi_notion_data_integration_project_spark.operators.twosample import (
         ansari_bradley,
+        brunner_munzel,
         cramer_von_mises,
         ks_two_sample,
         mann_whitney_u,
@@ -399,6 +400,7 @@ def test_one_sided_counts_state_serves_all_five_verdicts(spark, tmp_path):
     from bangumi_notion_data_integration_project_spark.streaming.incremental import (
         read_event_stream,
         read_streaming_ab,
+        read_streaming_bm,
         read_streaming_cvm,
         read_streaming_ks,
         read_streaming_mood,
@@ -459,6 +461,7 @@ def test_one_sided_counts_state_serves_all_five_verdicts(spark, tmp_path):
         (read_streaming_cvm, cramer_von_mises),
         (read_streaming_mood, mood_median_test),
         (read_streaming_ab, ansari_bradley),
+        (read_streaming_bm, brunner_munzel),
     ):
         got = tuple(read_fn(spark, state).collect()[0])
         want = tuple(batch_fn(ref_df, cur, "x").collect()[0])
@@ -1740,6 +1743,467 @@ def test_chi2_homogeneity_duckdb_oracle_shape_cross_engine(spark):
           FROM f
         )
         SELECT n1 AS n_ref, n2 AS n_cur, k AS k_categories,
+               round(chi2, 6) AS chi2,
+               CAST(k - 1 AS BIGINT) AS deg_f,
+               round(z, 6) AS z_wh,
+               round(CASE WHEN k = 2 THEN ({p_expr})
+                     WHEN z >= 0 THEN ({p_expr}) / 2.0
+                     ELSE 1.0 - ({p_expr}) / 2.0 END, 9) AS p_value
+        FROM zc
+        """
+    ).fetchall()[0]
+    assert got == tuple(want)
+
+
+def _py_bm(xs, ys):
+    """Python Brunner-Munzel mirroring the operator's exact-integer
+    moment sums and double op order."""
+    from collections import Counter
+
+    n1, n2 = len(xs), len(ys)
+    c1 = Counter(xs)
+    c2 = Counter(ys)
+    vals = sorted(set(xs) | set(ys))
+    m1 = m2 = 0
+    w1 = w2 = q1 = q2 = 0
+    for v in vals:
+        a, b = c1[v], c2[v]
+        m1 += a
+        m2 += b
+        d1_2 = 2 * m2 - b   # 2·(#cur < v) + #cur = v
+        d2_2 = 2 * m1 - a
+        w1 += a * d1_2
+        w2 += b * d2_2
+        q1 += a * d1_2 * d1_2
+        q2 += b * d2_2 * d2_2
+    if n1 == 0 or n2 == 0:
+        return None, None, None
+    p_hat = w2 / (2.0 * n1 * n2)
+    sep = (max(xs) < min(ys)) or (max(ys) < min(xs))
+    if n1 < 2 or n2 < 2 or len(vals) < 2 or sep:
+        return p_hat, None, None
+    s1sq = (q1 - w1 * w1 / n1) / (4.0 * (n1 - 1.0))
+    s2sq = (q2 - w2 * w2 / n2) / (4.0 * (n2 - 1.0))
+    var = n1 * s1sq + n2 * s2sq
+    if not var > 0:
+        return p_hat, None, None
+    rdiff = w2 / (2.0 * n2) - w1 / (2.0 * n1) + (n2 - n1) / 2.0
+    w = n1 * n2 * rdiff / ((n1 + n2) * math.sqrt(var))
+    return p_hat, w, _py_norm_p(w)
+
+
+def test_bm_matches_python_and_handles_unequal_variance(spark):
+    """Behrens-Fisher leg: BM matches the python replay bit-for-bit,
+    detects a planted location shift under a 5× variance difference,
+    and stays quiet when only the SPREAD changed (the case plain MWU
+    is mis-specified for — AB owns dispersion, BM owns location)."""
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        brunner_munzel,
+    )
+
+    rng = random.Random(41)
+    xs = [rng.randrange(0, 40) for _ in range(300)]          # tight
+    ys = [rng.randrange(-80, 120) + 45 for _ in range(260)]  # wide+shift
+    a = spark.createDataFrame([(x,) for x in xs], "v long")
+    b = spark.createDataFrame([(y,) for y in ys], "v long")
+    r = brunner_munzel(a, b, "v").collect()[0]
+    p_hat, w, p = _py_bm(xs, ys)
+    assert (r["n_ref"], r["n_cur"]) == (300, 260)
+    assert r["p_hat"] == _rnd(p_hat, 6)
+    assert r["bm_stat"] == _rnd(w, 6)
+    assert r["p_value"] == _rnd(p, 9)
+    assert r["p_value"] < 0.01 and r["p_hat"] > 0.5  # shift registers
+
+    # spread-only change: BM stays quiet (its null is P(X<Y)+½P(=)=½,
+    # which a symmetric widening preserves)
+    ys2 = [rng.randrange(-80, 120) + 20 for _ in range(300)]
+    xs2 = [rng.randrange(-20, 60) + 20 for _ in range(300)]
+    r2 = brunner_munzel(
+        spark.createDataFrame([(x,) for x in xs2], "v long"),
+        spark.createDataFrame([(y,) for y in ys2], "v long"),
+        "v",
+    ).collect()[0]
+    px = _py_bm(xs2, ys2)
+    assert r2["p_value"] == _rnd(px[2], 9)
+    assert r2["p_value"] > 0.05
+
+    # grouped: the drifting key pages, the flat key does not
+    rows_r, rows_c = [], []
+    for g, shift in (("east", 30), ("west", 0)):
+        rows_r += [(g, rng.randrange(0, 60)) for _ in range(200)]
+        rows_c += [
+            (g, rng.randrange(-40, 100) + shift) for _ in range(200)
+        ]
+    got = {
+        r["g"]: r
+        for r in brunner_munzel(
+            spark.createDataFrame(rows_r, "g string, v long"),
+            spark.createDataFrame(rows_c, "g string, v long"),
+            "v",
+            group_cols=["g"],
+        ).collect()
+    }
+    assert got["east"]["p_value"] < 1e-3
+    assert got["west"]["p_value"] > 0.01
+
+
+def test_bm_degenerates_and_null(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        brunner_munzel,
+    )
+
+    def one(xs, ys):
+        a = spark.createDataFrame([(x,) for x in xs], "v long")
+        b = spark.createDataFrame([(y,) for y in ys], "v long")
+        return brunner_munzel(a, b, "v").collect()[0]
+
+    # complete separation: the statistic is unbounded — exact witness
+    # forces NULL while p_hat still tells the story (1.0 = cur above)
+    r = one([1, 2, 3], [10, 11, 12])
+    assert r["p_hat"] == 1.0 and r["bm_stat"] is None
+    r = one([10, 11, 12], [1, 2, 3])
+    assert r["p_hat"] == 0.0 and r["bm_stat"] is None
+
+    # all-tied pool: p_hat = ½ exactly, NULL statistic
+    r = one([5, 5, 5], [5, 5])
+    assert r["p_hat"] == 0.5 and r["bm_stat"] is None
+
+    # n < 2 on a side: S² undefined
+    r = one([1, 2, 3], [2])
+    assert r["p_hat"] is not None and r["bm_stat"] is None
+
+    # one-sided: NULL everything but counts
+    empty = spark.createDataFrame([], "v long")
+    full = spark.createDataFrame([(1,), (2,)], "v long")
+    r = brunner_munzel(full, empty, "v").collect()[0]
+    assert (r["n_ref"], r["n_cur"]) == (2, 0)
+    assert r["p_hat"] is None and r["p_value"] is None
+
+    # NULL value raises
+    bad = spark.createDataFrame([(1,), (None,)], "v long")
+    with pytest.raises(Exception, match="brunner_munzel"):
+        brunner_munzel(bad, full, "v").collect()
+
+
+def test_bm_duckdb_oracle_shape_cross_engine(spark):
+    """The DuckDB restatement — the identical sided cumulative window,
+    exact HUGEINT moment sums, the lockstep double op order and A&S p
+    — bit-equal on the real order-price era split (the r15 registry
+    oracle, pinned ahead of registration)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        NORMAL_P_TWO_SIDED_SQL,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        brunner_munzel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    got = tuple(brunner_munzel(ref, cur, "x").collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS"
+        f" SELECT * FROM read_parquet('{sf}/orders.parquet')"
+    )
+    p_expr = NORMAL_P_TWO_SIDED_SQL.format(z="w")
+    want = con.execute(
+        f"""
+        WITH sides AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                 CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                      THEN 1 ELSE 2 END AS s
+          FROM orders
+        ), vc AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1,
+                 CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c2
+          FROM sides GROUP BY v
+        ), cum AS (
+          SELECT v, c1, c2,
+                 CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS m1,
+                 CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS m2
+          FROM vc
+        ), scored AS (
+          SELECT v, c1, c2,
+                 CAST(2 * m2 - c2 AS HUGEINT) AS d1_2,
+                 CAST(2 * m1 - c1 AS HUGEINT) AS d2_2
+          FROM cum
+        ), agg AS (
+          SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                 CAST(sum(c2) AS BIGINT) AS n2,
+                 CAST(sum(c1 * d1_2) AS HUGEINT) AS w1,
+                 CAST(sum(c2 * d2_2) AS HUGEINT) AS w2,
+                 CAST(sum(c1 * d1_2 * d1_2) AS HUGEINT) AS q1,
+                 CAST(sum(c2 * d2_2 * d2_2) AS HUGEINT) AS q2,
+                 CAST(count(*) AS BIGINT) AS nv,
+                 max(CASE WHEN c1 > 0 THEN v END) AS max1,
+                 min(CASE WHEN c1 > 0 THEN v END) AS min1,
+                 max(CASE WHEN c2 > 0 THEN v END) AS max2,
+                 min(CASE WHEN c2 > 0 THEN v END) AS min2
+          FROM scored
+        ), f AS (
+          SELECT n1, n2,
+                 CAST(w2 AS DOUBLE)
+                   / (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                   AS p_hat,
+                 (CAST(q1 AS DOUBLE)
+                  - CAST(w1 AS DOUBLE) * CAST(w1 AS DOUBLE)
+                    / CAST(n1 AS DOUBLE))
+                 / (4.0 * (CAST(n1 AS DOUBLE) - 1.0)) AS s1sq,
+                 (CAST(q2 AS DOUBLE)
+                  - CAST(w2 AS DOUBLE) * CAST(w2 AS DOUBLE)
+                    / CAST(n2 AS DOUBLE))
+                 / (4.0 * (CAST(n2 AS DOUBLE) - 1.0)) AS s2sq,
+                 CAST(w2 AS DOUBLE) / (2.0 * CAST(n2 AS DOUBLE))
+                 - CAST(w1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE))
+                 + (CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE)) / 2.0
+                   AS rdiff,
+                 nv, max1, min1, max2, min2
+          FROM agg
+        ), zz AS (
+          SELECT n1, n2, p_hat,
+                 CASE WHEN n1 >= 2 AND n2 >= 2 AND nv >= 2
+                           AND NOT (max1 < min2 OR max2 < min1)
+                           AND CAST(n1 AS DOUBLE) * s1sq
+                               + CAST(n2 AS DOUBLE) * s2sq > 0
+                      THEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                           * rdiff
+                           / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                              * sqrt(CAST(n1 AS DOUBLE) * s1sq
+                                     + CAST(n2 AS DOUBLE) * s2sq))
+                 END AS w
+          FROM f
+        )
+        SELECT n1 AS n_ref, n2 AS n_cur,
+               round(p_hat, 6) AS p_hat,
+               round(w, 6) AS bm_stat,
+               round({p_expr}, 9) AS p_value
+        FROM zz
+        """
+    ).fetchall()[0]
+    assert got == tuple(want)
+
+
+def _py_medk(data):
+    """Python Brown-Mood k-sample median test mirroring the operator's
+    pooled lower median, quantized chi2 fold, and tails."""
+    pooled = sorted(v for xs in data.values() for v in xs)
+    n = len(pooled)
+    med = pooled[(n + 1) // 2 - 1]  # smallest v with 2·cum ≥ N
+    a = {g: sum(1 for v in xs if v > med) for g, xs in data.items()}
+    big_a = sum(a.values())
+    k = len(data)
+    q = 0
+    if 0 < big_a < n:
+        for g, xs in data.items():
+            d = a[g] * n - len(xs) * big_a
+            q += math.floor(
+                float(d) * float(d)
+                / (float(len(xs)) * float(big_a) * float(n - big_a))
+                * 1e9 + 0.5
+            )
+    chi2 = q / 1e9
+    if k < 2 or big_a == 0 or big_a == n:
+        return n, k, med, big_a, None, None, None
+    if k == 2:
+        z = math.sqrt(chi2)
+        p = _py_norm_p(z)
+    else:
+        dfree = float(k - 1)
+        z = (
+            (chi2 / dfree) ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * dfree))
+        ) / math.sqrt(2.0 / (9.0 * dfree))
+        np2 = _py_norm_p(z)
+        p = np2 / 2.0 if z >= 0 else 1.0 - np2 / 2.0
+    return n, k, med, big_a, chi2, z, p
+
+
+def test_medk_matches_python_and_detects_median_shift(spark):
+    """k-sample median leg: a planted median step in one group pages
+    the omnibus; equal medians with different spreads do not (the
+    robustness this test exists for)."""
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        median_test_k,
+    )
+
+    rng = random.Random(43)
+    data = {
+        "a": [rng.randrange(0, 100) for _ in range(150)],
+        "b": [rng.randrange(0, 100) for _ in range(140)],
+        "c": [rng.randrange(0, 100) + 45 for _ in range(130)],
+    }
+    rows = [(g, v) for g, xs in data.items() for v in xs]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = median_test_k(df, "g", "v").collect()[0]
+    n, k, med, big_a, chi2, z, p = _py_medk(data)
+    assert (r["n_total"], r["k_groups"], r["median"], r["n_above"]) == (
+        n, k, med, big_a,
+    )
+    assert r["chi2"] == _rnd(chi2, 6)
+    assert r["z_wh"] == _rnd(z, 6)
+    assert r["p_value"] == _rnd(p, 9)
+    assert r["p_value"] < 1e-4
+
+    # same medians, different spreads: quiet
+    data2 = {
+        "a": [50 + rng.randrange(-5, 6) for _ in range(150)],
+        "b": [50 + rng.randrange(-40, 41) for _ in range(150)],
+    }
+    rows2 = [(g, v) for g, xs in data2.items() for v in xs]
+    r2 = median_test_k(
+        spark.createDataFrame(rows2, "g string, v long"), "g", "v"
+    ).collect()[0]
+    assert r2["deg_f"] == 1  # exact tail branch
+    assert r2["p_value"] == _rnd(_py_medk(data2)[6], 9)
+    assert r2["p_value"] > 0.05
+
+
+def test_medk_degenerates_outer_groups_and_null(spark):
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        median_test_k,
+    )
+
+    # one group: explicit degenerate row with counts
+    one = spark.createDataFrame([("a", 1), ("a", 5)], "g string, v long")
+    r = median_test_k(one, "g", "v").collect()[0]
+    assert r["k_groups"] == 1 and r["chi2"] is None
+    assert r["median"] == 1  # lower median of {1, 5}
+
+    # all-tied pool: nobody above the median — degenerate margin
+    tied = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 5)], "g string, v long"
+    )
+    r2 = median_test_k(tied, "g", "v").collect()[0]
+    assert r2["n_above"] == 0 and r2["chi2"] is None
+
+    # outer groups isolate
+    rng = random.Random(47)
+    rows = []
+    for region, shift in (("east", 60), ("west", 0)):
+        for g, s in (("a", 0), ("b", shift)):
+            rows += [
+                (region, g, rng.randrange(0, 100) + s)
+                for _ in range(120)
+            ]
+    got = {
+        r["region"]: r
+        for r in median_test_k(
+            spark.createDataFrame(rows, "region string, g string, v long"),
+            "g", "v", outer_group_cols=["region"],
+        ).collect()
+    }
+    assert got["east"]["p_value"] < 1e-4
+    assert got["west"]["p_value"] > 0.01
+
+    # NULL value fails loud
+    bad = spark.createDataFrame([("a", 1), ("a", None)], "g string, v long")
+    with pytest.raises(Exception, match="median_test_k"):
+        median_test_k(bad, "g", "v").collect()
+
+
+def test_medk_duckdb_oracle_shape_cross_engine(spark):
+    """The DuckDB restatement — the identical pooled-lower-median
+    window, per-group above counts, quantized d²/(n_g·A·(N−A)) fold
+    and the k=2-exact/WH tail — bit-equal on the real per-type event
+    values (the r15 registry oracle, pinned ahead of registration)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        NORMAL_P_TWO_SIDED_SQL,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        median_test_k,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    got = tuple(median_test_k(e, "event_type", "x").collect()[0])
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS"
+        f" SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    p_expr = NORMAL_P_TWO_SIDED_SQL.format(z="z")
+    want = con.execute(
+        f"""
+        WITH vals AS (
+          SELECT event_type AS g,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events
+        ), vc AS (
+          SELECT g, v, CAST(count(*) AS BIGINT) AS c
+          FROM vals GROUP BY g, v
+        ), tv AS (
+          SELECT v, CAST(sum(c) AS BIGINT) AS t FROM vc GROUP BY v
+        ), cum AS (
+          SELECT v,
+                 CAST(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                      PRECEDING AND CURRENT ROW) AS BIGINT) AS m,
+                 CAST(sum(t) OVER () AS BIGINT) AS n
+          FROM tv
+        ), med AS (
+          SELECT min(v) AS med FROM cum WHERE 2 * m >= n
+        ), pg AS (
+          SELECT g, CAST(sum(c) AS BIGINT) AS n_g,
+                 CAST(coalesce(sum(CASE WHEN v > med THEN c END), 0)
+                      AS BIGINT) AS a_g,
+                 max(med) AS med
+          FROM vc, med GROUP BY g
+        ), tot AS (
+          SELECT CAST(sum(n_g) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(sum(a_g) AS BIGINT) AS big_a,
+                 max(med) AS med
+          FROM pg
+        ), q AS (
+          SELECT max(n) AS n, max(k) AS k, max(big_a) AS big_a,
+                 max(tot.med) AS med,
+                 sum(CASE WHEN big_a > 0 AND big_a < n THEN
+                   CAST(round(
+                     CAST(CAST(a_g AS HUGEINT) * n
+                          - CAST(n_g AS HUGEINT) * big_a AS DOUBLE)
+                     * CAST(CAST(a_g AS HUGEINT) * n
+                            - CAST(n_g AS HUGEINT) * big_a AS DOUBLE)
+                     / (CAST(n_g AS DOUBLE) * CAST(big_a AS DOUBLE)
+                        * CAST(n - big_a AS DOUBLE))
+                     * 1000000000.0) AS HUGEINT)
+                   ELSE 0 END) AS qsum
+          FROM pg, tot
+        ), f AS (
+          SELECT n, k, med, big_a,
+                 CAST(qsum AS DOUBLE) / 1000000000.0 AS chi2
+          FROM q
+        ), zc AS (
+          SELECT n, k, med, big_a, chi2,
+                 CASE WHEN k = 2 THEN sqrt(chi2)
+                      ELSE (cbrt(chi2 / CAST(k - 1 AS DOUBLE))
+                            - (1.0 - 2.0 / (9.0 * CAST(k - 1 AS DOUBLE))))
+                           / sqrt(2.0 / (9.0 * CAST(k - 1 AS DOUBLE)))
+                 END AS z
+          FROM f
+        )
+        SELECT n AS n_total, k AS k_groups, med AS median,
+               big_a AS n_above,
                round(chi2, 6) AS chi2,
                CAST(k - 1 AS BIGINT) AS deg_f,
                round(z, 6) AS z_wh,

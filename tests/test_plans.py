@@ -1434,3 +1434,60 @@ def test_r14_registered_dunn_jt_ride_the_checkpointed_fold(spark):
             "value:double",
             "event_type:string,value:double",
         }, (name, plan)
+
+
+def test_r15_ready_bm_and_medk_plan_shapes(spark):
+    """Plan pins for the r15-ready operators ahead of registration
+    (the standing rule): Brunner-Munzel's fold window sits on the
+    distinct-value sided-counts aggregate with a two-column read
+    schema (the AB pin shape); the k-sample median test's pooled
+    median window sits on the per-value totals of the per-(group,
+    value) count aggregate, its group fold is keyed, and nothing
+    goes cartesian (the broadcast of the one-row median frame is the
+    Mood totals-join shape)."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        brunner_munzel,
+        median_test_k,
+    )
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
+    plan = brunner_munzel(ref, cur, "x")._jdf.queryExecution(
+    ).executedPlan().toString()
+    lines = plan.splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    aggs = [
+        i for i, l in enumerate(lines)
+        if "HashAggregate(keys=[__v" in l
+    ]
+    assert wins and aggs, plan
+    for w in wins:
+        assert any(a > w for a in aggs), plan
+    schemas = set(_read_schemas(plan))
+    assert schemas == {"o_totalprice:double,o_orderdate:timestamp_ntz"}, plan
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    plan2 = median_test_k(e, "event_type", "x")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "CartesianProduct" not in plan2, plan2
+    lines2 = plan2.splitlines()
+    wins2 = [i for i, l in enumerate(lines2) if "Window" in l]
+    aggs2 = [
+        i
+        for i, l in enumerate(lines2)
+        if "HashAggregate(keys=[event_type" in l and ", __v" in l
+    ]
+    assert wins2 and aggs2, plan2
+    for w in wins2:
+        assert any(a > w for a in aggs2), plan2
+    schemas2 = set(_read_schemas(plan2))
+    assert schemas2 == {"event_type:string,value:double"}, plan2

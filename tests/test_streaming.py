@@ -2739,9 +2739,10 @@ def test_streaming_kw_equals_batch_and_serves_dunn(spark, tmp_path):
     state): after draining batches where one event type drifts,
     read_streaming_kw equals batch kruskal_wallis on the concatenated
     delivered input EXACTLY (the shared _kw_from_per_group
-    guarantee), read_streaming_dunn and read_streaming_jt serve the
-    batch dunn_test pair verdicts and jonckheere_terpstra trend
-    verdict from the SAME stored state ("one fold, three verdicts"),
+    guarantee), read_streaming_dunn / read_streaming_jt /
+    read_streaming_median_k serve the batch dunn_test pair verdicts,
+    jonckheere_terpstra trend verdict and median_test_k omnibus from
+    the SAME stored state ("one fold, four verdicts"),
     a checkpoint wipe re-delivers every batch and the __batch_id
     guard must skip them, and a genuinely new batch keeps folding."""
     import shutil
@@ -2752,11 +2753,13 @@ def test_streaming_kw_equals_batch_and_serves_dunn(spark, tmp_path):
         dunn_test,
         jonckheere_terpstra,
         kruskal_wallis,
+        median_test_k,
     )
     from bangumi_notion_data_integration_project_spark.streaming.incremental import (
         read_streaming_dunn,
         read_streaming_jt,
         read_streaming_kw,
+        read_streaming_median_k,
         start_streaming_kw,
     )
 
@@ -2802,6 +2805,9 @@ def test_streaming_kw_equals_batch_and_serves_dunn(spark, tmp_path):
     def stored_jt():
         return tuple(read_streaming_jt(spark, state).collect()[0])
 
+    def stored_medk():
+        return tuple(read_streaming_median_k(spark, state).collect()[0])
+
     def direct(delivered):
         df = _rows(spark, delivered).select(
             "event_type",
@@ -2813,14 +2819,18 @@ def test_streaming_kw_equals_batch_and_serves_dunn(spark, tmp_path):
             tuple(
                 jonckheere_terpstra(df, "event_type", "x").collect()[0]
             ),
+            tuple(median_test_k(df, "event_type", "x").collect()[0]),
         )
 
     run()
-    want_kw, want_dunn, want_jt = direct([r for b in batches for r in b])
+    want_kw, want_dunn, want_jt, want_medk = direct(
+        [r for b in batches for r in b]
+    )
     assert stored_kw() == want_kw
     assert stored_kw()[7] < 0.01  # the drifted type registers (p_value)
     assert stored_dunn() == want_dunn
     assert stored_jt() == want_jt
+    assert stored_medk() == want_medk
     sel = {
         (r[0], r[1]) for r in stored_dunn() if r[-1]
     }
@@ -2837,12 +2847,13 @@ def test_streaming_kw_equals_batch_and_serves_dunn(spark, tmp_path):
     ]
     _write_batch(spark, inp, extra)
     run()
-    want_kw2, want_dunn2, want_jt2 = direct(
+    want_kw2, want_dunn2, want_jt2, want_medk2 = direct(
         [r for b in batches for r in b] + extra
     )
     assert stored_kw() == want_kw2
     assert stored_dunn() == want_dunn2
     assert stored_jt() == want_jt2
+    assert stored_medk() == want_medk2
 
 
 def test_streaming_kw_cols_gate_and_null_fail_loud(spark, tmp_path):
