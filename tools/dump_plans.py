@@ -100,6 +100,14 @@ SHOWN = [
     ("segment_holt", "per-segment Holt fold, grouped sort_array aggregate"),
     ("events_type_breakpoint", "per-type changepoint, prefix-moment windows keyed on type"),
     ("events_conversion_km", "funnel time-to-conversion KM, broadcast scalar max-date"),
+    ("orders_price_mwu", "Mann-Whitney drift significance, one window over the sided distinct-value aggregate"),
+    ("events_type_kw", "Kruskal-Wallis omnibus, two RANGE windows over the (type, value) count aggregate"),
+    ("events_type_dunn", "Dunn post-hoc pairs, broadcast self-join of the O(k) group frame + BH rank window"),
+    ("orders_price_ab", "Ansari-Bradley scale test, closed-form block scores on the sided-counts fold"),
+    ("events_type_jt", "Jonckheere-Terpstra trend, dense (group x values) grid of two aggregates"),
+    ("events_mix_chi2", "chi-square mix homogeneity, two keyed count aggregates + O(categories) fold"),
+    ("segment_kendall", "grouped tau-b, checkpoint-pinned daily frame + per-segment pair join"),
+    ("segment_mk_bh", "grouped Mann-Kendall + BH step-up over the per-key test rows"),
 ]
 
 
