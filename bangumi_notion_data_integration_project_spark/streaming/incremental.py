@@ -1635,6 +1635,7 @@ def start_streaming_mwu(
     ref: DataFrame,
     checkpoint_dir: str,
     adopt_legacy_params: bool = False,
+    group_cols: "list[str] | None" = None,
 ):
     """Streaming Mann-Whitney U drift monitor — the SIGNIFICANCE leg
     of continuous monitoring next to :func:`start_streaming_psi`'s
@@ -1670,6 +1671,14 @@ def start_streaming_mwu(
     (which would otherwise be silently ignored). Param-less legacy
     state needs the one-time explicit ``adopt_legacy_params=True``
     migration, loudly logged.
+
+    With ``group_cols`` the monitor is PER KEY: the frozen reference
+    and every folded batch are keyed ``(group..., value)``, the state
+    is O(keys × distinct values), and each reader serves one verdict
+    row per key through the grouped batch tails — the streamed twin
+    of the grouped batch battery (events_type_mwu et al.); pipe the
+    p column through ``stats.bh_select`` for the multiplicity rung.
+    Readers detect the group columns from the state itself.
     """
     return _start_streaming_sided_counts(
         stream,
@@ -1680,6 +1689,7 @@ def start_streaming_mwu(
         adopt_legacy_params=adopt_legacy_params,
         op="start_streaming_mwu",
         check_op="mann_whitney_u",
+        group_cols=group_cols,
     )
 
 
@@ -1691,6 +1701,7 @@ def start_streaming_ks(
     ref: DataFrame,
     checkpoint_dir: str,
     adopt_legacy_params: bool = False,
+    group_cols: "list[str] | None" = None,
 ):
     """Streaming two-sample KS drift monitor — the SHAPE-sensitive leg
     completing the streaming drift playbook next to
@@ -1704,7 +1715,8 @@ def start_streaming_ks(
     bit-for-bit. All the MWU twin's contracts apply verbatim:
     O(distinct values) state (caller controls value cardinality),
     rung-3 ``__batch_id`` replay guard, dirs live and die together,
-    ``__ref_fp`` restart verification, fail-loud NULLs."""
+    ``__ref_fp`` restart verification, fail-loud NULLs, and the
+    per-key ``group_cols`` mode with reader auto-detection."""
     return _start_streaming_sided_counts(
         stream,
         ks_dir,
@@ -1714,6 +1726,7 @@ def start_streaming_ks(
         adopt_legacy_params=adopt_legacy_params,
         op="start_streaming_ks",
         check_op="ks_two_sample",
+        group_cols=group_cols,
     )
 
 
@@ -1727,31 +1740,50 @@ def _start_streaming_sided_counts(
     adopt_legacy_params: bool,
     op: str,
     check_op: str,
+    group_cols: "list[str] | None" = None,
 ):
     """The shared fold behind the MWU and KS streaming twins: both
     statistics are pure functions of the SAME ``(__v, __c1, __c2)``
     sided-counts frame, so the state, the replay guard, and the
     reference fingerprint are one implementation with only the
-    serving-time formula tail differing."""
-    from ..operators.drift import _checked_long
+    serving-time formula tail differing.
 
+    With ``group_cols`` the state is keyed ``(group..., __v)`` — one
+    per-key sided-counts row set, O(keys × distinct values) — and
+    every reader serves the PER-KEY verdict battery (the grouped
+    batch operators' streamed twin; pipe any reader's p column
+    through ``stats.bh_select`` for the multiplicity rung). The group
+    columns are stored in the state itself, so readers detect them
+    without configuration; a restart that renames a group column
+    fails loud at the stored-column select, and a restart that
+    re-points at a different grouped reference fails the ``__ref_fp``
+    gate (the fingerprint hashes the group key with each value
+    row)."""
+    from ..operators.drift import _checked_keys, _checked_long
+
+    groups = list(group_cols or [])
+    ref_in = ref
+    if groups:
+        ref_in = _checked_keys(ref_in, groups, op_name=check_op)
     ref_counts = (
-        ref.select(
+        ref_in.select(
+            *groups,
             _checked_long(
                 F.col(value_col), "reference", check_op
-            ).alias("__v")
+            ).alias("__v"),
         )
-        .groupBy("__v")
+        .groupBy(*groups, "__v")
         .agg(F.count("*").cast("long").alias("__c1"))
         .localCheckpoint(eager=True)
     )
     # order-independent fingerprint of the frozen reference side: XOR
-    # of per-row hashes over distinct (__v, __c1) rows (distinct by
-    # __v, so XOR cancellation is impossible); empty ref → 0
+    # of per-row hashes over distinct (group..., __v, __c1) rows
+    # (distinct by the (group, __v) key, so XOR cancellation is
+    # impossible); empty ref → 0
     ref_fp = int(
         ref_counts.agg(
             F.coalesce(
-                F.bit_xor(F.xxhash64("__v", "__c1")), F.lit(0)
+                F.bit_xor(F.xxhash64(*groups, "__v", "__c1")), F.lit(0)
             )
         ).first()[0]
     )
@@ -1783,22 +1815,26 @@ def _start_streaming_sided_counts(
             if bid is not None and batch_id <= bid:
                 wm["v"] = bid
                 return  # checkpoint replay of an already-folded batch
+        batch_in = batch
+        if groups:
+            batch_in = _checked_keys(batch_in, groups, op_name=check_op)
         delta = (
-            batch.select(
+            batch_in.select(
+                *groups,
                 _checked_long(
                     F.col(value_col), "input", check_op
-                ).alias("__v")
+                ).alias("__v"),
             )
-            .groupBy("__v")
+            .groupBy(*groups, "__v")
             .agg(F.count("*").cast("long").alias("__c2"))
         )
         if stored is not None:
             merged = (
-                stored.select("__v", "__c1", "__c2")
+                stored.select(*groups, "__v", "__c1", "__c2")
                 .unionByName(
                     delta.withColumn("__c1", F.lit(0).cast("long"))
                 )
-                .groupBy("__v")
+                .groupBy(*groups, "__v")
                 .agg(
                     F.sum("__c1").cast("long").alias("__c1"),
                     F.sum("__c2").cast("long").alias("__c2"),
@@ -1810,7 +1846,7 @@ def _start_streaming_sided_counts(
                 .unionByName(
                     delta.withColumn("__c1", F.lit(0).cast("long"))
                 )
-                .groupBy("__v")
+                .groupBy(*groups, "__v")
                 .agg(
                     F.sum("__c1").cast("long").alias("__c1"),
                     F.sum("__c2").cast("long").alias("__c2"),
@@ -1833,14 +1869,26 @@ def _start_streaming_sided_counts(
     )
 
 
+def _sided_state(spark: SparkSession, state_dir: str):
+    """Load a stored sided-counts state and detect its group columns
+    (everything that is not a reserved state column, in stored order)
+    — so the per-key monitors need zero reader configuration and the
+    ungrouped states read exactly as before."""
+    df = spark.read.parquet(state_dir)
+    reserved = {"__v", "__c1", "__c2", "__batch_id", "__ref_fp"}
+    groups = [c for c in df.columns if c not in reserved]
+    return df.select(*groups, "__v", "__c1", "__c2"), groups
+
+
 def read_streaming_mwu(spark: SparkSession, mwu_dir: str) -> DataFrame:
-    """The one-row MWU verdict from the stored sided-counts state —
-    the serving path of :func:`start_streaming_mwu`, computed by the
-    identical formula tail as the batch operator."""
+    """The MWU verdict from the stored sided-counts state — the
+    serving path of :func:`start_streaming_mwu`, computed by the
+    identical formula tail as the batch operator (one row, or one row
+    per key for a grouped state — group columns auto-detected)."""
     from ..operators.twosample import _mwu_from_counts
 
-    vc = spark.read.parquet(mwu_dir).select("__v", "__c1", "__c2")
-    return _mwu_from_counts(vc, [])
+    vc, groups = _sided_state(spark, mwu_dir)
+    return _mwu_from_counts(vc, groups)
 
 
 def read_streaming_ks(spark: SparkSession, ks_dir: str) -> DataFrame:
@@ -1849,8 +1897,8 @@ def read_streaming_ks(spark: SparkSession, ks_dir: str) -> DataFrame:
     identical formula tail as the batch operator."""
     from ..operators.twosample import _ks_from_counts
 
-    vc = spark.read.parquet(ks_dir).select("__v", "__c1", "__c2")
-    return _ks_from_counts(vc, [])
+    vc, groups = _sided_state(spark, ks_dir)
+    return _ks_from_counts(vc, groups)
 
 
 def read_streaming_w1(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -1861,8 +1909,8 @@ def read_streaming_w1(spark: SparkSession, state_dir: str) -> DataFrame:
     (MWU, KS, W1, CvM, Mood) with zero extra state or fold code."""
     from ..operators.twosample import _w1_from_counts
 
-    vc = spark.read.parquet(state_dir).select("__v", "__c1", "__c2")
-    return _w1_from_counts(vc, [])
+    vc, groups = _sided_state(spark, state_dir)
+    return _w1_from_counts(vc, groups)
 
 
 def read_streaming_cvm(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -1870,8 +1918,8 @@ def read_streaming_cvm(spark: SparkSession, state_dir: str) -> DataFrame:
     (see :func:`read_streaming_w1`)."""
     from ..operators.twosample import _cvm_from_counts
 
-    vc = spark.read.parquet(state_dir).select("__v", "__c1", "__c2")
-    return _cvm_from_counts(vc, [])
+    vc, groups = _sided_state(spark, state_dir)
+    return _cvm_from_counts(vc, groups)
 
 
 def read_streaming_mood(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -1879,8 +1927,8 @@ def read_streaming_mood(spark: SparkSession, state_dir: str) -> DataFrame:
     (see :func:`read_streaming_w1`)."""
     from ..operators.twosample import _mood_from_counts
 
-    vc = spark.read.parquet(state_dir).select("__v", "__c1", "__c2")
-    return _mood_from_counts(vc, [])
+    vc, groups = _sided_state(spark, state_dir)
+    return _mood_from_counts(vc, groups)
 
 
 def start_streaming_kw(
@@ -2043,8 +2091,8 @@ def read_streaming_ab(spark: SparkSession, state_dir: str) -> DataFrame:
     KS, W1, CvM, Mood, AB)."""
     from ..operators.twosample import _ab_from_counts
 
-    vc = spark.read.parquet(state_dir).select("__v", "__c1", "__c2")
-    return _ab_from_counts(vc, [])
+    vc, groups = _sided_state(spark, state_dir)
+    return _ab_from_counts(vc, groups)
 
 
 def read_streaming_bm(spark: SparkSession, state_dir: str) -> DataFrame:
@@ -2054,8 +2102,8 @@ def read_streaming_bm(spark: SparkSession, state_dir: str) -> DataFrame:
     verdicts (MWU, KS, W1, CvM, Mood, AB, BM)."""
     from ..operators.twosample import _bm_from_counts
 
-    vc = spark.read.parquet(state_dir).select("__v", "__c1", "__c2")
-    return _bm_from_counts(vc, [])
+    vc, groups = _sided_state(spark, state_dir)
+    return _bm_from_counts(vc, groups)
 
 
 def read_streaming_median_k(

@@ -2214,3 +2214,143 @@ def test_medk_duckdb_oracle_shape_cross_engine(spark):
         """
     ).fetchall()[0]
     assert got == tuple(want)
+
+
+def test_grouped_sided_counts_state_serves_per_key_verdicts(spark, tmp_path):
+    """The per-key streamed battery: start_streaming_mwu with
+    group_cols keys the frozen reference and every folded batch by
+    event type; the SAME stored state then serves all seven verdicts
+    PER KEY (readers auto-detect the group columns from the state),
+    each equal to the grouped batch operator on ref vs the delivered
+    union — and the reader's p column feeds bh_select directly (the
+    multiplicity rung, streamed). A restart that re-points at an
+    UNGROUPED reference fails the __ref_fp gate loud."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.stats import (
+        bh_select,
+    )
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        ansari_bradley,
+        brunner_munzel,
+        cramer_von_mises,
+        ks_two_sample,
+        mann_whitney_u,
+        mood_median_test,
+        wasserstein_1,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        read_event_stream,
+        read_streaming_ab,
+        read_streaming_bm,
+        read_streaming_cvm,
+        read_streaming_ks,
+        read_streaming_mood,
+        read_streaming_mwu,
+        read_streaming_w1,
+        start_streaming_mwu,
+    )
+
+    rng = random.Random(59)
+    SCHEMA = (
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double"
+    )
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long,"
+            " event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    types = ("click", "view", "buy")
+    ref_rows = [
+        (10_000 + i, "2024-01-01 00:00:00", 1, g,
+         float(rng.randrange(0, 200)))
+        for i in range(120)
+        for g in types
+    ]
+    ref_df = rows_df(ref_rows).select(
+        "event_type",
+        F.round(F.col("value")).cast("long").alias("x"),
+    )
+    # only "buy" drifts in the delivered batches
+    batches = [
+        [(b * 1000 + i, "2024-01-02 00:00:00", 2, g,
+          float(rng.randrange(0, 200) + (130 if g == "buy" else 0)))
+         for i in range(60)
+         for g in types]
+        for b in range(2)
+    ]
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    for chunk in batches:
+        rows_df(chunk).coalesce(1).write.mode("append").parquet(inp)
+    q = start_streaming_mwu(
+        read_event_stream(spark, inp, SCHEMA).select(
+            "event_type",
+            F.round(F.col("value")).cast("long").alias("x"),
+            F.col("ts"),
+        ),
+        state,
+        value_col="x",
+        ref=ref_df,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        group_cols=["event_type"],
+    )
+    q.awaitTermination(180)
+
+    cur = rows_df([r for b in batches for r in b]).select(
+        "event_type",
+        F.round(F.col("value")).cast("long").alias("x"),
+    )
+    for read_fn, batch_fn in (
+        (read_streaming_mwu, mann_whitney_u),
+        (read_streaming_ks, ks_two_sample),
+        (read_streaming_w1, wasserstein_1),
+        (read_streaming_cvm, cramer_von_mises),
+        (read_streaming_mood, mood_median_test),
+        (read_streaming_ab, ansari_bradley),
+        (read_streaming_bm, brunner_munzel),
+    ):
+        got = [tuple(r) for r in read_fn(spark, state).collect()]
+        want = [
+            tuple(r)
+            for r in batch_fn(
+                ref_df, cur, "x", group_cols=["event_type"]
+            ).collect()
+        ]
+        assert got == want, read_fn.__name__
+        assert len(got) == 3  # one verdict row per key
+
+    # the drifted key pages, the flat keys do not — and BH rides the
+    # reader output directly
+    sel = {
+        r["event_type"]: r["selected"]
+        for r in bh_select(
+            read_streaming_mwu(spark, state),
+            "p_value",
+            tie_cols=["event_type"],
+        ).collect()
+    }
+    assert sel["buy"] and not sel["click"] and not sel["view"]
+
+    # restart with an UNGROUPED ref: different state shape + ref_fp —
+    # must fail loud, not silently fold apples into oranges
+    rows_df(
+        [(9_999, "2024-01-03 00:00:00", 2, "buy", 5.0)]
+    ).coalesce(1).write.mode("append").parquet(inp)
+    q2 = start_streaming_mwu(
+        read_event_stream(spark, inp, SCHEMA).select(
+            "event_type",
+            F.round(F.col("value")).cast("long").alias("x"),
+            F.col("ts"),
+        ),
+        state,
+        value_col="x",
+        ref=ref_df.select("x"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    with pytest.raises(Exception):
+        q2.awaitTermination(180)
