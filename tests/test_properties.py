@@ -603,3 +603,51 @@ def test_bh_select_monotone_in_alpha_and_bounded(spark, seed):
         prev = got
         sel_ranks = sorted(r["p_rank"] for r in rows_out if r["selected"])
         assert sel_ranks == list(range(1, len(sel_ranks) + 1))  # prefix
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bm_and_medk_rank_invariants(spark, seed):
+    """Structural invariants of the r15-ready rank operators on random
+    tied data: Brunner-Munzel is a pure rank statistic, so a strictly
+    monotone value map leaves (p_hat, bm_stat, p) unchanged; swapping
+    the sides negates the statistic and reflects p̂ (p̂' = 1 − p̂)
+    while preserving the two-sided p; Brown-Mood's χ²/p are invariant
+    under the same monotone map (the median maps through it) and its
+    n_above margin is bounded by n_total."""
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        brunner_munzel,
+        median_test_k,
+    )
+
+    rng = random.Random(seed)
+    xs = _rank_series(rng)
+    ys = [v + rng.randint(0, 8) for v in _rank_series(rng)]
+    a = spark.createDataFrame([(v,) for v in xs], "v long")
+    b = spark.createDataFrame([(v,) for v in ys], "v long")
+    base = brunner_munzel(a, b, "v").collect()[0]
+    # strictly increasing map: v -> 3v + 7
+    a3 = a.select((F.lit(3) * F.col("v") + 7).alias("v"))
+    b3 = b.select((F.lit(3) * F.col("v") + 7).alias("v"))
+    mapped = brunner_munzel(a3, b3, "v").collect()[0]
+    assert (base["p_hat"], base["bm_stat"], base["p_value"]) == (
+        mapped["p_hat"], mapped["bm_stat"], mapped["p_value"],
+    )
+    swapped = brunner_munzel(b, a, "v").collect()[0]
+    assert abs(base["p_hat"] + swapped["p_hat"] - 1.0) <= 1.1e-6
+    if base["bm_stat"] is not None:
+        assert abs(base["bm_stat"] + swapped["bm_stat"]) <= 1.1e-6
+        assert abs(base["p_value"] - swapped["p_value"]) <= 2e-9
+
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys] + [
+        ("c", v + rng.randint(-4, 4)) for v in _rank_series(rng)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    m = median_test_k(df, "g", "v").collect()[0]
+    m3 = median_test_k(
+        df.select("g", (F.lit(3) * F.col("v") + 7).alias("v")), "g", "v"
+    ).collect()[0]
+    assert (m["chi2"], m["p_value"]) == (m3["chi2"], m3["p_value"])
+    assert m3["median"] == 3 * m["median"] + 7
+    assert 0 <= m["n_above"] <= m["n_total"]
+    if m["p_value"] is not None:
+        assert 0.0 <= m["p_value"] <= 1.0
