@@ -379,7 +379,7 @@ def test_driftmetrics_duckdb_oracle_shapes_cross_engine(spark):
     assert got_mood == tuple(want_mood)
 
 
-def test_one_sided_counts_state_serves_all_five_verdicts(spark, tmp_path):
+def test_one_sided_counts_state_serves_all_verdicts(spark, tmp_path):
     """The two-sample family are pure functions of one sided-counts
     table: after draining a stream through start_streaming_mwu, the
     SAME stored state serves all seven verdicts — MWU, KS, W1, CvM,
