@@ -1693,6 +1693,16 @@ def chi2_homogeneity(
             F.coalesce(F.col("__c2"), F.lit(0)).cast("long").alias("__c2"),
         )
     )
+    return _chi2_from_counts(vc, groups)
+
+
+def _chi2_from_counts(vc: DataFrame, groups: "list[str]") -> DataFrame:
+    """Shared chi-square homogeneity formula tail over a ``(group...,
+    __cat, __c1, __c2)`` category sided-counts frame — serves the
+    batch operator AND ``streaming.read_streaming_chi2`` (the
+    ``_mwu_from_counts`` rule applied to the categorical rung)."""
+    from .stats import normal_p_two_sided
+
     d_dec = (
         F.col("__c1").cast(_DEC) * F.col("__n2")
         - F.col("__c2").cast(_DEC) * F.col("__n1")

@@ -1741,6 +1741,7 @@ def _start_streaming_sided_counts(
     op: str,
     check_op: str,
     group_cols: "list[str] | None" = None,
+    categorical: bool = False,
 ):
     """The shared fold behind the MWU and KS streaming twins: both
     statistics are pure functions of the SAME ``(__v, __c1, __c2)``
@@ -1762,28 +1763,42 @@ def _start_streaming_sided_counts(
     from ..operators.drift import _checked_keys, _checked_long
 
     groups = list(group_cols or [])
-    ref_in = ref
-    if groups:
-        ref_in = _checked_keys(ref_in, groups, op_name=check_op)
-    ref_counts = (
-        ref_in.select(
+    kcol = "__cat" if categorical else "__v"
+
+    def keyed(df: DataFrame, side_name: str) -> DataFrame:
+        d = df
+        if categorical:
+            # category keys are checked non-NULL like group keys (the
+            # chi2_homogeneity fail-loud convention), not cast to long
+            d = _checked_keys(
+                d.select(*groups, F.col(value_col).alias(kcol)),
+                [*groups, kcol],
+                op_name=check_op,
+            )
+            return d
+        if groups:
+            d = _checked_keys(d, groups, op_name=check_op)
+        return d.select(
             *groups,
             _checked_long(
-                F.col(value_col), "reference", check_op
-            ).alias("__v"),
+                F.col(value_col), side_name, check_op
+            ).alias(kcol),
         )
-        .groupBy(*groups, "__v")
+
+    ref_counts = (
+        keyed(ref, "reference")
+        .groupBy(*groups, kcol)
         .agg(F.count("*").cast("long").alias("__c1"))
         .localCheckpoint(eager=True)
     )
     # order-independent fingerprint of the frozen reference side: XOR
-    # of per-row hashes over distinct (group..., __v, __c1) rows
-    # (distinct by the (group, __v) key, so XOR cancellation is
+    # of per-row hashes over distinct (group..., key, __c1) rows
+    # (distinct by the (group, key) pair, so XOR cancellation is
     # impossible); empty ref → 0
     ref_fp = int(
         ref_counts.agg(
             F.coalesce(
-                F.bit_xor(F.xxhash64(*groups, "__v", "__c1")), F.lit(0)
+                F.bit_xor(F.xxhash64(*groups, kcol, "__c1")), F.lit(0)
             )
         ).first()[0]
     )
@@ -1815,26 +1830,18 @@ def _start_streaming_sided_counts(
             if bid is not None and batch_id <= bid:
                 wm["v"] = bid
                 return  # checkpoint replay of an already-folded batch
-        batch_in = batch
-        if groups:
-            batch_in = _checked_keys(batch_in, groups, op_name=check_op)
         delta = (
-            batch_in.select(
-                *groups,
-                _checked_long(
-                    F.col(value_col), "input", check_op
-                ).alias("__v"),
-            )
-            .groupBy(*groups, "__v")
+            keyed(batch, "input")
+            .groupBy(*groups, kcol)
             .agg(F.count("*").cast("long").alias("__c2"))
         )
         if stored is not None:
             merged = (
-                stored.select(*groups, "__v", "__c1", "__c2")
+                stored.select(*groups, kcol, "__c1", "__c2")
                 .unionByName(
                     delta.withColumn("__c1", F.lit(0).cast("long"))
                 )
-                .groupBy(*groups, "__v")
+                .groupBy(*groups, kcol)
                 .agg(
                     F.sum("__c1").cast("long").alias("__c1"),
                     F.sum("__c2").cast("long").alias("__c2"),
@@ -1846,7 +1853,7 @@ def _start_streaming_sided_counts(
                 .unionByName(
                     delta.withColumn("__c1", F.lit(0).cast("long"))
                 )
-                .groupBy(*groups, "__v")
+                .groupBy(*groups, kcol)
                 .agg(
                     F.sum("__c1").cast("long").alias("__c1"),
                     F.sum("__c2").cast("long").alias("__c2"),
@@ -1929,6 +1936,111 @@ def read_streaming_mood(spark: SparkSession, state_dir: str) -> DataFrame:
 
     vc, groups = _sided_state(spark, state_dir)
     return _mood_from_counts(vc, groups)
+
+
+def start_streaming_mix(
+    stream: DataFrame,
+    state_dir: str,
+    *,
+    cat_col: str,
+    ref: DataFrame,
+    checkpoint_dir: str,
+    adopt_legacy_params: bool = False,
+    group_cols: "list[str] | None" = None,
+):
+    """Streaming categorical-MIX drift monitor — the categorical rung
+    of continuous monitoring next to the value-distribution twins
+    (PSI/MWU/KS watch a NUMERIC column; this watches a composition:
+    event-type mix, language mix, source mix). The reference side's
+    per-category counts are frozen ONCE at start, every micro-batch
+    folds its own category counts into the stored current side, and
+    the state is the category sided-counts frame itself
+    ``(group..., __cat, __c1, __c2, __batch_id)`` — O(categories)
+    rows, the smallest state in the family. Served by
+    :func:`read_streaming_chi2` (the significance verdict through the
+    batch ``chi2_homogeneity`` formula tail — exact χ²₁ at k = 2) and
+    :func:`read_streaming_mix_shares` (the per-category magnitude
+    display: shares per side and the share delta, the "which category
+    moved" companion the χ² omnibus does not name).
+
+    All the sided-counts family's contracts apply verbatim: rung-3
+    ``__batch_id`` replay guard, dirs live and die together,
+    ``__ref_fp`` restart verification (hashes categories with their
+    counts), fail-loud NULL categories (a NULL silently pooled into
+    its own category would hide an encoding bug), optional
+    ``group_cols`` for a per-key monitor with reader auto-detection.
+    """
+    return _start_streaming_sided_counts(
+        stream,
+        state_dir,
+        value_col=cat_col,
+        ref=ref,
+        checkpoint_dir=checkpoint_dir,
+        adopt_legacy_params=adopt_legacy_params,
+        op="start_streaming_mix",
+        check_op="chi2_homogeneity",
+        group_cols=group_cols,
+        categorical=True,
+    )
+
+
+def _mix_state(spark: SparkSession, state_dir: str):
+    """Load a stored category sided-counts state and detect its group
+    columns (the ``_sided_state`` rule with the ``__cat`` key)."""
+    df = spark.read.parquet(state_dir)
+    reserved = {"__cat", "__c1", "__c2", "__batch_id", "__ref_fp"}
+    groups = [c for c in df.columns if c not in reserved]
+    return df.select(*groups, "__cat", "__c1", "__c2"), groups
+
+
+def read_streaming_chi2(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The χ² mix-homogeneity verdict from the stored category
+    sided-counts state — the serving path of
+    :func:`start_streaming_mix`, computed by the identical formula
+    tail as the batch operator (one row, or one per key for a grouped
+    state)."""
+    from ..operators.twosample import _chi2_from_counts
+
+    vc, groups = _mix_state(spark, state_dir)
+    return _chi2_from_counts(vc, groups)
+
+
+def read_streaming_mix_shares(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Per-category share comparison from the same stored state — the
+    magnitude/display companion of :func:`read_streaming_chi2` ("the
+    view mix moved from 31% to 38%"): shares per side, the share
+    delta, ordered by |delta| descending so the biggest mover leads.
+    One O(categories) window + projection; one-sided states report
+    NULL shares for the empty side rather than a 0/0."""
+    from pyspark.sql import Window
+
+    vc, groups = _mix_state(spark, state_dir)
+    w = Window.partitionBy(*groups) if groups else Window.partitionBy()
+    n1 = F.sum("__c1").over(w).cast("long")
+    n2 = F.sum("__c2").over(w).cast("long")
+    share1 = F.when(
+        n1 > 0, F.round(F.col("__c1").cast("double") / n1.cast("double"), 6)
+    )
+    share2 = F.when(
+        n2 > 0, F.round(F.col("__c2").cast("double") / n2.cast("double"), 6)
+    )
+    out = vc.select(
+        *groups,
+        F.col("__cat").alias("category"),
+        F.col("__c1").alias("n_ref"),
+        F.col("__c2").alias("n_cur"),
+        share1.alias("share_ref"),
+        share2.alias("share_cur"),
+        F.round(
+            F.coalesce(share2, F.lit(0.0)) - F.coalesce(share1, F.lit(0.0)),
+            6,
+        ).alias("share_delta"),
+    )
+    return out.orderBy(
+        *groups, F.abs(F.col("share_delta")).desc(), "category"
+    )
 
 
 def start_streaming_kw(

@@ -3039,3 +3039,109 @@ def test_streaming_kw_checkpoint_relocation_resumes_exactly(spark, tmp_path):
         spark.read.parquet(state).agg(F.max("__batch_id")).first()[0]
     )
     assert bid_after == bid_before + 1
+
+
+def test_streaming_mix_equals_batch_chi2_and_names_the_mover(spark, tmp_path):
+    """The categorical rung streamed: after draining batches where the
+    event-type MIX shifts, read_streaming_chi2 equals batch
+    chi2_homogeneity(ref, delivered-union) EXACTLY (the shared
+    _chi2_from_counts tail), read_streaming_mix_shares names the
+    category that moved (biggest |share delta| first, shares
+    consistent with the counts), a checkpoint wipe re-delivers every
+    batch and the __batch_id guard skips them, and a restart with a
+    DIFFERENT frozen reference fails the __ref_fp gate loud."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        chi2_homogeneity,
+    )
+    from bangumi_notion_data_integration_project_spark.streaming.incremental import (
+        read_streaming_chi2,
+        read_streaming_mix_shares,
+        start_streaming_mix,
+    )
+
+    rng = __import__("random").Random(61)
+    ref_mix = ["click"] * 50 + ["view"] * 35 + ["buy"] * 15
+    cur_mix = ["click"] * 30 + ["view"] * 55 + ["buy"] * 15
+    ref_rows = [
+        (10_000 + i, "2024-01-01 00:00:00", 1, rng.choice(ref_mix), 1.0)
+        for i in range(300)
+    ]
+    batches = [
+        [(b * 1000 + i, "2024-01-02 00:00:00", 2, rng.choice(cur_mix), 1.0)
+         for i in range(150)]
+        for b in range(2)
+    ]
+    ref_df = _rows(spark, ref_rows).select("event_type")
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "mix")
+    ckpt = str(tmp_path / "ckpt")
+    for chunk in batches:
+        _write_batch(spark, inp, chunk)
+
+    def run(ref, ck):
+        q = start_streaming_mix(
+            read_event_stream(spark, inp, SCHEMA).select(
+                "event_type", "ts"
+            ),
+            state,
+            cat_col="event_type",
+            ref=ref,
+            checkpoint_dir=ck,
+        )
+        q.awaitTermination(180)
+
+    run(ref_df, ckpt)
+    cur_df = _rows(spark, [r for b in batches for r in b]).select(
+        "event_type"
+    )
+    got = tuple(read_streaming_chi2(spark, state).collect()[0])
+    want = tuple(
+        chi2_homogeneity(ref_df, cur_df, "event_type").collect()[0]
+    )
+    assert got == want
+    assert got[-1] < 0.05  # the planted mix shift registers (p_value)
+
+    shares = read_streaming_mix_shares(spark, state).collect()
+    assert {r["category"] for r in shares} == {"click", "view", "buy"}
+    # the two movers lead; shares sum to 1 per side; counts consistent
+    assert {shares[0]["category"], shares[1]["category"]} == {
+        "click", "view",
+    }
+    assert abs(sum(r["share_ref"] for r in shares) - 1.0) < 1e-5
+    assert abs(sum(r["share_cur"] for r in shares) - 1.0) < 1e-5
+    assert sum(r["n_ref"] for r in shares) == 300
+    assert sum(r["n_cur"] for r in shares) == 300
+
+    # wipe: renumbered re-delivery must be skipped by the guard
+    shutil.rmtree(ckpt)
+    run(ref_df, ckpt)
+    assert tuple(read_streaming_chi2(spark, state).collect()[0]) == want
+
+    # a genuinely new batch folds
+    extra = [
+        (9000 + i, "2024-01-03 00:00:00", 3, "buy", 1.0)
+        for i in range(80)
+    ]
+    _write_batch(spark, inp, extra)
+    run(ref_df, ckpt)
+    cur2 = _rows(
+        spark, [r for b in batches for r in b] + extra
+    ).select("event_type")
+    assert tuple(read_streaming_chi2(spark, state).collect()[0]) == tuple(
+        chi2_homogeneity(ref_df, cur2, "event_type").collect()[0]
+    )
+
+    # foreign frozen reference: loud __ref_fp failure
+    q = start_streaming_mix(
+        read_event_stream(spark, inp, SCHEMA).select("event_type", "ts"),
+        state,
+        cat_col="event_type",
+        ref=ref_df.limit(100),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    with pytest.raises(Exception, match="start_streaming_mix"):
+        q.awaitTermination(180)
