@@ -7669,6 +7669,60 @@ def q_events_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi2_homogeneity(ref, cur, "event_type")
 
 
+def q_events_mix_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-category MIX-share comparison on the event-type
+    composition, first half-month vs second — the magnitude/display
+    companion of ``events_mix_chi2`` ("the view mix moved from 31% to
+    38%"): the χ² omnibus says the composition shifted, this names
+    the category and by how much. Two map-side count aggregates on
+    the category key merged full-outer (O(categories) rows at any
+    fact volume — the chi2 cost shape), shares as one double each,
+    delta at 6dp; one-sided categories report NULL share for the
+    empty side (never a 0/0). Deterministic category order (the
+    registry hash contract). This is the batch twin of
+    ``streaming.read_streaming_mix_shares`` over the
+    ``start_streaming_mix`` state."""
+    e = load_table(spark, sf_dir, "events")
+    ref = (
+        e.filter(F.col("ts") < "2024-01-16")
+        .groupBy(F.col("event_type").alias("category"))
+        .agg(F.count("*").cast("long").alias("n_ref"))
+    )
+    cur = (
+        e.filter(F.col("ts") >= "2024-01-16")
+        .groupBy(F.col("event_type").alias("category"))
+        .agg(F.count("*").cast("long").alias("n_cur"))
+    )
+    vc = ref.join(cur, "category", "full").select(
+        "category",
+        F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+    )
+    w = Window.partitionBy()
+    n1 = F.sum("n_ref").over(w).cast("long")
+    n2 = F.sum("n_cur").over(w).cast("long")
+    share_ref = F.when(
+        n1 > 0,
+        F.round(F.col("n_ref").cast("double") / n1.cast("double"), 6),
+    )
+    share_cur = F.when(
+        n2 > 0,
+        F.round(F.col("n_cur").cast("double") / n2.cast("double"), 6),
+    )
+    return vc.select(
+        "category",
+        "n_ref",
+        "n_cur",
+        share_ref.alias("share_ref"),
+        share_cur.alias("share_cur"),
+        F.round(
+            F.coalesce(share_cur, F.lit(0.0))
+            - F.coalesce(share_ref, F.lit(0.0)),
+            6,
+        ).alias("share_delta"),
+    ).orderBy("category")
+
+
 def q_events_type_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pettitt changepoint PER EVENT TYPE on the daily value-cents
     sum — the grouped twin of ``revenue_pettitt`` ("which day did
@@ -7867,6 +7921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_price_ab": q_orders_price_ab,
     "events_type_jt": q_events_type_jt,
     "events_mix_chi2": q_events_mix_chi2,
+    "events_mix_shares": q_events_mix_shares,
     "events_type_pettitt": q_events_type_pettitt,
     "segment_kendall": q_segment_kendall,
     "segment_spearman": q_segment_spearman,
@@ -14024,4 +14079,37 @@ ORACLES["segment_spearman"] = """
                           * CAST(n * syy - sy2 * sy2 AS DOUBLE)), 6)
            END AS rho
     FROM m ORDER BY c_mktsegment
+"""
+
+ORACLES["events_mix_shares"] = """
+    WITH sides AS (
+      SELECT event_type AS category,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 1 ELSE 2 END AS s
+      FROM events
+    ), vc AS (
+      SELECT category,
+             CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM sides GROUP BY category
+    ), tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS n1,
+             CAST(sum(n_cur) AS BIGINT) AS n2
+      FROM vc
+    ), f AS (
+      SELECT category, n_ref, n_cur,
+             CASE WHEN n1 > 0 THEN
+               round(CAST(n_ref AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+             END AS share_ref,
+             CASE WHEN n2 > 0 THEN
+               round(CAST(n_cur AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+             END AS share_cur
+      FROM vc, tot
+    )
+    SELECT category, n_ref, n_cur, share_ref, share_cur,
+           round(coalesce(share_cur, 0.0) - coalesce(share_ref, 0.0), 6)
+             AS share_delta
+    FROM f ORDER BY category
 """

@@ -283,6 +283,7 @@ BENCH_QUERIES = [
     "orders_price_ab",
     "events_type_jt",
     "events_mix_chi2",
+    "events_mix_shares",
     "events_type_pettitt",
     "segment_kendall",
     "segment_spearman",

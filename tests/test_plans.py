@@ -1343,10 +1343,31 @@ R14_BATCH = [
     "orders_price_ab",
     "events_type_jt",
     "events_mix_chi2",
+    "events_mix_shares",
     "events_type_pettitt",
     "segment_kendall",
     "segment_spearman",
 ]
+
+
+def test_r14_mix_shares_window_sits_on_category_aggregate(spark):
+    """events_mix_shares' only window (the totals stamp) is the
+    by-design unpartitioned fold over the O(categories) merged count
+    frame, never raw event rows, and the scan reads exactly the
+    category and era columns."""
+    df = QUERIES["events_mix_shares"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    wins = [i for i, l in enumerate(lines) if "Window" in l]
+    aggs = [
+        i for i, l in enumerate(lines)
+        if "HashAggregate(keys=[event_type" in l
+    ]
+    assert wins and aggs, plan
+    for w in wins:
+        assert any(a > w for a in aggs), plan
+    schemas = set(_read_schemas(plan))
+    assert schemas == {"ts:timestamp_ntz,event_type:string"}, plan
 
 
 @pytest.mark.parametrize("name", R14_BATCH)

@@ -3,16 +3,17 @@
 Prepared at the END of round 13 (the boundary note made executable),
 to be RUN AT THE START OF ROUND 14 after the r13 driver artifacts
 land. Reorders the dict entries for the round-14 driver window:
-  positions 1-7  : the 7 never-driver-checked r14-batch queries
-  position  8    : embedding_kmeans (the ONE remaining latest-row-r8
+  positions 1-8  : the 8 never-driver-checked r14-batch queries
+  position  9    : embedding_kmeans (the ONE remaining latest-row-r8
                    entry after the r13 rotation re-checked 43 of 44)
-  positions 9-50 : the 42 stalest latest-row-r9 rows (registry order)
+  positions 10-50: the 41 stalest latest-row-r9 rows (registry order)
   boundary comment at position 50 with the r15 rotation note
   then: any round-14 registrations (never driver-checked, directly
   below the boundary), the displaced r13 window (prior relative
   order), then the rest of the registry (prior relative order).
 
-Leaves for r15: the 8 remaining r9 rows (doc_fingerprint,
+Leaves for r15: the 9 remaining r9 rows (orders_price_histogram,
+doc_fingerprint,
 embedding_norms, orders_cube, running_revenue, latest_event_per_type,
 text_bpe_tokens, ann_lsh_recall, ann_ivf_recall) + the r10 vintage —
 and the flagship/parity family (category_summary, global_summary, the
@@ -31,11 +32,11 @@ PATH = "bangumi_notion_data_integration_project_spark/queries.py"
 
 R14_BATCH = [
     "events_type_dunn", "orders_price_ab", "events_type_jt",
-    "events_mix_chi2", "events_type_pettitt", "segment_kendall",
-    "segment_spearman",
+    "events_mix_chi2", "events_mix_shares", "events_type_pettitt",
+    "segment_kendall", "segment_spearman",
 ]
 R8_LAST = ["embedding_kmeans"]
-# the 42 stalest latest-row-r9 entries, registry order (vintage_report)
+# the 41 stalest latest-row-r9 entries, registry order (vintage_report)
 R9_ROWS = [
     "revenue_pacf", "revenue_holt", "revenue_runs_test",
     "orders_breakpoint_trend", "segment_churn_km", "docs_rake_keywords",
@@ -51,7 +52,7 @@ R9_ROWS = [
     "events_inter_arrival", "events_cusum", "events_sequence_rules",
     "dedup_latest_by_key", "union_all_counts", "cross_join_dims",
     "text_token_stats", "text_quality", "text_lang_id",
-    "docs_repetition", "orders_price_histogram",
+    "docs_repetition",
 ]
 # prior window (the r13-checked 50), prior relative order
 R13_WINDOW = [
@@ -77,7 +78,8 @@ R13_WINDOW = [
 BOUNDARY = """\
     # --------- driver checked-window boundary (position 50) ---------
     # ROUND-15 ROTATION NOTE: after r14 lands, the stalest evidence
-    # is the 8 remaining r9 rows (doc_fingerprint, embedding_norms,
+    # is the 9 remaining r9 rows (orders_price_histogram,
+    # doc_fingerprint, embedding_norms,
     # orders_cube, running_revenue, latest_event_per_type,
     # text_bpe_tokens, ann_lsh_recall, ann_ivf_recall — registry
     # order), then the r10 vintage — BUT the flagship/parity family
@@ -95,7 +97,7 @@ BOUNDARY = """\
 
 HEAD_COMMENTS = {
     "events_type_dunn": """\
-    # -- the 7 r14-batch queries (registered r13, never
+    # -- the 8 r14-batch queries (registered r13, never
     # -- driver-checked — new queries outrank every refresh): the
     # -- playbook's post-hoc (Dunn), dispersion (Ansari-Bradley),
     # -- ordered-trend (JT) and categorical-mix (χ²) rungs + the
@@ -104,7 +106,7 @@ HEAD_COMMENTS = {
 """,
     "embedding_kmeans": """\
     # -- the last latest-row-r8 entry (the r13 rotation re-checked
-    # -- the other 43), then the 42 stalest r9 rows (registry order)
+    # -- the other 43), then the 41 stalest r9 rows (registry order)
 """,
     "orders_price_w1": """\
     # -- displaced r13 window (7 r13-batch + 43 r8 refreshes), every
