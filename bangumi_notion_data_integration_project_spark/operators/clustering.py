@@ -12,12 +12,16 @@ SQL and therefore hash-checkable:
   next assignment, so cross-engine float drift cannot compound;
 - assignment ties break on the lowest cell index.
 
-Scale shape: assignment is corpus ⨯ broadcast(k centroids) — the
-corpus never shuffles; the update is one partial+final aggregate per
-(cell, idx) whose result (k·dim doubles) is collected and re-broadcast
-as plan literals, exactly like the IVF centroid fold. Iterations are
-driver-driven but each costs ONE pass over the corpus; k·dim stays
-tiny (the collected state is kilobytes at production k).
+Scale shape: the centroids are driver-side data between Lloyd rounds
+(one bounded k·dim collect per round), so assignment is a NARROW
+projection — each row computes its k distances against plan-literal
+centroids and takes ``array_min`` over (dist2, cell) structs; the
+corpus is never shuffled, never crossJoined, never windowed. The
+update is one partial+final aggregate per (cell, idx) whose result
+(k·dim doubles) is collected and becomes the next round's literals,
+exactly like the IVF centroid fold. Iterations are driver-driven but
+each costs ONE pass over the corpus; k·dim stays tiny (the collected
+state is kilobytes at production k).
 """
 
 from __future__ import annotations
@@ -26,16 +30,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _assign(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    """Nearest centroid by squared L2 (rounded 6 dp; ties → lowest
-    cell). Window argmin keeps the formulation identical to the ANSI
-    oracle; swap for ``min_by`` at production scale (same result, one
-    aggregate instead of a per-id window)."""
-    d2 = F.round(
+def _lit_vec(vec: "list[float]") -> F.Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _d2_to(vec: F.Column, cvec: F.Column) -> F.Column:
+    """Squared L2, rounded 6 dp — the exact expression the window
+    formulation used, so the chosen cell and reported dist2 are
+    bit-identical."""
+    return F.round(
         F.aggregate(
             F.zip_with(
-                F.col(vec_col),
-                F.col("cvec"),
+                vec,
+                cvec,
                 lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
             ),
             F.lit(0.0),
@@ -43,14 +50,32 @@ def _assign(corpus: DataFrame, cents: DataFrame, id_col: str, vec_col: str) -> D
         ),
         6,
     )
-    scored = corpus.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col), F.col("cell"), d2.alias("dist2")
-    )
-    w = Window.partitionBy(id_col).orderBy("dist2", "cell")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+
+
+def _nearest_cell(cents_data: "list[tuple[int, list[float]]]", vec_col: str) -> F.Column:
+    """Nearest centroid by squared L2 (rounded 6 dp; ties → lowest
+    cell) as ONE narrow projection: the k centroids are driver-side
+    data already (they arrive via collect between Lloyd rounds), so
+    they ride as plan literals and the argmin is
+    ``array_min(array<struct<dist2, cell>>)`` — struct ordering is
+    lexicographic, so ties on dist2 break to the lowest cell exactly
+    like the previous ``Window.orderBy(dist2, cell)`` formulation.
+    This removes, PER ASSIGNMENT PASS, the corpus×k crossJoin row
+    expansion and the full-corpus hash shuffle + sort the per-id
+    window needed (guide §2.4: remove shuffles outright) — the corpus
+    is never shuffled at all, which is also the only assignment shape
+    that survives 100 TB (the k·N window shuffle was the scale
+    hazard). Returns a struct column (dist2, cell)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _d2_to(F.col(vec_col), _lit_vec(vec)).alias("dist2"),
+                    F.lit(int(cell)).cast("int").alias("cell"),
+                )
+                for cell, vec in cents_data
+            ]
+        )
     )
 
 
@@ -67,7 +92,6 @@ def kmeans_lite(
     final centroid, 6 dp). Fully reproducible across engines; the
     DuckDB oracle re-derives init, update, and assignment relationally.
     """
-    spark = corpus.sparkSession
     init_rows = (
         corpus.select(id_col, vec_col)
         .filter(F.pmod(F.col(id_col), F.lit(7)) == 0)
@@ -78,13 +102,17 @@ def kmeans_lite(
     cents_data = [
         (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(init_rows)
     ]
-    cents = spark.createDataFrame(cents_data, "cell int, cvec array<double>")
 
     for _ in range(iterations):
-        assigned = _assign(corpus, cents, id_col, vec_col)
-        members = assigned.join(corpus.select(id_col, vec_col), id_col)
+        # assignment is a narrow projection (no crossJoin, no window
+        # shuffle) and the member vectors ride in the same row — the
+        # old assigned⋈corpus re-join is gone with them; the ONLY
+        # shuffle per Lloyd round is the (cell, idx) partial+final
+        # aggregate, whose k·dim result is the next round's literals
+        best = _nearest_cell(cents_data, vec_col)
         upd = (
-            members.select("cell", F.posexplode(vec_col).alias("idx", "x"))
+            corpus.select(best.getField("cell").alias("cell"), F.col(vec_col))
+            .select("cell", F.posexplode(vec_col).alias("idx", "x"))
             .groupBy("cell", "idx")
             .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("cx"))
             .groupBy("cell")
@@ -97,13 +125,17 @@ def kmeans_lite(
         cents_data = [
             (cell, new_map.get(cell, vec)) for cell, vec in cents_data
         ]
-        cents = spark.createDataFrame(cents_data, "cell int, cvec array<double>")
 
-    final = _assign(corpus, cents, id_col, vec_col)
-    return final.select(
+    # bind the argmin struct ONCE in its own projection: two direct
+    # getField references would re-evaluate the whole k×dim distance
+    # array per field (HOF expressions sit outside codegen subexpr
+    # elimination); CollapseProject keeps the split because the struct
+    # is non-cheap and referenced twice
+    scored = corpus.select(F.col(id_col), _nearest_cell(cents_data, vec_col).alias("__b"))
+    return scored.select(
         F.col(id_col),
-        F.col("cell").cast("long").alias("cluster"),
-        "dist2",
+        F.col("__b.cell").cast("long").alias("cluster"),
+        F.col("__b.dist2").alias("dist2"),
     )
 
 
@@ -119,6 +151,27 @@ def pq_codebook(
     """Deterministic PQ codebook: the seed sample (``id % 7 == 0``,
     first ``k`` by id) sliced into ``m`` subspaces → (subspace, cell,
     cvec) rows, m·k total — broadcast-sized at any corpus scale."""
+    cb_rows = _pq_codebook_rows(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k
+    )
+    return corpus.sparkSession.createDataFrame(
+        cb_rows, "subspace int, cell int, cvec array<double>"
+    )
+
+
+def _pq_codebook_rows(
+    corpus: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m: int,
+    k: int,
+) -> "list[tuple[int, int, list[float]]]":
+    """The (subspace, cell, cvec) codebook rows as driver-side data —
+    m·k rows, one bounded collect. ``pq_codebook`` wraps them as a
+    DataFrame (the LUT join path); ``pq_encode`` embeds them as plan
+    literals (the kmeans literal-argmin path)."""
     if dim % m != 0:
         raise ValueError("dim must divide evenly into m subspaces")
     sub_dim = dim // m
@@ -134,9 +187,7 @@ def pq_codebook(
         vec = [float(x) for x in row[vec_col]]
         for s in range(m):
             cb_rows.append((s, cell, vec[s * sub_dim : (s + 1) * sub_dim]))
-    return corpus.sparkSession.createDataFrame(
-        cb_rows, "subspace int, cell int, cvec array<double>"
-    )
+    return cb_rows
 
 
 def pq_encode(
@@ -159,44 +210,59 @@ def pq_encode(
     Lloyd rounds exactly as ``kmeans_lite`` does. Determinism makes the
     encode hash-checkable against an ANSI oracle.
 
-    Scale shape: the corpus is read once, sub-vectors explode narrowly
-    (m rows per vector, never shuffled), the codebook (m·k tiny rows)
-    broadcasts, and the argmin is a per-(id, subspace) window. Returns
-    ``(id, subspace, code, dist2)``.
+    Scale shape: the corpus is read once and NEVER shuffled — the
+    codebook is driver-side data (one bounded m·k collect), so each
+    subspace's argmin is a literal ``array_min(array<struct<dist2,
+    cell>>)`` exactly like the kmeans assignment (struct ordering
+    breaks dist2 ties to the lowest cell, identical to the previous
+    per-(id, subspace) window's ``orderBy(dist2, cell)``), and the m
+    per-row winners posexplode AFTER the argmin. The old shape
+    (explode → broadcast-join the codebook → window) shuffled and
+    sorted N·m·k rows per encode; this one is map-only (guide §2.4).
+    Returns ``(id, subspace, code, dist2)``.
     """
-    codebook = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k)
-    sub_dim = dim // m
-    slices = F.array(
-        *[F.slice(vec_col, s * sub_dim + 1, sub_dim) for s in range(m)]
+    cb_rows = _pq_codebook_rows(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k
     )
-    subs = corpus.select(
-        id_col, F.posexplode(slices).alias("subspace", "svec")
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("svec"),
-                F.col("cvec"),
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
-    )
-    scored = subs.join(F.broadcast(codebook), "subspace").select(
-        id_col, "subspace", "cell", d2.alias("dist2")
-    )
-    w = Window.partitionBy(id_col, "subspace").orderBy("dist2", "cell")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
+    if not cb_rows:
+        # empty seed sample → no codewords to assign (the old
+        # join-based shape produced zero rows here too)
+        return corpus.select(
             F.col(id_col),
-            F.col("subspace").cast("long").alias("subspace"),
-            F.col("cell").cast("long").alias("code"),
-            "dist2",
-        )
+            F.lit(None).cast("long").alias("subspace"),
+            F.lit(None).cast("long").alias("code"),
+            F.lit(None).cast("double").alias("dist2"),
+        ).filter(F.lit(False))
+    by_sub: "dict[int, list[tuple[int, list[float]]]]" = {}
+    for s, cell, cvec in cb_rows:
+        by_sub.setdefault(s, []).append((cell, cvec))
+    sub_dim = dim // m
+    winners = F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _d2_to(
+                                F.slice(vec_col, s * sub_dim + 1, sub_dim),
+                                _lit_vec(cvec),
+                            ).alias("dist2"),
+                            F.lit(int(cell)).cast("int").alias("cell"),
+                        )
+                        for cell, cvec in sorted(by_sub.get(s, []))
+                    ]
+                )
+            )
+            for s in range(m)
+        ]
+    )
+    return corpus.select(
+        F.col(id_col), F.posexplode(winners).alias("subspace", "__b")
+    ).select(
+        F.col(id_col),
+        F.col("subspace").cast("long").alias("subspace"),
+        F.col("__b.cell").cast("long").alias("code"),
+        F.col("__b.dist2").alias("dist2"),
     )
 
 
