@@ -805,6 +805,56 @@ def runs_test(df: DataFrame, order_col: str, x_col: str) -> DataFrame:
     )
 
 
+def _pair_fanout_grouped(
+    a: DataFrame, b: DataFrame, key_cols: "list[str]", salt_col: str
+) -> DataFrame:
+    """Keyed pairwise self-join with cluster-wide parallelism (guide
+    §2.5): the pair frame is calendar-bounded (days² rows per group),
+    but the group key has far fewer distinct values than the cluster
+    has cores, and the pre-join inputs are so small that AQE's
+    partition coalescing folds the whole join into ONE task which
+    then pays the n² expansion serially (measured: segment_kendall's
+    5-key join ran its ~14M generated pairs on one core). Bucket side
+    ``a`` by a deterministic hash of its order key, replicate side
+    ``b`` across the buckets, and repartition BOTH sides explicitly
+    on (keys, bucket) — a user-specified repartition that AQE does
+    not coalesce — so the expansion runs on defaultParallelism tasks.
+    The generated pair set is identical (every a-row still meets
+    every b-row of its group exactly once) and everything downstream
+    is an exact-integer aggregate or a fully-ordered window, so
+    results are bit-identical. Scale-adaptive: the bucket count IS
+    defaultParallelism (local[8] probes and a 1000-core cluster both
+    get their natural fan-out); the replicated side stays bounded
+    (days × parallelism rows)."""
+    sc = a.sparkSession.sparkContext
+    p = max(1, sc.defaultParallelism)
+    a2 = a.withColumn(
+        "__pb", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(p)).cast("int")
+    )
+    b2 = b.withColumn(
+        "__pb", F.explode(F.array(*[F.lit(i).cast("int") for i in range(p)]))
+    )
+    jk = key_cols + ["__pb"]
+    return (
+        a2.repartition(p, *jk)
+        .join(b2.repartition(p, *jk), jk)
+        .drop("__pb")
+    )
+
+
+def _pair_fanout_parallelism(a: DataFrame) -> DataFrame:
+    """Ungrouped twin of :func:`_pair_fanout_grouped`: the pair join
+    is a BroadcastNestedLoopJoin (the small side broadcasts, the
+    condition is the `<` pairing), whose parallelism is the STREAM
+    side's partition count — after AQE coalescing of the tiny day
+    aggregate that is one partition, so one task pays the whole n²
+    scan. An explicit round-robin repartition (user-specified → never
+    coalesced) spreads it across defaultParallelism tasks; the join
+    stays a BNLJ and the pair set is unchanged."""
+    sc = a.sparkSession.sparkContext
+    return a.repartition(max(1, sc.defaultParallelism))
+
+
 def mann_kendall(
     df: DataFrame,
     order_col: str,
@@ -848,10 +898,11 @@ def mann_kendall(
         F.col("__x").alias("__xb"),
     )
     if groups:
-        cond = [f"__g_{g}" for g in groups]
-        pairs = a.join(b, cond).filter(F.col("__oa") < F.col("__ob"))
+        pairs = _pair_fanout_grouped(
+            a, b, [f"__g_{g}" for g in groups], "__oa"
+        ).filter(F.col("__oa") < F.col("__ob"))
     else:
-        pairs = a.join(
+        pairs = _pair_fanout_parallelism(a).join(
             F.broadcast(b), F.col("__oa") < F.col("__ob"), "inner"
         )
     s = pairs.groupBy(*[f"__g_{g}" for g in groups]).agg(
@@ -960,11 +1011,11 @@ def sen_slope(
         F.col("__x").alias("__xb"),
     )
     if groups:
-        pairs = a.join(b, [f"__g_{g}" for g in groups]).filter(
-            F.col("__ta") < F.col("__tb")
-        )
+        pairs = _pair_fanout_grouped(
+            a, b, [f"__g_{g}" for g in groups], "__ta"
+        ).filter(F.col("__ta") < F.col("__tb"))
     else:
-        pairs = a.join(
+        pairs = _pair_fanout_parallelism(a).join(
             F.broadcast(b), F.col("__ta") < F.col("__tb"), "inner"
         )
     slope = (F.col("__xb") - F.col("__xa")).cast("double") / (
@@ -1385,11 +1436,13 @@ def kendall_tau(
         F.col("__y").alias("__yb"),
     )
     if groups:
-        pairs = a.join(b, [f"__g_{g}" for g in groups]).filter(
-            F.col("__oa") < F.col("__ob")
-        )
+        pairs = _pair_fanout_grouped(
+            a, b, [f"__g_{g}" for g in groups], "__oa"
+        ).filter(F.col("__oa") < F.col("__ob"))
     else:
-        pairs = a.join(F.broadcast(b), F.col("__oa") < F.col("__ob"), "inner")
+        pairs = _pair_fanout_parallelism(a).join(
+            F.broadcast(b), F.col("__oa") < F.col("__ob"), "inner"
+        )
     s = pairs.groupBy(*[f"__g_{g}" for g in groups]).agg(
         F.sum(
             F.signum(F.col("__xb") - F.col("__xa")).cast("long")
