@@ -68,11 +68,18 @@ def pagerank(
     # edges⋈deg pre-join form on a 2.4M-edge graph.
     e = e.localCheckpoint(eager=False)
     # fresh key name: deg derives from e and later joins back against
-    # it, so keeping "src" would make the column ambiguous
+    # it, so keeping "src" would make the column ambiguous.
+    # localCheckpoint: every iteration's share step joins against deg,
+    # and without the pin each iteration RE-AGGREGATES the full edge
+    # list to rebuild it (the static plan shows three identical
+    # degree-aggregate subtrees; runtime exchange reuse is not
+    # guaranteed across AQE stages) — pinning the node-sized result
+    # makes iterations 2..n read it for free (guide §2.4 / §5).
     deg = (
         e.groupBy("src")
         .agg(F.count("*").cast("double").alias("outdeg"))
         .select(F.col("src").alias("deg_node"), "outdeg")
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -140,15 +147,17 @@ def k_core(
     Returns the surviving canonical edges. Each peel round is one
     degree aggregate + two semi joins against the (node-sized) keep
     set — the edge list is filtered in place, never re-shuffled on a
-    new key. TWO rounds run per driver sync: the pair shares one
-    lineage checkpoint + one count, halving the per-round driver
-    latency that dominates this operator's wall clock (the peel work
-    itself is node-sized after round one). The fixed point is
-    untouched by the batching — peeling a stable set is a no-op, and
-    the final convergence verdict is decided by an explicit min-degree
-    check on the materialized survivor set (degree < k count == 0),
-    not by the batched drop counter, so a graph that stabilizes on the
-    first round of a batch is never misreported as still peeling.
+    new key. SIX rounds run per driver sync as one lazily-chained
+    plan (intra-batch keep sets are lazy lineage checkpoints, so the
+    whole batch is a single job), and the convergence verdict after
+    each batch is ONE explicit min-degree probe on the materialized
+    survivor set (any node with degree < k left?) instead of the old
+    per-batch edge count — real-world peels converge in ≤6 rounds
+    (O(log n) on power-law graphs), so the common case pays exactly
+    two driver syncs: the batch and its probe. The fixed point is
+    untouched by the batching — peeling a stable set is a no-op — and
+    the probe-based verdict cannot misreport a batch that stabilized
+    mid-way.
 
     Peeling converges in O(log n) rounds on real-world (power-law)
     graphs because each round removes a constant fraction of the
@@ -165,7 +174,6 @@ def k_core(
     if on_nonconverged not in ("raise", "flag"):
         raise ValueError(f"on_nonconverged must be 'raise' or 'flag', got {on_nonconverged!r}")
     e = edges.select(F.col(a).alias("ea"), F.col(b).alias("eb")).localCheckpoint(eager=True)
-    before = e.count()
 
     def _degree(df: DataFrame) -> DataFrame:
         return (
@@ -175,15 +183,21 @@ def k_core(
             .agg(F.count("*").alias("d"))
         )
 
-    dropped = -1  # sentinel: "no round ran"
+    def _still_subk(df: DataFrame) -> bool:
+        # ONE probe job on the materialized survivor set; an empty
+        # set is vacuously converged
+        return _degree(df).filter(F.col("d") < k).limit(1).count() > 0
+
+    converged = False
     rounds_left = max_rounds
     while rounds_left > 0:
-        steps = min(2, rounds_left)
+        steps = min(6, rounds_left)
         rounds_left -= steps
         cur = e
         for _ in range(steps):
             # lazy checkpoint: both semi joins read the same
-            # materialized keep set without an extra driver-sync job
+            # materialized keep set without an extra driver-sync job,
+            # and the whole batch of rounds executes as ONE job
             keep = (
                 _degree(cur)
                 .filter(F.col("d") >= k)
@@ -195,28 +209,12 @@ def k_core(
                 .join(keep.withColumnRenamed("node", "eb"), "eb", "left_semi")
                 .select("ea", "eb")
             )
-        survivors = cur.localCheckpoint(eager=True)
-        # one count per BATCH of two rounds: the previous batch's size
-        # is carried over
-        after = survivors.count()
-        dropped = before - after
-        before = after
-        e = survivors
-        if dropped == 0 or after == 0:
+        e = cur.localCheckpoint(eager=True)
+        if not _still_subk(e):
+            converged = True
             break
     out = e.select(F.col("ea").alias(a), F.col("eb").alias(b))
-    # `before` already holds the final edge count — no extra count job
-    # on the converged path. A batch whose FIRST round peeled and whose
-    # second hit the fixpoint leaves dropped > 0 at budget exhaustion,
-    # so the non-convergence verdict runs one explicit min-degree check
-    # on the (materialized, node-sized) survivor set instead of
-    # trusting the batched drop counter.
-    if dropped != 0 and before > 0:
-        still_subk = (
-            _degree(e).filter(F.col("d") < k).limit(1).count() > 0
-        )
-        if not still_subk:
-            return out
+    if not converged:
         msg = (
             f"k_core(k={k}) still peeling after {max_rounds} rounds "
             f"(survivor set still has degree<{k} nodes); raise max_rounds"
