@@ -110,18 +110,32 @@ def positional_fingerprint(text: Column | str) -> Column:
     expressible in both Spark and ANSI SQL, so it is oracle-checkable —
     use xxhash64 for production-strength fingerprints.
     """
-    toks = tokens(text)
-    idx = F.sequence(F.lit(1), F.size(toks))
-    vals = F.transform(
-        idx,
-        lambda i: (
-            i.cast("long")
-            * (
-                F.ascii(F.substring(F.element_at(toks, i), 1, 1)).cast("long") * 131
-                + F.length(F.element_at(toks, i))
+    # The token array is bound as a LAMBDA VARIABLE (the one-element
+    # array transform trick from operators/dedup.word_shingles):
+    # inlining `tokens(text)` into the per-index lambda re-tokenizes
+    # the document on EVERY element_at — higher-order-function
+    # arguments sit outside codegen subexpression elimination, so the
+    # fingerprint was O(words²) tokenizations per row. Bound once, it
+    # is O(words), and the computed value is identical.
+    def _fp_of(toks: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.size(toks))
+        vals = F.transform(
+            idx,
+            lambda i: (
+                i.cast("long")
+                * (
+                    F.ascii(F.substring(F.element_at(toks, i), 1, 1)).cast("long") * 131
+                    + F.length(F.element_at(toks, i))
+                )
             )
+            % 2147483647,
         )
-        % 2147483647,
+        total = (
+            F.aggregate(vals, F.lit(0).cast("long"), lambda acc, x: acc + x)
+            % 2147483647
+        )
+        return F.when(F.size(toks) > 0, total).otherwise(F.lit(0)).cast("long")
+
+    return F.element_at(
+        F.transform(F.array(tokens(text)), lambda t: _fp_of(t)), 1
     )
-    total = F.aggregate(vals, F.lit(0).cast("long"), lambda acc, x: acc + x) % 2147483647
-    return F.when(F.size(toks) > 0, total).otherwise(F.lit(0)).cast("long")

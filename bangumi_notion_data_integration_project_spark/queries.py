@@ -4574,11 +4574,25 @@ def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(UNIGRAM_VOCAB_K)
         .collect()
     )
-    bg = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
+    # Bind the token array as a LAMBDA VARIABLE (the one-element array
+    # transform trick from operators/dedup.word_shingles): inlining
+    # `toks` directly into the bigram lambdas re-runs the whole
+    # split per element_at — higher-order-function arguments sit
+    # outside codegen subexpression elimination, so the scoring pass
+    # was re-tokenizing each document O(words²) times (visible in the
+    # committed before-plan: the split subtree appears inside every
+    # lambda). Binding costs one projection, zero shuffles, and the
+    # produced bigram array (hence every count/score) is identical.
+    def _bigrams_of(t):
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        )
+
+    bg = F.element_at(
+        F.transform(F.array(toks), lambda t: _bigrams_of(t)), 1
     )
     bi = (
         d.select(F.explode(bg).alias("bigram"))
@@ -4595,12 +4609,28 @@ def q_docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(bmap[g], F.lit(0)) + 1)
         / (F.coalesce(umap[prev_of(g)], F.lit(0)) + F.lit(v_distinct))
     )
-    score_sum = F.aggregate(bg, F.lit(0.0), lambda acc, g: acc + lp(g))
-    return d.select(
-        "doc_id",
-        F.size(bg).cast("long").alias("n_bigrams"),
-        F.round(score_sum / F.size(bg), 6).alias("avg_logprob"),
-    ).orderBy("doc_id")
+    # score the bigram array with IT bound as a lambda variable too —
+    # n_bigrams and the fold then share one evaluation instead of
+    # re-deriving the array three times per row
+    scored = F.element_at(
+        F.transform(
+            F.array(bg),
+            lambda barr: F.struct(
+                F.size(barr).cast("long").alias("n_bigrams"),
+                F.round(
+                    F.aggregate(barr, F.lit(0.0), lambda acc, g: acc + lp(g))
+                    / F.size(barr),
+                    6,
+                ).alias("avg_logprob"),
+            ),
+        ),
+        1,
+    )
+    return (
+        d.select("doc_id", scored.alias("__s"))
+        .select("doc_id", "__s.n_bigrams", "__s.avg_logprob")
+        .orderBy("doc_id")
+    )
 
 
 BPE_N_MERGES = 4
