@@ -100,17 +100,19 @@ def word_graph(
         .filter(~F.col("tok").isin(sw))
     )
     w_doc = Window.partitionBy("__rid").orderBy("pos")
-    pairs = []
-    for d in range(1, window + 1):
-        pairs.append(
-            toks.select(
-                F.col("tok").alias("wa"),
-                F.lead("tok", d).over(w_doc).alias("wb"),
-            ).filter(F.col("wb").isNotNull())
-        )
-    allp = pairs[0]
-    for p in pairs[1:]:
-        allp = allp.unionByName(p)
+    # ALL window leads ride one Window operator (same partition/order
+    # spec), then explode: the old per-distance union shuffled and
+    # sorted the full token stream once PER DISTANCE; this computes
+    # the identical pair multiset from a single shuffle + sort
+    leads = toks.select(
+        F.col("tok").alias("wa"),
+        F.array(
+            *[F.lead("tok", d).over(w_doc) for d in range(1, window + 1)]
+        ).alias("__wbs"),
+    )
+    allp = leads.select(
+        "wa", F.explode("__wbs").alias("wb")
+    ).filter(F.col("wb").isNotNull())
     return (
         allp.filter(F.col("wa") != F.col("wb"))
         .select(
@@ -153,9 +155,13 @@ def weighted_pagerank(
             F.col("w2").alias("src"), F.col("w1").alias("dst"), "weight"
         )
     ).localCheckpoint(eager=False)  # scanned every iteration
+    # pinned like sym: every iteration's share step joins against the
+    # weighted degree, and without the pin each iteration re-aggregates
+    # the full symmetric edge list to rebuild it (the graph.pagerank
+    # deg-pin rationale — node-sized state, one compute)
     wdeg = sym.groupBy("src").agg(
         F.sum("weight").cast("double").alias("wdeg")
-    ).select(F.col("src").alias("deg_node"), "wdeg")
+    ).select(F.col("src").alias("deg_node"), "wdeg").localCheckpoint(eager=False)
     nodes = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=False
     )

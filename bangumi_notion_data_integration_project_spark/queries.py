@@ -4143,16 +4143,23 @@ def q_orders_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile on integer cents interpolates to exact half-cents, so
     both engines agree bit-for-bit; three group-sized aggregates, two
     broadcast joins of the 5-row stat table."""
+    # pinned: the (priority, cents) projection feeds THREE sequential
+    # order-statistic passes (median, MAD, outlier count — inherently
+    # serial, each needs the previous stat); without the pin each pass
+    # re-scans and re-projects the orders parquet (guide §5: cut
+    # lineage of a reused narrow intermediate)
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
-    )
+    ).localCheckpoint(eager=False)
     med = o.groupBy("o_orderpriority").agg(
         F.expr("percentile(cents, 0.5)").alias("median_cents"),
         F.count("*").cast("long").alias("n_orders"),
     )
+    # dev feeds BOTH the MAD percentile and the outlier count — pin it
+    # too so the deviation join runs once
     dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
         "dev", F.abs(F.col("cents") - F.col("median_cents"))
-    )
+    ).localCheckpoint(eager=False)
     mad = dev.groupBy("o_orderpriority").agg(F.expr("percentile(dev, 0.5)").alias("mad_cents"))
     outliers = (
         dev.join(F.broadcast(mad), "o_orderpriority")
@@ -7095,16 +7102,23 @@ def q_parts_freq_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cms import cms_build, cms_lookup
 
     depth, width = 4, 4096
-    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    # pinned: the raw partkey stream feeds the sketch build AND the
+    # exact counts (two full scans otherwise); N is re-derived from
+    # the exact per-part counts (their sum IS the row count) instead
+    # of a third raw aggregate — the same value from a frame that is
+    # already distinct-part-sized
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey").localCheckpoint(
+        eager=False
+    )
     sketch = cms_build(li, ["l_partkey"], depth=depth, width=width)
     exact = li.groupBy("l_partkey").agg(
         F.count("*").cast("long").alias("exact")
-    )
+    ).localCheckpoint(eager=False)
     top = exact.orderBy(
         F.col("exact").desc(), F.col("l_partkey").asc()
     ).limit(25)
     est = cms_lookup(sketch, top, ["l_partkey"], depth=depth, width=width)
-    n_total = li.agg(F.count("*").cast("long").alias("__n"))
+    n_total = exact.agg(F.sum("exact").cast("long").alias("__n"))
     bound = F.ceil(
         F.lit(math.e / float(width)) * F.col("__n").cast("double")
     ).cast("long")

@@ -29,8 +29,29 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--plans", default=None, metavar="TAG")
+    ap.add_argument(
+        "--loadgate",
+        type=float,
+        default=None,
+        metavar="L",
+        help="wait (up to 10 min/pass) until 1-min load average < L "
+        "before each timed pass — defends the quiet-clock protocol "
+        "against co-tenant load spikes",
+    )
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
+
+    def gate() -> None:
+        if args.loadgate is None:
+            return
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            with open("/proc/loadavg") as fh:
+                load1 = float(fh.read().split()[0])
+            if load1 < args.loadgate:
+                return
+            time.sleep(10)
+        print(f"!! loadgate: still >= {args.loadgate} after 10 min, proceeding", file=sys.stderr)
 
     spark = get_spark("opt-probe")
     # warm the sink + Arrow workers exactly as bench.py does
@@ -47,6 +68,7 @@ def main() -> int:
             return 2
         times = []
         for p in range(args.passes):
+            gate()
             spark.sparkContext.setJobDescription(f"opt-probe:{name}:pass{p+1}")
             t0 = time.perf_counter()
             df = QUERIES[name](spark, args.sf)
