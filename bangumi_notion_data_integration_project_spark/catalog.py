@@ -85,11 +85,60 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+# Memo of LOADED TABLE HANDLES (unexecuted logical plans), the
+# process-local equivalent of a metastore's resolved-table cache:
+# every load_table call otherwise pays parquet footer schema
+# resolution plus a file listing (and, for spread tables, the
+# _spread probe's listing again) — measured at 0.1-0.4 s per call,
+# and the registry queries call it 1-3 times EACH, twice per bench
+# pass. Keyed on (application, session conf identity via
+# defaultParallelism, sf_dir, name, spread, file mtime+size) so a
+# rewritten fixture or a different session re-resolves. This caches
+# METADATA ONLY — a DataFrame is an immutable plan; every query
+# execution still scans the parquet data from disk.
+_TABLE_MEMO: "dict[tuple, DataFrame]" = {}
+
+
+def _table_stamp(path: str) -> "tuple[int, int] | None":
+    p = path[7:] if path.startswith("file://") else path
+    try:
+        st = os.stat(p)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, *, spread: bool = True
 ) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    stamp = _table_stamp(os.path.join(sf_dir, f"{name}.parquet"))
+    memo_key = None
+    if stamp is not None:
+        memo_key = (
+            spark.sparkContext.applicationId,
+            spark.sparkContext.defaultParallelism,
+            sf_dir,
+            name,
+            spread,
+            stamp,
+        )
+        hit = _TABLE_MEMO.get(memo_key)
+        if hit is not None:
+            if name == "events":
+                # the reader conf must hold at EXECUTION time too
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return hit
+    df = _load_table_uncached(spark, sf_dir, name, spread=spread)
+    if memo_key is not None:
+        _TABLE_MEMO[memo_key] = df
+    return df
+
+
+def _load_table_uncached(
+    spark: SparkSession, sf_dir: str, name: str, *, spread: bool
+) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
         # natively. Read nanos as long (dynamic legacy conf) and truncate

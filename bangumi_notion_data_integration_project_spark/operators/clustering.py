@@ -31,7 +31,9 @@ from pyspark.sql import functions as F
 
 
 def _lit_vec(vec: "list[float]") -> F.Column:
-    return F.array(*[F.lit(float(x)) for x in vec])
+    # one py4j call for the whole array literal (an F.lit per element
+    # costs dim round-trips per centroid at plan-build time)
+    return F.lit([float(x) for x in vec])
 
 
 def _d2_to(vec: F.Column, cvec: F.Column) -> F.Column:

@@ -832,7 +832,8 @@ def _pair_fanout_grouped(
         "__pb", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(p)).cast("int")
     )
     b2 = b.withColumn(
-        "__pb", F.explode(F.array(*[F.lit(i).cast("int") for i in range(p)]))
+        "__pb",
+        F.explode(F.sequence(F.lit(0).cast("int"), F.lit(p - 1).cast("int"))),
     )
     jk = key_cols + ["__pb"]
     return (
