@@ -200,6 +200,7 @@ def pq_encode(
     dim: int = 64,
     m: int = 4,
     k: int = 4,
+    codebook_rows: "list[tuple[int, int, list[float]]] | None" = None,
 ) -> DataFrame:
     """Product-quantization ENCODE: split each vector into ``m``
     sub-vectors and assign each to its nearest codeword — the storage
@@ -223,8 +224,12 @@ def pq_encode(
     sorted N·m·k rows per encode; this one is map-only (guide §2.4).
     Returns ``(id, subspace, code, dist2)``.
     """
-    cb_rows = _pq_codebook_rows(
-        corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k
+    cb_rows = (
+        codebook_rows
+        if codebook_rows is not None
+        else _pq_codebook_rows(
+            corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k
+        )
     )
     if not cb_rows:
         # empty seed sample → no codewords to assign (the old
@@ -292,8 +297,24 @@ def pq_adc_topk(
     matches excluded.
     """
     sub_dim = dim // m
-    codebook = pq_codebook(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k)
-    codes = pq_encode(corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k)
+    # ONE seed-sample collect serves both the LUT codebook and the
+    # encode literals (each used to run its own TakeOrdered job over
+    # the corpus at plan-build time — identical rows by construction)
+    cb_rows = _pq_codebook_rows(
+        corpus, id_col=id_col, vec_col=vec_col, dim=dim, m=m, k=k
+    )
+    codebook = corpus.sparkSession.createDataFrame(
+        cb_rows, "subspace int, cell int, cvec array<double>"
+    )
+    codes = pq_encode(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        m=m,
+        k=k,
+        codebook_rows=cb_rows,
+    )
     slices = F.array(
         *[F.slice(vec_col, s * sub_dim + 1, sub_dim) for s in range(m)]
     )
