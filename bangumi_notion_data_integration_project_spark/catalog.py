@@ -93,10 +93,10 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 # and the registry queries call it 1-3 times EACH, twice per bench
 # pass. Keyed on (application, session conf identity via
 # defaultParallelism, sf_dir, name, spread, file mtime+size) so a
-# rewritten fixture or a different session re-resolves. This caches
+# rewritten fixture or a different session re-resolves, and stored ON
+# the owning SparkSession object (see load_table). This caches
 # METADATA ONLY — a DataFrame is an immutable plan; every query
 # execution still scans the parquet data from disk.
-_TABLE_MEMO: "dict[tuple, DataFrame]" = {}
 
 
 def _table_stamp(path: str) -> "tuple[int, int] | None":
@@ -124,7 +124,17 @@ def load_table(
             spread,
             stamp,
         )
-        hit = _TABLE_MEMO.get(memo_key)
+        # The memo lives ON the owning session object (ADVICE r13): a
+        # DataFrame is bound to the SparkSession that built it, so a
+        # hit served to a sibling session of the same application
+        # would execute under the OWNER's conf (the events
+        # nanosAsLong hazard). A per-session dict cannot alias across
+        # sessions and dies with the session.
+        memo = getattr(spark, "_graft_table_memo", None)
+        if memo is None:
+            memo = {}
+            spark._graft_table_memo = memo
+        hit = memo.get(memo_key)
         if hit is not None:
             if name == "events":
                 # the reader conf must hold at EXECUTION time too
@@ -132,7 +142,7 @@ def load_table(
             return hit
     df = _load_table_uncached(spark, sf_dir, name, spread=spread)
     if memo_key is not None:
-        _TABLE_MEMO[memo_key] = df
+        memo[memo_key] = df
     return df
 
 

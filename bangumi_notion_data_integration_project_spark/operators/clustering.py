@@ -104,6 +104,16 @@ def kmeans_lite(
     cents_data = [
         (i, [float(x) for x in row[vec_col]]) for i, row in enumerate(init_rows)
     ]
+    if not cents_data:
+        # empty seed sample (no ids with id%7==0) → no clusters to
+        # assign; the old crossJoin+window formulation returned an
+        # empty frame here, and _nearest_cell over zero structs would
+        # fail at analysis time (the pq_encode guard, mirrored)
+        return corpus.select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("double").alias("dist2"),
+        ).filter(F.lit(False))
 
     for _ in range(iterations):
         # assignment is a narrow projection (no crossJoin, no window

@@ -7878,12 +7878,83 @@ def q_segment_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at positions 51-60 below, outside this window, or not registered at
 # all).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- the 7 r13-batch queries (registered r12, never
-    # -- driver-checked — new queries outrank every refresh, the
-    # -- standing rotation rule): the drift playbook's magnitude +
-    # -- omnibus rungs — W1/CvM/Mood on the order-price era split,
-    # -- the Kruskal-Wallis omnibus over event types, grouped W1 per
-    # -- type, segment-grain return-rate z + trimmed daily revenue
+    # -- the 8 r14-batch queries (registered r13, never
+    # -- driver-checked — new queries outrank every refresh): the
+    # -- playbook's post-hoc (Dunn), dispersion (Ansari-Bradley),
+    # -- ordered-trend (JT) and categorical-mix (χ²) rungs + the
+    # -- grouped rank-correlation variants (per-type Pettitt,
+    # -- per-segment volume-revenue tau-b and rho)
+    "events_type_dunn": q_events_type_dunn,
+    "orders_price_ab": q_orders_price_ab,
+    "events_type_jt": q_events_type_jt,
+    "events_mix_chi2": q_events_mix_chi2,
+    "events_mix_shares": q_events_mix_shares,
+    "events_type_pettitt": q_events_type_pettitt,
+    "segment_kendall": q_segment_kendall,
+    "segment_spearman": q_segment_spearman,
+    # -- the last latest-row-r8 entry (the r13 rotation re-checked
+    # -- the other 43), then the 41 stalest r9 rows (registry order)
+    "embedding_kmeans": q_embedding_kmeans,
+    "revenue_pacf": q_revenue_pacf,
+    "revenue_holt": q_revenue_holt,
+    "revenue_runs_test": q_revenue_runs_test,
+    "orders_breakpoint_trend": q_orders_breakpoint_trend,
+    "segment_churn_km": q_segment_churn_km,
+    "docs_rake_keywords": q_docs_rake_keywords,
+    "docs_branching_entropy": q_docs_branching_entropy,
+    "events_value_quantiles_sketch": q_events_value_quantiles_sketch,
+    "events_type_overlap_sketch": q_events_type_overlap_sketch,
+    "ann_pq_recall": q_ann_pq_recall,
+    "customer_set_ops": q_customer_set_ops,
+    "dedup_bow": q_dedup_bow,
+    "docs_bigram_counts": q_docs_bigram_counts,
+    "docs_pack_bins": q_docs_pack_bins,
+    "docs_weighted_sample": q_docs_weighted_sample,
+    "embedding_covariance": q_embedding_covariance,
+    "embedding_pq_codes": q_embedding_pq_codes,
+    "events_funnel_steps": q_events_funnel_steps,
+    "events_max_concurrency_2p": q_events_max_concurrency_2p,
+    "lineitem_correlations": q_lineitem_correlations,
+    "merge_updates": q_merge_updates,
+    "events_markov": q_events_markov,
+    "revenue_gini": q_revenue_gini,
+    "docs_lang_confusion": q_docs_lang_confusion,
+    "orders_seasonal": q_orders_seasonal,
+    "incremental_agg_cdc": q_incremental_agg_cdc,
+    "orders_mad": q_orders_mad,
+    "docs_curriculum": q_docs_curriculum,
+    "events_attribution_decay": q_events_attribution_decay,
+    "events_freshness": q_events_freshness,
+    "brand_concentration": q_brand_concentration,
+    "events_inter_arrival": q_events_inter_arrival,
+    "events_cusum": q_events_cusum,
+    "events_sequence_rules": q_events_sequence_rules,
+    "dedup_latest_by_key": q_dedup_latest_by_key,
+    "union_all_counts": q_union_all_counts,
+    "cross_join_dims": q_cross_join_dims,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "text_lang_id": q_text_lang_id,
+    "docs_repetition": q_docs_repetition,
+    # -- displaced r13 window (7 r13-batch + 43 r8 refreshes), every
+    # -- row green in its latest driver round, prior order preserved
+    # --------- driver checked-window boundary (position 50) ---------
+    # ROUND-15 ROTATION NOTE: after r14 lands, the stalest evidence
+    # is the 9 remaining r9 rows (orders_price_histogram,
+    # doc_fingerprint, embedding_norms,
+    # orders_cube, running_revenue, latest_event_per_type,
+    # text_bpe_tokens, ann_lsh_recall, ann_ivf_recall — registry
+    # order), then the r10 vintage — BUT the flagship/parity family
+    # (category_summary, global_summary, the P/J/M anchors:
+    # project_truncate, filter_nonempty, timestamp_parse,
+    # json_extract, map_multikey, token_pivot, coalesce_display,
+    # merge_inserts/deletes/full_sync/upsert, dedup_exact) carries
+    # r11 rows and the never-age-past-4 rule forces them into the
+    # r15 window ahead of fresher r10 rows. Rotate r15 = the r15
+    # batch just below this comment (orders_price_bm /
+    # events_type_median are built, oracle-pinned, plan-pinned —
+    # register them in r14) + the 8 r9 rows + the flagship family +
+    # stalest r10 rows up to the 50 budget.
     "orders_price_w1": q_orders_price_w1,
     "orders_price_cvm": q_orders_price_cvm,
     "orders_price_mood": q_orders_price_mood,
@@ -7891,9 +7962,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_type_w1": q_events_type_w1,
     "segment_returns_ztest": q_segment_returns_ztest,
     "segment_trimmed_mean": q_segment_trimmed_mean,
-    # -- the 43 stalest latest-row-r8 entries (registry order; all
-    # -- of the r8 vintage except embedding_kmeans, which r14 takes
-    # -- — see the boundary-note correction)
     "docs_zipf_fit": q_docs_zipf_fit,
     "events_user_coverage": q_events_user_coverage,
     "orders_seasonal_decompose": q_orders_seasonal_decompose,
@@ -7937,41 +8005,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm": q_customer_rfm,
     "parts_kcore": q_parts_kcore,
     "top_parts_salted": q_top_parts_salted,
-    # --------- driver checked-window boundary (position 50) ---------
-    # ROUND-14 ROTATION NOTE: after r13 lands, the stalest evidence
-    # is embedding_kmeans (the ONE remaining latest-row-r8 entry; the
-    # r12 note's "19 remaining r8 rows" was a miscount — vintage_
-    # report.py shows 44, r13 re-checked 43), then the 50 r9 rows
-    # (revenue_pacf .. ann_ivf_recall, registry order). Rotate
-    # the r14 window onto the r14 batch just below this comment
-    # (positions 51+, never driver-checked) + embedding_kmeans + the
-    # stalest r9 rows up to the 50 budget. The flagship/parity family
-    # (category_summary, global_summary, P/J/M anchors) carries r11
-    # rows and must re-enter the window by r15 (never-age-past-4) —
-    # plan r15 = remaining r9 + those anchors first among refreshes.
-    # Do NOT register more new queries than the window budget (~10)
-    # per round.
-    # -- NEW for r14 (operators built r12, oracles cross-engine
-    # -- pinned in tests/test_driftmetrics.py / test_rankcorr.py
-    # -- BEFORE registration — the house de-risk pattern): the
-    # -- playbook's post-hoc + dispersion + ordered-trend +
-    # -- categorical-mix rungs — Dunn's BH-corrected pairs after the
-    # -- events_type_kw omnibus, Ansari-Bradley spread on the
-    # -- order-price era split, Jonckheere-Terpstra ordered trend
-    # -- over event types, χ² homogeneity on the event-type mix —
-    # -- plus the grouped rank-correlation variants (per-type Pettitt
-    # -- changepoint, per-segment volume-revenue tau-b and rho)
-    "events_type_dunn": q_events_type_dunn,
-    "orders_price_ab": q_orders_price_ab,
-    "events_type_jt": q_events_type_jt,
-    "events_mix_chi2": q_events_mix_chi2,
-    "events_mix_shares": q_events_mix_shares,
-    "events_type_pettitt": q_events_type_pettitt,
-    "segment_kendall": q_segment_kendall,
-    "segment_spearman": q_segment_spearman,
-    # -- displaced r12 window (10 r12-batch + 34 retired-r7 + 6 r8
-    # -- sketch/survival rows), every row green in its latest driver
-    # -- round, prior order preserved
     "orders_price_mwu": q_orders_price_mwu,
     "orders_price_ks": q_orders_price_ks,
     "events_type_mwu": q_events_type_mwu,
@@ -8022,7 +8055,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_survival_km": q_orders_survival_km,
     "revenue_acf": q_revenue_acf,
     "docs_pmi_collocations": q_docs_pmi_collocations,
-    # -- remainder of the registry, prior order preserved
     "revenue_mann_kendall": q_revenue_mann_kendall,
     "orders_seasonal_mk": q_orders_seasonal_mk,
     "revenue_sen_trend": q_revenue_sen_trend,
@@ -8123,47 +8155,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
     "decontaminate_overlap": q_decontaminate_overlap,
-    "revenue_pacf": q_revenue_pacf,
-    "revenue_holt": q_revenue_holt,
-    "revenue_runs_test": q_revenue_runs_test,
-    "orders_breakpoint_trend": q_orders_breakpoint_trend,
-    "segment_churn_km": q_segment_churn_km,
-    "docs_rake_keywords": q_docs_rake_keywords,
-    "docs_branching_entropy": q_docs_branching_entropy,
-    "events_value_quantiles_sketch": q_events_value_quantiles_sketch,
-    "events_type_overlap_sketch": q_events_type_overlap_sketch,
-    "ann_pq_recall": q_ann_pq_recall,
-    "customer_set_ops": q_customer_set_ops,
-    "dedup_bow": q_dedup_bow,
-    "docs_bigram_counts": q_docs_bigram_counts,
-    "docs_pack_bins": q_docs_pack_bins,
-    "docs_weighted_sample": q_docs_weighted_sample,
-    "embedding_covariance": q_embedding_covariance,
-    "embedding_pq_codes": q_embedding_pq_codes,
-    "events_funnel_steps": q_events_funnel_steps,
-    "events_max_concurrency_2p": q_events_max_concurrency_2p,
-    "lineitem_correlations": q_lineitem_correlations,
-    "merge_updates": q_merge_updates,
-    "events_markov": q_events_markov,
-    "revenue_gini": q_revenue_gini,
-    "docs_lang_confusion": q_docs_lang_confusion,
-    "orders_seasonal": q_orders_seasonal,
-    "incremental_agg_cdc": q_incremental_agg_cdc,
-    "orders_mad": q_orders_mad,
-    "docs_curriculum": q_docs_curriculum,
-    "events_attribution_decay": q_events_attribution_decay,
-    "events_freshness": q_events_freshness,
-    "brand_concentration": q_brand_concentration,
-    "events_inter_arrival": q_events_inter_arrival,
-    "events_cusum": q_events_cusum,
-    "events_sequence_rules": q_events_sequence_rules,
-    "dedup_latest_by_key": q_dedup_latest_by_key,
-    "union_all_counts": q_union_all_counts,
-    "cross_join_dims": q_cross_join_dims,
-    "text_token_stats": q_text_token_stats,
-    "text_quality": q_text_quality,
-    "text_lang_id": q_text_lang_id,
-    "docs_repetition": q_docs_repetition,
     "orders_price_histogram": q_orders_price_histogram,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_norms": q_embedding_norms,
@@ -8173,7 +8164,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": q_text_bpe_tokens,
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
-    "embedding_kmeans": q_embedding_kmeans,
 }
 
 

@@ -1,10 +1,9 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE compact JSON line: {"metric": ..., "value": total_sec, "unit":
-"sec", "n_queries": N, "total_wall": sec, "sf": ...}. The per-query
-breakdown (warm + first-run times) is written to BENCH_LOCAL.json —
-stdout stays small enough that the driver's JSON parse never sees a
-truncated tail.
+"sec", "n_queries": N, "total_wall": sec, "queries": {name: warm_sec},
+"sf": ...}. The per-query breakdown (warm + first-run times) is also
+written to BENCH_LOCAL.json and BENCH_LOCAL_c{cpus}.json.
 
 Each query is executed into the ``noop`` sink: every output column is
 fully materialized on the executors (unlike ``count()``, which lets
@@ -376,15 +375,24 @@ def main() -> None:
         "unit": "sec",
         "n_queries": len(timings),
         "total_wall": round(total_wall, 4),
+        # The per-query warm map rides in the printed line so the
+        # driver's PERF artifact gets per_query/scaling tables for every
+        # run (r13's summary-only line left PERF_r13.per_query empty;
+        # the map is one ~8 KB line — the r4 truncation was many
+        # per-query stderr lines, not a single compact JSON line).
+        "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # Durable full payload: per-query warm + first-pass times live in
-    # BENCH_LOCAL.json (the r4 driver artifact lost 33 of 102 per-query
-    # times to stdout truncation); stdout carries ONLY the compact line
-    # so the driver's parse never sees a clipped tail.
-    local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
-    with open(local, "w") as fh:
-        fh.write(json.dumps({**payload, "queries": timings, "queries_first_run": cold}) + "\n")
+    # Durable full payload: per-query warm + first-pass times also live
+    # in BENCH_LOCAL_c{cpus}.json (per core count, so a second driver
+    # run at a lower core count no longer overwrites the local[32]
+    # breakdown) and the legacy BENCH_LOCAL.json path.
+    here = os.path.dirname(os.path.abspath(__file__))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    full = json.dumps({**payload, "queries_first_run": cold}) + "\n"
+    for fname in ("BENCH_LOCAL.json", f"BENCH_LOCAL_c{cpus}.json"):
+        with open(os.path.join(here, fname), "w") as fh:
+            fh.write(full)
     print(json.dumps(payload))
 
 

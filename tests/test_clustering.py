@@ -54,6 +54,19 @@ def test_kmeans_separated_clusters_recovered(spark):
     ]
 
 
+def test_kmeans_empty_seed_sample_returns_empty(spark):
+    # no id is ≡ 0 (mod 7) → deterministic init has no seeds; the old
+    # crossJoin+window form returned an empty frame, and the literal-
+    # argmin form must guard (array_min over zero structs is a NullType
+    # analysis error) — the pq_encode empty-codebook guard, mirrored
+    df = spark.createDataFrame(
+        [(1, [0.0] * 8), (8, [1.0] * 8)], "vec_id: long, embedding: array<double>"
+    )
+    out = kmeans_lite(df, k=2, iterations=1)
+    assert out.columns == ["vec_id", "cluster", "dist2"]
+    assert out.count() == 0
+
+
 def test_pq_encode_matches_python(spark, sf_dir):
     """PQ encode vs a pure-Python re-derivation: same seeds, slicing,
     rounding, and lowest-cell tie-break."""

@@ -58,7 +58,7 @@ def main() -> int:
     QUERIES["order_priority_counts"](spark, args.sf).write.mode("overwrite").format("noop").save()
     spark.range(32).mapInPandas(lambda it: it, "id long").count()
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
     if args.plans:
         os.makedirs(plans_dir, exist_ok=True)
 
