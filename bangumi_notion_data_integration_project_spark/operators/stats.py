@@ -988,10 +988,13 @@ def sen_slope(
     runs_test convention — no interpolation): each pairwise slope is
     ONE double division of exact integers, so both engines order
     identical bits identically and pick the identical element. The
-    pair frame is calendar-bounded (days², fixed at any data volume),
-    and the single-partition rank windows run on it, never on raw
-    rows; with ``group_cols`` every window partitions by the key.
-    NULL x raises (the holt_linear convention)."""
+    pair frame is calendar-bounded (days², fixed at any data volume);
+    the slope median is selected by a distributed two-phase exact
+    selection (monotone slope buckets + cumulative offsets, then a
+    local sort of only the rank-holding bucket — see the inline note),
+    never a single-partition sort of the pair frame; the residual
+    median's window runs on the O(n) point frame, partitioned by the
+    key when grouped. NULL x raises (the holt_linear convention)."""
     from pyspark.sql import Window
 
     groups = list(group_cols or [])
@@ -1026,16 +1029,79 @@ def sen_slope(
         *[f"__g_{g}" for g in groups], slope.alias("__s"), "__ta", "__tb"
     )
     gcols = [f"__g_{g}" for g in groups]
+    # Distributed exact rank selection (r14, guide §2): the old form
+    # fed the WHOLE n² pair frame through one fully-ordered row_number
+    # window — a single-partition sort per group that re-serialized
+    # the parallelism the pair fan-out just bought (measured 4.3 s on
+    # the daily 2.9M-pair series). Two-phase selection instead:
+    # (1) per-group slope bounds + pair count, (2) a MONOTONE uniform
+    # bucket on the slope (same __s ⇒ same bucket; lower bucket ⇒
+    # strictly smaller __s, so bucket-major order IS the global
+    # order), (3) per-bucket counts → cumulative offsets on the tiny
+    # O(groups·buckets) frame, (4) sort ONLY the bucket holding the
+    # target rank and pick element (rank − offset) under the identical
+    # (__s, __ta, __tb) tie-break — the selected element is
+    # bit-identical to the global sort's (pinned by
+    # tests/test_trend.py::test_sen_slope_selection_matches_single_sort).
+    # An all-equal-slopes group collapses to bucket 0 — the old
+    # single-sort shape, correct if slow. Bucket count scales with the
+    # session's parallelism (nothing tuned to local[32]).
+    sc = df.sparkSession.sparkContext
+    nb = max(1, sc.defaultParallelism)
+    # the pair frame feeds bounds AND the bucketed selection — pin it
+    # (calendar-bounded: days²·width rows at any fact volume)
+    ps = ps.localCheckpoint(eager=False)
+    bounds = ps.groupBy(*gcols).agg(
+        F.min("__s").alias("__lo"),
+        F.max("__s").alias("__hi"),
+        F.count("*").cast("long").alias("__m"),
+    )
     if groups:
-        w_rk = Window.partitionBy(*gcols).orderBy("__s", "__ta", "__tb")
-        w_m = Window.partitionBy(*gcols)
+        bk_in = ps.join(F.broadcast(bounds), gcols)
     else:
-        w_rk = Window.orderBy("__s", "__ta", "__tb")
-        w_m = Window.partitionBy()
+        bk_in = ps.crossJoin(F.broadcast(bounds))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(nb))
+    bkt = (
+        F.when(
+            width > 0,
+            F.least(
+                F.lit(nb - 1),
+                F.floor((F.col("__s") - F.col("__lo")) / width).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    bucketed = bk_in.select(*gcols, "__s", "__ta", "__tb", bkt.alias("__bk"))
+    cnt = bucketed.groupBy(*gcols, "__bk").agg(
+        F.count("*").cast("long").alias("__bc"),
+    )
+    if groups:
+        cnt = cnt.join(F.broadcast(bounds.select(*gcols, "__m")), gcols)
+        w_off = (
+            Window.partitionBy(*gcols)
+            .orderBy("__bk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+    else:
+        cnt = cnt.crossJoin(F.broadcast(bounds.select("__m")))
+        w_off = Window.orderBy("__bk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+    r_tgt = F.expr("(__m + 1) div 2")
+    hit = (
+        cnt.withColumn(
+            "__off",
+            F.coalesce(F.sum("__bc").over(w_off), F.lit(0)).cast("long"),
+        )
+        .filter((F.col("__off") < r_tgt) & (r_tgt <= F.col("__off") + F.col("__bc")))
+        .select(*gcols, "__bk", "__off", "__m")
+    )
+    sel = bucketed.join(F.broadcast(hit), [*gcols, "__bk"])
+    w_loc = Window.partitionBy(*gcols, "__bk").orderBy("__s", "__ta", "__tb")
     med_slope = (
-        ps.withColumn("__rk", F.row_number().over(w_rk).cast("long"))
-        .withColumn("__m", F.count("*").over(w_m).cast("long"))
-        .filter(F.col("__rk") == F.expr("(__m + 1) div 2"))
+        sel.withColumn("__rk", F.row_number().over(w_loc).cast("long"))
+        .filter(F.col("__rk") == r_tgt - F.col("__off"))
         .select(
             *[F.col(f"__g_{g}").alias(g) for g in groups],
             F.col("__s").alias("__slope"),

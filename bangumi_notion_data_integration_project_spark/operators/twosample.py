@@ -68,6 +68,65 @@ def _sided_counts(
     )
 
 
+def _checked_side(side: Column, op_name: str) -> Column:
+    """Validate a one-scan era flag: 1 (reference), 2 (current) or
+    NULL (in neither era — the row is dropped downstream, exactly as
+    two disjoint era filters would drop it). Any other value raises
+    (fail-loud, the _checked_long convention: a 3 silently counted
+    into neither side would corrupt both totals)."""
+    return F.when(side.isNull(), F.lit(None).cast("int")).when(
+        side.isin(1, 2), side.cast("int")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{op_name}: side flag must be 1 (reference), 2"
+                " (current) or NULL (neither era) — fix the era split"
+            )
+        )
+    )
+
+
+def _sided_counts_split(
+    df: DataFrame,
+    value_col: str,
+    side: Column,
+    groups: "list[str]",
+    op_name: str,
+) -> DataFrame:
+    """One-scan twin of :func:`_sided_counts` (guide §6/§2.3: the era
+    split ``ref = src.filter(p)`` / ``cur = src.filter(q)`` scans the
+    pruned source once PER SIDE; a side-flag conditional aggregate
+    reads it once). ``side`` is a Column over ``df`` evaluating 1
+    (reference era), 2 (current era) or NULL (neither era — dropped).
+    Produces the identical ``(group..., __v, __c1, __c2)`` frame, so
+    every ``*_from_counts`` formula tail — and therefore every
+    statistic — is bit-identical to the two-input form (pinned by
+    tests/test_twosample.py::test_split_variants_match_two_input)."""
+    from .drift import _checked_keys, _checked_long
+
+    d = df.withColumn("__s", _checked_side(side, op_name)).filter(
+        F.col("__s").isNotNull()
+    )
+    if groups:
+        d = _checked_keys(d, groups, op_name=op_name)
+    return (
+        d.select(
+            *groups,
+            _checked_long(F.col(value_col), "input", op_name).alias("__v"),
+            "__s",
+        )
+        .groupBy(*groups, "__v")
+        .agg(
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("__c1"),
+            F.sum(F.when(F.col("__s") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("__c2"),
+        )
+    )
+
+
 def mann_whitney_u(
     ref: DataFrame,
     cur: DataFrame,
@@ -363,8 +422,6 @@ def two_proportion_ztest(
     rates (p̂ ∈ {0,1} ⇒ zero variance) report NULL z/p under exact
     integer guards, while each rate stays populated whenever its own
     side has data."""
-    from .stats import normal_p_two_sided
-
     groups = list(group_cols or [])
 
     def counted(df: DataFrame, tag: str, op: str) -> DataFrame:
@@ -407,6 +464,17 @@ def two_proportion_ztest(
         F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
         F.coalesce("s_cur", F.lit(0)).cast("long").alias("s_cur"),
     )
+    return _ztest_from_base(base, groups)
+
+
+def _ztest_from_base(base: DataFrame, groups: "list[str]") -> DataFrame:
+    """Shared z-test formula tail over a ``(group..., n_ref, s_ref,
+    n_cur, s_cur)`` four-count frame — serves the two-input operator
+    AND :func:`two_proportion_ztest_split` (the ``_mwu_from_counts``
+    rule), so the statistic can never diverge between the two input
+    shapes."""
+    from .stats import normal_p_two_sided
+
     n1d = F.col("n_ref").cast("double")
     n2d = F.col("n_cur").cast("double")
     p1 = F.col("s_ref").cast("double") / n1d
@@ -1932,3 +2000,187 @@ def _medk_from_counts(
         F.when(ok, F.round(p, 9)).alias("p_value"),
     )
     return out.orderBy(*outer) if outer else out
+
+
+# ---------------------------------------------------------------------------
+# One-scan era-split variants (optimization r14, guide §6/§2.3): the
+# registered drift queries split one pruned source into ref/cur with
+# two disjoint filters, so the SAME parquet scan (or join spine) ran
+# once per side. Each *_split twin takes the un-split frame plus a
+# side flag (1 = reference, 2 = current, NULL = neither era → row
+# dropped) and feeds the IDENTICAL sided-counts frame into the shared
+# *_from_counts formula tail — results are bit-identical to the
+# two-input form (pinned by tests/test_twosample.py), the plan reads
+# the source once.
+# ---------------------------------------------------------------------------
+
+
+def mann_whitney_u_split(
+    df: DataFrame,
+    value_col: str,
+    side: Column,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """One-scan twin of :func:`mann_whitney_u` — see the module-level
+    split note; statistics and degenerate conventions are identical."""
+    groups = list(group_cols or [])
+    vc = _sided_counts_split(df, value_col, side, groups, "mann_whitney_u")
+    return _mwu_from_counts(vc, groups)
+
+
+def ks_two_sample_split(
+    df: DataFrame,
+    value_col: str,
+    side: Column,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """One-scan twin of :func:`ks_two_sample`."""
+    groups = list(group_cols or [])
+    vc = _sided_counts_split(df, value_col, side, groups, "ks_two_sample")
+    return _ks_from_counts(vc, groups)
+
+
+def wasserstein_1_split(
+    df: DataFrame,
+    value_col: str,
+    side: Column,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """One-scan twin of :func:`wasserstein_1`."""
+    groups = list(group_cols or [])
+    vc = _sided_counts_split(df, value_col, side, groups, "wasserstein_1")
+    return _w1_from_counts(vc, groups)
+
+
+def cramer_von_mises_split(
+    df: DataFrame,
+    value_col: str,
+    side: Column,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """One-scan twin of :func:`cramer_von_mises`."""
+    groups = list(group_cols or [])
+    vc = _sided_counts_split(df, value_col, side, groups, "cramer_von_mises")
+    return _cvm_from_counts(vc, groups)
+
+
+def mood_median_test_split(
+    df: DataFrame,
+    value_col: str,
+    side: Column,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """One-scan twin of :func:`mood_median_test`."""
+    groups = list(group_cols or [])
+    vc = _sided_counts_split(df, value_col, side, groups, "mood_median_test")
+    return _mood_from_counts(vc, groups)
+
+
+def ansari_bradley_split(
+    df: DataFrame,
+    value_col: str,
+    side: Column,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """One-scan twin of :func:`ansari_bradley`."""
+    groups = list(group_cols or [])
+    vc = _sided_counts_split(df, value_col, side, groups, "ansari_bradley")
+    return _ab_from_counts(vc, groups)
+
+
+def two_proportion_ztest_split(
+    df: DataFrame,
+    success_col: str,
+    side: Column,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """One-scan twin of :func:`two_proportion_ztest`: the four counts
+    come from ONE conditional aggregate over the flagged frame instead
+    of one aggregate per side (for the segment-grain query the side
+    inputs are a lineitem⋈orders join spine — the split form runs that
+    join once). Shares :func:`_ztest_from_base`, so the statistic and
+    every degenerate convention are identical."""
+    groups = list(group_cols or [])
+    op = "two_proportion_ztest"
+    d = df.withColumn("__sd", _checked_side(side, op)).filter(
+        F.col("__sd").isNotNull()
+    )
+    if groups:
+        from .drift import _checked_keys
+
+        d = _checked_keys(d, groups, op_name=op)
+    s = F.col(success_col)
+    # validate the RAW column, not its long-cast (the two-input rule)
+    checked = F.when(
+        s.isNull() | ~s.isin(0, 1),
+        F.raise_error(
+            F.lit(
+                f"{op}: {success_col} must be 0/1 in the flagged"
+                " input — cast or filter explicitly"
+            )
+        ),
+    ).otherwise(s.cast("long"))
+    one = F.col("__sd")
+    base = (
+        d.select(*groups, checked.alias("__sc"), "__sd")
+        .groupBy(*groups)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(one == 1, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_ref"),
+            F.coalesce(
+                F.sum(F.when(one == 1, F.col("__sc")).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("s_ref"),
+            F.coalesce(
+                F.sum(F.when(one == 2, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias("n_cur"),
+            F.coalesce(
+                F.sum(F.when(one == 2, F.col("__sc")).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias("s_cur"),
+        )
+    )
+    return _ztest_from_base(base, groups)
+
+
+def chi2_homogeneity_split(
+    df: DataFrame,
+    cat_col: str,
+    side: Column,
+    *,
+    group_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """One-scan twin of :func:`chi2_homogeneity`: one conditional
+    count aggregate over the flagged frame replaces the per-side
+    aggregate + full-outer merge (a category present in only one era
+    gets the same (c, 0) row the outer join produced). Shares
+    :func:`_chi2_from_counts`."""
+    groups = list(group_cols or [])
+    op = "chi2_homogeneity"
+    from .drift import _checked_keys
+
+    d = df.withColumn("__sd", _checked_side(side, op)).filter(
+        F.col("__sd").isNotNull()
+    )
+    d = _checked_keys(
+        d.select(*groups, F.col(cat_col).alias("__cat"), "__sd"),
+        [*groups, "__cat"],
+        op_name=op,
+    )
+    vc = d.groupBy(*groups, "__cat").agg(
+        F.sum(F.when(F.col("__sd") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("__c1"),
+        F.sum(F.when(F.col("__sd") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("__c2"),
+    )
+    return _chi2_from_counts(vc, groups)

@@ -5684,7 +5684,14 @@ def q_lineitem_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming twin replay batches with no transactional machinery
     — so n_only_direct / n_only_merged must both read 0 and the two
     median estimates must be equal, deterministically (seeded
-    xxhash64; rows-only because DuckDB can't replay that hash)."""
+    xxhash64; rows-only because DuckDB can't replay that hash).
+    One-scan shard build since r14 (guide §6): the two per-parity
+    sketches come from ONE finer-keyed sketch pass — the per-(flag,
+    parity) bottom-k IS the per-flag bottom-k of each parity subset
+    (pinned in tests/test_quantile_sketch.py::
+    test_finer_key_sketch_equals_filtered_builds) — so lineitem is
+    scanned twice (direct + sharded), not three times, and the
+    independent-shard merge demonstration is unchanged."""
     from .operators.quantile_sketch import (
         grouped_quantile_sketch,
         grouped_sketch_quantiles,
@@ -5701,15 +5708,16 @@ def q_lineitem_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct = grouped_quantile_sketch(
         li, "cents", ids, ["l_returnflag"], k=k
     ).localCheckpoint(eager=False)
+    sharded = grouped_quantile_sketch(
+        li.withColumn("__par", F.col("l_orderkey") % 2),
+        "cents",
+        ids,
+        ["l_returnflag", "__par"],
+        k=k,
+    ).localCheckpoint(eager=False)  # ≤ flags·2·k rows; feeds both shards
     merged = merge_grouped_quantile_sketches(
         [
-            grouped_quantile_sketch(
-                li.filter(F.col("l_orderkey") % 2 == i),
-                "cents",
-                ids,
-                ["l_returnflag"],
-                k=k,
-            )
+            sharded.filter(F.col("__par") == i).drop("__par")
             for i in (0, 1)
         ],
         ["l_returnflag"],
@@ -6686,7 +6694,11 @@ def q_events_user_overlap_setsketch(spark: SparkSession, sf_dir: str) -> DataFra
         "type_a", "type_b", _H
     )
     est = set_sketch_overlap(a_side, b_side, ["type_a", "type_b"], k=k)
-    u = e.distinct()
+    # the exact side reads the distinct (type, user, day) frame three
+    # times (both self-join sides + the per-type counts) — pin it so
+    # the events scan + distinct shuffle run once (r14, guide §5; the
+    # frame is bounded by distinct activity triples, not fact rows)
+    u = e.distinct().localCheckpoint(eager=False)
     ua = u.select(F.col("event_type").alias("type_a"), "user_id", "day")
     ub = u.select(F.col("event_type").alias("type_b"), "user_id", "day")
     exact_i = (
@@ -7199,16 +7211,20 @@ def q_orders_price_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
     n³ zero-variance guard, continuity-corrected z, A&S polynomial p
     (operators/twosample.mann_whitney_u; oracle pinned cross-engine in
     tests/test_twosample.py before registration; 10× probe in
-    SCALING.md)."""
-    from .operators.twosample import mann_whitney_u
+    SCALING.md). One-scan era split since r14 (guide §6/§2.3): the
+    side flag replaces the two disjoint filters, so orders is scanned
+    once instead of once per era — identical sided-counts frame,
+    bit-identical statistic."""
+    from .operators.twosample import mann_whitney_u_split
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
     )
-    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
-    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
-    return mann_whitney_u(ref, cur, "x")
+    side = F.when(F.col("o_orderdate") < "1998-01-01", 1).when(
+        F.col("o_orderdate") >= "1998-01-01", 2
+    )
+    return mann_whitney_u_split(o, "x", side)
 
 
 def q_orders_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7221,16 +7237,18 @@ def q_orders_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL struct-min, and the 16-term Smirnov tail is a fixed
     unrolled expression identical in both engines, with the λ<0.2 →
     p=1 probks branch (operators/twosample.ks_two_sample; oracle
-    pinned in tests/test_twosample.py)."""
-    from .operators.twosample import ks_two_sample
+    pinned in tests/test_twosample.py). One-scan era split since r14
+    (the orders_price_mwu note)."""
+    from .operators.twosample import ks_two_sample_split
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
     )
-    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
-    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
-    return ks_two_sample(ref, cur, "x")
+    side = F.when(F.col("o_orderdate") < "1998-01-01", 1).when(
+        F.col("o_orderdate") >= "1998-01-01", 2
+    )
+    return ks_two_sample_split(o, "x", side)
 
 
 def q_events_type_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7242,17 +7260,19 @@ def q_events_type_mwu(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window partitions by the group key, so skew stays
     bounded by a type's distinct values, not its row count); one-sided
     groups report NULL stats with their counts (the psi asymmetry
-    convention)."""
-    from .operators.twosample import mann_whitney_u
+    convention). One-scan era split since r14 (the orders_price_mwu
+    note)."""
+    from .operators.twosample import mann_whitney_u_split
 
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         "ts",
         F.round(F.col("value") * 100).cast("long").alias("x"),
     )
-    ref = e.filter(F.col("ts") < "2024-01-16").select("event_type", "x")
-    cur = e.filter(F.col("ts") >= "2024-01-16").select("event_type", "x")
-    return mann_whitney_u(ref, cur, "x", group_cols=["event_type"])
+    side = F.when(F.col("ts") < "2024-01-16", 1).when(
+        F.col("ts") >= "2024-01-16", 2
+    )
+    return mann_whitney_u_split(e, "x", side, group_cols=["event_type"])
 
 
 def q_events_type_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7261,17 +7281,19 @@ def q_events_type_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift dashboard row: PSI magnitude (events_type_psi), MWU
     location significance, KS shape significance. Per-group ECDFs
     step only at the type's own distinct values; the integer
-    numerator max and its argmin location are exact per group."""
-    from .operators.twosample import ks_two_sample
+    numerator max and its argmin location are exact per group.
+    One-scan era split since r14 (the orders_price_mwu note)."""
+    from .operators.twosample import ks_two_sample_split
 
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         "ts",
         F.round(F.col("value") * 100).cast("long").alias("x"),
     )
-    ref = e.filter(F.col("ts") < "2024-01-16").select("event_type", "x")
-    cur = e.filter(F.col("ts") >= "2024-01-16").select("event_type", "x")
-    return ks_two_sample(ref, cur, "x", group_cols=["event_type"])
+    side = F.when(F.col("ts") < "2024-01-16", 1).when(
+        F.col("ts") >= "2024-01-16", 2
+    )
+    return ks_two_sample_split(e, "x", side, group_cols=["event_type"])
 
 
 def q_revenue_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7410,16 +7432,20 @@ def q_lineitem_returns_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per side (the only shuffle carries one row), pooled-
     variance continuity-corrected z as one double expression, A&S p;
     non-0/1 successes fail loud (operators/twosample.
-    two_proportion_ztest, oracle pinned in tests/test_twosample.py)."""
-    from .operators.twosample import two_proportion_ztest
+    two_proportion_ztest, oracle pinned in tests/test_twosample.py).
+    One-scan era split since r14 (the orders_price_mwu note): one
+    conditional aggregate over the flagged lineitem scan replaces the
+    per-side aggregate pair."""
+    from .operators.twosample import two_proportion_ztest_split
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_shipdate",
         (F.col("l_returnflag") == "R").cast("long").alias("ret"),
     )
-    ref = li.filter(F.col("l_shipdate") < "1996-01-01").select("ret")
-    cur = li.filter(F.col("l_shipdate") >= "1996-01-01").select("ret")
-    return two_proportion_ztest(ref, cur, "ret")
+    side = F.when(F.col("l_shipdate") < "1996-01-01", 1).when(
+        F.col("l_shipdate") >= "1996-01-01", 2
+    )
+    return two_proportion_ztest_split(li, "ret", side)
 
 
 def q_revenue_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7462,16 +7488,18 @@ def q_orders_price_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(distinct prices) windowed rows at any fact volume
     (operators/twosample.wasserstein_1; oracle pinned cross-engine in
     tests/test_driftmetrics.py before registration; 10× probe in
-    SCALING.md "r13-prep")."""
-    from .operators.twosample import wasserstein_1
+    SCALING.md "r13-prep"). One-scan era split since r14 (the
+    orders_price_mwu note)."""
+    from .operators.twosample import wasserstein_1_split
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
     )
-    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
-    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
-    return wasserstein_1(ref, cur, "x")
+    side = F.when(F.col("o_orderdate") < "1998-01-01", 1).when(
+        F.col("o_orderdate") >= "1998-01-01", 2
+    )
+    return wasserstein_1_split(o, "x", side)
 
 
 def q_orders_price_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7482,16 +7510,18 @@ def q_orders_price_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized contribution is one double of exact DECIMAL integers,
     quantized at 1e-12 and integer-summed so the Σ is order-free and
     engine-identical at any scale (operators/twosample.
-    cramer_von_mises; oracle pinned in tests/test_driftmetrics.py)."""
-    from .operators.twosample import cramer_von_mises
+    cramer_von_mises; oracle pinned in tests/test_driftmetrics.py).
+    One-scan era split since r14 (the orders_price_mwu note)."""
+    from .operators.twosample import cramer_von_mises_split
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
     )
-    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
-    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
-    return cramer_von_mises(ref, cur, "x")
+    side = F.when(F.col("o_orderdate") < "1998-01-01", 1).when(
+        F.col("o_orderdate") >= "1998-01-01", 2
+    )
+    return cramer_von_mises_split(o, "x", side)
 
 
 def q_orders_price_mood(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7502,16 +7532,18 @@ def q_orders_price_mood(spark: SparkSession, sf_dir: str) -> DataFrame:
     one cumulative window over the distinct-value aggregate, exact
     integer 2×2 table, Yates-corrected χ²₁, A&S p
     (operators/twosample.mood_median_test; oracle pinned in
-    tests/test_driftmetrics.py)."""
-    from .operators.twosample import mood_median_test
+    tests/test_driftmetrics.py). One-scan era split since r14 (the
+    orders_price_mwu note)."""
+    from .operators.twosample import mood_median_test_split
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
     )
-    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
-    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
-    return mood_median_test(ref, cur, "x")
+    side = F.when(F.col("o_orderdate") < "1998-01-01", 1).when(
+        F.col("o_orderdate") >= "1998-01-01", 2
+    )
+    return mood_median_test_split(o, "x", side)
 
 
 def q_events_type_kw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7543,17 +7575,19 @@ def q_events_type_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative window partitions by the type key over the per-type
     distinct-value aggregate, so skew stays bounded by a type's
     distinct values, never its row count; one-sided types report NULL
-    w1 with their counts (the psi asymmetry convention)."""
-    from .operators.twosample import wasserstein_1
+    w1 with their counts (the psi asymmetry convention). One-scan era
+    split since r14 (the orders_price_mwu note)."""
+    from .operators.twosample import wasserstein_1_split
 
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         "ts",
         F.round(F.col("value") * 100).cast("long").alias("x"),
     )
-    ref = e.filter(F.col("ts") < "2024-01-16").select("event_type", "x")
-    cur = e.filter(F.col("ts") >= "2024-01-16").select("event_type", "x")
-    return wasserstein_1(ref, cur, "x", group_cols=["event_type"])
+    side = F.when(F.col("ts") < "2024-01-16", 1).when(
+        F.col("ts") >= "2024-01-16", 2
+    )
+    return wasserstein_1_split(e, "x", side, group_cols=["event_type"])
 
 
 def q_segment_returns_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7566,8 +7600,11 @@ def q_segment_returns_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment_mk_bh precedent) and the per-side aggregate is map-side
     combinable — the final shuffle carries one row per segment
     (operators/twosample.two_proportion_ztest, grouped; ungrouped
-    oracle pinned in tests/test_twosample.py)."""
-    from .operators.twosample import two_proportion_ztest
+    oracle pinned in tests/test_twosample.py). One-scan era split
+    since r14 (the orders_price_mwu note) — the payoff is largest
+    here: the lineitem⋈orders join spine used to run once PER SIDE;
+    the flagged form runs it once."""
+    from .operators.twosample import two_proportion_ztest_split
 
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
@@ -7583,13 +7620,12 @@ def q_segment_returns_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .select("c_mktsegment", "l_shipdate", "ret")
     )
-    ref = j.filter(F.col("l_shipdate") < "1996-01-01").select(
-        "c_mktsegment", "ret"
+    side = F.when(F.col("l_shipdate") < "1996-01-01", 1).when(
+        F.col("l_shipdate") >= "1996-01-01", 2
     )
-    cur = j.filter(F.col("l_shipdate") >= "1996-01-01").select(
-        "c_mktsegment", "ret"
+    return two_proportion_ztest_split(
+        j, "ret", side, group_cols=["c_mktsegment"]
     )
-    return two_proportion_ztest(ref, cur, "ret", group_cols=["c_mktsegment"])
 
 
 def q_segment_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7661,16 +7697,18 @@ def q_orders_price_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the same one-window fold MWU/KS/W1/CvM/Mood ride, O(distinct
     prices) windowed rows at any fact volume; exact integers until
     the one quantized double fold (operators/twosample.ansari_bradley;
-    oracle pinned in tests/test_driftmetrics.py)."""
-    from .operators.twosample import ansari_bradley
+    oracle pinned in tests/test_driftmetrics.py). One-scan era split
+    since r14 (the orders_price_mwu note)."""
+    from .operators.twosample import ansari_bradley_split
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("x"),
     )
-    ref = o.filter(F.col("o_orderdate") < "1998-01-01").select("x")
-    cur = o.filter(F.col("o_orderdate") >= "1998-01-01").select("x")
-    return ansari_bradley(ref, cur, "x")
+    side = F.when(F.col("o_orderdate") < "1998-01-01", 1).when(
+        F.col("o_orderdate") >= "1998-01-01", 2
+    )
+    return ansari_bradley_split(o, "x", side)
 
 
 def q_events_type_jt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7704,13 +7742,17 @@ def q_events_mix_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume), a keyed merge, a scalar fold; exact DECIMAL d_c with the
     1e-9-quantized order-free sum; the χ²₁ tail is EXACT for k = 2
     (operators/twosample.chi2_homogeneity; oracle pinned in
-    tests/test_driftmetrics.py; plan pin tests/test_plans.py)."""
-    from .operators.twosample import chi2_homogeneity
+    tests/test_driftmetrics.py; plan pin tests/test_plans.py).
+    One-scan era split since r14 (the orders_price_mwu note)."""
+    from .operators.twosample import chi2_homogeneity_split
 
     e = load_table(spark, sf_dir, "events")
-    ref = e.filter(F.col("ts") < "2024-01-16").select("event_type")
-    cur = e.filter(F.col("ts") >= "2024-01-16").select("event_type")
-    return chi2_homogeneity(ref, cur, "event_type")
+    side = F.when(F.col("ts") < "2024-01-16", 1).when(
+        F.col("ts") >= "2024-01-16", 2
+    )
+    return chi2_homogeneity_split(
+        e.select("event_type", "ts"), "event_type", side
+    )
 
 
 def q_events_mix_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7727,20 +7769,25 @@ def q_events_mix_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``streaming.read_streaming_mix_shares`` over the
     ``start_streaming_mix`` state."""
     e = load_table(spark, sf_dir, "events")
-    ref = (
-        e.filter(F.col("ts") < "2024-01-16")
-        .groupBy(F.col("event_type").alias("category"))
-        .agg(F.count("*").cast("long").alias("n_ref"))
+    # one-scan era split since r14 (the orders_price_mwu note): one
+    # conditional count aggregate replaces the per-side aggregate pair
+    # + full-outer merge — a category present in only one era gets the
+    # same (c, 0) row the outer join produced
+    side = F.when(F.col("ts") < "2024-01-16", 1).when(
+        F.col("ts") >= "2024-01-16", 2
     )
-    cur = (
-        e.filter(F.col("ts") >= "2024-01-16")
-        .groupBy(F.col("event_type").alias("category"))
-        .agg(F.count("*").cast("long").alias("n_cur"))
-    )
-    vc = ref.join(cur, "category", "full").select(
-        "category",
-        F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
-        F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+    vc = (
+        e.select(F.col("event_type").alias("category"), side.alias("__s"))
+        .filter(F.col("__s").isNotNull())
+        .groupBy("category")
+        .agg(
+            F.sum(F.when(F.col("__s") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("__s") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
     )
     w = Window.partitionBy()
     n1 = F.sum("n_ref").over(w).cast("long")

@@ -261,3 +261,46 @@ def test_registry_psi_sketch_matches_exact_sibling(spark, sf_dir):
     got = QUERIES["orders_price_psi_sketch"](spark, sf_dir).collect()
     assert {r["psi_sketch"] for r in got} == {psi_sketch}
     assert len(got) == nb
+
+
+def test_finer_key_sketch_equals_filtered_builds(spark):
+    """The r14 one-scan shard build: a sketch grouped by (flag,
+    parity) then filtered to one parity must equal — row for row —
+    the sketch built over the pre-filtered subset grouped by flag
+    alone (bottom-k within a finer key IS bottom-k of each subset).
+    This is the identity that lets q_lineitem_sketch_merge build both
+    parity shards from one lineitem scan."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    ids = ["l_orderkey", "l_linenumber"]
+    fine = grouped_quantile_sketch(
+        li.withColumn("__par", F.col("l_orderkey") % 2),
+        "cents",
+        ids,
+        ["l_returnflag", "__par"],
+        k=64,
+    )
+    for i in (0, 1):
+        a = sorted(
+            map(
+                tuple,
+                fine.filter(F.col("__par") == i).drop("__par").collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                grouped_quantile_sketch(
+                    li.filter(F.col("l_orderkey") % 2 == i),
+                    "cents",
+                    ids,
+                    ["l_returnflag"],
+                    k=64,
+                ).collect(),
+            )
+        )
+        assert a == b, i

@@ -832,3 +832,45 @@ def test_cross_correlation_null_group_key_raises(spark):
     df = spark.createDataFrame(rows, "g string, d date, x long, y long")
     with pytest.raises(Exception, match="NULL group key in g"):
         cross_correlation(df, "d", "x", "y", group_cols=["g"]).collect()
+
+
+def test_sen_slope_selection_matches_single_sort(spark):
+    """The r14 two-phase distributed rank selection (monotone slope
+    buckets + cumulative offsets + one-bucket local sort) must pick
+    the BIT-IDENTICAL element the old single-partition global sort
+    picked. Stress shapes: heavy slope ties (integer steps), a skewed
+    slope distribution (most pairs in one bucket), and grouped
+    isolation; the python reference computes the lower median of all
+    pairwise slopes under the same (slope, ta, tb) tie-break."""
+    rng = random.Random(77)
+    rows = []
+    expect = {}
+    series = {
+        # heavy ties: x alternates over few values -> many equal slopes
+        "t": [rng.choice([0, 5, 10]) for _ in range(60)],
+        # skew: one wild excursion concentrates slopes near 0 with a
+        # long tail, so the uniform buckets are heavily unbalanced
+        "s": [10 * i for i in range(60)],
+        # all-equal slopes: width 0 -> the bucket-0 degenerate branch
+        "f": [7 * i for i in range(25)],
+    }
+    series["s"][13] = 9_999_999
+    for g, xs in series.items():
+        rows += [(g, i, x) for i, x in enumerate(xs)]
+        n, m, slope, intercept = _py_sen(xs)
+        expect[g] = (n, m, _rnd(slope, 9), _rnd(intercept, 4))
+    df = spark.createDataFrame(rows, "g string, d long, x long")
+    got = {
+        r["g"]: (r["n_points"], r["n_pairs"], r["sen_slope"], r["intercept"])
+        for r in sen_slope(df, "d", "x", group_cols=["g"]).collect()
+    }
+    assert got == expect
+    # ungrouped over the skewed series alone
+    one = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(series["s"])], "d long, x long"
+    )
+    r = sen_slope(one, "d", "x").collect()[0]
+    n, m, slope, intercept = _py_sen(series["s"])
+    assert (r["n_points"], r["n_pairs"]) == (n, m)
+    assert r["sen_slope"] == _rnd(slope, 9)
+    assert r["intercept"] == _rnd(intercept, 4)

@@ -680,3 +680,93 @@ def test_mwu_ks_empty_inputs_report_zero_counts(spark):
     r = k[0]
     assert (r["n_ref"], r["n_cur"]) == (0, 0)
     assert r["d_stat"] is None and r["p_approx"] is None
+
+
+def test_split_variants_match_two_input(spark):
+    """The r14 one-scan era-split twins must be BIT-IDENTICAL to the
+    two-input forms on every statistic: same sided-counts frame in,
+    same *_from_counts tail out — the contract that let the registered
+    drift queries move to one scan without re-pinning any oracle.
+    Covers ties, a value present in only one era, and rows in neither
+    era (side NULL == dropped by both disjoint filters)."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        ansari_bradley,
+        ansari_bradley_split,
+        chi2_homogeneity,
+        chi2_homogeneity_split,
+        cramer_von_mises,
+        cramer_von_mises_split,
+        ks_two_sample_split,
+        mann_whitney_u_split,
+        mood_median_test,
+        mood_median_test_split,
+        two_proportion_ztest,
+        two_proportion_ztest_split,
+        wasserstein_1,
+        wasserstein_1_split,
+    )
+
+    rows = []
+    rng = random.Random(27)
+    for i in range(300):
+        g = "ab"[i % 2]
+        era = rng.choice([1, 1, 2, 2, None])  # None = outside both eras
+        rows.append((g, era, rng.randrange(0, 40)))
+    # a value only the ref era sees, and a group with one-sided data
+    rows += [("a", 1, 999), ("c", 2, 5), ("c", 2, 5)]
+    df = spark.createDataFrame(rows, "g: string, era: int, x: long")
+    ref = df.filter(F.col("era") == 1)
+    cur = df.filter(F.col("era") == 2)
+    side = F.col("era")
+
+    for two_input, split in [
+        (mann_whitney_u, mann_whitney_u_split),
+        (ks_two_sample, ks_two_sample_split),
+        (wasserstein_1, wasserstein_1_split),
+        (cramer_von_mises, cramer_von_mises_split),
+        (mood_median_test, mood_median_test_split),
+        (ansari_bradley, ansari_bradley_split),
+    ]:
+        for gc in (None, ["g"]):
+            a = two_input(ref, cur, "x", group_cols=gc).collect()
+            b = split(df, "x", side, group_cols=gc).collect()
+            assert list(map(tuple, a)) == list(map(tuple, b)), (
+                two_input.__name__,
+                gc,
+            )
+
+    flags = df.select("g", "era", (F.col("x") % 2).alias("ok"))
+    fr = flags.filter(F.col("era") == 1)
+    fc = flags.filter(F.col("era") == 2)
+    for gc in (None, ["g"]):
+        a = two_proportion_ztest(fr, fc, "ok", group_cols=gc).collect()
+        b = two_proportion_ztest_split(
+            flags, "ok", side, group_cols=gc
+        ).collect()
+        assert list(map(tuple, a)) == list(map(tuple, b)), ("ztest", gc)
+
+    cats = df.select("g", "era", F.concat(F.lit("c"), F.col("x") % 5).alias("cat"))
+    cr = cats.filter(F.col("era") == 1)
+    cc = cats.filter(F.col("era") == 2)
+    for gc in (None, ["g"]):
+        a = chi2_homogeneity(cr, cc, "cat", group_cols=gc).collect()
+        b = chi2_homogeneity_split(cats, "cat", side, group_cols=gc).collect()
+        assert list(map(tuple, a)) == list(map(tuple, b)), ("chi2", gc)
+
+
+def test_split_side_flag_fails_loud_on_bad_value(spark):
+    """A side flag outside {1, 2, NULL} must raise, never be silently
+    counted into neither era (the _checked_long fail-loud rule)."""
+    from pyspark.sql import functions as F
+
+    from bangumi_notion_data_integration_project_spark.operators.twosample import (
+        mann_whitney_u_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (3, 20)], "era: int, x: long"
+    )
+    with pytest.raises(Exception, match="side flag"):
+        mann_whitney_u_split(df, "x", F.col("era")).collect()
