@@ -39,6 +39,7 @@ def pagerank(
     dst: str = "dst",
     handle_dangling: bool = False,
     edges_distinct: bool = False,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a (src, dst) edge list.
 
@@ -54,9 +55,30 @@ def pagerank(
     symmetric pair generators should dedup the ``a < b`` half and union
     the flipped copy (half the shuffle volume of deduping both
     directions); see ``q_parts_pagerank``.
+
+    Pass ``symmetric=True`` when the edge list is a mirrored
+    undirected graph (every (u, v) has its (v, u) twin — the
+    q_parts_pagerank shape). Under that contract every node appears as
+    BOTH a source and a destination, so (a) the node set is the
+    distinct source set (no two-sided union) and (b) every node
+    receives ≥ 1 contribution per iteration, which makes the per-
+    iteration ``nodes LEFT JOIN contrib`` re-attachment a no-op — the
+    aggregate itself already carries one row per node. Dropping that
+    join removes one node-table shuffle + sort-merge join PER
+    ITERATION (r14, guide §2.4); rank values are bit-identical because
+    ``coalesce(incoming, 0)`` never saw a NULL under the contract. The
+    contract is the caller's to honor (the ``edges_distinct`` rule —
+    verifying it would cost the very pass the flag removes);
+    ``handle_dangling`` is meaningless on a symmetric graph and
+    rejected loudly.
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if symmetric and handle_dangling:
+        raise ValueError(
+            "symmetric=True already implies no dangling nodes — "
+            "drop handle_dangling"
+        )
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not edges_distinct:
         e = e.distinct()
@@ -81,12 +103,21 @@ def pagerank(
         .select(F.col("src").alias("deg_node"), "outdeg")
         .localCheckpoint(eager=False)
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    if symmetric:
+        # mirrored edges: the distinct source set IS the node set —
+        # half the input to the distinct, no union
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    else:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
     n_row = nodes.agg(F.count("*").cast("double").alias("n"))
     # Broadcast the 1-row N so every stage stays JVM-side.
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
@@ -117,6 +148,16 @@ def pagerank(
                     "node",
                     (base + F.lit(damping) * (F.coalesce(F.col("incoming"), F.lit(0.0)) + spread)).alias("rank"),
                 )
+            )
+        elif symmetric:
+            # every node receives ≥ 1 contribution (mirrored edges), so
+            # contrib already carries one row per node — no left-join
+            # re-attachment, no node-table shuffle. Same expression as
+            # the general branch (coalesce of a never-NULL incoming),
+            # so rank bits are identical.
+            ranks = contrib.crossJoin(F.broadcast(n_row)).select(
+                F.col("dst").alias("node"),
+                (base + F.lit(damping) * F.coalesce(F.col("incoming"), F.lit(0.0))).alias("rank"),
             )
         else:
             ranks = (
@@ -176,9 +217,12 @@ def k_core(
     e = edges.select(F.col(a).alias("ea"), F.col(b).alias("eb")).localCheckpoint(eager=True)
 
     def _degree(df: DataFrame) -> DataFrame:
+        # ONE scan of the edge list (explode both endpoints) instead of
+        # a two-scan unionAll — same counts, half the edge passes per
+        # peel round (r14, guide §2.3); partial aggregation still
+        # reduces map-side below the exchange.
         return (
-            df.select(F.col("ea").alias("node"))
-            .unionAll(df.select(F.col("eb").alias("node")))
+            df.select(F.explode(F.array("ea", "eb")).alias("node"))
             .groupBy("node")
             .agg(F.count("*").alias("d"))
         )
@@ -194,7 +238,7 @@ def k_core(
         steps = min(6, rounds_left)
         rounds_left -= steps
         cur = e
-        for _ in range(steps):
+        for step in range(steps):
             # lazy checkpoint: both semi joins read the same
             # materialized keep set without an extra driver-sync job,
             # and the whole batch of rounds executes as ONE job
@@ -209,6 +253,18 @@ def k_core(
                 .join(keep.withColumnRenamed("node", "eb"), "eb", "left_semi")
                 .select("ea", "eb")
             )
+            if step < steps - 1:
+                # pin each intermediate survivor set too (r14): without
+                # this, round n's degree aggregate re-derives its input
+                # by re-filtering the batch-start edge list through n−1
+                # rounds of semi joins — the batch re-scanned the full
+                # edge list ~3× per round, each pass through a growing
+                # filter chain. Storing one survivor copy per in-flight
+                # round turns that into one scan of materialized edges
+                # per pass (storage-for-recompute, guide §5); the final
+                # round's set is materialized by the eager batch
+                # checkpoint below instead.
+                cur = cur.localCheckpoint(eager=False)
         e = cur.localCheckpoint(eager=True)
         if not _still_subk(e):
             converged = True

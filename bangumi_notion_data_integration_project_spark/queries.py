@@ -3001,7 +3001,13 @@ def q_parts_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # union reads it twice
     )
     edges = half.union(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    ranks = pagerank(edges, iterations=3, damping=0.85, edges_distinct=True)
+    # symmetric=True: the mirrored union means every node is a source
+    # and receives ≥1 contribution, so the operator can skip the
+    # per-iteration nodes LEFT JOIN re-attachment (bit-identical ranks;
+    # r14, guide §2.4)
+    ranks = pagerank(
+        edges, iterations=3, damping=0.85, edges_distinct=True, symmetric=True
+    )
     return (
         ranks.select(F.col("node").alias("l_partkey"), F.round("rank", 9).alias("pagerank"))
         .orderBy(F.desc("pagerank"), "l_partkey")

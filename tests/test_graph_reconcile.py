@@ -78,6 +78,26 @@ def test_pagerank_rejects_zero_iterations(spark):
         pagerank(df, iterations=0)
 
 
+def test_pagerank_symmetric_path_bit_identical(spark):
+    """symmetric=True (r14: skips the per-iteration nodes LEFT JOIN)
+    must reproduce the general path's ranks BIT-for-bit on a mirrored
+    edge list — same floats, not just approx: the skipped join was a
+    no-op re-attachment under the symmetry contract."""
+    raw = [(1, 2), (2, 3), (3, 1), (1, 4), (4, 5), (2, 5)]
+    edges = raw + [(b, a) for a, b in raw]
+    general = _spark_ranks(spark, edges, iterations=3, edges_distinct=True)
+    fast = _spark_ranks(
+        spark, edges, iterations=3, edges_distinct=True, symmetric=True
+    )
+    assert general == fast  # exact float equality, node set included
+
+
+def test_pagerank_symmetric_rejects_dangling(spark):
+    df = spark.createDataFrame([(1, 2), (2, 1)], ["src", "dst"])
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(df, symmetric=True, handle_dangling=True)
+
+
 def test_pagerank_duplicate_edges_collapse(spark):
     # duplicated edges must not double-count contributions
     edges = [(1, 2), (1, 2), (2, 1)]
